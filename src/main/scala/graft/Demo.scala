@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.{CoefficientCalculator, FormulaEvaluator}
+import graft.compile._
+import graft.model._
+
+/** End-to-end demo of the engine over the driver test data: builds matrices
+  * from lineitem (pivot by linenumber), runs formulas through both the
+  * single-query and batch APIs, prints results and the physical plan.
+  * Usage: runMain graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // one wide base: quantities and prices by linenumber → two matrix views
+    // sharing the base ⇒ formulas over them compile join-free
+    val aggs =
+      (1 to 4).map(j => sum(when(col("l_linenumber") === j, col("l_quantity")))
+        .as(s"q$j")) ++
+      (1 to 4).map(j => sum(when(col("l_linenumber") === j,
+        col("l_extendedprice") / 1000.0)).as(s"e$j")) ++
+      (1 to 4).map(j => (coalesce(sum(when(col("l_linenumber") === j,
+        col("l_quantity"))), lit(0.0)) + 1.0).as(s"p$j"))
+    val wide = li.groupBy(col("l_orderkey").as("__row_id__"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    val labels = (1 to 4).map(j => s"c$j")
+    val qty = Matrix(wide, "__row_id__", labels.zip((1 to 4).map(j => s"q$j")))
+    val price = Matrix(wide, "__row_id__", labels.zip((1 to 4).map(j => s"e$j")))
+    val pos = Matrix(wide, "__row_id__", labels.zip((1 to 4).map(j => s"p$j")))
+    val weights = Vec(Seq(10.0, 20.0, 30.0, 40.0))
+
+    val registry: Map[String, NamedData] =
+      Map("qty" -> qty, "price" -> price, "pos" -> pos, "w" -> weights)
+
+    println("== single query: (qty + price) / pos, fill_invalid=true ==")
+    val ev = new FormulaEvaluator(registry, fillInvalid = true, verbose = true)
+    val MatrixResult(df, rowId, lbls, _) =
+      ev.evaluateFormula("(qty + price) / pos"): @unchecked
+    df.orderBy(col(rowId)).show(5)
+    println("== physical plan ==")
+    df.explain("formatted")
+
+    println("== vector broadcast: qty * w ==")
+    ev.evaluateToDf("qty * w").orderBy(col(rowId)).show(3)
+
+    println("== reduction: qty / qty.sum() ==")
+    ev.evaluateToDf("qty / qty.sum()").orderBy(col(rowId)).show(3)
+
+    println("== batch calculator (std + decimal) ==")
+    val fmSchema = StructType(Seq(StructField("result_name", StringType),
+      StructField("formula", StringType)))
+    val fm = spark.createDataFrame(java.util.List.of(
+      Row("ratio", "qty / pos"), Row("scaled", "qty * w"),
+      Row("skipme", ""), Row("missing", "qty + nosuch"),
+      Row("combo", "(qty + price) / pos + price")), fmSchema)
+    val calc = new CoefficientCalculator(registry, fm,
+      adpEnabled = false, fillInvalid = true)
+    val out = calc.computeCoefficients()
+    println(s"computed: ${out.keys.mkString(", ")}")
+    out("combo") match {
+      case MatrixResult(d, r, l, _) => d.orderBy(col(r)).show(3)
+      case other => println(other)
+    }
+
+    val calcAdp = new CoefficientCalculator(registry, fm.filter(col("result_name") === "ratio"),
+      adpEnabled = true, fillInvalid = true)
+    val outAdp = calcAdp.computeCoefficients()
+    outAdp("ratio") match {
+      case MatrixResult(d, r, _, _) =>
+        println(s"ADP result schema: ${d.schema.simpleString}")
+        d.orderBy(col(r)).show(3)
+      case other => println(other)
+    }
+    spark.stop()
+  }
+}

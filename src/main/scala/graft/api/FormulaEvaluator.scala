@@ -1,0 +1,153 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ast.{FormulaAst, FormulaParser}
+import graft.compile._
+import graft.model._
+import graft.validate.ResultValidator
+
+/** The engine's single-query facade — the Spark-native counterpart of the
+  * reference's `FormulaEvaluator` (coeff_maker.py:572-840).
+  *
+  * @param dataDict        named matrices/vectors (the flat registry, §1.1)
+  * @param adpEnabled      decimal high-precision mode (§1.2; DecimalType(38,s))
+  * @param decimalPrecision significant digits for ADP mode (must be > 0 — F5)
+  * @param fillInvalid     replace NaN/±Inf/NULL results with 0 (V4)
+  * @param verbose         log per-formula validity diagnostics (V7)
+  */
+final class FormulaEvaluator(
+    dataDict: Map[String, NamedData],
+    val adpEnabled: Boolean = false,
+    val decimalPrecision: Int = 35,
+    val fillInvalid: Boolean = false,
+    val verbose: Boolean = false) {
+
+  val mode: NumericMode = NumericMode(adpEnabled, decimalPrecision)
+  val validator = new ResultValidator(mode, fillInvalid, verbose)
+
+  /** Construction-time ingest cast (S1/S2, coeff_maker.py:633-671): every
+    * matrix cell is cast to the session cell type up front. Matrices sharing
+    * a backing DataFrame keep sharing one (so the join-free compile fast path
+    * survives the cast). NaN→NULL under decimal cast preserves invalidity.
+    */
+  val registry: Map[String, NamedData] = {
+    val mats = dataDict.collect { case (n, m: Matrix) => (n, m) }
+    val byBase = mats.groupBy { case (_, m) => System.identityHashCode(m.base) }
+    val recast: Map[String, Matrix] = byBase.values.flatMap { group =>
+      val base = group.head._2.base
+      val rowId = group.head._2.rowId
+      val phys = group.flatMap(_._2.cols.map(_._2)).toSeq.distinct
+      val newBase = base.select(
+        (col(rowId) +: phys.map(p => Ingest.castCell(base, p, mode).as(p))): _*)
+      group.map { case (n, m) => (n, Matrix(newBase, m.rowId, m.cols)) }
+    }.toMap
+    dataDict.map {
+      case (n, _: Matrix) => (n, recast(n))
+      case (n, v: Vec)    => (n, v)
+    }
+  }
+
+  private val compiler = new FormulaCompiler(registry, mode)
+
+  /** F1: formula string → AST (the reference's sympify step, without the
+    * algebraic-canonicalization side effect — Catalyst does constant folding
+    * on the Column tree instead). */
+  def parseFormula(formula: String): FormulaAst = FormulaParser.parse(formula)
+
+  /** F2: free variables of a parsed formula. */
+  def extractVariables(ast: FormulaAst): Seq[String] = ast.freeVariables.toSeq.sorted
+
+  /** X2: evaluate a formula end-to-end: parse → compile to one Spark plan →
+    * validate (single-pass stats) → optional fill. Returns the result and
+    * leaves warnings on `validator.lastWarning`. */
+  def evaluateFormula(formula: String): EvalResult = {
+    val ast = parseFormula(formula)
+    if (verbose && ast.containsOp("/"))
+      System.err.println(
+        s"[graft] formula '$formula' contains division; division by zero " +
+          "produces invalid (Inf/NaN) cells that the validator will flag.")
+    val raw = compiler.compile(ast)
+    val (validated, _) = validator.validate(raw, ast, formula, registry)
+    validated
+  }
+
+  /** Convenience: evaluate and demand a DataFrame-shaped result. */
+  def evaluateToDf(formula: String): DataFrame = evaluateFormula(formula) match {
+    case MatrixResult(df, _, _, _) => df
+    case RowResult(df, _)          => df
+    case VecResult(v) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row.fromSeq(v.values)),
+        org.apache.spark.sql.types.StructType(v.labels.map(l =>
+          org.apache.spark.sql.types.StructField(l,
+            org.apache.spark.sql.types.DoubleType))))
+    case ScalarResult(x) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(x)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+  }
+}
+
+/** Batch driver over a formula table — the counterpart of the reference's
+  * `CoefficientCalculator` (coeff_maker.py:843-1016).
+  *
+  * Per reference semantics: rows with empty formulas are skipped (F4), rows
+  * referencing unknown variables are skipped with a notice (F3), and results
+  * are NOT fed back into the registry (no formula chaining — S4,
+  * coeff_maker.py:1012).
+  */
+final class CoefficientCalculator(
+    dataDict: Map[String, NamedData],
+    coefficientMap: DataFrame,
+    resultNameCol: String = "result_name",
+    formulaNameCol: String = "formula",
+    adpEnabled: Boolean = true, // reference default (coeff_maker.py:893)
+    decimalPrecision: Int = 35,
+    fillInvalid: Boolean = false,
+    verbose: Boolean = false) {
+
+  // F6: mandatory-column validation (KeyError analogue, coeff_maker.py:938-954)
+  locally {
+    val have = coefficientMap.columns.toSet
+    val missing = Seq(resultNameCol, formulaNameCol).filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"coefficient map is missing mandatory column(s): ${missing.mkString(", ")}; " +
+          s"present: ${have.mkString(", ")}")
+  }
+
+  val evaluator = new FormulaEvaluator(dataDict, adpEnabled, decimalPrecision,
+                                       fillInvalid, verbose)
+
+  /** X3: the batch loop. The formula table is tiny and driver-resident; each
+    * formula compiles to an independent Spark job. */
+  def computeCoefficients(): scala.collection.immutable.ListMap[String, EvalResult] = {
+    val rows = coefficientMap
+      .select(col(resultNameCol).cast("string"), col(formulaNameCol).cast("string"))
+      .collect()
+    var out = scala.collection.immutable.ListMap.empty[String, EvalResult]
+    rows.foreach { r =>
+      val name = r.getString(0)
+      val formula = Option(r.getString(1)).getOrElse("")
+      if (formula.trim.isEmpty) {
+        System.err.println(s"[graft] skipping '$name': empty formula")
+      } else {
+        val ast = evaluator.parseFormula(formula)
+        val missing = ast.freeVariables.filterNot(evaluator.registry.contains)
+        if (missing.nonEmpty) {
+          System.err.println(
+            s"[graft] skipping '$name': missing variable(s) ${missing.mkString(", ")}")
+        } else {
+          out = out + (name -> evaluator.evaluateFormula(formula))
+          System.err.println(s"[graft] computed coefficient '$name' = $formula")
+        }
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,219 @@
+package graft.ast
+
+/** Formula-DSL abstract syntax tree.
+  *
+  * The reference's formula language is "whatever `pd.eval` accepts"
+  * (reference: src/ssb_coefficient_maker/coeff_maker.py:766) — element-wise
+  * arithmetic over named matrices/vectors with python precedence, math
+  * functions, and a small set of pandas method calls
+  * (SURVEY.md §2.2 E1–E12). We parse to our own AST; no sympy, no Catalyst
+  * involvement at this layer (pure JVM, unit-testable without Spark).
+  */
+sealed trait FormulaAst {
+  /** Free variable names referenced by this expression (SURVEY §2.5 F2). */
+  def freeVariables: Set[String] = this match {
+    case Num(_)              => Set.empty
+    case Var(n)              => Set(n)
+    case Unary(_, e)         => e.freeVariables
+    case Bin(_, l, r)        => l.freeVariables ++ r.freeVariables
+    case Call(_, args)       => args.flatMap(_.freeVariables).toSet
+    case Method(t, _, args)  => t.freeVariables ++ args.flatMap(_.freeVariables)
+  }
+
+  /** True if the tree contains the given binary operator (e.g. "/", "**"). */
+  def containsOp(op: String): Boolean = this match {
+    case Num(_)             => false
+    case Var(_)             => false
+    case Unary(_, e)        => e.containsOp(op)
+    case Bin(o, l, r)       => o == op || l.containsOp(op) || r.containsOp(op)
+    case Call(_, args)      => args.exists(_.containsOp(op))
+    case Method(t, m, args) =>
+      (op == "**" && m == "pow") || t.containsOp(op) || args.exists(_.containsOp(op))
+  }
+}
+
+final case class Num(v: Double) extends FormulaAst
+final case class Var(name: String) extends FormulaAst
+/** op ∈ {"-", "+", "~"} */
+final case class Unary(op: String, e: FormulaAst) extends FormulaAst
+/** op ∈ {+ - * / % // ** > < >= <= == != & |} */
+final case class Bin(op: String, l: FormulaAst, r: FormulaAst) extends FormulaAst
+/** math function call, e.g. log(a), arctan2(a, b) (SURVEY §2.2 E9) */
+final case class Call(fn: String, args: List[FormulaAst]) extends FormulaAst
+/** whitelisted method call, e.g. a.fillna(0), a.clip(1, 2), a.sum() (E10/E11) */
+final case class Method(target: FormulaAst, name: String, args: List[FormulaAst])
+    extends FormulaAst
+
+/** Raised on malformed formulas; mirrors the reference's decorated
+  * SyntaxError path (coeff_maker.py:784-788). */
+final class FormulaSyntaxException(msg: String) extends RuntimeException(msg)
+
+/** Hand-rolled recursive-descent parser (SURVEY §2.5 F1).
+  *
+  * Precedence (loosest→tightest), matching python/pd.eval intent:
+  *   `|`  <  `&`  <  comparisons  <  `+ -`  <  `* / % //`  <  unary `- + ~`
+  *   <  `**` (right-assoc, exponent may carry unary)  <  postfix `.method(...)`
+  */
+object FormulaParser {
+
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  def parse(formula: String): FormulaAst = {
+    val toks = tokenize(formula)
+    val p = new P(toks, formula)
+    val e = p.parseOr()
+    p.expectEnd()
+    e
+  }
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) { i += 1 }
+      else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+        if (i < n && (s(i) == 'e' || s(i) == 'E')) {
+          var j = i + 1
+          if (j < n && (s(j) == '+' || s(j) == '-')) j += 1
+          if (j < n && s(j).isDigit) { i = j; while (i < n && s(i).isDigit) i += 1 }
+        }
+        out += Tok("num", s.substring(start, i), start)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += Tok("ident", s.substring(start, i), start)
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        two match {
+          case "**" | "//" | ">=" | "<=" | "==" | "!=" =>
+            out += Tok("op", two, i); i += 2
+          case _ =>
+            c match {
+              case '+' | '-' | '*' | '/' | '%' | '>' | '<' | '&' | '|' | '~' =>
+                out += Tok("op", c.toString, i); i += 1
+              case '(' => out += Tok("lparen", "(", i); i += 1
+              case ')' => out += Tok("rparen", ")", i); i += 1
+              case ',' => out += Tok("comma", ",", i); i += 1
+              case '.' => out += Tok("dot", ".", i); i += 1
+              case other =>
+                throw new FormulaSyntaxException(
+                  s"Unexpected character '$other' at position $i in formula: $s")
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private final class P(toks: Vector[Tok], src: String) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    private def advance(): Tok = { val t = toks(i); i += 1; t }
+    private def peekOp(ops: Set[String]): Option[String] =
+      peek.collect { case Tok("op", t, _) if ops(t) => t }
+
+    def expectEnd(): Unit =
+      peek.foreach(t => throw new FormulaSyntaxException(
+        s"Unexpected token '${t.text}' at position ${t.pos} in formula: $src"))
+
+    def parseOr(): FormulaAst = {
+      var l = parseAnd()
+      while (peekOp(Set("|")).isDefined) { advance(); l = Bin("|", l, parseAnd()) }
+      l
+    }
+    private def parseAnd(): FormulaAst = {
+      var l = parseCmp()
+      while (peekOp(Set("&")).isDefined) { advance(); l = Bin("&", l, parseCmp()) }
+      l
+    }
+    private def parseCmp(): FormulaAst = {
+      var l = parseAdd()
+      var op = peekOp(Set(">", "<", ">=", "<=", "==", "!="))
+      while (op.isDefined) {
+        advance(); l = Bin(op.get, l, parseAdd())
+        op = peekOp(Set(">", "<", ">=", "<=", "==", "!="))
+      }
+      l
+    }
+    private def parseAdd(): FormulaAst = {
+      var l = parseMul()
+      var op = peekOp(Set("+", "-"))
+      while (op.isDefined) {
+        advance(); l = Bin(op.get, l, parseMul())
+        op = peekOp(Set("+", "-"))
+      }
+      l
+    }
+    private def parseMul(): FormulaAst = {
+      var l = parseUnary()
+      var op = peekOp(Set("*", "/", "%", "//"))
+      while (op.isDefined) {
+        advance(); l = Bin(op.get, l, parseUnary())
+        op = peekOp(Set("*", "/", "%", "//"))
+      }
+      l
+    }
+    // python: u_expr ::= power | "-" u_expr ; power ::= primary ["**" u_expr]
+    private def parseUnary(): FormulaAst =
+      peekOp(Set("-", "+", "~")) match {
+        case Some(op) => advance(); Unary(op, parseUnary())
+        case None     => parsePower()
+      }
+    private def parsePower(): FormulaAst = {
+      val base = parsePostfix()
+      if (peekOp(Set("**")).isDefined) { advance(); Bin("**", base, parseUnary()) }
+      else base
+    }
+    private def parsePostfix(): FormulaAst = {
+      var e = parseAtom()
+      while (peek.exists(_.kind == "dot")) {
+        advance()
+        val name = peek match {
+          case Some(Tok("ident", t, _)) => advance(); t
+          case other => throw new FormulaSyntaxException(
+            s"Expected method name after '.', got ${other.map(_.text).getOrElse("<end>")} in: $src")
+        }
+        val args =
+          if (peek.exists(_.kind == "lparen")) parseArgs()
+          else Nil // attribute access like `.T` — parsed, rejected at compile
+        e = Method(e, name, args)
+      }
+      e
+    }
+    private def parseArgs(): List[FormulaAst] = {
+      advance() // '('
+      if (peek.exists(_.kind == "rparen")) { advance(); return Nil }
+      val args = scala.collection.mutable.ListBuffer[FormulaAst]()
+      args += parseOr()
+      while (peek.exists(_.kind == "comma")) { advance(); args += parseOr() }
+      peek match {
+        case Some(Tok("rparen", _, _)) => advance()
+        case other => throw new FormulaSyntaxException(
+          s"Expected ')', got ${other.map(_.text).getOrElse("<end>")} in: $src")
+      }
+      args.toList
+    }
+    private def parseAtom(): FormulaAst =
+      peek match {
+        case Some(Tok("num", t, _))   => advance(); Num(t.toDouble)
+        case Some(Tok("ident", t, _)) =>
+          advance()
+          if (peek.exists(_.kind == "lparen")) Call(t, parseArgs()) else Var(t)
+        case Some(Tok("lparen", _, _)) =>
+          advance()
+          val e = parseOr()
+          peek match {
+            case Some(Tok("rparen", _, _)) => advance(); e
+            case other => throw new FormulaSyntaxException(
+              s"Expected ')', got ${other.map(_.text).getOrElse("<end>")} in: $src")
+          }
+        case other =>
+          throw new FormulaSyntaxException(
+            s"Unexpected ${other.map(t => s"token '${t.text}'").getOrElse("end of input")} in formula: $src")
+      }
+  }
+}

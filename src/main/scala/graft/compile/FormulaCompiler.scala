@@ -1,0 +1,387 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ast._
+import graft.model._
+
+/** Thrown when a formula references a name absent from the registry; the
+  * analogue of the reference's decorated KeyError (coeff_maker.py:778-783). */
+final class VariableNotFoundException(name: String, available: Iterable[String])
+    extends RuntimeException(
+      s"Variable '$name' not found in data dictionary. Available: ${available.mkString(", ")}")
+
+/** Thrown for operations the decimal (ADP) mode rejects; the clean-error
+  * analogue of the reference's ADP `**` guard (coeff_maker.py:743-749,
+  * quirk Q4 — we fix the crash into a clean error, SURVEY §7.4(4)). */
+final class AdpUnsupportedException(msg: String) extends RuntimeException(msg)
+
+final class FormulaTypeException(msg: String) extends RuntimeException(msg)
+
+/** The evaluation result ADT (SURVEY §7.4(7)). */
+sealed trait EvalResult
+/** Distributed matrix result; `isBool` marks comparison results, which pass
+  * through validation untouched (reference behavior, coeff_maker.py:183-185). */
+final case class MatrixResult(df: DataFrame, rowId: String, labels: Seq[String],
+                              isBool: Boolean) extends EvalResult
+/** Driver-side vector (Series ∘ Series positional path, SURVEY §2.3 A3). */
+final case class VecResult(vec: Vec) extends EvalResult
+/** One-row distributed result from whole-frame reductions (`m.sum()`). */
+final case class RowResult(df: DataFrame, labels: Seq[String]) extends EvalResult
+/** Scalar-only formula, e.g. "1 + 2" (quirk Q9). */
+final case class ScalarResult(v: Double) extends EvalResult
+
+/** Compiles a [[FormulaAst]] against a registry into ONE declarative Spark
+  * plan (SURVEY §3: formula → AST → Column tree → Catalyst → codegen).
+  *
+  * Scale design (SURVEY §4.3):
+  *  - matrices sharing a backing DataFrame compile to a single-scan
+  *    projection — zero joins, zero shuffles, one WholeStageCodegen span;
+  *  - matrices with different backings align via ONE N-way `full_outer`
+  *    equi-join on the row id (the reference's label-alignment semantics,
+  *    §2.3 A1); Catalyst picks broadcast/SMJ per stats, AQE re-plans;
+  *  - vectors compile to literals inside the projection (no shuffle at all);
+  *  - whole-frame reductions (`.sum()`, `.mean()`) become a partial-agg
+  *    tree-reduce whose 1-row result is broadcast-cross-joined back — the
+  *    classic scalar-subquery shape, no driver round-trip in the plan.
+  */
+final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode) {
+
+  private val std = !mode.adpEnabled
+
+  // ---- compile-time values ------------------------------------------------
+
+  private sealed trait CValue
+  /** label-ordered Column exprs over the aligned base */
+  private case class CMatrix(cols: Seq[(String, Column)], isBool: Boolean) extends CValue
+  /** driver-resident vector */
+  private case class CVecD(values: IndexedSeq[Double], labels: IndexedSeq[String]) extends CValue
+  /** distributed 1-row vector (from reductions); aggIds name the 1-row agg
+    * DataFrames its columns reference */
+  private case class CVecC(cols: Seq[(String, Column)], aggIds: Set[Int]) extends CValue
+  private case class CScalar(v: Double) extends CValue
+
+  // ---- compile context ----------------------------------------------------
+
+  private final class Ctx(
+      var base: Option[DataFrame],       // aligned base for matrix exprs
+      var rowIdOut: String,              // row-id column name in `base`
+      val physOf: Map[String, Seq[(String, String)]] // var → (label, physical col in base)
+  ) {
+    val aggDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pulled = scala.collection.mutable.Set[Int]()
+    var aggCounter = 0
+    /** make sure agg df `id` is cross-joined (broadcast) into the base */
+    def pull(id: Int): Unit = if (!pulled.contains(id)) {
+      base = Some(base.get.crossJoin(broadcast(aggDfs(id))))
+      pulled += id
+    }
+  }
+
+  // ---- entry --------------------------------------------------------------
+
+  def compile(ast: FormulaAst): EvalResult = {
+    val vars = collectVarsInOrder(ast)
+    vars.foreach { v =>
+      if (!registry.contains(v)) throw new VariableNotFoundException(v, registry.keys)
+    }
+    val matVars = vars.filter(v => registry(v).isInstanceOf[Matrix])
+    val ctx = buildBase(matVars)
+    eval(ast, ctx) match {
+      case CMatrix(cols, isBool) =>
+        val base = ctx.base.get
+        val out = base.select(
+          (col(ctx.rowIdOut).as(ctx.rowIdOut) +: cols.map { case (l, c) => c.as(l) }): _*)
+        MatrixResult(out, ctx.rowIdOut, cols.map(_._1), isBool)
+      case CVecD(vs, ls)  => VecResult(Vec(vs, ls))
+      case v: CVecC       =>
+        // pure-reduction result: 1-row df from the agg(s), no base scan
+        val joined = v.aggIds.toSeq.sorted.map(ctx.aggDfs).reduceLeft(_.crossJoin(_))
+        RowResult(joined.select(v.cols.map { case (l, c) => c.as(l) }: _*), v.cols.map(_._1))
+      case CScalar(x)     => ScalarResult(x)
+    }
+  }
+
+  /** left-to-right first-appearance order (deterministic plans). */
+  private def collectVarsInOrder(ast: FormulaAst): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    def go(a: FormulaAst): Unit = a match {
+      case Num(_) => (); case Var(n) => seen += n
+      case Unary(_, e) => go(e)
+      case Bin(_, l, r) => go(l); go(r)
+      case Call(_, as) => as.foreach(go)
+      case Method(t, _, as) => go(t); as.foreach(go)
+    }
+    go(ast)
+    seen.toSeq
+  }
+
+  /** Build the aligned base: group matrix vars by backing-DataFrame identity;
+    * one group → that DataFrame as-is (join-free fast path); several →
+    * project each group and N-way full-outer join on `__row_id__`.
+    */
+  private def buildBase(matVars: Seq[String]): Ctx = {
+    if (matVars.isEmpty) return new Ctx(None, "", Map.empty)
+    val mats = matVars.map(v => v -> registry(v).asInstanceOf[Matrix])
+    val groups = scala.collection.mutable.LinkedHashMap[DataFrame, scala.collection.mutable.ArrayBuffer[(String, Matrix)]]()
+    mats.foreach { case (v, m) =>
+      val key = groups.keys.find(_ eq m.base).getOrElse(m.base)
+      groups.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer()) += (v -> m)
+    }
+    if (groups.size == 1) {
+      val (df, members) = groups.head
+      val rowId = members.head._2.rowId
+      require(members.forall(_._2.rowId == rowId),
+        "matrices over one backing DataFrame must share the row-id column")
+      new Ctx(Some(df), rowId, members.map { case (v, m) => v -> m.cols }.toMap)
+    } else {
+      // rename each group's columns uniquely, then full-outer join on row id
+      var physOf = Map.empty[String, Seq[(String, String)]]
+      val projected = groups.zipWithIndex.map { case ((df, members), gi) =>
+        val physNeeded = members.flatMap(_._2.cols.map(_._2)).distinct
+        val rowId = members.head._2.rowId
+        val renamed = df.select(
+          (col(rowId).as("__row_id__") +:
+            physNeeded.map(p => col(p).as(s"__g${gi}__$p"))).toSeq: _*)
+        members.foreach { case (v, m) =>
+          physOf += v -> m.cols.map { case (l, p) => (l, s"__g${gi}__$p") }
+        }
+        renamed
+      }.toSeq
+      val joined = projected.reduceLeft((a, b) => a.join(b, Seq("__row_id__"), "full_outer"))
+      new Ctx(Some(joined), "__row_id__", physOf)
+    }
+  }
+
+  // ---- recursive evaluation ----------------------------------------------
+
+  private def eval(ast: FormulaAst, ctx: Ctx): CValue = ast match {
+    case Num(v) => CScalar(v)
+
+    case Var(name) => registry(name) match {
+      case m: Matrix =>
+        val phys = ctx.physOf(name)
+        val cols = phys.map { case (l, p) =>
+          (l, if (std) Ops.denull(col(p)) else col(p).cast(mode.cellType))
+        }
+        CMatrix(cols, isBool = false)
+      case v: Vec => CVecD(v.values, v.labels)
+    }
+
+    case Unary(op, e) => (op, eval(e, ctx)) match {
+      case ("+", v) => v
+      case ("-", CMatrix(cols, b)) =>
+        require(!b, "unary - on boolean frame"); CMatrix(mapCols(cols)(Ops.neg), b)
+      case ("-", CVecD(vs, ls)) => CVecD(vs.map(x => -x), ls)
+      case ("-", CVecC(cols, ids)) => CVecC(mapCols(cols)(Ops.neg), ids)
+      case ("-", CScalar(v)) => CScalar(-v)
+      case ("~", CMatrix(cols, true)) => CMatrix(mapCols(cols)(Ops.not), isBool = true)
+      case (o, _) => throw new FormulaTypeException(s"unary '$o' not applicable here")
+    }
+
+    case Bin(op, l, r) =>
+      if (!std && op == "**")
+        throw new AdpUnsupportedException(
+          "Power operations ('**') are not supported in arbitrary-decimal-" +
+          "precision mode. Use repeated multiplication or standard mode " +
+          "(reference: coeff_maker.py:743-749).")
+      binop(op, eval(l, ctx), eval(r, ctx), ctx)
+
+    case Call(fn, args) =>
+      if (!std)
+        throw new AdpUnsupportedException(
+          s"Math function '$fn' is not supported in decimal (ADP) mode.")
+      args.map(eval(_, ctx)) match {
+        case List(a) if Ops.functions.contains(fn) => applyFn(Ops.functions(fn), fn, a)
+        case List(a, b) if Ops.functions2.contains(fn) =>
+          binopWith(Ops.functions2(fn), (x, y) => Ops.scalarFn(fn, x), a, b, ctx, bool = false)
+        case _ => throw new FormulaTypeException(
+          s"Unknown function '$fn' with ${args.length} argument(s)")
+      }
+
+    case Method(t, name, args) => method(eval(t, ctx), name, args.map(eval(_, ctx)), ctx)
+  }
+
+  private def mapCols(cols: Seq[(String, Column)])(f: Column => Column) =
+    cols.map { case (l, c) => (l, f(c)) }
+
+  private def asScalar(v: CValue, what: String): Double = v match {
+    case CScalar(x) => x
+    case _ => throw new FormulaTypeException(s"$what expects a scalar literal argument")
+  }
+
+  // ---- binary dispatch over all operand-kind pairs ------------------------
+
+  private def colOp(op: String): (Column, Column) => Column =
+    if (std) op match {
+      case "+" => Ops.add; case "-" => Ops.sub; case "*" => Ops.mul
+      case "/" => Ops.div; case "%" => Ops.mod; case "//" => Ops.floorDiv
+      case "**" => Ops.pow2
+      case ">" => Ops.gt; case "<" => Ops.lt; case ">=" => Ops.geq
+      case "<=" => Ops.leq; case "==" => Ops.eq; case "!=" => Ops.neq
+      case "&" => Ops.and; case "|" => Ops.or
+    } else op match {
+      // decimal mode: Spark decimal arithmetic via try_* — division by zero
+      // and precision overflow yield NULL (the ADP invalid marker) instead of
+      // ANSI exceptions, mirroring the reference's invalid-cell semantics
+      case "+" => try_add _; case "-" => try_subtract _
+      case "*" => try_multiply _; case "/" => try_divide _
+      case "%" => try_mod _
+      case ">" => (_: Column) > (_: Column); case "<" => (_: Column) < (_: Column)
+      case ">=" => (_: Column) >= (_: Column); case "<=" => (_: Column) <= (_: Column)
+      case "==" => (_: Column) === (_: Column); case "!=" => (_: Column) =!= (_: Column)
+      case "&" => Ops.and; case "|" => Ops.or
+      case other => throw new AdpUnsupportedException(s"'$other' unsupported in ADP mode")
+    }
+
+  private def isCmp(op: String) = Set(">", "<", ">=", "<=", "==", "!=", "&", "|")(op)
+
+  private def binop(op: String, l: CValue, r: CValue, ctx: Ctx): CValue =
+    binopWith(colOp(op), (a, b) => Ops.scalarBin(op, a, b), l, r, ctx, bool = isCmp(op))
+
+  private def litOf(v: Double): Column =
+    if (std) lit(v) else lit(v).cast(mode.cellType)
+
+  private def binopWith(f: (Column, Column) => Column, fs: (Double, Double) => Double,
+                        l: CValue, r: CValue, ctx: Ctx, bool: Boolean): CValue = (l, r) match {
+    // matrix ∘ matrix: label alignment (§2.3 A1). Same ordered labels → zip;
+    // otherwise sorted union with NaN for one-sided labels.
+    case (CMatrix(lc, lb), CMatrix(rc, rb)) =>
+      val out =
+        if (lc.map(_._1) == rc.map(_._1))
+          lc.zip(rc).map { case ((lbl, a), (_, b)) => (lbl, f(a, b)) }
+        else {
+          val lm = lc.toMap; val rm = rc.toMap
+          val union = (lc.map(_._1) ++ rc.map(_._1)).distinct.sorted
+          union.map { lbl =>
+            (lbl, f(lm.getOrElse(lbl, litOf(Double.NaN)), rm.getOrElse(lbl, litOf(Double.NaN))))
+          }
+        }
+      CMatrix(out, bool)
+
+    // matrix ∘ vector: COLUMN-POSITIONAL broadcast (§2.3 A2 [verified]) —
+    // the vector becomes literals inside the projection; zero shuffle.
+    case (CMatrix(mc, _), CVecD(vs, _)) =>
+      requireLen(vs.length, mc.length)
+      CMatrix(mc.zip(vs).map { case ((lbl, c), v) => (lbl, f(c, litOf(v))) }, bool)
+    case (CVecD(vs, _), CMatrix(mc, _)) =>
+      requireLen(vs.length, mc.length)
+      CMatrix(mc.zip(vs).map { case ((lbl, c), v) => (lbl, f(litOf(v), c)) }, bool)
+
+    // matrix ∘ reduction-vector: pull the 1-row agg into the base (broadcast
+    // cross join — the scalar-subquery shape), then positional zip.
+    case (CMatrix(mc, _), CVecC(vc, ids)) =>
+      requireLen(vc.length, mc.length); ids.foreach(ctx.pull)
+      CMatrix(mc.zip(vc).map { case ((lbl, c), (_, v)) => (lbl, f(c, v)) }, bool)
+    case (CVecC(vc, ids), CMatrix(mc, _)) =>
+      requireLen(vc.length, mc.length); ids.foreach(ctx.pull)
+      CMatrix(mc.zip(vc).map { case ((lbl, c), (_, v)) => (lbl, f(v, c)) }, bool)
+
+    // vector ∘ vector: positional, NO label alignment (§2.3 A3 [verified])
+    case (CVecD(a, al), CVecD(b, _)) =>
+      requireLen(a.length, b.length)
+      CVecD(a.zip(b).map { case (x, y) => fs(x, y) }, al)
+    case (CVecC(a, ids), CVecD(b, _)) =>
+      requireLen(a.length, b.length)
+      CVecC(a.zip(b).map { case ((lbl, c), v) => (lbl, f(c, litOf(v))) }, ids)
+    case (CVecD(a, _), CVecC(b, ids)) =>
+      requireLen(a.length, b.length)
+      CVecC(b.zip(a).map { case ((lbl, c), v) => (lbl, f(litOf(v), c)) }, ids)
+    case (CVecC(a, i1), CVecC(b, i2)) =>
+      requireLen(a.length, b.length)
+      CVecC(a.zip(b).map { case ((lbl, x), (_, y)) => (lbl, f(x, y)) }, i1 ++ i2)
+
+    // scalar broadcast (E5)
+    case (CMatrix(mc, _), CScalar(v)) => CMatrix(mapCols(mc)(c => f(c, litOf(v))), bool)
+    case (CScalar(v), CMatrix(mc, _)) => CMatrix(mapCols(mc)(c => f(litOf(v), c)), bool)
+    case (CVecD(a, al), CScalar(v))   => CVecD(a.map(fs(_, v)), al)
+    case (CScalar(v), CVecD(a, al))   => CVecD(a.map(fs(v, _)), al)
+    case (CVecC(a, ids), CScalar(v))  => CVecC(mapCols(a)(c => f(c, litOf(v))), ids)
+    case (CScalar(v), CVecC(a, ids))  => CVecC(mapCols(a)(c => f(litOf(v), c)), ids)
+    case (CScalar(a), CScalar(b))     => CScalar(fs(a, b))
+
+    case other => throw new FormulaTypeException(s"cannot combine operands: $other")
+  }
+
+  private def requireLen(a: Int, b: Int): Unit =
+    if (a != b) throw new FormulaTypeException(
+      s"operands are not aligned: vector length $a vs $b columns " +
+        "(vectors broadcast by column position; see SURVEY §2.3 A2)")
+
+  private def applyFn(f: Column => Column, name: String, v: CValue): CValue = v match {
+    case CMatrix(cols, false) => CMatrix(mapCols(cols)(f), isBool = false)
+    case CVecD(vs, ls)        => CVecD(vs.map(Ops.scalarFn(name, _)), ls)
+    case CVecC(cols, ids)     => CVecC(mapCols(cols)(f), ids)
+    case CScalar(x)           => CScalar(Ops.scalarFn(name, x))
+    case other => throw new FormulaTypeException(s"$name() not applicable to $other")
+  }
+
+  // ---- method whitelist (E10/E11) ----------------------------------------
+
+  private def method(target: CValue, name: String, args: List[CValue], ctx: Ctx): CValue =
+    (name, target, args) match {
+      case ("fillna", CMatrix(cols, false), List(a)) =>
+        val v = asScalar(a, "fillna")
+        val filled =
+          if (std) mapCols(cols)(c => when(isnan(c), litOf(v)).otherwise(c))
+          else mapCols(cols)(c => coalesce(c, litOf(v)))
+        CMatrix(filled, isBool = false)
+      case ("fillna", CVecD(vs, ls), List(a)) =>
+        val v = asScalar(a, "fillna"); CVecD(vs.map(x => if (x.isNaN) v else x), ls)
+
+      case ("clip", CMatrix(cols, false), List(lo, hi)) =>
+        val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
+        val clipped =
+          if (std) mapCols(cols)(c => when(isnan(c), c)
+            .otherwise(least(greatest(c, litOf(l)), litOf(h))))
+          else mapCols(cols)(c => least(greatest(c, litOf(l)), litOf(h)))
+        CMatrix(clipped, isBool = false)
+      case ("clip", CVecD(vs, ls), List(lo, hi)) =>
+        val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
+        CVecD(vs.map(x => if (x.isNaN) x else math.min(math.max(x, l), h)), ls)
+
+      case ("pow", t, List(k)) => binop("**", t, k, ctx)
+      case ("abs", t, Nil)     =>
+        if (std) applyFn(Ops.functions("abs"), "abs", t)
+        else t match {
+          case CMatrix(cols, false) => CMatrix(mapCols(cols)(abs), isBool = false)
+          case other => applyFn(abs(_), "abs", other)
+        }
+
+      // whole-frame reductions: pandas skipna semantics (sum of all-NaN = 0,
+      // mean of all-NaN = NaN). One partial-agg tree-reduce; 1-row result.
+      case ("sum", CMatrix(cols, false), Nil)  => reduce(cols, ctx, mean = false)
+      case ("mean", CMatrix(cols, false), Nil) => reduce(cols, ctx, mean = true)
+      case ("sum", CVecD(vs, _), Nil) =>
+        CScalar(vs.filter(!_.isNaN).sum) // all-NaN → 0.0, matching pandas
+      case ("mean", CVecD(vs, _), Nil) =>
+        val ok = vs.filter(!_.isNaN)
+        CScalar(if (ok.isEmpty) Double.NaN else ok.sum / ok.length)
+
+      case (other, _, _) =>
+        throw new FormulaTypeException(
+          s"Method '.$other' is not in the supported whitelist " +
+            "(fillna, clip, pow, abs, sum, mean — SURVEY §2.2 E11)")
+    }
+
+  private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {
+    val base = ctx.base.getOrElse(
+      throw new FormulaTypeException("reduction requires a matrix operand"))
+    val id = ctx.aggDfs.length
+    val aliases = cols.map { case (lbl, _) =>
+      ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
+    }
+    val aggExprs = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
+      val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
+      if (mean) {
+        val m = avg(nonNan)
+        (if (std) coalesce(m, lit(Double.NaN)) else m).as(alias)
+      } else {
+        val s = sum(nonNan)
+        (if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))).as(alias)
+      }
+    }
+    ctx.aggDfs += base.agg(aggExprs.head, aggExprs.tail: _*)
+    CVecC(aliases.map { case (lbl, alias) => (lbl, col(alias)) }, Set(id))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Named-data registry (SURVEY.md §1.1).
+  *
+  * The reference's "catalog" is a flat `dict[str, DataFrame | Series]`
+  * (reference: coeff_maker.py:592, 600-604). Ours is `Map[String, NamedData]`
+  * with two realizations:
+  *
+  *  - [[Matrix]]: a distributed 2-D table. pandas' row index becomes an
+  *    explicit `rowId` key column (SURVEY §1.3 — the single most load-bearing
+  *    translation); column labels map to physical columns of a backing
+  *    DataFrame. Several matrices may share one backing DataFrame (`base eq`),
+  *    in which case formula compilation needs NO join at all — a pure
+  *    single-scan projection. This is the 100 TB fast path.
+  *
+  *  - [[Vec]]: a 1-D vector. The reference converts Series to bare positional
+  *    ndarrays before eval (coeff_maker.py:752-763), so vectors combine with
+  *    matrices by COLUMN POSITION, not by label (SURVEY §2.3 A2/A3
+  *    [verified]). Vectors are tiny (one entry per matrix column) and live on
+  *    the driver; they compile to literals in the projection — no shuffle, no
+  *    broadcast join needed.
+  */
+sealed trait NamedData
+
+/** A 2-D matrix view over a backing DataFrame.
+  *
+  * @param base      backing DataFrame (may be shared between matrices)
+  * @param rowId     physical column holding the row label (the pandas index)
+  * @param cols      (label → physical column) in pandas column order
+  */
+final case class Matrix(base: DataFrame, rowId: String, cols: Seq[(String, String)])
+    extends NamedData {
+  def labels: Seq[String] = cols.map(_._1)
+  require(cols.nonEmpty, "Matrix must have at least one value column")
+}
+
+object Matrix {
+  /** Matrix whose labels are the physical column names. */
+  def of(base: DataFrame, rowId: String, labels: Seq[String]): Matrix =
+    Matrix(base, rowId, labels.map(l => (l, l)))
+}
+
+/** A driver-resident 1-D vector (pandas Series → positional ndarray). */
+final case class Vec(values: IndexedSeq[Double], labels: IndexedSeq[String])
+    extends NamedData {
+  require(values.length == labels.length, "Vec values/labels length mismatch")
+  def length: Int = values.length
+}
+
+object Vec {
+  def apply(values: Seq[Double]): Vec =
+    Vec(values.toIndexedSeq, values.indices.map(_.toString).toIndexedSeq)
+}
+
+/** Session-level numeric mode (SURVEY §1.2).
+  *
+  * Standard mode = DoubleType (bit-parity with numpy float64 incl. NaN/Inf).
+  * ADP mode = DecimalType(38, scale) — the Spark-native analogue of the
+  * reference's arbitrary-decimal-precision mpmath mode
+  * (coeff_maker.py:647-671); divergences documented in SURVEY §7.4(5).
+  */
+final case class NumericMode(adpEnabled: Boolean, decimalPrecision: Int) {
+  require(decimalPrecision > 0, "decimal_precision must be > 0") // F5 contract
+  /** Spark decimal cell geometry. Spark's division rule gives the result
+    * scale max(6, 38 - (p1 - s1 + s2)); a (24,12) cell keeps 14 fractional
+    * digits through division while allowing 12 integer digits. This is the
+    * documented divergence from the reference's arbitrary-exponent mpf
+    * (SURVEY §7.4(5)): the parity target is the test contract (±1e-10 and
+    * better-than-double relative error), not bit-identical mpf.
+    */
+  val decimalCellPrecision: Int = math.min(24, math.max(6, decimalPrecision))
+  val decimalScale: Int = decimalCellPrecision / 2
+  val cellType: DataType =
+    if (adpEnabled) DecimalType(decimalCellPrecision, decimalScale) else DoubleType
+}
+
+object NumericMode {
+  val Standard: NumericMode = NumericMode(adpEnabled = false, 35)
+}
+
+/** Ingest: the Spark analogue of the reference's construction-time cast
+  * (S1/S2, coeff_maker.py:633-671). Non-numeric input raises at construction
+  * (quirk Q10); null cells become NaN (pandas has no null/NaN distinction —
+  * SURVEY §7.4(2): `null` never escapes the engine in standard mode).
+  */
+object Ingest {
+
+  private val numericTypes: Set[DataType] =
+    Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+
+  /** Cast a single physical column to the session cell type, strictly. */
+  def castCell(df: DataFrame, phys: String, mode: NumericMode): Column = {
+    val dt = df.schema(phys).dataType
+    val ok = numericTypes.contains(dt) || dt.isInstanceOf[DecimalType]
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"could not convert column '$phys' of type ${dt.simpleString} to " +
+          s"${mode.cellType.simpleString}: non-numeric input data " +
+          "(the engine casts every cell at construction; see reference " +
+          "coeff_maker.py:633-638)")
+    if (mode.adpEnabled) col(phys).cast(mode.cellType)
+    else coalesce(col(phys).cast(DoubleType), lit(Double.NaN))
+  }
+
+  /** Build a Matrix from a DataFrame, casting value columns strictly. The
+    * result's matrices share ONE projected base, so formulas over them
+    * compile join-free.
+    */
+  def matrix(df: DataFrame, rowId: String, valueCols: Seq[String],
+             mode: NumericMode = NumericMode.Standard): Matrix = {
+    val projected = df.select(
+      (col(rowId) +: valueCols.map(c => castCell(df, c, mode).as(c))): _*)
+    Matrix.of(projected, rowId, valueCols)
+  }
+
+  /** Read a parquet file as a Matrix (driver-harness ingest path). */
+  def parquetMatrix(spark: SparkSession, path: String, rowId: String,
+                    valueCols: Seq[String],
+                    mode: NumericMode = NumericMode.Standard): Matrix = {
+    val df = spark.read.parquet(path)
+    matrix(df, rowId, valueCols, mode)
+  }
+
+  /** Collect a tiny 2-column DataFrame (label, value) into a Vec. Vectors are
+    * one-entry-per-matrix-column; collecting them is the reference's own
+    * semantics (Series → ndarray on the driver).
+    */
+  def vec(df: DataFrame, labelCol: String, valueCol: String): Vec = {
+    val rows = df.select(col(labelCol).cast(StringType),
+                         col(valueCol).cast(DoubleType)).collect()
+    Vec(rows.map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1)).toIndexedSeq,
+        rows.map(_.getString(0)).toIndexedSeq)
+  }
+}

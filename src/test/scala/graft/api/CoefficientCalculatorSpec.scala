@@ -1,0 +1,91 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.compile._
+import graft.model._
+
+/** Batch-driver semantics (reference tests/test_CoefficientCalculator.py)
+  * plus decimal (ADP) mode behavior. */
+class CoefficientCalculatorSpec extends SparkSpec {
+
+  private def formulaTable(rows: (String, String)*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("result_name", StringType), StructField("formula", StringType),
+      StructField("description", StringType)))
+    val data = rows.map { case (n, f) => R(n, f, "") }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+  }
+
+  test("batch loop: computes all, skips empty and missing-variable formulas (F3/F4/X3)") {
+    val fm = formulaTable(
+      "sum_ab" -> "a + b", "diff_ab" -> "a - b", "a_times_c" -> "a * c",
+      "a_divided_by_b" -> "a / b", "empty_formula" -> "",
+      "missing_var" -> "a + nosuchvar")
+    val calc = new CoefficientCalculator(
+      reg("a" -> fixA, "b" -> fixB, "c" -> fixC), fm, adpEnabled = false)
+    val out = calc.computeCoefficients()
+    assert(out.keySet == Set("sum_ab", "diff_ab", "a_times_c", "a_divided_by_b"))
+    val MatrixResult(df, rowId, labels, _) = out("sum_ab"): @unchecked
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c0") == 2.0 && got(1L)("c2") == 11.0)
+  }
+
+  test("custom column names (examples/README.md:322-341)") {
+    import org.apache.spark.sql.functions._
+    val fm = formulaTable("r1" -> "a * 2")
+      .withColumnRenamed("formula", "calculation")
+    val calc = new CoefficientCalculator(reg("a" -> fixA), fm,
+      formulaNameCol = "calculation", adpEnabled = false)
+    assert(calc.computeCoefficients().keySet == Set("r1"))
+  }
+
+  test("missing mandatory columns raise (F6)") {
+    val fm = formulaTable("x" -> "a")
+    assertThrows[IllegalArgumentException](
+      new CoefficientCalculator(reg("a" -> fixA), fm, resultNameCol = "wrong_col"))
+  }
+
+  test("ADP mode: decimal arithmetic is exact; ** rejected cleanly (E3/Q4)") {
+    val fm = formulaTable("m" -> "a * b + c", "p" -> "a ** b")
+    val calc = new CoefficientCalculator(
+      reg("a" -> fixA, "b" -> fixB, "c" -> fixC), fm, adpEnabled = true)
+    assertThrows[AdpUnsupportedException](calc.computeCoefficients())
+    val calc2 = new CoefficientCalculator(
+      reg("a" -> fixA, "b" -> fixB, "c" -> fixC),
+      formulaTable("m" -> "a * b + c"), adpEnabled = true)
+    val out = calc2.computeCoefficients()
+    val MatrixResult(df, rowId, labels, _) = out("m"): @unchecked
+    assert(df.schema(labels.head).dataType.isInstanceOf[
+      org.apache.spark.sql.types.DecimalType])
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c0") == 3.0 && got(1L)("c2") == 26.0)
+  }
+
+  test("ADP division by zero yields invalid cells → clean all-invalid error (Q5 divergence)") {
+    val calc = new CoefficientCalculator(
+      reg("a" -> fixA, "e" -> fixE), formulaTable("d" -> "a / e"), adpEnabled = true)
+    assertThrows[graft.validate.AllInvalidResultException](calc.computeCoefficients())
+  }
+
+  test("ADP fill_invalid fills nulls with decimal zero") {
+    val calc = new CoefficientCalculator(
+      reg("a" -> fixA, "g" -> fixG), formulaTable("d" -> "a / g"),
+      adpEnabled = true, fillInvalid = true)
+    val out = calc.computeCoefficients()
+    val MatrixResult(df, rowId, labels, _) = out("d"): @unchecked
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c1") == 0.0)               // filled x/0
+    assertCell(got(0L)("c0"), 1.0 / 6, 1e-9)   // 1/6 in decimal
+  }
+
+  test("results are not fed back into the registry (no chaining, S4)") {
+    val fm = formulaTable("first" -> "a * 2", "second" -> "first + 1")
+    val calc = new CoefficientCalculator(reg("a" -> fixA), fm, adpEnabled = false)
+    val out = calc.computeCoefficients()
+    assert(out.keySet == Set("first")) // 'second' skipped: 'first' unknown
+  }
+}

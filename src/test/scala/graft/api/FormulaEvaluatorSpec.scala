@@ -1,0 +1,202 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.compile._
+import graft.model._
+import graft.validate.AllInvalidResultException
+
+/** Golden tests porting the reference's pytest suites 1:1 over the frozen
+  * seed-42 fixtures (FIXTURES.md §A; reference tests/test_FormulaEvaluator_*).
+  */
+class FormulaEvaluatorSpec extends SparkSpec {
+
+  private def evalMat(ev: FormulaEvaluator, f: String): Map[Long, Map[String, Double]] =
+    ev.evaluateFormula(f) match {
+      case MatrixResult(df, rowId, labels, _) => cells(df, rowId, labels)
+      case other => fail(s"expected matrix result, got $other")
+    }
+
+  private def golden(f: String, expect: Seq[Seq[Double]],
+                     extra: (String, NamedData)*): Unit = {
+    val ev = new FormulaEvaluator(
+      reg(Seq("a" -> fixA, "b" -> fixB, "c" -> fixC, "d" -> fixD, "e" -> fixE,
+              "g" -> fixG, "i" -> fixI) ++ extra: _*))
+    val got = evalMat(ev, f)
+    for (r <- 0 until 3; ci <- 0 until 3)
+      assertCell(got(r.toLong)(s"c$ci"), expect(r)(ci))
+  }
+
+  // pt1: basic arithmetic over a,b,c,d (reference pt1:71-156)
+  test("a + b")(golden("a + b", Seq(Seq(2, 10, 10), Seq(7, 8, 11), Seq(5, 10, 3))))
+  test("a - b")(golden("a - b", Seq(Seq(0, 4, 2), Seq(1, 0, 5), Seq(-3, 4, 1))))
+  test("a * c")(golden("a * c", Seq(Seq(2, 7, 12), Seq(4, 4, 16), Seq(2, 14, 2))))
+  test("a / b")(golden("a / b",
+    Seq(Seq(1.0, 7.0 / 3, 1.5), Seq(4.0 / 3, 1, 8.0 / 3), Seq(0.25, 7.0 / 3, 2))))
+  test("(a + b) / (c + d)")(golden("(a + b) / (c + d)",
+    Seq(Seq(2.0 / 7, 2, 2), Seq(7.0 / 4, 8.0 / 3, 11.0 / 4), Seq(5.0 / 6, 10.0 / 7, 1))))
+  test("(a ** 2.0) * (a ** c)")(golden("(a ** 2.0) * (a ** c)",
+    Seq(Seq(1, 343, 1296), Seq(64, 64, 4096), Seq(1, 2401, 8))))
+  test("a ** b - c")(golden("a ** b - c",
+    Seq(Seq(-1, 342, 1294), Seq(63, 255, 510), Seq(-1, 341, 1))))
+  test("unary minus")(golden("-a + b", Seq(Seq(0, -4, -2), Seq(-1, 0, -5), Seq(3, -4, -1))))
+
+  // division by zero: std mode → ±Inf / NaN; all-invalid result raises (V5)
+  test("a / e and e / e raise all-invalid errors like the reference") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "e" -> fixE))
+    assertThrows[AllInvalidResultException](ev.evaluateFormula("a / e"))
+    val ev2 = new FormulaEvaluator(reg("e" -> fixE), fillInvalid = false)
+    assertThrows[AllInvalidResultException](ev2.evaluateFormula("e / e"))
+  }
+
+  test("fill_invalid replaces Inf/NaN with 0 (V4)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "e" -> fixE), fillInvalid = true)
+    val got = evalMat(ev, "a / e")
+    for (r <- 0 until 3; ci <- 0 until 3) assertCell(got(r.toLong)(s"c$ci"), 0.0)
+  }
+
+  test("partial invalid emits warning, result keeps NaN (V6)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "g" -> fixG))
+    val got = evalMat(ev, "a / g") // g diagonal: off-diagonal → x/0
+    assert(ev.validator.lastWarning.isDefined)
+    assertCell(got(0L)("c0"), 1.0 / 6)
+    assert(got(0L)("c1") == Double.PositiveInfinity)
+  }
+
+  // NaN-bearing input + fillna method (E10, reference pt1:289-302)
+  test("i.fillna(0) * a") {
+    golden("i.fillna(0) * a", Seq(Seq(7, 0, 6), Seq(36, 20, 72), Seq(7, 56, 0)))
+  }
+
+  // scalar broadcast + scalar-only formulas (E5 [verified])
+  test("1 / g propagates Inf off-diagonal") {
+    val ev = new FormulaEvaluator(reg("g" -> fixG))
+    val got = evalMat(ev, "1 / g")
+    assertCell(got(0L)("c0"), 1.0 / 6)
+    assert(got(1L)("c0") == Double.PositiveInfinity)
+    assert(ev.validator.lastWarning.isDefined)
+  }
+  test("scalar-only formula returns scalar (quirk Q9)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    assert(ev.evaluateFormula("1 + 2") == ScalarResult(3.0))
+    assert(ev.evaluateFormula("2 ** 3 / 4") == ScalarResult(2.0))
+  }
+
+  // E6/E7/E8: mod, floordiv, comparisons, boolean algebra
+  test("a % b and a // b") {
+    golden("a % b", Seq(Seq(0, 1, 2), Seq(1, 0, 2), Seq(1, 1, 0)))
+    golden("a // b", Seq(Seq(1, 2, 1), Seq(1, 1, 2), Seq(0, 2, 2)))
+  }
+  test("comparisons yield boolean frames that bypass validation (E7)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "b" -> fixB))
+    val MatrixResult(df, rowId, labels, isBool) =
+      ev.evaluateFormula("a > b"): @unchecked
+    assert(isBool)
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c0") == 0.0 && got(0L)("c1") == 1.0)
+    // NaN comparison is false (numpy), not Spark's NaN-is-largest
+    val ev2 = new FormulaEvaluator(reg("i" -> fixI, "a" -> fixA))
+    val got2 = evalMat(ev2, "i > a")
+    assert(got2(0L)("c1") == 0.0) // NaN > 7 → false
+  }
+  test("boolean combine (E8)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "b" -> fixB, "c" -> fixC))
+    val got = evalMat(ev, "(a > b) & (b > c)")
+    assert(got(0L)("c1") == 1.0) // 7>3 && 3>1
+    assert(got(0L)("c0") == 0.0)
+  }
+
+  // E9 math functions
+  test("math functions match numpy semantics") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "e" -> fixE), fillInvalid = false)
+    val got = evalMat(ev, "sqrt(a) + log(a) * 0 + floor(a / 2) + abs(-a)")
+    assertCell(got(0L)("c0"), math.sqrt(1) + 0 + 0 + 1)
+    assertCell(got(1L)("c2"), math.sqrt(8) + 0 + 4 + 8)
+    // log(0) → -Inf (numpy), not Spark's NULL; -Inf*0 = NaN → all invalid
+    val ev3 = new FormulaEvaluator(reg("e" -> fixE, "a" -> fixA), fillInvalid = true)
+    val got2 = evalMat(ev3, "log(e) * 0 + a")
+    assert(got2(0L)("c0") == 0.0) // NaN filled; would be NULL+a=NULL if Spark's log
+  }
+
+  // E11 reductions
+  test("a.sum() returns per-column totals (pandas skipna)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "i" -> fixI))
+    val RowResult(df, labels) = ev.evaluateFormula("a.sum()"): @unchecked
+    val r = df.collect()(0)
+    assert(labels == Seq("c0", "c1", "c2"))
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 18.0 && r.getDouble(2) == 16.0)
+    // NaN-skipping sum
+    val RowResult(df2, _) = ev.evaluateFormula("i.sum()"): @unchecked
+    val r2 = df2.collect()(0)
+    assert(r2.getDouble(0) == 23.0 && r2.getDouble(1) == 13.0 && r2.getDouble(2) == 10.0)
+  }
+  test("a / a.sum() normalizes columns (scalar-subquery shape)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val got = evalMat(ev, "a / a.sum()")
+    assertCell(got(0L)("c0"), 1.0 / 6)
+    assertCell(got(1L)("c2"), 8.0 / 16)
+  }
+  test("a.mean() and clip") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val RowResult(df, _) = ev.evaluateFormula("a.mean()"): @unchecked
+    val r = df.collect()(0)
+    assertCell(r.getDouble(0), 2.0)
+    assertCell(r.getDouble(1), 6.0)
+    val got = evalMat(ev, "a.clip(2, 6)")
+    assert(got(0L)("c0") == 2.0 && got(0L)("c1") == 6.0 && got(2L)("c2") == 2.0)
+  }
+
+  // alignment: disjoint/overlapping row domains (A1, quirk Q7)
+  test("misaligned row domains full-outer align with NaN holes (A1)") {
+    import org.apache.spark.sql.functions._
+    val d1 = fixA.base.filter(col("__row_id__") < 2)  // rows 0,1
+    val d2 = fixB.base.filter(col("__row_id__") > 0)  // rows 1,2
+    val m1 = Matrix.of(d1, "__row_id__", Seq("c0", "c1", "c2"))
+    val m2 = Matrix.of(d2, "__row_id__", Seq("c0", "c1", "c2"))
+    val ev = new FormulaEvaluator(reg("m1" -> m1, "m2" -> m2))
+    val got = evalMat(ev, "m1 + m2")
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L)("c0").isNaN)           // m2 missing row 0
+    assertCell(got(1L)("c0"), 4 + 3)      // both present
+    assert(got(2L)("c2").isNaN)           // m1 missing row 2
+    // with fill: holes → 0
+    val evF = new FormulaEvaluator(reg("m1" -> m1, "m2" -> m2), fillInvalid = true)
+    val gotF = evalMat(evF, "m1 + m2")
+    assert(gotF(0L)("c0") == 0.0 && gotF(2L)("c2") == 0.0)
+  }
+
+  test("disjoint column labels produce sorted-union all-NaN columns (A1)") {
+    val m2 = mat3(Seq(Seq(1.0, 1, 1), Seq(1, 1, 1), Seq(1, 1, 1)), Seq("c2", "c3", "c4"))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "k" -> m2), fillInvalid = true)
+    val MatrixResult(df, rowId, labels, _) = ev.evaluateFormula("a + k"): @unchecked
+    assert(labels == Seq("c0", "c1", "c2", "c3", "c4"))
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c0") == 0.0)          // a-only column filled
+    assertCell(got(0L)("c2"), 7.0)        // shared column: 6 + 1
+    assert(got(0L)("c4") == 0.0)          // k-only column filled
+  }
+
+  // vector semantics (A2/A3, quirks Q1/Q6)
+  test("matrix * vector broadcasts by column position (A2/Q1)") {
+    val v = Vec(Seq(10.0, 20.0, 30.0))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "v" -> v))
+    val got = evalMat(ev, "a * v")
+    assert(got(0L)("c0") == 10.0 && got(0L)("c1") == 140.0 && got(0L)("c2") == 180.0)
+  }
+  test("vector ∘ vector is positional and returns a vector (A3/Q6)") {
+    val s1 = Vec(IndexedSeq(1.0, 2.0), IndexedSeq("0", "1"))
+    val s2 = Vec(IndexedSeq(3.0, 4.0), IndexedSeq("5", "6")) // disjoint labels!
+    val ev = new FormulaEvaluator(reg("s1" -> s1, "s2" -> s2))
+    val VecResult(v) = ev.evaluateFormula("s1 + s2"): @unchecked
+    assert(v.values == IndexedSeq(4.0, 6.0)) // positional, no label alignment
+  }
+  test("vector length mismatch raises (A2)") {
+    val v = Vec(Seq(1.0, 2.0))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "v" -> v))
+    assertThrows[FormulaTypeException](ev.evaluateFormula("a * v"))
+  }
+
+  test("unknown variable raises decorated error") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    assertThrows[VariableNotFoundException](ev.evaluateFormula("a + nosuch"))
+  }
+}
