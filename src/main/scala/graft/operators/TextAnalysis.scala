@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star: language-ID, quality scoring, token counting,
+  * document fingerprinting).
+  *
+  * Scale posture: every operator here is a pure narrow projection — no
+  * shuffle, no UDF, fully whole-stage-codegen'd — so it streams at parquet
+  * scan speed on any number of executors. Occurrence counts use the
+  * length-delta trick (`(len(x) - len(replace(x, p, ''))) / len(p)`), which
+  * is deterministic and engine-portable (same semantics in any SQL engine,
+  * so results cross-check against the DuckDB oracle bit-for-bit).
+  */
+object TextAnalysis {
+
+  /** Number of non-overlapping occurrences of literal `pat` in `c`. */
+  def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(replace(c, lit(pat), lit("")))) / pat.length).cast("long")
+
+  /** Whitespace token count (single-space-delimited corpus). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
+  /** Count of whole-token occurrences of `word` (space-padded match). */
+  def wordOccurrences(text: Column, word: String): Column =
+    occurrences(concat(lit(" "), text, lit(" ")), s" $word ")
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      ((length(t) - (tokenCount(t) - 1)).cast("double") / tokenCount(t).cast("double"))
+        .as("avg_token_len"))
+  }
+
+  /** Quality scoring: length, punctuation/digit/stopword ratios — the usual
+    * cheap heuristics for corpus filtering. */
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t).cast("double")
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+      .map(w => wordOccurrences(t, w))
+      .reduce(_ + _).cast("double")
+    val punct = Seq(".", ",", "!", "?", ";", ":")
+      .map(p => occurrences(t, p)).reduce(_ + _).cast("double")
+    val digits = (0 to 9).map(d => occurrences(t, d.toString)).reduce(_ + _).cast("double")
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(stop / nTok, 6).as("stopword_ratio"),
+      round(punct / length(t).cast("double"), 6).as("punct_ratio"),
+      round(digits / length(t).cast("double"), 6).as("digit_ratio"),
+      round(nTok / length(t).cast("double"), 6).as("token_density"))
+  }
+
+  /** Language ID via stopword-marker voting (n-gram-free heuristic: count
+    * whole-word markers per language, take the argmax, 'und' if no votes).
+    */
+  def langId(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "los", "que", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"))
+    val scores = markers.map { case (lang, ws) =>
+      (lang, ws.map(w => wordOccurrences(t, w)).reduce(_ + _))
+    }
+    // argmax with deterministic tie-break on language-code order
+    val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
+      .reduceLeft((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    val outCols = col(idCol) +:
+      scores.map { case (l, s) => s.as(s"score_$l") } :+
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("lang_pred")
+    docs.select(outCols: _*)
+  }
+
+  /** Content fingerprint: md5 over lowercased, whitespace-collapsed text.
+    * Stable across engines (md5 is md5 everywhere) → usable as an exact-dup
+    * key and as the driver-oracle cross-check. */
+  def fingerprint(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      substring(md5(lower(regexp_replace(col(textCol), "\\s+", " "))), 1, 16)
+        .as("fp"))
+
+  /** Rolling hash over tokens (order-sensitive content signature; array-
+    * native fold, no shuffle). Rotate-XOR instead of polynomial multiply so
+    * it's overflow-free under ANSI mode. */
+  def rollingHash(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val h = aggregate(toks, lit(0L), (acc: Column, tkn: Column) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(tkn)))
+    docs.select(col(idCol), h.as("rolling_hash"))
+  }
+}

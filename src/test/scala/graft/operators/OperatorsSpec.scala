@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-operator tests: dedup, similarity, text analysis, multimodal. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different content about spark engines and data"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "el perro que corre es rapido y la casa es grande"),
+      (5L, "12 34 56 apples, oranges; and 7 bananas!"))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (i, t) => Row(i, t) }).asJava), schema)
+  }
+
+  private lazy val embsDf = {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(8)(rng.nextFloat() - 0.5f)
+    def jitter(eps: Float) = base.map(v => v + eps * (rng.nextFloat() - 0.5f))
+    val rows = Seq(
+      Row(0L, base.toSeq, 0), Row(1L, jitter(0.01f).toSeq, 0), // near-dup pair
+      Row(2L, Array.fill(8)(rng.nextFloat() - 0.5f).toSeq, 0),
+      Row(3L, Array.fill(8)(rng.nextFloat() - 0.5f).toSeq, 1))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 5) // 6 docs, one exact dup
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keep min id
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val cand = Dedup.minhashLsh(docs, threshold = 0.1).select("id1", "id2")
+    val j = Dedup.ngramJaccard(docs, cand).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 3L)) == 1.0) // identical shingle sets
+    j.get((0L, 1L)).foreach(v => assert(v > 0.5 && v < 1.0))
+  }
+
+  test("simhash: identical docs same hash; near-dups within small hamming") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 16)
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("cosine: self-similarity 1, near-dup high, exact matches fast path") {
+    val out = embsDf.select(col("vec_id"),
+      Similarity.cosineExact(col("embedding"), col("embedding")).as("self"))
+      .collect().map(r => r.getDouble(1))
+    out.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+    val near = Similarity.blockedAllPairs(embsDf, "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 1L)))
+  }
+
+  test("brute-force top-k returns k best, query itself first") {
+    val q = embsDf.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val top = Similarity.bruteForceTopK(embsDf, q, 2).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top(1).getLong(0) == 1L) // the near-dup
+  }
+
+  test("lsh near-dup buckets the jittered pair together") {
+    val planes = Similarity.hyperplanes(8, 6)
+    val b = embsDf.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), planes).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L)) // tiny jitter: same side of every hyperplane (w.h.p.)
+  }
+
+  test("token stats and quality") {
+    val st = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st(0L)._2 == 9)
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q(0L) > 0.2) // 'the' twice in 9 tokens
+    assert(q(4L) == 0.0) // spanish text: no english stopwords
+  }
+
+  test("language id votes") {
+    val l = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(l(0L) == "en")
+    assert(l(4L) == "es")
+  }
+
+  test("fingerprint: identical for exact dups, stable prefix length") {
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L).length == 16 && fp(0L) != fp(1L))
+  }
+
+  test("rolling hash is order-sensitive") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val two = spark.createDataFrame(java.util.List.of(
+      Row(0L, "a b c"), Row(1L, "c b a")), schema)
+    val h = TextAnalysis.rollingHash(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) != h(1L))
+  }
+
+  test("multimodal: media table schema, features, frames") {
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(meta(0L) == 43L) // utf-8 bytes of doc 0
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(0L).length == 16)
+    assert(math.abs(feats(0L).sum - 1.0f) < 1e-5) // normalized histogram
+    assert(feats(0L) == feats(3L)) // exact dup → identical features
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.forall(_.getLong(2) >= 1))
+    val resized = Multimodal.resizeMeta(media, 8, 8)
+      .select("meta.width").head().getInt(0)
+    assert(resized == 8)
+  }
+}
