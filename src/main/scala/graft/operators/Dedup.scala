@@ -27,13 +27,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of a text column (single-space-delimited). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
+  /** Word n-gram shingles from a MATERIALIZED token-array column.
+    *
+    * The column must be a real (materialized) attribute, not the `split(...)`
+    * expression itself: Catalyst's CollapseProject would otherwise inline the
+    * split into every `element_at`, re-tokenizing the text 3n× per shingle
+    * (measured ~150 ms/document — the difference between seconds and hours
+    * at corpus scale). Use [[tokenized]] to get the barrier.
+    */
+  def shinglesOf(words: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
-  }
+
+  /** (id, words) with the token array materialized behind a shuffle barrier.
+    * The Exchange both stops projection collapse and re-parallelizes
+    * single-row-group parquet inputs across all cores. */
+  def tokenized(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+      .repartition(col("id"))
 
   /** MinHash signatures: k 64-bit min-hashes over each document's shingle
     * set, as (id, sig: array<long>).
@@ -48,8 +60,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
+    val sh = tokenized(docs, textCol, idCol)
+      .select(col("id"), explode(shinglesOf(col("words"), n)).as("s"))
     val hashed = sh.select(
       (col("id") +: (0 until k).map(seed =>
         xxhash64(lit(seed), col("s")).as(s"h$seed"))): _*)
@@ -66,28 +78,40 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", n: Int = 3, k: Int = 32,
-                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                 bands: Int = 8, threshold: Double = 0.5,
+                 maxBucketSize: Int = 256): DataFrame = {
     val rowsPerBand = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, n, k)
     // band hash = xxhash64 over the band's slice of the signature
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
         .as(Seq("band", "band_hash")))
-    // candidates: same (band, band_hash); dedupe pairs found in several bands
-    val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("id2"), col("sig").as("sig2"))
+    // skew guard: a band value shared by a huge fraction of the corpus (a
+    // degenerate band) produces O(n²) false-positive pairs — skip those
+    // buckets (standard LSH practice; pairs they'd add are near-random)
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    // candidate id-pairs only (no signatures through the join/dedupe
+    // shuffles); re-attach signatures afterwards to estimate jaccard
+    val l = sized.select(col("band"), col("band_hash"), col("id").as("id1"))
+    val r = sized.select(col("band"), col("band_hash"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
-    cand.select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("sig1"), col("sig2"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double")
+    // est. jaccard = matching minhash slots / k. array_intersect runs a
+    // compiled set op (vs. interpreted per-element zip_with); cross-slot
+    // hash collisions that would distort the positional count are ~2⁻⁶⁴.
+    cand
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sig1"), col("sig2"))).cast("double")
           / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -98,7 +122,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, candidates: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("sh"))
+    val sh = tokenized(docs, textCol, idCol)
+      .select(col("id").as("jid"), shinglesOf(col("words"), n).as("sh"))
     candidates
       .join(sh.withColumnRenamed("jid", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("jid", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -112,8 +137,8 @@ object Dedup {
     * per document). */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("tkn"))
+    val tok = tokenized(docs, textCol, idCol)
+      .select(col("id"), explode(col("words")).as("tkn"))
       .select(col("id"), xxhash64(col("tkn")).as("h"))
     val bitSums = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))

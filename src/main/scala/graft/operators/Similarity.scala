@@ -7,33 +7,29 @@ import org.apache.spark.sql.types.DecimalType
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Scale design:
-  *  - dot products / norms are array-native folds (`zip_with` +
-  *    `aggregate`) inside the projection — no explode, no shuffle, codegen;
+  *  - dot products / norms run as compiled custom Expressions
+  *    (graft.functions.ArrayOps) inside the projection — no explode, no
+  *    shuffle, no interpreted higher-order functions;
   *  - brute-force top-k against a broadcast query vector compiles to
   *    TakeOrderedAndProject (per-partition heaps, no global sort);
   *  - the scale path is random-hyperplane LSH bucketing: deterministic
   *    seeded hyperplanes → bit signature → candidates join on the bucket
   *    key — the same join shape AQE handles under skew;
-  *  - `dotExact` folds through DecimalType, making scores bitwise
+  *  - `dotExact` sums through BigDecimal, making scores bitwise
   *    reproducible regardless of partitioning/order (used by the
   *    correctness oracle; double-path `dot` is the throughput variant).
   */
 object Similarity {
 
-  /** Fast double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  import graft.functions.ArrayOps.{dot_product, dot_product_exact}
 
-  /** Order-independent exact dot product: each pairwise product is rounded
-    * to DECIMAL(38,30) and summed exactly. Deterministic across engines and
-    * partitionings (decimal addition is associative & exact). */
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") * y.cast("double")).cast(DecimalType(38, 30))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 30)),
-      (acc, v) => (acc + v).cast(DecimalType(38, 30)))
+  /** Fast double-precision dot product (compiled custom Expression — the
+    * zip_with/aggregate formulation is interpreted and ~1000× slower). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
+
+  /** Order-independent exact dot product (decimal-summed, as double).
+    * Deterministic across engines and partitionings. */
+  def dotExact(a: Column, b: Column): Column = dot_product_exact(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,8 +39,7 @@ object Similarity {
     * casts (cosines are irrational, so a tie at the rounding digit has
     * measure zero). */
   def cosineExact(a: Column, b: Column): Column =
-    round(dotExact(a, b).cast("double") /
-      (sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double"))), 6)
+    round(dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b))), 6)
 
   /** Fast cosine (double path). */
   def cosine(a: Column, b: Column): Column =
@@ -98,13 +93,24 @@ object Similarity {
   def blockedAllPairs(embs: DataFrame, blockCol: String, threshold: Double,
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
+    // Per-vector norms are computed ONCE here (n rows), never per pair; the
+    // per-pair work is a cheap double-dot prefilter, with the exact-decimal
+    // score recomputed only for survivors (the double path is accurate to
+    // ~1e-15, so a 1e-6 margin below the threshold loses nothing).
     val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(embCol).as("e"))
-    val l = b.select(col("blk"), col("id").as("id1"), col("e").as("e1"))
-    val r = b.select(col("blk"), col("id").as("id2"), col("e").as("e2"))
+      col(embCol).as("e"),
+      sqrt(dotExact(col(embCol), col(embCol))).as("nrm"))
+    val l = b.select(col("blk"), col("id").as("id1"), col("e").as("e1"),
+      col("nrm").as("n1"))
+    val r = b.select(col("blk"), col("id").as("id2"), col("e").as("e2"),
+      col("nrm").as("n2"))
     l.join(r, Seq("blk"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosineExact(col("e1"), col("e2")).as("sim"))
+      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
+        threshold - 1e-6)
+      .select(col("id1"), col("id2"),
+        round(dotExact(col("e1"), col("e2")) /
+          (col("n1") * col("n2")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
