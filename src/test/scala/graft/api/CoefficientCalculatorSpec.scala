@@ -82,6 +82,23 @@ class CoefficientCalculatorSpec extends SparkSpec {
     assertCell(got(0L)("c0"), 1.0 / 6, 1e-9)   // 1/6 in decimal
   }
 
+  test("ADP beats double precision on decimal-fraction arithmetic (pt2 spirit)") {
+    // 0.1 + 0.2 != 0.3 in binary64; exact in decimal cells. The reference's
+    // equivalent claim is mpmath's better-than-double relative error
+    // (tests/test_FormulaEvaluator_pt2.py:578-645); mpf's arbitrary binary
+    // exponent itself is out of reach for fixed-scale decimal —
+    // documented divergence, SURVEY §7.4(5).
+    val m1 = mat3(Seq.fill(3)(Seq(0.1, 0.1, 0.1)))
+    val m2 = mat3(Seq.fill(3)(Seq(0.2, 0.2, 0.2)))
+    val evAdp = new FormulaEvaluator(reg("x" -> m1, "y" -> m2), adpEnabled = true)
+    val MatrixResult(df, rowId, labels, _) = evAdp.evaluateFormula("x + y"): @unchecked
+    val cell = df.collect()(0).getDecimal(1)
+    assert(cell.compareTo(new java.math.BigDecimal("0.3")) == 0) // exact
+    val evStd = new FormulaEvaluator(reg("x" -> m1, "y" -> m2))
+    val MatrixResult(dfS, _, _, _) = evStd.evaluateFormula("x + y"): @unchecked
+    assert(dfS.collect()(0).getDouble(1) != 0.3) // binary64 artifact
+  }
+
   test("results are not fed back into the registry (no chaining, S4)") {
     val fm = formulaTable("first" -> "a * 2", "second" -> "first + 1")
     val calc = new CoefficientCalculator(reg("a" -> fixA), fm, adpEnabled = false)

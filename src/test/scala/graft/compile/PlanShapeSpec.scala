@@ -1,0 +1,104 @@
+package graft.compile
+
+import graft.SparkSpec
+import graft.api.FormulaEvaluator
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Scale-posture assertions: the plans the compiler promises (SURVEY §4.3),
+  * checked against the actual optimized/physical plans, plus ScalaCheck
+  * properties for the alignment algebra (SURVEY §5 plan item 2). */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Deterministic property driver (plain ScalaCheck Gen; the scalatest
+    * bridge artifact isn't in the offline dependency cache). */
+  private def forAllN[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(42L + i)).get)
+    }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("same-backing matrices compile join-free (zip-projection fast path)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "b" -> fixB2SameBase))
+    val MatrixResult(df, _, _, _) =
+      ev.evaluateFormula("(a + b) / (a * b + 1)"): @unchecked
+    val plan = physical(df)
+    assert(!plan.contains("Join"), s"expected no join, got:\n$plan")
+  }
+
+  // second matrix sharing fixA's backing DataFrame
+  private lazy val fixB2SameBase = Matrix(fixA.base, "__row_id__",
+    Seq(("c0", "c0"), ("c1", "c1"), ("c2", "c2")))
+
+  test("different backings produce exactly one full-outer join") {
+    val other = mat3(Seq(Seq(1.0, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9)))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "o" -> other))
+    val MatrixResult(df, _, _, _) = ev.evaluateFormula("a + o"): @unchecked
+    val plan = physical(df)
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
+    assert("Join".r.findAllIn(plan).length >= 1)
+    // three-way: still joins, never cartesian
+    val third = mat3(Seq(Seq(1.0, 1, 1), Seq(1, 1, 1), Seq(1, 1, 1)))
+    val ev3 = new FormulaEvaluator(
+      reg("a" -> fixA, "o" -> other, "t" -> third))
+    val MatrixResult(df3, _, _, _) = ev3.evaluateFormula("a + o + t"): @unchecked
+    assert(!physical(df3).contains("Cartesian"))
+  }
+
+  test("vector broadcast adds no join and no extra exchange") {
+    val v = Vec(Seq(1.0, 2.0, 3.0))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "v" -> v))
+    val MatrixResult(df, _, _, _) = ev.evaluateFormula("a * v + v"): @unchecked
+    val plan = physical(df)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"vector ops must stay in the projection:\n$plan")
+  }
+
+  test("whole-frame reduction uses a broadcast cross join (scalar-subquery shape)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val MatrixResult(df, _, _, _) = ev.evaluateFormula("a / a.sum()"): @unchecked
+    val plan = physical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"expected broadcast 1-row join:\n$plan")
+  }
+
+  // ---- ScalaCheck properties over the alignment algebra -------------------
+
+  private val cellGen = Gen.oneOf(
+    Gen.choose(-100.0, 100.0), Gen.const(0.0), Gen.const(Double.NaN))
+  private val rowsGen = Gen.listOfN(3, Gen.listOfN(3, cellGen))
+
+  private def evalCells(r: Map[String, NamedData], f: String) = {
+    val ev = new FormulaEvaluator(r, fillInvalid = true)
+    val MatrixResult(df, rowId, labels, _) = ev.evaluateFormula(f): @unchecked
+    cells(df, rowId, labels)
+  }
+
+  test("property: a + b == b + a under alignment and fill") {
+    forAllN(Gen.zip(rowsGen, rowsGen), 5) { case (ra, rb) =>
+      val r = reg("a" -> mat3(ra.map(_.toSeq)), "b" -> mat3(rb.map(_.toSeq)))
+      assert(evalCells(r, "a + b") == evalCells(r, "b + a"))
+    }
+  }
+
+  test("property: fill is idempotent (mask ∘ fill = ∅)") {
+    forAllN(rowsGen, 5) { ra =>
+      val m = mat3(ra.map(_.toSeq))
+      val ev = new FormulaEvaluator(reg("a" -> m), fillInvalid = true)
+      val MatrixResult(df, _, labels, _) = ev.evaluateFormula("a * 1"): @unchecked
+      val st = ev.validator.stats(df, labels)
+      assert(st.invalidCount == 0)
+    }
+  }
+
+  test("property: scalar identities hold cell-wise") {
+    forAllN(rowsGen, 5) { ra =>
+      val r = reg("a" -> mat3(ra.map(_.toSeq)))
+      assert(evalCells(r, "a * 1 + 0") == evalCells(r, "a"))
+    }
+  }
+}

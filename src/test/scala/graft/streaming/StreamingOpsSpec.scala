@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming operator tests via MemoryStream (processing driven
+  * batch-by-batch; results observed from the in-memory sink). */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  case class Doc(ts: Timestamp, text: String)
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("streaming exact dedup keeps first arrival per fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.dedupStream(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(ts(0), "hello world"), Doc(ts(1), "hello world"),
+                 Doc(ts(2), "different text"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+      assert(got.length == 2) // dup within watermark dropped
+      // advance the watermark past firstSeen+delay (eviction happens at the
+      // START of a later batch), then the same content re-arrives and is kept
+      in.addData(Doc(ts(60), "watermark advancing text"))
+      q.processAllAvailable()
+      in.addData(Doc(ts(90), "hello world"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 4)
+    } finally q.stop()
+  }
+
+  test("streaming quality filter is stateless and matches batch heuristic") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.qualityFilter(in.toDF(), minTokens = 3)
+      .writeStream.format("memory").queryName("qual_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(ts(0), "too short"), Doc(ts(1), "this one is long enough"))
+      q.processAllAvailable()
+      val got = spark.table("qual_out").select("text").as[String].collect()
+      assert(got.toSeq == Seq("this one is long enough"))
+    } finally q.stop()
+  }
+
+  test("windowed event aggregation merges late data within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.eventWindowAgg(in.toDF(), window_ = "10 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(Ev(ts(1), "click", 1.0), Ev(ts(5), "click", 2.0),
+                 Ev(ts(12), "view", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(3), "click", 10.0)) // late event, same first window
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("click", 3L, 13.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
