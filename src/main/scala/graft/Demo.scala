@@ -75,6 +75,12 @@ object Demo {
       case other => println(other)
     }
 
+    println("== S4 sink: persist all batch results ==")
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_results").toString
+    calc.writeResults(out, sinkDir)
+    println(s"wrote: ${new java.io.File(sinkDir).list().sorted.mkString(", ")}")
+    spark.read.parquet(s"$sinkDir/ratio").orderBy(col("__row_id__")).show(2)
+
     val calcAdp = new CoefficientCalculator(registry, fm.filter(col("result_name") === "ratio"),
       adpEnabled = true, fillInvalid = true)
     val outAdp = calcAdp.computeCoefficients()

@@ -146,6 +146,15 @@ object SparkEntry {
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 10, threshold = 0.8)
         .orderBy(col("id1"), col("id2"))),
+    "sim_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.ivfCentroids(e, 16)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(Similarity.ivfAssign(e, cents), cents, q,
+          k = 25, nProbe = 4)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
 
     // ---- text analysis ----
     "txt_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy(col("doc_id"))),

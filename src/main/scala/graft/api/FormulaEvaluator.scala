@@ -129,6 +129,34 @@ final class CoefficientCalculator(
   val evaluator = new FormulaEvaluator(dataDict, adpEnabled, decimalPrecision,
                                        fillInvalid, verbose)
 
+  /** S4 sink: write every computed coefficient to `outDir/<name>` parquet
+    * (the reference returns an in-memory dict and writes nothing; at scale
+    * the results are tables, so persisting is the natural sink). */
+  def writeResults(results: scala.collection.Map[String, EvalResult],
+                   outDir: String): Unit =
+    results.foreach {
+      case (name, MatrixResult(df, _, _, _)) =>
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+      case (name, RowResult(df, _)) =>
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+      case (name, VecResult(v)) =>
+        val spark = coefficientMap.sparkSession
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row.fromSeq(v.values)),
+          org.apache.spark.sql.types.StructType(v.labels.map(l =>
+            org.apache.spark.sql.types.StructField(l,
+              org.apache.spark.sql.types.DoubleType))))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      case (name, ScalarResult(x)) =>
+        val spark = coefficientMap.sparkSession
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(x)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
   /** X3: the batch loop. The formula table is tiny and driver-resident; each
     * formula compiles to an independent Spark job. */
   def computeCoefficients(): scala.collection.immutable.ListMap[String, EvalResult] = {

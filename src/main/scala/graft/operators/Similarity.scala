@@ -88,6 +88,55 @@ object Similarity {
       .dropDuplicates("id1", "id2")
   }
 
+  /** IVF (inverted-file) approximate search: a deterministic coarse
+    * quantizer (the first nCentroids vectors by id) partitions the corpus
+    * into cells; a query probes only its nProbe nearest cells.
+    *
+    * Scale shape: cell assignment is nCentroids compiled dot products in a
+    * projection (one pass, no shuffle); the assigned table would be written
+    * bucketed/partitioned by `cell` in production so probes prune
+    * partitions. Probing filters to nProbe cells (partition pruning at
+    * scale) and runs brute-force cosine inside — the standard IVF-flat
+    * trade-off. */
+  def ivfAssign(embs: DataFrame, centroids: Seq[Seq[Float]],
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // nearest centroid by cosine ≈ argmax of dot(e,c)/|c| (|e| is constant
+    // across candidates for a given row). argmax via array_max over
+    // (score, cell) structs — a when-chain reduce would DOUBLE the
+    // expression tree per centroid (2^k nodes; the analyzer chokes), while
+    // the array form stays linear in k.
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = array(c.map(lit): _*)
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      struct((dot(col(embCol), cc) / cn).as("score"), lit(i).as("cell"))
+    }
+    val best = array_max(array(scored: _*))
+    embs.select(col(idCol), col(embCol), best.getField("cell").as("cell"))
+  }
+
+  /** Deterministic coarse centroids: the first n vectors by id. */
+  def ivfCentroids(embs: DataFrame, n: Int, idCol: String = "vec_id",
+                   embCol: String = "embedding"): Seq[Seq[Float]] =
+    embs.orderBy(col(idCol)).limit(n).select(embCol)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** IVF top-k: probe the query's nProbe nearest cells, brute-force inside. */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Float]],
+              query: Seq[Float], k: Int, nProbe: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def qdot(c: Seq[Float]): Double = {
+      val d = query.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / math.sqrt(c.map(x => x.toDouble * x).sum)
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -qdot(c) }.take(nProbe).map(_._2)
+    val qc = array(query.map(v => lit(v)): _*)
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(embCol), qc).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine within equal values of a blocking column (e.g. a
     * cluster label) — the "blocked brute force" verification shape. */
   def blockedAllPairs(embs: DataFrame, blockCol: String, threshold: Double,

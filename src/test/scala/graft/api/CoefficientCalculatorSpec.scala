@@ -99,6 +99,18 @@ class CoefficientCalculatorSpec extends SparkSpec {
     assert(dfS.collect()(0).getDouble(1) != 0.3) // binary64 artifact
   }
 
+  test("writeResults persists every result shape to parquet (S4 sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val fm = formulaTable("m" -> "a * 2", "v" -> "a.sum()", "s" -> "1 + 2")
+    val calc = new CoefficientCalculator(reg("a" -> fixA), fm, adpEnabled = false)
+    val out = calc.computeCoefficients()
+    calc.writeResults(out, dir)
+    val m = spark.read.parquet(s"$dir/m")
+    assert(m.count() == 3 && m.columns.toSeq == Seq("__row_id__", "c0", "c1", "c2"))
+    assert(spark.read.parquet(s"$dir/v").count() == 1)
+    assert(spark.read.parquet(s"$dir/s").head().getDouble(0) == 3.0)
+  }
+
   test("results are not fed back into the registry (no chaining, S4)") {
     val fm = formulaTable("first" -> "a * 2", "second" -> "first + 1")
     val calc = new CoefficientCalculator(reg("a" -> fixA), fm, adpEnabled = false)

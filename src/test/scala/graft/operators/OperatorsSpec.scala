@@ -89,6 +89,20 @@ class OperatorsSpec extends SparkSpec {
     assert(top(1).getLong(0) == 1L) // the near-dup
   }
 
+  test("ivf: assignment cells are stable and probe finds the near-dup") {
+    val cents = Similarity.ivfCentroids(embsDf, 2)
+    assert(cents.length == 2)
+    val assigned = Similarity.ivfAssign(embsDf, cents)
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells(0L) == 0 && cells(1L) == 1) // centroids own their cells
+    val q = embsDf.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val top = Similarity.ivfTopK(assigned, cents, q, k = 2, nProbe = 2).collect()
+    assert(top.head.getLong(0) == 0L && top(1).getLong(0) == 1L)
+    // nProbe=1 recalls only the query's own cell — the IVF trade-off
+    val top1 = Similarity.ivfTopK(assigned, cents, q, k = 2, nProbe = 1).collect()
+    assert(top1.map(_.getLong(0)).toSet == Set(0L, 2L))
+  }
+
   test("lsh near-dup buckets the jittered pair together") {
     val planes = Similarity.hyperplanes(8, 6)
     val b = embsDf.select(col("vec_id"),
