@@ -75,6 +75,22 @@ object Demo {
       case other => println(other)
     }
 
+    println("== bucketed co-location: alignment join without Exchange ==")
+    spark.sql("DROP TABLE IF EXISTS demo_bx")
+    spark.sql("DROP TABLE IF EXISTS demo_by")
+    graft.model.Ingest.writeBucketed(qty, "demo_bx", 8)
+    graft.model.Ingest.writeBucketed(pos, "demo_by", 8)
+    val bx = Matrix(spark.table("demo_bx"), "__row_id__",
+      (1 to 4).map(j => (s"c$j", s"q$j")))
+    val by = Matrix(spark.table("demo_by"), "__row_id__",
+      (1 to 4).map(j => (s"c$j", s"p$j")))
+    val evB = new FormulaEvaluator(
+      Map[String, NamedData]("bx" -> bx, "by" -> by), fillInvalid = true)
+    val MatrixResult(bdf, _, _, _) = evB.evaluateFormula("bx + by"): @unchecked
+    val bplan = bdf.queryExecution.executedPlan.toString
+    println(s"join without shuffle: ${!bplan.contains("Exchange")} " +
+      s"(plan has SortMergeJoin: ${bplan.contains("SortMergeJoin")})")
+
     println("== S4 sink: persist all batch results ==")
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_results").toString
     calc.writeResults(out, sinkDir)

@@ -125,6 +125,22 @@ object Ingest {
     matrix(df, rowId, valueCols, mode)
   }
 
+  /** Persist a matrix backing bucketed+sorted by its row id. Two matrices
+    * written this way with the SAME bucket count co-locate: the alignment
+    * full-outer join (SURVEY §2.3 A1) plans with ZERO Exchange — at 100 TB
+    * this turns the only shuffle in the engine into a local merge per
+    * bucket. Read back with [[bucketedMatrix]].
+    */
+  def writeBucketed(m: Matrix, table: String, buckets: Int): Unit =
+    m.base.write.mode("overwrite")
+      .bucketBy(buckets, m.rowId).sortBy(m.rowId)
+      .saveAsTable(table)
+
+  /** Matrix over a bucketed table written by [[writeBucketed]]. */
+  def bucketedMatrix(spark: SparkSession, table: String, rowId: String,
+                     valueCols: Seq[String]): Matrix =
+    Matrix.of(spark.table(table), rowId, valueCols)
+
   /** Collect a tiny 2-column DataFrame (label, value) into a Vec. Vectors are
     * one-entry-per-matrix-column; collecting them is the reference's own
     * semantics (Series → ndarray on the driver).

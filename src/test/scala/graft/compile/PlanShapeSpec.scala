@@ -66,6 +66,54 @@ class PlanShapeSpec extends SparkSpec {
       s"expected broadcast 1-row join:\n$plan")
   }
 
+  test("bucketed backings align with ZERO exchange (co-located SMJ, 100TB path)") {
+    import graft.model.Ingest
+    spark.sql("DROP TABLE IF EXISTS bkt_x")
+    spark.sql("DROP TABLE IF EXISTS bkt_y")
+    // a previous JVM's managed-table dirs survive the (in-memory) catalog
+    Seq("bkt_x", "bkt_y").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Ingest.writeBucketed(fixA, "bkt_x", 4)
+    Ingest.writeBucketed(mat3(Seq(Seq(1.0, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9))),
+      "bkt_y", 4)
+    val x = Ingest.bucketedMatrix(spark, "bkt_x", "__row_id__", Seq("c0", "c1", "c2"))
+    val y = Ingest.bucketedMatrix(spark, "bkt_y", "__row_id__", Seq("c0", "c1", "c2"))
+    val ev = new FormulaEvaluator(reg("x" -> x, "y" -> y))
+    val MatrixResult(df, _, _, _) = ev.evaluateFormula("x + y"): @unchecked
+    val plan = physical(df)
+    assert(plan.contains("SortMergeJoin") || plan.contains("Join"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed alignment join must not shuffle:\n$plan")
+    // and it still computes the right cells
+    val got = cells(df, "__row_id__", Seq("c0", "c1", "c2"))
+    assert(got(0L)("c0") == 2.0 && got(2L)("c2") == 11.0)
+  }
+
+  test("wide matrices (200 columns) compile and execute") {
+    import org.apache.spark.sql.types._
+    val n = 200
+    val schema = StructType(StructField("__row_id__", LongType) +:
+      (0 until n).map(i => StructField(s"c$i", DoubleType)))
+    val rows = (0 until 5).map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.toLong +: (0 until n).map(i => (r * n + i).toDouble)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val m = Matrix.of(df, "__row_id__", (0 until n).map(i => s"c$i"))
+    val ev = new FormulaEvaluator(reg("m" -> m), fillInvalid = true)
+    val MatrixResult(out, rowId, labels, _) =
+      ev.evaluateFormula("(m * 2 + 1) / (m + 1)"): @unchecked
+    assert(labels.length == n)
+    val got = cells(out, rowId, labels)
+    assert(got(0L)("c0") == 1.0)              // (0*2+1)/(0+1)
+    assert(got(0L)("c1") == 1.5)              // 3/2
+    assert(got(4L)(s"c${n - 1}") == (2.0 * 999 + 1) / 1000)
+  }
+
   // ---- ScalaCheck properties over the alignment algebra -------------------
 
   private val cellGen = Gen.oneOf(
