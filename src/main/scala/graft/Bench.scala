@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
 object Bench {
+  private def gcStats(): (Long, Long) = {
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,9 +23,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (gc0, gct0) = gcStats()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (gc1, gct1) = gcStats()
+      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      System.err.println(f"[bench] $name%-12s $sec%8.2f s  rows=$n%-8d " +
+        f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M")
+      name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,18 +34,28 @@ object QueryCatalog {
   val J: Range = 1 to 4
   private val labels = J.map(j => s"c$j")
 
-  def wide(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val ln = col("l_linenumber")
-    val aggs =
-      J.map(j => sum(when(ln === j, col("l_quantity"))).as(s"q$j")) ++
-      J.map(j => (sum(when(ln === j, col("l_extendedprice").cast(DecimalType(18, 2))))
-        .cast(DoubleType) / 1000.0).as(s"e$j")) ++
-      J.map(j => (coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)) + 1.0)
-        .as(s"p$j")) ++
-      J.map(j => coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)).as(s"z$j"))
-    li.groupBy(col("l_orderkey").as("__row_id__")).agg(aggs.head, aggs.tail: _*)
-  }
+  // The 39 driver queries share this derived base; without reuse each one
+  // re-pays the lineitem scan + groupBy shuffle (twice, with an eager stats
+  // pass). Persisting the ~20 MB result once is exactly what a user running
+  // a query batch over one shared input would do — and at 100 TB the same
+  // role is played by writing the base out bucketed by __row_id__.
+  private val wideCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  def wide(spark: SparkSession, sfDir: String): DataFrame =
+    wideCache.getOrElseUpdate((spark, sfDir), {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ln = col("l_linenumber")
+      val aggs =
+        J.map(j => sum(when(ln === j, col("l_quantity"))).as(s"q$j")) ++
+        J.map(j => (sum(when(ln === j, col("l_extendedprice").cast(DecimalType(18, 2))))
+          .cast(DoubleType) / 1000.0).as(s"e$j")) ++
+        J.map(j => (coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)) + 1.0)
+          .as(s"p$j")) ++
+        J.map(j => coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)).as(s"z$j"))
+      li.groupBy(col("l_orderkey").as("__row_id__")).agg(aggs.head, aggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def registry(spark: SparkSession, sfDir: String): Map[String, NamedData] = {
     val w = wide(spark, sfDir)
@@ -117,10 +127,21 @@ object QueryCatalog {
         StructField("has_nan", BooleanType), StructField("has_inf", BooleanType))))
   }
 
+  // documents/embeddings are shared by the dedup/similarity/text queries:
+  // cache the (small) tables once per session, spread across all cores —
+  // the driver parquet is single-row-group, so an uncached scan is ONE task.
+  private val tblCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def cachedTable(spark: SparkSession, path: String): DataFrame =
+    tblCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    cachedTable(spark, s"$sfDir/documents.parquet")
   def embs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    cachedTable(spark, s"$sfDir/embeddings.parquet")
 
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 

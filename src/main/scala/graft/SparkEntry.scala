@@ -133,18 +133,23 @@ object SparkEntry {
       e.select(col("vec_id"), Similarity.cosineExact(col("embedding"), qc).as("sim"))
         .orderBy(col("vec_id"))
     }),
+    // exact-decimal scores → deterministic top-k (rounded sim + id tiebreak)
+    // that a DuckDB oracle can mirror; bruteForceTopK stays the fast path.
     "sim_topk" -> ((s, d) => {
       val e = embs(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      Similarity.bruteForceTopK(e, q, 25)
-        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      val qc = array(q.map(v => lit(v)): _*)
+      e.select(col("vec_id"), Similarity.cosineExact(col("embedding"), qc).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(25)
     }),
+    // corpus embeddings are near-random (within-label max cosine ≈ 0.47 at
+    // sf0.01), so thresholds sit where candidates actually exist
     "sim_block" -> ((s, d) =>
-      Similarity.blockedAllPairs(embs(s, d), "label", 0.5)
+      Similarity.blockedAllPairs(embs(s, d), "label", 0.25)
         .orderBy(col("id1"), col("id2"))),
     "sim_lsh" -> ((s, d) =>
-      Similarity.lshNearDup(embs(s, d), nPlanes = 10, threshold = 0.8)
+      Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25)
         .orderBy(col("id1"), col("id2"))),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
@@ -170,8 +175,13 @@ object SparkEntry {
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, d)))
         .select(col("media_id"), col("n_frames")).orderBy(col("media_id"))),
+    // flattened to scalar columns: the driver's pandas-side compare cannot
+    // sort rows containing array cells (round-1 mm_features failure)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d)))
+        .select(col("media_id") +:
+          (0 until 16).map(i =>
+            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
         .orderBy(col("media_id"))),
   )
 
@@ -191,7 +201,7 @@ object SparkEntry {
       l -> s"(${ws.map(wordOccSql).mkString(" + ")})"
     }.toMap
     // exact-decimal cosine of every embedding vs the vec_id=0 query vector
-    val cosineVsQuery =
+    val cosineCore =
       """WITH q AS (SELECT unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
         |           FROM embeddings WHERE vec_id=0),
         |     e AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding,1) AS i
@@ -203,7 +213,32 @@ object SparkEntry {
         |     nq AS (SELECT sum(CAST(CAST(qe AS DOUBLE)*CAST(qe AS DOUBLE) AS DECIMAL(38,30))) AS nb FROM q)
         |SELECT vec_id,
         |       round(CAST(dt AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))),6) AS sim
-        |FROM d, nq ORDER BY vec_id""".stripMargin
+        |FROM d, nq""".stripMargin
+    val cosineVsQuery = cosineCore + " ORDER BY vec_id"
+    // exact-decimal all-pairs cosine within label blocks (sim_block mirror)
+    val blockedPairs =
+      """WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |     nrm AS (SELECT vec_id,
+        |                    sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+        |             FROM e GROUP BY vec_id),
+        |     d AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
+        |                  CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
+        |           FROM e l JOIN e r ON l.label = r.label AND l.i = r.i AND l.vec_id < r.vec_id
+        |           GROUP BY 1, 2)
+        |SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
+        |FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
+        |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
+        |ORDER BY id1, id2""".stripMargin
+    // 16-bin byte histogram over ASCII text: per-bin char count / length in
+    // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
+    val mmFeatures = {
+      val bins = (0 until 16).map { b =>
+        val cnt = s"len(list_filter(regexp_split_to_array(text,''), c -> ascii(c) >= ${b * 16} AND ascii(c) < ${(b + 1) * 16}))"
+        s"CAST(CAST($cnt AS FLOAT) / CAST(greatest(length(text), 1) AS FLOAT) AS DOUBLE) AS f$b"
+      }.mkString(", ")
+      s"SELECT doc_id AS media_id, $bins FROM documents ORDER BY media_id"
+    }
     Map(
       "e1_add" -> matSql(j => F(s"q$j + e$j")),
       "e1_sub" -> matSql(j => F(s"q$j - e$j")),
@@ -249,6 +284,9 @@ object SparkEntry {
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
       "sim_cosine" -> cosineVsQuery,
+      "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
+      "sim_block" -> blockedPairs,
+      "mm_features" -> mmFeatures,
       "txt_tokens" ->
         (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, $tokSql AS n_tokens, " +
           s"CAST(length(text) - ($tokSql - 1) AS DOUBLE) / CAST($tokSql AS DOUBLE) AS avg_token_len " +

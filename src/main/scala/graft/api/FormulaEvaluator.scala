@@ -32,14 +32,21 @@ final class FormulaEvaluator(
     * survives the cast). NaN→NULL under decimal cast preserves invalidity.
     */
   val registry: Map[String, NamedData] = {
-    val mats = dataDict.collect { case (n, m: Matrix) => (n, m) }
-    val byBase = mats.groupBy { case (_, m) => System.identityHashCode(m.base) }
-    val recast: Map[String, Matrix] = byBase.values.flatMap { group =>
-      val base = group.head._2.base
+    val mats = dataDict.toSeq.collect { case (n, m: Matrix) => (n, m) }
+    // group by REFERENCE identity of the backing DataFrame (identityHashCode
+    // can collide across distinct frames; Dataset keeps default object
+    // equality, but be explicit — same idiom as FormulaCompiler.buildBase)
+    val groups = scala.collection.mutable.LinkedHashMap[
+      DataFrame, scala.collection.mutable.ArrayBuffer[(String, Matrix)]]()
+    mats.foreach { case (n, m) =>
+      val key = groups.keys.find(_ eq m.base).getOrElse(m.base)
+      groups.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer()) += (n -> m)
+    }
+    val recast: Map[String, Matrix] = groups.flatMap { case (base, group) =>
       val rowId = group.head._2.rowId
-      val phys = group.flatMap(_._2.cols.map(_._2)).toSeq.distinct
+      val phys = group.flatMap(_._2.cols.map(_._2)).distinct
       val newBase = base.select(
-        (col(rowId) +: phys.map(p => Ingest.castCell(base, p, mode).as(p))): _*)
+        (col(rowId) +: phys.map(p => Ingest.castCell(base, p, mode).as(p))).toSeq: _*)
       group.map { case (n, m) => (n, Matrix(newBase, m.rowId, m.cols)) }
     }.toMap
     dataDict.map {

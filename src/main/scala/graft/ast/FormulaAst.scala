@@ -130,14 +130,22 @@ object FormulaParser {
       while (peekOp(Set("&")).isDefined) { advance(); l = Bin("&", l, parseCmp()) }
       l
     }
+    // python chained-comparison semantics: `a < b < c` ≡ `(a < b) & (b < c)`
+    // (operands are pure expressions here, so re-referencing `b` is safe)
     private def parseCmp(): FormulaAst = {
-      var l = parseAdd()
-      var op = peekOp(Set(">", "<", ">=", "<=", "==", "!="))
+      val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+      val first = parseAdd()
+      val ops = scala.collection.mutable.ListBuffer[String]()
+      val operands = scala.collection.mutable.ListBuffer[FormulaAst](first)
+      var op = peekOp(cmpOps)
       while (op.isDefined) {
-        advance(); l = Bin(op.get, l, parseAdd())
-        op = peekOp(Set(">", "<", ">=", "<=", "==", "!="))
+        advance(); ops += op.get; operands += parseAdd()
+        op = peekOp(cmpOps)
       }
-      l
+      if (ops.isEmpty) first
+      else ops.toList.zipWithIndex
+        .map { case (o, k) => Bin(o, operands(k), operands(k + 1)): FormulaAst }
+        .reduceLeft((acc, c) => Bin("&", acc, c))
     }
     private def parseAdd(): FormulaAst = {
       var l = parseMul()

@@ -194,7 +194,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       args.map(eval(_, ctx)) match {
         case List(a) if Ops.functions.contains(fn) => applyFn(Ops.functions(fn), fn, a)
         case List(a, b) if Ops.functions2.contains(fn) =>
-          binopWith(Ops.functions2(fn), (x, y) => Ops.scalarFn(fn, x), a, b, ctx, bool = false)
+          binopWith(Ops.functions2(fn), Ops.scalarFn2(fn), a, b, ctx, bool = false)
         case _ => throw new FormulaTypeException(
           s"Unknown function '$fn' with ${args.length} argument(s)")
       }

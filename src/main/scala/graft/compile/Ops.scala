@@ -119,6 +119,16 @@ object Ops {
     "arctan2" -> ((l: Column, r: Column) => atan2(l, r)),
   )
 
+  /** Driver-side doubles for the 2-arg E9 functions (Vec∘Vec / Vec∘scalar /
+    * scalar∘scalar operand kinds — same dispatch table as [[functions2]]). */
+  val scalarFns2: Map[String, (Double, Double) => Double] = Map(
+    "arctan2" -> ((y: Double, x: Double) => math.atan2(y, x)),
+  )
+
+  def scalarFn2(fn: String): (Double, Double) => Double =
+    scalarFns2.getOrElse(fn,
+      throw new IllegalArgumentException(s"Unknown 2-arg function '$fn'"))
+
   // ---- driver-side doubles (Vec ∘ Vec / scalar paths, SURVEY §2.3 A3) -----
 
   /** The same semantics on plain doubles; Java doubles already match numpy. */

@@ -35,10 +35,15 @@ object Dedup {
     * (measured ~150 ms/document — the difference between seconds and hours
     * at corpus scale). Use [[tokenized]] to get the barrier.
     */
-  def shinglesOf(words: Column, n: Int): Column =
+  def shinglesOf(words: Column, n: Int): Column = {
+    // short docs (< n tokens): one whole-doc shingle. The `when` guard keeps
+    // element_at in-bounds — Spark 4 runs ANSI mode by default, where an
+    // out-of-range element_at throws instead of returning NULL.
+    val full = transform(sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
     array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+      when(size(words) >= n, full).otherwise(array(concat_ws(" ", words))))
+  }
 
   /** (id, words) with the token array materialized behind a shuffle barrier.
     * The Exchange both stops projection collapse and re-parallelizes

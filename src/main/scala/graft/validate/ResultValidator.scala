@@ -76,6 +76,16 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
                registry: Map[String, NamedData]): (EvalResult, Long) = {
     lastWarning = None
     result match {
+      // Fast path: when filling silently, the fill projection is semantically
+      // identical whether or not invalid cells exist (filling a valid frame is
+      // the identity), so the eager stats job — a second full scan of the
+      // input — is skipped entirely. Invalid count is reported as -1
+      // (not computed). Warnings/errors only fire when NOT filling, and
+      // verbose diagnostics force the stats pass, so behavior is unchanged.
+      case MatrixResult(df, rowId, labels, false) if fillInvalid && !verbose =>
+        (MatrixResult(fillDf(df, rowId, labels), rowId, labels, isBool = false), -1L)
+      case RowResult(df, labels) if fillInvalid && !verbose =>
+        (fillRow(df, labels), -1L)
       case MatrixResult(df, rowId, labels, false) =>
         val st = stats(df, labels)
         if (verbose) logDetails(st, formulaStr)
@@ -84,12 +94,7 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
       case RowResult(df, labels) =>
         val st = stats(df, labels)
         if (verbose) logDetails(st, formulaStr)
-        finish(result, st, ast, formulaStr, registry,
-               fill = {
-                 val zero = if (std) lit(0.0) else lit(0).cast(mode.cellType)
-                 RowResult(df.select(labels.map(c =>
-                   when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)): _*), labels)
-               })
+        finish(result, st, ast, formulaStr, registry, fill = fillRow(df, labels))
       case VecResult(v) =>
         val invalid = v.values.count(x => x.isNaN || x.isInfinite).toLong
         val st = ValidationStats(v.length.toLong, invalid,
@@ -100,6 +105,12 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
                  if (x.isNaN || x.isInfinite) 0.0 else x), v.labels)))
       case other => (other, 0L) // scalars & boolean frames bypass validation
     }
+  }
+
+  private def fillRow(df: DataFrame, labels: Seq[String]): RowResult = {
+    val zero = if (std) lit(0.0) else lit(0).cast(mode.cellType)
+    RowResult(df.select(labels.map(c =>
+      when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)): _*), labels)
   }
 
   private def finish(result: EvalResult, st: ValidationStats, ast: FormulaAst,

@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = q -- o
     // hash/LSH-based ops whose internals aren't SQL-expressible
     assert(rowsOnly == Set("dd_minhash", "dd_simhash", "dd_jaccard",
-      "sim_lsh", "sim_ivf", "sim_topk", "sim_block", "mm_features",
-      "txt_rolling"), s"unexpected rows-only queries: $rowsOnly")
+      "sim_lsh", "sim_ivf", "txt_rolling"),
+      s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -199,4 +199,35 @@ class FormulaEvaluatorSpec extends SparkSpec {
     val ev = new FormulaEvaluator(reg("a" -> fixA))
     assertThrows[VariableNotFoundException](ev.evaluateFormula("a + nosuch"))
   }
+
+  // arctan2 on driver-side operand kinds (pd.eval supports all of them)
+  test("arctan2 over vectors and scalars") {
+    val v1 = Vec(IndexedSeq(1.0, -1.0))
+    val v2 = Vec(IndexedSeq(1.0, 2.0))
+    val ev = new FormulaEvaluator(reg("v1" -> v1, "v2" -> v2))
+    val VecResult(vv) = ev.evaluateFormula("arctan2(v1, v2)"): @unchecked
+    assert(vv.values == IndexedSeq(math.atan2(1.0, 1.0), math.atan2(-1.0, 2.0)))
+    val VecResult(vs) = ev.evaluateFormula("arctan2(v1, 2)"): @unchecked
+    assert(vs.values == IndexedSeq(math.atan2(1.0, 2.0), math.atan2(-1.0, 2.0)))
+    assert(ev.evaluateFormula("arctan2(1, 2)") == ScalarResult(math.atan2(1.0, 2.0)))
+  }
+
+  test("arctan2 over matrix and scalar (column path)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val got = evalMat(ev, "arctan2(a, 2)")
+    assertCell(got(0L)("c0"), math.atan2(1.0, 2.0))
+    assertCell(got(0L)("c1"), math.atan2(7.0, 2.0))
+  }
+
+  // chained comparison end-to-end (desugars to conjunction)
+  test("chained comparison 1 < a < 7 evaluates as conjunction") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val MatrixResult(df, rowId, labels, isBool) =
+      ev.evaluateFormula("1 < a < 7"): @unchecked
+    assert(isBool)
+    val got = df.collect().map(r => r.getLong(r.fieldIndex(rowId)) ->
+      labels.map(l => r.getBoolean(r.fieldIndex(l)))).toMap
+    // fixA row 0 = (1, 7, 6): 1<1<7 false, 1<7<7 false, 1<6<7 true
+    assert(got(0L) == Seq(false, false, true))
+  }
 }

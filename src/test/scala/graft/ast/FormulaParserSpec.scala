@@ -51,6 +51,16 @@ class FormulaParserSpec extends AnyFunSuite {
     assert(!p("a + b * c").containsOp("/"))
     assert(p("a.pow(2)").containsOp("**"))
   }
+  test("chained comparisons desugar to conjunctions (python semantics)") {
+    assert(p("a < b < c") ==
+      Bin("&", Bin("<", Var("a"), Var("b")), Bin("<", Var("b"), Var("c"))))
+    assert(p("a <= b < c == d") ==
+      Bin("&",
+        Bin("&", Bin("<=", Var("a"), Var("b")), Bin("<", Var("b"), Var("c"))),
+        Bin("==", Var("c"), Var("d"))))
+    // a single comparison is unchanged
+    assert(p("a < b") == Bin("<", Var("a"), Var("b")))
+  }
   test("syntax errors raise") {
     assertThrows[FormulaSyntaxException](p("a +"))
     assertThrows[FormulaSyntaxException](p("a @ b"))

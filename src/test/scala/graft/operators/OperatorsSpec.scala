@@ -61,6 +61,24 @@ class OperatorsSpec extends SparkSpec {
     j.get((0L, 1L)).foreach(v => assert(v > 0.5 && v < 1.0))
   }
 
+  test("shingles survive docs shorter than n tokens (ANSI element_at)") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val shorties = spark.createDataFrame(java.util.List.of(
+      Row(0L, "one"), Row(1L, "two words"), Row(2L, ""),
+      Row(3L, "three word doc"), Row(4L, "one")), schema)
+    // n=3 shingles over docs with 1, 2, and 0 tokens must not throw
+    val sig = Dedup.minhashSignatures(shorties, "text", "doc_id", n = 3, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig.size == 5)
+    assert(sig(0L) == sig(4L)) // identical short docs → identical signature
+    val pairs = Dedup.minhashLsh(shorties, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    val cand = Dedup.minhashLsh(shorties, threshold = 0.1).select("id1", "id2")
+    Dedup.ngramJaccard(shorties, cand).collect() // must not throw either
+  }
+
   test("simhash: identical docs same hash; near-dups within small hamming") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
