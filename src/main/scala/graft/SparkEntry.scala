@@ -111,16 +111,20 @@ object SparkEntry {
     // S2/ADP: decimal-mode arithmetic (exact on integer-valued cells)
     "adp_arith" -> ((s, d) => formulaQuery("zro * 3 + zro", fill = false, adp = true)(s, d)),
 
-    // ---- dedup ----
+    // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
+    //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
     "dd_minhash" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), threshold = 0.2).orderBy(col("id1"), col("id2"))),
+      Dedup.minhashLsh(docs(s, d), threshold = 0.2, portable = true)
+        .orderBy(col("id1"), col("id2"))),
     "dd_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Dedup.simhash(docs(s, d)), maxHamming = 8)
+      Dedup.simhashPairs(Dedup.simhash(docs(s, d), portable = true),
+          maxHamming = 8, bandBits = 15)
         .orderBy(col("id1"), col("id2"))),
     "dd_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
-      val cand = Dedup.minhashLsh(dd, threshold = 0.1).select("id1", "id2")
+      val cand = Dedup.minhashLsh(dd, threshold = 0.1, portable = true)
+        .select("id1", "id2")
       Dedup.ngramJaccard(dd, cand).orderBy(col("id1"), col("id2"))
     }),
 
@@ -149,7 +153,8 @@ object SparkEntry {
       Similarity.blockedAllPairs(embs(s, d), "label", 0.25)
         .orderBy(col("id1"), col("id2"))),
     "sim_lsh" -> ((s, d) =>
-      Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25)
+      Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
+          exact = true)
         .orderBy(col("id1"), col("id2"))),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
@@ -166,7 +171,8 @@ object SparkEntry {
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy(col("doc_id"))),
     "txt_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
     "txt_fp" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
-    "txt_rolling" -> ((s, d) => TextAnalysis.rollingHash(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_rolling" -> ((s, d) =>
+      TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
@@ -230,6 +236,121 @@ object SparkEntry {
         |FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
         |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
         |ORDER BY id1, id2""".stripMargin
+    // ---- portable-hash mirrors (md5 is md5 in every engine) ----
+    // 60-bit md5-derived hash: first 15 hex digits as BIGINT — mirrors
+    // graft.operators.Dedup.portableHash exactly
+    def mdInt(expr: String) = s"(('0x' || substr(md5($expr),1,15))::BIGINT)"
+    // word-3-gram shingle list with the short-doc whole-text fallback
+    // (mirrors Dedup.shinglesOf for n = 3)
+    val shingleList =
+      "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), " +
+        "i -> array_to_string(w[i:i+2], ' ')) " +
+        "ELSE [array_to_string(w, ' ')] END"
+    // minhash pipeline CTEs shared by dd_minhash / dd_jaccard: one md5 per
+    // shingle, k=32 universal-hash slot mins, 8 bands of 4 slots, bucket
+    // guard 256 (mirrors Dedup.minhashSignatures portable = true)
+    def minhashCtes(k: Int = 32, bands: Int = 8): String = {
+      val rpb = k / bands
+      val P = graft.operators.Dedup.UhPrime
+      val slotMins = graft.operators.Dedup.uhParams(k).zipWithIndex
+        .map { case ((a, b), i) => s"min((hb * $a + $b) % $P) AS m$i" }
+        .mkString(", ")
+      val bandRows = (0 until bands).map { b =>
+        val slotStr = (0 until rpb).map(r => s"m${b * rpb + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${mdInt(s"'$b' || ',' || $slotStr")} AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      val sigArr = (0 until k).map(s => s"m$s").mkString("[", ", ", "]")
+      s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleList) AS s FROM toks),
+         |shb AS (SELECT doc_id, ${mdInt("'0:' || s")} % $P AS hb FROM sh),
+         |sig AS (SELECT doc_id, $slotMins FROM shb GROUP BY doc_id),
+         |sigarr AS (SELECT doc_id, $sigArr AS sig FROM sig),
+         |banded AS ($bandRows),
+         |sized AS (SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS bn FROM banded),
+         |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |         FROM sized l JOIN sized r
+         |           ON l.band = r.band AND l.band_hash = r.band_hash
+         |          AND l.doc_id < r.doc_id
+         |         WHERE l.bn <= 256 AND r.bn <= 256),
+         |est AS (SELECT id1, id2,
+         |               len(list_distinct(list_intersect(s1.sig, s2.sig))) / ${k}.0 AS est_jaccard
+         |        FROM cand JOIN sigarr s1 ON cand.id1 = s1.doc_id
+         |                  JOIN sigarr s2 ON cand.id2 = s2.doc_id)""".stripMargin
+    }
+    val ddMinhash =
+      s"WITH ${minhashCtes()} SELECT id1, id2, est_jaccard FROM est " +
+        "WHERE est_jaccard >= 0.2 ORDER BY id1, id2"
+    val ddJaccard =
+      s"""WITH ${minhashCtes()},
+         |shl AS (SELECT doc_id, list_distinct($shingleList) AS shset FROM toks)
+         |SELECT id1, id2,
+         |       len(list_distinct(list_intersect(a.shset, b.shset)))::DOUBLE /
+         |       len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jaccard
+         |FROM est JOIN shl a ON est.id1 = a.doc_id JOIN shl b ON est.id2 = b.doc_id
+         |WHERE est_jaccard >= 0.1 ORDER BY id1, id2""".stripMargin
+    // portable 60-bit simhash: per-bit majority of md5-hash bits, banded on
+    // 15-bit quarters, Hamming ≤ 8 (mirrors Dedup.simhash portable = true)
+    val ddSimhash = {
+      val bitSums = (0 until 60)
+        .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS b$b").mkString(", ")
+      val shBits = (0 until 60)
+        .map(b => s"(CASE WHEN b$b > 0 THEN 1::BIGINT << $b ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |h AS (SELECT doc_id, ${mdInt("'0:' || t")} AS h
+         |      FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $shBits AS simhash FROM bits),
+         |banded AS (SELECT doc_id, simhash, q, (simhash >> (q*15)) & 32767 AS band_val
+         |           FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS q)),
+         |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |                 l.simhash AS s1, r.simhash AS s2
+         |          FROM banded l JOIN banded r
+         |            ON l.q = r.q AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, bit_count(xor(s1, s2))::BIGINT AS hamming
+         |FROM pairs WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
+    }
+    // portable rolling hash: (acc * 1000003 + md5_60(token) % 2^20) % 2^40
+    // (mirrors TextAnalysis.rollingHashPortable; list_reduce needs the seed
+    // prepended since DuckDB folds from the first element)
+    val txtRolling =
+      s"""SELECT doc_id, list_reduce(
+         |  list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+         |    t -> ${mdInt("'0:' || t")} % 1048576)),
+         |  (acc, h) -> (acc * 1000003 + h) % 1099511627776) AS rolling_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    // exact-decimal hyperplane LSH: plane literals inlined from the same
+    // deterministic seed, bucket = sign bits of decimal dots, exact cosine
+    // within buckets ≥ 0.25 (mirrors Similarity.lshNearDup exact = true)
+    val simLsh = {
+      val planes = Similarity.hyperplanes(64, 6, 42L)
+      val vals = planes.zipWithIndex.flatMap { case (p, pi) =>
+        p.zipWithIndex.map { case (v, i) => s"($pi, ${i + 1}, $v)" }
+      }.mkString(", ")
+      s"""WITH planes(pi, i, pv) AS (SELECT * FROM (VALUES $vals)),
+         |e AS (SELECT vec_id, unnest(embedding) AS v,
+         |             generate_subscripts(embedding,1) AS i FROM embeddings),
+         |pd AS (SELECT e.vec_id, p.pi,
+         |              CAST(sum(CAST(CAST(e.v AS DOUBLE) * p.pv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |       FROM e JOIN planes p ON e.i = p.i GROUP BY 1, 2),
+         |bkt AS (SELECT vec_id,
+         |               sum(CASE WHEN dt > 0 THEN 1::BIGINT << pi ELSE 0 END) AS bucket
+         |        FROM pd GROUP BY 1),
+         |nrm AS (SELECT vec_id,
+         |               sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+         |        FROM e GROUP BY 1),
+         |eb AS (SELECT e.*, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |d AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |             CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |      FROM eb l JOIN eb r
+         |        ON l.bucket = r.bucket AND l.i = r.i AND l.vec_id < r.vec_id
+         |      GROUP BY 1, 2)
+         |SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
+         |FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
+         |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
+         |ORDER BY id1, id2""".stripMargin
+    }
     // 16-bin byte histogram over ASCII text: per-bin char count / length in
     // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
     val mmFeatures = {
@@ -286,7 +407,12 @@ object SparkEntry {
       "sim_cosine" -> cosineVsQuery,
       "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
       "sim_block" -> blockedPairs,
+      "sim_lsh" -> simLsh,
       "mm_features" -> mmFeatures,
+      "dd_minhash" -> ddMinhash,
+      "dd_jaccard" -> ddJaccard,
+      "dd_simhash" -> ddSimhash,
+      "txt_rolling" -> txtRolling,
       "txt_tokens" ->
         (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, $tokSql AS n_tokens, " +
           s"CAST(length(text) - ($tokSql - 1) AS DOUBLE) / CAST($tokSql AS DOUBLE) AS avg_token_len " +

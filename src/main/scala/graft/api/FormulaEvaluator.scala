@@ -112,6 +112,13 @@ final class FormulaEvaluator(
   * referencing unknown variables are skipped with a notice (F3), and results
   * are NOT fed back into the registry (no formula chaining — S4,
   * coeff_maker.py:1012).
+  *
+  * `chainResults = true` is an opt-in EXTENSION beyond the reference
+  * (SURVEY §2.1 S4): each computed matrix/vector result is registered under
+  * its result name for use by LATER formulas in the same table (shadowing
+  * an input of the same name). Spark keeps this cheap: chaining composes
+  * lazy plans — no intermediate result is materialized unless a later
+  * formula forces it.
   */
 final class CoefficientCalculator(
     dataDict: Map[String, NamedData],
@@ -121,7 +128,8 @@ final class CoefficientCalculator(
     adpEnabled: Boolean = true, // reference default (coeff_maker.py:893)
     decimalPrecision: Int = 35,
     fillInvalid: Boolean = false,
-    verbose: Boolean = false) {
+    verbose: Boolean = false,
+    chainResults: Boolean = false) {
 
   // F6: mandatory-column validation (KeyError analogue, coeff_maker.py:938-954)
   locally {
@@ -171,23 +179,47 @@ final class CoefficientCalculator(
       .select(col(resultNameCol).cast("string"), col(formulaNameCol).cast("string"))
       .collect()
     var out = scala.collection.immutable.ListMap.empty[String, EvalResult]
+    var ev = evaluator
+    var dict = dataDict
     rows.foreach { r =>
       val name = r.getString(0)
       val formula = Option(r.getString(1)).getOrElse("")
       if (formula.trim.isEmpty) {
         System.err.println(s"[graft] skipping '$name': empty formula")
       } else {
-        val ast = evaluator.parseFormula(formula)
-        val missing = ast.freeVariables.filterNot(evaluator.registry.contains)
+        val ast = ev.parseFormula(formula)
+        val missing = ast.freeVariables.filterNot(ev.registry.contains)
         if (missing.nonEmpty) {
           System.err.println(
             s"[graft] skipping '$name': missing variable(s) ${missing.mkString(", ")}")
         } else {
-          out = out + (name -> evaluator.evaluateFormula(formula))
+          val result = ev.evaluateFormula(formula)
+          out = out + (name -> result)
           System.err.println(s"[graft] computed coefficient '$name' = $formula")
+          if (chainResults) asNamedData(result).foreach { nd =>
+            dict = dict + (name -> nd)
+            ev = new FormulaEvaluator(dict, adpEnabled, decimalPrecision,
+              fillInvalid, verbose)
+          }
         }
       }
     }
     out
+  }
+
+  /** Chaining wrap: matrix results keep their lazy plan; 1-row reductions
+    * and driver vectors become Vecs; scalars can't be named data (skipped,
+    * like the reference skips nothing it can't represent). */
+  private def asNamedData(result: EvalResult): Option[NamedData] = result match {
+    case MatrixResult(df, rowId, labels, _) =>
+      Some(Matrix(df, rowId, labels.map(l => (l, l))))
+    case RowResult(df, labels) =>
+      val row = df.head()
+      Some(Vec(labels.map(l =>
+        Option(row.get(row.fieldIndex(l))).fold(Double.NaN)(v =>
+          v.asInstanceOf[Number].doubleValue())).toIndexedSeq,
+        labels.toIndexedSeq))
+    case VecResult(v) => Some(v)
+    case ScalarResult(_) => None
   }
 }

@@ -91,6 +91,42 @@ case class DotProductExact(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Engine-portable rolling hash of a string array (one compiled loop per
+  * row; the HOF formulation evaluates md5 per element INTERPRETED, measured
+  * ~70× slower). Per token: h = md5_60("0:" + token) % 2^20 (first 15 md5
+  * hex digits as a long); acc' = (acc * 1000003 + h) % 2^40. Every step is
+  * exact signed-64 arithmetic any SQL engine reproduces. */
+case class PortableRollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val bytes = md.digest(
+        ("0:" + arr.getUTF8String(i).toString).getBytes("UTF-8"))
+      // first 15 hex digits = top 60 bits of the first 8 digest bytes
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (bytes(j) & 0xFFL); j += 1 }
+      h = h >>> 4 // drop the 16th hex digit
+      acc = (acc * 1000003L + h % 1048576L) % 1099511627776L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object ArrayOps {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
 
@@ -101,4 +137,8 @@ object ArrayOps {
   /** Exact, order-independent dot product (decimal-summed, as double). */
   def dot_product_exact(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExact(expr(a), expr(b)))
+
+  /** Portable rolling hash over a string-array column (compiled loop). */
+  def rolling_hash_portable(a: Column): Column =
+    GraftColumnBridge.column(PortableRollingHash(expr(a)))
 }

@@ -131,10 +131,20 @@ object Ingest {
     * this turns the only shuffle in the engine into a local merge per
     * bucket. Read back with [[bucketedMatrix]].
     */
-  def writeBucketed(m: Matrix, table: String, buckets: Int): Unit =
+  def writeBucketed(m: Matrix, table: String, buckets: Int): Unit = {
+    val spark = m.base.sparkSession
+    // a fresh in-memory catalog doesn't know about a previous session's
+    // table, but its warehouse directory survives and blocks saveAsTable
+    // (LOCATION_ALREADY_EXISTS) — drop both before writing
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     m.base.write.mode("overwrite")
       .bucketBy(buckets, m.rowId).sortBy(m.rowId)
       .saveAsTable(table)
+  }
 
   /** Matrix over a bucketed table written by [[writeBucketed]]. */
   def bucketedMatrix(spark: SparkSession, table: String, rowId: String,

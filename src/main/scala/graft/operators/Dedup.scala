@@ -27,6 +27,39 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Engine-portable 60-bit hash: the first 15 hex digits of md5, as a long.
+    * Any SQL engine reproduces it (md5 is md5 everywhere; 15 hex digits fit
+    * a signed 64-bit int), which makes the hash-based dedup operators
+    * cross-checkable against external oracles. ~2-3× slower than xxhash64 —
+    * the default paths keep xxhash64; pass `portable = true` to switch. */
+  def portableHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Universal-hash family over the Mersenne prime 2^31-1: slot k of the
+    * portable minhash is (a_k * (md5_60 % P) + b_k) % P. ONE md5 per shingle
+    * (its identical subtree is eliminated by codegen CSE) instead of k
+    * distinct digests — k distinct md5 inputs measured ~100× slower at
+    * sf0.1 (the 32-wide digest projection also blows the codegen method
+    * budget). a*h < 2^62 keeps every step inside signed-64 / ANSI-safe. */
+  val UhPrime: Long = 2147483647L
+  def uhParams(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42L)
+    Seq.fill(k)((1L + rng.nextInt((UhPrime - 1).toInt),
+                 rng.nextInt(UhPrime.toInt).toLong))
+  }
+
+  private def slotHash(portable: Boolean)(seed: Int, c: Column): Column =
+    if (portable) portableHash(seed, c) else xxhash64(lit(seed), c)
+
+  /** Band hash over signature slots: decimal-string concat + md5 when
+    * portable (cross-engine), xxhash64 over the raw longs otherwise. */
+  private def bandHash(portable: Boolean, band: Int, slots: Seq[Column]): Column =
+    if (portable)
+      conv(substring(md5(concat_ws(",",
+        (lit(band.toString) +: slots.map(_.cast("string"))): _*)), 1, 15), 16, 10)
+        .cast("long")
+    else xxhash64((lit(band) +: slots): _*)
+
   /** Word n-gram shingles from a MATERIALIZED token-array column.
     *
     * The column must be a real (materialized) attribute, not the `split(...)`
@@ -64,12 +97,19 @@ object Dedup {
     * slower. The aggregate barrier here also keeps the plan collapse-proof.)
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, k: Int): DataFrame = {
+                        n: Int, k: Int, portable: Boolean = false): DataFrame = {
     val sh = tokenized(docs, textCol, idCol)
       .select(col("id"), explode(shinglesOf(col("words"), n)).as("s"))
-    val hashed = sh.select(
-      (col("id") +: (0 until k).map(seed =>
-        xxhash64(lit(seed), col("s")).as(s"h$seed"))): _*)
+    val hashed =
+      if (portable) {
+        // one digest per shingle, k universal-hash slots derived from it
+        val base = portableHash(0, col("s")) % lit(UhPrime)
+        sh.select((col("id") +: uhParams(k).zipWithIndex.map {
+          case ((a, b), i) => ((base * lit(a) + lit(b)) % lit(UhPrime)).as(s"h$i")
+        }): _*)
+      } else
+        sh.select((col("id") +: (0 until k).map(seed =>
+          slotHash(portable)(seed, col("s")).as(s"h$seed"))): _*)
     val mins = (0 until k).map(seed => min(col(s"h$seed")).as(s"m$seed"))
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(seed => col(s"m$seed")): _*).as("sig"))
@@ -84,14 +124,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", n: Int = 3, k: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5,
-                 maxBucketSize: Int = 256): DataFrame = {
+                 maxBucketSize: Int = 256, portable: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, textCol, idCol, n, k)
-    // band hash = xxhash64 over the band's slice of the signature
+    val sig = minhashSignatures(docs, textCol, idCol, n, k, portable)
+    // band hash over the band's slice of the signature
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
+        bandHash(portable, b, (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)))): _*))
         .as(Seq("band", "band_hash")))
     // skew guard: a band value shared by a huge fraction of the corpus (a
     // degenerate band) produces O(n²) false-positive pairs — skip those
@@ -137,30 +177,50 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
   }
 
-  /** 64-bit SimHash: per-bit majority vote of token hashes. One
-    * explode+groupBy (map-side combine keeps the shuffle narrow: 64 longs
-    * per document). */
+  /** SimHash: per-bit majority vote of token hashes, one explode+groupBy
+    * (map-side combine keeps the shuffle narrow: one long per bit per doc).
+    * Default: 64 bits of xxhash64. Portable: 60 bits of [[portableHash]]
+    * (15 md5 hex digits), reproducible in any SQL engine. */
   def simhash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
+              idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
+    // Pack 3 per-bit one-counters into 20-bit lanes of each sum: 3× fewer
+    // aggregate buffers (the agg update, not the shuffle, dominates — the
+    // shuffle is one long per lane-group per doc either way). Lane counts
+    // stay exact for docs up to 2^20 tokens, and the summed packed value
+    // stays far under signed-64 (≤ 2^20 · (1 + 2^20 + 2^40) < 2^61), so
+    // ANSI-mode sums cannot overflow. Majority per bit = ones·2 > n.
+    val lanes = 3
+    val laneW = 20
+    val nGroups = (nBits + lanes - 1) / lanes
     val tok = tokenized(docs, textCol, idCol)
       .select(col("id"), explode(col("words")).as("tkn"))
-      .select(col("id"), xxhash64(col("tkn")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
-    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
+      .select(col("id"), slotHash(portable)(0, col("tkn")).as("h"))
+    val packedSums = (0 until nGroups).map { g =>
+      val laneExprs = (0 until lanes).filter(l => g * lanes + l < nBits).map(l =>
+        shiftleft(shiftright(col("h"), g * lanes + l).bitwiseAND(1), laneW * l))
+      sum(laneExprs.reduce(_ + _)).as(s"p$g")
+    }
+    val agg = tok.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), packedSums: _*)
+    val sh = (0 until nBits).map { b =>
+      val (g, l) = (b / lanes, b % lanes)
+      val ones = shiftright(col(s"p$g"), laneW * l).bitwiseAND((1L << laneW) - 1)
+      when(ones * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sh.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band on 16-bit quarters (any identical
-    * quarter ⇒ candidate; guarantees recall for Hamming distance ≤ 3),
-    * then exact Hamming verification via bit_count(xor). */
-  def simhashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup candidates: band on `bandBits`-wide quarters (any
+    * identical quarter ⇒ candidate; guarantees recall for Hamming ≤ 3),
+    * then exact Hamming verification via bit_count(xor). Use bandBits = 15
+    * with portable 60-bit simhashes. */
+  def simhashPairs(sim: DataFrame, maxHamming: Int = 3,
+                   bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col("simhash"), q * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"),
       col("id").as("id1"), col("simhash").as("s1"))
@@ -170,7 +230,7 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -62,30 +62,56 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH bucket id (nPlanes-bit signature). */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+  /** Random-hyperplane LSH bucket id (nPlanes-bit signature). With
+    * `exact = true` the plane-side dot uses the order-independent decimal
+    * path, so the bucket assignment is reproducible across engines. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]],
+                exact: Boolean = false): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val pc = array(p.map(lit): _*)
-      when(dot(emb, pc) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val d = if (exact) dotExact(emb, pc) else dot(emb, pc)
+      when(d > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** ANN near-duplicate pairs: LSH-bucket join, then exact cosine only
     * within buckets (the 100 TB path: candidate generation is an equi-join
-    * on a small bucket key, verification is array-native). */
+    * on a small bucket key, verification is array-native).
+    *
+    * `exact = true` switches bucket signs and pair scores to the decimal
+    * dot path (with a cheap double prefilter), making the whole result
+    * deterministic across engines/partitionings — the oracle-checked mode.
+    */
   def lshNearDup(embs: DataFrame, nPlanes: Int = 12, threshold: Double = 0.9,
                  idCol: String = "vec_id", embCol: String = "embedding",
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L, exact: Boolean = false): DataFrame = {
     val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
     val planes = hyperplanes(dim, nPlanes, seed)
-    val b = embs.select(col(idCol).as("id"), col(embCol).as("e"),
-      lshBucket(col(embCol), planes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id1"), col("e").as("e1"))
-    val r = b.select(col("bucket"), col("id").as("id2"), col("e").as("e2"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .dropDuplicates("id1", "id2")
+    val b0 = embs.select(col(idCol).as("id"), col(embCol).as("e"),
+      lshBucket(col(embCol), planes, exact).as("bucket"))
+    if (!exact) {
+      val l = b0.select(col("bucket"), col("id").as("id1"), col("e").as("e1"))
+      val r = b0.select(col("bucket"), col("id").as("id2"), col("e").as("e2"))
+      l.join(r, Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .dropDuplicates("id1", "id2")
+    } else {
+      val b = b0.withColumn("nrm", sqrt(dotExact(col("e"), col("e"))))
+      val l = b.select(col("bucket"), col("id").as("id1"), col("e").as("e1"),
+        col("nrm").as("n1"))
+      val r = b.select(col("bucket"), col("id").as("id2"), col("e").as("e2"),
+        col("nrm").as("n2"))
+      l.join(r, Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
+          threshold - 1e-6)
+        .select(col("id1"), col("id2"),
+          round(dotExact(col("e1"), col("e2")) /
+            (col("n1") * col("n2")), 6).as("sim"))
+        .filter(col("sim") >= threshold)
+        .dropDuplicates("id1", "id2")
+    }
   }
 
   /** IVF (inverted-file) approximate search: a deterministic coarse

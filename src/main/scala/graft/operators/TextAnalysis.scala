@@ -106,4 +106,15 @@ object TextAnalysis {
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(tkn)))
     docs.select(col(idCol), h.as("rolling_hash"))
   }
+
+  /** Engine-portable rolling hash: polynomial accumulation over md5-derived
+    * 20-bit token hashes in a 40-bit ring — every step stays far inside
+    * signed-64 range, so there is no overflow to guard under ANSI mode and
+    * any SQL engine (multiplication, %, md5) reproduces it exactly.
+    * acc' = (acc * 1000003 + (md5_60(token) % 2^20)) % 2^40. */
+  def rollingHashPortable(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.ArrayOps.rolling_hash_portable(split(col(textCol), " "))
+        .as("rolling_hash"))
 }

@@ -15,9 +15,9 @@ class SparkEntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // hash/LSH-based ops whose internals aren't SQL-expressible
-    assert(rowsOnly == Set("dd_minhash", "dd_simhash", "dd_jaccard",
-      "sim_lsh", "sim_ivf", "txt_rolling"),
+    // IVF's double-argmax cell assignment is the one op left without an
+    // exact SQL mirror (last-ulp ties in the argmax are engine-specific)
+    assert(rowsOnly == Set("sim_ivf"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

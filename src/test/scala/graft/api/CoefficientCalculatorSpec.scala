@@ -117,4 +117,23 @@ class CoefficientCalculatorSpec extends SparkSpec {
     val out = calc.computeCoefficients()
     assert(out.keySet == Set("first")) // 'second' skipped: 'first' unknown
   }
+
+  test("chainResults extension: later formulas see earlier results (S4 ext)") {
+    val fm = formulaTable(
+      "first" -> "a * 2", "second" -> "first + 1",  // matrix chain
+      "tot" -> "first.sum()", "scaled" -> "a * tot") // reduction → vec chain
+    val calc = new CoefficientCalculator(reg("a" -> fixA), fm,
+      adpEnabled = false, chainResults = true)
+    val out = calc.computeCoefficients()
+    assert(out.keySet == Set("first", "second", "tot", "scaled"))
+    val MatrixResult(df, rowId, labels, _) = out("second"): @unchecked
+    val got = cells(df, rowId, labels)
+    assert(got(0L)("c0") == 3.0) // a(0,0)=1 → 1*2+1
+    // chained name shadows an input of the same name
+    val fm2 = formulaTable("a" -> "a + 1", "b2" -> "a * 10")
+    val out2 = new CoefficientCalculator(reg("a" -> fixA), fm2,
+      adpEnabled = false, chainResults = true).computeCoefficients()
+    val MatrixResult(df2, rid2, lb2, _) = out2("b2"): @unchecked
+    assert(cells(df2, rid2, lb2)(0L)("c0") == 20.0) // (1+1)*10
+  }
 }
