@@ -156,14 +156,16 @@ object SparkEntry {
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
         .orderBy(col("id1"), col("id2"))),
+    // exact mode end-to-end: decimal-dot scores rounded to 6 with (score
+    // desc, cell desc) tie order make assignment, probe selection and the
+    // final top-k all reproducible in the DuckDB mirror
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.ivfCentroids(e, 16)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      Similarity.ivfTopK(Similarity.ivfAssign(e, cents), cents, q,
-          k = 25, nProbe = 4)
-        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      Similarity.ivfTopK(Similarity.ivfAssign(e, cents, exact = true), cents, q,
+        k = 25, nProbe = 4, exact = true)
     }),
 
     // ---- text analysis ----
@@ -351,6 +353,39 @@ object SparkEntry {
          |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
          |ORDER BY id1, id2""".stripMargin
     }
+    // IVF mirror: centroids = first 16 vectors by id; every (vector, cell)
+    // scored round6(decimal-dot / double-centroid-norm); assignment and the
+    // query's 4 probe cells take (score DESC, cell DESC); exact cosine
+    // top-25 within probed cells (mirrors ivfAssign/ivfTopK exact = true)
+    val simIvf =
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+        |               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |ce AS (SELECT cell, unnest(ce) AS cv, generate_subscripts(ce,1) AS i FROM cents),
+        |cn AS (SELECT cell, sqrt(sum(CAST(cv AS DOUBLE)*CAST(cv AS DOUBLE))) AS cn FROM ce GROUP BY cell),
+        |e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i
+        |      FROM embeddings),
+        |asg AS (SELECT e.vec_id, c.cell,
+        |               round(CAST(sum(CAST(CAST(e.v AS DOUBLE)*CAST(c.cv AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+        |                     / n.cn, 6) AS score
+        |        FROM e JOIN ce c ON e.i = c.i JOIN cn n ON c.cell = n.cell
+        |        GROUP BY e.vec_id, c.cell, n.cn),
+        |best AS (SELECT vec_id, cell FROM
+        |           (SELECT vec_id, cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        |            FROM asg) WHERE rn = 1),
+        |probe AS (SELECT cell FROM asg WHERE vec_id = 0 ORDER BY score DESC, cell DESC LIMIT 4),
+        |sel AS (SELECT b.vec_id FROM best b JOIN probe p ON b.cell = p.cell),
+        |q AS (SELECT unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+        |      FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id,
+        |             sum(CAST(CAST(ee.v AS DOUBLE)*CAST(q.qe AS DOUBLE) AS DECIMAL(38,30))) AS dt,
+        |             sum(CAST(CAST(ee.v AS DOUBLE)*CAST(ee.v AS DOUBLE) AS DECIMAL(38,30))) AS na
+        |      FROM e ee JOIN q USING (i)
+        |      WHERE vec_id IN (SELECT vec_id FROM sel) GROUP BY vec_id),
+        |nq AS (SELECT sum(CAST(CAST(qe AS DOUBLE)*CAST(qe AS DOUBLE) AS DECIMAL(38,30))) AS nb FROM q)
+        |SELECT vec_id,
+        |       round(CAST(dt AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))),6) AS sim
+        |FROM d, nq ORDER BY sim DESC, vec_id LIMIT 25""".stripMargin
     // 16-bin byte histogram over ASCII text: per-bin char count / length in
     // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
     val mmFeatures = {
@@ -408,6 +443,7 @@ object SparkEntry {
       "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
       "sim_block" -> blockedPairs,
       "sim_lsh" -> simLsh,
+      "sim_ivf" -> simIvf,
       "mm_features" -> mmFeatures,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,

@@ -125,19 +125,42 @@ object Similarity {
     * scale) and runs brute-force cosine inside — the standard IVF-flat
     * trade-off. */
   def ivfAssign(embs: DataFrame, centroids: Seq[Seq[Float]],
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", embCol: String = "embedding",
+                exact: Boolean = false): DataFrame = {
     // nearest centroid by cosine ≈ argmax of dot(e,c)/|c| (|e| is constant
     // across candidates for a given row). argmax via array_max over
     // (score, cell) structs — a when-chain reduce would DOUBLE the
     // expression tree per centroid (2^k nodes; the analyzer chokes), while
-    // the array form stays linear in k.
+    // the array form stays linear in k. `exact` rounds decimal-dot scores
+    // to 6 places so the argmax (ties → highest cell, the struct order) is
+    // reproducible across engines.
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cc = array(c.map(lit): _*)
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct((dot(col(embCol), cc) / cn).as("score"), lit(i).as("cell"))
+      val sc = if (exact) round(dotExact(col(embCol), cc) / cn, 6)
+               else dot(col(embCol), cc) / cn
+      struct(sc.as("score"), lit(i).as("cell"))
     }
     val best = array_max(array(scored: _*))
     embs.select(col(idCol), col(embCol), best.getField("cell").as("cell"))
+  }
+
+  /** The query's nProbe nearest cells by the SAME rounded-exact score and
+    * (score desc, cell desc) order the exact assignment uses — driver-side,
+    * bit-reproducible in SQL. */
+  def ivfProbeCellsExact(centroids: Seq[Seq[Float]], query: Seq[Float],
+                         nProbe: Int): Seq[Int] = {
+    def score(c: Seq[Float]): Double = {
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      var acc = java.math.BigDecimal.ZERO
+      query.zip(c).foreach { case (x, y) =>
+        acc = acc.add(java.math.BigDecimal.valueOf(x.toDouble * y.toDouble))
+      }
+      new java.math.BigDecimal(java.lang.Double.toString(acc.doubleValue() / cn))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    centroids.zipWithIndex.sortBy { case (c, i) => (-score(c), -i) }
+      .take(nProbe).map(_._2)
   }
 
   /** Deterministic coarse centroids: the first n vectors by id. */
@@ -146,19 +169,24 @@ object Similarity {
     embs.orderBy(col(idCol)).limit(n).select(embCol)
       .collect().map(_.getSeq[Float](0).toSeq).toSeq
 
-  /** IVF top-k: probe the query's nProbe nearest cells, brute-force inside. */
+  /** IVF top-k: probe the query's nProbe nearest cells, brute-force inside.
+    * `exact` scores with the deterministic decimal cosine (oracle mode). */
   def ivfTopK(assigned: DataFrame, centroids: Seq[Seq[Float]],
               query: Seq[Float], k: Int, nProbe: Int = 2,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", embCol: String = "embedding",
+              exact: Boolean = false): DataFrame = {
     def qdot(c: Seq[Float]): Double = {
       val d = query.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum
       d / math.sqrt(c.map(x => x.toDouble * x).sum)
     }
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -qdot(c) }.take(nProbe).map(_._2)
+    val probeCells =
+      if (exact) ivfProbeCellsExact(centroids, query, nProbe)
+      else centroids.zipWithIndex
+        .sortBy { case (c, _) => -qdot(c) }.take(nProbe).map(_._2)
     val qc = array(query.map(v => lit(v)): _*)
+    val sim = if (exact) cosineExact(col(embCol), qc) else cosine(col(embCol), qc)
     assigned.filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(col(embCol), qc).as("sim"))
+      .select(col(idCol), sim.as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

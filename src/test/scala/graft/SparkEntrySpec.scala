@@ -14,10 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    val rowsOnly = q -- o
-    // IVF's double-argmax cell assignment is the one op left without an
-    // exact SQL mirror (last-ulp ties in the argmax are engine-specific)
-    assert(rowsOnly == Set("sim_ivf"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // every driver query has an exact DuckDB oracle mirror
+    assert(q == o, s"rows-only queries remain: ${q -- o}")
   }
 }
