@@ -176,6 +176,15 @@ object SparkEntry {
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
 
+    // ---- sessionization (events table; windowed custom-state shape) ----
+    "ev_sessions" -> ((s, d) => {
+      // events.parquet carries TIMESTAMP(NANOS) — Spark 4 reads it only as
+      // LongType via the legacy flag (the operator normalizes either way)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Sessionize.batch(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -445,6 +454,21 @@ object SparkEntry {
       "sim_lsh" -> simLsh,
       "sim_ivf" -> simIvf,
       "mm_features" -> mmFeatures,
+      // gap sessionization over events: lag/sum windows then per-session agg
+      // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
+      // read_parquet by absolute path: the correctness gate always runs at
+      // sf0.01, and an `events` view may not be pre-registered.
+      "ev_sessions" ->
+        """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
+          |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pu
+          |           FROM read_parquet('/root/testdata/sf0.01/events.parquet')),
+          |y AS (SELECT *, CASE WHEN pu IS NULL OR tu - pu > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+          |z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+          |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM y)
+          |SELECT user_id, session_idx, min(tu) AS session_start, max(tu) AS session_end,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,
       "dd_simhash" -> ddSimhash,

@@ -13,6 +13,7 @@ class StreamingOpsSpec extends SparkSpec {
 
   case class Doc(ts: Timestamp, text: String)
   case class Ev(ts: Timestamp, event_type: String, value: Double)
+  case class SessEv(user_id: Long, ts: Timestamp, value: Double)
 
   test("streaming exact dedup keeps first arrival per fingerprint") {
     val spark2 = spark
@@ -51,6 +52,33 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("qual_out").select("text").as[String].collect()
       assert(got.toSeq == Seq("this one is long enough"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessEv]
+    val q = graft.operators.Sessionize.stream(in.toDF(), gapMinutes = 10,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      in.addData(SessEv(1L, ts(0), 1.0), SessEv(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      in.addData(SessEv(1L, ts(35), 4.0)) // gap > 10 min → closes session 1
+      q.processAllAvailable()
+      in.addData(SessEv(2L, ts(120), 8.0)) // watermark past user 1's timeout
+      q.processAllAvailable()
+      in.addData(SessEv(2L, ts(180), 16.0)) // advance again so timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.contains((1L, 2L, 3.0)))  // first session: events at 0 and 5
+      assert(got.contains((1L, 1L, 4.0)))  // second session closed by timeout
     } finally q.stop()
   }
 
