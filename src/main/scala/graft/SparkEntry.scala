@@ -176,6 +176,31 @@ object SparkEntry {
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
 
+    // X5 extension: star-schema join over the dimension tables — explicit
+    // broadcast for the true dims (region/nation/supplier stay small at any
+    // scale factor); part is left to Catalyst/AQE since it grows with SF
+    // (broadcast here at test scale, shuffle join at 100 TB). Revenue is
+    // decimal-exact: each factor cast to DECIMAL(18,2) before multiplying,
+    // so the sum is order-independent and engine-identical.
+    "x5_star" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val sup = broadcast(s.read.parquet(s"$d/supplier.parquet"))
+      val nat = broadcast(s.read.parquet(s"$d/nation.parquet"))
+      val reg = broadcast(s.read.parquet(s"$d/region.parquet"))
+      val prt = s.read.parquet(s"$d/part.parquet").filter(col("p_size") <= 20)
+      val dec = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // ---- sessionization (events table; windowed custom-state shape) ----
     "ev_sessions" -> ((s, d) => {
       // events.parquet carries TIMESTAMP(NANOS) — Spark 4 reads it only as
@@ -444,6 +469,20 @@ object SparkEntry {
         ("SELECT c_custkey, LEAST(GREATEST(c_acctbal, 0), 5000)/100.0 AS bal " +
           "FROM customer ORDER BY c_custkey"),
       "x3_batch" -> matSql(j => F(s"(q$j + e$j) / p$j")),
+      // star join mirror: dims may not be pre-registered as views → absolute
+      // read_parquet paths (correctness gate always runs at sf0.01)
+      "x5_star" ->
+        """SELECT r_name, n_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |       CAST(count(*) AS BIGINT) AS n_items
+          |FROM lineitem
+          |JOIN read_parquet('/root/testdata/sf0.01/supplier.parquet') sup ON l_suppkey = s_suppkey
+          |JOIN read_parquet('/root/testdata/sf0.01/nation.parquet') nat ON s_nationkey = n_nationkey
+          |JOIN read_parquet('/root/testdata/sf0.01/region.parquet') reg ON n_regionkey = r_regionkey
+          |JOIN read_parquet('/root/testdata/sf0.01/part.parquet') prt ON l_partkey = p_partkey
+          |WHERE p_size <= 20
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
       "adp_arith" -> matSql(j => s"CAST(z$j * 3 + z$j AS DOUBLE)"),
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +

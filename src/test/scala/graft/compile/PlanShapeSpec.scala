@@ -149,4 +149,16 @@ class PlanShapeSpec extends SparkSpec {
       assert(evalCells(r, "a * 1 + 0") == evalCells(r, "a"))
     }
   }
+
+  test("star join plans broadcast for every dimension side (x5_star)") {
+    val df = graft.SparkEntry.queries("x5_star")(spark, "/root/testdata/sf0.001")
+    val plan = physical(df)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim joins must not sort-merge at this scale:\n$plan")
+    // part-side filter reaches the scan (pushdown)
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,20)]") ||
+      plan.contains("LessThanOrEqual(p_size,20)"), s"p_size filter not pushed:\n$plan")
+  }
 }
