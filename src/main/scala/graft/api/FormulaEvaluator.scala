@@ -119,6 +119,12 @@ final class FormulaEvaluator(
   * an input of the same name). Spark keeps this cheap: chaining composes
   * lazy plans — no intermediate result is materialized unless a later
   * formula forces it.
+  *
+  * `parallelism > 1` evaluates independent formulas concurrently on a
+  * fixed-size driver pool — Spark's scheduler interleaves the jobs across
+  * the cluster (SURVEY §2.6 X3's noted follow-up). Ignored when chaining
+  * (later formulas depend on earlier results). Each task gets its own
+  * evaluator so validator state isn't shared across threads.
   */
 final class CoefficientCalculator(
     dataDict: Map[String, NamedData],
@@ -129,7 +135,8 @@ final class CoefficientCalculator(
     decimalPrecision: Int = 35,
     fillInvalid: Boolean = false,
     verbose: Boolean = false,
-    chainResults: Boolean = false) {
+    chainResults: Boolean = false,
+    parallelism: Int = 1) {
 
   // F6: mandatory-column validation (KeyError analogue, coeff_maker.py:938-954)
   locally {
@@ -178,6 +185,7 @@ final class CoefficientCalculator(
     val rows = coefficientMap
       .select(col(resultNameCol).cast("string"), col(formulaNameCol).cast("string"))
       .collect()
+    if (!chainResults && parallelism > 1) return computeConcurrent(rows)
     var out = scala.collection.immutable.ListMap.empty[String, EvalResult]
     var ev = evaluator
     var dict = dataDict
@@ -205,6 +213,47 @@ final class CoefficientCalculator(
       }
     }
     out
+  }
+
+  /** Independent formulas on a fixed-size pool; results keep table order.
+    * Failures propagate exactly like the sequential loop (first error by
+    * table order wins). */
+  private def computeConcurrent(rows: Array[org.apache.spark.sql.Row])
+      : scala.collection.immutable.ListMap[String, EvalResult] = {
+    val todo = rows.flatMap { r =>
+      val name = r.getString(0)
+      val formula = Option(r.getString(1)).getOrElse("")
+      if (formula.trim.isEmpty) {
+        System.err.println(s"[graft] skipping '$name': empty formula"); None
+      } else {
+        val missing = FormulaParser.parse(formula).freeVariables
+          .filterNot(evaluator.registry.contains)
+        if (missing.nonEmpty) {
+          System.err.println(
+            s"[graft] skipping '$name': missing variable(s) ${missing.mkString(", ")}")
+          None
+        } else Some((name, formula))
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = todo.map { case (name, formula) =>
+        (name, formula, pool.submit(new java.util.concurrent.Callable[EvalResult] {
+          def call(): EvalResult =
+            new FormulaEvaluator(dataDict, adpEnabled, decimalPrecision,
+              fillInvalid, verbose).evaluateFormula(formula)
+        }))
+      }
+      var out = scala.collection.immutable.ListMap.empty[String, EvalResult]
+      futures.foreach { case (name, formula, f) =>
+        val result = try f.get() catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+        out = out + (name -> result)
+        System.err.println(s"[graft] computed coefficient '$name' = $formula")
+      }
+      out
+    } finally pool.shutdown()
   }
 
   /** Chaining wrap: matrix results keep their lazy plan; 1-row reductions

@@ -118,6 +118,26 @@ class CoefficientCalculatorSpec extends SparkSpec {
     assert(out.keySet == Set("first")) // 'second' skipped: 'first' unknown
   }
 
+  test("parallel batch evaluation matches sequential results (X3 pool)") {
+    val fm = formulaTable(
+      "sum_ab" -> "a + b", "diff_ab" -> "a - b", "prod" -> "a * c",
+      "skipme" -> "", "missing" -> "a + nope", "scaled" -> "a * 2.5")
+    def run(par: Int) = {
+      val out = new CoefficientCalculator(
+        reg("a" -> fixA, "b" -> fixB, "c" -> fixC), fm,
+        adpEnabled = false, parallelism = par).computeCoefficients()
+      out.map { case (n, MatrixResult(df, rowId, labels, _)) =>
+        n -> cells(df, rowId, labels) }
+    }
+    val (seq1, par4) = (run(1), run(4))
+    assert(seq1.keys.toSeq == par4.keys.toSeq) // table order preserved
+    assert(seq1 == par4)
+    // errors propagate from the pool like the sequential loop
+    val bad = new CoefficientCalculator(reg("a" -> fixA, "e" -> fixE),
+      formulaTable("d" -> "a / e"), adpEnabled = false, parallelism = 4)
+    assertThrows[graft.validate.AllInvalidResultException](bad.computeCoefficients())
+  }
+
   test("chainResults extension: later formulas see earlier results (S4 ext)") {
     val fm = formulaTable(
       "first" -> "a * 2", "second" -> "first + 1",  // matrix chain
