@@ -175,6 +175,8 @@ object SparkEntry {
     "txt_fp" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_bpe" -> ((s, d) =>
+      TextAnalysis.bpeTokenStats(docs(s, d)).orderBy(col("doc_id"))),
 
     // X5 extension: star-schema join over the dimension tables — explicit
     // broadcast for the true dims (region/nation/supplier stay small at any
@@ -534,6 +536,15 @@ object SparkEntry {
       "txt_fp" ->
         ("SELECT doc_id, substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp " +
           "FROM documents ORDER BY doc_id"),
+      // BPE-ish regex token classes; the pattern is lookaround-free so Java
+      // regex (Spark) and RE2 (DuckDB) agree on every match
+      "txt_bpe" -> {
+        def cnt(pat: String) =
+          s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT)"
+        s"SELECT doc_id, ${cnt("''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+")} AS n_bpe_tokens, " +
+          s"${cnt("[a-z]+")} AS n_alpha_runs, ${cnt("[0-9]+")} AS n_digit_runs, " +
+          s"${cnt("[^a-z0-9\\s'']+")} AS n_other_runs FROM documents ORDER BY doc_id"
+      },
       "mm_meta" ->
         ("SELECT doc_id AS media_id, 'fake/raw' AS format, " +
           "CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width, " +

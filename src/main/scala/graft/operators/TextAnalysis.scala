@@ -86,6 +86,25 @@ object TextAnalysis {
     docs.select(outCols: _*)
   }
 
+  /** BPE-ish regex tokenization (GPT-2-style classes: contraction suffixes,
+    * letter runs, digit runs, punctuation runs). The pattern avoids
+    * lookaround so it means the same thing under Java regex and RE2 —
+    * engine-portable by construction. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s']+"
+
+  /** Per-class BPE-ish token counts (codegen'd regexp_count projection). */
+  def bpeTokenStats(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = lower(col(textCol))
+    def cnt(pat: String) = regexp_count(t, lit(pat)).cast("long")
+    docs.select(
+      col(idCol),
+      cnt(BpePattern).as("n_bpe_tokens"),
+      cnt("[a-z]+").as("n_alpha_runs"),
+      cnt("[0-9]+").as("n_digit_runs"),
+      cnt("[^a-z0-9\\s']+").as("n_other_runs"))
+  }
+
   /** Content fingerprint: md5 over lowercased, whitespace-collapsed text.
     * Stable across engines (md5 is md5 everywhere) → usable as an exact-dup
     * key and as the driver-oracle cross-check. */
