@@ -153,6 +153,20 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(0L).length == 16 && fp(0L) != fp(1L))
   }
 
+  test("compiled portable rolling hash equals the HOF formulation") {
+    // the custom Expression must compute exactly what the (slow) built-in
+    // higher-order-function pipeline computes
+    val hof = aggregate(
+      transform(split(col("text"), " "), t => Dedup.portableHash(0, t) % lit(1048576L)),
+      lit(0L), (acc: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =>
+        (acc * lit(1000003L) + h) % lit(1099511627776L))
+    val both = docs.select(col("doc_id"),
+      graft.functions.ArrayOps.rolling_hash_portable(split(col("text"), " ")).as("fast"),
+      hof.as("slow")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: compiled=${r.getLong(1)} hof=${r.getLong(2)}"))
+  }
+
   test("rolling hash is order-sensitive") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
