@@ -54,4 +54,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join: enrich an event stream with a label
+    * stream on the same key, accepting labels that arrive within
+    * `joinWindow` AFTER the event. Both sides carry watermarks so the
+    * join state is evicted once the interval can no longer match —
+    * the bounded-state shape Structured Streaming requires for
+    * stream×stream joins. */
+  def enrichWithin(events: DataFrame, labels: DataFrame,
+                   key: String = "doc_id",
+                   joinWindow: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+    val l = labels.withWatermark("lts", watermark)
+      .withColumnRenamed(key, "__lkey__")
+    e.join(l,
+      col(key) === col("__lkey__") &&
+        col("lts") >= col("ts") &&
+        col("lts") <= col("ts") + expr(s"INTERVAL $joinWindow"),
+      "inner")
+      .drop("__lkey__")
+  }
 }

@@ -177,6 +177,34 @@ class OperatorsSpec extends SparkSpec {
     assert(h(0L) != h(1L))
   }
 
+  test("salted aggregate and join equal their unsalted counterparts") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    // skewed: key 1 holds most rows
+    val rows = (1 to 80).map(i => Row(1L, i.toDouble)) ++
+      Seq(Row(2L, 1.0), Row(3L, 2.0))
+    val big = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val agg = Skew.saltedAggregate(big, "k", "v", salt = 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(agg(1L) == ((1 to 80).map(_.toDouble).sum, 80L))
+    assert(agg(2L) == ((1.0, 1L)) && agg(3L) == ((2.0, 1L)))
+
+    val dimSchema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    val dim = spark.createDataFrame(java.util.List.of(
+      Row(1L, "one"), Row(2L, "two")), dimSchema)
+    val salted = Skew.saltedJoin(big, dim, "k", salt = 8)
+      .groupBy(col("k"), col("name")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val plain = big.join(dim, "k")
+      .groupBy(col("k"), col("name")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(salted == plain && salted((1L, "one")) == 80L)
+  }
+
   test("multimodal: media table schema, features, frames") {
     val media = Multimodal.asMediaTable(docs)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))

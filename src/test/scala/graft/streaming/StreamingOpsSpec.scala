@@ -14,6 +14,8 @@ class StreamingOpsSpec extends SparkSpec {
   case class Doc(ts: Timestamp, text: String)
   case class Ev(ts: Timestamp, event_type: String, value: Double)
   case class SessEv(user_id: Long, ts: Timestamp, value: Double)
+  case class KeyedEv(doc_id: Long, ts: Timestamp, value: Double)
+  case class Label(doc_id: Long, lts: Timestamp, label: String)
 
   test("streaming exact dedup keeps first arrival per fingerprint") {
     val spark2 = spark
@@ -79,6 +81,28 @@ class StreamingOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got.contains((1L, 2L, 3.0)))  // first session: events at 0 and 5
       assert(got.contains((1L, 1L, 4.0)))  // second session closed by timeout
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches labels only inside the window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[KeyedEv]
+    val lbs = MemoryStream[Label]
+    val q = StreamingOps.enrichWithin(evs.toDF(), lbs.toDF(),
+        joinWindow = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try {
+      evs.addData(KeyedEv(1L, ts(0), 1.0), KeyedEv(2L, ts(0), 2.0))
+      lbs.addData(Label(1L, ts(5), "good"),   // within 10 min of event 1
+                  Label(2L, ts(25), "late"))  // outside the join window
+      q.processAllAvailable()
+      val got = spark.table("join_out")
+        .select("doc_id", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "good")))
     } finally q.stop()
   }
 
