@@ -127,6 +127,14 @@ object SparkEntry {
         .select("id1", "id2")
       Dedup.ngramJaccard(dd, cand).orderBy(col("id1"), col("id2"))
     }),
+    // candidate pairs → connected duplicate groups (iterative min-label
+    // propagation; every doc gets a group, keep = id == group_id)
+    "dd_groups" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashLsh(dd, threshold = 0.2, portable = true)
+        .select("id1", "id2")
+      Dedup.duplicateGroups(dd, pairs).orderBy(col("id"))
+    }),
 
     // ---- similarity ----
     "sim_cosine" -> ((s, d) => {
@@ -319,6 +327,18 @@ object SparkEntry {
     val ddMinhash =
       s"WITH ${minhashCtes()} SELECT id1, id2, est_jaccard FROM est " +
         "WHERE est_jaccard >= 0.2 ORDER BY id1, id2"
+    // connected components over the est>=0.2 candidate pairs as a recursive
+    // closure: min reachable label per doc (mirrors Dedup.duplicateGroups)
+    val ddGroups =
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM est WHERE est_jaccard >= 0.2
+         |          UNION ALL
+         |          SELECT id2 AS a, id1 AS b FROM est WHERE est_jaccard >= 0.2),
+         |reach(id, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id, min(l) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin
     val ddJaccard =
       s"""WITH ${minhashCtes()},
          |shl AS (SELECT doc_id, list_distinct($shingleList) AS shset FROM toks)
@@ -512,6 +532,7 @@ object SparkEntry {
           |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,
+      "dd_groups" -> ddGroups,
       "dd_simhash" -> ddSimhash,
       "txt_rolling" -> txtRolling,
       "txt_tokens" ->

@@ -177,6 +177,41 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
   }
 
+  /** Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
+    * connected components by iterative min-label propagation. Each
+    * iteration is one join + one partial-min aggregate; lineage is cut
+    * with localCheckpoint so 20 iterations stay 20 plans, not one 2^20
+    * plan. Converges in O(component diameter) rounds — near-dup clusters
+    * are shallow in practice, and the iteration cap bounds the worst case.
+    * Returns (id, group_id = min id in the component) for EVERY doc;
+    * singletons map to themselves; `keep = id == group_id`.
+    */
+  def duplicateGroups(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id",
+                      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var lbl = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nm"))
+      val upd = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
+        .select(lbl("id"),
+          least(lbl("lbl"), coalesce(col("nm"), lbl("lbl"))).as("new_lbl"),
+          lbl("lbl").as("old_lbl"))
+        .localCheckpoint()
+      converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
+      lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
+      iter += 1
+    }
+    lbl.select(col("id"), col("lbl").as("group_id"))
+  }
+
   /** SimHash: per-bit majority vote of token hashes, one explode+groupBy
     * (map-side combine keeps the shuffle narrow: one long per bit per doc).
     * Default: 64 bits of xxhash64. Portable: 60 bits of [[portableHash]]

@@ -177,6 +177,18 @@ class OperatorsSpec extends SparkSpec {
     assert(h(0L) != h(1L))
   }
 
+  test("duplicate groups: transitive closure over candidate pairs") {
+    val pairSchema = StructType(Seq(StructField("id1", LongType),
+      StructField("id2", LongType)))
+    // chain 0-1, 1-3 plus untouched 2, 4, 5 → component {0,1,3} labels to 0
+    val pairs = spark.createDataFrame(java.util.List.of(
+      Row(0L, 1L), Row(1L, 3L)), pairSchema)
+    val groups = Dedup.duplicateGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) == 0L && groups(1L) == 0L && groups(3L) == 0L)
+    assert(groups(2L) == 2L && groups(4L) == 4L && groups(5L) == 5L)
+  }
+
   test("salted aggregate and join equal their unsalted counterparts") {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(StructField("k", LongType),
