@@ -143,6 +143,17 @@ object QueryCatalog {
   def embs(spark: SparkSession, sfDir: String): DataFrame =
     cachedTable(spark, s"$sfDir/embeddings.parquet")
 
+  /** Portable 32-slot minhash signatures, shared by the three dedup queries
+    * (signature computation is the dominant cost of the LSH pipeline; the
+    * banding join re-runs per query and is cheap). */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def sig32(spark: SparkSession, sfDir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, sfDir),
+      Dedup.minhashSignatures(docs(spark, sfDir), "text", "doc_id",
+          n = 3, k = 32, portable = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 
   def occSql(expr: String, pat: String): String = {

@@ -115,7 +115,8 @@ object SparkEntry {
     //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
     "dd_minhash" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), threshold = 0.2, portable = true)
+      Dedup.minhashLsh(docs(s, d), threshold = 0.2, portable = true,
+          precomputedSig = Some(sig32(s, d)))
         .orderBy(col("id1"), col("id2"))),
     "dd_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, d), portable = true),
@@ -123,7 +124,8 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))),
     "dd_jaccard" -> ((s, d) => {
       val dd = docs(s, d)
-      val cand = Dedup.minhashLsh(dd, threshold = 0.1, portable = true)
+      val cand = Dedup.minhashLsh(dd, threshold = 0.1, portable = true,
+          precomputedSig = Some(sig32(s, d)))
         .select("id1", "id2")
       Dedup.ngramJaccard(dd, cand).orderBy(col("id1"), col("id2"))
     }),
@@ -131,7 +133,8 @@ object SparkEntry {
     // propagation; every doc gets a group, keep = id == group_id)
     "dd_groups" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.minhashLsh(dd, threshold = 0.2, portable = true)
+      val pairs = Dedup.minhashLsh(dd, threshold = 0.2, portable = true,
+          precomputedSig = Some(sig32(s, d)))
         .select("id1", "id2")
       Dedup.duplicateGroups(dd, pairs).orderBy(col("id"))
     }),

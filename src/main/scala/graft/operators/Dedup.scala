@@ -124,9 +124,11 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", n: Int = 3, k: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5,
-                 maxBucketSize: Int = 256, portable: Boolean = false): DataFrame = {
+                 maxBucketSize: Int = 256, portable: Boolean = false,
+                 precomputedSig: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, textCol, idCol, n, k, portable)
+    val sig = precomputedSig
+      .getOrElse(minhashSignatures(docs, textCol, idCol, n, k, portable))
     // band hash over the band's slice of the signature
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>

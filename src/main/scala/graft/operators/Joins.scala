@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Explicit join operators beyond Catalyst's built-in equi-join strategies:
+  * backward as-of join and point-in-interval range join (SURVEY §2.8 lists
+  * both as absent from the reference — these are the additive pipeline
+  * operators a time-series / feature-engineering workload needs).
+  *
+  * Scale design — both operators avoid the naive theta-join (a broadcast
+  * nested-loop that either OOMs the driver or degenerates to all-pairs):
+  *
+  *  - as-of join: union both sides and run ONE analytic window per key
+  *    (`last(payload, ignoreNulls)` over rows-unbounded-preceding). Exactly
+  *    one shuffle, keyed by the join key; per-key state never leaves the
+  *    executor; skew is bounded by per-key row counts. This is the shape
+  *    that holds at 100 TB — no per-row range probe, no broadcast of a
+  *    growing right side.
+  *  - range join: discretize intervals into fixed-width buckets (explode
+  *    each interval to the buckets it covers), equi-join points on their
+  *    bucket, then filter the exact containment predicate. Catalyst gets a
+  *    plain shuffled equi-join it can plan (and AQE can skew-split); cost
+  *    is |points| + Σ interval-width/bucket-width instead of |points|·|iv|.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * LATEST right row with the same key and `right.ts <= left.ts`
+    * (`<` when `exactMatches = false`). Left rows with no prior right row
+    * keep NULL payloads (left-outer semantics).
+    *
+    * Right-side ties on (key, ts) are resolved by `tieBreak` ascending —
+    * the row sorting LAST (max tieBreak) wins, matching "latest wins".
+    *
+    * @param payload  right-side columns to carry onto left rows; must not
+    *                 collide with left column names (rename beforehand)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keys: Seq[String], tsCol: String,
+                   payload: Seq[String],
+                   tieBreak: Option[String] = None,
+                   exactMatches: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload/left name collision: ${payload.intersect(leftCols)}")
+    val nullOf = (df: DataFrame, c: String) =>
+      lit(null).cast(df.schema(c).dataType).as(c)
+    // at equal ts: right sorts before left when exact matches count,
+    // after left when they don't — so the window's "last right row so far"
+    // includes/excludes same-instant right rows accordingly
+    val (rSide, lSide) = if (exactMatches) (0, 1) else (1, 0)
+    val l2 = left.select(
+      (leftCols.map(col) :+ lit(lSide).as("__side__")) ++
+        payload.map(c => nullOf(right, c)): _*)
+    val r2 = right.select(
+      (leftCols.map(c => if (keys.contains(c) || c == tsCol) col(c)
+                         else nullOf(left, c)) :+ lit(rSide).as("__side__")) ++
+        payload.map(col): _*)
+    val order: Seq[Column] = col(tsCol) +: col("__side__") +:
+      tieBreak.map(col).toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.union(r2)
+      .select((leftCols.map(col) :+ col("__side__")) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side__") === lSide)
+      .drop("__side__")
+  }
+
+  /** Point-in-interval range join: rows of `points` paired with every
+    * interval `[lo, hi)` of `intervals` that contains `ptCol`. Intervals
+    * may overlap (a point matches each one independently).
+    *
+    * `bucketWidth` trades interval fan-out against bucket selectivity:
+    * each interval is replicated ceil(width/bucketWidth)+1 times; each
+    * point probes exactly one bucket. Pick it near the median interval
+    * width.
+    */
+  def pointInInterval(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val iv = intervals.withColumn("__bucket__",
+      explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+    points.withColumn("__bucket__", bucket(col(ptCol)))
+      .join(iv, Seq("__bucket__"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bucket__")
+  }
+}
