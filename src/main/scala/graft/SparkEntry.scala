@@ -223,6 +223,131 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // ---- explicit joins (SURVEY §2.8 extensions) ----
+    // backward as-of join: odd events pick up the latest even event per
+    // user (union + one analytic window — single shuffle by key)
+    "aj_asof" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tu"), col("value"))
+      val l = ev.filter(col("event_id") % 2 === 1)
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("tu")).orderBy(col("event_id").desc)
+      // one right row per (key, ts) — latest event_id wins — so the match
+      // is unambiguous in any engine
+      val r = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tu"), col("event_id").as("r_event_id"),
+          col("tu").as("r_tu"), col("value").as("r_value"))
+      Joins.asofBackward(l, r, Seq("user_id"), "tu",
+          payload = Seq("r_event_id", "r_tu", "r_value"))
+        .orderBy(col("event_id"))
+    }),
+    // point-in-interval range join via fixed-width bucketing, then a
+    // per-band aggregate (decimal-exact sums)
+    "rj_range" -> ((s, d) => {
+      val bands = s.range(10).select(col("id").cast("int").as("band_id"),
+        (col("id") * 50000.0).as("lo"), ((col("id") + 1) * 50000.0).as("hi"))
+      val pts = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Joins.pointInInterval(pts, "o_totalprice", bands, "lo", "hi", 10000.0)
+        .groupBy(col("band_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+    // left-semi / left-anti joins (customers with / without orders)
+    "j_semi" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal")).orderBy(col("c_custkey"))
+    }),
+    // anti join against a filtered right side (every customer has SOME
+    // order in this corpus; "no order above 300k" keeps the result
+    // non-degenerate)
+    "j_anti" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal")).orderBy(col("c_custkey"))
+    }),
+
+    // ---- window analytics (§2.8: ranking + frames) ----
+    // grouped top-k: top-3 orders per customer (deterministic tie-break)
+    "w_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$d/orders.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast(LongType).as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // analytic frames: lag + running decimal sum + running count per
+    // customer in order-date order
+    "w_moving" -> ((s, d) => {
+      // o_orderdate reads as TIMESTAMP_NTZ; under a UTC session the cast to
+      // TIMESTAMP is the identity wall-clock mapping, so unix_millis equals
+      // DuckDB's epoch_ms of the naive value
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast(TimestampType)).as("od_ms"),
+          col("o_totalprice"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("od_ms"), col("o_orderkey"))
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("od_ms"),
+          col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun)
+            .cast(DoubleType).as("run_total"),
+          count(lit(1)).over(wRun).as("n_so_far"))
+        .orderBy(col("o_custkey"), col("od_ms"), col("o_orderkey"))
+    }),
+
+    // ---- grouping sets (§2.8: rollup) ----
+    "g_rollup" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_items"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // ---- set operations (§2.8: union/intersect/except) ----
+    "set_ops" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val rich = c.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val withOrders = o.select(col("o_custkey").as("k"))
+      val neg = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+      building.union(rich).distinct()
+        .intersect(withOrders).except(neg).orderBy(col("k"))
+    }),
+
+    // embedding-cosine near-dup groups: blocked exact-cosine pairs (≥ 0.3)
+    // resolved to connected components over vec_ids
+    "dd_embed" -> ((s, d) => {
+      val e = embs(s, d)
+      val pairs = Similarity.blockedAllPairs(e, "label", 0.3)
+        .select(col("id1"), col("id2"))
+      Dedup.duplicateGroups(e.select(col("vec_id")), pairs, idCol = "vec_id")
+        .orderBy(col("id"))
+    }),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -270,21 +395,34 @@ object SparkEntry {
         |       round(CAST(dt AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))),6) AS sim
         |FROM d, nq""".stripMargin
     val cosineVsQuery = cosineCore + " ORDER BY vec_id"
-    // exact-decimal all-pairs cosine within label blocks (sim_block mirror)
+    // exact-decimal all-pairs cosine within label blocks; CTEs shared by
+    // sim_block (pair list) and dd_embed (connected components over pairs)
+    def blockedCtes(threshold: Double) =
+      s"""e AS (SELECT vec_id, label, unnest(embedding) AS v,
+         |           generate_subscripts(embedding,1) AS i FROM embeddings),
+         |nrm AS (SELECT vec_id,
+         |               sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+         |        FROM e GROUP BY vec_id),
+         |d AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |             CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |      FROM e l JOIN e r ON l.label = r.label AND l.i = r.i AND l.vec_id < r.vec_id
+         |      GROUP BY 1, 2),
+         |bp AS (SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
+         |       FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
+         |       WHERE round(dt/(n1.nrm*n2.nrm),6) >= $threshold)""".stripMargin
     val blockedPairs =
-      """WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
-        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
-        |     nrm AS (SELECT vec_id,
-        |                    sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
-        |             FROM e GROUP BY vec_id),
-        |     d AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
-        |                  CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
-        |           FROM e l JOIN e r ON l.label = r.label AND l.i = r.i AND l.vec_id < r.vec_id
-        |           GROUP BY 1, 2)
-        |SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
-        |FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
-        |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
-        |ORDER BY id1, id2""".stripMargin
+      s"WITH ${blockedCtes(0.25)} SELECT id1, id2, sim FROM bp ORDER BY id1, id2"
+    // embedding near-dup groups: recursive min-label closure over the
+    // blocked pairs (mirrors Dedup.duplicateGroups over vec_ids)
+    val ddEmbed =
+      s"""WITH RECURSIVE ${blockedCtes(0.3)},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM bp
+         |          UNION ALL SELECT id2 AS a, id1 AS b FROM bp),
+         |reach(id, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT g.a, r.l FROM edges g JOIN reach r ON g.b = r.id)
+         |SELECT id, min(l) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin
     // ---- portable-hash mirrors (md5 is md5 in every engine) ----
     // 60-bit md5-derived hash: first 15 hex digits as BIGINT — mirrors
     // graft.operators.Dedup.portableHash exactly
@@ -533,6 +671,70 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_events,
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+      // backward as-of join mirror: DuckDB's native ASOF LEFT JOIN (right
+      // side pre-deduped to one row per (user, µs) — latest event_id wins —
+      // so the match is unambiguous in both engines)
+      "aj_asof" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+          |            FROM read_parquet('/root/testdata/sf0.01/events.parquet')),
+          |l AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+          |r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, tu ORDER BY event_id DESC) AS rn
+          |       FROM ev WHERE event_id % 2 = 0),
+          |r AS (SELECT user_id, event_id AS r_event_id, tu AS r_tu, value AS r_value
+          |      FROM r0 WHERE rn = 1)
+          |SELECT l.event_id, l.user_id, l.tu, l.value, r.r_event_id, r.r_tu, r.r_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tu >= r.r_tu
+          |ORDER BY l.event_id""".stripMargin,
+      // range join mirror: plain BETWEEN theta join (the bucketing is an
+      // execution strategy, not a semantic change)
+      "rj_range" ->
+        """WITH bands AS (SELECT CAST(range AS INTEGER) AS band_id,
+          |                      range*50000.0 AS lo, (range+1)*50000.0 AS hi
+          |               FROM range(10))
+          |SELECT band_id, lo, hi, CAST(count(*) AS BIGINT) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+          |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
+      "j_semi" ->
+        ("SELECT c_custkey, c_acctbal FROM customer " +
+          "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+          "ORDER BY c_custkey"),
+      "j_anti" ->
+        ("SELECT c_custkey, c_acctbal FROM customer " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_totalprice > 300000) ORDER BY c_custkey"),
+      "w_topk" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "w_moving" ->
+        """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms, o_totalprice,
+          |       lag(o_totalprice) OVER w AS prev_price,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS run_total,
+          |       CAST(count(*) OVER wr AS BIGINT) AS n_so_far
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey),
+          |       wr AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+          |              ROWS UNBOUNDED PRECEDING)
+          |ORDER BY o_custkey, od_ms, o_orderkey""".stripMargin,
+      "g_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(count(*) AS BIGINT) AS n_items
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin,
+      "set_ops" ->
+        """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+          |n AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+          |ords AS (SELECT o_custkey AS k FROM orders),
+          |neg AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0),
+          |u AS (SELECT k FROM b UNION SELECT k FROM n),
+          |i AS (SELECT k FROM u INTERSECT SELECT k FROM ords),
+          |x AS (SELECT k FROM i EXCEPT SELECT k FROM neg)
+          |SELECT k FROM x ORDER BY k""".stripMargin,
+      "dd_embed" -> ddEmbed,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,
       "dd_groups" -> ddGroups,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of and range join semantics (graft.operators.Joins). */
+class JoinsSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+
+  private lazy val trades = df(
+    StructType(Seq(StructField("sym", StringType), StructField("t", LongType),
+      StructField("qty", LongType))),
+    Seq(Row("A", 5L, 1L), Row("A", 10L, 2L), Row("A", 20L, 3L),
+      Row("B", 10L, 4L), Row("A", 3L, 5L)))
+
+  private lazy val quotes = df(
+    StructType(Seq(StructField("sym", StringType), StructField("t", LongType),
+      StructField("px", DoubleType))),
+    Seq(Row("A", 4L, 1.0), Row("A", 10L, 2.0), Row("A", 15L, 3.0),
+      Row("B", 50L, 9.0)))
+
+  private def asof(exact: Boolean) =
+    Joins.asofBackward(trades,
+        quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
+        Seq("sym"), "t", payload = Seq("px", "q_t"), exactMatches = exact)
+      .orderBy(col("sym"), col("t"))
+      .select(col("sym"), col("t"), col("qty"), col("px"), col("q_t"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+
+  test("asof backward: latest right row at-or-before each left row") {
+    assert(asof(exact = true).toSeq == Seq(
+      ("A", 3L, None, None),              // before first quote
+      ("A", 5L, Some(1.0), Some(4L)),     // t=4 quote
+      ("A", 10L, Some(2.0), Some(10L)),   // exact-ts match counts
+      ("A", 20L, Some(3.0), Some(15L)),   // latest at-or-before wins
+      ("B", 10L, None, None)))            // B's only quote is later
+  }
+
+  test("asof backward with exactMatches=false: same-instant rows excluded") {
+    assert(asof(exact = false).toSeq == Seq(
+      ("A", 3L, None, None),
+      ("A", 5L, Some(1.0), Some(4L)),
+      ("A", 10L, Some(1.0), Some(4L)),    // t=10 quote no longer eligible
+      ("A", 20L, Some(3.0), Some(15L)),
+      ("B", 10L, None, None)))
+  }
+
+  test("asof right-side ties resolved by tieBreak: last wins") {
+    val q2 = df(quotes.schema.add(StructField("seq", LongType)),
+      Seq(Row("A", 10L, 7.0, 1L), Row("A", 10L, 8.0, 2L)))
+      .select(col("sym"), col("t"), col("px"), col("seq"))
+    val got = Joins.asofBackward(trades.filter(col("t") === 20), q2,
+        Seq("sym"), "t", payload = Seq("px", "seq"),
+        tieBreak = Some("seq"))
+      .select(col("px")).collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(8.0))
+  }
+
+  test("range join: overlapping intervals each match independently") {
+    val pts = df(
+      StructType(Seq(StructField("pid", LongType), StructField("x", DoubleType))),
+      Seq(Row(1L, 5.0), Row(2L, 15.0), Row(3L, 25.0), Row(4L, 10.0)))
+    val iv = df(
+      StructType(Seq(StructField("iv", StringType), StructField("lo", DoubleType),
+        StructField("hi", DoubleType))),
+      Seq(Row("a", 0.0, 20.0), Row("b", 10.0, 30.0)))
+    val got = Joins.pointInInterval(pts, "x", iv, "lo", "hi", bucketWidth = 7.0)
+      .select(col("pid"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // [lo, hi): x=10 is IN [10,30) and IN [0,20); x=25 only in b
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "b")))
+  }
+
+  test("range join matches a naive theta join on random data") {
+    val rng = new scala.util.Random(11)
+    val pts = df(
+      StructType(Seq(StructField("pid", LongType), StructField("x", DoubleType))),
+      (0 until 200).map(i => Row(i.toLong, rng.nextDouble() * 100)))
+    val iv = df(
+      StructType(Seq(StructField("iid", LongType), StructField("lo", DoubleType),
+        StructField("hi", DoubleType))),
+      (0 until 20).map { i =>
+        val lo = rng.nextDouble() * 90
+        Row(i.toLong, lo, lo + rng.nextDouble() * 30)
+      })
+    val fast = Joins.pointInInterval(pts, "x", iv, "lo", "hi", bucketWidth = 13.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(iv)
+      .filter(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+  }
+}
