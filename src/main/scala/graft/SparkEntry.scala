@@ -324,6 +324,45 @@ object SparkEntry {
           col("sum_qty"), col("n_items"))
         .orderBy(col("rf"), col("ls"))),
 
+    // cube: all four grouping combinations (adds the (ALL, status) slices
+    // rollup omits)
+    "g_cube" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_items"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // grouped exact quantiles by RANK SELECTION (the chosen value is an
+    // existing row's value — no interpolation arithmetic, so engines agree
+    // bit-for-bit; interpolating percentiles of 6-decimal-quantized inputs
+    // would land on round-half ties, which Spark and DuckDB break
+    // differently)
+    "txt_quantile" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(docs(s, d))
+        .select(col("doc_id"), col("token_density"))
+      val l = TextAnalysis.langId(docs(s, d)).select(col("doc_id"), col("lang_pred"))
+      val j = q.join(l, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_pred"))
+        .orderBy(col("token_density"), col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_pred"))
+      j.select(col("lang_pred"), col("token_density"),
+          row_number().over(w).cast(LongType).as("rn"),
+          count(lit(1)).over(cw).as("cnt"))
+        .groupBy(col("lang_pred"))
+        .agg(
+          max(when(col("rn") === ceil(col("cnt") * 0.25), col("token_density"))).as("p25"),
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("token_density"))).as("p50"),
+          max(when(col("rn") === ceil(col("cnt") * 0.9), col("token_density"))).as("p90"),
+          max(col("cnt")).as("n_docs"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // ---- set operations (§2.8: union/intersect/except) ----
     "set_ops" -> ((s, d) => {
       val c = s.read.parquet(s"$d/customer.parquet")
@@ -725,6 +764,31 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_items
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY rf, ls""".stripMargin,
+      "g_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(count(*) AS BIGINT) AS n_items
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin,
+      "txt_quantile" -> {
+        val dens = s"round(CAST($tokSql AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)"
+        val lang =
+          s"CASE WHEN GREATEST(${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("de")}, ${scoreSql("fr")}) = 0 THEN 'und' " +
+            s"WHEN ${scoreSql("en")} >= ${scoreSql("es")} AND ${scoreSql("en")} >= ${scoreSql("de")} AND ${scoreSql("en")} >= ${scoreSql("fr")} THEN 'en' " +
+            s"WHEN ${scoreSql("es")} >= ${scoreSql("de")} AND ${scoreSql("es")} >= ${scoreSql("fr")} THEN 'es' " +
+            s"WHEN ${scoreSql("de")} >= ${scoreSql("fr")} THEN 'de' ELSE 'fr' END"
+        s"""WITH j AS (SELECT doc_id, $dens AS token_density, $lang AS lang_pred FROM documents),
+           |r AS (SELECT lang_pred, token_density,
+           |             row_number() OVER (PARTITION BY lang_pred ORDER BY token_density, doc_id) AS rn,
+           |             count(*) OVER (PARTITION BY lang_pred) AS cnt
+           |      FROM j)
+           |SELECT lang_pred,
+           |       max(CASE WHEN rn = ceil(cnt * 0.25) THEN token_density END) AS p25,
+           |       max(CASE WHEN rn = ceil(cnt * 0.5) THEN token_density END) AS p50,
+           |       max(CASE WHEN rn = ceil(cnt * 0.9) THEN token_density END) AS p90,
+           |       CAST(max(cnt) AS BIGINT) AS n_docs
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+      },
       "set_ops" ->
         """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
           |n AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),

@@ -180,38 +180,139 @@ object Dedup {
   }
 
   /** Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
-    * connected components by iterative min-label propagation. Each
-    * iteration is one join + one partial-min aggregate; lineage is cut
-    * with localCheckpoint so 20 iterations stay 20 plans, not one 2^20
-    * plan. Converges in O(component diameter) rounds — near-dup clusters
-    * are shallow in practice, and the iteration cap bounds the worst case.
+    * connected components by min-label propagation with pointer-jumping.
+    * Each round is (1) a neighbor-min step — one join + one partial-min
+    * aggregate — and (2) a path-halving shortcut — look up the label OF
+    * the label, so long chains collapse in O(log diameter) rounds instead
+    * of O(diameter) (the round count that made 2000-node chains hit the
+    * old linear cap). Lineage is cut with localCheckpoint each round, so
+    * k rounds stay k plans, not one 2^k plan.
     * Returns (id, group_id = min id in the component) for EVERY doc;
     * singletons map to themselves; `keep = id == group_id`.
     */
   def duplicateGroups(docs: DataFrame, pairs: DataFrame,
                       idCol: String = "doc_id",
-                      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+                      maxIters: Int = 25,
+                      driverMaxPairs: Long = 10000000L): DataFrame = {
+    // Round materialization = localCheckpoint + cache + count:
+    //  - localCheckpoint cuts LINEAGE (the shortcut self-joins reference the
+    //    previous round several times; an uncut logical plan would grow
+    //    exponentially in tree size);
+    //  - the cache overlay cuts STATS: checkpoint forwards the origin
+    //    plan's ESTIMATED sizeInBytes, and join-stat estimation multiplies
+    //    child estimates — nested self-joins compound those BigIntegers
+    //    round over round until the driver spins multiplying million-digit
+    //    numbers in SizeInBytesOnlyStatsPlanVisitor (observed at sf0.1).
+    //    A materialized InMemoryRelation reports its ACTUAL size instead,
+    //    so every round re-plans from real, small numbers.
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      pinned ::= c
+      c
+    }
+    // checkpoint the (possibly expensive) candidate pipeline ONCE, then
+    // build the symmetric edge list from the materialized pairs — a union
+    // of the raw `pairs` plan would run the whole upstream pipeline twice
+    val p0 = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .localCheckpoint()
-    var lbl = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    // Size-adaptive strategy. LSH banding prunes the pair set by orders of
+    // magnitude, so the candidate GRAPH is tiny relative to the corpus —
+    // millions of docs typically yield thousands-to-millions of pairs.
+    // When the pairs fit comfortably on the driver, path-compressed
+    // union-find resolves components in O(E α(E)) with ZERO iterative
+    // Spark rounds (each distributed round costs whole jobs of scheduling
+    // regardless of data size); the label table then joins back in one
+    // broadcast. Graphs above the cutoff take the distributed
+    // label-propagation path below.
+    val idType = docs.schema(idCol).dataType
+    val longIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (longIds && p0.count() <= driverMaxPairs) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      p0.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN id so the representative IS the group id
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      val spark = docs.sparkSession
+      // snapshot keys first: find() path-compresses (rewrites values) and
+      // must not race the iteration
+      val labels = parent.keys.toArray.map(x => org.apache.spark.sql.Row(x, find(x)))
+      val lblDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(labels.toSeq).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.LongType))))
+      return docs.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("grp"), col("id")).as("group_id"))
+    }
+    val edges = pin(p0.union(p0.select(col("b").as("a"), col("a").as("b"))))
+    // iterate ONLY over nodes that appear in a candidate pair — at corpus
+    // scale that set is orders of magnitude smaller than the doc table;
+    // untouched docs are singletons and get attached in one join at the end
+    var lbl = pin(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
+    // one shortcut hop re-labels v with label(label(v)); two hops per
+    // round quadruple the collapsed distance (labels are node ids, and
+    // label values only ever decrease, so each hop is a lookup join)
+    def shortcut(in: DataFrame): DataFrame = {
+      val look = in.select(col("id").as("pid"), col("nl").as("plbl"))
+      in.join(look, in("nl") === look("pid"), "left")
+        .select(in("id"), in("old_lbl"),
+          least(col("nl"), coalesce(col("plbl"), col("nl"))).as("nl"))
+    }
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nl")).as("nm"))
-      val upd = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
-        .select(lbl("id"),
-          least(lbl("lbl"), coalesce(col("nm"), lbl("lbl"))).as("new_lbl"),
-          lbl("lbl").as("old_lbl"))
-        .localCheckpoint()
-      converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
-      lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
-      iter += 1
-    }
-    lbl.select(col("id"), col("lbl").as("group_id"))
+    // The per-round frames are label tables, thousands of times smaller
+    // than the corpus; whole-stage codegen would janino-compile a fresh
+    // (structurally identical, exprId-renamed) stage set EVERY round, and
+    // that compilation — not the data — dominates round cost. Run the
+    // iteration interpreted and restore the conf afterwards.
+    val sess = docs.sparkSession
+    val cgKey = "spark.sql.codegen.wholeStage"
+    val cgPrev = sess.conf.get(cgKey, "true")
+    sess.conf.set(cgKey, "false")
+    try {
+      while (!converged && iter < maxIters) {
+        val nbrMin = edges
+          .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nm"))
+        val l1 = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
+          .select(lbl("id"), lbl("lbl").as("old_lbl"),
+            least(lbl("lbl"), coalesce(col("nm"), lbl("lbl"))).as("nl"))
+        val upd = pin(shortcut(shortcut(l1))
+          .select(col("id"), col("nl").as("new_lbl"), col("old_lbl")))
+        converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
+        lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
+        iter += 1
+      }
+    } finally sess.conf.set(cgKey, cgPrev)
+    System.err.println(s"[graft] duplicateGroups: $iter rounds" +
+      (if (!converged) " (cap reached)" else ""))
+    val out = docs.select(col(idCol).as("id"))
+      .join(lbl.select(col("id"), col("lbl").as("group_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
+      .localCheckpoint()
+    pinned.foreach(_.unpersist())
+    out
   }
 
   /** SimHash: per-bit majority vote of token hashes, one explode+groupBy

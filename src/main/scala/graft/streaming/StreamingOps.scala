@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming forms of the pipeline operators (the reference is
   * strictly batch — SURVEY §2.8 — but a 100 TB training-data pipeline
@@ -54,6 +55,93 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  // ---- streaming near-duplicate detection (stateful MinHash-LSH) ----------
+
+  case class NdRow(id: Long, ts: java.sql.Timestamp, sig: Seq[Long],
+                   band: Int, band_hash: Long)
+  case class NdPair(id1: Long, id2: Long, band: Int, est_jaccard: Double)
+  case class NdBucket(ids: List[Long], sigs: List[Seq[Long]], lastMs: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate stream — the stateful twin of
+    * `Dedup.minhashLsh`. Per-document signatures are a stateless per-row
+    * projection (no aggregation, so the streaming planner takes it);
+    * the stream is then keyed by (band, band hash) and each bucket keeps
+    * the signatures seen so far via flatMapGroupsWithState. A new arrival
+    * is compared against its bucket's members; pairs with estimated
+    * Jaccard (matching signature slots / k) ≥ `threshold` are emitted as
+    * (earlier id, new id, band). Consumers dedupe pairs across bands
+    * downstream (a pair can fire in several bands).
+    *
+    * State is bounded two ways: the event-time timeout evicts idle buckets
+    * once the watermark passes `lastSeen + evictAfterMs`, and
+    * `maxBucketSize` caps membership per bucket (degenerate-band guard —
+    * same rationale as the batch operator).
+    *
+    * The per-row signature uses higher-order functions, which run
+    * interpreted — fine for a streaming micro-batch of fresh documents,
+    * which is orders of magnitude smaller than a backfill; bulk paths
+    * belong on the batch operator (see PERF notes in `Dedup`).
+    */
+  def nearDupStream(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", tsCol: String = "ts",
+                    n: Int = 3, k: Int = 16, bands: Int = 4,
+                    threshold: Double = 0.5, watermark: String = "10 minutes",
+                    evictAfterMs: Long = 60L * 60 * 1000,
+                    maxBucketSize: Int = 256): Dataset[NdPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, "k must be divisible by bands")
+    val rpb = k / bands
+    val words = split(col(textCol), " ")
+    val shingles = array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(words, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", words))))
+    val sig = array((0 until k).map(seed =>
+      array_min(transform(shingles, s => xxhash64(lit(seed), s)))): _*)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        sig.as("sig"))
+      .select(col("id"), col("ts"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (0 until rpb).map(r =>
+            element_at(col("sig"), b * rpb + r + 1))): _*)): _*))
+          .as(Seq("band", "band_hash")))
+      .withWatermark("ts", watermark)
+      .as[NdRow]
+
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / k
+
+    def fn(key: (Int, Long), rows: Iterator[NdRow],
+           state: GroupState[NdBucket]): Iterator[NdPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var bucket = state.getOption.getOrElse(NdBucket(Nil, Nil, 0L))
+        val out = List.newBuilder[NdPair]
+        rows.toArray.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+          bucket.ids.iterator.zip(bucket.sigs.iterator).foreach {
+            case (pid, psig) =>
+              val est = estJaccard(psig, r.sig)
+              if (est >= threshold) out += NdPair(pid, r.id, r.band, est)
+          }
+          if (bucket.ids.length < maxBucketSize)
+            bucket = NdBucket(r.id :: bucket.ids, r.sig :: bucket.sigs,
+              math.max(bucket.lastMs, r.ts.getTime))
+        }
+        state.update(bucket)
+        state.setTimeoutTimestamp(bucket.lastMs + evictAfterMs)
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within

@@ -80,6 +80,32 @@ class JoinsSpec extends SparkSpec {
       (4L, "a"), (4L, "b")))
   }
 
+  test("asof plan: exactly one shuffle (by key), no nested-loop join") {
+    val df = Joins.asofBackward(trades,
+      quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
+      Seq("sym"), "t", payload = Seq("px", "q_t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"asof must never nested-loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, // one per union branch pre-AQE, same partitioning
+      s"asof should shuffle each side once by key, got $shuffles:\n$plan")
+  }
+
+  test("range join plan: shuffled/broadcast equi-join on bucket, no nested loop") {
+    val pts = df(
+      StructType(Seq(StructField("pid", LongType), StructField("x", DoubleType))),
+      (0 until 50).map(i => Row(i.toLong, i * 2.0)))
+    val iv = df(
+      StructType(Seq(StructField("iid", LongType), StructField("lo", DoubleType),
+        StructField("hi", DoubleType))),
+      (0 until 5).map(i => Row(i.toLong, i * 20.0, i * 20.0 + 30.0)))
+    val plan = Joins.pointInInterval(pts, "x", iv, "lo", "hi", bucketWidth = 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must be an equi-join on the bucket key:\n$plan")
+  }
+
   test("range join matches a naive theta join on random data") {
     val rng = new scala.util.Random(11)
     val pts = df(

@@ -189,6 +189,31 @@ class OperatorsSpec extends SparkSpec {
     assert(groups(2L) == 2L && groups(4L) == 4L && groups(5L) == 5L)
   }
 
+  test("duplicate groups: a 120-node chain converges within the round cap") {
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds); pointer-jumping must close it in O(log n)
+    val n = 120
+    val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val ids = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        (0 until n).map(i => Row(i.toLong))).asJava), idSchema)
+    val pairSchema = StructType(Seq(StructField("id1", LongType),
+      StructField("id2", LongType)))
+    val chain = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        (0 until n - 1).map(i => Row(i.toLong, i.toLong + 1))).asJava), pairSchema)
+    // force the DISTRIBUTED label-propagation path (driverMaxPairs = 0)
+    val groups = Dedup.duplicateGroups(ids, chain, maxIters = 12,
+        driverMaxPairs = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == n && groups.values.forall(_ == 0L),
+      s"chain must fully collapse to label 0: ${groups.filter(_._2 != 0L).take(5)}")
+    // the driver union-find path must produce the identical result
+    val viaUf = Dedup.duplicateGroups(ids, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf == groups)
+  }
+
   test("salted aggregate and join equal their unsalted counterparts") {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(StructField("k", LongType),

@@ -106,6 +106,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class NdDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming LSH near-dup flags the arriving near-duplicate, not others") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[NdDoc]
+    val q = StreamingOps.nearDupStream(in.toDF(), threshold = 0.4)
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again today"
+      in.addData(NdDoc(1L, ts(0), base))
+      q.processAllAvailable()
+      in.addData(
+        NdDoc(2L, ts(1), base.replace("today", "tomorrow")), // near-dup of 1
+        NdDoc(3L, ts(2), "completely different content about spark engines"))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_out").select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"doc 3 must not pair: $pairs")
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
