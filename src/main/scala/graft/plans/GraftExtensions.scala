@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, DotProductExact, PortableRollingHash}
+
+/** SparkSessionExtensions entry point: registers graft's compiled Catalyst
+  * expressions as native SQL functions, so `spark.sql` users (and pure-SQL
+  * tooling layered on the session) get the same fast paths as the Column
+  * API in `graft.functions.ArrayOps` — callable as `dot_product(a, b)`,
+  * `dot_product_exact(a, b)`, `rolling_hash_portable(arr)`.
+  *
+  * Wire-up (either mechanism works):
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)                       // in-code
+  *     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def reg(ext: SparkSessionExtensions, name: String, arity: Int,
+                  usage: String)(build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == arity,
+          s"$name expects $arity argument(s), got ${args.length}")
+        build(args)
+      }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    reg(ext, "dot_product", 2,
+      "dot_product(a, b) - compiled double dot product of two numeric arrays") {
+      args => DotProduct(args(0), args(1))
+    }
+    reg(ext, "dot_product_exact", 2,
+      "dot_product_exact(a, b) - order-independent decimal-summed dot product") {
+      args => DotProductExact(args(0), args(1))
+    }
+    reg(ext, "rolling_hash_portable", 1,
+      "rolling_hash_portable(arr) - engine-portable rolling hash of a string array") {
+      args => PortableRollingHash(args(0))
+    }
+  }
+}
