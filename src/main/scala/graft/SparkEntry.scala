@@ -387,6 +387,31 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- skew playbook (results must be salt-invariant: the oracle is
+    //      the plain unsalted SQL) ----
+    "sk_agg" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("v"))
+      Skew.saltedAggregate(li, "l_returnflag", "v", salt = 16)
+        .select(col("l_returnflag"),
+          col("sum_value").cast(DoubleType).as("sum_value"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "sk_join" -> ((s, d) => {
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_partkey").as("k"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("v"))
+      val r = s.read.parquet(s"$d/part.parquet")
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey").as("k"), col("p_size"))
+      Skew.saltedJoin(l, r, "k", salt = 8)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("v")).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("p_size"))
+    }),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -798,6 +823,16 @@ object SparkEntry {
           |i AS (SELECT k FROM u INTERSECT SELECT k FROM ords),
           |x AS (SELECT k FROM i EXCEPT SELECT k FROM neg)
           |SELECT k FROM x ORDER BY k""".stripMargin,
+      // skew-playbook mirrors: salting must be invisible in the result
+      "sk_agg" ->
+        ("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+          "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "sk_join" ->
+        ("""SELECT p_size, CAST(count(*) AS BIGINT) AS n_items,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem JOIN read_parquet('/root/testdata/sf0.01/part.parquet') p
+           |  ON l_partkey = p_partkey
+           |WHERE p_size <= 10 GROUP BY 1 ORDER BY 1""".stripMargin),
       "dd_embed" -> ddEmbed,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,
