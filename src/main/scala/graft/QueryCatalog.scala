@@ -154,6 +154,17 @@ object QueryCatalog {
           n = 3, k = 32, portable = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** LSH candidate pairs at est-Jaccard ≥ 0.2, shared by dd_minhash and
+    * dd_groups (same batch-user pattern as [[sig32]]: compute candidates
+    * once, consume them from several queries). */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def pairs02(spark: SparkSession, sfDir: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, sfDir),
+      Dedup.minhashLsh(docs(spark, sfDir), threshold = 0.2, portable = true,
+          precomputedSig = Some(sig32(spark, sfDir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 
   def occSql(expr: String, pat: String): String = {

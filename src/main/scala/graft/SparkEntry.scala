@@ -114,10 +114,7 @@ object SparkEntry {
     // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
     //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
-    "dd_minhash" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), threshold = 0.2, portable = true,
-          precomputedSig = Some(sig32(s, d)))
-        .orderBy(col("id1"), col("id2"))),
+    "dd_minhash" -> ((s, d) => pairs02(s, d).orderBy(col("id1"), col("id2"))),
     "dd_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, d), portable = true),
           maxHamming = 8, bandBits = 15)
@@ -131,13 +128,9 @@ object SparkEntry {
     }),
     // candidate pairs → connected duplicate groups (iterative min-label
     // propagation; every doc gets a group, keep = id == group_id)
-    "dd_groups" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pairs = Dedup.minhashLsh(dd, threshold = 0.2, portable = true,
-          precomputedSig = Some(sig32(s, d)))
-        .select("id1", "id2")
-      Dedup.duplicateGroups(dd, pairs).orderBy(col("id"))
-    }),
+    "dd_groups" -> ((s, d) =>
+      Dedup.duplicateGroups(docs(s, d), pairs02(s, d).select("id1", "id2"))
+        .orderBy(col("id"))),
 
     // ---- similarity ----
     "sim_cosine" -> ((s, d) => {
@@ -385,6 +378,20 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
       Dedup.duplicateGroups(e.select(col("vec_id")), pairs, idCol = "vec_id")
         .orderBy(col("id"))
+    }),
+
+    // batch tumbling-window aggregation (the batch twin of
+    // StreamingOps.eventWindowAgg): hour buckets over truncated epoch-µs
+    "ev_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .select(expr("(ts div 1000) div 3600000000").as("win_hour"),
+          col("event_type"), col("value"))
+        .groupBy(col("win_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy(col("win_hour"), col("event_type"))
     }),
 
     // ---- skew playbook (results must be salt-invariant: the oracle is
@@ -823,6 +830,12 @@ object SparkEntry {
           |i AS (SELECT k FROM u INTERSECT SELECT k FROM ords),
           |x AS (SELECT k FROM i EXCEPT SELECT k FROM neg)
           |SELECT k FROM x ORDER BY k""".stripMargin,
+      "ev_window" ->
+        """SELECT epoch_us(ts) // 3600000000 AS win_hour, event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // skew-playbook mirrors: salting must be invisible in the result
       "sk_agg" ->
         ("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
