@@ -106,6 +106,27 @@ object Demo {
         d.orderBy(col(r)).show(3)
       case other => println(other)
     }
+
+    println("== pipeline operators: near-dup groups over documents ==")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ndPairs = graft.operators.Dedup.minhashLsh(docs, threshold = 0.2)
+    val groups = graft.operators.Dedup.duplicateGroups(docs,
+      ndPairs.select("id1", "id2"))
+    val nGroups = groups.filter(col("id") =!= col("group_id")).count()
+    println(s"docs folded into a smaller group: $nGroups")
+
+    println("== as-of join: odd events pick up the latest even event ==")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tu"), col("value"))
+    val aj = graft.operators.Joins.asofBackward(
+      evs.filter(col("event_id") % 2 === 1),
+      evs.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("tu"), col("value").as("r_value")),
+      Seq("user_id"), "tu", payload = Seq("r_value"))
+    aj.orderBy(col("event_id")).show(3)
+
     spark.stop()
   }
 }

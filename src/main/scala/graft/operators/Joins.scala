@@ -51,23 +51,30 @@ object Joins {
     // after left when they don't — so the window's "last right row so far"
     // includes/excludes same-instant right rows accordingly
     val (rSide, lSide) = if (exactMatches) (0, 1) else (1, 0)
+    // the payload travels as ONE struct so the match is row-atomic: a NULL
+    // payload CELL must not fall back to an older right row's value, which
+    // per-column last(ignoreNulls) windows would silently do
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val l2 = left.select(
-      (leftCols.map(col) :+ lit(lSide).as("__side__")) ++
-        payload.map(c => nullOf(right, c)): _*)
+      (leftCols.map(col) :+ lit(lSide).as("__side__")) :+
+        lit(null).cast(pType).as("__p__"): _*)
     val r2 = right.select(
       (leftCols.map(c => if (keys.contains(c) || c == tsCol) col(c)
-                         else nullOf(left, c)) :+ lit(rSide).as("__side__")) ++
-        payload.map(col): _*)
+                         else nullOf(left, c)) :+ lit(rSide).as("__side__")) :+
+        struct(payload.map(col): _*).as("__p__"): _*)
+    // tieBreak names a payload column, which now lives inside the struct
     val order: Seq[Column] = col(tsCol) +: col("__side__") +:
-      tieBreak.map(col).toSeq
+      tieBreak.map(c => col(s"__p__.$c")).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.union(r2)
-      .select((leftCols.map(col) :+ col("__side__")) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select((leftCols.map(col) :+ col("__side__")) :+
+        last(col("__p__"), ignoreNulls = true).over(w).as("__p__"): _*)
       .filter(col("__side__") === lSide)
-      .drop("__side__")
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p__.$c").as(c)): _*)
   }
 
   /** Point-in-interval range join: rows of `points` paired with every

@@ -80,6 +80,19 @@ class JoinsSpec extends SparkSpec {
       (4L, "a"), (4L, "b")))
   }
 
+  test("asof match is row-atomic: a NULL payload cell stays NULL") {
+    // matched right row (t=10) has px = NULL; it must NOT inherit the
+    // older row's px = 1.0 (per-column ignoreNulls windows would)
+    val q2 = df(
+      StructType(Seq(StructField("sym", StringType), StructField("t", LongType),
+        StructField("px", DoubleType), StructField("q_t", LongType))),
+      Seq(Row("A", 4L, 1.0, 4L), Row("A", 10L, null, 10L)))
+    val got = Joins.asofBackward(trades.filter(col("t") === 20), q2,
+        Seq("sym"), "t", payload = Seq("px", "q_t"))
+      .select(col("px"), col("q_t")).head()
+    assert(got.isNullAt(0) && got.getLong(1) == 10L)
+  }
+
   test("asof plan: exactly one shuffle (by key), no nested-loop join") {
     val df = Joins.asofBackward(trades,
       quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
