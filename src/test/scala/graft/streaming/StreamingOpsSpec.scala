@@ -132,6 +132,76 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals batch sessionize on the sf0.001 corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // batch truth: (user, n_events, round6 sum) per session
+    val batch = graft.operators.Sessionize.batch(raw, gapMinutes = 30)
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // stream the same events (ns → ms timestamps), then advance the
+    // watermark with far-future sentinels so every open session times out
+    val evs = raw.select(col("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"),
+        col("value")).collect()
+      .map(r => SessEv(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[SessEv]
+    val q = graft.operators.Sessionize.stream(in.toDF(), gapMinutes = 30,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_eq_out")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.toSeq)
+      q.processAllAvailable()
+      in.addData(SessEv(-1L, new Timestamp(maxMs + 86400000L), 0.0))
+      q.processAllAvailable()
+      in.addData(SessEv(-1L, new Timestamp(maxMs + 2 * 86400000L), 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sess_eq_out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), round(col("sum_value"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(stream == batch,
+        s"streaming sessions != batch: ${stream.size} vs ${batch.size} distinct")
+    } finally q.stop()
+  }
+
+  test("streaming LSH near-dup pairs equal the batch candidate set (sf0.001)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchPairs = graft.operators.Dedup
+      .minhashLsh(docs, threshold = 0.2, k = 32, bands = 8)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    case object Ignored
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), ts(0), r.getString(1)))
+    val q = StreamingOps.nearDupStream(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        n = 3, k = 32, bands = 8, threshold = 0.2)
+      .writeStream.format("memory").queryName("nd_eq_out")
+      .outputMode("append").start()
+    try {
+      in.addData(stream.toSeq)
+      q.processAllAvailable()
+      val streamPairs = spark.table("nd_eq_out").select("id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream ${streamPairs.size} pairs vs batch ${batchPairs.size}; " +
+          s"onlyStream=${(streamPairs -- batchPairs).take(3)} " +
+          s"onlyBatch=${(batchPairs -- streamPairs).take(3)}")
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
