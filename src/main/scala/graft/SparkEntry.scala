@@ -110,6 +110,19 @@ object SparkEntry {
     }),
     // S2/ADP: decimal-mode arithmetic (exact on integer-valued cells)
     "adp_arith" -> ((s, d) => formulaQuery("zro * 3 + zro", fill = false, adp = true)(s, d)),
+    // (ADP `**` is intentionally REJECTED — reference parity, E3 — covered
+    // by CoefficientCalculatorSpec; no driver query possible)
+    // X4 extension: chained batch — r2 references r1's (filled) result
+    "x4_chain" -> ((s, d) => {
+      val fmSchema = StructType(Seq(StructField("result_name", StringType),
+        StructField("formula", StringType)))
+      val fm = s.createDataFrame(java.util.List.of(
+        Row("r1", "qty + price"), Row("r2", "r1 / pos")), fmSchema)
+      val calc = new CoefficientCalculator(registry(s, d), fm,
+        adpEnabled = false, fillInvalid = true, chainResults = true)
+      val MatrixResult(df, rowId, _, _) = calc.computeCoefficients()("r2"): @unchecked
+      df.orderBy(col(rowId))
+    }),
 
     // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
     //      the xxhash64 default paths stay the library's fast mode) ----
@@ -718,6 +731,8 @@ object SparkEntry {
           |WHERE p_size <= 20
           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
       "adp_arith" -> matSql(j => s"CAST(z$j * 3 + z$j AS DOUBLE)"),
+      // chained: r2 = fill(r1) / pos where r1 = fill(qty + price)
+      "x4_chain" -> matSql(j => F(s"${F(s"q$j + e$j")} / p$j")),
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
