@@ -124,6 +124,20 @@ object SparkEntry {
       df.orderBy(col(rowId))
     }),
 
+    // X3 on the concurrent scheduler: same formulas, parallelism = 4 —
+    // results must be identical to the sequential path
+    "x6_par" -> ((s, d) => {
+      val fmSchema = StructType(Seq(StructField("result_name", StringType),
+        StructField("formula", StringType)))
+      val fm = s.createDataFrame(java.util.List.of(
+        Row("r1", "(qty + price) / pos"), Row("r2", "qty * 2"),
+        Row("r3", "price - qty")), fmSchema)
+      val calc = new CoefficientCalculator(registry(s, d), fm,
+        adpEnabled = false, fillInvalid = true, parallelism = 4)
+      val MatrixResult(df, rowId, _, _) = calc.computeCoefficients()("r1"): @unchecked
+      df.orderBy(col(rowId))
+    }),
+
     // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
     //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
@@ -733,6 +747,7 @@ object SparkEntry {
       "adp_arith" -> matSql(j => s"CAST(z$j * 3 + z$j AS DOUBLE)"),
       // chained: r2 = fill(r1) / pos where r1 = fill(qty + price)
       "x4_chain" -> matSql(j => F(s"${F(s"q$j + e$j")} / p$j")),
+      "x6_par" -> matSql(j => F(s"(q$j + e$j) / p$j")),
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
