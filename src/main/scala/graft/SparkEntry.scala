@@ -363,10 +363,13 @@ object SparkEntry {
     // would land on round-half ties, which Spark and DuckDB break
     // differently)
     "txt_quantile" -> ((s, d) => {
-      val q = TextAnalysis.qualityScore(docs(s, d))
-        .select(col("doc_id"), col("token_density"))
-      val l = TextAnalysis.langId(docs(s, d)).select(col("doc_id"), col("lang_pred"))
-      val j = q.join(l, Seq("doc_id"))
+      // one projection computes both density and language — a join of the
+      // two derived tables would re-scan the corpus twice and shuffle both
+      val t = col("text")
+      val j = docs(s, d).select(col("doc_id"),
+        round(TextAnalysis.tokenCount(t).cast("double")
+          / length(t).cast("double"), 6).as("token_density"),
+        TextAnalysis.langPred(t).as("lang_pred"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang_pred"))
         .orderBy(col("token_density"), col("doc_id"))

@@ -65,24 +65,33 @@ object TextAnalysis {
   /** Language ID via stopword-marker voting (n-gram-free heuristic: count
     * whole-word markers per language, take the argmax, 'und' if no votes).
     */
-  def langId(docs: DataFrame, textCol: String = "text",
-             idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
+  /** Per-language marker-vote scores (reusable column expressions). */
+  def langScores(t: Column): Seq[(String, Column)] = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "is"),
       "es" -> Seq("el", "la", "los", "que", "es"),
       "de" -> Seq("der", "die", "das", "und", "ist"),
       "fr" -> Seq("le", "la", "les", "et", "est"))
-    val scores = markers.map { case (lang, ws) =>
+    markers.map { case (lang, ws) =>
       (lang, ws.map(w => wordOccurrences(t, w)).reduce(_ + _))
     }
-    // argmax with deterministic tie-break on language-code order
+  }
+
+  /** Predicted language: argmax of [[langScores]] with deterministic
+    * tie-break on language-code order; 'und' when no marker fires. */
+  def langPred(t: Column): Column = {
+    val scores = langScores(t)
     val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
       .reduceLeft((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def langId(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
     val outCols = col(idCol) +:
-      scores.map { case (l, s) => s.as(s"score_$l") } :+
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-        .as("lang_pred")
+      langScores(t).map { case (l, s) => s.as(s"score_$l") } :+
+      langPred(t).as("lang_pred")
     docs.select(outCols: _*)
   }
 
