@@ -357,6 +357,20 @@ object SparkEntry {
           col("sum_qty"), col("n_items"))
         .orderBy(col("rf"), col("ls"))),
 
+    // explicit grouping sets: per-returnflag and per-linestatus slices in
+    // one pass (non-hierarchical — neither rollup nor cube expresses it)
+    "g_sets" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_items"))
+        .orderBy(col("rf"), col("ls"))),
+
     // grouped exact quantiles by RANK SELECTION (the chosen value is an
     // existing row's value — no interpolation arithmetic, so engines agree
     // bit-for-bit; interpolating percentiles of 6-decimal-quantized inputs
@@ -834,6 +848,12 @@ object SparkEntry {
           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           |       CAST(count(*) AS BIGINT) AS n_items
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin,
+      "g_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(count(*) AS BIGINT) AS n_items
+          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY rf, ls""".stripMargin,
       "txt_quantile" -> {
         val dens = s"round(CAST($tokSql AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)"
