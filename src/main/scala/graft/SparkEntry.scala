@@ -482,7 +482,13 @@ object SparkEntry {
 
   // ---- oracle SQL ---------------------------------------------------------
 
-  def oracleSql: Map[String, String] = {
+  /** Driver contract: no-arg map (the correctness gate runs at sf0.01). */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL with table paths interpolated from the actual data dir —
+    * Verify passes the sfDir it was invoked with, so the oracle can never
+    * silently read a different scale factor than the Spark side. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
     val stopCnt = stop.map(wordOccSql).mkString(" + ")
     val punctCnt = Seq(".", ",", "!", "?", ";", ":").map(p => occSql("text", p)).mkString(" + ")
@@ -747,18 +753,18 @@ object SparkEntry {
         ("SELECT c_custkey, LEAST(GREATEST(c_acctbal, 0), 5000)/100.0 AS bal " +
           "FROM customer ORDER BY c_custkey"),
       "x3_batch" -> matSql(j => F(s"(q$j + e$j) / p$j")),
-      // star join mirror: dims may not be pre-registered as views → absolute
-      // read_parquet paths (correctness gate always runs at sf0.01)
+      // star join mirror: dims may not be pre-registered as views →
+      // read_parquet paths interpolated from the gate's sfDir
       "x5_star" ->
-        """SELECT r_name, n_name,
+        s"""SELECT r_name, n_name,
           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
           |       CAST(count(*) AS BIGINT) AS n_items
           |FROM lineitem
-          |JOIN read_parquet('/root/testdata/sf0.01/supplier.parquet') sup ON l_suppkey = s_suppkey
-          |JOIN read_parquet('/root/testdata/sf0.01/nation.parquet') nat ON s_nationkey = n_nationkey
-          |JOIN read_parquet('/root/testdata/sf0.01/region.parquet') reg ON n_regionkey = r_regionkey
-          |JOIN read_parquet('/root/testdata/sf0.01/part.parquet') prt ON l_partkey = p_partkey
+          |JOIN read_parquet('$sfDir/supplier.parquet') sup ON l_suppkey = s_suppkey
+          |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+          |JOIN read_parquet('$sfDir/region.parquet') reg ON n_regionkey = r_regionkey
+          |JOIN read_parquet('$sfDir/part.parquet') prt ON l_partkey = p_partkey
           |WHERE p_size <= 20
           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
       "adp_arith" -> matSql(j => s"CAST(z$j * 3 + z$j AS DOUBLE)"),
@@ -776,12 +782,12 @@ object SparkEntry {
       "mm_features" -> mmFeatures,
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
-      // read_parquet by absolute path: the correctness gate always runs at
-      // sf0.01, and an `events` view may not be pre-registered.
+      // read_parquet by interpolated path: an `events` view may not be
+      // pre-registered by the gate.
       "ev_sessions" ->
-        """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
+        s"""WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
           |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pu
-          |           FROM read_parquet('/root/testdata/sf0.01/events.parquet')),
+          |           FROM read_parquet('$sfDir/events.parquet')),
           |y AS (SELECT *, CASE WHEN pu IS NULL OR tu - pu > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
           |z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
           |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM y)
@@ -793,8 +799,8 @@ object SparkEntry {
       // side pre-deduped to one row per (user, µs) — latest event_id wins —
       // so the match is unambiguous in both engines)
       "aj_asof" ->
-        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
-          |            FROM read_parquet('/root/testdata/sf0.01/events.parquet')),
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+          |            FROM read_parquet('$sfDir/events.parquet')),
           |l AS (SELECT * FROM ev WHERE event_id % 2 = 1),
           |r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, tu ORDER BY event_id DESC) AS rn
           |       FROM ev WHERE event_id % 2 = 0),
@@ -884,19 +890,19 @@ object SparkEntry {
           |x AS (SELECT k FROM i EXCEPT SELECT k FROM neg)
           |SELECT k FROM x ORDER BY k""".stripMargin,
       "ev_window" ->
-        """SELECT epoch_us(ts) // 3600000000 AS win_hour, event_type,
+        s"""SELECT epoch_us(ts) // 3600000000 AS win_hour, event_type,
           |       CAST(count(*) AS BIGINT) AS n_events,
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-          |FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+          |FROM read_parquet('$sfDir/events.parquet')
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // skew-playbook mirrors: salting must be invisible in the result
       "sk_agg" ->
         ("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
           "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
       "sk_join" ->
-        ("""SELECT p_size, CAST(count(*) AS BIGINT) AS n_items,
+        (s"""SELECT p_size, CAST(count(*) AS BIGINT) AS n_items,
            |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-           |FROM lineitem JOIN read_parquet('/root/testdata/sf0.01/part.parquet') p
+           |FROM lineitem JOIN read_parquet('$sfDir/part.parquet') p
            |  ON l_partkey = p_partkey
            |WHERE p_size <= 10 GROUP BY 1 ORDER BY 1""".stripMargin),
       "dd_embed" -> ddEmbed,

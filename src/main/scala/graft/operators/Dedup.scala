@@ -265,11 +265,25 @@ object Dedup {
         .select(col("id"), coalesce(col("grp"), col("id")).as("group_id"))
     }
     val edges = pin(p0.union(p0.select(col("b").as("a"), col("a").as("b"))))
+    // The per-round frames are label tables, thousands of times smaller
+    // than the corpus; whole-stage codegen would janino-compile a fresh
+    // (structurally identical, exprId-renamed) stage set EVERY round, and
+    // that compilation — not the data — dominates round cost. Disable
+    // codegen on a CLONED session (own SQLConf; shared SparkContext and
+    // CacheManager) so rounds run interpreted WITHOUT touching the
+    // caller's session — a concurrent query there must not silently lose
+    // codegen. A round plan is planned under the session of the frame it
+    // derives from, so homing the label table in the clone is sufficient.
+    val iterSess = docs.sparkSession.newSession()
+    iterSess.conf.set("spark.sql.codegen.wholeStage", "false")
+    iterSess.conf.set("spark.sql.shuffle.partitions",
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     // iterate ONLY over nodes that appear in a candidate pair — at corpus
     // scale that set is orders of magnitude smaller than the doc table;
     // untouched docs are singletons and get attached in one join at the end
-    var lbl = pin(edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")))
+    val lbl0 = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var lbl = pin(iterSess.createDataFrame(lbl0.rdd, lbl0.schema))
     // one shortcut hop re-labels v with label(label(v)); two hops per
     // round quadruple the collapsed distance (labels are node ids, and
     // label values only ever decrease, so each hop is a lookup join)
@@ -281,30 +295,19 @@ object Dedup {
     }
     var iter = 0
     var converged = false
-    // The per-round frames are label tables, thousands of times smaller
-    // than the corpus; whole-stage codegen would janino-compile a fresh
-    // (structurally identical, exprId-renamed) stage set EVERY round, and
-    // that compilation — not the data — dominates round cost. Run the
-    // iteration interpreted and restore the conf afterwards.
-    val sess = docs.sparkSession
-    val cgKey = "spark.sql.codegen.wholeStage"
-    val cgPrev = sess.conf.get(cgKey, "true")
-    sess.conf.set(cgKey, "false")
-    try {
-      while (!converged && iter < maxIters) {
-        val nbrMin = edges
-          .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("nl")).as("nm"))
-        val l1 = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
-          .select(lbl("id"), lbl("lbl").as("old_lbl"),
-            least(lbl("lbl"), coalesce(col("nm"), lbl("lbl"))).as("nl"))
-        val upd = pin(shortcut(shortcut(l1))
-          .select(col("id"), col("nl").as("new_lbl"), col("old_lbl")))
-        converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
-        lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
-        iter += 1
-      }
-    } finally sess.conf.set(cgKey, cgPrev)
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nm"))
+      val l1 = lbl.join(nbrMin, lbl("id") === nbrMin("a"), "left")
+        .select(lbl("id"), lbl("lbl").as("old_lbl"),
+          least(lbl("lbl"), coalesce(col("nm"), lbl("lbl"))).as("nl"))
+      val upd = pin(shortcut(shortcut(l1))
+        .select(col("id"), col("nl").as("new_lbl"), col("old_lbl")))
+      converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
+      lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
+      iter += 1
+    }
     System.err.println(s"[graft] duplicateGroups: $iter rounds" +
       (if (!converged) " (cap reached)" else ""))
     val out = docs.select(col(idCol).as("id"))

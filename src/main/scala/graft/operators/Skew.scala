@@ -24,8 +24,13 @@ object Skew {
     * the intermediate (key, salt) grain bounds any single reducer's load. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
                       salt: Int = 16): DataFrame = {
+    // Salt from ALL columns, not just valueCol: the archetypal skew case is
+    // a hot key whose rows carry a constant/default value — hashing only
+    // that value would map every hot row to the SAME salt and defeat the
+    // operator. Hashing the full row spreads them (degenerate only if
+    // entire rows are identical, where any deterministic salt degenerates).
     val salted = df.withColumn("__salt__",
-      pmod(xxhash64(col(valueCol)), lit(salt)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
     salted
       .groupBy(col(key), col("__salt__"))
       .agg(sum(col(valueCol)).as("__psum__"), count(lit(1)).as("__pcnt__"))

@@ -128,12 +128,21 @@ object StreamingOps {
               val est = estJaccard(psig, r.sig)
               if (est >= threshold) out += NdPair(pid, r.id, r.band, est)
           }
-          if (bucket.ids.length < maxBucketSize)
-            bucket = NdBucket(r.id :: bucket.ids, r.sig :: bucket.sigs,
-              math.max(bucket.lastMs, r.ts.getTime))
+          // lastMs advances even when the bucket is at capacity: a full
+          // bucket that keeps receiving traffic is still live, and its
+          // eviction timeout must track the newest arrival.
+          bucket =
+            if (bucket.ids.length < maxBucketSize)
+              NdBucket(r.id :: bucket.ids, r.sig :: bucket.sigs,
+                math.max(bucket.lastMs, r.ts.getTime))
+            else bucket.copy(lastMs = math.max(bucket.lastMs, r.ts.getTime))
         }
         state.update(bucket)
-        state.setTimeoutTimestamp(bucket.lastMs + evictAfterMs)
+        // Spark rejects a timeout at or before the current watermark; if the
+        // watermark already passed lastMs + evictAfterMs within this same
+        // micro-batch, clamp to watermark+1 (evict at the next trigger).
+        state.setTimeoutTimestamp(math.max(bucket.lastMs + evictAfterMs,
+          state.getCurrentWatermarkMs() + 1))
         out.result().iterator
       }
     }

@@ -69,23 +69,26 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
   }
 
   /** V8 orchestration: mask/stats → (fill | error | warn) → (result, count).
+    * The count is `None` when it was never computed (the silent-fill fast
+    * path below) — callers that report or threshold invalid counts must
+    * force the stats pass (verbose mode) rather than read a sentinel.
     * Boolean frames, scalars and driver vectors follow the reference's
     * bypass/cheap paths (coeff_maker.py:183-185 [verified]).
     */
   def validate(result: EvalResult, ast: FormulaAst, formulaStr: String,
-               registry: Map[String, NamedData]): (EvalResult, Long) = {
+               registry: Map[String, NamedData]): (EvalResult, Option[Long]) = {
     lastWarning = None
     result match {
       // Fast path: when filling silently, the fill projection is semantically
       // identical whether or not invalid cells exist (filling a valid frame is
       // the identity), so the eager stats job — a second full scan of the
-      // input — is skipped entirely. Invalid count is reported as -1
-      // (not computed). Warnings/errors only fire when NOT filling, and
-      // verbose diagnostics force the stats pass, so behavior is unchanged.
+      // input — is skipped entirely and the invalid count is None.
+      // Warnings/errors only fire when NOT filling, and verbose diagnostics
+      // force the stats pass, so behavior is otherwise unchanged.
       case MatrixResult(df, rowId, labels, false) if fillInvalid && !verbose =>
-        (MatrixResult(fillDf(df, rowId, labels), rowId, labels, isBool = false), -1L)
+        (MatrixResult(fillDf(df, rowId, labels), rowId, labels, isBool = false), None)
       case RowResult(df, labels) if fillInvalid && !verbose =>
-        (fillRow(df, labels), -1L)
+        (fillRow(df, labels), None)
       case MatrixResult(df, rowId, labels, false) =>
         val st = stats(df, labels)
         if (verbose) logDetails(st, formulaStr)
@@ -103,7 +106,7 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
         finish(result, st, ast, formulaStr, registry,
                fill = VecResult(Vec(v.values.map(x =>
                  if (x.isNaN || x.isInfinite) 0.0 else x), v.labels)))
-      case other => (other, 0L) // scalars & boolean frames bypass validation
+      case other => (other, Some(0L)) // scalars & boolean frames bypass validation
     }
   }
 
@@ -115,9 +118,9 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
 
   private def finish(result: EvalResult, st: ValidationStats, ast: FormulaAst,
                      formulaStr: String, registry: Map[String, NamedData],
-                     fill: => EvalResult): (EvalResult, Long) = {
-    if (!st.someInvalid) return (result, 0L)
-    if (fillInvalid) return (fill, st.invalidCount)
+                     fill: => EvalResult): (EvalResult, Option[Long]) = {
+    if (!st.someInvalid) return (result, Some(0L))
+    if (fillInvalid) return (fill, Some(st.invalidCount))
     // V9: Series/DataFrame mixture check — metadata lookup on the kept AST,
     // no re-parse (the reference re-parses, coeff_maker.py:446-471)
     val vars = ast.freeVariables
@@ -128,7 +131,7 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
     val w = warningMsg(st, formulaStr, mixture)
     lastWarning = Some(w)
     System.err.println(s"[graft] WARNING: $w")
-    (result, st.invalidCount)
+    (result, Some(st.invalidCount))
   }
 
   // ---- message taxonomy (V5/V6, coeff_maker.py:473-569) -------------------
