@@ -23,11 +23,13 @@ object Bench {
     QueryCatalog.wide(spark, sfDir).count()
     QueryCatalog.docs(spark, sfDir).count()
     QueryCatalog.embs(spark, sfDir).count()
-    // Two passes, per-query minimum: the host (a shared microVM) suffers
-    // transient CPU-steal storms that inflate random queries 10-80×; the
-    // min over two spaced passes reports steady-state cost (pass 1 also
-    // warms the shared caches, so pass 2 measures the warm path a user's
-    // query batch actually runs).
+    // Several passes, per-query minimum: the host (a shared microVM)
+    // suffers transient CPU-steal storms that inflate random queries
+    // 10-80×, and a storm can span a whole pass — the round-2 bench showed
+    // one query inflated in BOTH of two passes. Three spaced passes make a
+    // fully-correlated storm much less likely (pass 1 also warms the
+    // shared caches, so later passes measure the warm path a user's query
+    // batch actually runs).
     def pass(tag: String): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (gc0, gct0) = gcStats()
@@ -40,9 +42,10 @@ object Bench {
           f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M")
         name -> sec
       }.toMap
-    val p1 = pass("/1")
-    val p2 = pass("/2")
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = (1 to nPasses).map(i => pass(s"/$i"))
+    val results = passes.head.keys.map(k =>
+      k -> passes.map(_(k)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -127,6 +127,59 @@ case class PortableRollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Static hash helpers callable from generated Java (no companion class, so
+  * scalac emits static forwarders and codegen can reference
+  * `graft.functions.GraftHash.md5Long60(...)` directly). */
+object GraftHash {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5(utf8) as a long — identical to
+    * `conv(substring(md5(x),1,15),16,10)::long` (16 hex digits = the first
+    * 8 digest bytes as an unsigned 64-bit value; dropping the 16th digit is
+    * a `>>> 4`), without the hex-string/substring/bigint-parse detour. */
+  def md5Long60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (b(j) & 0xFFL); j += 1 }
+    h >>> 4
+  }
+}
+
+/** Engine-portable 60-bit string hash (SURVEY §2.9 dedup operators): the
+  * first 15 hex digits of md5 as a long, with REAL whole-stage codegen —
+  * the built-in `conv(substring(md5(x),1,15),16,10)` chain allocates a hex
+  * string, a substring and a radix-parse per row; this compiles to one
+  * static call. */
+case class Md5Long60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_long60 expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(in: Any): Any =
+    GraftHash.md5Long60(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.md5Long60($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object ArrayOps {
   private def expr(c: Column): Expression = GraftColumnBridge.expression(c)
 
@@ -141,4 +194,8 @@ object ArrayOps {
   /** Portable rolling hash over a string-array column (compiled loop). */
   def rolling_hash_portable(a: Column): Column =
     GraftColumnBridge.column(PortableRollingHash(expr(a)))
+
+  /** Portable 60-bit md5 hash of a string column (codegen'd static call). */
+  def md5_long60(c: Column): Column =
+    GraftColumnBridge.column(Md5Long60(expr(c)))
 }

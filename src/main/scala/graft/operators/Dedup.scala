@@ -33,7 +33,7 @@ object Dedup {
     * cross-checkable against external oracles. ~2-3× slower than xxhash64 —
     * the default paths keep xxhash64; pass `portable = true` to switch. */
   def portableHash(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+    graft.functions.ArrayOps.md5_long60(concat(lit(s"$seed:"), c))
 
   /** Universal-hash family over the Mersenne prime 2^31-1: slot k of the
     * portable minhash is (a_k * (md5_60 % P) + b_k) % P. ONE md5 per shingle
@@ -55,9 +55,8 @@ object Dedup {
     * portable (cross-engine), xxhash64 over the raw longs otherwise. */
   private def bandHash(portable: Boolean, band: Int, slots: Seq[Column]): Column =
     if (portable)
-      conv(substring(md5(concat_ws(",",
-        (lit(band.toString) +: slots.map(_.cast("string"))): _*)), 1, 15), 16, 10)
-        .cast("long")
+      graft.functions.ArrayOps.md5_long60(concat_ws(",",
+        (lit(band.toString) +: slots.map(_.cast("string"))): _*))
     else xxhash64((lit(band) +: slots): _*)
 
   /** Word n-gram shingles from a MATERIALIZED token-array column.

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DotProductExact, PortableRollingHash}
+import graft.functions.{DotProduct, DotProductExact, Md5Long60, PortableRollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's compiled Catalyst
   * expressions as native SQL functions, so `spark.sql` users (and pure-SQL
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "rolling_hash_portable", 1,
       "rolling_hash_portable(arr) - engine-portable rolling hash of a string array") {
       args => PortableRollingHash(args(0))
+    }
+    reg(ext, "md5_long60", 1,
+      "md5_long60(s) - first 15 hex digits of md5(s) as a long (portable 60-bit hash)") {
+      args => Md5Long60(args(0))
     }
   }
 }

