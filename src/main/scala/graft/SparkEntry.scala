@@ -35,6 +35,27 @@ object SparkEntry {
     df.orderBy(col(rowId))
   }
 
+  /** Shared left/right sides for the as-of join queries: odd events join
+    * against even events per user on epoch-µs time. The right side is
+    * pre-deduped to one row per (key, ts) — latest event_id wins — so the
+    * match is unambiguous in any engine. */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // events.parquet carries TIMESTAMP(NANOS) — Spark 4 reads it only as
+    // LongType via the legacy flag (truncated to µs to match DuckDB)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tu"), col("value"))
+    val l = ev.filter(col("event_id") % 2 === 1)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("tu")).orderBy(col("event_id").desc)
+    val r = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+      .select(col("user_id"), col("tu"), col("event_id").as("r_event_id"),
+        col("tu").as("r_tu"), col("value").as("r_value"))
+    (l, r)
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -247,20 +268,24 @@ object SparkEntry {
     // backward as-of join: odd events pick up the latest even event per
     // user (union + one analytic window — single shuffle by key)
     "aj_asof" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tu"), col("value"))
-      val l = ev.filter(col("event_id") % 2 === 1)
-      val rw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"), col("tu")).orderBy(col("event_id").desc)
-      // one right row per (key, ts) — latest event_id wins — so the match
-      // is unambiguous in any engine
-      val r = ev.filter(col("event_id") % 2 === 0)
-        .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
-        .select(col("user_id"), col("tu"), col("event_id").as("r_event_id"),
-          col("tu").as("r_tu"), col("value").as("r_value"))
+      val (l, r) = asofSides(s, d)
       Joins.asofBackward(l, r, Seq("user_id"), "tu",
+          payload = Seq("r_event_id", "r_tu", "r_value"))
+        .orderBy(col("event_id"))
+    }),
+    // forward as-of join: odd events pick up the EARLIEST following even
+    // event per user (same single-shuffle window shape, forward frame)
+    "aj_fwd" -> ((s, d) => {
+      val (l, r) = asofSides(s, d)
+      Joins.asofForward(l, r, Seq("user_id"), "tu",
+          payload = Seq("r_event_id", "r_tu", "r_value"))
+        .orderBy(col("event_id"))
+    }),
+    // nearest as-of join: whichever side is closer in time, ties backward;
+    // both direction candidates from ONE window node (one shuffle + sort)
+    "aj_near" -> ((s, d) => {
+      val (l, r) = asofSides(s, d)
+      Joins.asofNearest(l, r, Seq("user_id"), "tu",
           payload = Seq("r_event_id", "r_tu", "r_value"))
         .orderBy(col("event_id"))
     }),
@@ -809,6 +834,40 @@ object SparkEntry {
           |SELECT l.event_id, l.user_id, l.tu, l.value, r.r_event_id, r.r_tu, r.r_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tu >= r.r_tu
           |ORDER BY l.event_id""".stripMargin,
+      // forward as-of mirror: DuckDB ASOF supports the <= direction natively
+      "aj_fwd" ->
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+          |            FROM read_parquet('$sfDir/events.parquet')),
+          |l AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+          |r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, tu ORDER BY event_id DESC) AS rn
+          |       FROM ev WHERE event_id % 2 = 0),
+          |r AS (SELECT user_id, event_id AS r_event_id, tu AS r_tu, value AS r_value
+          |      FROM r0 WHERE rn = 1)
+          |SELECT l.event_id, l.user_id, l.tu, l.value, r.r_event_id, r.r_tu, r.r_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tu <= r.r_tu
+          |ORDER BY l.event_id""".stripMargin,
+      // nearest as-of mirror: backward and forward ASOF joins, then pick
+      // the closer side (ties to backward; a missing side loses)
+      "aj_near" ->
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+          |            FROM read_parquet('$sfDir/events.parquet')),
+          |l AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+          |r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, tu ORDER BY event_id DESC) AS rn
+          |       FROM ev WHERE event_id % 2 = 0),
+          |r AS (SELECT user_id, event_id AS r_event_id, tu AS r_tu, value AS r_value
+          |      FROM r0 WHERE rn = 1),
+          |b AS (SELECT l.event_id, r.r_event_id AS b_eid, r.r_tu AS b_tu, r.r_value AS b_val
+          |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tu >= r.r_tu),
+          |f AS (SELECT l.event_id, r.r_event_id AS f_eid, r.r_tu AS f_tu, r.r_value AS f_val
+          |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tu <= r.r_tu),
+          |j AS (SELECT l.*, b_eid, b_tu, b_val, f_eid, f_tu, f_val,
+          |             (f_tu IS NULL OR (b_tu IS NOT NULL AND l.tu - b_tu <= f_tu - l.tu)) AS use_b
+          |      FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+          |SELECT event_id, user_id, tu, value,
+          |       CASE WHEN use_b THEN b_eid ELSE f_eid END AS r_event_id,
+          |       CASE WHEN use_b THEN b_tu  ELSE f_tu  END AS r_tu,
+          |       CASE WHEN use_b THEN b_val ELSE f_val END AS r_value
+          |FROM j ORDER BY event_id""".stripMargin,
       // range join mirror: plain BETWEEN theta join (the bucketing is an
       // execution strategy, not a semantic change)
       "rj_range" ->

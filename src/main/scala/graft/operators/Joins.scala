@@ -77,6 +77,105 @@ object Joins {
         payload.map(c => col(s"__p__.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the payload of the
+    * EARLIEST right row with the same key and `right.ts >= left.ts`
+    * (`>` when `exactMatches = false`). Mirror of [[asofBackward]]:
+    * same union + ONE analytic window shape (single shuffle by key),
+    * with a [current, unbounded following] frame and `first(ignoreNulls)`.
+    *
+    * Right-side ties on (key, ts) are resolved by `tieBreak` ascending —
+    * the row sorting FIRST (min tieBreak) wins, matching "earliest wins".
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  keys: Seq[String], tsCol: String,
+                  payload: Seq[String],
+                  tieBreak: Option[String] = None,
+                  exactMatches: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload/left name collision: ${payload.intersect(leftCols)}")
+    val nullOf = (df: DataFrame, c: String) =>
+      lit(null).cast(df.schema(c).dataType).as(c)
+    // at equal ts the right row must fall INSIDE the left row's following
+    // frame when exact matches count (right sorts after left), OUTSIDE it
+    // when they don't (right sorts before left)
+    val (rSide, lSide) = if (exactMatches) (1, 0) else (0, 1)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+    val l2 = left.select(
+      (leftCols.map(col) :+ lit(lSide).as("__side__")) :+
+        lit(null).cast(pType).as("__p__"): _*)
+    val r2 = right.select(
+      (leftCols.map(c => if (keys.contains(c) || c == tsCol) col(c)
+                         else nullOf(left, c)) :+ lit(rSide).as("__side__")) :+
+        struct(payload.map(col): _*).as("__p__"): _*)
+    val order: Seq[Column] = col(tsCol) +: col("__side__") +:
+      tieBreak.map(c => col(s"__p__.$c")).toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l2.union(r2)
+      .select((leftCols.map(col) :+ col("__side__")) :+
+        first(col("__p__"), ignoreNulls = true).over(w).as("__p__"): _*)
+      .filter(col("__side__") === lSide)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p__.$c").as(c)): _*)
+  }
+
+  /** Nearest as-of join: for each left row, attach the payload of the right
+    * row with the same key minimizing `|right.ts - left.ts|`; ties between
+    * an equally-near earlier and later right row go to the EARLIER one
+    * (backward wins). Exact-ts matches are distance 0 and always win.
+    *
+    * Both direction candidates come from ONE window node: the union is
+    * shuffled and sorted once per key, and the backward
+    * `last(ignoreNulls)` / forward `first(ignoreNulls)` frames share that
+    * sort — the 100 TB cost is identical to a single as-of join.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  keys: Seq[String], tsCol: String,
+                  payload: Seq[String],
+                  tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload/left name collision: ${payload.intersect(leftCols)}")
+    val nullOf = (df: DataFrame, c: String) =>
+      lit(null).cast(df.schema(c).dataType).as(c)
+    // right rows sort BEFORE left at equal ts: a same-instant right row is
+    // a backward candidate at distance 0, and the backward-wins tie rule
+    // makes the forward frame's view of it irrelevant
+    val (rSide, lSide) = (0, 1)
+    // the right ts rides inside the struct so each candidate's distance is
+    // computed from the row that actually matched (row-atomic, like the
+    // payload itself)
+    val pType = org.apache.spark.sql.types.StructType(
+      right.schema(tsCol).copy(name = "__rts__") +:
+        payload.map(c => right.schema(c).copy(name = c)))
+    val l2 = left.select(
+      (leftCols.map(col) :+ lit(lSide).as("__side__")) :+
+        lit(null).cast(pType).as("__p__"): _*)
+    val r2 = right.select(
+      (leftCols.map(c => if (keys.contains(c) || c == tsCol) col(c)
+                         else nullOf(left, c)) :+ lit(rSide).as("__side__")) :+
+        struct(col(tsCol).as("__rts__") +: payload.map(col): _*).as("__p__"): _*)
+    val order: Seq[Column] = col(tsCol) +: col("__side__") +:
+      tieBreak.map(c => col(s"__p__.$c")).toSeq
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wb = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val chooseBwd = col("__f__").isNull ||
+      (col("__b__").isNotNull &&
+        (col(tsCol) - col("__b__.__rts__")) <= (col("__f__.__rts__") - col(tsCol)))
+    l2.union(r2)
+      .select((leftCols.map(col) :+ col("__side__")) :+
+        last(col("__p__"), ignoreNulls = true).over(wb).as("__b__") :+
+        first(col("__p__"), ignoreNulls = true).over(wf).as("__f__"): _*)
+      .filter(col("__side__") === lSide)
+      .withColumn("__p__", when(chooseBwd, col("__b__")).otherwise(col("__f__")))
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p__.$c").as(c)): _*)
+  }
+
   /** Point-in-interval range join: rows of `points` paired with every
     * interval `[lo, hi)` of `intervals` that contains `ptCol`. Intervals
     * may overlap (a point matches each one independently).

@@ -64,6 +64,85 @@ class JoinsSpec extends SparkSpec {
     assert(got.map(_.getDouble(0)).toSeq == Seq(8.0))
   }
 
+  private def asofFwd(exact: Boolean) =
+    Joins.asofForward(trades,
+        quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
+        Seq("sym"), "t", payload = Seq("px", "q_t"), exactMatches = exact)
+      .orderBy(col("sym"), col("t"))
+      .select(col("sym"), col("t"), col("qty"), col("px"), col("q_t"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+
+  test("asof forward: earliest right row at-or-after each left row") {
+    assert(asofFwd(exact = true).toSeq == Seq(
+      ("A", 3L, Some(1.0), Some(4L)),     // next quote is t=4
+      ("A", 5L, Some(2.0), Some(10L)),
+      ("A", 10L, Some(2.0), Some(10L)),   // exact-ts match counts
+      ("A", 20L, None, None),             // after the last quote
+      ("B", 10L, Some(9.0), Some(50L))))
+  }
+
+  test("asof forward with exactMatches=false: same-instant rows excluded") {
+    assert(asofFwd(exact = false).toSeq == Seq(
+      ("A", 3L, Some(1.0), Some(4L)),
+      ("A", 5L, Some(2.0), Some(10L)),
+      ("A", 10L, Some(3.0), Some(15L)),   // t=10 quote no longer eligible
+      ("A", 20L, None, None),
+      ("B", 10L, Some(9.0), Some(50L))))
+  }
+
+  test("asof forward ties resolved by tieBreak: first wins") {
+    val q2 = df(quotes.schema.add(StructField("seq", LongType)),
+      Seq(Row("A", 30L, 7.0, 2L), Row("A", 30L, 8.0, 1L)))
+      .select(col("sym"), col("t"), col("px"), col("seq"))
+    val got = Joins.asofForward(trades.filter(col("t") === 20), q2,
+        Seq("sym"), "t", payload = Seq("px", "seq"),
+        tieBreak = Some("seq"))
+      .select(col("px")).collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(8.0)) // min seq wins
+  }
+
+  test("asof nearest: closer side wins, exact match is distance zero") {
+    val got = Joins.asofNearest(trades,
+        quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
+        Seq("sym"), "t", payload = Seq("px", "q_t"))
+      .orderBy(col("sym"), col("t"))
+      .select(col("sym"), col("t"), col("px"), col("q_t"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("A", 3L, Some(1.0), Some(4L)),     // only forward exists → forward
+      ("A", 5L, Some(1.0), Some(4L)),     // |5-4|=1 < |10-5|=5 → backward
+      ("A", 10L, Some(2.0), Some(10L)),   // exact match, distance 0
+      ("A", 20L, Some(3.0), Some(15L)),   // only backward exists
+      ("B", 10L, Some(9.0), Some(50L))))  // only forward exists
+  }
+
+  test("asof nearest: equidistant candidates go backward") {
+    val q2 = df(
+      StructType(Seq(StructField("sym", StringType), StructField("t", LongType),
+        StructField("px", DoubleType))),
+      Seq(Row("A", 8L, 1.0), Row("A", 12L, 2.0)))
+      .select(col("sym"), col("t"), col("px"), col("t").as("q_t"))
+    val got = Joins.asofNearest(trades.filter(col("t") === 10), q2,
+        Seq("sym"), "t", payload = Seq("px", "q_t"))
+      .select(col("px")).head().getDouble(0)
+    assert(got == 1.0) // |10-8| == |12-10| → earlier row wins
+  }
+
+  test("asof nearest plan: ONE window node computes both direction frames") {
+    val plan = Joins.asofNearest(trades,
+        quotes.select(col("sym"), col("t"), col("px"), col("t").as("q_t")),
+        Seq("sym"), "t", payload = Seq("px", "q_t"))
+      .queryExecution.executedPlan.toString
+    val nWindow = plan.linesIterator.count(l =>
+      l.replaceAll("^[\\s+:*()-]*", "").startsWith("Window"))
+    assert(nWindow == 1, s"nearest as-of must sort once:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
   test("range join: overlapping intervals each match independently") {
     val pts = df(
       StructType(Seq(StructField("pid", LongType), StructField("x", DoubleType))),
