@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayOps
+
+/** Deterministic sampling for training-data pipelines (the reference is
+  * sampling-free — SURVEY §2.8 — but rebalancing over-represented strata is
+  * table stakes for corpus curation at 100 TB).
+  *
+  * All operators hash a row's ID instead of drawing randomness:
+  *  - reproducible across runs, engines, partitionings and retries (a task
+  *    retry must not change the sample — `rand()` does);
+  *  - embarrassingly parallel: the Bernoulli forms are a stateless filter
+  *    in the scan stage, no shuffle at all, so they scale linearly and
+  *    compose with predicate pushdown;
+  *  - the fixed-size per-stratum form needs exactly one shuffle (the same
+  *    hash-partition + per-key sort a grouped top-k pays).
+  *
+  * The hash is the portable 60-bit md5 (compiled, codegen'd), so any SQL
+  * engine reproduces the exact sample for cross-checking.
+  */
+object Sampling {
+
+  private val Buckets = 1073741824L // 2^30
+
+  /** Deterministic uniform in [0, 1): portable md5 of "seed:id" mapped to
+    * 2^30 buckets. Collision-free with respect to the sampling decision —
+    * each distinct id lands in exactly one bucket in every engine. */
+  def hashUniform(idCol: Column, seed: Int = 42): Column =
+    (ArrayOps.md5_long60(concat(lit(s"$seed:"), idCol.cast("string")))
+      % lit(Buckets)).cast("double") / lit(Buckets.toDouble)
+
+  /** Bernoulli sample: keep each row iff hashUniform(id) < fraction.
+    * A pure filter — no shuffle, pushes into the scan stage. */
+  def sample(df: DataFrame, idCol: String, fraction: Double,
+             seed: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    df.filter(hashUniform(col(idCol), seed) < lit(fraction))
+  }
+
+  /** Stratified Bernoulli sample: per-stratum keep-fractions (strata not
+    * listed keep `default`). Same stateless-filter shape as [[sample]]:
+    * the fraction table is tiny and compiles to a CASE expression, so the
+    * whole operator stays inside the scan's codegen stage — at 100 TB this
+    * is the downsampling pass that runs at read bandwidth. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 fractions: Map[String, Double], default: Double = 1.0,
+                 seed: Int = 42): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol), seed) < frac)
+  }
+
+  /** Fixed-size per-stratum sample: exactly min(n, |stratum|) rows per
+    * stratum, chosen by hash order (deterministic "random" order with id
+    * tiebreak). One hash shuffle + per-partition sort — the grouped-top-k
+    * shape, rank applied before any wide payload is carried. */
+  def takePerStratum(df: DataFrame, strataCol: String, idCol: String,
+                     n: Int, seed: Int = 42): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(idCol), seed), col(idCol))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n)
+      .drop("__rn__")
+  }
+}
