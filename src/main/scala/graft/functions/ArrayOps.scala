@@ -127,10 +127,178 @@ case class PortableRollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** k-slot MinHash signature of a token array, computed in ONE compiled pass
+  * per row — no explode, no groupBy, no shuffle. Replaces the
+  * explode(shingles) → k hash projections → groupBy(id).agg(k mins) pipeline
+  * (reference semantics: SURVEY §2.9 dd_minhash), whose shuffle carries
+  * k longs per document; this is a narrow projection that scales as a pure
+  * map at any corpus size.
+  *
+  * Parity contract (bit-identical to the explode pipeline and its DuckDB
+  * oracle): word n-gram shingles joined by " " (whole-doc shingle for docs
+  * shorter than n tokens); portable mode hashes each shingle once with
+  * md5_long60("0:" + shingle) and derives slot k as
+  * (a_k * (h % P) + b_k) % P over the Mersenne prime P = 2^31-1; the
+  * signature slot is the min over shingles. Duplicate shingles cannot
+  * affect a min, so no distinct pass is needed. */
+case class MinHashSig(child: Expression, n: Int,
+                      params: Seq[(Long, Long)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    def hashShingle(from: Int, until: Int): Unit = {
+      sb.setLength(0)
+      sb.append("0:")
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      val base = GraftHash.md5Long60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)) %
+        GraftHash.UhPrime
+      var s = 0
+      while (s < k) {
+        val v = (base * as(s) + bs(s)) % GraftHash.UhPrime
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+    }
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) { hashShingle(i, i + n); i += 1 }
+    } else hashShingle(0, m)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 60-bit portable SimHash of a token array in ONE compiled pass per row —
+  * replaces the explode(words) → packed-lane sums → groupBy(id) pipeline
+  * with a shuffle-free projection. Parity contract: per token
+  * h = md5_long60("0:" + token); bit b of the result is set iff strictly
+  * more than half of the document's tokens (duplicates counted) have bit b
+  * set in h. Identical to the lane-packed aggregate formulation and its
+  * DuckDB oracle. */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash60 expects array<string>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val ones = new Array[Int](60)
+    val prefix = org.apache.spark.unsafe.types.UTF8String.fromString("0:")
+    var i = 0
+    while (i < m) {
+      val h = GraftHash.md5Long60(
+        org.apache.spark.unsafe.types.UTF8String.concat(prefix, arr.getUTF8String(i)))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (ones(b) * 2 > m) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Word n-gram shingle array (first-occurrence-distinct, " "-joined),
+  * compiled. Matches the `transform(sequence(...))` + array_distinct
+  * formulation of Dedup.shinglesOf, which runs INTERPRETED per element;
+  * this is one loop per row. Whole-doc shingle for docs under n tokens. */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects array<string>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    def shingle(from: Int, until: Int): Unit = {
+      sb.setLength(0)
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+    }
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) { shingle(i, i + n); i += 1 }
+    } else shingle(0, m)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Static hash helpers callable from generated Java (no companion class, so
   * scalac emits static forwarders and codegen can reference
   * `graft.functions.GraftHash.md5Long60(...)` directly). */
 object GraftHash {
+  /** Mersenne prime 2^31-1: modulus of the universal-hash family used by the
+    * portable minhash (slot k = (a_k·(h%P) + b_k) % P; a·h < 2^62 keeps the
+    * arithmetic inside signed-64 / ANSI-safe). */
+  val UhPrime: Long = 2147483647L
+
   private val mdPool = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -198,4 +366,17 @@ object ArrayOps {
   /** Portable 60-bit md5 hash of a string column (codegen'd static call). */
   def md5_long60(c: Column): Column =
     GraftColumnBridge.column(Md5Long60(expr(c)))
+
+  /** k-slot portable MinHash signature of a token-array column (one compiled
+    * pass per row; no shuffle). */
+  def minhash_sig(words: Column, n: Int, params: Seq[(Long, Long)]): Column =
+    GraftColumnBridge.column(MinHashSig(expr(words), n, params))
+
+  /** 60-bit portable SimHash of a token-array column (one compiled pass). */
+  def simhash60(words: Column): Column =
+    GraftColumnBridge.column(SimHash60(expr(words)))
+
+  /** Compiled word n-gram shingle array (first-occurrence distinct). */
+  def word_shingles(words: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(expr(words), n))
 }

@@ -41,7 +41,7 @@ object Dedup {
     * distinct digests — k distinct md5 inputs measured ~100× slower at
     * sf0.1 (the 32-wide digest projection also blows the codegen method
     * budget). a*h < 2^62 keeps every step inside signed-64 / ANSI-safe. */
-  val UhPrime: Long = 2147483647L
+  val UhPrime: Long = graft.functions.GraftHash.UhPrime
   def uhParams(k: Int): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(42L)
     Seq.fill(k)((1L + rng.nextInt((UhPrime - 1).toInt),
@@ -84,31 +84,34 @@ object Dedup {
     docs.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
       .repartition(col("id"))
 
-  /** MinHash signatures: k 64-bit min-hashes over each document's shingle
-    * set, as (id, sig: array<long>).
+  /** MinHash signatures: k min-hashes over each document's shingle set, as
+    * (id, sig: array<long>).
     *
-    * Shape: explode shingles (the shingle expression is evaluated ONCE per
-    * document by the Generate node), hash k ways in a codegen'd projection,
-    * then groupBy(id) with k partial-min aggregates — map-side combine makes
-    * the shuffle k longs per document. (A higher-order-function formulation
-    * with no shuffle exists but runs interpreted and gets its shingle
-    * subtree duplicated k× by CollapseProject — measured orders of magnitude
-    * slower. The aggregate barrier here also keeps the plan collapse-proof.)
+    * Portable mode runs the compiled [[graft.functions.MinHashSig]]
+    * expression: the entire signature — shingling, one md5 per shingle, k
+    * universal-hash slots, k running minima — is ONE per-row loop inside a
+    * narrow projection. No explode, no groupBy, no shuffle; at 100 TB the
+    * operator is a pure map over the corpus. (The previous
+    * explode → k-hash projection → groupBy(id).agg(k mins) pipeline
+    * shuffled k longs per document; the higher-order-function formulation
+    * ran interpreted with its shingle subtree duplicated k× by
+    * CollapseProject — both measured far slower.)
+    *
+    * xxhash64 mode (portable = false) keeps the explode+groupBy shape: its
+    * k independent seeded hashes are Spark-native codegen'd expressions,
+    * and the map-side partial-min combine still reduces the shuffle to k
+    * longs per document.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, k: Int, portable: Boolean = false): DataFrame = {
+    if (portable)
+      return docs.select(col(idCol).as("id"),
+        graft.functions.ArrayOps.minhash_sig(
+          split(col(textCol), " "), n, uhParams(k)).as("sig"))
     val sh = tokenized(docs, textCol, idCol)
       .select(col("id"), explode(shinglesOf(col("words"), n)).as("s"))
-    val hashed =
-      if (portable) {
-        // one digest per shingle, k universal-hash slots derived from it
-        val base = portableHash(0, col("s")) % lit(UhPrime)
-        sh.select((col("id") +: uhParams(k).zipWithIndex.map {
-          case ((a, b), i) => ((base * lit(a) + lit(b)) % lit(UhPrime)).as(s"h$i")
-        }): _*)
-      } else
-        sh.select((col("id") +: (0 until k).map(seed =>
-          slotHash(portable)(seed, col("s")).as(s"h$seed"))): _*)
+    val hashed = sh.select((col("id") +: (0 until k).map(seed =>
+      slotHash(portable)(seed, col("s")).as(s"h$seed"))): _*)
     val mins = (0 until k).map(seed => min(col(s"h$seed")).as(s"m$seed"))
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(seed => col(s"m$seed")): _*).as("sig"))
@@ -168,8 +171,11 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, candidates: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 3): DataFrame = {
-    val sh = tokenized(docs, textCol, idCol)
-      .select(col("id").as("jid"), shinglesOf(col("words"), n).as("sh"))
+    // compiled shingle loop (word_shingles); the transform()-based
+    // shinglesOf runs interpreted per element and needed a shuffle barrier
+    // against CollapseProject — a single compiled expression needs neither
+    val sh = docs.select(col(idCol).as("jid"),
+      graft.functions.ArrayOps.word_shingles(split(col(textCol), " "), n).as("sh"))
     candidates
       .join(sh.withColumnRenamed("jid", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("jid", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -317,13 +323,21 @@ object Dedup {
     out
   }
 
-  /** SimHash: per-bit majority vote of token hashes, one explode+groupBy
-    * (map-side combine keeps the shuffle narrow: one long per bit per doc).
-    * Default: 64 bits of xxhash64. Portable: 60 bits of [[portableHash]]
-    * (15 md5 hex digits), reproducible in any SQL engine. */
+  /** SimHash: per-bit majority vote of token hashes.
+    *
+    * Portable mode (60 bits of [[portableHash]], reproducible in any SQL
+    * engine) runs the compiled [[graft.functions.SimHash60]] expression:
+    * hashing and the 60 majority counters are one per-row loop in a narrow
+    * projection — no explode, no groupBy, no shuffle; a pure map at any
+    * corpus size. xxhash64 mode (64 bits) keeps the explode + lane-packed
+    * aggregate shape below (its hash is Spark-native and codegen'd;
+    * map-side combine keeps the shuffle at one long per lane-group). */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
-    val nBits = if (portable) 60 else 64
+    if (portable)
+      return docs.select(col(idCol).as("id"),
+        graft.functions.ArrayOps.simhash60(split(col(textCol), " ")).as("simhash"))
+    val nBits = 64
     // Pack 3 per-bit one-counters into 20-bit lanes of each sum: 3× fewer
     // aggregate buffers (the agg update, not the shuffle, dominates — the
     // shuffle is one long per lane-group per doc either way). Lane counts

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DotProductExact, Md5Long60, PortableRollingHash}
+import graft.functions.{DotProduct, DotProductExact, Md5Long60, MinHashSig,
+  PortableRollingHash, SimHash60, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's compiled Catalyst
   * expressions as native SQL functions, so `spark.sql` users (and pure-SQL
@@ -48,6 +49,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "md5_long60", 1,
       "md5_long60(s) - first 15 hex digits of md5(s) as a long (portable 60-bit hash)") {
       args => Md5Long60(args(0))
+    }
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+    }
+    reg(ext, "minhash_sig", 3,
+      "minhash_sig(words, n, k) - portable k-slot MinHash signature of a token array") {
+      args => MinHashSig(args(0), litInt(args(1), "n"),
+        graft.operators.Dedup.uhParams(litInt(args(2), "k")))
+    }
+    reg(ext, "simhash60", 1,
+      "simhash60(words) - portable 60-bit SimHash of a token array") {
+      args => SimHash60(args(0))
+    }
+    reg(ext, "word_shingles", 2,
+      "word_shingles(words, n) - word n-gram shingle array (first-occurrence distinct)") {
+      args => WordShingles(args(0), litInt(args(1), "n"))
     }
   }
 }
