@@ -23,6 +23,8 @@ object Bench {
     QueryCatalog.wide(spark, sfDir).count()
     QueryCatalog.docs(spark, sfDir).count()
     QueryCatalog.embs(spark, sfDir).count()
+    QueryCatalog.sig32(spark, sfDir).count()
+    QueryCatalog.pairs01(spark, sfDir).count()
     // Several passes, per-query minimum: the host (a shared microVM)
     // suffers transient CPU-steal storms that inflate random queries
     // 10-80×, and a storm can span a whole pass — the round-2 bench showed

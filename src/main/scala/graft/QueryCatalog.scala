@@ -154,16 +154,22 @@ object QueryCatalog {
           n = 3, k = 32, portable = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** LSH candidate pairs at est-Jaccard ≥ 0.2, shared by dd_minhash and
-    * dd_groups (same batch-user pattern as [[sig32]]: compute candidates
-    * once, consume them from several queries). */
+  /** LSH candidate pairs, shared by dd_minhash / dd_groups / dd_jaccard.
+    * ONE banding-join pipeline runs at the loosest threshold any consumer
+    * needs (0.1); tighter thresholds are filters over the cached pairs —
+    * the LSH threshold only gates the final est-Jaccard predicate, so a
+    * shared superset is exact for every derived threshold (the same
+    * batch-user pattern as [[sig32]]: compute candidates once, consume
+    * them from several queries). */
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-  def pairs02(spark: SparkSession, sfDir: String): DataFrame =
+  def pairs01(spark: SparkSession, sfDir: String): DataFrame =
     pairsCache.getOrElseUpdate((spark, sfDir),
-      Dedup.minhashLsh(docs(spark, sfDir), threshold = 0.2, portable = true,
+      Dedup.minhashLsh(docs(spark, sfDir), threshold = 0.1, portable = true,
           precomputedSig = Some(sig32(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def pairs02(spark: SparkSession, sfDir: String): DataFrame =
+    pairs01(spark, sfDir).filter(col("est_jaccard") >= 0.2)
 
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 

@@ -168,11 +168,8 @@ object SparkEntry {
           maxHamming = 8, bandBits = 15)
         .orderBy(col("id1"), col("id2"))),
     "dd_jaccard" -> ((s, d) => {
-      val dd = docs(s, d)
-      val cand = Dedup.minhashLsh(dd, threshold = 0.1, portable = true,
-          precomputedSig = Some(sig32(s, d)))
-        .select("id1", "id2")
-      Dedup.ngramJaccard(dd, cand).orderBy(col("id1"), col("id2"))
+      val cand = pairs01(s, d).select("id1", "id2")
+      Dedup.ngramJaccard(docs(s, d), cand).orderBy(col("id1"), col("id2"))
     }),
     // candidate pairs → connected duplicate groups (iterative min-label
     // propagation; every doc gets a group, keep = id == group_id)

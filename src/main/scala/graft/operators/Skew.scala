@@ -24,13 +24,15 @@ object Skew {
     * the intermediate (key, salt) grain bounds any single reducer's load. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
                       salt: Int = 16): DataFrame = {
-    // Salt from ALL columns, not just valueCol: the archetypal skew case is
-    // a hot key whose rows carry a constant/default value — hashing only
-    // that value would map every hot row to the SAME salt and defeat the
-    // operator. Hashing the full row spreads them (degenerate only if
-    // entire rows are identical, where any deterministic salt degenerates).
+    // Salt from a ROW-UNIQUE source, not the row's values: the archetypal
+    // skew case is a hot key whose rows carry a constant/default value —
+    // any value-derived hash maps every hot row to the SAME salt and
+    // defeats the operator. monotonically_increasing_id is unique per row
+    // (partition id << 33 | row offset), so hot-key rows round-robin over
+    // all `salt` buckets regardless of content — and it's cheaper than
+    // hashing the row (no per-column hash, no decimal byte extraction).
     val salted = df.withColumn("__salt__",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     salted
       .groupBy(col(key), col("__salt__"))
       .agg(sum(col(valueCol)).as("__psum__"), count(lit(1)).as("__pcnt__"))
@@ -41,13 +43,14 @@ object Skew {
 
   /** Inner equi-join with the small side replicated across `salt` copies.
     * Result equals `left.join(right, key)`; every hot left key spreads over
-    * `salt` shuffle partitions instead of one. */
+    * `salt` shuffle partitions instead of one. Salt source is row-unique
+    * (see [[saltedAggregate]]) so constant-valued hot rows still spread. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int = 16): DataFrame = {
     val spark = left.sparkSession
     val saltValues = spark.range(salt).select(col("id").cast("int").as("__salt__"))
     val l = left.withColumn("__salt__",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val r = right.crossJoin(broadcast(saltValues))
     l.join(r, Seq(key, "__salt__")).drop("__salt__")
   }
