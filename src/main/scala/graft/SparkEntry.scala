@@ -485,6 +485,71 @@ object SparkEntry {
         .orderBy(col("p_size"))
     }),
 
+    // ---- classic OLAP headliners (TPC-H shapes over the star schema;
+    //      decimal-exact money math → order-independent, engine-identical) ----
+    // Q1 pricing summary: ONE scan with pushed date filter, map-side partial
+    // agg absorbs 600k rows into 4 groups before the (tiny) shuffle
+    "h_q1" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      val disc = lit(1).cast(d3) - col("l_discount").cast(d3)
+      val qty = col("l_quantity").cast(d2)
+      val base = col("l_extendedprice").cast(d2)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast(DoubleType).as("sum_qty"),
+          sum(base).cast(DoubleType).as("sum_base_price"),
+          sum(base * disc).cast(DoubleType).as("sum_disc_price"),
+          sum(base * disc * (lit(1).cast(d3) + col("l_tax").cast(d3)))
+            .cast(DoubleType).as("sum_charge"),
+          round(sum(qty).cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
+          round(sum(base).cast(DoubleType) / count(lit(1)), 6).as("avg_price"),
+          round(sum(col("l_discount").cast(d3)).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Q3 shipping priority: selective dim filter broadcast into the fact
+    // join, top-10 via TakeOrderedAndProject (no global sort)
+    "h_q3" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-03-15")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .filter(to_date(col("l_shipdate")) > lit(java.sql.Date.valueOf("1998-03-15")))
+        .select(col("l_orderkey"), (col("l_extendedprice").cast(d2) *
+          (lit(1).cast(d3) - col("l_discount").cast(d3))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- deterministic sampling (portable hash order, no rand(): the
+    //      sample is reproducible across runs/engines/partitionings and the
+    //      Bernoulli forms are pure scan-stage filters — zero shuffle) ----
+    "smp_bern" -> ((s, d) =>
+      Sampling.sample(docs(s, d), "doc_id", 0.25)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    "smp_strat" -> ((s, d) =>
+      Sampling.stratified(docs(s, d), "lang", "doc_id",
+          Map("en" -> 0.1, "zh" -> 0.5), default = 1.0)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "smp_topn" -> ((s, d) =>
+      Sampling.takePerStratum(s.read.parquet(s"$d/orders.parquet"),
+          "o_orderstatus", "o_orderkey", n = 50)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -735,7 +800,52 @@ object SparkEntry {
       }.mkString(", ")
       s"SELECT doc_id AS media_id, $bins FROM documents ORDER BY media_id"
     }
+    // deterministic-sampling mirror of Sampling.hashUniform: portable
+    // 60-bit md5 of "seed:id" → 2^30 buckets → [0,1)
+    def hashU(idExpr: String, seed: Int = 42) =
+      s"((${mdInt(s"'$seed:' || $idExpr")} % 1073741824)::DOUBLE / 1073741824.0)"
+    // decimal-exact TPC-H money math (mirrors h_q1/h_q3; every factor cast
+    // to a bounded decimal before multiplying, so sums are exact and
+    // order-independent in both engines)
+    val d12 = "DECIMAL(12,2)"; val d3 = "DECIMAL(3,2)"
+    val discF = s"(CAST(1 AS $d3) - CAST(l_discount AS $d3))"
+    val hQ1 =
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS $d12)) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $d12)) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum(CAST(l_extendedprice AS $d12) * $discF) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_extendedprice AS $d12) * $discF *
+         |           (CAST(1 AS $d3) + CAST(l_tax AS $d3))) AS DOUBLE) AS sum_charge,
+         |  round(CAST(sum(CAST(l_quantity AS $d12)) AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS $d12)) AS DOUBLE) / count(*), 6) AS avg_price,
+         |  round(CAST(sum(CAST(l_discount AS $d3)) AS DOUBLE) / count(*), 6) AS avg_disc,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    val hQ3 =
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  o_orderpriority,
+         |  CAST(sum(CAST(l_extendedprice AS $d12) * $discF) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
     Map(
+      "h_q1" -> hQ1,
+      "h_q3" -> hQ3,
+      "smp_bern" ->
+        s"SELECT doc_id FROM documents WHERE ${hashU("doc_id")} < 0.25 ORDER BY doc_id",
+      "smp_strat" ->
+        (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
+          "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
+          "ORDER BY doc_id"),
+      "smp_topn" ->
+        (s"SELECT o_orderkey, o_orderstatus FROM (" +
+          s"SELECT o_orderkey, o_orderstatus, row_number() OVER (" +
+          s"PARTITION BY o_orderstatus ORDER BY ${hashU("o_orderkey")}, o_orderkey) AS rn " +
+          "FROM orders) WHERE rn <= 50 ORDER BY o_orderstatus, o_orderkey"),
       "e1_add" -> matSql(j => F(s"q$j + e$j")),
       "e1_sub" -> matSql(j => F(s"q$j - e$j")),
       "e1_mul" -> matSql(j => F(s"q$j * e$j")),
