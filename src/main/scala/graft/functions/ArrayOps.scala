@@ -45,10 +45,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = elems(left.dataType, l.asInstanceOf[ArrayData])
     val b = elems(right.dataType, r.asInstanceOf[ArrayData])
-    val n = math.min(a.length, b.length)
+    // length mismatch → null, matching the aggregate(zip_with(a,b,*),0,+)
+    // composition this expression replaces (zip_with null-pads the shorter
+    // array and the null propagates through the sum) — required for the
+    // CompiledDotProductRule rewrite to be semantics-preserving
+    if (a.length != b.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
@@ -77,10 +81,10 @@ case class DotProductExact(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = elems(left.dataType, l.asInstanceOf[ArrayData])
     val b = elems(right.dataType, r.asInstanceOf[ArrayData])
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length) return null // see DotProduct
     var acc = java.math.BigDecimal.ZERO
     var i = 0
-    while (i < n) {
+    while (i < a.length) {
       acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i)))
       i += 1
     }

@@ -72,4 +72,57 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").head())
     assert(e.getMessage.contains("dot_product expects 2"))
   }
+
+  test("optimizer rule rewrites the HOF dot product to the compiled expression") {
+    import spark.implicits._
+    // parquet-backed source: a literal LocalRelation would be constant-
+    // folded into the result before the plan can be inspected
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecs").toString
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("vecs")
+    val q = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d
+        |FROM vecs""".stripMargin)
+    val optimized = q.queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    })
+    assert(rewritten, s"no DotProduct in optimized plan:\n$optimized")
+    assert(q.head().getDouble(0) == 32.0)
+    // operand order inside the lambdas must not matter
+    val q2 = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> y * x),
+        |                 0.0D, (acc, v) -> v + acc) AS d
+        |FROM vecs""".stripMargin)
+    assert(q2.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    }))
+    assert(q2.head().getDouble(0) == 32.0)
+    // a non-product zip lambda must NOT be rewritten
+    val q3 = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x + y),
+        |                 0.0D, (acc, v) -> acc + v) AS d
+        |FROM vecs""".stripMargin)
+    assert(!q3.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    }))
+    assert(q3.head().getDouble(0) == 21.0)
+  }
+
+  test("HOF rewrite and compiled expression agree on length mismatch (null)") {
+    import spark.implicits._
+    Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs_mm")
+    val viaHof = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |                 0.0D, (acc, v) -> acc + v) AS d
+        |FROM vecs_mm""".stripMargin).head()
+    val viaExpr = spark.sql("SELECT dot_product(a, b) AS d FROM vecs_mm").head()
+    assert(viaHof.isNullAt(0) && viaExpr.isNullAt(0))
+  }
 }
