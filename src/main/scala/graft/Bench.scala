@@ -44,7 +44,10 @@ object Bench {
           f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M")
         name -> sec
       }.toMap
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // a warm pass is ~20 s, so five spaced passes are cheap — and the
+    // per-query minimum then survives a host-noise storm spanning several
+    // minutes (storms were observed inflating queries 10-80× with gc≈0)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val passes = (1 to nPasses).map(i => pass(s"/$i"))
     val results = passes.head.keys.map(k =>
       k -> passes.map(_(k)).min).toMap

@@ -67,6 +67,8 @@ object SparkEntry {
     // E2: power (bit-exact: integer base/exponent + pow(x,.5)≡sqrt in
     // both Java and glibc libm — verified empirically)
     "e2_pow" -> ((s, d) => formulaQuery("qty ** 2 + pos ** 0.5")(s, d)),
+    // E4: unary minus + precedence (binds tighter than + but looser than **)
+    "e4_neg" -> ((s, d) => formulaQuery("-qty + price")(s, d)),
     // E5: scalar broadcast
     "e5_scalar" -> ((s, d) => formulaQuery("qty * 2.5 + 100")(s, d)),
     // E6: mod & floordiv (positive operands; python≡C here)
@@ -86,6 +88,7 @@ object SparkEntry {
     "e10_fillna" -> ((s, d) => formulaQuery("qty.fillna(0) + pos", fill = false)(s, d)),
     "e11_clip" -> ((s, d) => formulaQuery("qty.clip(5, 20)")(s, d)),
     "e11_sum" -> ((s, d) => formulaQuery("qty.sum()")(s, d)),
+    "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
     "a1_align" -> ((s, d) => {
@@ -864,6 +867,11 @@ object SparkEntry {
         s"CASE WHEN q$j IS NULL THEN 0.0 ELSE LEAST(GREATEST(q$j, 5), 20) END"),
       "e11_sum" ->
         s"$W SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS c$j").mkString(", ")} FROM w",
+      // pandas skipna mean ≡ SQL avg (NULL holes excluded from both count
+      // and sum); quantity sums are integer-valued → exact in any order
+      "e11_mean" ->
+        s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
+      "e4_neg" -> matSql(j => F(s"-q$j + e$j")),
       "e11_norm" -> (s"$W, s AS (SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS s$j").mkString(", ")} FROM w) " +
         s"SELECT __row_id__, ${J.map(j => s"${F(s"q$j / s.s$j")} AS c$j").mkString(", ")} " +
         "FROM w, s ORDER BY __row_id__"),
