@@ -323,16 +323,15 @@ object SparkEntry {
 
     // ---- window analytics (§2.8: ranking + frames) ----
     // grouped top-k: top-3 orders per customer (deterministic tie-break)
-    "w_topk" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      s.read.parquet(s"$d/orders.parquet")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("rn").cast(LongType).as("rn"),
-          col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"), col("rn"))
-    }),
+    // custom TopKPerKey operator (graft.plans): partial bounded heaps →
+    // one exchange → final heaps — replaces the window row_number shape,
+    // which fully sorts every partition before the k-filter runs
+    "w_topk" -> ((s, d) =>
+      graft.plans.TopKPerKey(s.read.parquet(s"$d/orders.parquet"),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3, rankCol = "rn")
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))),
     // analytic frames: lag + running decimal sum + running count per
     // customer in order-date order
     "w_moving" -> ((s, d) => {

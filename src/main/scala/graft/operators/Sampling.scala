@@ -57,16 +57,16 @@ object Sampling {
 
   /** Fixed-size per-stratum sample: exactly min(n, |stratum|) rows per
     * stratum, chosen by hash order (deterministic "random" order with id
-    * tiebreak). One hash shuffle + per-partition sort — the grouped-top-k
-    * shape, rank applied before any wide payload is carried. */
+    * tiebreak). Runs on the custom [[graft.plans.TopKPerKey]] operator:
+    * per-partition bounded heaps cut every upstream partition to ≤ n rows
+    * per stratum BEFORE the shuffle, so the exchange moves samples, not
+    * the corpus — the window row_number formulation this replaces shuffled
+    * and fully sorted every row. */
   def takePerStratum(df: DataFrame, strataCol: String, idCol: String,
                      n: Int, seed: Int = 42): DataFrame = {
     require(n > 0, "n must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(hashUniform(col(idCol), seed), col(idCol))
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= n)
-      .drop("__rn__")
+    graft.plans.TopKPerKey(df, Seq(col(strataCol)),
+        Seq(hashUniform(col(idCol), seed), col(idCol)), n)
+      .drop("__rank__")
   }
 }

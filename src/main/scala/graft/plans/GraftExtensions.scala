@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: interpreted HOF dot products → compiled DotProduct
     ext.injectOptimizerRule(_ => CompiledDotProductRule)
+    // physical strategy for the grouped top-k operator (TopKPerKeyNode →
+    // partial heaps → exchange → final heaps)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     reg(ext, "dot_product", 2,
       "dot_product(a, b) - compiled double dot product of two numeric arrays") {
       args => DotProduct(args(0), args(1))
