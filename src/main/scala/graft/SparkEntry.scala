@@ -84,6 +84,9 @@ object SparkEntry {
       formulaQuery("sqrt(pos) + abs(qty - price) + floor(price)")(s, d)),
     "e9_log" -> ((s, d) =>
       formulaQuery("log(pos) + exp(price * 0.001)", roundTo = Some(6))(s, d)),
+    "e9_trig" -> ((s, d) =>
+      formulaQuery("sin(qty) + cos(price) + arctan2(qty, pos)",
+        roundTo = Some(6))(s, d)),
     // E10/E11: method whitelist
     "e10_fillna" -> ((s, d) => formulaQuery("qty.fillna(0) + pos", fill = false)(s, d)),
     "e11_clip" -> ((s, d) => formulaQuery("qty.clip(5, 20)")(s, d)),
@@ -423,6 +426,16 @@ object SparkEntry {
           max(col("cnt")).as("n_docs"))
         .orderBy(col("lang_pred"))
     }),
+
+    // grouped multi-column distinct counts (Expand-based distinct
+    // aggregation: one shuffle, partial dedup map-side)
+    "g_distinct" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
 
     // ---- set operations (§2.8: union/intersect/except) ----
     "set_ops" -> ((s, d) => {
@@ -843,6 +856,10 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "g_distinct" ->
+        ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+          "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +
+          "FROM lineitem GROUP BY 1 ORDER BY 1"),
       "smp_topn" ->
         (s"SELECT o_orderkey, o_orderstatus FROM (" +
           s"SELECT o_orderkey, o_orderstatus, row_number() OVER (" +
@@ -860,6 +877,10 @@ object SparkEntry {
         s"coalesce((q$j > 1) AND (e$j > 1) OR (q$j = 1), FALSE)"),
       "e9_math" -> matSql(j => F(s"sqrt(p$j) + abs(q$j - e$j) + floor(e$j)")),
       "e9_log" -> matSql(j => s"round(${F(s"ln(p$j) + exp(e$j * 0.001)")},6)"),
+      // numpy arctan2(y, x) ≡ SQL atan2(y, x); libm vs DuckDB differ by
+      // ≤ 1 ulp on trig → round6 both sides (same policy as e9_log)
+      "e9_trig" -> matSql(j =>
+        s"round(${F(s"sin(q$j) + cos(e$j) + atan2(q$j, p$j)")},6)"),
       "e10_fillna" -> matSql(j => s"coalesce(q$j, 0) + p$j"),
       // NB DuckDB's GREATEST skips NULLs (Spark-style), so guard NULL first
       "e11_clip" -> matSql(j =>
