@@ -53,8 +53,10 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      val maxPartialKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.maxPartialKeys", "4000000").toInt
       TopKFinalExec(keys, order, k, rankAttr,
-        TopKPartialExec(keys, order, k, planLater(child))) :: Nil
+        TopKPartialExec(keys, order, k, planLater(child), maxPartialKeys)) :: Nil
     case _ => Nil
   }
 }
@@ -106,9 +108,22 @@ private[plans] trait TopKHeaps { self: UnaryExecNode =>
 }
 
 /** Pre-shuffle partial: cut each upstream partition to ≤ k rows per key.
-  * No distribution requirement — runs wherever the data already is. */
+  * No distribution requirement — runs wherever the data already is.
+  *
+  * Memory safety valve: the heaps are on-heap and do not spill, so a
+  * near-unique key domain (where "k per key" filters almost nothing)
+  * would otherwise buffer the whole partition. Past `maxPartialKeys`
+  * distinct keys the operator DEGRADES to pass-through for the rest of
+  * the partition — emitting a superset of each key's top-k is always
+  * correct here (the final operator filters exactly), it just stops
+  * saving shuffle volume, which a near-unique key domain wasn't going to
+  * allow anyway. The final operator's heap memory is O(keys-in-partition
+  * × k) and is the real sizing contract: this operator targets BOUNDED
+  * key domains (per category / user / stratum); for a near-unique key,
+  * rank over a window instead. */
 case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
-                           k: Int, child: SparkPlan)
+                           k: Int, child: SparkPlan,
+                           maxPartialKeys: Int = 4000000)
     extends UnaryExecNode with TopKHeaps {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -116,8 +131,40 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
       import scala.jdk.CollectionConverters._
-      heapsOf(iter).values().iterator().asScala
-        .flatMap(h => drainSorted(h).iterator)
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val ord = RowOrdering.create(order, child.output)
+      val revCmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      var passThrough = List.empty[Iterator[InternalRow]]
+      var degraded = false
+      while (iter.hasNext && !degraded) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          if (heaps.size >= maxPartialKeys) {
+            // near-unique keys: stop absorbing, ship the rest as-is
+            degraded = true
+            passThrough = List(Iterator.single(
+              row.asInstanceOf[UnsafeRow].copy(): InternalRow) ++ iter)
+          } else {
+            heap = new java.util.PriorityQueue[UnsafeRow](k, revCmp)
+            heaps.put(key.copy(), heap)
+          }
+        }
+        if (!degraded) {
+          if (heap.size < k) heap.add(row.asInstanceOf[UnsafeRow].copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.asInstanceOf[UnsafeRow].copy())
+          }
+        }
+      }
+      heaps.values().iterator().asScala
+        .flatMap(h => drainSorted(h).iterator.map(r => r: InternalRow)) ++
+        passThrough.iterator.flatten
     }
   override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
     copy(child = c)

@@ -59,6 +59,23 @@ class TopKPerKeySpec extends SparkSpec {
       Seq(col("value").desc, col("id")), 3).count() == 0)
   }
 
+  test("partial degrade (key-cardinality cap) keeps results exact") {
+    val df = fixture
+    spark.conf.set("graft.topk.maxPartialKeys", "1") // degrade immediately
+    try {
+      val got = TopKPerKey(df, Seq(col("key")),
+          Seq(col("value").desc, col("id")), k = 4, rankCol = "rn")
+        .select("key", "rn", "id").orderBy("key", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("value").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 4).select("key", "rn", "id").orderBy("key", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
+
   test("no keys = global top-k (AllTuples distribution)") {
     val df = fixture
     val got = TopKPerKey(df, Nil, Seq(col("value").desc, col("id")), 3)
