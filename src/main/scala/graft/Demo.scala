@@ -127,6 +127,16 @@ object Demo {
       Seq("user_id"), "tu", payload = Seq("r_value"))
     aj.orderBy(col("event_id")).show(3)
 
+    println("== custom TopKPerKey operator: top-2 orders per customer ==")
+    val topk = graft.plans.TopKPerKey(
+      spark.read.parquet(s"$sfDir/orders.parquet"),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 2, rankCol = "rn")
+    topk.select("o_custkey", "rn", "o_totalprice")
+      .orderBy(col("o_custkey"), col("rn")).show(4)
+    println("physical plan (partial heaps -> exchange -> final heaps, no sort):")
+    topk.explain()
+
     spark.stop()
   }
 }
