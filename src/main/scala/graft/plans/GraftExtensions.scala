@@ -34,8 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // optimizer rule: interpreted HOF dot products → compiled DotProduct
+    // optimizer rules: interpreted HOF dot products → compiled DotProduct;
+    // row_number()-over-window top-k filters → the custom TopK operator
     ext.injectOptimizerRule(_ => CompiledDotProductRule)
+    ext.injectOptimizerRule(_ => WindowTopKRule)
     // physical strategy for the grouped top-k operator (TopKPerKeyNode →
     // partial heaps → exchange → final heaps)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

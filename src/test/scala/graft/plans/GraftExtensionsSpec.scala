@@ -114,6 +114,47 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q3.head().getDouble(0) == 21.0)
   }
 
+  test("window row_number top-k filter rewrites to the custom TopK operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-sql").toString
+    (for (k <- 0 until 4; i <- 0 until 30)
+      yield (k.toLong, (i % 5).toDouble, (k * 100 + i).toLong))
+      .toDF("key", "value", "id").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("ranked_src")
+    val q = spark.sql(
+      """SELECT key, rn, id FROM (
+        |  SELECT key, id, row_number() OVER
+        |    (PARTITION BY key ORDER BY value DESC, id) AS rn
+        |  FROM ranked_src) WHERE rn <= 4
+        |ORDER BY key, rn""".stripMargin)
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // equivalence against the un-rewritten form (plain window on a
+    // LocalRelation-free path but rule disabled via excludedRules)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.WindowTopKRule")
+    try {
+      val want = spark.sql(
+        """SELECT key, rn, id FROM (
+          |  SELECT key, id, row_number() OVER
+          |    (PARTITION BY key ORDER BY value DESC, id) AS rn
+          |  FROM ranked_src) WHERE rn <= 4
+          |ORDER BY key, rn""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.toSeq == want.toSeq)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    // latest-row-per-key form (rn = 1) rewrites too
+    val q1 = spark.sql(
+      """SELECT key, id FROM (
+        |  SELECT key, id, row_number() OVER
+        |    (PARTITION BY key ORDER BY value DESC, id) AS rn
+        |  FROM ranked_src) WHERE rn = 1""".stripMargin)
+    q1.collect()
+    assert(q1.queryExecution.executedPlan.toString.contains("TopKFinal"))
+  }
+
   test("HOF rewrite and compiled expression agree on length mismatch (null)") {
     import spark.implicits._
     Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
