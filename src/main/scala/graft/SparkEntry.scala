@@ -427,6 +427,17 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    // Misra-Gries heavy-hitters sketch (custom TypedImperativeAggregate):
+    // capacity 8 > the 3-value domain, so every count is exact and the
+    // summary hash-matches a plain group-count oracle (the over-capacity
+    // error-bound behavior is ScalaTest-covered — not SQL-expressible)
+    "agg_hh" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .agg(graft.functions.HeavyHitters
+          .heavy_hitters(col("l_returnflag"), 8).as("hh"))
+        .select(explode(col("hh")).as(Seq("item", "cnt")))
+        .orderBy(col("item"))),
+
     // grouped multi-column distinct counts (Expand-based distinct
     // aggregation: one shuffle, partial dedup map-side)
     "g_distinct" -> ((s, d) =>
@@ -856,6 +867,11 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "agg_hh" ->
+        ("SELECT item, cnt FROM (" +
+          "SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM lineitem GROUP BY 1 " +
+          "UNION ALL SELECT '__err__', 0) ORDER BY item"),
       "g_distinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +

@@ -74,5 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles(words, n) - word n-gram shingle array (first-occurrence distinct)") {
       args => WordShingles(args(0), litInt(args(1), "n"))
     }
+    reg(ext, "heavy_hitters", 2,
+      "heavy_hitters(s, capacity) - Misra-Gries frequent-items sketch: " +
+        "map<item, lower-bound count> (+ '__err__' -> error bound)") {
+      args => graft.functions.MisraGries(args(0), litInt(args(1), "capacity"))
+    }
   }
 }
