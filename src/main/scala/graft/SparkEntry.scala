@@ -560,6 +560,44 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Q5 local-supplier volume: the join cycle (customer↔supplier nation
+    // equality) — true dims broadcast, fact joins shuffle, one agg
+    "h_q5" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      val rev = col("l_extendedprice").cast(d2) *
+        (lit(1).cast(d3) - col("l_discount").cast(d3))
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1997-01-01")))
+      s.read.parquet(s"$d/lineitem.parquet")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$d/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .join(s.read.parquet(s"$d/supplier.parquet"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(s.read.parquet(s"$d/region.parquet"))
+          .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // Q6 forecast-revenue change: pure scan-side query — date range,
+    // discount band and quantity filters all push into the parquet scan
+    "h_q6" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d3))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- deterministic sampling (portable hash order, no rand(): the
     //      sample is reproducible across runs/engines/partitionings and the
     //      Bernoulli forms are pure scan-stage filters — zero shuffle) ----
@@ -858,9 +896,32 @@ object SparkEntry {
          |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
          |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
          |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    val hQ5 =
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(l_extendedprice AS $d12) * $discF) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN read_parquet('$sfDir/supplier.parquet') sup
+         |  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |JOIN read_parquet('$sfDir/region.parquet') reg ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+    val hQ6 =
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS $d12) *
+         |                CAST(l_discount AS $d3)) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
     Map(
       "h_q1" -> hQ1,
       "h_q3" -> hQ3,
+      "h_q5" -> hQ5,
+      "h_q6" -> hQ6,
       "smp_bern" ->
         s"SELECT doc_id FROM documents WHERE ${hashU("doc_id")} < 0.25 ORDER BY doc_id",
       "smp_strat" ->
