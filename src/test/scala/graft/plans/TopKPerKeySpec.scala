@@ -76,6 +76,38 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.maxPartialKeys")
   }
 
+  test("property sweep: random data/k/partitioning always equals row_number") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nRows <- Gen.choose(0, 300)
+      nKeys <- Gen.choose(1, 8)
+      nVals <- Gen.choose(1, 4) // few distinct values → many ties
+      k <- Gen.choose(1, 6)
+      parts <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(nRows, Gen.zip(Gen.choose(0L, nKeys.toLong - 1),
+        Gen.choose(0, nVals - 1).map(_.toDouble)))
+    } yield (rows, k, parts)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 8).foreach { seedI =>
+      val (rows, k, parts) = gen(params,
+        org.scalacheck.rng.Seed(seedI.toLong)).get
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, v, i.toLong) }
+        .toDF("key", "value", "id").repartition(parts)
+      val got = TopKPerKey(df, Seq(col("key")),
+          Seq(col("value").desc, col("id")), k, rankCol = "rn")
+        .select("key", "rn", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("value").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k).select("key", "rn", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq == want.toSeq,
+        s"seed=$seedI k=$k parts=$parts rows=${rows.size}")
+    }
+  }
+
   test("no keys = global top-k (AllTuples distribution)") {
     val df = fixture
     val got = TopKPerKey(df, Nil, Seq(col("value").desc, col("id")), 3)
