@@ -41,6 +41,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy_hitters aggregates a stream in update mode (exact on bounded domain)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = in.toDF()
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("text"), 8).as("hh"))
+      .select(explode(col("hh")).as(Seq("item", "cnt")))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(Doc(ts(0), "alpha"), Doc(ts(1), "alpha"), Doc(ts(2), "beta"))
+      q.processAllAvailable()
+      in.addData(Doc(ts(3), "alpha"), Doc(ts(4), "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("hh_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L,
+        "__err__" -> 0L))
+    } finally q.stop()
+  }
+
   test("streaming quality filter is stateless and matches batch heuristic") {
     val spark2 = spark
     import spark2.implicits._
