@@ -152,6 +152,38 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---- streaming grouped top-k (stateful twin of plans.TopKPerKey) -------
+
+  case class TkRow(key: Long, value: Double, id: Long)
+  case class TkState(rows: List[(Double, Long)])
+
+  /** Streaming grouped top-k: maintain, per key, the k best (value desc,
+    * id asc) rows seen so far; each micro-batch emits a key's CURRENT
+    * top-k whenever it changed (update-style output). State is exactly k
+    * entries per key — the same bounded-heap invariant as the batch
+    * operator's final stage, held incrementally.
+    */
+  def topKStream(rows: Dataset[TkRow], k: Int): Dataset[(Long, Double, Long)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def fn(key: Long, in: Iterator[TkRow],
+           state: GroupState[TkState]): Iterator[(Long, Double, Long)] = {
+      val cur = state.getOption.map(_.rows).getOrElse(Nil)
+      val merged = (cur ++ in.map(r => (r.value, r.id)))
+        .sortWith(better).take(k)
+      if (merged != cur) {
+        state.update(TkState(merged))
+        merged.iterator.map { case (v, id) => (key, v, id) }
+      } else Iterator.empty
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within
     * `joinWindow` AFTER the event. Both sides carry watermarks so the

