@@ -376,13 +376,18 @@ object Dedup {
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_val")))
-    val l = banded.select(col("band"), col("band_val"),
-      col("id").as("id1"), col("simhash").as("s1"))
-    val r = banded.select(col("band"), col("band_val"),
-      col("id").as("id2"), col("simhash").as("s2"))
-    l.join(r, Seq("band", "band_val"))
+    // ids ONLY through the candidate join and dedup (the raw pair set is
+    // the big intermediate — a bucket of b members contributes b² rows per
+    // band); the 64-bit simhashes re-attach per DISTINCT pair afterwards
+    val l = banded.select(col("band"), col("band_val"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("band_val"), col("id").as("id2"))
+    val cand = l.join(r, Seq("band", "band_val"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    cand
+      .join(sim.select(col("id").as("id1"), col("simhash").as("s1")), Seq("id1"))
+      .join(sim.select(col("id").as("id2"), col("simhash").as("s2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
