@@ -183,6 +183,20 @@ object SparkEntry {
       Dedup.duplicateGroups(docs(s, d), pairs02(s, d).select("id1", "id2"))
         .orderBy(col("id"))),
 
+    // dedup KEEP policy: one representative per duplicate group — the
+    // longest doc (token count, id tiebreak) — composed from
+    // duplicateGroups + qualityScore + the custom TopKPerKey (k = 1)
+    "dd_keep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val groups = Dedup.duplicateGroups(dd, pairs02(s, d).select("id1", "id2"))
+      val quality = TextAnalysis.tokenStats(dd)
+        .select(col("doc_id").as("id"), col("n_tokens"))
+      graft.plans.TopKPerKey(groups.join(quality, Seq("id")),
+          Seq(col("group_id")), Seq(col("n_tokens").desc, col("id")), k = 1)
+        .select(col("group_id"), col("id").as("keep_id"), col("n_tokens"))
+        .orderBy(col("group_id"))
+    }),
+
     // ---- similarity ----
     "sim_cosine" -> ((s, d) => {
       val e = embs(s, d)
@@ -232,6 +246,15 @@ object SparkEntry {
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
     "txt_bpe" -> ((s, d) =>
       TextAnalysis.bpeTokenStats(docs(s, d)).orderBy(col("doc_id"))),
+    // corpus 3-gram document frequency: compiled shingle expression →
+    // explode → count → top-20 (TakeOrderedAndProject; partial agg
+    // absorbs the explode multiplier map-side)
+    "txt_ngrams" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(graft.functions.ArrayOps
+          .word_shingles(split(col("text"), " "), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram")).limit(20)),
 
     // X5 extension: star-schema join over the dimension tables — explicit
     // broadcast for the true dims (region/nation/supplier stay small at any
@@ -437,6 +460,15 @@ object SparkEntry {
           .heavy_hitters(col("l_returnflag"), 8).as("hh"))
         .select(explode(col("hh")).as(Seq("item", "cnt")))
         .orderBy(col("item"))),
+
+    // pivoted aggregation: returnflag columns × linestatus rows, decimal-
+    // exact sums (Spark's relational pivot — one partial agg + one shuffle)
+    "g_pivot" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy(col("l_linestatus"))),
 
     // grouped multi-column distinct counts (Expand-based distinct
     // aggregation: one shuffle, partial dedup map-side)
@@ -752,6 +784,25 @@ object SparkEntry {
          |  UNION
          |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.id)
          |SELECT id, min(l) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+    // keep policy: longest doc (token count, id tiebreak) per duplicate
+    // group — the ddGroups closure + token counts + rank-1 selection
+    val ddKeep =
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM est WHERE est_jaccard >= 0.2
+         |          UNION ALL
+         |          SELECT id2 AS a, id1 AS b FROM est WHERE est_jaccard >= 0.2),
+         |reach(id, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.id),
+         |grp AS (SELECT id, min(l) AS group_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, $tokSql AS n_tokens FROM documents)
+         |SELECT group_id, id AS keep_id, n_tokens FROM (
+         |  SELECT g.group_id, g.id, q.n_tokens,
+         |         row_number() OVER (PARTITION BY g.group_id
+         |                            ORDER BY q.n_tokens DESC, g.id) AS rn
+         |  FROM grp g JOIN q ON g.id = q.doc_id)
+         |WHERE rn = 1 ORDER BY group_id""".stripMargin
     val ddJaccard =
       s"""WITH ${minhashCtes()},
          |shl AS (SELECT doc_id, list_distinct($shingleList) AS shset FROM toks)
@@ -928,6 +979,19 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "dd_keep" -> ddKeep,
+      "txt_ngrams" ->
+        (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |sh AS (SELECT doc_id, unnest(list_distinct($shingleList)) AS ngram FROM toks)
+            |SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM sh
+            |GROUP BY 1 ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin),
+      "g_pivot" ->
+        ("SELECT l_linestatus, " +
+          Seq("A", "N", "R").map(f =>
+            s"CAST(sum(CASE WHEN l_returnflag = '$f' THEN " +
+              s"CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS \"$f\"")
+            .mkString(", ") +
+          " FROM lineitem GROUP BY 1 ORDER BY l_linestatus"),
       "agg_hh" ->
         ("SELECT item, cnt FROM (" +
           "SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt " +
