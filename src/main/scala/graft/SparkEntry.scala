@@ -518,6 +518,32 @@ object SparkEntry {
         .orderBy(col("win_hour"), col("event_type"))
     }),
 
+    // time-series regularization: hourly resample per user with forward
+    // fill over the gaps (grid from sequence-explode, ONE window per key)
+    "ev_ffill" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      TimeSeries.resampleForwardFill(ev, "user_id",
+          expr("(ts div 1000) div 3600000000"), "value")
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // range-frame window: per customer, rolling 15-day order-value sum
+    // (RANGE frame on epoch days — value-based, tie-inclusive)
+    "w_range" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_date(to_date(col("o_orderdate"))).cast(LongType).as("day"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("tp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-15, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("tp")).over(w).cast(DoubleType).as("sum_15d"),
+          count(lit(1)).over(w).as("n_15d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- skew playbook (results must be salt-invariant: the oracle is
     //      the plain unsalted SQL) ----
     "sk_agg" -> ((s, d) => {
@@ -979,6 +1005,30 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "ev_ffill" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value
+           |           FROM read_parquet('$sfDir/events.parquet')),
+           |a AS (SELECT user_id, bucket, sum(CAST(value AS DECIMAL(18,2))) AS v,
+           |             CAST(count(*) AS BIGINT) AS n
+           |      FROM e GROUP BY 1, 2),
+           |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY 1),
+           |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM b),
+           |j AS (SELECT g.user_id, g.bucket, a.v, coalesce(a.n, 0) AS n_events
+           |      FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket)
+           |SELECT user_id, bucket, n_events,
+           |       CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           |            ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_filled
+           |FROM j ORDER BY user_id, bucket""".stripMargin,
+      "w_range" ->
+        s"""SELECT o_orderkey, o_custkey, day,
+           |  CAST(sum(tp) OVER w AS DOUBLE) AS sum_15d,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_15d
+           |FROM (SELECT o_orderkey, o_custkey,
+           |        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           |        CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders)
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+           |             RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin,
       "dd_keep" -> ddKeep,
       "txt_ngrams" ->
         (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
