@@ -672,6 +672,32 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
         .orderBy(col("o_orderstatus"), col("o_orderkey"))),
 
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys pair
+    // with the NULL dim row instead of dropping out
+    "j_nullsafe" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 7).as("k"))
+      val dim = s.range(0, 7).select(col("id").as("k"))
+        .union(s.range(1).select(lit(null).cast(LongType).as("k")))
+        .withColumn("lbl", coalesce(col("k").cast(StringType), lit("none")))
+      o.join(broadcast(dim), o("k") <=> dim("k"))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lbl"))
+    }),
+
+    // SQL surface end-to-end: the compiled expressions registered on the
+    // gate's own (extensions-less) session at RUNTIME, driven via spark.sql
+    "x7_sql" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureFunctions(s)
+      docs(s, d).createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT doc_id,
+               |       md5_long60('0:' || text) AS h,
+               |       rolling_hash_portable(split(text, ' ')) AS rh,
+               |       simhash60(split(text, ' ')) AS sh
+               |FROM graft_docs_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -1005,6 +1031,36 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "j_nullsafe" ->
+        ("""WITH o AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+           |                       ELSE o_orderkey % 7 END AS k FROM orders),
+           |d AS (SELECT CAST(x AS BIGINT) AS k, CAST(x AS VARCHAR) AS lbl
+           |      FROM generate_series(0, 6) t(x)
+           |      UNION ALL SELECT NULL, 'none')
+           |SELECT lbl, CAST(count(*) AS BIGINT) AS n
+           |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "x7_sql" -> {
+        val bitSums = (0 until 60)
+          .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS b$b").mkString(", ")
+        val shBits = (0 until 60)
+          .map(b => s"(CASE WHEN b$b > 0 THEN 1::BIGINT << $b ELSE 0::BIGINT END)")
+          .mkString(" | ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |hh AS (SELECT doc_id, ${mdInt("'0:' || t")} AS h
+           |       FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+           |bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+           |shv AS (SELECT doc_id, $shBits AS sh FROM bits),
+           |rhv AS (SELECT doc_id, list_reduce(
+           |          list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+           |            t -> ${mdInt("'0:' || t")} % 1048576)),
+           |          (acc, x) -> (acc * 1000003 + x) % 1099511627776) AS rh
+           |        FROM documents)
+           |SELECT d.doc_id, ${mdInt("'0:' || d.text")} AS h, rhv.rh, shv.sh
+           |FROM documents d JOIN rhv ON d.doc_id = rhv.doc_id
+           |JOIN shv ON d.doc_id = shv.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
       "ev_ffill" ->
         s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value
            |           FROM read_parquet('$sfDir/events.parquet')),

@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, DotProductExact, Md5Long60, MinHashSig,
@@ -10,29 +11,18 @@ import graft.functions.{DotProduct, DotProductExact, Md5Long60, MinHashSig,
   * expressions as native SQL functions, so `spark.sql` users (and pure-SQL
   * tooling layered on the session) get the same fast paths as the Column
   * API in `graft.functions.ArrayOps` — callable as `dot_product(a, b)`,
-  * `dot_product_exact(a, b)`, `rolling_hash_portable(arr)`.
+  * `dot_product_exact(a, b)`, `rolling_hash_portable(arr)` — plus the
+  * optimizer rules and the custom-operator planner strategy.
   *
-  * Wire-up (either mechanism works):
+  * Wire-up (any of the three works):
   * {{{
   *   SparkSession.builder()
   *     .withExtensions(new GraftExtensions)                       // in-code
   *     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+  *   GraftExtensions.ensureFunctions(spark)   // runtime, existing session
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
-
-  private def reg(ext: SparkSessionExtensions, name: String, arity: Int,
-                  usage: String)(build: Seq[Expression] => Expression): Unit =
-    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
-      (args: Seq[Expression]) => {
-        require(args.length == arity,
-          s"$name expects $arity argument(s), got ${args.length}")
-        build(args)
-      }))
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rules: interpreted HOF dot products → compiled DotProduct;
     // row_number()-over-window top-k filters → the custom TopK operator
@@ -41,43 +31,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical strategy for the grouped top-k operator (TopKPerKeyNode →
     // partial heaps → exchange → final heaps)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
-    reg(ext, "dot_product", 2,
-      "dot_product(a, b) - compiled double dot product of two numeric arrays") {
-      args => DotProduct(args(0), args(1))
-    }
-    reg(ext, "dot_product_exact", 2,
-      "dot_product_exact(a, b) - order-independent decimal-summed dot product") {
-      args => DotProductExact(args(0), args(1))
-    }
-    reg(ext, "rolling_hash_portable", 1,
-      "rolling_hash_portable(arr) - engine-portable rolling hash of a string array") {
-      args => PortableRollingHash(args(0))
-    }
-    reg(ext, "md5_long60", 1,
-      "md5_long60(s) - first 15 hex digits of md5(s) as a long (portable 60-bit hash)") {
-      args => Md5Long60(args(0))
-    }
-    def litInt(e: Expression, what: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case _ => throw new IllegalArgumentException(s"$what must be an int literal")
-    }
-    reg(ext, "minhash_sig", 3,
-      "minhash_sig(words, n, k) - portable k-slot MinHash signature of a token array") {
-      args => MinHashSig(args(0), litInt(args(1), "n"),
-        graft.operators.Dedup.uhParams(litInt(args(2), "k")))
-    }
-    reg(ext, "simhash60", 1,
-      "simhash60(words) - portable 60-bit SimHash of a token array") {
-      args => SimHash60(args(0))
-    }
-    reg(ext, "word_shingles", 2,
-      "word_shingles(words, n) - word n-gram shingle array (first-occurrence distinct)") {
-      args => WordShingles(args(0), litInt(args(1), "n"))
-    }
-    reg(ext, "heavy_hitters", 2,
-      "heavy_hitters(s, capacity) - Misra-Gries frequent-items sketch: " +
-        "map<item, lower-bound count> (+ '__err__' -> error bound)") {
-      args => graft.functions.MisraGries(args(0), litInt(args(1), "capacity"))
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
     }
   }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
+  /** The SQL function surface (name, usage, builder) — shared between the
+    * build-time extensions path and runtime registration. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      "dot_product(a, b) - compiled double dot product of two numeric arrays",
+      arity("dot_product", 2)(a => DotProduct(a(0), a(1)))),
+    ("dot_product_exact",
+      "dot_product_exact(a, b) - order-independent decimal-summed dot product",
+      arity("dot_product_exact", 2)(a => DotProductExact(a(0), a(1)))),
+    ("rolling_hash_portable",
+      "rolling_hash_portable(arr) - engine-portable rolling hash of a string array",
+      arity("rolling_hash_portable", 1)(a => PortableRollingHash(a(0)))),
+    ("md5_long60",
+      "md5_long60(s) - first 15 hex digits of md5(s) as a long (portable 60-bit hash)",
+      arity("md5_long60", 1)(a => Md5Long60(a(0)))),
+    ("minhash_sig",
+      "minhash_sig(words, n, k) - portable k-slot MinHash signature of a token array",
+      arity("minhash_sig", 3)(a => MinHashSig(a(0), litInt(a(1), "n"),
+        graft.operators.Dedup.uhParams(litInt(a(2), "k"))))),
+    ("simhash60",
+      "simhash60(words) - portable 60-bit SimHash of a token array",
+      arity("simhash60", 1)(a => SimHash60(a(0)))),
+    ("word_shingles",
+      "word_shingles(words, n) - word n-gram shingle array (first-occurrence distinct)",
+      arity("word_shingles", 2)(a => WordShingles(a(0), litInt(a(1), "n")))),
+    ("heavy_hitters",
+      "heavy_hitters(s, capacity) - Misra-Gries frequent-items sketch: " +
+        "map<item, lower-bound count> (+ '__err__' -> error bound)",
+      arity("heavy_hitters", 2)(a =>
+        graft.functions.MisraGries(a(0), litInt(a(1), "capacity")))))
+
+  /** Idempotently register the SQL function surface on an EXISTING session
+    * (extensions bind at build time; this is the runtime path — e.g. a
+    * notebook session the user cannot rebuild). Re-registration simply
+    * overwrites with an identical builder. */
+  def ensureFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      GraftColumnBridge.registerFunction(spark,
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
 }

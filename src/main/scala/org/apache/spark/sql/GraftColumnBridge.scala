@@ -19,4 +19,15 @@ object GraftColumnBridge {
   /** The analyzed logical plan backing a DataFrame. */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Runtime SQL-function registration on an EXISTING session (the
+    * extensions path binds at session build; `sessionState` is
+    * `private[sql]`). Used by GraftExtensions.ensureFunctions. */
+  def registerFunction(spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }
