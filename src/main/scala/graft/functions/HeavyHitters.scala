@@ -9,8 +9,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Misra–Gries heavy-hitters sketch as a custom `TypedImperativeAggregate`
-  * — the aggregate-function extension tier. The classic question at corpus
+/** Misra–Gries heavy-hitters sketch (Misra & Gries, "Finding repeated
+  * elements", Sci. Comput. Program. 2(2), 1982; merge step per Agarwal et
+  * al., "Mergeable summaries", PODS 2012) as a custom
+  * `TypedImperativeAggregate` — the aggregate-function extension tier. The
+  * classic question at corpus
   * scale ("which domains / languages / tokens dominate the training data?")
   * needs frequent items over billions of rows; an exact groupBy-count
   * materializes the full key domain through a shuffle, while this sketch

@@ -3,8 +3,12 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, and n-gram Jaccard (BASELINE.json north star).
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * (Broder, "On the resemblance and containment of documents", SEQUENCES
+  * 1997; banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+  * ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002), and n-gram Jaccard (BASELINE.json
+  * north star).
   *
   * Scale design:
   *  - exact dedup is one hash-groupBy (map-side partial agg, one shuffle);
