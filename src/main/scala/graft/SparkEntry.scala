@@ -197,6 +197,29 @@ object SparkEntry {
         .orderBy(col("group_id"))
     }),
 
+    // the end-to-end curation pipeline — the flagship composition a
+    // training-data user runs: dedup to one representative per duplicate
+    // group (longest doc), then language + length gates, then a
+    // deterministic 50% downsample. Every stage is one of the catalog's
+    // operators; the whole pipeline is one lazy plan.
+    "pipe_curate" -> ((s, d) => {
+      val dd = docs(s, d)
+      val stats = TextAnalysis.tokenStats(dd).select(col("doc_id").as("id"),
+        col("n_tokens"))
+      val lang = dd.select(col("doc_id").as("lid"),
+        TextAnalysis.langPred(col("text")).as("lang_pred"))
+      val groups = Dedup.duplicateGroups(dd, pairs02(s, d).select("id1", "id2"))
+      val reps = graft.plans.TopKPerKey(groups.join(stats, Seq("id")),
+          Seq(col("group_id")), Seq(col("n_tokens").desc, col("id")), k = 1)
+        .select(col("id"), col("group_id"), col("n_tokens"))
+      reps
+        .join(lang, reps("id") === lang("lid"))
+        .filter(col("lang_pred") =!= "und" && col("n_tokens").between(20, 2000))
+        .filter(Sampling.hashUniform(col("id")) < 0.5)
+        .select(col("id"), col("group_id"), col("n_tokens"), col("lang_pred"))
+        .orderBy(col("id"))
+    }),
+
     // ---- similarity ----
     "sim_cosine" -> ((s, d) => {
       val e = embs(s, d)
@@ -736,6 +759,14 @@ object SparkEntry {
     val scoreSql = markers.map { case (l, ws) =>
       l -> s"(${ws.map(wordOccSql).mkString(" + ")})"
     }.toMap
+    // langPred mirror: argmax of marker votes with the Spark reduceLeft's
+    // strictly-greater-wins tie order (earlier language wins ties), 'und'
+    // when no marker fires — shared by txt_langid and pipe_curate
+    val langPredSql =
+      s"CASE WHEN GREATEST(${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("de")}, ${scoreSql("fr")}) = 0 THEN 'und' " +
+        s"WHEN ${scoreSql("en")} >= ${scoreSql("es")} AND ${scoreSql("en")} >= ${scoreSql("de")} AND ${scoreSql("en")} >= ${scoreSql("fr")} THEN 'en' " +
+        s"WHEN ${scoreSql("es")} >= ${scoreSql("de")} AND ${scoreSql("es")} >= ${scoreSql("fr")} THEN 'es' " +
+        s"WHEN ${scoreSql("de")} >= ${scoreSql("fr")} THEN 'de' ELSE 'fr' END"
     // exact-decimal cosine of every embedding vs the vec_id=0 query vector
     val cosineCore =
       """WITH q AS (SELECT unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
@@ -1086,6 +1117,28 @@ object SparkEntry {
            |             RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)
            |ORDER BY o_orderkey""".stripMargin,
       "dd_keep" -> ddKeep,
+      "pipe_curate" ->
+        s"""WITH RECURSIVE ${minhashCtes()},
+           |edges AS (SELECT id1 AS a, id2 AS b FROM est WHERE est_jaccard >= 0.2
+           |          UNION ALL
+           |          SELECT id2 AS a, id1 AS b FROM est WHERE est_jaccard >= 0.2),
+           |reach(id, l) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.id),
+           |grp AS (SELECT id, min(l) AS group_id FROM reach GROUP BY id),
+           |q AS (SELECT doc_id, $tokSql AS n_tokens FROM documents),
+           |reps AS (SELECT group_id, id, n_tokens FROM (
+           |  SELECT g.group_id, g.id, q.n_tokens,
+           |         row_number() OVER (PARTITION BY g.group_id
+           |                            ORDER BY q.n_tokens DESC, g.id) AS rn
+           |  FROM grp g JOIN q ON g.id = q.doc_id) WHERE rn = 1),
+           |lp AS (SELECT doc_id, $langPredSql AS lang_pred FROM documents)
+           |SELECT r.id, r.group_id, r.n_tokens, lp.lang_pred
+           |FROM reps r JOIN lp ON r.id = lp.doc_id
+           |WHERE lp.lang_pred <> 'und' AND r.n_tokens BETWEEN 20 AND 2000
+           |  AND ${hashU("r.id")} < 0.5
+           |ORDER BY r.id""".stripMargin,
       "txt_ngrams" ->
         (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             |sh AS (SELECT doc_id, unnest(list_distinct($shingleList)) AS ngram FROM toks)
@@ -1366,11 +1419,7 @@ object SparkEntry {
       "txt_langid" ->
         (s"SELECT doc_id, ${scoreSql("en")} AS score_en, ${scoreSql("es")} AS score_es, " +
           s"${scoreSql("de")} AS score_de, ${scoreSql("fr")} AS score_fr, " +
-          s"CASE WHEN GREATEST(${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("de")}, ${scoreSql("fr")}) = 0 THEN 'und' " +
-          s"WHEN ${scoreSql("en")} >= ${scoreSql("es")} AND ${scoreSql("en")} >= ${scoreSql("de")} AND ${scoreSql("en")} >= ${scoreSql("fr")} THEN 'en' " +
-          s"WHEN ${scoreSql("es")} >= ${scoreSql("de")} AND ${scoreSql("es")} >= ${scoreSql("fr")} THEN 'es' " +
-          s"WHEN ${scoreSql("de")} >= ${scoreSql("fr")} THEN 'de' ELSE 'fr' END AS lang_pred " +
-          "FROM documents ORDER BY doc_id"),
+          s"$langPredSql AS lang_pred FROM documents ORDER BY doc_id"),
       "txt_fp" ->
         ("SELECT doc_id, substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp " +
           "FROM documents ORDER BY doc_id"),
