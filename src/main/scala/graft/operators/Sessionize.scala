@@ -100,7 +100,13 @@ object Sessionize {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // Spark rejects a timeout at or before the current watermark; a
+          // late-but-in-watermark event for an already-expired session
+          // would otherwise throw (and the restart replays the same batch
+          // and throws again) — clamp to watermark+1 so the session closes
+          // at the next trigger instead (same guard as nearDupStream)
+          state.setTimeoutTimestamp(math.max(s.end + gapMs,
+            state.getCurrentWatermarkMs() + 1))
         }
         closed.reverse.iterator
       }
