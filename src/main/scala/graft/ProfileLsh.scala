@@ -32,7 +32,8 @@ object ProfileLsh {
     val pairsRaw = t("pairs join") {
       val sized = banded.groupBy("band", "band_hash")
         .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
-      println(sized.filter(col("n") > 256).count() + " buckets dropped")
+      val dropped = sized.filter(col("n") > 256).count()
+      println(s"$dropped buckets dropped")
       -1
     }
     val full = t("full minhashLsh")(Dedup.minhashLsh(docs, threshold = 0.2).count())

@@ -41,7 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage,
+      "", "", "", "", "", "", "scala_udf")
 
   private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
       : Seq[Expression] => Expression =
