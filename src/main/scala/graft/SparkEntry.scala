@@ -451,24 +451,32 @@ object SparkEntry {
     // differently)
     "txt_quantile" -> ((s, d) => {
       // one projection computes both density and language — a join of the
-      // two derived tables would re-scan the corpus twice and shuffle both
+      // two derived tables would re-scan the corpus twice and shuffle both.
+      // Quantiles run on GROUPED (language, density) COUNTS, not raw rows:
+      // the per-language window then walks distinct 6-decimal densities
+      // (bounded cardinality at any corpus size), so the ≤-#languages
+      // parallelism ceiling of a rows-level window applies only to a
+      // pre-aggregated table the map-side combine already collapsed.
+      // Rank selection is unchanged: quantile q = the smallest density
+      // whose running count reaches ceil(n·q).
       val t = col("text")
-      val j = docs(s, d).select(col("doc_id"),
+      val j = docs(s, d).select(
         round(TextAnalysis.tokenCount(t).cast("double")
           / length(t).cast("double"), 6).as("token_density"),
         TextAnalysis.langPred(t).as("lang_pred"))
+      val counts = j.groupBy(col("lang_pred"), col("token_density"))
+        .agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang_pred"))
-        .orderBy(col("token_density"), col("doc_id"))
+        .partitionBy(col("lang_pred")).orderBy(col("token_density"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_pred"))
-      j.select(col("lang_pred"), col("token_density"),
-          row_number().over(w).cast(LongType).as("rn"),
-          count(lit(1)).over(cw).as("cnt"))
+      counts.select(col("lang_pred"), col("token_density"),
+          sum(col("c")).over(w).as("cum"), sum(col("c")).over(cw).as("cnt"))
         .groupBy(col("lang_pred"))
         .agg(
-          max(when(col("rn") === ceil(col("cnt") * 0.25), col("token_density"))).as("p25"),
-          max(when(col("rn") === ceil(col("cnt") * 0.5), col("token_density"))).as("p50"),
-          max(when(col("rn") === ceil(col("cnt") * 0.9), col("token_density"))).as("p90"),
+          min(when(col("cum") >= ceil(col("cnt") * 0.25), col("token_density"))).as("p25"),
+          min(when(col("cum") >= ceil(col("cnt") * 0.5), col("token_density"))).as("p50"),
+          min(when(col("cum") >= ceil(col("cnt") * 0.9), col("token_density"))).as("p90"),
           max(col("cnt")).as("n_docs"))
         .orderBy(col("lang_pred"))
     }),
