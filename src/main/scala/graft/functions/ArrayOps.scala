@@ -144,9 +144,16 @@ case class PortableRollingHash(child: Expression)
   * md5_long60("0:" + shingle) and derives slot k as
   * (a_k * (h % P) + b_k) % P over the Mersenne prime P = 2^31-1; the
   * signature slot is the min over shingles. Duplicate shingles cannot
-  * affect a min, so no distinct pass is needed. */
+  * affect a min, so no distinct pass is needed.
+  *
+  * xxhash mode (`portable = false`): slot k is Spark-native
+  * `xxhash64(lit(k), shingle)` — reproduced exactly by seeding
+  * XxHash64Function with the hash of the integer literal, so results stay
+  * bit-identical to the previous explode+groupBy formulation (and to the
+  * streaming near-dup signatures). */
 case class MinHashSig(child: Expression, n: Int,
-                      params: Seq[(Long, Long)])
+                      params: Seq[(Long, Long)],
+                      portable: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with CodegenFallback {
 
@@ -163,30 +170,45 @@ case class MinHashSig(child: Expression, n: Int,
 
   @transient private lazy val as: Array[Long] = params.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+  // xxhash mode: seed of slot k = the running hash xxhash64(lit(k), ·)
+  // carries after its first (integer-literal) child
+  @transient private lazy val xxSeeds: Array[Long] =
+    (0 until params.length).map(s =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.IntegerType, 42L)).toArray
 
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    val k = as.length
+    val k = params.length
     val mins = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)
     def hashShingle(from: Int, until: Int): Unit = {
       sb.setLength(0)
-      sb.append("0:")
+      if (portable) sb.append("0:")
       var j = from
       while (j < until) {
         if (j > from) sb.append(' ')
         sb.append(arr.getUTF8String(j).toString)
         j += 1
       }
-      val base = GraftHash.md5Long60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)) %
-        GraftHash.UhPrime
-      var s = 0
-      while (s < k) {
-        val v = (base * as(s) + bs(s)) % GraftHash.UhPrime
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      if (portable) {
+        val base = GraftHash.md5Long60(u) % GraftHash.UhPrime
+        var s = 0
+        while (s < k) {
+          val v = (base * as(s) + bs(s)) % GraftHash.UhPrime
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      } else {
+        var s = 0
+        while (s < k) {
+          val v = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(u, org.apache.spark.sql.types.StringType, xxSeeds(s))
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
     }
     if (m >= n) {
@@ -373,8 +395,9 @@ object ArrayOps {
 
   /** k-slot portable MinHash signature of a token-array column (one compiled
     * pass per row; no shuffle). */
-  def minhash_sig(words: Column, n: Int, params: Seq[(Long, Long)]): Column =
-    GraftColumnBridge.column(MinHashSig(expr(words), n, params))
+  def minhash_sig(words: Column, n: Int, params: Seq[(Long, Long)],
+                  portable: Boolean = true): Column =
+    GraftColumnBridge.column(MinHashSig(expr(words), n, params, portable))
 
   /** 60-bit portable SimHash of a token-array column (one compiled pass). */
   def simhash60(words: Column): Column =

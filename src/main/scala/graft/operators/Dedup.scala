@@ -101,25 +101,17 @@ object Dedup {
     * ran interpreted with its shingle subtree duplicated k× by
     * CollapseProject — both measured far slower.)
     *
-    * xxhash64 mode (portable = false) keeps the explode+groupBy shape: its
-    * k independent seeded hashes are Spark-native codegen'd expressions,
-    * and the map-side partial-min combine still reduces the shuffle to k
-    * longs per document.
+    * xxhash64 mode (portable = false) runs the same compiled expression
+    * with per-slot `xxhash64(lit(k), shingle)` hashes — bit-identical to
+    * the previous explode+groupBy formulation (asserted in OperatorsSpec)
+    * and to the streaming near-dup signatures, with the same zero-shuffle
+    * shape as portable mode.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, k: Int, portable: Boolean = false): DataFrame = {
-    if (portable)
-      return docs.select(col(idCol).as("id"),
-        graft.functions.ArrayOps.minhash_sig(
-          split(col(textCol), " "), n, uhParams(k)).as("sig"))
-    val sh = tokenized(docs, textCol, idCol)
-      .select(col("id"), explode(shinglesOf(col("words"), n)).as("s"))
-    val hashed = sh.select((col("id") +: (0 until k).map(seed =>
-      slotHash(portable)(seed, col("s")).as(s"h$seed"))): _*)
-    val mins = (0 until k).map(seed => min(col(s"h$seed")).as(s"m$seed"))
-    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(seed => col(s"m$seed")): _*).as("sig"))
-  }
+                        n: Int, k: Int, portable: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.ArrayOps.minhash_sig(
+        split(col(textCol), " "), n, uhParams(k), portable).as("sig"))
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *

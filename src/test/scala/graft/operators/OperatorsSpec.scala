@@ -53,6 +53,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated
   }
 
+  test("compiled xx-mode minhash equals the xxhash64 expression formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "ab")).toDF("doc_id", "text")
+    val n = 3; val k = 8
+    val got = Dedup.minhashSignatures(docs, "text", "doc_id", n, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // reference formulation: explode distinct shingles, k seeded
+    // xxhash64(lit(seed), shingle) columns, per-doc minima
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shinglesOf(split(col("text"), " "), n)).as("s"))
+    val want = sh.groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until k).map(seed => min(xxhash64(lit(seed), col("s"))).as(s"m$seed")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(i => r.getLong(i + 1)).toVector).toMap
+    assert(got == want)
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val cand = Dedup.minhashLsh(docs, threshold = 0.1).select("id1", "id2")
     val j = Dedup.ngramJaccard(docs, cand).collect()
