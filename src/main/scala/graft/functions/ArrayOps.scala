@@ -221,14 +221,16 @@ case class MinHashSig(child: Expression, n: Int,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** 60-bit portable SimHash of a token array in ONE compiled pass per row —
-  * replaces the explode(words) → packed-lane sums → groupBy(id) pipeline
-  * with a shuffle-free projection. Parity contract: per token
-  * h = md5_long60("0:" + token); bit b of the result is set iff strictly
-  * more than half of the document's tokens (duplicates counted) have bit b
-  * set in h. Identical to the lane-packed aggregate formulation and its
-  * DuckDB oracle. */
-case class SimHash60(child: Expression)
+/** SimHash of a token array in ONE compiled pass per row — replaces the
+  * explode(words) → packed-lane sums → groupBy(id) pipeline with a
+  * shuffle-free projection. Parity contract: per token, portable mode
+  * hashes h = md5_long60("0:" + token) (60 bits); xx mode hashes
+  * h = xxhash64(lit(0), token) (64 bits, seeded exactly as the Spark
+  * expression chain). Bit b of the result is set iff strictly more than
+  * half of the document's tokens (duplicates counted) have bit b set in h.
+  * Identical to the lane-packed aggregate formulation and its DuckDB
+  * oracle. */
+case class SimHash60(child: Expression, portable: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with CodegenFallback {
 
@@ -243,17 +245,25 @@ case class SimHash60(child: Expression)
         s"simhash60 expects array<string>, got ${t.simpleString}")
     }
 
+  @transient private lazy val xxSeed: Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      0, org.apache.spark.sql.types.IntegerType, 42L)
+
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    val ones = new Array[Int](60)
+    val nBits = if (portable) 60 else 64
+    val ones = new Array[Int](nBits)
     val prefix = org.apache.spark.unsafe.types.UTF8String.fromString("0:")
     var i = 0
     while (i < m) {
-      val h = GraftHash.md5Long60(
-        org.apache.spark.unsafe.types.UTF8String.concat(prefix, arr.getUTF8String(i)))
+      val h =
+        if (portable) GraftHash.md5Long60(org.apache.spark.unsafe.types
+          .UTF8String.concat(prefix, arr.getUTF8String(i)))
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(i), org.apache.spark.sql.types.StringType, xxSeed)
       var b = 0
-      while (b < 60) {
+      while (b < nBits) {
         if (((h >>> b) & 1L) == 1L) ones(b) += 1
         b += 1
       }
@@ -261,7 +271,7 @@ case class SimHash60(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 60) {
+    while (b < nBits) {
       if (ones(b) * 2 > m) out |= (1L << b)
       b += 1
     }
@@ -399,9 +409,10 @@ object ArrayOps {
                   portable: Boolean = true): Column =
     GraftColumnBridge.column(MinHashSig(expr(words), n, params, portable))
 
-  /** 60-bit portable SimHash of a token-array column (one compiled pass). */
-  def simhash60(words: Column): Column =
-    GraftColumnBridge.column(SimHash60(expr(words)))
+  /** SimHash of a token-array column (one compiled pass; 60-bit portable
+    * md5 by default, 64-bit xxhash with portable = false). */
+  def simhash60(words: Column, portable: Boolean = true): Column =
+    GraftColumnBridge.column(SimHash60(expr(words), portable))
 
   /** Compiled word n-gram shingle array (first-occurrence distinct). */
   def word_shingles(words: Column, n: Int): Column =

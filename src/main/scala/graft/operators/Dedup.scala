@@ -319,21 +319,30 @@ object Dedup {
     out
   }
 
-  /** SimHash: per-bit majority vote of token hashes.
-    *
-    * Portable mode (60 bits of [[portableHash]], reproducible in any SQL
-    * engine) runs the compiled [[graft.functions.SimHash60]] expression:
-    * hashing and the 60 majority counters are one per-row loop in a narrow
-    * projection — no explode, no groupBy, no shuffle; a pure map at any
-    * corpus size. xxhash64 mode (64 bits) keeps the explode + lane-packed
-    * aggregate shape below (its hash is Spark-native and codegen'd;
-    * map-side combine keeps the shuffle at one long per lane-group). */
+  /** SimHash: per-bit majority vote of token hashes, computed by the
+    * compiled [[graft.functions.SimHash60]] expression — hashing and the
+    * majority counters are one per-row loop in a narrow projection; no
+    * explode, no groupBy, no shuffle; a pure map at any corpus size.
+    * Portable mode: 60 bits of [[portableHash]] (reproducible in any SQL
+    * engine — the oracle-checked mode). xxhash mode: 64 bits of
+    * `xxhash64(lit(0), token)`, bit-identical to the lane-packed aggregate
+    * formulation it replaces (kept below as [[simhashAggregated]] — the
+    * reference shape for an engine without custom expressions). */
   def simhash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
-    if (portable)
-      return docs.select(col(idCol).as("id"),
-        graft.functions.ArrayOps.simhash60(split(col(textCol), " ")).as("simhash"))
-    val nBits = 64
+              idCol: String = "doc_id", portable: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.ArrayOps.simhash60(split(col(textCol), " "), portable)
+        .as("simhash"))
+
+  /** The aggregate SimHash formulation (explode + lane-packed bit sums +
+    * groupBy): what the operator compiles to WITHOUT a custom expression.
+    * Retained as the parity reference ([[simhash]] must equal it bit for
+    * bit — asserted in OperatorsSpec) and as documentation of the
+    * map-side-combine shape. */
+  def simhashAggregated(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
     // Pack 3 per-bit one-counters into 20-bit lanes of each sum: 3× fewer
     // aggregate buffers (the agg update, not the shuffle, dominates — the
     // shuffle is one long per lane-group per doc either way). Lane counts

@@ -75,6 +75,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("compiled simhash equals the lane-packed aggregate formulation, both modes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "x")).toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val got = Dedup.simhash(docs, portable = portable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.simhashAggregated(docs, portable = portable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"portable=$portable")
+    }
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val cand = Dedup.minhashLsh(docs, threshold = 0.1).select("id1", "id2")
     val j = Dedup.ngramJaccard(docs, cand).collect()
