@@ -489,7 +489,8 @@ object SparkEntry {
       s.read.parquet(s"$d/lineitem.parquet")
         .agg(graft.functions.HeavyHitters
           .heavy_hitters(col("l_returnflag"), 8).as("hh"))
-        .select(explode(col("hh")).as(Seq("item", "cnt")))
+        .select(explode(col("hh.items")).as(Seq("item", "cnt")),
+          col("hh.err").as("err"))
         .orderBy(col("item"))),
 
     // pivoted aggregation: returnflag columns × linestatus rows, decimal-
@@ -1160,10 +1161,9 @@ object SparkEntry {
             .mkString(", ") +
           " FROM lineitem GROUP BY 1 ORDER BY l_linestatus"),
       "agg_hh" ->
-        ("SELECT item, cnt FROM (" +
-          "SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt " +
-          "FROM lineitem GROUP BY 1 " +
-          "UNION ALL SELECT '__err__', 0) ORDER BY item"),
+        ("SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt, " +
+          "CAST(0 AS BIGINT) AS err " +
+          "FROM lineitem GROUP BY 1 ORDER BY item"),
       "g_distinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +

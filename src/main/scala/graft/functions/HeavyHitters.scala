@@ -29,8 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    happen and every count is EXACT — which is what makes the operator
   *    oracle-checkable on a bounded domain.
   *
-  * Returns `map<string, long>` of item → lower-bound count, plus the
-  * summary's error bound under the reserved key `"__err__"`.
+  * Returns `struct<items: map<string, long>, err: long>`: item →
+  * lower-bound count plus the summary's error bound as its own field —
+  * a struct rather than a reserved in-map key, so a legitimate input item
+  * can never collide with (or masquerade as) the error bound.
   */
 case class MisraGries(child: Expression, capacity: Int,
                       mutableAggBufferOffset: Int = 0,
@@ -41,7 +43,9 @@ case class MisraGries(child: Expression, capacity: Int,
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
-  override def dataType: DataType = MapType(StringType, LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", MapType(StringType, LongType), nullable = false),
+    StructField("err", LongType, nullable = false)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -71,8 +75,8 @@ case class MisraGries(child: Expression, capacity: Int,
 
   override def eval(buf: MisraGries.Summary): Any = {
     val n = buf.counts.size()
-    val keys = new Array[Any](n + 1)
-    val vals = new Array[Any](n + 1)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
     val it = buf.counts.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
@@ -81,9 +85,9 @@ case class MisraGries(child: Expression, capacity: Int,
       vals(i) = e.getValue
       i += 1
     }
-    keys(n) = UTF8String.fromString("__err__")
-    vals(n) = buf.err
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    InternalRow(
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals)),
+      buf.err)
   }
 
   override def serialize(buf: MisraGries.Summary): Array[Byte] = {
@@ -152,7 +156,7 @@ object MisraGries {
 
 object HeavyHitters {
   /** Column API: Misra–Gries heavy-hitters summary of a string column.
-    * Returns map<item, lower-bound count> (+ "__err__" → error bound). */
+    * Returns struct(items: map<item, lower-bound count>, err: error bound). */
   def heavy_hitters(c: Column, capacity: Int): Column =
     GraftColumnBridge.column(
       MisraGries(GraftColumnBridge.expression(c), capacity)

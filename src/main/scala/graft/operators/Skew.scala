@@ -19,20 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Retry-deterministic salt. monotonically_increasing_id would spread
+    * better (row-unique) but depends on within-partition row ORDER: after a
+    * fetch failure, a recomputed map task can see shuffle output in a
+    * different order, re-salting rows into different (key, salt) reduce
+    * partitions than the lost output — silent double-count/loss
+    * (SPARK-23207 class). xxhash64 over the row's columns plus
+    * spark_partition_id is order-independent: the hash is pure, and a row's
+    * partition is fixed by the upstream partitioning (file split or hash),
+    * not by fetch order. Constant-valued hot rows still spread because at
+    * scale a hot key spans many input partitions; only identical rows
+    * WITHIN one partition share a salt, which skews spread but never
+    * correctness. */
+  private def deterministicSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*) +
+      spark_partition_id().cast("long"), lit(salt.toLong))
+
   /** Two-phase salted sum/count aggregation over `valueCol` grouped by
     * `key`. Equivalent to `df.groupBy(key).agg(sum, count)` for any input;
     * the intermediate (key, salt) grain bounds any single reducer's load. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
                       salt: Int = 16): DataFrame = {
-    // Salt from a ROW-UNIQUE source, not the row's values: the archetypal
-    // skew case is a hot key whose rows carry a constant/default value —
-    // any value-derived hash maps every hot row to the SAME salt and
-    // defeats the operator. monotonically_increasing_id is unique per row
-    // (partition id << 33 | row offset), so hot-key rows round-robin over
-    // all `salt` buckets regardless of content — and it's cheaper than
-    // hashing the row (no per-column hash, no decimal byte extraction).
-    val salted = df.withColumn("__salt__",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val salted = df.withColumn("__salt__", deterministicSalt(df, salt))
     salted
       .groupBy(col(key), col("__salt__"))
       .agg(sum(col(valueCol)).as("__psum__"), count(lit(1)).as("__pcnt__"))
@@ -43,14 +51,13 @@ object Skew {
 
   /** Inner equi-join with the small side replicated across `salt` copies.
     * Result equals `left.join(right, key)`; every hot left key spreads over
-    * `salt` shuffle partitions instead of one. Salt source is row-unique
-    * (see [[saltedAggregate]]) so constant-valued hot rows still spread. */
+    * `salt` shuffle partitions instead of one. Salt source is
+    * retry-deterministic (see [[deterministicSalt]]). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int = 16): DataFrame = {
     val spark = left.sparkSession
     val saltValues = spark.range(salt).select(col("id").cast("int").as("__salt__"))
-    val l = left.withColumn("__salt__",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val l = left.withColumn("__salt__", deterministicSalt(left, salt).cast("int"))
     val r = right.crossJoin(broadcast(saltValues))
     l.join(r, Seq(key, "__salt__")).drop("__salt__")
   }

@@ -84,7 +84,7 @@ object GraftExtensions {
       arity("word_shingles", 2)(a => WordShingles(a(0), litInt(a(1), "n")))),
     ("heavy_hitters",
       "heavy_hitters(s, capacity) - Misra-Gries frequent-items sketch: " +
-        "map<item, lower-bound count> (+ '__err__' -> error bound)",
+        "struct(items: map<item, lower-bound count>, err: error bound)",
       arity("heavy_hitters", 2)(a =>
         graft.functions.MisraGries(a(0), litInt(a(1), "capacity")))))
 

@@ -70,9 +70,21 @@ private[plans] trait TopKHeaps { self: UnaryExecNode =>
   def order: Seq[SortOrder]
   def k: Int
 
+  /** Heap entries must be UnsafeRow (hashable map keys, cheap copy), but a
+    * child plan may emit other InternalRows (e.g. ExternalRDDScan). The
+    * identity projection converts those; rows already Unsafe skip it. */
+  protected def unsafeConverter(): InternalRow => UnsafeRow = {
+    lazy val toUnsafe = UnsafeProjection.create(child.output, child.output)
+    (row: InternalRow) => row match {
+      case u: UnsafeRow => u
+      case other => toUnsafe(other)
+    }
+  }
+
   protected def heapsOf(iter: Iterator[InternalRow])
       : java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]] = {
     val keyProj = UnsafeProjection.create(keys, child.output)
+    val asUnsafe = unsafeConverter()
     val ord = RowOrdering.create(order, child.output)
     // PriorityQueue root = max under `ord` = the row to evict first
     val revCmp = new java.util.Comparator[UnsafeRow] {
@@ -89,10 +101,10 @@ private[plans] trait TopKHeaps { self: UnaryExecNode =>
         heaps.put(key.copy(), heap)
       }
       if (heap.size < k) {
-        heap.add(row.asInstanceOf[UnsafeRow].copy())
+        heap.add(asUnsafe(row).copy())
       } else if (ord.compare(row, heap.peek()) < 0) {
         heap.poll()
-        heap.add(row.asInstanceOf[UnsafeRow].copy())
+        heap.add(asUnsafe(row).copy())
       }
     }
     heaps
@@ -132,6 +144,7 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
     child.execute().mapPartitions { iter =>
       import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(keys, child.output)
+      val asUnsafe = unsafeConverter()
       val ord = RowOrdering.create(order, child.output)
       val revCmp = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
@@ -149,16 +162,16 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
             // near-unique keys: stop absorbing, ship the rest as-is
             degraded = true
             passThrough = List(Iterator.single(
-              row.asInstanceOf[UnsafeRow].copy(): InternalRow) ++ iter)
+              asUnsafe(row).copy(): InternalRow) ++ iter)
           } else {
             heap = new java.util.PriorityQueue[UnsafeRow](k, revCmp)
             heaps.put(key.copy(), heap)
           }
         }
         if (!degraded) {
-          if (heap.size < k) heap.add(row.asInstanceOf[UnsafeRow].copy())
+          if (heap.size < k) heap.add(asUnsafe(row).copy())
           else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(row.asInstanceOf[UnsafeRow].copy())
+            heap.poll(); heap.add(asUnsafe(row).copy())
           }
         }
       }

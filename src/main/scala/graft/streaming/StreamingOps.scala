@@ -172,8 +172,12 @@ object StreamingOps {
     def fn(key: Long, in: Iterator[TkRow],
            state: GroupState[TkState]): Iterator[(Long, Double, Long)] = {
       val cur = state.getOption.map(_.rows).getOrElse(Nil)
+      // distinctBy(id) AFTER the sort keeps each id's best entry exactly
+      // once: an at-least-once source redelivering a row (or the same id in
+      // two batches) must not occupy several of the k slots and displace a
+      // genuinely distinct k-th row.
       val merged = (cur ++ in.map(r => (r.value, r.id)))
-        .sortWith(better).take(k)
+        .sortWith(better).distinctBy(_._2).take(k)
       if (merged != cur) {
         state.update(TkState(merged))
         merged.iterator.map { case (v, id) => (key, v, id) }
