@@ -916,8 +916,10 @@ object SparkEntry {
          |      FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
          |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
          |sh AS (SELECT doc_id, $shBits AS simhash FROM bits),
-         |banded AS (SELECT doc_id, simhash, q, (simhash >> (q*15)) & 32767 AS band_val
+         |banded0 AS (SELECT doc_id, simhash, q, (simhash >> (q*15)) & 32767 AS band_val
          |           FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS q)),
+         |banded AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY q, band_val)
+         |           AS bucket_n FROM banded0) WHERE bucket_n <= 256),
          |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
          |                 l.simhash AS s1, r.simhash AS s2
          |          FROM banded l JOIN banded r

@@ -373,14 +373,27 @@ object Dedup {
   /** SimHash near-dup candidates: band on `bandBits`-wide quarters (any
     * identical quarter ⇒ candidate; guarantees recall for Hamming ≤ 3),
     * then exact Hamming verification via bit_count(xor). Use bandBits = 15
-    * with portable 60-bit simhashes. */
+    * with portable 60-bit simhashes.
+    *
+    * `maxBucketSize` is the degenerate-band guard (same rationale and
+    * mechanism as [[minhashLsh]]): short/boilerplate corpora concentrate
+    * on a few simhash values — an all-zero quarter shared by b documents
+    * contributes b² candidate rows, the one O(n²) blow-up left in the
+    * band-join shape. Buckets past the cap are skipped; the pairs they'd
+    * contribute are dominated by false positives (a popular band value is
+    * by construction uninformative), and any TRUE near-dup pair inside a
+    * skipped bucket usually also shares one of its other three quarters. */
   def simhashPairs(sim: DataFrame, maxHamming: Int = 3,
-                   bandBits: Int = 16): DataFrame = {
+                   bandBits: Int = 16, maxBucketSize: Int = 256): DataFrame = {
     val mask = (1L << bandBits) - 1
     val banded = sim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "band_val")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucketSize)
     // ids ONLY through the candidate join and dedup (the raw pair set is
     // the big intermediate — a bucket of b members contributes b² rows per
     // band); the 64-bit simhashes re-attach per DISTINCT pair afterwards

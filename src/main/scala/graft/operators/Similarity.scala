@@ -192,22 +192,44 @@ object Similarity {
   }
 
   /** All-pairs cosine within equal values of a blocking column (e.g. a
-    * cluster label) — the "blocked brute force" verification shape. */
+    * cluster label) — the "blocked brute force" verification shape.
+    *
+    * Within-block all-pairs is quadratic in the largest block, so one
+    * dominant block label at corpus scale is a plan-killer. Blocks larger
+    * than `maxBlockSize` are therefore SUB-BUCKETED by hyperplane LSH
+    * (reusing [[lshBucket]]): their join key refines from `blk` to
+    * (blk, bucket), cutting an oversized block's pair count by ~2^subPlanes
+    * in expectation. Blocks at or under the cap keep exact all-pairs
+    * semantics (sub-key 0 for every member); oversized blocks trade recall
+    * for boundedness exactly like the LSH candidate generators — a true
+    * near-dup pair inside one almost always shares all plane signs. The
+    * sub-bucket assignment uses the double dot path (sign of a Gaussian
+    * plane dot; a flip needs the dot within ~1e-15 of 0). */
   def blockedAllPairs(embs: DataFrame, blockCol: String, threshold: Double,
                       idCol: String = "vec_id",
-                      embCol: String = "embedding"): DataFrame = {
+                      embCol: String = "embedding",
+                      maxBlockSize: Int = 4096, subPlanes: Int = 8,
+                      seed: Long = 42L): DataFrame = {
     // Per-vector norms are computed ONCE here (n rows), never per pair; the
     // per-pair work is a cheap double-dot prefilter, with the exact-decimal
     // score recomputed only for survivors (the double path is accurate to
     // ~1e-15, so a 1e-6 margin below the threshold loses nothing).
+    val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
+    val planes = hyperplanes(dim, subPlanes, seed)
     val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(embCol).as("e"),
       sqrt(dotExact(col(embCol), col(embCol))).as("nrm"))
-    val l = b.select(col("blk"), col("id").as("id1"), col("e").as("e1"),
-      col("nrm").as("n1"))
-    val r = b.select(col("blk"), col("id").as("id2"), col("e").as("e2"),
-      col("nrm").as("n2"))
-    l.join(r, Seq("blk"))
+      .withColumn("block_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"))))
+      .withColumn("sub",
+        when(col("block_n") > maxBlockSize, lshBucket(col("e"), planes))
+          .otherwise(lit(0L)))
+    val l = b.select(col("blk"), col("sub"), col("id").as("id1"),
+      col("e").as("e1"), col("nrm").as("n1"))
+    val r = b.select(col("blk"), col("sub"), col("id").as("id2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+    l.join(r, Seq("blk", "sub"))
       .filter(col("id1") < col("id2"))
       .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
         threshold - 1e-6)

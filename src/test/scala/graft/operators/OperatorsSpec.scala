@@ -127,6 +127,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("simhash degenerate-bucket guard bounds candidates on a hot band") {
+    // pathological short/boilerplate corpus: 100 identical docs share ONE
+    // simhash, so every quarter is a single hot bucket — ungated that is
+    // 4 * C(100,2) raw join rows per band; the cap must drop them all
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val hot = spark.createDataFrame(java.util.List.of(
+      (0L until 100L).map(i => Row(i, "lorem ipsum boilerplate")): _*), schema)
+    val sim = Dedup.simhash(hot)
+    val gated = Dedup.simhashPairs(sim, maxHamming = 8, maxBucketSize = 50)
+    assert(gated.count() == 0L,
+      "buckets above the cap must contribute no candidate pairs")
+    // guard sized above the bucket: full recall returns (hamming 0 pairs)
+    val open = Dedup.simhashPairs(sim, maxHamming = 8, maxBucketSize = 100)
+    assert(open.count() == 100L * 99 / 2)
+    // mixed corpus: a hot bucket must not suppress pairs in SMALL buckets
+    val mixed = spark.createDataFrame(java.util.List.of(
+      ((0L until 60L).map(i => Row(i, "lorem ipsum boilerplate")) ++
+        Seq(Row(200L, "a genuinely distinctive document about spark catalyst"),
+            Row(201L, "a genuinely distinctive document about spark catalyst")))
+        : _*), schema)
+    val kept = Dedup.simhashPairs(Dedup.simhash(mixed), maxHamming = 0,
+        maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((200L, 201L)))
+  }
+
   test("cosine: self-similarity 1, near-dup high, exact matches fast path") {
     val out = embsDf.select(col("vec_id"),
       Similarity.cosineExact(col("embedding"), col("embedding")).as("self"))
@@ -135,6 +162,43 @@ class OperatorsSpec extends SparkSpec {
     val near = Similarity.blockedAllPairs(embsDf, "label", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(near.contains((0L, 1L)))
+  }
+
+  test("blockedAllPairs sub-buckets a dominant block, keeps near-dups") {
+    // skewed fixture: ONE block holds all 600 vectors (64-dim, matching the
+    // corpus embedding shape the sub-bucket hyperplanes are built for)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextFloat() - 0.5f)
+    val rows = Seq(Row(0L, base.toSeq, 0),
+      Row(1L, base.map(v => v + 0.001f * (rng.nextFloat() - 0.5f)).toSeq, 0)) ++
+      (2L until 600L).map(i =>
+        Row(i, Array.fill(64)(rng.nextFloat() - 0.5f).toSeq, 0))
+    val skewed = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    // threshold -1 passes every candidate → row count == candidate count
+    val full = Similarity.blockedAllPairs(skewed, "label", threshold = -1.0,
+      maxBlockSize = 100000).count()
+    val gated = Similarity.blockedAllPairs(skewed, "label", threshold = -1.0,
+      maxBlockSize = 100).count()
+    assert(full == 600L * 599 / 2)
+    // 600 random vectors over 2^8 sub-buckets: candidates drop by orders of
+    // magnitude (expected ~C(600,2)/256 ≈ 700; assert a loose 10× bound)
+    assert(gated < full / 10, s"sub-bucketing must bound candidates: $gated")
+    // the genuinely-near pair shares every hyperplane sign → still found
+    val near = Similarity.blockedAllPairs(skewed, "label", threshold = 0.9,
+        maxBlockSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 1L)))
+    // blocks under the cap are untouched: exact all-pairs either way
+    val smallA = Similarity.blockedAllPairs(embsDf, "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val smallB = Similarity.blockedAllPairs(embsDf, "label", threshold = 0.9,
+        maxBlockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallA.contains((0L, 1L)) && smallB.subsetOf(smallA))
   }
 
   test("brute-force top-k returns k best, query itself first") {
