@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -15,11 +15,18 @@ import org.apache.spark.sql.types._
   * bound condition). These expressions run a compiled Scala loop over the
   * unsafe array data instead (~0.2 µs), the (b)-tier extension path from
   * SURVEY §4.3 / the Spark guide's preference order.
-  */
+  *
+  * Every expression here implements REAL `doGenCode` — none is a
+  * `CodegenFallback`. A single fallback expression excludes its whole host
+  * operator from whole-stage codegen (CollapseCodegenStages rejects plans
+  * containing one), splitting the fused stage around every projection that
+  * touches a signature or a dot product. The generated code is one static
+  * or reference-object call into the same compiled loop `eval` uses, so
+  * the stage stays fused and the per-row cost is one (JIT-inlinable) call. */
 
 /** Double-precision dot product of two float/double array columns. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -37,24 +44,30 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  private def elems(t: DataType, a: ArrayData): Array[Double] = t match {
-    case ArrayType(FloatType, _)  => a.toFloatArray().map(_.toDouble)
-    case _                        => a.toDoubleArray()
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = elems(left.dataType, l.asInstanceOf[ArrayData])
-    val b = elems(right.dataType, r.asInstanceOf[ArrayData])
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
     // length mismatch → null, matching the aggregate(zip_with(a,b,*),0,+)
     // composition this expression replaces (zip_with null-pads the shorter
     // array and the null propagates through the sum) — required for the
     // CompiledDotProductRule rewrite to be semantics-preserving
-    if (a.length != b.length) return null
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
+    if (a.numElements() != b.numElements()) return null
+    GraftVec.dot(a, b, isFloat(left.dataType), isFloat(right.dataType))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.GraftVec.dot(
+          $a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)});
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -68,31 +81,65 @@ case class DotProduct(left: Expression, right: Expression)
   * `aggregate(zip_with(a,b,(x,y)->cast(x*y as decimal(38,30))),0,+).cast(double)`
   * but ~1000× faster. */
 case class DotProductExact(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def elems(t: DataType, a: ArrayData): Array[Double] = t match {
-    case ArrayType(FloatType, _)  => a.toFloatArray().map(_.toDouble)
-    case _                        => a.toDoubleArray()
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = elems(left.dataType, l.asInstanceOf[ArrayData])
-    val b = elems(right.dataType, r.asInstanceOf[ArrayData])
-    if (a.length != b.length) return null // see DotProduct
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // see DotProduct
+    GraftVec.dotExact(a, b, isFloat(left.dataType), isFloat(right.dataType))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.GraftVec.dotExact(
+          $a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)});
+      }""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Static vector kernels callable from generated Java (object → static
+  * forwarders, same pattern as [[GraftHash]]). The element-type flags are
+  * codegen-time literals, so the JIT sees constant branches. */
+object GraftVec {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  def dotExact(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
     var acc = java.math.BigDecimal.ZERO
     var i = 0
-    while (i < a.length) {
-      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i)))
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(x * y))
       i += 1
     }
     acc.doubleValue()
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
 }
 
 /** Engine-portable rolling hash of a string array (one compiled loop per
@@ -101,14 +148,19 @@ case class DotProductExact(left: Expression, right: Expression)
   * hex digits as a long); acc' = (acc * 1000003 + h) % 2^40. Every step is
   * exact signed-64 arithmetic any SQL engine reproduces. */
 case class PortableRollingHash(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingHash", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     var acc = 0L
     var i = 0
@@ -154,8 +206,7 @@ case class PortableRollingHash(child: Expression)
 case class MinHashSig(child: Expression, n: Int,
                       params: Seq[(Long, Long)],
                       portable: Boolean = true)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -177,8 +228,14 @@ case class MinHashSig(child: Expression, n: Int,
       org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         s, org.apache.spark.sql.types.IntegerType, 42L)).toArray
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val k = params.length
     val mins = Array.fill(k)(Long.MaxValue)
@@ -231,8 +288,7 @@ case class MinHashSig(child: Expression, n: Int,
   * Identical to the lane-packed aggregate formulation and its DuckDB
   * oracle. */
 case class SimHash60(child: Expression, portable: Boolean = true)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -249,8 +305,14 @@ case class SimHash60(child: Expression, portable: Boolean = true)
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       0, org.apache.spark.sql.types.IntegerType, 42L)
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val m = arr.numElements()
     val nBits = if (portable) 60 else 64
     val ones = new Array[Int](nBits)
@@ -286,8 +348,7 @@ case class SimHash60(child: Expression, portable: Boolean = true)
   * formulation of Dedup.shinglesOf, which runs INTERPRETED per element;
   * this is one loop per row. Whole-doc shingle for docs under n tokens. */
 case class WordShingles(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -300,8 +361,14 @@ case class WordShingles(child: Expression, n: Int)
         s"word_shingles expects array<string>, got ${t.simpleString}")
     }
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     val sb = new java.lang.StringBuilder(64)
