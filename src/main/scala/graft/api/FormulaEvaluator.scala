@@ -65,10 +65,20 @@ final class FormulaEvaluator(
   /** F2: free variables of a parsed formula. */
   def extractVariables(ast: FormulaAst): Seq[String] = ast.freeVariables.toSeq.sorted
 
+  /** Decorate compile-time type errors with the formula, the same message
+    * family as the reference's wrapped TypeError ("Type error in formula
+    * '<f>': <cause>", coeff_maker.py:789-791). */
+  private def decorated[T](formula: String)(body: => T): T =
+    try body catch {
+      case e: FormulaTypeException =>
+        throw new FormulaTypeException(
+          s"Type error in formula '$formula': ${e.getMessage}")
+    }
+
   /** Compile and evaluate WITHOUT validation (X1 alone) — for callers that
     * want the raw result plus separate stats (e.g. the V2/V3 stats query). */
   def evaluateRaw(formula: String): EvalResult =
-    compiler.compile(parseFormula(formula))
+    decorated(formula)(compiler.compile(parseFormula(formula)))
 
   /** X2: evaluate a formula end-to-end: parse → compile to one Spark plan →
     * validate (single-pass stats) → optional fill. Returns the result and
@@ -79,7 +89,7 @@ final class FormulaEvaluator(
       System.err.println(
         s"[graft] formula '$formula' contains division; division by zero " +
           "produces invalid (Inf/NaN) cells that the validator will flag.")
-    val raw = compiler.compile(ast)
+    val raw = decorated(formula)(compiler.compile(ast))
     val (validated, _) = validator.validate(raw, ast, formula, registry)
     validated
   }

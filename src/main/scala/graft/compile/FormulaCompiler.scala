@@ -358,10 +358,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val ok = vs.filter(!_.isNaN)
         CScalar(if (ok.isEmpty) Double.NaN else ok.sum / ok.length)
 
+      // `.T` (attribute access, E11): the reference evaluates it through
+      // pd.eval (SURVEY §8 probe Q8). On 1-D values (Series → ndarray,
+      // reductions, scalars) numpy's .T is the IDENTITY — supported. On a
+      // matrix it is a row↔column transpose, which would turn our
+      // distributed column schema into row ids (and vice versa) — rejected
+      // with a clear error; documented divergence, SURVEY §2.2 E11.
+      case ("T", v @ (_: CVecD | _: CVecC | _: CScalar), Nil) => v
+      case ("T", _: CMatrix, Nil) =>
+        throw new FormulaTypeException(
+          "'.T' on a matrix is a distributed row<->column transpose, which " +
+            "the engine does not support (the row-id data model is fixed " +
+            "per session; transpose at ingest instead). '.T' on vectors, " +
+            "reductions and scalars is the identity, matching numpy.")
+
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, sum, mean — SURVEY §2.2 E11)")
+            "(fillna, clip, pow, abs, sum, mean, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

@@ -219,6 +219,36 @@ class FormulaEvaluatorSpec extends SparkSpec {
     assertCell(got(0L)("c1"), math.atan2(7.0, 2.0))
   }
 
+  // E11 long tail: `.T` attribute + the decorated unknown-method family
+  test(".T is the identity on vectors, reductions and scalars (E11/Q8)") {
+    val v = Vec(IndexedSeq(1.0, 2.0), IndexedSeq("x", "y"))
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "v" -> v))
+    val VecResult(vt) = ev.evaluateFormula("v.T"): @unchecked
+    assert(vt.values == IndexedSeq(1.0, 2.0)) // numpy: 1-D .T == itself
+    val VecResult(vm) = ev.evaluateFormula("v.T * 2"): @unchecked
+    assert(vm.values == IndexedSeq(2.0, 4.0))
+    // reduction result (.sum() → 1-row vector): .T also identity
+    val RowResult(df, labels) = ev.evaluateFormula("a.sum().T"): @unchecked
+    val r = df.head()
+    assert(labels.map(l => r.getDouble(r.fieldIndex(l))) == Seq(6.0, 18.0, 16.0))
+    assert(ev.evaluateFormula("(1 + 2).T") == ScalarResult(3.0))
+  }
+
+  test(".T on a matrix raises a clear transpose rejection (E11)") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.T"))
+    assert(e.getMessage.contains("Type error in formula 'a.T'"), e.getMessage)
+    assert(e.getMessage.contains("transpose"), e.getMessage)
+  }
+
+  test("unknown methods raise the reference's decorated type-error family") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.cumsum()"))
+    assert(e.getMessage.startsWith("Type error in formula 'a.cumsum()':"),
+      e.getMessage)
+    assert(e.getMessage.contains("'.cumsum'"), e.getMessage)
+  }
+
   // chained comparison end-to-end (desugars to conjunction)
   test("chained comparison 1 < a < 7 evaluates as conjunction") {
     val ev = new FormulaEvaluator(reg("a" -> fixA))
