@@ -78,10 +78,11 @@ object StreamingOps {
     * `maxBucketSize` caps membership per bucket (degenerate-band guard —
     * same rationale as the batch operator).
     *
-    * The per-row signature uses higher-order functions, which run
-    * interpreted — fine for a streaming micro-batch of fresh documents,
-    * which is orders of magnitude smaller than a backfill; bulk paths
-    * belong on the batch operator (see PERF notes in `Dedup`).
+    * The per-row signature runs the same compiled [[graft.functions.MinHashSig]]
+    * expression as the batch operator (xx mode — bit-identical to the
+    * xxhash64 HOF formulation, asserted in OperatorsSpec), so the stream
+    * and `Dedup.minhashLsh` produce the SAME candidate set over the same
+    * corpus, and signatures cost one codegen'd loop per row.
     */
   def nearDupStream(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", tsCol: String = "ts",
@@ -93,15 +94,9 @@ object StreamingOps {
     import spark.implicits._
     require(k % bands == 0, "k must be divisible by bands")
     val rpb = k / bands
-    val words = split(col(textCol), " ")
-    val shingles = array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(words, i + j + 1)): _*)))
-        .otherwise(array(concat_ws(" ", words))))
-    val sig = array((0 until k).map(seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))): _*)
+    val sig = graft.functions.ArrayOps.minhash_sig(
+      split(col(textCol), " "), n, graft.operators.Dedup.uhParams(k),
+      portable = false)
     val banded = docs
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         sig.as("sig"))

@@ -252,6 +252,61 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH equals batch candidates on the 10x corpus under load") {
+    // the 10x ScaleGen shape for documents: sf0.1 replicated with shifted
+    // ids (~50k docs; cross-replica exact dups are genuine near-dup pairs)
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs10 = (0 until 10).map(r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 10000000L)))
+      .reduce(_ union _)
+    val batchPairs = graft.operators.Dedup
+      .minhashLsh(docs10, threshold = 0.5, k = 16, bands = 4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = docs10.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val t0 = ts(0)
+    val t2 = new Timestamp(t0.getTime + 120000L)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // Watermark 0s: the sentinel batch advances the watermark between the
+    // two halves, so half2 merges into buckets whose state predates the
+    // current watermark — the continuous-ingest shape. (Spark 4 FILTERS
+    // late rows before flatMapGroupsWithState — verified here: feeding
+    // half2 below the watermark silently dropped it — so all rows must be
+    // non-late for equivalence, and the setTimeoutTimestamp watermark
+    // clamp in nearDupStream is defense-in-depth, not reachable via late
+    // arrivals.)
+    val q = StreamingOps.nearDupStream(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        n = 3, k = 16, bands = 4, threshold = 0.5,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("nd10_out")
+      .outputMode("append").start()
+    try {
+      in.addData(half1.map { case (id, t) => (id, t0, t) }.toSeq)
+      q.processAllAvailable() // watermark -> t0
+      in.addData((-1L, new Timestamp(t0.getTime + 60000L),
+        "watermark advancing sentinel with unmatched content"))
+      q.processAllAvailable() // watermark -> t0 + 60s
+      in.addData(half2.map { case (id, t) => (id, t2, t) }.toSeq)
+      q.processAllAvailable() // non-late merge into pre-watermark state
+      val streamPairs = spark.table("nd10_out")
+        .filter(col("id1") =!= -1L && col("id2") =!= -1L)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream ${streamPairs.size} pairs vs batch ${batchPairs.size}; " +
+          s"onlyStream=${(streamPairs -- batchPairs).take(3)} " +
+          s"onlyBatch=${(batchPairs -- streamPairs).take(3)}")
+      assert(batchPairs.size > 1000,
+        s"10x corpus must produce a heavy candidate load, got ${batchPairs.size}")
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
