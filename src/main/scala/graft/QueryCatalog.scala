@@ -45,6 +45,18 @@ object QueryCatalog {
   def wide(spark: SparkSession, sfDir: String): DataFrame =
     wideCache.getOrElseUpdate((spark, sfDir), {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // Right-size the CACHED base's partition count from the data volume,
+      // not the shuffle width: the aggregation runs at full parallelism,
+      // but the ~16-column result is tiny relative to lineitem (sf0.1:
+      // 147k rows ≈ 20 MB), and every one of the ~40 formula queries that
+      // scan this cache pays per-TASK scheduling overhead — 32 near-empty
+      // partitions cost ~0.15 s/job on scheduling alone. One partition per
+      // ~250k rows keeps partitions in the 10s-of-MB band (the same sizing
+      // maxPartitionBytes enforces for file scans) and GROWS with the
+      // data: 1 at sf0.1, 6 at 10×, full width at 100 TB.
+      // row estimate from parquet metadata (count-star is footer-only);
+      // orders ≈ lineitem / 4 — sizing needs the magnitude, not exactness
+      val parts = math.max(1L, li.count() / 4 / 250000L).toInt
       val ln = col("l_linenumber")
       val aggs =
         J.map(j => sum(when(ln === j, col("l_quantity"))).as(s"q$j")) ++
@@ -54,6 +66,7 @@ object QueryCatalog {
           .as(s"p$j")) ++
         J.map(j => coalesce(sum(when(ln === j, col("l_quantity"))), lit(0.0)).as(s"z$j"))
       li.groupBy(col("l_orderkey").as("__row_id__")).agg(aggs.head, aggs.tail: _*)
+        .repartition(parts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
