@@ -703,6 +703,33 @@ object SparkEntry {
           "o_orderstatus", "o_orderkey", n = 50)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .orderBy(col("o_orderstatus"), col("o_orderkey"))),
+    // deterministic 3-way split: per-(lang, split) counts prove the
+    // assignment is the same pure function of doc_id in both engines
+    "smp_split" -> ((s, d) =>
+      Sampling.split3(docs(s, d), "doc_id", trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"), col("split"))),
+
+    // sequence packing: distributed exclusive prefix-sum (two-phase scan,
+    // no single-partition window) → contiguous token-budget pack ids
+    "pack_seq" -> ((s, d) =>
+      graft.operators.Packing
+        .packContiguous(s.read.parquet(s"$d/documents.parquet"), budget = 4096)
+        .orderBy(col("id"))),
+    "pack_stats" -> ((s, d) =>
+      graft.operators.Packing.packStats(
+        graft.operators.Packing.packContiguous(
+          s.read.parquet(s"$d/documents.parquet"), budget = 4096))
+        .orderBy(col("pack_id"))),
+
+    // corpus TF-IDF: top-3 most distinctive terms per document (bounded-heap
+    // top-k on the custom operator; scores rounded before ranking so the
+    // ranking is engine-portable)
+    "txt_tfidf" -> ((s, d) =>
+      graft.operators.TfIdf.topTerms(docs(s, d), k = 3)
+        .select(col("id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy(col("id"), col("rank"))),
 
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys pair
     // with the NULL dim row instead of dropping out
@@ -1073,6 +1100,48 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "smp_split" ->
+        (s"""WITH s AS (SELECT lang, doc_id,
+            |  CASE WHEN ${hashU("doc_id")} < 0.8 THEN 'train'
+            |       WHEN ${hashU("doc_id")} < 0.9 THEN 'val'
+            |       ELSE 'test' END AS split FROM documents)
+            |SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+            |       min(doc_id) AS min_id
+            |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
+      "pack_seq" ->
+        (s"""WITH t AS (SELECT doc_id AS id, $tokSql AS n_tokens FROM documents),
+            |c AS (SELECT id, n_tokens,
+            |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            |  AS start_offset FROM t)
+            |SELECT id, n_tokens, start_offset,
+            |       CAST(start_offset // 4096 AS BIGINT) AS pack_id
+            |FROM c ORDER BY id""".stripMargin),
+      "pack_stats" ->
+        (s"""WITH t AS (SELECT doc_id AS id, $tokSql AS n_tokens FROM documents),
+            |c AS (SELECT id, n_tokens,
+            |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            |  AS start_offset FROM t)
+            |SELECT CAST(start_offset // 4096 AS BIGINT) AS pack_id,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+            |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin),
+      "txt_tfidf" ->
+        ("""WITH terms AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+           |               FROM documents),
+           |tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+           |sc AS (SELECT id, term,
+           |         round(CAST(tf AS DOUBLE) * ln(nn / CAST(df AS DOUBLE)), 6) AS tfidf
+           |       FROM tf JOIN dfx USING (term) CROSS JOIN n),
+           |rk AS (SELECT id, term, tfidf,
+           |         CAST(row_number() OVER (PARTITION BY id
+           |           ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+           |       FROM sc)
+           |SELECT id, term, tfidf, rank FROM rk WHERE rank <= 3
+           |ORDER BY id, rank""".stripMargin),
       "j_nullsafe" ->
         ("""WITH o AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
            |                       ELSE o_orderkey % 7 END AS k FROM orders),

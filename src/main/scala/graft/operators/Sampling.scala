@@ -69,4 +69,20 @@ object Sampling {
         Seq(hashUniform(col(idCol), seed), col(idCol)), n)
       .drop("__rank__")
   }
+
+  /** Deterministic train/val/test split: each row's assignment is a pure
+    * function of its id (and seed), so the split is stable across runs,
+    * retries, engines and corpus growth — adding documents never reshuffles
+    * existing assignments (the property date- or position-based splits
+    * lack). Stateless projection: no shuffle, scan-stage codegen. */
+  def split3(df: DataFrame, idCol: String, trainFrac: Double = 0.8,
+             valFrac: Double = 0.1, seed: Int = 42): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val u = hashUniform(col(idCol), seed)
+    df.withColumn("split",
+      when(u < lit(trainFrac), lit("train"))
+        .when(u < lit(trainFrac + valFrac), lit("val"))
+        .otherwise(lit("test")))
+  }
 }

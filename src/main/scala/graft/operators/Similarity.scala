@@ -214,14 +214,21 @@ object Similarity {
     // per-pair work is a cheap double-dot prefilter, with the exact-decimal
     // score recomputed only for survivors (the double path is accurate to
     // ~1e-15, so a 1e-6 margin below the threshold loses nothing).
+    //
+    // Block sizes come from a groupBy + BROADCAST join, not a window: the
+    // block label is a bounded-cardinality clustering key (that's what
+    // makes blocking meaningful), so the counts table is tiny, the
+    // aggregation map-side-combines, and both join inputs stay plain scans
+    // — a window would shuffle+sort the full table into both sides of the
+    // pair join (measured 2.6× slower at 10× scale for identical output).
     val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
     val planes = hyperplanes(dim, subPlanes, seed)
+    val sizes = embs.groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("block_n"))
     val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(embCol).as("e"),
       sqrt(dotExact(col(embCol), col(embCol))).as("nrm"))
-      .withColumn("block_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("blk"))))
+      .join(broadcast(sizes), Seq("blk"))
       .withColumn("sub",
         when(col("block_n") > maxBlockSize, lshBucket(col("e"), planes))
           .otherwise(lit(0L)))

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus TF-IDF (Spärck Jones, "A statistical interpretation of term
+  * specificity", J. Doc. 28(1), 1972): per-document term weights against
+  * corpus-wide document frequencies — the classic "what is this document
+  * about?" signal for corpus curation and topic balancing.
+  *
+  * Scale shape:
+  *  - term frequencies: explode → groupBy (doc, term) — the partial agg
+  *    absorbs the explode multiplier map-side, so the shuffle carries one
+  *    row per DISTINCT (doc, term), not per token;
+  *  - document frequencies: groupBy term over the already-distinct
+  *    (doc, term) rows — bounded by vocabulary size;
+  *  - corpus size N enters as a broadcast 1-row aggregate (the
+  *    scalar-subquery shape — no driver round-trip in the plan);
+  *  - the tf×df join is an equi-join on term, co-partitioned with the df
+  *    aggregation's output — one shuffle each side, AQE-skewable;
+  *  - top-k terms per document runs on the custom bounded-heap operator
+  *    [[graft.plans.TopKPerKey]] (pre-shuffle cut to k rows per doc).
+  *
+  * Scores are `tf * ln(N / df)` rounded to 6 places BEFORE ranking, so the
+  * ranking (and any oracle cross-check) is independent of libm ulp
+  * differences across engines; ties break by term.
+  */
+object TfIdf {
+
+  /** (id, term, tf, df, tfidf) for every distinct (document, term) pair. */
+  def scores(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n__"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("__n__").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
+
+  /** The k most distinctive terms per document (tfidf desc, term asc),
+    * with a 1-based rank column. */
+  def topTerms(docs: DataFrame, k: Int, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    graft.plans.TopKPerKey(scores(docs, textCol, idCol),
+      Seq(col("id")), Seq(col("tfidf").desc, col("term")), k,
+      rankCol = "rank")
+}
