@@ -265,6 +265,7 @@ object SparkEntry {
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy(col("doc_id"))),
     "txt_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
     "txt_fp" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "txt_norm" -> ((s, d) => TextAnalysis.normalize(docs(s, d)).orderBy(col("doc_id"))),
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
     "txt_bpe" -> ((s, d) =>
@@ -1502,6 +1503,13 @@ object SparkEntry {
       "txt_fp" ->
         ("SELECT doc_id, substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp " +
           "FROM documents ORDER BY doc_id"),
+      "txt_norm" ->
+        ("""WITH n AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           |       ' +', ' ', 'g')) AS norm FROM documents)
+           |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           |       substr(md5(norm), 1, 16) AS fp_norm
+           |FROM n ORDER BY doc_id""".stripMargin),
       // BPE-ish regex token classes; the pattern is lookaround-free so Java
       // regex (Spark) and RE2 (DuckDB) agree on every match
       "txt_bpe" -> {
