@@ -248,6 +248,18 @@ object SparkEntry {
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
         .orderBy(col("id1"), col("id2"))),
+    // int8 quantization (compiled expression): scale is bit-deterministic
+    // (float→double exact, abs/max exact, one IEEE divide), q digested to
+    // a sum + md5 fingerprint so the oracle compares scalars, not arrays
+    "sim_quant" -> ((s, d) => {
+      val qz = Similarity.quantizeInt8(embs(s, d))
+      qz.select(col("id").as("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+            .as("q_sum"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string"))))
+            .as("q_fp"))
+        .orderBy(col("vec_id"))
+    }),
     // exact mode end-to-end: decimal-dot scores rounded to 6 with (score
     // desc, cell desc) tie order make assignment, probe selection and the
     // final top-k all reproducible in the DuckDB mirror
@@ -1318,6 +1330,18 @@ object SparkEntry {
       "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
       "sim_block" -> blockedPairs,
       "sim_lsh" -> simLsh,
+      "sim_quant" ->
+        ("""WITH z AS (SELECT vec_id, embedding,
+           |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
+           |  FROM embeddings),
+           |q AS (SELECT vec_id, scale,
+           |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+           |       ELSE list_transform(embedding,
+           |              x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS INT))
+           |  END AS qv FROM z)
+           |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           |       md5(array_to_string(qv, ',')) AS q_fp
+           |FROM q ORDER BY vec_id""".stripMargin),
       "sim_ivf" -> simIvf,
       "mm_features" -> mmFeatures,
       // gap sessionization over events: lag/sum windows then per-session agg

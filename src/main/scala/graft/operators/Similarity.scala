@@ -191,6 +191,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of the embedding column:
+    * (id, scale, q) with x_i ≈ scale * q_i. 4× smaller than float32 — the
+    * compressed form a 100 TB vector corpus actually stores — computed by
+    * the compiled [[graft.functions.QuantizeInt8]] expression (one
+    * codegen'd pass per row, no shuffle). */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol).as("id"),
+      graft.functions.ArrayOps.quantize_int8(col(embCol)).as("qz"))
+      .select(col("id"), col("qz.scale").as("scale"), col("qz.q").as("q"))
+
+  /** Brute-force top-k cosine over QUANTIZED vectors against a float query:
+    * dot(e_a, e_b) ≈ scale_a·scale_b·dot(q_a, q_b); norms likewise. The int
+    * dot runs the same compiled kernel ([[dot]] accepts int arrays). */
+  def quantizedTopK(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val qRow = {
+      // quantize the query with the same floor(x/scale + 0.5) rule
+      val maxAbs = query.map(x => math.abs(x.toDouble)).max
+      val s = maxAbs / 127.0
+      (s, query.map(x => if (s == 0.0) 0 else math.floor(x.toDouble / s + 0.5).toInt))
+    }
+    val qc = array(qRow._2.map(v => lit(v)): _*)
+    val sim = (lit(qRow._1) * col("scale") * dot(col("q"), qc)) /
+      (sqrt(lit(qRow._1) * lit(qRow._1) * dot(qc, qc)) *
+        sqrt(col("scale") * col("scale") * dot(col("q"), col("q"))))
+    quantized.select(col("id"), round(sim, 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs cosine within equal values of a blocking column (e.g. a
     * cluster label) — the "blocked brute force" verification shape.
     *

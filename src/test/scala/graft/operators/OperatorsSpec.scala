@@ -201,6 +201,28 @@ class OperatorsSpec extends SparkSpec {
     assert(smallA.contains((0L, 1L)) && smallB.subsetOf(smallA))
   }
 
+  test("int8 quantization: reconstruction within scale/2, top-k recall holds") {
+    val qz = Similarity.quantizeInt8(embsDf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toList
+    val orig = embsDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    qz.foreach { case (id, scale, q) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"id $id: $q")
+      orig(id).zip(q).foreach { case (x, v) =>
+        assert(math.abs(x - scale * v) <= scale / 2 + 1e-12,
+          s"id $id: |$x - $scale*$v| > scale/2")
+      }
+    }
+    // quantized search finds the same top-2 as exact search
+    val query = orig(0L).toSeq
+    val exact = Similarity.bruteForceTopK(embsDf, query, 2)
+      .collect().map(_.getLong(0)).toSeq
+    val quant = Similarity.quantizedTopK(
+        Similarity.quantizeInt8(embsDf), query, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(quant == exact, s"quantized $quant vs exact $exact")
+  }
+
   test("brute-force top-k returns k best, query itself first") {
     val q = embsDf.filter(col("vec_id") === 0).head().getSeq[Float](1)
     val top = Similarity.bruteForceTopK(embsDf, q, 2).collect()
