@@ -86,7 +86,11 @@ object GraftExtensions {
       "heavy_hitters(s, capacity) - Misra-Gries frequent-items sketch: " +
         "struct(items: map<item, lower-bound count>, err: error bound)",
       arity("heavy_hitters", 2)(a =>
-        graft.functions.MisraGries(a(0), litInt(a(1), "capacity")))))
+        graft.functions.MisraGries(a(0), litInt(a(1), "capacity")))),
+    ("quantize_int8",
+      "quantize_int8(emb) - symmetric int8 quantization of a numeric array: " +
+        "struct(scale: double, q: array<int>)",
+      arity("quantize_int8", 1)(a => graft.functions.QuantizeInt8(a(0)))))
 
   /** Idempotently register the SQL function surface on an EXISTING session
     * (extensions bind at build time; this is the runtime path — e.g. a
