@@ -75,7 +75,14 @@ object FormulaParser {
       if (c.isWhitespace) { i += 1 }
       else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
         val start = i
-        while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+        // a numeric literal holds at most ONE point (python lexer rule):
+        // "3.25.sum" must tokenize as 3.25 · dot · sum (method call on a
+        // float literal), not as the malformed number "3.25."
+        var seenDot = false
+        while (i < n && (s(i).isDigit || (s(i) == '.' && !seenDot))) {
+          if (s(i) == '.') seenDot = true
+          i += 1
+        }
         if (i < n && (s(i) == 'e' || s(i) == 'E')) {
           var j = i + 1
           if (j < n && (s(j) == '+' || s(j) == '-')) j += 1

@@ -67,4 +67,12 @@ class FormulaParserSpec extends AnyFunSuite {
     assertThrows[FormulaSyntaxException](p("(a"))
     assertThrows[FormulaSyntaxException](p("a b"))
   }
+  test("numeric literal holds at most one point (method on float literal)") {
+    // found by FormulaParserPropSpec: the scanner used to eat "3.25." as
+    // one malformed number instead of 3.25 · dot · method
+    assert(p("3.25.sum") == Method(Num(3.25), "sum", Nil))
+    assert(p("1.5.clip(0, 1)") ==
+      Method(Num(1.5), "clip", List(Num(0), Num(1))))
+    assert(p("2.5") == Num(2.5)) // plain decimals unchanged
+  }
 }
