@@ -84,13 +84,18 @@ object Ops {
 
   // ---- math functions (E9) ------------------------------------------------
 
-  /** floor keeping float64 (Spark's floor(double) returns Long). */
+  /** floor keeping float64. Spark's floor(double) returns LONG, which
+    * (a) loses NaN/Inf and (b) CLAMPS at ±2^63 — floor(1.3e19) would come
+    * back as Long.MaxValue. Any double with |x| ≥ 2^52 is already integral
+    * in float64, so it passes through untouched and the long-returning
+    * floor only runs where it is exact. (Found by OpsPropSpec.) */
+  private val TwoPow52 = 4503599627370496.0 // 2^52
   def floorD(c: Column): Column =
-    when(isnan(c) || c === posInf || c === negInf, c)
+    when(isnan(c) || abs(c) >= TwoPow52, c)
       .otherwise(floor(c).cast("double"))
 
   def ceilD(c: Column): Column =
-    when(isnan(c) || c === posInf || c === negInf, c)
+    when(isnan(c) || abs(c) >= TwoPow52, c)
       .otherwise(ceil(c).cast("double"))
 
   /** numpy log: log(0) → -Inf, log(x<0) → NaN (Spark: NULL for both). */
