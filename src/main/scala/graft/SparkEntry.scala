@@ -278,6 +278,12 @@ object SparkEntry {
     "txt_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
     "txt_fp" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "txt_norm" -> ((s, d) => TextAnalysis.normalize(docs(s, d)).orderBy(col("doc_id"))),
+    // bigram LM quality score (perplexity-style filter); decimal-summed
+    // rounded log-probs so the mean is order-independent in both engines
+    "txt_lm" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(docs(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
     "txt_bpe" -> ((s, d) =>
@@ -1534,6 +1540,19 @@ object SparkEntry {
            |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm,
            |       substr(md5(norm), 1, 16) AS fp_norm
            |FROM n ORDER BY doc_id""".stripMargin),
+      "txt_lm" ->
+        ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+           |       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+           |w1c AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+           |sc AS (SELECT doc_id,
+           |  CAST(round(ln(CAST(c_bg AS DOUBLE)/CAST(c_w1 AS DOUBLE)), 9)
+           |       AS DECIMAL(28,12)) AS lp
+           |  FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |       round(CAST(sum(lp) AS DOUBLE)/count(*), 6) AS lm_score
+           |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
       // BPE-ish regex token classes; the pattern is lookaround-free so Java
       // regex (Spark) and RE2 (DuckDB) agree on every match
       "txt_bpe" -> {

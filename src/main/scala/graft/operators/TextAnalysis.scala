@@ -124,6 +124,46 @@ object TextAnalysis {
       substring(md5(lower(regexp_replace(col(textCol), "\\s+", " "))), 1, 16)
         .as("fp"))
 
+  /** Corpus bigram language-model score per document — the perplexity-style
+    * quality filter (CCNet-shape: score text by how predictable it is under
+    * a model trained on the corpus itself; gibberish and boilerplate sit at
+    * the extremes). The "model" is the bigram MLE over the corpus:
+    * P(w2|w1) = c(w1 w2) / c(w1 ·), and a document's score is its mean
+    * bigram log-probability (≤ 0; higher = more predictable).
+    *
+    * Scale shape: bigram extraction is a narrow projection + explode; both
+    * count tables are map-side-combined aggregations; the two probability
+    * joins are equi-joins on the count keys (AQE-skewable); the per-doc
+    * reduce is one groupBy. Log-probs round to 9 places then sum through
+    * DECIMAL, so the per-doc mean is exact and order-independent — the
+    * oracle-parity convention for multi-addend float sums.
+    *
+    * Documents with fewer than 2 tokens have no bigrams and drop out. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = Dedup.tokenized(docs, textCol, idCol) // (id, words) + barrier
+    val bigrams = toks.select(col("id"),
+      explode(when(size(col("words")) >= 2,
+        transform(sequence(lit(0), size(col("words")) - 2),
+          i => struct(
+            element_at(col("words"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("words"), i + 1),
+              element_at(col("words"), i + 2)).as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("x"))
+      .select(col("id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+    val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val w1Counts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    bigrams
+      .join(bgCounts, Seq("bg"))
+      .join(w1Counts, Seq("w1"))
+      .select(col("id"),
+        round(log(col("c_bg").cast("double") / col("c_w1").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
+
   /** Canonical text normalization (the pass run before exact dedup so
     * cosmetic variants collapse): lowercase → strip everything but
     * [a-z0-9 ] → collapse runs of spaces → trim. A pure codegen'd

@@ -269,6 +269,29 @@ class OperatorsSpec extends SparkSpec {
     assert(l(4L) == "es")
   }
 
+  test("bigram LM score ranks repetitive text above unpredictable text") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // the conditional MLE needs BRANCHING (a w1 followed by several w2s) or
+    // every probability degenerates to 1 — doc 2 shuffles the same
+    // vocabulary so "the" is followed by many different tokens
+    val rng = new scala.util.Random(3)
+    val vocab = Seq("the", "quick", "brown", "fox")
+    val corpus = spark.createDataFrame(java.util.List.of(
+      // repeated phrase: its bigrams dominate the corpus counts
+      Row(0L, Seq.fill(20)("the quick brown fox").mkString(" ")),
+      Row(1L, Seq.fill(20)("the quick brown fox").mkString(" ")),
+      Row(2L, Seq.fill(40)(vocab(rng.nextInt(4))).mkString(" ")),
+      Row(3L, "x") // single token: no bigrams, drops out
+    ), schema)
+    val got = TextAnalysis.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(3L), "tokenless doc must drop out")
+    assert(got(0L) > got(2L),
+      s"repetitive ${got(0L)} must beat unpredictable ${got(2L)}")
+    assert(got.values.forall(_ <= 0.0), s"log-probs are <= 0: $got")
+  }
+
   test("fingerprint: identical for exact dups, stable prefix length") {
     val fp = TextAnalysis.fingerprint(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
