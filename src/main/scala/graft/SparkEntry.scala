@@ -183,6 +183,17 @@ object SparkEntry {
       Dedup.duplicateGroups(docs(s, d), pairs02(s, d).select("id1", "id2"))
         .orderBy(col("id"))),
 
+    // benchmark decontamination: "benchmark" = the deterministic 1/53
+    // doc_id slice, corpus = everything else; flag corpus docs whose
+    // distinct-3-gram overlap with the benchmark set reaches 50%
+    "dd_contam" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contamination(
+          corpus = dd.filter(col("doc_id") % 53 =!= 7),
+          benchmark = dd.filter(col("doc_id") % 53 === 7))
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup KEEP policy: one representative per duplicate group — the
     // longest doc (token count, id tiebreak) — composed from
     // duplicateGroups + qualityScore + the custom TopKPerKey (k = 1)
@@ -284,6 +295,28 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(docs(s, d))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+    // Gopher repetition filters: one compiled pass per row, zero shuffle
+    "txt_rep" -> ((s, d) =>
+      TextAnalysis.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
+    // PII scrub over deterministically injected PII (the corpus itself is
+    // clean lowercase words, so the fixture plants doc_id-derived emails/
+    // IPs/phones/account ids — identically in the oracle — and the
+    // redactor must find exactly those)
+    "txt_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val injected = docs(s, d).withColumn("text", concat(
+        col("text"),
+        when(id % 3 === 0, concat(lit(" reach me at user"), id,
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"),
+          lit(".42"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" acct "),
+          (id + 9000000L).cast("string"))).otherwise(lit(""))))
+      TextAnalysis.piiRedact(injected).orderBy(col("doc_id"))
+    }),
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
     "txt_bpe" -> ((s, d) =>
@@ -717,6 +750,12 @@ object SparkEntry {
       Sampling.stratified(docs(s, d), "lang", "doc_id",
           Map("en" -> 0.1, "zh" -> 0.5), default = 1.0)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // mixture targeting: the kept corpus must be 50/30/20 across three
+    // sources (maximal retention; every other source dropped)
+    "smp_mix" -> ((s, d) =>
+      Sampling.mixture(docs(s, d), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
     "smp_topn" -> ((s, d) =>
       Sampling.takePerStratum(s.read.parquet(s"$d/orders.parquet"),
           "o_orderstatus", "o_orderkey", n = 50)
@@ -1119,6 +1158,14 @@ object SparkEntry {
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +
           "ORDER BY doc_id"),
+      "smp_mix" ->
+        (s"""WITH w(source, wt) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+            |cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+            |j AS (SELECT c.source, n, wt FROM cnt c JOIN w USING (source) WHERE wt > 0),
+            |cap AS (SELECT min(n / wt) AS cap FROM j),
+            |frac AS (SELECT source, least(1.0::DOUBLE, cap * wt / n) AS f FROM j, cap)
+            |SELECT d.doc_id, d.source FROM documents d JOIN frac USING (source)
+            |WHERE ${hashU("doc_id")} < f ORDER BY doc_id""".stripMargin),
       "smp_split" ->
         (s"""WITH s AS (SELECT lang, doc_id,
             |  CASE WHEN ${hashU("doc_id")} < 0.8 THEN 'train'
@@ -1332,6 +1379,22 @@ object SparkEntry {
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
+      // decontamination: distinct corpus 3-grams left-joined to the distinct
+      // benchmark n-gram set (benchmark = the doc_id % 53 = 7 slice)
+      "dd_contam" ->
+        s"""WITH bt AS (SELECT string_split(text, ' ') AS w FROM documents
+           |            WHERE doc_id % 53 = 7),
+           |bng AS (SELECT DISTINCT unnest($shingleList) AS ngram, 1 AS hit FROM bt),
+           |ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |       WHERE doc_id % 53 <> 7),
+           |ex AS (SELECT doc_id, len(ngs) AS n_ngrams, unnest(ngs) AS ngram
+           |       FROM (SELECT doc_id, list_distinct($shingleList) AS ngs FROM ct))
+           |SELECT e.doc_id, CAST(max(e.n_ngrams) AS BIGINT) AS n_ngrams,
+           |       CAST(count(b.hit) AS BIGINT) AS n_matched,
+           |       round(count(b.hit)::DOUBLE / max(e.n_ngrams), 6) AS contam_ratio,
+           |       count(b.hit)::DOUBLE / max(e.n_ngrams) >= 0.5 AS contaminated
+           |FROM ex e LEFT JOIN bng b USING (ngram)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "sim_cosine" -> cosineVsQuery,
       "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
       "sim_block" -> blockedPairs,
@@ -1540,6 +1603,50 @@ object SparkEntry {
            |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm,
            |       substr(md5(norm), 1, 16) AS fp_norm
            |FROM n ORDER BY doc_id""".stripMargin),
+      "txt_rep" ->
+        ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |wx AS (SELECT doc_id, len(w) AS n, unnest(w) AS word FROM toks),
+           |wc AS (SELECT doc_id, max(n) AS n, word, count(*) AS c
+           |       FROM wx GROUP BY doc_id, word),
+           |wagg AS (SELECT doc_id, max(n) AS n_tokens,
+           |                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
+           |         FROM wc GROUP BY doc_id),
+           |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           |       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+           |bagg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS topb,
+           |                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+           |         FROM bc GROUP BY 1)
+           |SELECT w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           |       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |       round(dupw::DOUBLE / w.n_tokens, 6) AS dup_word_frac,
+           |       round(coalesce(topb::DOUBLE / b.n_bigrams, 0), 6) AS top_bigram_frac,
+           |       round(coalesce(dupb::DOUBLE / b.n_bigrams, 0), 6) AS dup_bigram_frac
+           |FROM wagg w LEFT JOIN bagg b USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "txt_pii" -> {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+        val idRun = "[0-9]{6,}"
+        s"""WITH inj AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+           |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.42' ELSE '' END ||
+           |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+           |  CASE WHEN doc_id % 7 = 0 THEN ' acct ' || (doc_id + 9000000)::VARCHAR ELSE '' END AS t
+           |  FROM documents),
+           |r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+           |              regexp_replace(t, '$email', '<EMAIL>', 'g') AS t FROM inj),
+           |r2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+           |              regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM r1),
+           |r3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+           |              regexp_replace(t, '$phone', '<PHONE>', 'g') AS t FROM r2),
+           |r4 AS (SELECT doc_id, n_email, n_ip, n_phone, CAST(len(regexp_extract_all(t, '$idRun')) AS BIGINT) AS n_id,
+           |              regexp_replace(t, '$idRun', '<ID>', 'g') AS t FROM r3)
+           |SELECT doc_id, n_email, n_ip, n_phone, n_id,
+           |       CAST(length(t) AS BIGINT) AS n_chars_clean,
+           |       substr(md5(t), 1, 16) AS clean_fp
+           |FROM r4 ORDER BY doc_id""".stripMargin
+      },
       "txt_lm" ->
         ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg

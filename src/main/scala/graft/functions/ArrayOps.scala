@@ -176,6 +176,75 @@ case class QuantizeInt8(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-document repetition statistics — the Gopher repetition filters
+  * (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1:
+  * duplicate-word/-n-gram fractions and the top-n-gram share), token-based
+  * over a token-array column, in ONE compiled pass per row. The per-doc
+  * counts live and die inside the row: zero shuffle, zero explode — at
+  * 100 TB the operator is a pure map fused into the scan stage.
+  *
+  * Struct fields (fractions of INSTANCES, not characters):
+  *  - n_tokens, n_bigrams
+  *  - dup_word_frac    = Σ c(w) over words with c(w) > 1, / n_tokens
+  *  - top_bigram_frac  = max bigram count / n_bigrams (0 when no bigrams)
+  *  - dup_bigram_frac  = Σ c(b) over bigrams with c(b) > 1, / n_bigrams */
+case class RepetitionStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects array<string>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val wc = new java.util.HashMap[String, Int]()
+    val bc = new java.util.HashMap[String, Int]()
+    var i = 0
+    var prev: String = null
+    while (i < n) {
+      val w = arr.getUTF8String(i).toString
+      wc.merge(w, 1, Integer.sum)
+      if (prev != null) bc.merge(prev + " " + w, 1, Integer.sum)
+      prev = w
+      i += 1
+    }
+    var dupW = 0L
+    wc.forEach((_, c) => if (c > 1) dupW += c)
+    var dupB = 0L
+    var topB = 0L
+    bc.forEach((_, c) => {
+      if (c > 1) dupB += c
+      if (c > topB) topB = c
+    })
+    val nBg = if (n >= 2) (n - 1).toLong else 0L
+    InternalRow(n.toLong, nBg,
+      if (n > 0) dupW.toDouble / n else 0.0,
+      if (nBg > 0) topB.toDouble / nBg else 0.0,
+      if (nBg > 0) dupB.toDouble / nBg else 0.0)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Static vector kernels callable from generated Java (object → static
   * forwarders, same pattern as [[GraftHash]]). The element-type flags are
   * codegen-time literals, so the JIT sees constant branches. */
@@ -558,4 +627,10 @@ object ArrayOps {
   /** Symmetric int8 quantization: struct(scale: double, q: array<int>). */
   def quantize_int8(emb: Column): Column =
     GraftColumnBridge.column(QuantizeInt8(expr(emb)))
+
+  /** Gopher repetition signals over a token array (one compiled pass):
+    * struct(n_tokens, n_bigrams, dup_word_frac, top_bigram_frac,
+    * dup_bigram_frac). */
+  def repetition_stats(words: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(expr(words)))
 }

@@ -180,6 +180,44 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM shape: flag
+    * training documents that share n-grams with an evaluation benchmark so
+    * they can be dropped before training). For every corpus document:
+    * its distinct n-gram count, how many of those n-grams appear ANYWHERE
+    * in the benchmark set, the overlap ratio, and a `contaminated` flag at
+    * `threshold`.
+    *
+    * Scale shape — the asymmetry is the whole design: benchmarks are MBs
+    * while the corpus is TBs, so the benchmark's distinct n-gram set is
+    * built once (explode + distinct over the small side) and BROADCAST.
+    * The corpus side is a narrow compiled-shingle projection + explode,
+    * a broadcast-hash left join (no shuffle of the corpus), and one
+    * map-side-combined groupBy(doc) — the only corpus shuffle is the
+    * (id, count) partials. Candidate for 100 TB as-is.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    threshold: Double = 0.5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val shingles = graft.functions.ArrayOps
+      .word_shingles(split(col(textCol), " "), n)
+    val benchNg = benchmark
+      .select(explode(shingles).as("ngram")).distinct()
+      .withColumn("hit", lit(1))
+    val corpusNg = corpus
+      .select(col(idCol), shingles.as("ngs"))
+      .select(col(idCol), size(col("ngs")).cast("long").as("n_ngrams"),
+        explode(col("ngs")).as("ngram"))
+    val ratio = col("n_matched").cast("double") / col("n_ngrams").cast("double")
+    corpusNg
+      .join(broadcast(benchNg), Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        count(col("hit")).as("n_matched"))
+      .select(col(idCol), col("n_ngrams"), col("n_matched"),
+        round(ratio, 6).as("contam_ratio"),
+        (ratio >= threshold).as("contaminated"))
+  }
+
   /** Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     * connected components by min-label propagation with pointer-jumping.
     * Each round is (1) a neighbor-min step — one join + one partial-min

@@ -70,6 +70,39 @@ object Sampling {
       .drop("__rank__")
   }
 
+  /** Mixture targeting: downsample so the surviving corpus hits TARGET
+    * PROPORTIONS across strata (the static data-mixing pass of an LLM
+    * pretraining pipeline — "the mix should be 50% web, 30% code, 20%
+    * books" — as opposed to [[stratified]], which applies given
+    * keep-fractions). Solves for the per-stratum fractions with maximal
+    * retention: cap = min over strata of n_s / w_s, keep_s =
+    * cap·w_s / n_s ≤ 1, then applies the same hash filter as
+    * [[stratified]]. Strata with zero/unlisted weight are dropped.
+    *
+    * Shape: one tiny per-stratum count agg (map-side combined), a 1-row
+    * min-aggregate broadcast, a broadcast join of the per-stratum
+    * fraction table, and the stateless hash filter — the corpus itself is
+    * never shuffled, so this runs at read bandwidth at 100 TB. */
+  def mixture(df: DataFrame, strataCol: String, idCol: String,
+              weights: Map[String, Double], seed: Int = 42): DataFrame = {
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    val wsum = weights.values.sum
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(f / wsum)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", w).filter(col("__w") > 0)
+    val cap = counts.agg(min(col("__n") / col("__w")).as("__cap"))
+    val frac = counts.crossJoin(broadcast(cap))
+      .select(col(strataCol),
+        least(lit(1.0), col("__cap") * col("__w") / col("__n")).as("__frac"))
+    df.join(broadcast(frac), Seq(strataCol))
+      .filter(hashUniform(col(idCol), seed) < col("__frac"))
+      .drop("__frac")
+  }
+
   /** Deterministic train/val/test split: each row's assignment is a pure
     * function of its id (and seed), so the split is stable across runs,
     * retries, engines and corpus growth — adding documents never reshuffles

@@ -124,6 +124,52 @@ object TextAnalysis {
       substring(md5(lower(regexp_replace(col(textCol), "\\s+", " "))), 1, 16)
         .as("fp"))
 
+  /** PII redaction — the scrub pass a training-data pipeline runs before
+    * anything else ships: emails, IPv4s, phone numbers, and long digit
+    * runs (account/ID-like) replaced by class tokens, with per-class match
+    * counts. Patterns are lookaround-free so Java regex (Spark) and RE2
+    * (DuckDB, Go tooling) agree on every match. Each class is counted on
+    * the text AFTER the previous class was redacted, so a digit run inside
+    * an email is an email, not an ID.
+    *
+    * Shape: a chain of codegen'd regexp_count/regexp_replace projections —
+    * no shuffle, no UDF; at 100 TB this runs fused into the scan. */
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val classes = Seq(
+      ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+      ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+      ("id", "[0-9]{6,}", "<ID>"))
+    val (counts, cleaned) = classes.foldLeft(
+        (Seq.empty[Column], col(textCol))) {
+      case ((cs, t), (name, pat, tok)) =>
+        (cs :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$name"),
+          regexp_replace(t, pat, tok))
+    }
+    docs.select(col(idCol) +: counts :+
+      length(cleaned).cast("long").as("n_chars_clean") :+
+      substring(md5(cleaned), 1, 16).as("clean_fp"): _*)
+  }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 table A1): per-doc
+    * duplicate-word fraction, duplicate-bigram fraction, and top-bigram
+    * share, via the compiled [[graft.functions.RepetitionStats]] expression.
+    * The whole operator is one narrow projection — per-doc counts never
+    * leave the row, so it runs at scan speed at any corpus size. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val r = graft.functions.ArrayOps
+      .repetition_stats(split(col(textCol), " "))
+    docs.select(col(idCol), r.as("r"))
+      .select(col(idCol),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_bigrams").as("n_bigrams"),
+        round(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("r.top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("r.dup_bigram_frac"), 6).as("dup_bigram_frac"))
+  }
+
   /** Corpus bigram language-model score per document — the perplexity-style
     * quality filter (CCNet-shape: score text by how predictable it is under
     * a model trained on the corpus itself; gibberish and boilerplate sit at

@@ -45,6 +45,22 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.getLong(1) == 0L) // keep min id
   }
 
+  test("contamination flags benchmark-overlapping docs and only those") {
+    // benchmark = doc 0's text; doc 3 is identical (100% 3-gram overlap),
+    // doc 1 shares a long prefix (partial overlap), doc 2 shares nothing
+    val bench = docs.filter(col("doc_id") === 0L)
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val got = Dedup.contamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    val (n3, m3, f3) = got(3L)
+    assert(n3 == m3 && f3, s"exact dup fully contaminated: ${got(3L)}")
+    val (_, m2, f2) = got(2L)
+    assert(m2 == 0L && !f2, s"disjoint doc clean: ${got(2L)}")
+    val (n1, m1, f1) = got(1L)
+    assert(m1 > 0L && m1 < n1 && f1, s"near-dup partially overlaps: ${got(1L)}")
+  }
+
   test("minhash LSH finds near-dup and exact-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -267,6 +283,42 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(5)).toMap
     assert(l(0L) == "en")
     assert(l(4L) == "es")
+  }
+
+  test("pii redact: finds each class once, ordering protects emails from id-run") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val corpus = spark.createDataFrame(java.util.List.of(
+      Row(0L, "mail user123456@host.example.com then 192.168.0.1 " +
+        "call 555-867-5309 acct 99887766 done"),
+      Row(1L, "nothing sensitive here")), schema)
+    val r = TextAnalysis.piiRedact(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // the 6-digit run inside the email must be counted as EMAIL not ID
+    assert(r(0L) == ((1L, 1L, 1L, 1L)), s"got ${r(0L)}")
+    assert(r(1L) == ((0L, 0L, 0L, 0L)), s"got ${r(1L)}")
+  }
+
+  test("repetition stats: hand-computed fractions on a known doc") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val corpus = spark.createDataFrame(java.util.List.of(
+      // tokens: a b a b a  → n=5, bigrams: "a b","b a","a b","b a" → n_bg=4
+      // every word duplicated (dupw=5/5); every bigram duplicated (4/4);
+      // top bigram "a b" (or "b a") count 2 → 2/4
+      Row(0L, "a b a b a"),
+      // all distinct: zero repetition, bigrams all unique
+      Row(1L, "v w x y z"),
+      Row(2L, "solo")), schema) // 1 token → no bigrams, fractions 0
+    val got = TextAnalysis.repetitionStats(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(0L) == ((5L, 4L, 1.0, 0.5, 1.0)), s"got ${got(0L)}")
+    assert(got(1L) == ((5L, 4L, 0.0, 0.25, 0.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)), s"got ${got(2L)}")
   }
 
   test("bigram LM score ranks repetitive text above unpredictable text") {

@@ -59,6 +59,32 @@ class PackingTfIdfSpec extends SparkSpec {
     assert(a.forall { case (id, s) => grown(id) == s })
   }
 
+  test("mixture hits target proportions with maximal retention") {
+    val srcSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    val rows = (0L until 40L).map(i => Row(i, "a")) ++
+      (40L until 80L).map(i => Row(i, "b")) ++
+      (80L until 100L).map(i => Row(i, "c")) ++
+      (100L until 110L).map(i => Row(i, "d"))
+    val corpus = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), srcSchema)
+    // weights a:.5 b:.25 c:.25 → cap = min(40/.5, 40/.25, 20/.25) = 80
+    // → keep-fracs a = 1.0, b = 0.5, c = 1.0; d unlisted → dropped
+    val kept = Sampling.mixture(corpus, "source", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("d"), s"zero-weight stratum must drop: $bySrc")
+    assert(bySrc("a") == 40 && bySrc("c") == 20,
+      s"binding/under-cap strata keep everything: $bySrc")
+    assert(bySrc("b") > 10 && bySrc("b") < 30, s"b halves: $bySrc")
+    // deterministic under repartitioning
+    val again = Sampling.mixture(corpus.repartition(7), "source", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(kept.toSet == again.toSet)
+  }
+
   test("tf-idf ranks corpus-distinctive terms above ubiquitous ones") {
     val docs = df(Seq(
       Row(0L, "the cat sat on the mat"),
