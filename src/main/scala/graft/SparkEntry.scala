@@ -274,6 +274,11 @@ object SparkEntry {
     // exact mode end-to-end: decimal-dot scores rounded to 6 with (score
     // desc, cell desc) tie order make assignment, probe selection and the
     // final top-k all reproducible in the DuckDB mirror
+    // Lloyd's k-means, k = 4, 3 deterministic iterations; output is the
+    // final cluster assignment (the SemDeDup/cluster-balance primitive)
+    "clu_kmeans" -> ((s, d) =>
+      Similarity.kmeans(embs(s, d), k = 4, iters = 3)._1
+        .orderBy(col("vec_id"))),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.ivfCentroids(e, 16)
@@ -1085,6 +1090,44 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(CAST(dt AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))),6) AS sim
         |FROM d, nq ORDER BY sim DESC, vec_id LIMIT 25""".stripMargin
+    // Lloyd's k-means mirror (k = 4, 3 iterations + final assignment):
+    // every mean and score goes through the DECIMAL(38,30)-sum + round
+    // convention, so the iteration trajectory is bit-identical to
+    // Similarity.kmeans in any engine
+    val cluKmeans = {
+      val k = 4
+      val iters = 3
+      def roundCtes(r: Int): String = {
+        val cp = s"c${r - 1}"
+        s"""${cp}f AS (SELECT cell, unnest(c) AS cv, generate_subscripts(c,1) AS i FROM $cp),
+           |${cp}n AS (SELECT cell, CAST(sum(CAST(cv*cv AS DECIMAL(38,30))) AS DOUBLE) AS n2
+           |           FROM ${cp}f GROUP BY cell),
+           |a${r}d AS (SELECT e.vec_id, c.cell,
+           |           CAST(sum(CAST(CAST(e.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+           |           FROM e JOIN ${cp}f c USING (i) GROUP BY e.vec_id, c.cell),
+           |a$r AS (SELECT vec_id, cell FROM (
+           |           SELECT d.vec_id, d.cell,
+           |                  row_number() OVER (PARTITION BY d.vec_id
+           |                    ORDER BY round(n.n2 - 2*d.dt, 9), d.cell) AS rn
+           |           FROM a${r}d d JOIN ${cp}n n USING (cell)) WHERE rn = 1)""".stripMargin
+      }
+      def updateCte(r: Int): String =
+        s"""c$r AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+           |           SELECT a.cell, e.i,
+           |                  round(CAST(sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+           |                        / count(*), 9) AS m
+           |           FROM a$r a JOIN e USING (vec_id) GROUP BY a.cell, e.i) GROUP BY cell)""".stripMargin
+      val rounds = (1 to iters).map(r => roundCtes(r) + ",\n" + updateCte(r))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+         |           generate_subscripts(embedding,1) AS i FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         |       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |$rounds,
+         |${roundCtes(iters + 1)}
+         |SELECT vec_id, cell FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+    }
     // 16-bin byte histogram over ASCII text: per-bin char count / length in
     // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
     val mmFeatures = {
@@ -1412,6 +1455,7 @@ object SparkEntry {
            |       md5(array_to_string(qv, ',')) AS q_fp
            |FROM q ORDER BY vec_id""".stripMargin),
       "sim_ivf" -> simIvf,
+      "clu_kmeans" -> cluKmeans,
       "mm_features" -> mmFeatures,
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).

@@ -191,6 +191,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd's k-means over the embedding column — the clustering pass a
+    * training-data pipeline runs for corpus analysis, cluster-balanced
+    * sampling, and semantic-dedup blocking (SemDeDup-style). Fully
+    * deterministic: centroids seed from the k smallest ids, per-cell means
+    * go through decimal-exact sums rounded to 9 places (order- and
+    * partitioning-independent, reproducible in any SQL engine), and
+    * assignment breaks score ties on the lower cell id. Empty cells drop.
+    *
+    * Scale shape, per iteration (iterations are full corpus passes — cache
+    * the input upstream for more than a few):
+    *  - assignment: k compiled decimal dot products inside one narrow
+    *    projection (argmin over `|c|² − 2·e·c` structs — `|e|²` is
+    *    row-constant and cancels), zero shuffle;
+    *  - update: posexplode → groupBy(cell, dim) with map-side partial
+    *    decimal sums, so the exchange carries ≤ k·dim rows per partition,
+    *    never the corpus;
+    *  - the k·dim centroid matrix is collected to the driver and
+    *    re-broadcast as literals (bounded, same contract as
+    *    [[ivfCentroids]]).
+    *
+    * @return (assignments (id, cell), final centroids by cell) */
+  def kmeans(embs: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"):
+      (DataFrame, Map[Int, Seq[Double]]) = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got ($k, $iters)")
+    def assign(cents: Map[Int, Seq[Double]]): DataFrame = {
+      val scored = cents.toSeq.sortBy(_._1).map { case (cell, c) =>
+        val cc = array(c.map(lit): _*)
+        // |c|² via the same decimal-exact sum the oracle uses, driver-side
+        // (a literal, not a per-row constant subtree)
+        var acc = java.math.BigDecimal.ZERO
+        c.foreach(x => acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
+        struct(round(lit(acc.doubleValue()) - lit(2.0) * dotExact(col(embCol), cc), 9)
+          .as("score"), lit(cell).as("cell"))
+      }
+      embs.select(col(idCol), col(embCol),
+        array_min(array(scored: _*)).getField("cell").as("cell"))
+    }
+    def update(assigned: DataFrame): Map[Int, Seq[Double]] =
+      assigned
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(38, 30)))
+          .cast("double") / count(lit(1)), 9).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+    val init = embs.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toSeq }
+      .toMap
+    val finalCents = (1 to iters).foldLeft(init) { (c, _) => update(assign(c)) }
+    (assign(finalCents).select(col(idCol), col("cell")), finalCents)
+  }
+
   /** Symmetric int8 quantization of the embedding column:
     * (id, scale, q) with x_i ≈ scale * q_i. 4× smaller than float32 — the
     * compressed form a 100 TB vector corpus actually stores — computed by

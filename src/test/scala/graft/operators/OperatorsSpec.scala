@@ -45,6 +45,31 @@ class OperatorsSpec extends SparkSpec {
     assert(dup.getLong(1) == 0L) // keep min id
   }
 
+  test("kmeans separates two far-apart blobs; deterministic under repartition") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(11)
+    def near(center: Float) =
+      Seq.fill(8)(center + 0.05f * (rng.nextFloat() - 0.5f))
+    // ids 0/1 seed the two initial centroids, one from each blob
+    val rows = Seq(
+      Row(0L, near(1f)), Row(1L, near(-1f)), Row(2L, near(1f)),
+      Row(3L, near(-1f)), Row(4L, near(1f)), Row(5L, near(-1f)),
+      Row(6L, near(1f)), Row(7L, near(-1f)))
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val (asg, cents) = Similarity.kmeans(embs, k = 2, iters = 2)
+    val byCell = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 2L, 4L, 6L).map(byCell) == Set(byCell(0L)), s"$byCell")
+    assert(Set(1L, 3L, 5L, 7L).map(byCell) == Set(byCell(1L)), s"$byCell")
+    assert(byCell(0L) != byCell(1L), s"$byCell")
+    assert(cents.size == 2 && cents.values.forall(_.length == 8))
+    // centroid of the +1 blob sits near +1 on every dim
+    assert(cents(byCell(0L)).forall(v => v > 0.9 && v < 1.1), cents.toString)
+    val (asg2, _) = Similarity.kmeans(embs.repartition(5), k = 2, iters = 2)
+    assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == byCell)
+  }
+
   test("contamination flags benchmark-overlapping docs and only those") {
     // benchmark = doc 0's text; doc 3 is identical (100% 3-gram overlap),
     // doc 1 shares a long prefix (partial overlap), doc 2 shares nothing
