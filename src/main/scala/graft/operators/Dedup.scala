@@ -189,11 +189,13 @@ object Dedup {
     *
     * Scale shape — the asymmetry is the whole design: benchmarks are MBs
     * while the corpus is TBs, so the benchmark's distinct n-gram set is
-    * built once (explode + distinct over the small side) and BROADCAST.
-    * The corpus side is a narrow compiled-shingle projection + explode,
-    * a broadcast-hash left join (no shuffle of the corpus), and one
-    * map-side-combined groupBy(doc) — the only corpus shuffle is the
-    * (id, count) partials. Candidate for 100 TB as-is.
+    * built once (explode + distinct over the small side) and broadcast.
+    * The broadcast is AQE's decision from the aggregated side's RUNTIME
+    * size, not a forced hint — a pathologically large benchmark degrades
+    * to a shuffle join instead of OOMing the driver. The corpus side is a
+    * narrow compiled-shingle projection + explode, the (usually broadcast)
+    * left join, and one map-side-combined groupBy(doc) — the only corpus
+    * shuffle is the (id, count) partials. Candidate for 100 TB as-is.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
                     threshold: Double = 0.5, textCol: String = "text",
@@ -209,7 +211,7 @@ object Dedup {
         explode(col("ngs")).as("ngram"))
     val ratio = col("n_matched").cast("double") / col("n_ngrams").cast("double")
     corpusNg
-      .join(broadcast(benchNg), Seq("ngram"), "left")
+      .join(benchNg, Seq("ngram"), "left")
       .groupBy(col(idCol))
       .agg(max(col("n_ngrams")).as("n_ngrams"),
         count(col("hit")).as("n_matched"))
