@@ -279,6 +279,11 @@ object SparkEntry {
     "clu_kmeans" -> ((s, d) =>
       Similarity.kmeans(embs(s, d), k = 4, iters = 3)._1
         .orderBy(col("vec_id"))),
+    // SemDeDup: k-means cells as the blocking key for within-cluster
+    // near-dup pairs, resolved to duplicate groups
+    "dd_semantic" -> ((s, d) =>
+      Dedup.semanticGroups(embs(s, d), k = 4, iters = 3, threshold = 0.3)
+        .orderBy(col("id"))),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.ivfCentroids(e, 16)
@@ -1094,9 +1099,11 @@ object SparkEntry {
     // every mean and score goes through the DECIMAL(38,30)-sum + round
     // convention, so the iteration trajectory is bit-identical to
     // Similarity.kmeans in any engine
-    val cluKmeans = {
-      val k = 4
-      val iters = 3
+    val kmeansK = 4
+    val kmeansIters = 3
+    val kmeansCtes: String = {
+      val k = kmeansK
+      val iters = kmeansIters
       def roundCtes(r: Int): String = {
         val cp = s"c${r - 1}"
         s"""${cp}f AS (SELECT cell, unnest(c) AS cv, generate_subscripts(c,1) AS i FROM $cp),
@@ -1119,15 +1126,42 @@ object SparkEntry {
            |           FROM a$r a JOIN e USING (vec_id) GROUP BY a.cell, e.i) GROUP BY cell)""".stripMargin
       val rounds = (1 to iters).map(r => roundCtes(r) + ",\n" + updateCte(r))
         .mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+      s"""e AS (SELECT vec_id, unnest(embedding) AS v,
          |           generate_subscripts(embedding,1) AS i FROM embeddings),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
          |       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
          |$rounds,
-         |${roundCtes(iters + 1)}
-         |SELECT vec_id, cell FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+         |${roundCtes(iters + 1)}""".stripMargin
     }
+    // final assignment CTE produced by the chain above
+    val kmeansAsg = s"a${kmeansIters + 1}"
+    val cluKmeans =
+      s"WITH $kmeansCtes\nSELECT vec_id, cell FROM $kmeansAsg ORDER BY vec_id"
+    // SemDeDup mirror: within-cell exact-decimal all-pairs over the k-means
+    // assignment, then the recursive min-label closure (same shapes as
+    // blockedCtes / ddEmbed, blocked on the LEARNED cell instead of label)
+    val ddSemantic =
+      s"""WITH RECURSIVE $kmeansCtes,
+         |pe AS (SELECT e.vec_id, a.cell, e.v, e.i
+         |       FROM e JOIN $kmeansAsg a USING (vec_id)),
+         |snrm AS (SELECT vec_id,
+         |               sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+         |        FROM e GROUP BY vec_id),
+         |sd AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |             CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |      FROM pe l JOIN pe r ON l.cell = r.cell AND l.i = r.i AND l.vec_id < r.vec_id
+         |      GROUP BY 1, 2),
+         |sbp AS (SELECT id1, id2 FROM sd
+         |       JOIN snrm n1 ON sd.id1 = n1.vec_id JOIN snrm n2 ON sd.id2 = n2.vec_id
+         |       WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.3),
+         |sedges AS (SELECT id1 AS a, id2 AS b FROM sbp
+         |          UNION ALL SELECT id2 AS a, id1 AS b FROM sbp),
+         |sreach(id, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT g.a, r.l FROM sedges g JOIN sreach r ON g.b = r.id)
+         |SELECT id, min(l) AS group_id FROM sreach GROUP BY id ORDER BY id""".stripMargin
     // 16-bin byte histogram over ASCII text: per-bin char count / length in
     // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
     val mmFeatures = {
@@ -1456,6 +1490,7 @@ object SparkEntry {
            |FROM q ORDER BY vec_id""".stripMargin),
       "sim_ivf" -> simIvf,
       "clu_kmeans" -> cluKmeans,
+      "dd_semantic" -> ddSemantic,
       "mm_features" -> mmFeatures,
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).

@@ -220,6 +220,23 @@ object Dedup {
         (ratio >= threshold).as("contaminated"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space with k-means, then find near-duplicate pairs ONLY within each
+    * cluster and resolve them to duplicate groups. The clustering replaces
+    * an all-pairs O(n²) search with k independent within-cluster searches —
+    * at 100 TB the pair join's blocking key is the learned cell id, whose
+    * cardinality (and per-cell bound, via [[Similarity.blockedAllPairs]]'s
+    * `maxBlockSize` sub-bucketing) keeps the candidate count linear-ish.
+    * Returns (id, group_id) for every vector; keep = id == group_id. */
+  def semanticGroups(embs: DataFrame, k: Int, iters: Int, threshold: Double,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val (asg, _) = Similarity.kmeans(embs, k, iters, idCol, embCol)
+    val pairs = Similarity.blockedAllPairs(
+      embs.join(asg, Seq(idCol)), "cell", threshold, idCol, embCol)
+    duplicateGroups(embs, pairs.select("id1", "id2"), idCol)
+  }
+
   /** Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     * connected components by min-label propagation with pointer-jumping.
     * Each round is (1) a neighbor-min step — one join + one partial-min

@@ -70,6 +70,24 @@ class OperatorsSpec extends SparkSpec {
     assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == byCell)
   }
 
+  test("semantic dedup groups each blob, keeps min id as representative") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(13)
+    def near(center: Float) =
+      Seq.fill(8)(center + 0.02f * (rng.nextFloat() - 0.5f))
+    val rows = Seq(
+      Row(0L, near(1f)), Row(1L, near(-1f)), Row(2L, near(1f)),
+      Row(3L, near(-1f)), Row(4L, near(1f)), Row(5L, near(-1f)))
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val got = Dedup.semanticGroups(embs, k = 2, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cosine within a tight blob ~1, across blobs ~-1: two groups, min-id reps
+    assert(got == Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L), got.toString)
+  }
+
   test("contamination flags benchmark-overlapping docs and only those") {
     // benchmark = doc 0's text; doc 3 is identical (100% 3-gram overlap),
     // doc 1 shares a long prefix (partial overlap), doc 2 shares nothing
