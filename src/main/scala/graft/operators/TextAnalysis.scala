@@ -177,12 +177,17 @@ object TextAnalysis {
     * P(w2|w1) = c(w1 w2) / c(w1 ·), and a document's score is its mean
     * bigram log-probability (≤ 0; higher = more predictable).
     *
-    * Scale shape: bigram extraction is a narrow projection + explode; both
-    * count tables are map-side-combined aggregations; the two probability
-    * joins are equi-joins on the count keys (AQE-skewable); the per-doc
-    * reduce is one groupBy. Log-probs round to 9 places then sum through
-    * DECIMAL, so the per-doc mean is exact and order-independent — the
-    * oracle-parity convention for multi-addend float sums.
+    * Scale shape: bigram extraction is a narrow projection + explode; the
+    * corpus model is ONE map-side-combined (w1, bg) count aggregation with
+    * the conditioning total `c(w1 ·)` derived by a sum-window over those
+    * grouped counts (bounded by distinct-bigram cardinality — the
+    * TfIdf df-via-window shape, measured ~1.5× faster than a second join
+    * over the instance table); the per-doc reduce then needs a single
+    * equi-join on bg (AQE decides broadcast vs shuffle from the model
+    * table's runtime size) and one groupBy. Log-probs round to 9 places
+    * then sum through DECIMAL, so the per-doc mean is exact and
+    * order-independent — the oracle-parity convention for multi-addend
+    * float sums.
     *
     * Documents with fewer than 2 tokens have no bigrams and drop out. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
@@ -197,14 +202,15 @@ object TextAnalysis {
               element_at(col("words"), i + 2)).as("bg"))))
         .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("x"))
       .select(col("id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-    val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-    val w1Counts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
-    bigrams
-      .join(bgCounts, Seq("bg"))
-      .join(w1Counts, Seq("w1"))
-      .select(col("id"),
+    val model = bigrams.groupBy(col("w1"), col("bg"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("c_w1", sum(col("c_bg")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .select(col("bg"),
         round(log(col("c_bg").cast("double") / col("c_w1").cast("double")), 9)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("lp"))
+    bigrams.select(col("id"), col("bg"))
+      .join(model, Seq("bg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
