@@ -245,6 +245,55 @@ case class RepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Count of elements of a string-array column that belong to a FIXED
+  * driver-resident set (bound at plan time, shipped once per task via the
+  * expression's reference object — the broadcast-set membership shape).
+  * Powers the zero-state streaming contamination gate: per-row overlap
+  * against a benchmark n-gram set without a join or aggregation, so the
+  * operator is append-mode-safe and fuses into the scan. The set must be
+  * driver-bounded (benchmark sets are MBs by definition; the scalable
+  * batch path is [[graft.operators.Dedup.contamination]]'s join). */
+case class SetOverlapCount(child: Expression, set: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"set_overlap_count expects array<string>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val lookup: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](set.length * 2)
+    set.foreach(x => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    s
+  }
+
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("setOverlap", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): Int = {
+    var n = 0
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (lookup.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Static vector kernels callable from generated Java (object → static
   * forwarders, same pattern as [[GraftHash]]). The element-type flags are
   * codegen-time literals, so the JIT sees constant branches. */
@@ -633,4 +682,9 @@ object ArrayOps {
     * dup_bigram_frac). */
   def repetition_stats(words: Column): Column =
     GraftColumnBridge.column(RepetitionStats(expr(words)))
+
+  /** Count of a string-array column's elements that belong to a fixed
+    * driver-resident set (broadcast-set membership, zero shuffle). */
+  def set_overlap_count(arr: Column, set: Array[String]): Column =
+    GraftColumnBridge.column(SetOverlapCount(expr(arr), set))
 }

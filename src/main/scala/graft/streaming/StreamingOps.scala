@@ -44,6 +44,37 @@ object StreamingOps {
     docs.filter(nTok.between(minTokens, maxTokens))
   }
 
+  /** Streaming decontamination gate: drop incoming documents whose
+    * distinct-n-gram overlap with a STATIC benchmark set reaches
+    * `threshold` (the streaming twin of
+    * [[graft.operators.Dedup.contamination]], with identical flagging
+    * semantics — asserted in StreamingOpsSpec).
+    *
+    * The benchmark n-gram set is collected ONCE at plan time and bound
+    * into the compiled [[graft.functions.SetOverlapCount]] expression, so
+    * the gate is a pure stateless projection + filter: append-mode-safe,
+    * no streaming state, no stream-static join to re-execute per
+    * micro-batch. Benchmark sets are driver-bounded by definition (MBs of
+    * eval data vs TBs of corpus); the unbounded-benchmark path is the
+    * batch operator's AQE join. */
+  def contaminationGate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                        threshold: Double = 0.5,
+                        textCol: String = "text"): DataFrame = {
+    import graft.functions.ArrayOps
+    val benchSet: Array[String] = benchmark
+      .select(explode(ArrayOps.word_shingles(split(col(textCol), " "), n))
+        .as("ngram"))
+      .distinct().collect().map(_.getString(0))
+    val ngs = ArrayOps.word_shingles(split(col(textCol), " "), n)
+    docs
+      .withColumn("__ngs", ngs)
+      .withColumn("__matched",
+        ArrayOps.set_overlap_count(col("__ngs"), benchSet))
+      .filter(col("__matched").cast("double") /
+        size(col("__ngs")).cast("double") < threshold)
+      .drop("__ngs", "__matched")
+  }
+
   /** Windowed event-rate aggregation with late-data handling: per
     * (window, event_type) counts and value sums; watermark bounds state. */
   def eventWindowAgg(events: DataFrame, tsCol: String = "ts",

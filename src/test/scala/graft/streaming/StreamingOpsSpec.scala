@@ -41,6 +41,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination gate matches the batch operator's flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpusRows = Seq(
+      Doc(ts(0), "the quick brown fox jumps over the lazy dog"), // exact dup
+      Doc(ts(1), "the quick brown fox went elsewhere entirely today"), // partial
+      Doc(ts(2), "completely unrelated content about spark engines"))
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.contaminationGate(in.toDF(), bench)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      in.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contam_out").collect()
+        .map(_.getString(1)).toSet
+      // batch twin: same corpus, same benchmark, same threshold
+      val corpusDf = corpusRows.zipWithIndex
+        .map { case (d, i) => (i.toLong, d.text) }.toDF("doc_id", "text")
+      val batchKept = graft.operators.Dedup.contamination(corpusDf, bench)
+        .filter(!col("contaminated"))
+        .collect().map(_.getLong(0)).toSet
+      val batchTexts = corpusRows.zipWithIndex
+        .collect { case (d, i) if batchKept(i.toLong) => d.text }.toSet
+      assert(streamed == batchTexts, s"streamed=$streamed batch=$batchTexts")
+      assert(!streamed.exists(_.contains("lazy dog")), "exact dup must drop")
+      assert(streamed.exists(_.contains("unrelated")), "clean doc must pass")
+    } finally q.stop()
+  }
+
   test("heavy_hitters aggregates a stream in update mode (exact on bounded domain)") {
     val spark2 = spark
     import spark2.implicits._
