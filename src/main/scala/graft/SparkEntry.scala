@@ -284,6 +284,15 @@ object SparkEntry {
     "dd_semantic" -> ((s, d) =>
       Dedup.semanticGroups(embs(s, d), k = 4, iters = 3, threshold = 0.3)
         .orderBy(col("id"))),
+    // cluster-balanced sampling: fixed-size deterministic sample per
+    // k-means cell (the data-mixing sibling of SemDeDup — equalize cluster
+    // representation instead of deduplicating)
+    "clu_sample" -> ((s, d) => {
+      val (asg, _) = Similarity.kmeans(embs(s, d), k = 4, iters = 3)
+      Sampling.takePerStratum(asg, "cell", "vec_id", n = 25)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("cell"), col("vec_id"))
+    }),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.ivfCentroids(e, 16)
@@ -1491,6 +1500,14 @@ object SparkEntry {
       "sim_ivf" -> simIvf,
       "clu_kmeans" -> cluKmeans,
       "dd_semantic" -> ddSemantic,
+      "clu_sample" ->
+        (s"""WITH $kmeansCtes,
+            |ranked AS (SELECT vec_id, cell,
+            |       row_number() OVER (PARTITION BY cell
+            |         ORDER BY ${hashU("vec_id")}, vec_id) AS rn
+            |       FROM $kmeansAsg)
+            |SELECT vec_id, cell FROM ranked WHERE rn <= 25
+            |ORDER BY cell, vec_id""".stripMargin),
       "mm_features" -> mmFeatures,
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).

@@ -205,10 +205,13 @@ object Dedup {
     val benchNg = benchmark
       .select(explode(shingles).as("ngram")).distinct()
       .withColumn("hit", lit(1))
+    // explode_outer, not explode: word_shingles always yields >= 1 element
+    // (whole-doc fallback), and inner explode's pushed-down non-empty
+    // filter re-evaluates the shingle expression 2 extra times per row
     val corpusNg = corpus
       .select(col(idCol), shingles.as("ngs"))
       .select(col(idCol), size(col("ngs")).cast("long").as("n_ngrams"),
-        explode(col("ngs")).as("ngram"))
+        explode_outer(col("ngs")).as("ngram"))
     val ratio = col("n_matched").cast("double") / col("n_ngrams").cast("double")
     corpusNg
       .join(benchNg, Seq("ngram"), "left")

@@ -90,7 +90,11 @@ object GraftExtensions {
     ("quantize_int8",
       "quantize_int8(emb) - symmetric int8 quantization of a numeric array: " +
         "struct(scale: double, q: array<int>)",
-      arity("quantize_int8", 1)(a => graft.functions.QuantizeInt8(a(0)))))
+      arity("quantize_int8", 1)(a => graft.functions.QuantizeInt8(a(0)))),
+    ("repetition_stats",
+      "repetition_stats(words) - Gopher repetition signals of a token array: " +
+        "struct(n_tokens, n_bigrams, dup_word_frac, top_bigram_frac, dup_bigram_frac)",
+      arity("repetition_stats", 1)(a => graft.functions.RepetitionStats(a(0)))))
 
   /** Idempotently register the SQL function surface on an EXISTING session
     * (extensions bind at build time; this is the runtime path — e.g. a
