@@ -184,6 +184,17 @@ object QueryCatalog {
   def pairs02(spark: SparkSession, sfDir: String): DataFrame =
     pairs01(spark, sfDir).filter(col("est_jaccard") >= 0.2)
 
+  /** k-means(4, 3) assignments over the embeddings, shared by
+    * clu_kmeans / dd_semantic / clu_sample (the clustering is the dominant
+    * cost — 4 corpus passes — and all three consume the SAME model; the
+    * per-query work on top is a sort, a pair join, or a top-k). */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def kmeansAsg(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansCache.getOrElseUpdate((spark, sfDir),
+      Similarity.kmeans(embs(spark, sfDir), k = 4, iters = 3)._1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 
   def occSql(expr: String, pat: String): String = {

@@ -275,24 +275,24 @@ object SparkEntry {
     // desc, cell desc) tie order make assignment, probe selection and the
     // final top-k all reproducible in the DuckDB mirror
     // Lloyd's k-means, k = 4, 3 deterministic iterations; output is the
-    // final cluster assignment (the SemDeDup/cluster-balance primitive)
-    "clu_kmeans" -> ((s, d) =>
-      Similarity.kmeans(embs(s, d), k = 4, iters = 3)._1
-        .orderBy(col("vec_id"))),
+    // final cluster assignment (the SemDeDup/cluster-balance primitive).
+    // The assignment is computed once and shared by the three clu_*/dd_
+    // consumers (QueryCatalog.kmeansAsg) — the batch-user pattern: train
+    // the model once, consume it from every downstream query.
+    "clu_kmeans" -> ((s, d) => kmeansAsg(s, d).orderBy(col("vec_id"))),
     // SemDeDup: k-means cells as the blocking key for within-cluster
     // near-dup pairs, resolved to duplicate groups
     "dd_semantic" -> ((s, d) =>
-      Dedup.semanticGroups(embs(s, d), k = 4, iters = 3, threshold = 0.3)
+      Dedup.semanticGroups(embs(s, d), k = 4, iters = 3, threshold = 0.3,
+          precomputedAsg = Some(kmeansAsg(s, d)))
         .orderBy(col("id"))),
     // cluster-balanced sampling: fixed-size deterministic sample per
     // k-means cell (the data-mixing sibling of SemDeDup — equalize cluster
     // representation instead of deduplicating)
-    "clu_sample" -> ((s, d) => {
-      val (asg, _) = Similarity.kmeans(embs(s, d), k = 4, iters = 3)
-      Sampling.takePerStratum(asg, "cell", "vec_id", n = 25)
+    "clu_sample" -> ((s, d) =>
+      Sampling.takePerStratum(kmeansAsg(s, d), "cell", "vec_id", n = 25)
         .select(col("vec_id"), col("cell"))
-        .orderBy(col("cell"), col("vec_id"))
-    }),
+        .orderBy(col("cell"), col("vec_id"))),
     "sim_ivf" -> ((s, d) => {
       val e = embs(s, d)
       val cents = Similarity.ivfCentroids(e, 16)
@@ -1144,16 +1144,16 @@ object SparkEntry {
          |${roundCtes(iters + 1)}""".stripMargin
     }
     // final assignment CTE produced by the chain above
-    val kmeansAsg = s"a${kmeansIters + 1}"
+    val kmeansAsgCte = s"a${kmeansIters + 1}"
     val cluKmeans =
-      s"WITH $kmeansCtes\nSELECT vec_id, cell FROM $kmeansAsg ORDER BY vec_id"
+      s"WITH $kmeansCtes\nSELECT vec_id, cell FROM $kmeansAsgCte ORDER BY vec_id"
     // SemDeDup mirror: within-cell exact-decimal all-pairs over the k-means
     // assignment, then the recursive min-label closure (same shapes as
     // blockedCtes / ddEmbed, blocked on the LEARNED cell instead of label)
     val ddSemantic =
       s"""WITH RECURSIVE $kmeansCtes,
          |pe AS (SELECT e.vec_id, a.cell, e.v, e.i
-         |       FROM e JOIN $kmeansAsg a USING (vec_id)),
+         |       FROM e JOIN $kmeansAsgCte a USING (vec_id)),
          |snrm AS (SELECT vec_id,
          |               sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
          |        FROM e GROUP BY vec_id),
@@ -1505,7 +1505,7 @@ object SparkEntry {
             |ranked AS (SELECT vec_id, cell,
             |       row_number() OVER (PARTITION BY cell
             |         ORDER BY ${hashU("vec_id")}, vec_id) AS rn
-            |       FROM $kmeansAsg)
+            |       FROM $kmeansAsgCte)
             |SELECT vec_id, cell FROM ranked WHERE rn <= 25
             |ORDER BY cell, vec_id""".stripMargin),
       "mm_features" -> mmFeatures,

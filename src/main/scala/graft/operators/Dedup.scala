@@ -232,9 +232,10 @@ object Dedup {
     * `maxBlockSize` sub-bucketing) keeps the candidate count linear-ish.
     * Returns (id, group_id) for every vector; keep = id == group_id. */
   def semanticGroups(embs: DataFrame, k: Int, iters: Int, threshold: Double,
-                     idCol: String = "vec_id",
-                     embCol: String = "embedding"): DataFrame = {
-    val (asg, _) = Similarity.kmeans(embs, k, iters, idCol, embCol)
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     precomputedAsg: Option[DataFrame] = None): DataFrame = {
+    val asg = precomputedAsg.getOrElse(
+      Similarity.kmeans(embs, k, iters, idCol, embCol)._1)
     val pairs = Similarity.blockedAllPairs(
       embs.join(asg, Seq(idCol)), "cell", threshold, idCol, embCol)
     duplicateGroups(embs, pairs.select("id1", "id2"), idCol)
