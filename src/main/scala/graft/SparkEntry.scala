@@ -35,6 +35,25 @@ object SparkEntry {
     df.orderBy(col(rowId))
   }
 
+  /** PII fixture shared by txt_pii / pipe_pretrain: plant doc_id-derived
+    * emails / IPs / phones / account ids into the (clean-word) corpus,
+    * mirrored verbatim in the oracle SQL, so the redactor must find
+    * exactly these. */
+  private def injectPii(dd: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    dd.withColumn("text", concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" reach me at user"), id,
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"),
+        lit(".42"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" acct "),
+        (id + 9000000L).cast("string"))).otherwise(lit(""))))
+  }
+
   /** Shared left/right sides for the as-of join queries: odd events join
     * against even events per user on epoch-µs time. The right side is
     * pre-deduped to one row per (key, ts) — latest event_id wins — so the
@@ -321,20 +340,33 @@ object SparkEntry {
     // clean lowercase words, so the fixture plants doc_id-derived emails/
     // IPs/phones/account ids — identically in the oracle — and the
     // redactor must find exactly those)
-    "txt_pii" -> ((s, d) => {
-      val id = col("doc_id")
-      val injected = docs(s, d).withColumn("text", concat(
-        col("text"),
-        when(id % 3 === 0, concat(lit(" reach me at user"), id,
-          lit("@mail.example.com"))).otherwise(lit("")),
-        when(id % 4 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"),
-          lit(".42"))).otherwise(lit("")),
-        when(id % 5 === 0, concat(lit(" call 555-"),
-          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
-          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
-        when(id % 7 === 0, concat(lit(" acct "),
-          (id + 9000000L).cast("string"))).otherwise(lit(""))))
-      TextAnalysis.piiRedact(injected).orderBy(col("doc_id"))
+    "txt_pii" -> ((s, d) =>
+      TextAnalysis.piiRedact(injectPii(docs(s, d))).orderBy(col("doc_id"))),
+    // the pretraining-curation pipeline over the NEW round-4 operators —
+    // PII scrub → repetition + length gates on the CLEAN text →
+    // benchmark decontamination → deterministic 80% downsample; one lazy
+    // plan, every stage a catalog operator
+    "pipe_pretrain" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("doc_id") % 53 === 7)
+      val scrubbed = TextAnalysis
+        .piiScrub(injectPii(dd.filter(col("doc_id") % 53 =!= 7)))
+      val gated = scrubbed
+        .withColumn("r", graft.functions.ArrayOps
+          .repetition_stats(split(col("text_clean"), " ")))
+        .filter(col("r.n_tokens").between(20, 90) &&
+          col("r.dup_bigram_frac") <= 0.12)
+        .select(col("doc_id"), col("text_clean"),
+          col("r.n_tokens").as("n_tokens"))
+      val clean = Dedup.contamination(
+          corpus = gated.withColumnRenamed("text_clean", "text"),
+          benchmark = bench)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      gated.join(clean, Seq("doc_id"))
+        .filter(Sampling.hashUniform(col("doc_id")) < 0.8)
+        .select(col("doc_id"), col("n_tokens"),
+          substring(md5(col("text_clean")), 1, 16).as("fp_clean"))
+        .orderBy(col("doc_id"))
     }),
     "txt_rolling" -> ((s, d) =>
       TextAnalysis.rollingHashPortable(docs(s, d)).orderBy(col("doc_id"))),
@@ -1349,6 +1381,49 @@ object SparkEntry {
            |             RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)
            |ORDER BY o_orderkey""".stripMargin,
       "dd_keep" -> ddKeep,
+      // pretraining pipeline: inject → scrub → repetition/length gates on
+      // the clean text → decontamination vs the raw benchmark slice →
+      // deterministic 80% downsample (all stages mirror their standalone
+      // query oracles)
+      "pipe_pretrain" -> {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+        val idRun = "[0-9]{6,}"
+        s"""WITH inj AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+           |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.42' ELSE '' END ||
+           |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+           |  CASE WHEN doc_id % 7 = 0 THEN ' acct ' || (doc_id + 9000000)::VARCHAR ELSE '' END AS t
+           |  FROM documents WHERE doc_id % 53 <> 7),
+           |p4 AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+           |    '$phone', '<PHONE>', 'g'), '$idRun', '<ID>', 'g') AS t FROM inj),
+           |tk AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM p4),
+           |rbg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           |        FROM tk, UNNEST(range(1, len(w))) AS x(i)),
+           |rbc AS (SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY 1, 2),
+           |rbagg AS (SELECT doc_id, sum(c) AS nbg,
+           |                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+           |          FROM rbc GROUP BY 1),
+           |gated AS (SELECT tk.doc_id, t, w, len(w) AS n_tokens
+           |          FROM tk LEFT JOIN rbagg USING (doc_id)
+           |          WHERE len(w) BETWEEN 20 AND 90
+           |            AND coalesce(dupb::DOUBLE / nbg, 0) <= 0.12),
+           |bt AS (SELECT string_split(text, ' ') AS w FROM documents
+           |       WHERE doc_id % 53 = 7),
+           |bng AS (SELECT DISTINCT unnest($shingleList) AS ngram FROM bt),
+           |cng AS (SELECT doc_id, list_distinct($shingleList) AS ngs FROM gated),
+           |cex AS (SELECT doc_id, len(ngs) AS nng, unnest(ngs) AS ngram FROM cng),
+           |ov AS (SELECT e.doc_id, max(e.nng) AS nng, count(b.ngram) AS m
+           |       FROM cex e LEFT JOIN bng b USING (ngram) GROUP BY 1),
+           |cleand AS (SELECT doc_id FROM ov WHERE m::DOUBLE / nng < 0.5)
+           |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           |       substr(md5(g.t), 1, 16) AS fp_clean
+           |FROM gated g JOIN cleand USING (doc_id)
+           |WHERE ${hashU("doc_id")} < 0.8 ORDER BY doc_id""".stripMargin
+      },
       "pipe_curate" ->
         s"""WITH RECURSIVE ${minhashCtes()},
            |edges AS (SELECT id1 AS a, id2 AS b FROM est WHERE est_jaccard >= 0.2

@@ -136,6 +136,18 @@ object TextAnalysis {
     * no shuffle, no UDF; at 100 TB this runs fused into the scan. */
   def piiRedact(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
+    val s = piiScrub(docs, textCol, idCol)
+    s.select(col(idCol), col("n_email"), col("n_ip"), col("n_phone"),
+      col("n_id"),
+      length(col("text_clean")).cast("long").as("n_chars_clean"),
+      substring(md5(col("text_clean")), 1, 16).as("clean_fp"))
+  }
+
+  /** [[piiRedact]]'s composable form: returns the SCRUBBED TEXT itself
+    * (`text_clean`) plus the per-class counts, for pipelines whose later
+    * stages consume the clean text. Same projection chain, no shuffle. */
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
     val classes = Seq(
       ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
       ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
@@ -147,9 +159,7 @@ object TextAnalysis {
         (cs :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$name"),
           regexp_replace(t, pat, tok))
     }
-    docs.select(col(idCol) +: counts :+
-      length(cleaned).cast("long").as("n_chars_clean") :+
-      substring(md5(cleaned), 1, 16).as("clean_fp"): _*)
+    docs.select(col(idCol) +: cleaned.as("text_clean") +: counts: _*)
   }
 
   /** Gopher-style repetition filters (Rae et al. 2021 table A1): per-doc
