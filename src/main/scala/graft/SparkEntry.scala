@@ -274,6 +274,11 @@ object SparkEntry {
     "sim_block" -> ((s, d) =>
       Similarity.blockedAllPairs(embs(s, d), "label", 0.25)
         .orderBy(col("id1"), col("id2"))),
+    // kNN graph: each vector's top-3 block-local neighbors (the primitive
+    // under graph-based dedup / NN-Descent-style index builds)
+    "sim_knn" -> ((s, d) =>
+      Similarity.knnGraph(embs(s, d), "label", k = 3, threshold = 0.25)
+        .orderBy(col("id"), col("sim").desc, col("nbr"))),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -1559,6 +1564,15 @@ object SparkEntry {
       "sim_cosine" -> cosineVsQuery,
       "sim_topk" -> (cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"),
       "sim_block" -> blockedPairs,
+      "sim_knn" ->
+        (s"""WITH ${blockedCtes(0.25)},
+            |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+            |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+            |r AS (SELECT id, nbr, sim,
+            |        row_number() OVER (PARTITION BY id
+            |          ORDER BY sim DESC, nbr) AS rn FROM sym)
+            |SELECT id, nbr, sim FROM r WHERE rn <= 3
+            |ORDER BY id, sim DESC, nbr""".stripMargin),
       "sim_lsh" -> simLsh,
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,

@@ -248,6 +248,27 @@ object Similarity {
     (assign(finalCents).select(col(idCol), col("cell")), finalCents)
   }
 
+  /** kNN-graph construction: each vector's k most-similar neighbors above
+    * `threshold`, from block-local candidates (the graph primitive under
+    * graph-based dedup/clustering/ANN indexes — NN-Descent-style pipelines
+    * start exactly here). Candidates come from [[blockedAllPairs]]
+    * (blocked + size-capped, never all-pairs), are symmetrized by a
+    * two-orientation union (no second join), and ranked per vector on the
+    * bounded-heap [[graft.plans.TopKPerKey]] — partial heaps cut every
+    * partition to ≤ k rows per id BEFORE the exchange. Deterministic:
+    * exact-decimal rounded scores, ties break on the lower neighbor id. */
+  def knnGraph(embs: DataFrame, blockCol: String, k: Int,
+               threshold: Double, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val pairs = blockedAllPairs(embs, blockCol, threshold, idCol, embCol)
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nbr"), col("sim"))
+      .union(pairs.select(col("id2").as("id"), col("id1").as("nbr"), col("sim")))
+    graft.plans.TopKPerKey(sym, Seq(col("id")),
+        Seq(col("sim").desc, col("nbr")), k)
+      .select(col("id"), col("nbr"), col("sim"))
+  }
+
   /** Symmetric int8 quantization of the embedding column:
     * (id, scale, q) with x_i ≈ scale * q_i. 4× smaller than float32 — the
     * compressed form a 100 TB vector corpus actually stores — computed by

@@ -70,6 +70,48 @@ class OperatorsSpec extends SparkSpec {
     assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == byCell)
   }
 
+  test("knn graph: symmetric edges, at most k neighbors, best-first") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rng = new scala.util.Random(17)
+    def near(center: Float) =
+      Seq.fill(8)(center + 0.05f * (rng.nextFloat() - 0.5f))
+    // one block, 4 close vectors + 1 anti-correlated outlier
+    val rows = (0L until 4L).map(i => Row(i, near(1f), 0)) :+
+      Row(4L, near(-1f), 0)
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val got = Similarity.knnGraph(embs, "label", k = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = got.groupBy(_._1)
+    assert(!byId.contains(4L), "outlier below threshold has no neighbors")
+    assert((0L until 4L).forall(i => byId(i).length == 2), s"$byId")
+    // symmetry of the underlying pair set: i->j implies j has an edge to i
+    // unless j's top-k is full of better neighbors; with 4 equi-close
+    // vectors and k=2 each id appears as a neighbor somewhere
+    val nbrs = got.map(_._2).toSet
+    assert(nbrs == Set(0L, 1L, 2L, 3L), s"$nbrs")
+    // best-first: per id, sims are non-increasing
+    byId.values.foreach(es => assert(es.map(_._3).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)), es.mkString(",")))
+  }
+
+  test("new-operator input contracts reject bad arguments cleanly") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, "lang", "doc_id", Map("en" -> -0.1))
+    }
+    assert(e.getMessage.contains("non-negative"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, "lang", "doc_id", Map("en" -> 0.0))
+    }
+    assert(e2.getMessage.contains("positive sum"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.kmeans(embsDf, k = 0, iters = 1)
+    }
+    assert(e3.getMessage.contains("k > 0"))
+  }
+
   test("semantic dedup groups each blob, keeps min id as representative") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
