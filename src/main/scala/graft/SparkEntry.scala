@@ -871,6 +871,86 @@ object SparkEntry {
                |FROM graft_docs_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // ---- data profiling: per-column stats in ONE pass (multi-column
+    //      exact distinct counts via Expand; decimal-exact means) ----
+    "prof_cols" -> ((s, d) =>
+      Profiling.profile(s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("column"))),
+
+    // ---- data cleaning: winsorization at per-group exact quantiles
+    //      (rank-selected over GROUPED value counts — bounded cardinality —
+    //      then thresholds broadcast back; clip is a scan-stage projection) ----
+    "cln_winsor" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      Cleaning.winsorize(li, "l_returnflag", "l_quantity", 0.05, 0.95)
+        .groupBy(col("l_returnflag"), col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__winsorized").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_wins"),
+          sum(when(col("l_quantity") < col("p_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("l_quantity") > col("p_hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- anomaly detection: per-user z-scores from ONE decimal-exact
+    //      partial aggregate (sum, sum-of-squares) joined back — the
+    //      groupBy+join shape map-side-combines at any scale ----
+    "ts_anom" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      Cleaning.zscoreAnomalies(ev, "user_id", "value", z = 2.0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("zscore"), col("key_mean"), col("key_std"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- entity resolution: blocked candidates (equi-join on the cheap
+    //      key, never all-pairs) + levenshtein verification; the dirty
+    //      fixture is a deterministic function of custkey, derived
+    //      identically in the oracle, with one corruption class (distance
+    //      4) that the verifier must REJECT ----
+    "er_match" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      EntityResolution.matchBlocked(
+          EntityResolution.dirtyCustomers(c), c, maxDist = 2)
+        .orderBy(col("dirty_id"), col("master_id"))
+    }),
+
+    // ---- bloom-filter runtime join pruning: filter built distributed
+    //      over the dim keys, probed by a compiled expression INSIDE the
+    //      fact scan stage; the real join then drops false positives, so
+    //      the result — and the oracle — is the plain join ----
+    "j_bloom" -> ((s, d) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val pre = graft.functions.BloomFilterOps.bloomPrefilter(
+        o, "o_custkey", cust, "c_custkey",
+        expectedItems = 1000000L, fpp = 0.01)
+      pre.join(broadcast(cust.select(col("c_custkey"))),
+          pre("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- graph centrality: deterministic damped PageRank over the kNN
+    //      graph (per-iteration decimal-summed contributions, rank
+    //      re-rounded to 12 — trajectory unrolls as oracle CTEs) ----
+    "gr_pagerank" -> ((s, d) => {
+      val e = embs(s, d)
+      val edges = Similarity.knnGraph(e, "label", k = 3, threshold = 0.25)
+        .select(col("id").as("src"), col("nbr").as("dst"))
+      val verts = e.select(col("vec_id").as("id"))
+      Graph.pageRank(verts, edges, iters = 3)
+        .select(col("id"), col("rank").as("pr"))
+        .orderBy(col("id"))
+    }),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -1853,6 +1933,107 @@ object SparkEntry {
         s"SELECT doc_id, ${cnt("''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+")} AS n_bpe_tokens, " +
           s"${cnt("[a-z]+")} AS n_alpha_runs, ${cnt("[0-9]+")} AS n_digit_runs, " +
           s"${cnt("[^a-z0-9\\s'']+")} AS n_other_runs FROM documents ORDER BY doc_id"
+      },
+      // one profile row per column; DuckDB quotes "column" (keyword)
+      "prof_cols" ->
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+             |  round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c), 6) AS mean_v
+             |FROM lineitem""".stripMargin
+        }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\""),
+      // winsorization mirror: rank-selected thresholds over grouped value
+      // counts, then clip + decimal-exact aggregate
+      "cln_winsor" ->
+        """WITH counts AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+          |                FROM lineitem GROUP BY 1, 2),
+          |w AS (SELECT l_returnflag, v,
+          |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+          |                     ROWS UNBOUNDED PRECEDING) AS cum,
+          |        sum(c) OVER (PARTITION BY l_returnflag) AS n FROM counts),
+          |thr AS (SELECT l_returnflag,
+          |          min(CASE WHEN cum >= ceil(n * 0.05) THEN v END) AS p_lo,
+          |          min(CASE WHEN cum >= ceil(n * 0.95) THEN v END) AS p_hi
+          |        FROM w GROUP BY 1)
+          |SELECT l.l_returnflag, p_lo, p_hi, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(least(greatest(l_quantity, p_lo), p_hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_wins,
+          |  CAST(sum(CASE WHEN l_quantity < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          |  CAST(sum(CASE WHEN l_quantity > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+          |FROM lineitem l JOIN thr USING (l_returnflag)
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+      // z-score mirror: decimal-exact (sum, sum²) per user; mean/msq/std
+      // each rounded to 6 so the IEEE chain is engine-identical; variance
+      // guarded > 0 BEFORE sqrt (NaN ordering differs across engines)
+      "ts_anom" ->
+        s"""WITH st AS (SELECT user_id, count(*) AS n,
+           |              sum(CAST(value AS DECIMAL(18,2))) AS s,
+           |              sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+           |            FROM read_parquet('$sfDir/events.parquet') GROUP BY 1),
+           |m AS (SELECT user_id, round(CAST(s AS DOUBLE) / n, 6) AS key_mean,
+           |             round(CAST(ss AS DOUBLE) / n, 6) AS msq FROM st),
+           |m2 AS (SELECT user_id, key_mean,
+           |              CASE WHEN msq - key_mean * key_mean > 0
+           |                   THEN round(sqrt(msq - key_mean * key_mean), 6) END AS key_std
+           |       FROM m)
+           |SELECT event_id, user_id, value,
+           |       round((value - key_mean) / key_std, 6) AS zscore, key_mean, key_std
+           |FROM read_parquet('$sfDir/events.parquet') JOIN m2 USING (user_id)
+           |WHERE key_std > 0 AND abs(round((value - key_mean) / key_std, 6)) > 2.0
+           |ORDER BY event_id""".stripMargin,
+      // entity-resolution mirror: identical dirty-variant derivation,
+      // identical blocking key, identical levenshtein verification
+      "er_match" ->
+        """WITH dirty AS (SELECT c_custkey + 10000000 AS dirty_id,
+          |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 1) || substr(c_name, 3)
+          |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 1) || 'x' || substr(c_name, 3)
+          |         ELSE 'Zzzz' || substr(c_name, 5) END AS dirty_name
+          |  FROM customer WHERE c_custkey % 7 = 2),
+          |m AS (SELECT c_custkey AS master_id, c_name AS master_name,
+          |             right(c_name, 6) AS blk FROM customer),
+          |d2 AS (SELECT dirty_id, dirty_name, right(dirty_name, 6) AS blk FROM dirty)
+          |SELECT dirty_id, master_id, dirty_name, master_name,
+          |       CAST(levenshtein(dirty_name, master_name) AS INTEGER) AS dist
+          |FROM d2 JOIN m USING (blk)
+          |WHERE levenshtein(dirty_name, master_name) <= 2
+          |ORDER BY dirty_id, master_id""".stripMargin,
+      // bloom pruning is an execution strategy, not a semantic change:
+      // the oracle is the plain join
+      "j_bloom" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // PageRank mirror: kNN edges from the sim_knn CTEs, then the three
+      // iterations unrolled — contributions rounded to 12 and summed as
+      // DECIMAL(28,12), rank re-rounded to 12 (the clu_kmeans convention)
+      "gr_pagerank" -> {
+        def iterCtes(i: Int) =
+          s"""c$i AS (SELECT e.dst AS id,
+             |          sum(CAST(round(r.pr / o.odeg, 12) AS DECIMAL(28,12))) AS s
+             |        FROM knn e JOIN r${i - 1} r ON e.src = r.id
+             |                   JOIN od o ON e.src = o.src GROUP BY 1),
+             |r$i AS (SELECT v.vec_id AS id,
+             |          round(0.15 / nv.n + 0.85 * coalesce(CAST(c.s AS DOUBLE), 0.0), 12) AS pr
+             |        FROM embeddings v CROSS JOIN nv
+             |        LEFT JOIN c$i c ON v.vec_id = c.id)""".stripMargin
+        s"""WITH ${blockedCtes(0.25)},
+           |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+           |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+           |rk AS (SELECT id, nbr,
+           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+           |       FROM sym),
+           |knn AS (SELECT id AS src, nbr AS dst FROM rk WHERE rn <= 3),
+           |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM knn GROUP BY 1),
+           |nv AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+           |r0 AS (SELECT vec_id AS id, round(1.0 / nv.n, 12) AS pr
+           |       FROM embeddings CROSS JOIN nv),
+           |${iterCtes(1)},
+           |${iterCtes(2)},
+           |${iterCtes(3)}
+           |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
       },
       "mm_meta" ->
         ("SELECT doc_id AS media_id, 'fake/raw' AS format, " +

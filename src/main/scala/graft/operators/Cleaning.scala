@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Data-cleaning operators a curation pipeline runs before training:
+  * per-group winsorization (outlier clipping at exact quantiles) and
+  * per-key z-score anomaly detection.
+  *
+  * Both are built on determinism conventions shared with the rest of the
+  * catalog: quantiles are RANK-SELECTED existing values (no interpolation
+  * arithmetic, so engines agree bit-for-bit), sums of >2 float addends go
+  * through DECIMAL (exact, order-independent), and every libm result
+  * (sqrt) is rounded to 6 places on both sides.
+  *
+  * Reference scope: absent from the reference (formula engine only); these
+  * are requested training-pipeline additions.
+  */
+object Cleaning {
+
+  /** Per-group winsorization thresholds by rank selection over GROUPED
+    * value counts (the txt_quantile shape): quantile q = the smallest value
+    * whose running count reaches ceil(n·q). The window walks distinct
+    * (group, value) pairs — bounded cardinality for discrete-valued
+    * columns — never raw rows, so the per-group parallelism ceiling applies
+    * only to a pre-aggregate the map-side combine already collapsed.
+    * Returns (groupCol, p_lo, p_hi). */
+  def winsorThresholds(df: DataFrame, groupCol: String, valCol: String,
+                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    counts.select(col(groupCol), col("__v"),
+        sum(col("__c")).over(cum).as("__cum"), sum(col("__c")).over(tot).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") >= ceil(col("__n") * lo), col("__v"))).as("p_lo"),
+        min(when(col("__cum") >= ceil(col("__n") * hi), col("__v"))).as("p_hi"))
+  }
+
+  /** Winsorize `valCol` within each group: values clipped to the group's
+    * [p_lo, p_hi] rank-selected quantiles. The (tiny, one-row-per-group)
+    * threshold table is broadcast back onto the data — the clip itself is a
+    * scan-stage projection, so the second pass is shuffle-free. Adds
+    * `__winsorized` next to the original column. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val thr = winsorThresholds(df, groupCol, valCol, lo, hi)
+    df.join(broadcast(thr), groupCol)
+      .withColumn("__winsorized",
+        least(greatest(col(valCol), col("p_lo")), col("p_hi")))
+  }
+
+  /** Per-key z-score anomaly detection over a double column: rows whose
+    * value sits more than `z` rounded standard deviations from their key's
+    * mean. Stats come from ONE decimal-exact partial aggregate
+    * (sum, sum-of-squares, count per key) joined back — the groupBy+join
+    * shape map-side-combines at any scale, unlike a rows-level window.
+    * mean/var/std are each rounded to 6 places so every engine computes the
+    * identical IEEE chain. Returns flagged rows with their z-score. */
+  def zscoreAnomalies(df: DataFrame, keyCol: String, valCol: String,
+                      z: Double = 2.0): DataFrame = {
+    val vd = col(valCol).cast(DecimalType(18, 2))
+    val stats = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(vd).as("__s"),
+      sum(vd * vd).as("__ss"))
+    val mean = round(col("__s").cast(DoubleType) / col("__n"), 6)
+    val msq = round(col("__ss").cast(DoubleType) / col("__n"), 6)
+    // variance from two ROUNDED doubles is engine-identical; guard <= 0
+    // BEFORE sqrt so a constant-valued key yields NULL, never NaN (Spark
+    // and DuckDB disagree on NaN ordering), and require the ROUNDED std
+    // positive so z is never a division by zero
+    val variance = msq - mean * mean
+    val withMoments = stats.select(col(keyCol), col("__n"),
+      mean.as("key_mean"),
+      when(variance > 0, round(sqrt(variance), 6)).as("key_std"))
+    df.join(withMoments, keyCol)
+      .filter(col("key_std") > 0)
+      .withColumn("zscore",
+        round((col(valCol) - col("key_mean")) / col("key_std"), 6))
+      .filter(abs(col("zscore")) > z)
+      .drop("__n")
+  }
+}

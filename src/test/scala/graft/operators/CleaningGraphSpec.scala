@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.functions.BloomFilterOps
+
+/** The round-4 wave-3 operators: profiling, winsorization, z-score
+  * anomalies, entity resolution, bloom join pruning, PageRank. */
+class CleaningGraphSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  private lazy val valsDf = {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    // group a: 1..20 (p05 = 1, p95 = 19); group b: constant 5s
+    val rows = (1 to 20).map(i => Row("a", i.toDouble)) ++
+      Seq.fill(6)(Row("b", 5.0))
+    df(schema, rows)
+  }
+
+  test("profile: one row per column, exact stats incl. nulls") {
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    val d = df(schema,
+      Seq(Row(1.0, 10.0), Row(2.0, null), Row(2.0, 30.0), Row(null, 10.0)))
+    val p = Profiling.profile(d, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 2.0)
+    assert(math.abs(x.getDouble(6) - 5.0 / 3) < 1e-6)
+    val y = p("y")
+    assert(y.getLong(2) == 1 && y.getLong(3) == 2 && y.getDouble(5) == 30.0)
+  }
+
+  test("winsorize: thresholds are rank-selected existing values; clip bounds hold") {
+    val w = Cleaning.winsorize(valsDf, "g", "v", 0.05, 0.95)
+    val a = w.filter(col("g") === "a")
+    val (lo, hi) = (a.agg(min("p_lo")).head.getDouble(0),
+      a.agg(max("p_hi")).head.getDouble(0))
+    assert(lo == 1.0 && hi == 19.0) // ceil(20*.05)=1st, ceil(20*.95)=19th
+    assert(a.filter(col("__winsorized") < lo || col("__winsorized") > hi).count() == 0)
+    assert(w.count() == valsDf.count()) // winsorization never drops rows
+    // constant group: p_lo = p_hi = the value, everything clips to itself
+    val b = w.filter(col("g") === "b")
+    assert(b.agg(min("__winsorized"), max("__winsorized")).head ==
+      Row(5.0, 5.0))
+  }
+
+  test("zscoreAnomalies: flags the planted outlier; constant key yields none") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val d = df(schema,
+      (1 to 20).map(_ => Row("u", 10.0)) ++ Seq(Row("u", 100.0)) ++
+        Seq.fill(5)(Row("c", 7.0))) // constant key: variance 0 → no rows
+    val out = Cleaning.zscoreAnomalies(d, "k", "v", z = 2.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(r.fieldIndex("k")) == "u")
+    assert(r.getDouble(r.fieldIndex("v")) == 100.0)
+    assert(r.getDouble(r.fieldIndex("zscore")) > 2.0)
+  }
+
+  test("entity resolution: distance-1 variants match their master, the 4-edit class is rejected") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val dirty = EntityResolution.dirtyCustomers(cust)
+    val m = EntityResolution.matchBlocked(dirty, cust, maxDist = 2)
+    val matched = m.collect()
+    // every match resolves a dirty record to its own master (id - 10M)
+    assert(matched.nonEmpty)
+    matched.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dirty_id")) - 10000000L ==
+        r.getLong(r.fieldIndex("master_id")))
+      assert(r.getInt(r.fieldIndex("dist")) <= 2)
+    }
+    // exactly the custkey%3 ∈ {0,1} classes match; the Zzzz class never does
+    val expected = dirty.filter((col("dirty_id") - 10000000L) % 3 =!= 2).count()
+    assert(matched.length == expected)
+  }
+
+  test("bloom prefilter: no false negatives, real pruning, join result unchanged") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val pre = BloomFilterOps.bloomPrefilter(o, "o_custkey", cust, "c_custkey",
+      expectedItems = 10000L, fpp = 0.01)
+    val preN = pre.count()
+    assert(preN < o.count(), "bloom should prune non-joining fact rows")
+    def joined(fact: org.apache.spark.sql.DataFrame) =
+      fact.join(cust.select("c_custkey"), fact("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)), sum(col("o_totalprice").cast(DecimalType(18, 2))))
+        .head
+    assert(joined(pre) == joined(o), "pruning must not change the join result")
+  }
+
+  test("pageRank: conserves mass on a cycle (uniform fixpoint), ranks central node highest") {
+    val vs = df(StructType(Seq(StructField("id", LongType))),
+      (0L to 3L).map(Row(_)))
+    val cyc = df(StructType(Seq(StructField("src", LongType), StructField("dst", LongType))),
+      Seq(Row(0L, 1L), Row(1L, 2L), Row(2L, 3L), Row(3L, 0L)))
+    val pr = Graph.pageRank(vs, cyc, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a directed cycle's stationary distribution is uniform: 1/4 each
+    pr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+    // star: everyone points at 0, 0 points at 1
+    val star = df(StructType(Seq(StructField("src", LongType), StructField("dst", LongType))),
+      Seq(Row(1L, 0L), Row(2L, 0L), Row(3L, 0L), Row(0L, 1L)))
+    val pr2 = Graph.pageRank(vs, star, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2(0L) > pr2(1L) && pr2(1L) > pr2(2L))
+    assert(math.abs(pr2(2L) - pr2(3L)) < 1e-12) // symmetric leaves tie
+  }
+}
