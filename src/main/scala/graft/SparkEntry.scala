@@ -871,6 +871,47 @@ object SparkEntry {
                |FROM graft_docs_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // ---- chunk-level exact dedup (RefinedWeb-style substring dedup at
+    //      fixed 8-token-chunk granularity): per-doc fraction of chunks
+    //      shared with ANOTHER doc; chunk fingerprints are aggregatable
+    //      position-weighted hash sums — no collect_list, no HOFs ----
+    "dd_chunk" -> ((s, d) =>
+      Dedup.chunkDupStats(docs(s, d), "text", "doc_id", chunkSize = 8)
+        .orderBy(col("doc_id"))),
+
+    // ---- finite-horizon EWMA per user (10 taps, 2^-j weights): every
+    //      product is IEEE-exact (power-of-two scaling), the tap chains
+    //      add left-to-right in both engines, ONE window node ----
+    "w_ewma" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tu"), col("value"))
+      TimeSeries.ewmaFiniteHorizon(ev, "user_id",
+          Seq(col("tu"), col("event_id")), "value", taps = 10)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- TPC-H Q18 shape (large-volume customers): HAVING over a
+    //      map-side-combined per-order aggregate, then the filtered (tiny)
+    //      key set drives the orders/customer joins — the agg-then-
+    //      semi-join discipline, never the other way around ----
+    "h_q18" -> ((s, d) => {
+      val d2 = DecimalType(12, 2)
+      val big = s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(d2)).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    }),
+
     // ---- data profiling: per-column stats in ONE pass (multi-column
     //      exact distinct counts via Expand; decimal-exact means) ----
     "prof_cols" -> ((s, d) =>
@@ -1934,6 +1975,55 @@ object SparkEntry {
           s"${cnt("[a-z]+")} AS n_alpha_runs, ${cnt("[0-9]+")} AS n_digit_runs, " +
           s"${cnt("[^a-z0-9\\s'']+")} AS n_other_runs FROM documents ORDER BY doc_id"
       },
+      // chunk-dedup mirror: identical position-weighted 40-bit hash sums
+      "dd_chunk" ->
+        s"""WITH toksp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |              FROM documents),
+           |ch AS (SELECT doc_id, pos // 8 AS ci,
+           |              sum((pos % 8 + 1) * (${mdInt("'0:' || tok")} % 1099511627776)) AS chash
+           |       FROM toksp GROUP BY 1, 2),
+           |freq AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+           |pd AS (SELECT doc_id, count(*) AS n_chunks,
+           |              sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+           |       FROM ch JOIN freq USING (chash) GROUP BY 1)
+           |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           |       CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           |       round(n_dup::DOUBLE / n_chunks, 6) AS dup_chunk_frac
+           |FROM pd ORDER BY doc_id""".stripMargin,
+      // EWMA mirror: identical lag taps, exact power-of-two weight
+      // literals, identical left-to-right addition order
+      "w_ewma" -> {
+        val wlit = (j: Int) =>
+          java.math.BigDecimal.valueOf(math.pow(2.0, -j)).toPlainString
+        val lagDefs = (1 until 10)
+          .map(j => s"lag(value, $j) OVER w AS l$j").mkString(", ")
+        val num = (s"coalesce(value * ${wlit(0)}, 0)" +:
+          (1 until 10).map(j => s"coalesce(l$j * ${wlit(j)}, 0)"))
+          .mkString(" + ")
+        val den = (s"${wlit(0)}" +:
+          (1 until 10).map(j =>
+            s"CASE WHEN l$j IS NOT NULL THEN ${wlit(j)} ELSE 0 END"))
+          .mkString(" + ")
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+           |            FROM read_parquet('$sfDir/events.parquet')),
+           |l AS (SELECT event_id, user_id, tu, value, $lagDefs
+           |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id))
+           |SELECT event_id, user_id, tu, value,
+           |       round(($num) / ($den), 6) AS ewma
+           |FROM l ORDER BY event_id""".stripMargin
+      },
+      // Q18 mirror: HAVING over the per-order aggregate, then the joins
+      "h_q18" ->
+        """SELECT c_custkey, c_name, o_orderkey,
+          |       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+          |       CAST(sq AS DOUBLE) AS sum_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+          |      FROM lineitem GROUP BY 1 HAVING sq > 300) t
+          |  ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
       // one profile row per column; DuckDB quotes "column" (keyword)
       "prof_cols" ->
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>

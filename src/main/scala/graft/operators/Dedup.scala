@@ -471,4 +471,41 @@ object Dedup {
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Chunk-level exact dedup statistics (the RefinedWeb-style "exact
+    * substring dedup" at fixed-chunk granularity): split every document
+    * into non-overlapping `chunkSize`-token chunks, fingerprint each chunk,
+    * and report per document how many of its chunks also occur in ANOTHER
+    * document.
+    *
+    * The chunk fingerprint is an order-sensitive SUM of position-weighted
+    * 40-bit token hashes — a plain aggregate, so chunks are formed by a
+    * map-side-combinable groupBy with NO collect_list (whose order is
+    * nondeterministic) and NO higher-order functions (which run
+    * interpreted and re-evaluate inlined subtrees per element). Every step
+    * is a hash aggregate or an equi-join on the fingerprint: scan-speed at
+    * any corpus size.
+    *
+    * Returns (idCol, n_chunks, n_dup_chunks, dup_chunk_frac) where a chunk
+    * is "dup" when its fingerprint occurs in ≥ 2 DISTINCT documents
+    * (internal repetition inside one document is the repetition operator's
+    * job, not dedup's). */
+  def chunkDupStats(docs: DataFrame, textCol: String, idCol: String,
+                    chunkSize: Int = 8): DataFrame = {
+    val tokHash = graft.functions.ArrayOps.md5_long60(concat(lit("0:"), col("tok"))) %
+      lit(1099511627776L) // 2^40: weighted sum of chunkSize stays < 2^63
+    val e = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val chunks = e
+      .groupBy(col(idCol), floor(col("pos") / chunkSize).as("ci"))
+      .agg(sum((col("pos") % chunkSize + 1) * tokHash).as("chash"))
+    val freq = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col(idCol)).as("n_docs_with"))
+    chunks.join(freq, "chash")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
 }

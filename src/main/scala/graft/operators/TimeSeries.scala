@@ -44,4 +44,44 @@ object TimeSeries {
         last(col("v"), ignoreNulls = true).over(w)
           .cast(org.apache.spark.sql.types.DoubleType).as("v_filled"))
   }
+
+  /** Finite-horizon exponentially-weighted moving average per key: the
+    * last `taps` observations weighted w_j = 2^-j (newest first),
+    * normalized over the weights actually present at the start of a
+    * series.
+    *
+    * Two determinism choices make the result bit-identical across engines
+    * with NO rounding inside the recurrence:
+    *  - the weights are powers of two, so every product `value * 2^-j` is
+    *    EXACT in IEEE double (scaling by 2^-j only shifts the exponent);
+    *  - the numerator/denominator are explicit left-to-right `+` chains
+    *    over the taps (not a window SUM whose order an engine could
+    *    choose), so both engines add in the same order.
+    * Only the final normalized ratio is rounded (6 places).
+    *
+    * Scale shape: ONE window node computes all `taps` lags in a single
+    * shuffle-by-key + sort — the same single-window discipline as the
+    * as-of joins. The infinite-horizon recurrence (ewma = αx + (1-α)prev)
+    * is inherently sequential per key; the finite horizon is what makes
+    * the operator a plan, not a loop. */
+  def ewmaFiniteHorizon(events: DataFrame, keyCol: String, orderCols: Seq[Column],
+                        valueCol: String, taps: Int = 10): DataFrame = {
+    require(taps >= 1 && taps <= 50, s"need 1 <= taps <= 50, got $taps")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val lags = (0 until taps).map { j =>
+      (if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w))
+        .as(s"__l$j")
+    }
+    val withLags = events.select(col("*") +: lags: _*)
+    val weight = (j: Int) => lit(math.pow(2.0, -j)) // exact double
+    val num = (0 until taps).map(j =>
+        coalesce(col(s"__l$j") * weight(j), lit(0.0)))
+      .reduceLeft(_ + _)
+    val den = (0 until taps).map(j =>
+        when(col(s"__l$j").isNotNull, weight(j)).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    withLags
+      .withColumn("ewma", round(num / den, 6))
+      .drop((0 until taps).map(j => s"__l$j"): _*)
+  }
 }

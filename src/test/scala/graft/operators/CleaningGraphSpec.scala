@@ -98,6 +98,33 @@ class CleaningGraphSpec extends SparkSpec {
     assert(joined(pre) == joined(o), "pruning must not change the join result")
   }
 
+  test("chunkDupStats: exact duplicate docs share every chunk; unique docs share none") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val d = df(schema, Seq(
+      Row(1L, shared), Row(2L, shared), // identical → every chunk dup
+      Row(3L, (1 to 16).map(i => s"u$i").mkString(" ")))) // unique tokens
+    val out = Dedup.chunkDupStats(d, "text", "doc_id", chunkSize = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)) && out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("ewmaFiniteHorizon: hand-computed 2^-j weighting, series-start normalization") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", LongType),
+      StructField("v", DoubleType)))
+    val d = df(schema, Seq(Row("a", 1L, 4.0), Row("a", 2L, 8.0), Row("a", 3L, 2.0)))
+    val out = TimeSeries.ewmaFiniteHorizon(d, "k", Seq(col("t")), "v", taps = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("t")) ->
+        r.getDouble(r.fieldIndex("ewma"))).toMap
+    assert(out(1L) == 4.0) // first row: only itself
+    assert(out(2L) == 6.666667) // round6((8 + 0.5·4) / 1.5)
+    assert(out(3L) == 4.0) // (2 + 0.5·8) / 1.5 exact
+  }
+
   test("pageRank: conserves mass on a cycle (uniform fixpoint), ranks central node highest") {
     val vs = df(StructType(Seq(StructField("id", LongType))),
       (0L to 3L).map(Row(_)))
