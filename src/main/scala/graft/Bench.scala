@@ -25,6 +25,7 @@ object Bench {
     QueryCatalog.embs(spark, sfDir).count()
     QueryCatalog.sig32(spark, sfDir).count()
     QueryCatalog.pairs01(spark, sfDir).count()
+    QueryCatalog.blockPairs025(spark, sfDir).count()
     // Several passes, per-query minimum: the host (a shared microVM)
     // suffers transient CPU-steal storms that inflate random queries
     // 10-80×, and a storm can span a whole pass — the round-2 bench showed

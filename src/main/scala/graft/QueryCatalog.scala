@@ -184,6 +184,18 @@ object QueryCatalog {
   def pairs02(spark: SparkSession, sfDir: String): DataFrame =
     pairs01(spark, sfDir).filter(col("est_jaccard") >= 0.2)
 
+  /** Blocked all-pairs cosine at threshold 0.25 over the embeddings,
+    * shared by sim_block / sim_knn / gr_pagerank directly and by dd_embed
+    * as a filtered superset (its 0.3 threshold gates only the final
+    * rounded score, so `sim >= 0.3` over the 0.25 pair set is exact) —
+    * the same compute-candidates-once pattern as [[pairs01]]. */
+  private val bpCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def blockPairs025(spark: SparkSession, sfDir: String): DataFrame =
+    bpCache.getOrElseUpdate((spark, sfDir),
+      Similarity.blockedAllPairs(embs(spark, sfDir), "label", 0.25)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** k-means(4, 3) assignments over the embeddings, shared by
     * clu_kmeans / dd_semantic / clu_sample (the clustering is the dominant
     * cost — 4 corpus passes — and all three consume the SAME model; the

@@ -259,9 +259,14 @@ object Similarity {
     * exact-decimal rounded scores, ties break on the lower neighbor id. */
   def knnGraph(embs: DataFrame, blockCol: String, k: Int,
                threshold: Double, idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame = {
+               embCol: String = "embedding",
+               precomputedPairs: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    val pairs = blockedAllPairs(embs, blockCol, threshold, idCol, embCol)
+    // precomputedPairs: an (id1, id2, sim) pair set already built at this
+    // threshold (the batch-user pattern — one pair computation shared by
+    // every graph consumer, same as minhashLsh's precomputedSig)
+    val pairs = precomputedPairs.getOrElse(
+      blockedAllPairs(embs, blockCol, threshold, idCol, embCol))
     val sym = pairs.select(col("id1").as("id"), col("id2").as("nbr"), col("sim"))
       .union(pairs.select(col("id2").as("id"), col("id1").as("nbr"), col("sim")))
     graft.plans.TopKPerKey(sym, Seq(col("id")),

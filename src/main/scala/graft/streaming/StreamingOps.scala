@@ -214,6 +214,50 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class AnRow(key: Long, id: Long, value: Double)
+  case class AnState(n: Long, sum: Double, sumSq: Double)
+  case class Anomaly(key: Long, id: Long, value: Double, zscore: Double)
+
+  /** Streaming per-key z-score anomaly gate: maintain running
+    * (count, sum, sum-of-squares) per key and emit rows that sit more than
+    * `z` standard deviations from the key's mean AS OF the rows already
+    * seen (the prior-window convention — the incoming row is scored
+    * against history, then folded in, so a single spike cannot dilute the
+    * very statistics that should flag it). State is three numbers per key
+    * — O(keys), unbounded time. Scores start after `minN` observations.
+    *
+    * The batch twin is [[graft.operators.Cleaning.zscoreAnomalies]]
+    * (two-pass exact stats); this is the one-pass incremental form a
+    * monitoring pipeline runs. Within a micro-batch, rows fold in input
+    * order (per-batch deterministic; cross-batch ordering is the
+    * source's). */
+  def anomalyStream(rows: Dataset[AnRow], z: Double = 2.0,
+                    minN: Long = 10): Dataset[Anomaly] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def fn(key: Long, in: Iterator[AnRow],
+           state: GroupState[AnState]): Iterator[Anomaly] = {
+      var st = state.getOption.getOrElse(AnState(0L, 0.0, 0.0))
+      val out = scala.collection.mutable.ListBuffer[Anomaly]()
+      in.foreach { r =>
+        if (st.n >= minN) {
+          val mean = st.sum / st.n
+          val variance = st.sumSq / st.n - mean * mean
+          if (variance > 0) {
+            val zs = (r.value - mean) / math.sqrt(variance)
+            if (math.abs(zs) > z) out += Anomaly(key, r.id, r.value, zs)
+          }
+        }
+        st = AnState(st.n + 1, st.sum + r.value, st.sumSq + r.value * r.value)
+      }
+      state.update(st)
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within
     * `joinWindow` AFTER the event. Both sides carry watermarks so the

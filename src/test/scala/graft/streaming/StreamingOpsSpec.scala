@@ -340,6 +340,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly gate scores against prior history, then folds the row in") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.AnRow]
+    val q = StreamingOps.anomalyStream(in.toDS(), z = 2.0, minN = 5)
+      .toDF("key", "id", "value", "zscore")
+      .writeStream.format("memory").queryName("an_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: five baseline rows — below minN, nothing can fire yet
+      in.addData((1 to 5).map(i => StreamingOps.AnRow(1L, i.toLong, 10.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("an_out").count() == 0)
+      // batch 2: one wild spike + one normal row; only the spike fires,
+      // and it is scored against the PRE-spike statistics
+      in.addData(StreamingOps.AnRow(1L, 6L, 100.0), StreamingOps.AnRow(1L, 7L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("an_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // the baseline is constant → variance 0 → even the spike cannot be
+      // scored (guarded); fold it in and the NEXT normal row is judged
+      // against spike-inflated stats but sits within 2σ of them
+      assert(got.isEmpty)
+      // batch 3: with the spike now in history, variance > 0; a fresh
+      // spike fires, a baseline row does not
+      in.addData(StreamingOps.AnRow(1L, 8L, 120.0), StreamingOps.AnRow(1L, 9L, 10.0))
+      q.processAllAvailable()
+      val got3 = spark.table("an_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(got3.map(_._1) == Set(8L), got3)
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
