@@ -969,6 +969,69 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
     }),
 
+    // ---- curriculum construction: bin the corpus into LM-quality
+    //      quartiles. Scores are rounded to 2 decimals FIRST so the
+    //      rank-selection window walks a bounded-cardinality grouped
+    //      pre-aggregate (~tens of distinct values at any corpus size —
+    //      the txt_quantile discipline applied to a global quantile);
+    //      thresholds then broadcast back and the bin assignment is a
+    //      scan-stage projection ----
+    "pipe_curr" -> ((s, d) => {
+      val lm = TextAnalysis.bigramLogProb(docs(s, d))
+        .select(col("id"), round(col("lm_score"), 2).as("sc1"), col("n_bigrams"))
+      val counts = lm.groupBy(col("sc1")).agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("sc1"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val thr = counts
+        .select(col("sc1"), sum(col("c")).over(wCum).as("cum"),
+          sum(col("c")).over(wAll).as("n"))
+        .agg(
+          min(when(col("cum") >= ceil(col("n") * 0.25), col("sc1"))).as("t25"),
+          min(when(col("cum") >= ceil(col("n") * 0.5), col("sc1"))).as("t50"),
+          min(when(col("cum") >= ceil(col("n") * 0.75), col("sc1"))).as("t75"))
+      lm.crossJoin(broadcast(thr))
+        .withColumn("bucket",
+          ((col("sc1") > col("t25")).cast("int") +
+            (col("sc1") > col("t50")).cast("int") +
+            (col("sc1") > col("t75")).cast("int")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("sc1")).as("min_sc"), max(col("sc1")).as("max_sc"),
+          sum(col("n_bigrams")).as("sum_bigrams"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- grouped mode (most frequent value): two-level aggregate —
+    //      map-side-combined (key, value) counts, then rank-1 on the
+    //      custom bounded-heap TopKPerKey (count desc, value asc) ----
+    "agg_mode" -> ((s, d) => {
+      val counts = s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.plans.TopKPerKey(counts, Seq(col("l_returnflag")),
+          Seq(col("cnt").desc, col("l_quantity")), k = 1, rankCol = "rn")
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- window rank functions (ntile / percent_rank / cume_dist):
+    //      per-customer windows — partitioned, so parallelism scales with
+    //      keys; (price, orderkey) order is unique → tie-free ----
+    "w_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
     // ---- data profiling: per-column stats in ONE pass (multi-column
     //      exact distinct counts via Expand; decimal-exact means) ----
     "prof_cols" -> ((s, d) =>
@@ -2111,6 +2174,52 @@ object SparkEntry {
           |  ON o_orderkey = l_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+      // curriculum mirror: same rounded scores, same rank-selected
+      // quartile thresholds, same strictly-greater bin assignment
+      "pipe_curr" ->
+        ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+           |       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+           |w1c AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+           |lp AS (SELECT doc_id,
+           |  CAST(round(ln(CAST(c_bg AS DOUBLE)/CAST(c_w1 AS DOUBLE)), 9)
+           |       AS DECIMAL(28,12)) AS lp
+           |  FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1)),
+           |lmq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |               round(round(CAST(sum(lp) AS DOUBLE)/count(*), 6), 2) AS sc1
+           |        FROM lp GROUP BY 1),
+           |cnt AS (SELECT sc1, count(*) AS c FROM lmq GROUP BY 1),
+           |cum AS (SELECT sc1, sum(c) OVER (ORDER BY sc1 ROWS UNBOUNDED PRECEDING) AS cum,
+           |               sum(c) OVER () AS n FROM cnt),
+           |thr AS (SELECT min(CASE WHEN cum >= ceil(n * 0.25) THEN sc1 END) AS t25,
+           |               min(CASE WHEN cum >= ceil(n * 0.5) THEN sc1 END) AS t50,
+           |               min(CASE WHEN cum >= ceil(n * 0.75) THEN sc1 END) AS t75
+           |        FROM cum)
+           |SELECT (CAST(sc1 > t25 AS INTEGER) + CAST(sc1 > t50 AS INTEGER) +
+           |        CAST(sc1 > t75 AS INTEGER)) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       min(sc1) AS min_sc, max(sc1) AS max_sc,
+           |       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+           |FROM lmq CROSS JOIN thr
+           |GROUP BY 1 ORDER BY bucket""".stripMargin),
+      // grouped-mode mirror: same counts, same (count desc, value) order
+      "agg_mode" ->
+        """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+          |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt,
+          |         row_number() OVER (PARTITION BY l_returnflag
+          |                            ORDER BY count(*) DESC, l_quantity) AS rn
+          |  FROM lineitem GROUP BY 1, 2)
+          |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+      // rank-function mirror: unique (price, orderkey) order → tie-free
+      "w_rank" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       round(cume_dist() OVER w, 6) AS cume
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
       // one profile row per column; DuckDB quotes "column" (keyword)
       "prof_cols" ->
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>
