@@ -970,36 +970,38 @@ object SparkEntry {
     }),
 
     // ---- curriculum construction: bin the corpus into LM-quality
-    //      quartiles. Scores are rounded to 2 decimals FIRST so the
-    //      rank-selection window walks a bounded-cardinality grouped
+    //      quartiles. Scores are rounded to 2 decimals FIRST so every
+    //      downstream step walks a bounded-cardinality grouped
     //      pre-aggregate (~tens of distinct values at any corpus size —
-    //      the txt_quantile discipline applied to a global quantile);
-    //      thresholds then broadcast back and the bin assignment is a
-    //      scan-stage projection ----
+    //      the txt_quantile discipline applied to a global quantile).
+    //      The per-doc frame is consumed exactly ONCE (the bigram
+    //      subtree is expensive — re-executing it for a second consumer
+    //      measured 2.9x): doc counts AND n_bigram sums fold into one
+    //      groupBy(sc1), and the quartile bin of a score is derived
+    //      in-window — a score sits above threshold t_q iff the
+    //      cumulative count of scores strictly below it (cum - c)
+    //      already reached ceil(n*q) ----
     "pipe_curr" -> ((s, d) => {
       val lm = TextAnalysis.bigramLogProb(docs(s, d))
         .select(col("id"), round(col("lm_score"), 2).as("sc1"), col("n_bigrams"))
-      val counts = lm.groupBy(col("sc1")).agg(count(lit(1)).as("c"))
+      val counts = lm.groupBy(col("sc1"))
+        .agg(count(lit(1)).as("c"), sum(col("n_bigrams")).as("sb"))
       val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("sc1"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(1))
-      val thr = counts
-        .select(col("sc1"), sum(col("c")).over(wCum).as("cum"),
+      counts
+        .select(col("sc1"), col("c"), col("sb"),
+          (sum(col("c")).over(wCum) - col("c")).as("below"),
           sum(col("c")).over(wAll).as("n"))
-        .agg(
-          min(when(col("cum") >= ceil(col("n") * 0.25), col("sc1"))).as("t25"),
-          min(when(col("cum") >= ceil(col("n") * 0.5), col("sc1"))).as("t50"),
-          min(when(col("cum") >= ceil(col("n") * 0.75), col("sc1"))).as("t75"))
-      lm.crossJoin(broadcast(thr))
         .withColumn("bucket",
-          ((col("sc1") > col("t25")).cast("int") +
-            (col("sc1") > col("t50")).cast("int") +
-            (col("sc1") > col("t75")).cast("int")))
+          ((col("below") >= ceil(col("n") * 0.25)).cast("int") +
+            (col("below") >= ceil(col("n") * 0.5)).cast("int") +
+            (col("below") >= ceil(col("n") * 0.75)).cast("int")))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
+        .agg(sum(col("c")).as("n_docs"),
           min(col("sc1")).as("min_sc"), max(col("sc1")).as("max_sc"),
-          sum(col("n_bigrams")).as("sum_bigrams"))
+          sum(col("sb")).as("sum_bigrams"))
         .orderBy(col("bucket"))
     }),
 
