@@ -350,6 +350,20 @@ object SparkEntry {
     // redactor must find exactly those)
     "txt_pii" -> ((s, d) =>
       TextAnalysis.piiRedact(injectPii(docs(s, d))).orderBy(col("doc_id"))),
+    // fastText-shape hashed linear quality gate: unigram+bigram features →
+    // portable-hash buckets → fixed-point weights derived from the same
+    // hash (no weight file), scored in ONE compiled pass per doc — no
+    // explode, no shuffle; the integer milli-sum is exact, so the mean and
+    // the keep/drop sign reproduce bit-identically in any engine
+    "clf_score" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.Classifier
+            .hashed_linear_score(split(col("text"), " "), 4096, "s1").as("ls"))
+        .select(col("doc_id"), col("ls.n_feats").as("n_feats"),
+          round(col("ls.milli") / (col("ls.n_feats") * lit(1000.0)), 9).as("score"),
+          (col("ls.milli") > 0).as("keep"))
+        .orderBy(col("doc_id"))),
     // the pretraining-curation pipeline over the NEW round-4 operators —
     // PII scrub → repetition + length gates on the CLEAN text →
     // benchmark decontamination → deterministic 80% downsample; one lazy
@@ -603,6 +617,27 @@ object SparkEntry {
         .select(explode(col("hh.items")).as(Seq("item", "cnt")),
           col("hh.err").as("err"))
         .orderBy(col("item"))),
+
+    // KMV distinct-count sketch (custom TypedImperativeAggregate): "how
+    // many distinct shingles in the corpus" without count(distinct)'s
+    // domain-wide shuffle — each partition ships its k=1024 smallest
+    // distinct hash values and the merge keeps the global min-k. The
+    // min-k SET is exactly defined, so the k-th minimum and the
+    // (k-1)/u estimator hash-match a DISTINCT-ORDER-LIMIT oracle.
+    "agg_kmv" -> ((s, d) => {
+      val k = 1024
+      docs(s, d)
+        .select(explode_outer(graft.functions.ArrayOps
+          .word_shingles(split(col("text"), " "), 3)).as("sh"))
+        .agg(graft.functions.Sketches.kmin_values(
+          graft.functions.ArrayOps.md5_long60(concat(lit("0:"), col("sh"))),
+          k).as("mins"))
+        .select(size(col("mins")).cast("long").as("n_kept"),
+          element_at(col("mins"), k).as("kth_hash"))
+        .withColumn("est_distinct",
+          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_hash").cast("double"), 4))
+    }),
 
     // pivoted aggregation: returnflag columns × linestatus rows, decimal-
     // exact sums (Spark's relational pivot — one partial agg + one shuffle)
@@ -1740,6 +1775,18 @@ object SparkEntry {
         ("SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt, " +
           "CAST(0 AS BIGINT) AS err " +
           "FROM lineitem GROUP BY 1 ORDER BY item"),
+      // KMV mirror: the k smallest distinct shingle hashes are a
+      // well-defined set — DISTINCT + ORDER + LIMIT k reproduces the
+      // sketch state exactly; the estimator is plain double arithmetic
+      "agg_kmv" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT unnest($shingleList) AS s FROM toks),
+           |mins AS (SELECT DISTINCT ${mdInt("'0:' || s")} AS h FROM sh
+           |         ORDER BY h LIMIT 1024)
+           |SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
+           |       round(1023.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+           |         AS est_distinct
+           |FROM mins""".stripMargin,
       "g_distinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +
@@ -2118,6 +2165,24 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |       round(CAST(sum(lp) AS DOUBLE)/count(*), 6) AS lm_score
            |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      // classifier mirror: same unigram+bigram features, same md5 bucket,
+      // same hash-derived fixed-point weights; milli is an exact integer
+      // sum so mean and sign agree bit-for-bit
+      "clf_score" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |feats AS (
+           |  SELECT doc_id, w[i] AS f
+           |  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+           |  UNION ALL
+           |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS f
+           |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           |  sum(${mdInt(s"'s1:' || CAST(${mdInt("'f:' || f")} % 4096 AS VARCHAR)")} % 2001 - 1000)
+           |    AS milli
+           |  FROM feats GROUP BY 1)
+           |SELECT doc_id, n_feats, round(milli / (n_feats * 1000.0), 9) AS score,
+           |       milli > 0 AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin,
       // BPE-ish regex token classes; the pattern is lookaround-free so Java
       // regex (Spark) and RE2 (DuckDB) agree on every match
       "txt_bpe" -> {
