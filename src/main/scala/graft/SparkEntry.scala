@@ -1076,6 +1076,22 @@ object SparkEntry {
           Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
         .orderBy(col("column"))),
 
+    // pairwise Pearson correlations of all column pairs in ONE scan:
+    // exact-decimal moments (sums / square-sums / cross-sums) from a
+    // single aggregate, then the corr/cov formulas in fixed-order double
+    // arithmetic — bit-identical across engines
+    "prof_corr" -> ((s, d) =>
+      Profiling.correlationMatrix(s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("col_x"), col("col_y"))),
+
+    // chunk-embeddings -> per-group pooled embedding (long form): the
+    // k-means-update plan shape — posexplode + map-side-combined decimal
+    // partial sums; the exchange carries <= groups*dim rows per partition
+    "emb_pool" -> ((s, d) =>
+      Similarity.meanPool(s.read.parquet(s"$d/embeddings.parquet"), "label")
+        .orderBy(col("label"), col("i"))),
+
     // ---- data cleaning: winsorization at per-group exact quantiles
     //      (rank-selected over GROUPED value counts — bounded cardinality —
     //      then thresholds broadcast back; clip is a scan-stage projection) ----
@@ -2297,6 +2313,41 @@ object SparkEntry {
              |  round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c), 6) AS mean_v
              |FROM lineitem""".stripMargin
         }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\""),
+      // correlation-matrix mirror: identical exact-decimal moments from one
+      // aggregate, identical fixed-order double formulas per pair
+      "prof_corr" -> {
+        val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val cps = for { i <- cs.indices; j <- (i + 1) until cs.size }
+          yield (cs(i), cs(j))
+        def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+        val moments =
+          (s"CAST(count(*) AS DOUBLE) AS n" +:
+            cs.map(c => s"CAST(sum(${d(c)}) AS DOUBLE) AS s_$c")) ++
+            cs.map(c => s"CAST(sum(${d(c)} * ${d(c)}) AS DOUBLE) AS q_$c") ++
+            cps.map { case (a, b) =>
+              s"CAST(sum(${d(a)} * ${d(b)}) AS DOUBLE) AS p_${a}_$b"
+            }
+        val rows = cps.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y,
+             |  round((n * p_${a}_$b - s_$a * s_$b) /
+             |    sqrt((n * q_$a - s_$a * s_$a) * (n * q_$b - s_$b * s_$b)), 6)
+             |    AS corr_v,
+             |  round((n * p_${a}_$b - s_$a * s_$b) / (n * n), 6) AS cov_v
+             |FROM m""".stripMargin
+        }
+        s"WITH m AS (SELECT ${moments.mkString(", ")} FROM lineitem)\n" +
+          rows.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_x, col_y")
+      },
+      // mean-pool mirror: same decimal-exact per-(group, dim) means
+      "emb_pool" ->
+        """WITH e AS (SELECT label, unnest(embedding) AS v,
+          |                  generate_subscripts(embedding, 1) - 1 AS i
+          |           FROM embeddings)
+          |SELECT label, CAST(i AS BIGINT) AS i,
+          |       round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+          |             / count(*), 9) AS m,
+          |       CAST(count(*) AS BIGINT) AS n_vecs
+          |FROM e GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
       // winsorization mirror: rank-selected thresholds over grouped value
       // counts, then clip + decimal-exact aggregate
       "cln_winsor" ->

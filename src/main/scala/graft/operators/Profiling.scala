@@ -54,4 +54,42 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Pairwise Pearson correlation (and population covariance) of every
+    * column pair in ONE pass: a single aggregate computes all sums,
+    * square-sums and cross-sums as exact decimals (inputs are 2-decimal
+    * money/quantity columns, so products have exactly 4 decimals — no
+    * float accumulation anywhere), then the 1-row result explodes into one
+    * row per pair and the corr/cov formulas run in double arithmetic with
+    * a FIXED operation order any engine reproduces bit-identically.
+    *
+    * Same scale shape as [[profile]]: one scan, map-side partials, a 1-row
+    * final aggregate; the pair count is quadratic in #columns (driver-side
+    * expression count), never in data. Columns are assumed non-null
+    * (profile first — n_nulls is its first output). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      (count(lit(1)).cast(DoubleType).as("__n") +:
+        cols.map(c => sum(col(c).cast(dec)).cast(DoubleType).as(s"__s_$c"))) ++
+        cols.map(c =>
+          sum(col(c).cast(dec) * col(c).cast(dec)).cast(DoubleType).as(s"__q_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast(dec) * col(b).cast(dec)).cast(DoubleType).as(s"__p_${a}_$b")
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val (n, sa, sb) = (col("__n"), col(s"__s_$a"), col(s"__s_$b"))
+      val (qa, qb, p) = (col(s"__q_$a"), col(s"__q_$b"), col(s"__p_${a}_$b"))
+      struct(
+        lit(a).as("col_x"), lit(b).as("col_y"),
+        round((n * p - sa * sb) /
+          sqrt((n * qa - sa * sa) * (n * qb - sb * sb)), 6).as("corr_v"),
+        round((n * p - sa * sb) / (n * n), 6).as("cov_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -274,6 +274,25 @@ object Similarity {
       .select(col("id"), col("nbr"), col("sim"))
   }
 
+  /** Mean-pool embeddings per group in LONG form — (group, dim index i,
+    * pooled mean m, n_vecs) — the chunk-embeddings → document-embedding /
+    * class-centroid reduction every embedding pipeline runs. Same plan
+    * shape as the k-means update step: posexplode → groupBy(group, i)
+    * with map-side-combined DECIMAL-exact partial sums, so the exchange
+    * carries ≤ groups·dim rows per partition, never the corpus; means are
+    * rounded to 9 places for engine-exact reproducibility. */
+  def meanPool(embs: DataFrame, groupCol: String,
+               embCol: String = "embedding"): DataFrame =
+    embs
+      .select(col(groupCol), posexplode(col(embCol)).as(Seq("i", "v")))
+      .groupBy(col(groupCol), col("i"))
+      .agg(
+        round(sum(col("v").cast("double").cast(DecimalType(38, 30)))
+          .cast("double") / count(lit(1)), 9).as("m"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("i").cast("long").as("i"),
+        col("m"), col("n_vecs"))
+
   /** Symmetric int8 quantization of the embedding column:
     * (id, scale, q) with x_i ≈ scale * q_i. 4× smaller than float32 — the
     * compressed form a 100 TB vector corpus actually stores — computed by

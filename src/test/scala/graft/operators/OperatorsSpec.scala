@@ -542,4 +542,35 @@ class OperatorsSpec extends SparkSpec {
       .select("meta.width").head().getInt(0)
     assert(resized == 8)
   }
+
+  test("correlationMatrix: exact +1/-1 on linear columns, cov matches") {
+    val schema = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("z", DoubleType)))
+    // y = 2x + 1 (corr +1), z = -x (corr -1)
+    val rows = (1 to 40).map(i => Row(i.toDouble, 2.0 * i + 1, -i.toDouble))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val m = Profiling.correlationMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m(("x", "y"))._1 == 1.0 && m(("x", "z"))._1 == -1.0)
+    assert(m(("y", "z"))._1 == -1.0)
+    // population cov(x, x·2+1) = 2·var(x); var(1..40) = (40²-1)/12
+    val varX = (40.0 * 40.0 - 1.0) / 12.0
+    assert(math.abs(m(("x", "y"))._2 - 2.0 * varX) < 1e-6)
+  }
+
+  test("meanPool: per-group element-wise means in long form") {
+    val pooled = Similarity.meanPool(embsDf, "label").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val raw = embsDf.collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1)).groupBy(_._1)
+    raw.foreach { case (label, vs) =>
+      val n = vs.length
+      assert(pooled((label, 0L))._2 == n.toLong)
+      val mean0 = vs.map(_._2.head.toDouble).sum / n
+      assert(math.abs(pooled((label, 0L))._1 - mean0) < 1e-6)
+    }
+  }
 }
