@@ -1165,6 +1165,35 @@ object SparkEntry {
         .select(col("id"), col("rank").as("pr"))
         .orderBy(col("id"))
     }),
+    // triangle participation in the kNN graph (degree-ordered join — the
+    // "last reducer" fanout is O(sqrt m) per key): dense duplicate
+    // clusters show up as high per-vertex triangle counts
+    "gr_tri" -> ((s, d) => {
+      val edges = Similarity.knnGraph(embs(s, d), "label", k = 3,
+          threshold = 0.25, precomputedPairs = Some(blockPairs025(s, d)))
+        .select(col("id").as("src"), col("nbr").as("dst"))
+      Graph.triangleCounts(edges).orderBy(col("id"))
+    }),
+
+    // changelog upsert (CDC latest-wins with delete tombstones): final
+    // entity state in ONE map-side-combinable aggregate — max over a
+    // (ts, event_id, ...) struct picks the latest change per key without
+    // a window sort; 'error' tombstones drop the key from the snapshot
+    "cdc_upsert" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"),
+          col("event_type"), col("value"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_changes"),
+          max(struct(col("tu"), col("event_id"), col("event_type"),
+            col("value"))).as("last"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.tu").as("last_tu"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("n_changes"))
+        .orderBy(col("user_id"))
+    }),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
@@ -2439,6 +2468,40 @@ object SparkEntry {
            |${iterCtes(3)}
            |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
       },
+      // triangle mirror: same kNN edges; the triangle SET is orientation-
+      // independent, so the oracle enumerates with the natural a<b<c order
+      // while the engine uses the degree order — identical triangles
+      "gr_tri" ->
+        s"""WITH ${blockedCtes(0.25)},
+           |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+           |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+           |rk AS (SELECT id, nbr,
+           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+           |       FROM sym),
+           |ce AS (SELECT DISTINCT LEAST(id, nbr) AS a, GREATEST(id, nbr) AS b
+           |       FROM rk WHERE rn <= 3 AND id <> nbr),
+           |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |        FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+           |                   JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |corners AS (SELECT x AS id FROM tri UNION ALL
+           |            SELECT y FROM tri UNION ALL SELECT z FROM tri)
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+           |FROM corners GROUP BY 1 ORDER BY id""".stripMargin,
+      // upsert mirror: latest row per key via window rank (the result —
+      // not the plan — is what must match the struct-max aggregate)
+      "cdc_upsert" ->
+        s"""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+           |                  event_type, value
+           |           FROM read_parquet('$sfDir/events.parquet')),
+           |r AS (SELECT *,
+           |        row_number() OVER (PARTITION BY user_id
+           |          ORDER BY tu DESC, event_id DESC) AS rn,
+           |        count(*) OVER (PARTITION BY user_id) AS nc
+           |      FROM x)
+           |SELECT user_id, tu AS last_tu, event_type AS last_type,
+           |       value AS last_value, CAST(nc AS BIGINT) AS n_changes
+           |FROM r WHERE rn = 1 AND event_type <> 'error'
+           |ORDER BY user_id""".stripMargin,
       "mm_meta" ->
         ("SELECT doc_id AS media_id, 'fake/raw' AS format, " +
           "CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width, " +

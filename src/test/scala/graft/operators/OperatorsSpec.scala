@@ -560,6 +560,21 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(("x", "y"))._2 - 2.0 * varX) < 1e-6)
   }
 
+  test("triangleCounts: K4 plus a tail, direction/duplicate-blind") {
+    // K4 on {0,1,2,3} (4 triangles, each vertex in 3) + tail 3-4-5 (none);
+    // edges arrive in mixed directions and with duplicates
+    val schema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (3L, 0L), (1L, 2L),
+      (3L, 1L), (2L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        edges.map { case (a, b) => Row(a, b) }).asJava), schema)
+    val counts = Graph.triangleCounts(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("meanPool: per-group element-wise means in long form") {
     val pooled = Similarity.meanPool(embsDf, "label").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
