@@ -286,6 +286,21 @@ object SparkEntry {
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
         .orderBy(col("id1"), col("id2"))),
+    // hard-negative mining (contrastive-training data): cross-label pairs
+    // among the LSH near-dup candidates, globally top-50 by similarity —
+    // candidates come bucketed (never all-pairs) and the global top-k is
+    // a TakeOrderedAndProject, so no stage materializes the full ranking
+    "sim_hardneg" -> ((s, d) => {
+      val e = embs(s, d)
+      val lb = e.select(col("vec_id"), col("label"))
+      Similarity.lshNearDup(e, nPlanes = 6, threshold = 0.1, exact = true)
+        .join(lb.toDF("id1", "label1"), "id1")
+        .join(lb.toDF("id2", "label2"), "id2")
+        .filter(col("label1") =!= col("label2"))
+        .select(col("id1"), col("id2"), col("sim"),
+          col("label1"), col("label2"))
+        .orderBy(col("sim").desc, col("id1"), col("id2")).limit(50)
+    }),
     // int8 quantization (compiled expression): scale is bit-deterministic
     // (float→double exact, abs/max exact, one IEEE divide), q digested to
     // a sum + md5 fingerprint so the oracle compares scalars, not arrays
@@ -1195,6 +1210,37 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // snapshot diff (dataset versioning): added/removed/changed rows
+    // between two table versions from ONE full-outer join on the key —
+    // the Delta/Iceberg-style version-compare primitive; synthetic
+    // versions are deterministic key-mod slices of orders
+    "cdc_diff" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = orders.filter(col("o_orderkey") % 89 =!= 1)
+        .toDF("k", "old_price")
+      val nw = orders.filter(col("o_orderkey") % 83 =!= 2)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(nw, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("old_price").isNull, "added")
+            .when(col("new_price").isNull, "removed")
+            .when(col("old_price") =!= col("new_price"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("k").as("o_orderkey"), col("status"),
+          col("old_price"), col("new_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // doc-sharded inverted index: posting lists bounded by the shard's
+    // corpus slice (the hottest stopword costs a reducer 1/nShards of its
+    // global postings); postings fingerprinted so results stay scalar
+    "txt_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(docs(s, d), nShards = 8)
+        .orderBy(col("tok"), col("shard"))),
+
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.asMediaTable(docs(s, d)))
@@ -1404,12 +1450,14 @@ object SparkEntry {
     // exact-decimal hyperplane LSH: plane literals inlined from the same
     // deterministic seed, bucket = sign bits of decimal dots, exact cosine
     // within buckets ≥ 0.25 (mirrors Similarity.lshNearDup exact = true)
-    val simLsh = {
+    // hyperplane-LSH candidate pairs as reusable CTEs (ends in `pr`):
+    // shared by sim_lsh (threshold 0.25) and sim_hardneg (0.1)
+    def simLshCtes(threshold: Double) = {
       val planes = Similarity.hyperplanes(64, 6, 42L)
       val vals = planes.zipWithIndex.flatMap { case (p, pi) =>
         p.zipWithIndex.map { case (v, i) => s"($pi, ${i + 1}, $v)" }
       }.mkString(", ")
-      s"""WITH planes(pi, i, pv) AS (SELECT * FROM (VALUES $vals)),
+      s"""planes(pi, i, pv) AS (SELECT * FROM (VALUES $vals)),
          |e AS (SELECT vec_id, unnest(embedding) AS v,
          |             generate_subscripts(embedding,1) AS i FROM embeddings),
          |pd AS (SELECT e.vec_id, p.pi,
@@ -1426,12 +1474,14 @@ object SparkEntry {
          |             CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
          |      FROM eb l JOIN eb r
          |        ON l.bucket = r.bucket AND l.i = r.i AND l.vec_id < r.vec_id
-         |      GROUP BY 1, 2)
-         |SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
-         |FROM d JOIN nrm n1 ON d.id1 = n1.vec_id JOIN nrm n2 ON d.id2 = n2.vec_id
-         |WHERE round(dt/(n1.nrm*n2.nrm),6) >= 0.25
-         |ORDER BY id1, id2""".stripMargin
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
+         |       FROM d JOIN nrm n1 ON d.id1 = n1.vec_id
+         |                 JOIN nrm n2 ON d.id2 = n2.vec_id
+         |       WHERE round(dt/(n1.nrm*n2.nrm),6) >= $threshold)""".stripMargin
     }
+    val simLsh =
+      s"WITH ${simLshCtes(0.25)}\nSELECT id1, id2, sim FROM pr ORDER BY id1, id2"
     // IVF mirror: centroids = first 16 vectors by id; every (vector, cell)
     // scored round6(decimal-dot / double-centroid-norm); assignment and the
     // query's 4 probe cells take (score DESC, cell DESC); exact cosine
@@ -1939,6 +1989,16 @@ object SparkEntry {
             |SELECT id, nbr, sim FROM r WHERE rn <= 3
             |ORDER BY id, sim DESC, nbr""".stripMargin),
       "sim_lsh" -> simLsh,
+      // hard-negative mirror: same LSH candidates at threshold 0.1, same
+      // cross-label filter, same total (sim DESC, id1, id2) order
+      "sim_hardneg" ->
+        s"""WITH ${simLshCtes(0.1)},
+           |lb AS (SELECT vec_id, label FROM embeddings)
+           |SELECT p.id1, p.id2, p.sim, l1.label AS label1, l2.label AS label2
+           |FROM pr p JOIN lb l1 ON p.id1 = l1.vec_id
+           |          JOIN lb l2 ON p.id2 = l2.vec_id
+           |WHERE l1.label <> l2.label
+           |ORDER BY p.sim DESC, p.id1, p.id2 LIMIT 50""".stripMargin,
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,
            |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
@@ -2502,6 +2562,35 @@ object SparkEntry {
            |       value AS last_value, CAST(nc AS BIGINT) AS n_changes
            |FROM r WHERE rn = 1 AND event_type <> 'error'
            |ORDER BY user_id""".stripMargin,
+      // snapshot-diff mirror: same key-mod version slices, same +1.0
+      // price bump, same full-outer status derivation
+      "cdc_diff" ->
+        """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS old_price
+          |             FROM orders WHERE o_orderkey % 89 <> 1),
+          |nw AS (SELECT o_orderkey AS k,
+          |              CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+          |                   ELSE o_totalprice END AS new_price
+          |       FROM orders WHERE o_orderkey % 83 <> 2),
+          |j AS (SELECT coalesce(old.k, nw.k) AS o_orderkey, old_price, new_price,
+          |             CASE WHEN old.k IS NULL THEN 'added'
+          |                  WHEN nw.k IS NULL THEN 'removed'
+          |                  WHEN old_price <> new_price THEN 'changed'
+          |             END AS status
+          |      FROM old FULL OUTER JOIN nw ON old.k = nw.k)
+          |SELECT o_orderkey, status, old_price, new_price
+          |FROM j WHERE status IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+      // inverted-index mirror: same doc-mod sharding, same sorted
+      // doc:pos posting fingerprints (0-based positions both sides)
+      "txt_index" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+          |                  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          |           FROM documents)
+          |SELECT tok, doc_id % 8 AS shard,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_shard,
+          |       CAST(count(*) AS BIGINT) AS cf_shard,
+          |       md5(array_to_string(list_sort(list(doc_id || ':' || pos)), ','))
+          |         AS postings_fp
+          |FROM t GROUP BY 1, 2 ORDER BY tok, shard""".stripMargin,
       "mm_meta" ->
         ("SELECT doc_id AS media_id, 'fake/raw' AS format, " +
           "CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width, " +

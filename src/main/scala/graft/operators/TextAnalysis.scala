@@ -262,4 +262,26 @@ object TextAnalysis {
     docs.select(col(idCol),
       graft.functions.ArrayOps.rolling_hash_portable(split(col(textCol), " "))
         .as("rolling_hash"))
+
+  /** Document-sharded inverted index: (token, shard) → shard-local document
+    * frequency, collection frequency and a fingerprint of the sorted
+    * posting list (doc:pos pairs). Doc-partitioned sharding
+    * (`shard = doc_id % nShards`) is the layout a distributed index
+    * actually stores — each shard indexes a disjoint document subset, so
+    * posting lists are bounded by the shard's corpus slice rather than the
+    * global term frequency, and the hottest stopword costs each reducer at
+    * most 1/nShards of its global postings (term-partitioned layouts put
+    * the whole stopword list on one node). One explode + one groupBy with
+    * map-side combine; postings are fingerprinted (md5 of the sorted list)
+    * so results stay scalar and engine-comparable. */
+  def invertedIndex(docs: DataFrame, nShards: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .groupBy(col("tok"), pmod(col("doc"), lit(nShards.toLong)).as("shard"))
+      .agg(countDistinct(col("doc")).as("df_shard"),
+        count(lit(1)).as("cf_shard"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("doc"), col("pos")))))).as("postings_fp"))
 }
