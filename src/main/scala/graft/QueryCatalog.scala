@@ -196,6 +196,19 @@ object QueryCatalog {
       Similarity.blockedAllPairs(embs(spark, sfDir), "label", 0.25)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** kNN graph (k=3, threshold 0.25) over the shared 0.25 pair set —
+    * shared by sim_knn / gr_pagerank / gr_tri, which all rank the same
+    * neighbors; the per-query work on top is a sort, the PageRank
+    * iterations, or the triangle joins. */
+  private val knnCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
+    knnCache.getOrElseUpdate((spark, sfDir),
+      Similarity.knnGraph(embs(spark, sfDir), "label", k = 3,
+          threshold = 0.25,
+          precomputedPairs = Some(blockPairs025(spark, sfDir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** k-means(4, 3) assignments over the embeddings, shared by
     * clu_kmeans / dd_semantic / clu_sample (the clustering is the dominant
     * cost — 4 corpus passes — and all three consume the SAME model; the

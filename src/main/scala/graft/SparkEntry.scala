@@ -279,9 +279,7 @@ object SparkEntry {
     // kNN graph: each vector's top-3 block-local neighbors (the primitive
     // under graph-based dedup / NN-Descent-style index builds)
     "sim_knn" -> ((s, d) =>
-      Similarity.knnGraph(embs(s, d), "label", k = 3, threshold = 0.25,
-          precomputedPairs = Some(blockPairs025(s, d)))
-        .orderBy(col("id"), col("sim").desc, col("nbr"))),
+      knnEdges(s, d).orderBy(col("id"), col("sim").desc, col("nbr"))),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -1171,11 +1169,9 @@ object SparkEntry {
     //      graph (per-iteration decimal-summed contributions, rank
     //      re-rounded to 12 — trajectory unrolls as oracle CTEs) ----
     "gr_pagerank" -> ((s, d) => {
-      val e = embs(s, d)
-      val edges = Similarity.knnGraph(e, "label", k = 3, threshold = 0.25,
-          precomputedPairs = Some(blockPairs025(s, d)))
+      val edges = knnEdges(s, d)
         .select(col("id").as("src"), col("nbr").as("dst"))
-      val verts = e.select(col("vec_id").as("id"))
+      val verts = embs(s, d).select(col("vec_id").as("id"))
       Graph.pageRank(verts, edges, iters = 3)
         .select(col("id"), col("rank").as("pr"))
         .orderBy(col("id"))
@@ -1183,12 +1179,10 @@ object SparkEntry {
     // triangle participation in the kNN graph (degree-ordered join — the
     // "last reducer" fanout is O(sqrt m) per key): dense duplicate
     // clusters show up as high per-vertex triangle counts
-    "gr_tri" -> ((s, d) => {
-      val edges = Similarity.knnGraph(embs(s, d), "label", k = 3,
-          threshold = 0.25, precomputedPairs = Some(blockPairs025(s, d)))
-        .select(col("id").as("src"), col("nbr").as("dst"))
-      Graph.triangleCounts(edges).orderBy(col("id"))
-    }),
+    "gr_tri" -> ((s, d) =>
+      Graph.triangleCounts(knnEdges(s, d)
+          .select(col("id").as("src"), col("nbr").as("dst")))
+        .orderBy(col("id"))),
 
     // changelog upsert (CDC latest-wins with delete tombstones): final
     // entity state in ONE map-side-combinable aggregate — max over a
