@@ -711,6 +711,29 @@ object SparkEntry {
         .orderBy(col("win_hour"), col("event_type"))
     }),
 
+    // cohort retention matrix: cohort = first active day per user; cells
+    // count users (and events) active `day_offset` days later. Raw events
+    // are reduced to (user, day) in the scan stage; the per-user window
+    // sees at most days-per-user rows.
+    "ev_cohort" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Funnel.cohortRetention(ev, "user_id",
+          expr("(ts div 1000) div 86400000000"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // strictly-ordered conversion funnel (first-touch): view → click →
+    // purchase, each step's first event strictly after the previous
+    // step's; one shuffle by user, one window node per step
+    "ev_funnel" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Funnel.funnel(ev, "user_id", expr("ts div 1000"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+
     // time-series regularization: hourly resample per user with forward
     // fill over the gaps (grid from sequence-explode, ONE window per key)
     "ev_ffill" -> ((s, d) => {
@@ -2166,6 +2189,40 @@ object SparkEntry {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM read_parquet('$sfDir/events.parquet')
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "ev_cohort" ->
+        s"""WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           |                   count(*) AS n_ev
+           |            FROM read_parquet('$sfDir/events.parquet') GROUP BY 1, 2),
+           |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+           |      FROM ud)
+           |SELECT cohort_day, day - cohort_day AS day_offset,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |       CAST(sum(n_ev) AS BIGINT) AS n_events
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "ev_funnel" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type
+           |           FROM read_parquet('$sfDir/events.parquet')),
+           |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+           |       WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+           |       WHERE event_type = 'click' AND tu > t1 GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+           |       WHERE event_type = 'purchase' AND tu > t2 GROUP BY 1),
+           |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+           |             (SELECT count(*) FROM s2) AS n2,
+           |             (SELECT count(*) FROM s3) AS n3)
+           |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+           |       CAST(n1 AS BIGINT) AS n_users,
+           |       CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+           |UNION ALL
+           |SELECT 2, 'click', CAST(n2 AS BIGINT),
+           |       CASE WHEN n1 = 0 THEN 0.0
+           |            ELSE round(n2::DOUBLE / n1, 6) END FROM n
+           |UNION ALL
+           |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           |       CASE WHEN n2 = 0 THEN 0.0
+           |            ELSE round(n3::DOUBLE / n2, 6) END FROM n
+           |ORDER BY step""".stripMargin,
       // skew-playbook mirrors: salting must be invisible in the result
       "sk_agg" ->
         ("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
