@@ -652,6 +652,24 @@ object SparkEntry {
             col("kth_hash").cast("double"), 4))
     }),
 
+    // Count-Min sketch (custom TypedImperativeAggregate): frequency
+    // estimation over an unbounded key domain with a FIXED depth×width
+    // block of longs per partition through the shuffle (groupBy.count
+    // shuffles every distinct key). Cells are deterministic hash-partition
+    // sums — the oracle recomputes all of them from exact per-key counts.
+    "agg_cms" -> ((s, d) => {
+      val width = 64
+      val hb = graft.functions.ArrayOps.md5_long60(
+        concat(lit("0:"), col("l_partkey").cast("string"))) % Dedup.UhPrime
+      s.read.parquet(s"$d/lineitem.parquet")
+        .agg(graft.functions.Sketches
+          .count_min(hb, width, Dedup.uhParams(4)).as("cms"))
+        .select(posexplode(col("cms")).as(Seq("idx", "cnt")))
+        .select(expr(s"idx div $width").cast(IntegerType).as("depth"),
+          expr(s"idx % $width").cast(IntegerType).as("cell"), col("cnt"))
+        .orderBy(col("depth"), col("cell"))
+    }),
+
     // pivoted aggregation: returnflag columns × linestatus rows, decimal-
     // exact sums (Spark's relational pivot — one partial agg + one shuffle)
     "g_pivot" -> ((s, d) =>
@@ -1899,6 +1917,24 @@ object SparkEntry {
            |       round(1023.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
            |         AS est_distinct
            |FROM mins""".stripMargin,
+      "agg_cms" -> {
+        val P = graft.operators.Dedup.UhPrime
+        val rows = graft.operators.Dedup.uhParams(4).zipWithIndex.map {
+          case ((a, b), j) =>
+            s"SELECT $j AS depth, ((hb * $a + $b) % $P) % 64 AS cell, c FROM h"
+        }.mkString(" UNION ALL ")
+        s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS c
+           |           FROM lineitem GROUP BY 1),
+           |h AS (SELECT ${mdInt("'0:' || key")} % $P AS hb, c FROM k),
+           |cells AS ($rows),
+           |grid AS (SELECT d.range AS depth, w.range AS cell
+           |         FROM range(4) d, range(64) w)
+           |SELECT CAST(g.depth AS INT) AS depth, CAST(g.cell AS INT) AS cell,
+           |       CAST(coalesce(sum(c), 0) AS BIGINT) AS cnt
+           |FROM grid g LEFT JOIN cells ON g.depth = cells.depth
+           |                           AND g.cell = cells.cell
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
       "g_distinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +

@@ -109,10 +109,107 @@ case class KMinValues(child: Expression, k: Int,
       cs: IndexedSeq[Expression]): KMinValues = copy(child = cs.head)
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * custom `TypedImperativeAggregate`: `depth × width` counter cells; row j
+  * of an item with base hash h increments cell `((a_j·h + b_j) mod P) mod
+  * width` (the same universal-hash family over the Mersenne prime P =
+  * 2^31−1 as the portable minhash); a point estimate is the MIN over the
+  * item's depth cells — an upper bound on the true count, within
+  * ε·N (ε = e/width) with probability 1 − e^−depth.
+  *
+  * The 100 TB use case is frequency estimation over an unbounded key
+  * domain (tokens, URLs, n-grams): `groupBy(key).count` shuffles every
+  * distinct key, while this sketch carries a FIXED depth·width block of
+  * longs per partition through the shuffle, merged by elementwise add.
+  *
+  * Exactly reproducible: cell values are sums of per-item counts over a
+  * deterministic hash partition of the key domain — order-independent and
+  * SQL-expressible (the oracle recomputes every cell from exact per-key
+  * counts and the same md5-derived hashes).
+  *
+  * Contract: input is the base hash `md5_long60(key) mod P` (already
+  * reduced mod P); params are (a_j, b_j) pairs, one per depth row.
+  * Output: the flattened long[depth·width] cell array, row-major. */
+case class CountMinSketch(child: Expression, width: Int,
+                          params: Seq[(Long, Long)],
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(width > 0, s"width must be positive, got $width")
+  require(params.nonEmpty, "need at least one (a, b) hash-row param")
+  private def depth: Int = params.length
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"count_min expects a long (pre-hashed) column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < depth) {
+        val (a, b) = params(j)
+        buf(j * width + (((a * h + b) % GraftHash.UhPrime) % width).toInt) += 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): CountMinSketch = copy(child = cs.head)
+}
+
 object Sketches {
   /** Column API: the k smallest distinct values of a pre-hashed long
     * column, sorted ascending (the KMV distinct-count sketch state). */
   def kmin_values(c: Column, k: Int): Column =
     GraftColumnBridge.column(
       KMinValues(GraftColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Column API: Count-Min sketch cells (row-major long[depth·width]) of a
+    * pre-hashed (`md5_long60 mod P`) long column. */
+  def count_min(c: Column, width: Int, params: Seq[(Long, Long)]): Column =
+    GraftColumnBridge.column(
+      CountMinSketch(GraftColumnBridge.expression(c), width, params)
+        .toAggregateExpression())
 }
