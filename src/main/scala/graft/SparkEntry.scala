@@ -958,6 +958,15 @@ object SparkEntry {
       Sampling.mixture(docs(s, d), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // DSIR importance scores: target = the English slice, raw = the whole
+    // corpus; per-bucket smoothed log ratios (rounded once per BOUNDED
+    // bucket space) broadcast back onto a scan-stage tokenization, per-doc
+    // decimal sums — nothing wider than (doc_id, decimal) shuffles
+    "smp_dsir" -> ((s, d) => {
+      val dd = docs(s, d)
+      Sampling.dsirScores(dd, dd.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
     "smp_topn" -> ((s, d) =>
       Sampling.takePerStratum(s.read.parquet(s"$d/orders.parquet"),
           "o_orderstatus", "o_orderkey", n = 50)
@@ -1727,6 +1736,31 @@ object SparkEntry {
             |frac AS (SELECT source, least(1.0::DOUBLE, cap * wt / n) AS f FROM j, cap)
             |SELECT d.doc_id, d.source FROM documents d JOIN frac USING (source)
             |WHERE ${hashU("doc_id")} < f ORDER BY doc_id""".stripMargin),
+      "smp_dsir" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |            FROM documents),
+           |b AS (SELECT doc_id, ${mdInt("'0:' || t")} % 4096 AS b FROM tok),
+           |raw AS (SELECT b, count(*) AS r FROM b GROUP BY 1),
+           |tgt AS (SELECT bb.b, count(*) AS g FROM b bb
+           |        JOIN documents d USING (doc_id)
+           |        WHERE d.lang = 'en' GROUP BY 1),
+           |tots AS (SELECT (SELECT sum(r) FROM raw) AS rt,
+           |                (SELECT sum(g) FROM tgt) AS gt),
+           |w AS (SELECT raw.b,
+           |             round(ln(((coalesce(g, 0) + 1)::DOUBLE / (gt + 4096)::DOUBLE)
+           |                    / ((r + 1)::DOUBLE / (rt + 4096)::DOUBLE)), 6)
+           |               ::DECIMAL(18,6) AS lr
+           |      FROM raw LEFT JOIN tgt USING (b), tots),
+           |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |             CAST(sum(lr) AS DOUBLE) AS score
+           |      FROM b JOIN w USING (b) GROUP BY 1),
+           |st AS (SELECT doc_id, n_tokens, score,
+           |              round(score / n_tokens, 6) AS score_tok FROM s),
+           |m AS (SELECT sum(score_tok::DECIMAL(18,6)) AS ms,
+           |             count(*) AS mn FROM st)
+           |SELECT doc_id, n_tokens, score, score_tok,
+           |       score_tok::DECIMAL(18,6) * mn > ms AS keep
+           |FROM st, m ORDER BY doc_id""".stripMargin,
       "smp_split" ->
         (s"""WITH s AS (SELECT lang, doc_id,
             |  CASE WHEN ${hashU("doc_id")} < 0.8 THEN 'train'

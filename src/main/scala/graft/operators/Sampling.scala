@@ -118,4 +118,72 @@ object Sampling {
         .when(u < lit(trainFrac + valFrac), lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** DSIR-shape importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score each
+    * raw-corpus document by how target-like its hashed-unigram
+    * distribution is. Per hash bucket b, the log importance ratio of the
+    * add-one-smoothed unigram DISTRIBUTIONS is
+    * `lr_b = ln( ((tgt_b+1)/(tgt_tot+B)) / ((raw_b+1)/(raw_tot+B)) )`,
+    * B = bucket count — without the total normalization a target that is a
+    * subset of raw scores every bucket ≤ 0. A document's score is the sum
+    * of `lr` over its token instances (the sequence log-likelihood ratio);
+    * `score_tok = score / n_tokens` removes the length confound (smoothing
+    * gives every token a small negative bias, so longer docs sum lower),
+    * and `keep` selects docs whose per-token score beats the corpus mean —
+    * compared by exact decimal cross-multiplication
+    * (`score_tok · n_docs > Σ score_tok`), so the boundary is
+    * order-independent and engine-exact.
+    *
+    * Scale shape: bucket counts are two map-side-combined aggregates over
+    * BOUNDED key spaces (≤ `buckets` rows each), the joined weight table is
+    * broadcast, and the per-doc score is one map-side-combined decimal sum
+    * keyed by doc id — raw text is tokenized once, in the scan stage, and
+    * nothing wider than (doc_id, decimal) is ever shuffled. Determinism:
+    * `ln` is rounded to 6 places per BUCKET (bounded rounding sites, the
+    * e9_log convention), then summed as DECIMAL — order-independent and
+    * engine-exact.
+    *
+    * @param target the in-domain sample (its ids need not be disjoint from
+    *               `raw`); only its token distribution is used
+    * @return (doc_id, n_tokens, score, score_tok,
+    *         keep = score_tok above corpus mean) per raw document
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"),
+          explode(split(col(textCol), " ")).as("__tok"))
+        .select(col("__id"),
+          pmod(ArrayOps.md5_long60(concat(lit("0:"), col("__tok"))),
+            lit(buckets.toLong)).as("__b"))
+    val rawCnt = bucketed(raw).groupBy(col("__b")).agg(count(lit(1)).as("__raw"))
+    val tgtCnt = bucketed(target).groupBy(col("__b")).agg(count(lit(1)).as("__tgt"))
+    // totals are 1-row broadcast aggregates (the scalar-subquery shape)
+    val rawTot = rawCnt.agg(sum(col("__raw")).as("__rt"))
+    val tgtTot = tgtCnt.agg(sum(col("__tgt")).as("__gt"))
+    val weights = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("__b"),
+        round(log(
+          ((coalesce(col("__tgt"), lit(0L)) + 1).cast("double") /
+            (col("__gt") + buckets.toLong).cast("double")) /
+          ((coalesce(col("__raw"), lit(0L)) + 1).cast("double") /
+            (col("__rt") + buckets.toLong).cast("double"))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perDoc = bucketed(raw).join(broadcast(weights), Seq("__b"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lr")).cast("double").as("score"))
+      .withColumn("score_tok",
+        round(col("score") / col("n_tokens"), 6))
+    val stats = perDoc.agg(
+      sum(col("score_tok").cast(dec)).as("__s"),
+      count(lit(1)).as("__n"))
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("keep", col("score_tok").cast(dec) * col("__n") > col("__s"))
+      .drop("__s", "__n")
+  }
 }
