@@ -302,6 +302,15 @@ object SparkEntry {
     // int8 quantization (compiled expression): scale is bit-deterministic
     // (float→double exact, abs/max exact, one IEEE divide), q digested to
     // a sum + md5 fingerprint so the oracle compares scalars, not arrays
+    // PCA by deterministic power iteration: one corpus pass builds every
+    // covariance moment via the compiled OuterMomentsFlat projection (the
+    // d²-fanout is scan-stage CPU; the shuffle carries ≤ 2144 pre-combined
+    // decimal rows per partition); the 64×64 eigen-iteration runs on the
+    // driver and the per-vector projection is one compiled decimal dot
+    // against the broadcast component (oracle: the iteration unrolled as
+    // matrix-vector CTEs, the clu_kmeans/gr_pagerank convention)
+    "sim_pca" -> ((s, d) =>
+      Similarity.pca1(embs(s, d), iters = 2)._1.orderBy(col("vec_id"))),
     "sim_quant" -> ((s, d) => {
       val qz = Similarity.quantizeInt8(embs(s, d))
       qz.select(col("id").as("vec_id"), col("scale"),
@@ -2086,6 +2095,43 @@ object SparkEntry {
            |          JOIN lb l2 ON p.id2 = l2.vec_id
            |WHERE l1.label <> l2.label
            |ORDER BY p.sim DESC, p.id1, p.id2 LIMIT 50""".stripMargin,
+      // power iteration unrolled: decimal moment sums → rounded covariance
+      // → two matrix-vector steps (products decimal-summed, vectors
+      // re-rounded to 12 after each normalization) → projection rounded 6
+      "sim_pca" ->
+        """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i
+          |           FROM (SELECT vec_id, unnest(embedding) AS v,
+          |                        generate_subscripts(embedding, 1) AS i
+          |                 FROM embeddings)),
+          |nn AS (SELECT count(*) AS n FROM embeddings),
+          |s AS (SELECT i, sum(CAST(v AS DECIMAL(38,30))) AS s FROM e GROUP BY i),
+          |mu AS (SELECT i, round(CAST(s AS DOUBLE) / n, 12) AS mu FROM s, nn),
+          |m AS (SELECT a.i AS i, b.i AS j,
+          |             sum(CAST(a.v * b.v AS DECIMAL(38,30))) AS m
+          |      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+          |cov AS (SELECT m.i, m.j,
+          |               round(round(CAST(m.m AS DOUBLE) / nn.n, 12)
+          |                     - mi.mu * mj.mu, 12) AS c
+          |        FROM m JOIN mu mi ON m.i = mi.i JOIN mu mj ON m.j = mj.i
+          |        CROSS JOIN nn),
+          |v0 AS (SELECT i, round(1.0 / sqrt(64.0), 12) AS x
+          |       FROM range(1, 65) t(i)),
+          |w1 AS (SELECT cov.i,
+          |              CAST(sum(CAST(cov.c * v0.x AS DECIMAL(38,30))) AS DOUBLE) AS w
+          |       FROM cov JOIN v0 ON cov.j = v0.i GROUP BY 1),
+          |n1 AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+          |       FROM w1),
+          |v1 AS (SELECT i, round(w / nrm, 12) AS x FROM w1, n1),
+          |w2 AS (SELECT cov.i,
+          |              CAST(sum(CAST(cov.c * v1.x AS DECIMAL(38,30))) AS DOUBLE) AS w
+          |       FROM cov JOIN v1 ON cov.j = v1.i GROUP BY 1),
+          |n2 AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
+          |       FROM w2),
+          |v2 AS (SELECT i, round(w / nrm, 12) AS x FROM w2, n2),
+          |p AS (SELECT e.vec_id,
+          |             CAST(sum(CAST(e.v * v2.x AS DECIMAL(38,30))) AS DOUBLE) AS dt
+          |      FROM e JOIN v2 ON e.i = v2.i GROUP BY 1)
+          |SELECT vec_id, round(dt, 6) AS pc1 FROM p ORDER BY vec_id""".stripMargin,
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,
            |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale

@@ -176,6 +176,70 @@ case class QuantizeInt8(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Flattened first+second moment contributions of a float/double vector,
+  * in ONE compiled pass per row: [v_0..v_{d-1}] followed by the upper
+  * triangle [v_i·v_j for i ≤ j], length d + d(d+1)/2. Feeding a
+  * posexplode → groupBy(pos) decimal aggregation with this projection
+  * computes the full covariance-moment set in a single corpus pass whose
+  * shuffle carries ≤ d + d(d+1)/2 pre-combined rows per partition — the
+  * d²-fanout happens as CPU inside the scan stage, never on the wire
+  * (the posexplode self-join alternative ships the exploded corpus).
+  * Each product of two (exactly widened) floats is EXACT in double
+  * (24-bit · 24-bit ≤ 53-bit mantissa), so downstream decimal sums are
+  * order-independent and engine-portable. */
+case class OuterMomentsFlat(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"outer_moments_flat expects array<float|double>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("moments", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](d + d * (d + 1) / 2)
+    System.arraycopy(v, 0, out, 0, d)
+    var p = d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(p) = v(i) * v(j)
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Per-document repetition statistics — the Gopher repetition filters
   * (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1:
   * duplicate-word/-n-gram fractions and the top-n-gram share), token-based
@@ -676,6 +740,11 @@ object ArrayOps {
   /** Symmetric int8 quantization: struct(scale: double, q: array<int>). */
   def quantize_int8(emb: Column): Column =
     GraftColumnBridge.column(QuantizeInt8(expr(emb)))
+
+  /** Flattened per-row moment contributions for one-pass covariance:
+    * [v_i] ++ [v_i·v_j, i ≤ j] (length d + d(d+1)/2). */
+  def outer_moments_flat(emb: Column): Column =
+    GraftColumnBridge.column(OuterMomentsFlat(expr(emb)))
 
   /** Gopher repetition signals over a token array (one compiled pass):
     * struct(n_tokens, n_bigrams, dup_word_frac, top_bigram_frac,

@@ -293,6 +293,73 @@ object Similarity {
       .select(col(groupCol), col("i").cast("long").as("i"),
         col("m"), col("n_vecs"))
 
+  /** First principal component of the embedding cloud by deterministic
+    * power iteration — the PCA/whitening primitive embedding pipelines
+    * run before indexing or dimensionality reduction.
+    *
+    * Scale shape: ALL covariance moments (d first + d(d+1)/2 second) come
+    * from ONE corpus pass — the compiled
+    * [[graft.functions.OuterMomentsFlat]] projection fans out d²
+    * products per row as CPU inside the scan stage, and the
+    * posexplode → groupBy(pos) decimal aggregation ships ≤ d + d(d+1)/2
+    * pre-combined rows per partition (the posexplode self-join
+    * alternative shuffles the exploded corpus). The d×d covariance and
+    * the `iters` power-iteration steps run on the DRIVER over that
+    * bounded moment set (the [[kmeans]] convention: model state is tiny,
+    * data passes are distributed), then the per-vector projection is one
+    * compiled decimal-exact dot against the broadcast component.
+    *
+    * Determinism: moment sums are DECIMAL(38,30) (order-independent);
+    * every driver-side step mirrors the SQL oracle op-for-op — means and
+    * covariances rounded to 12, iteration vectors rounded to 12 after
+    * each normalization (IEEE double mult/div/sqrt are engine-exact;
+    * `BigDecimal.valueOf` = Spark's double→decimal cast), projections
+    * rounded to 6.
+    *
+    * @return (projections (id, pc1), the component vector) */
+  def pca1(embs: DataFrame, iters: Int = 2, idCol: String = "vec_id",
+           embCol: String = "embedding"): (DataFrame, Seq[Double]) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    import java.math.{BigDecimal => JBD}
+    def round12(x: Double): Double =
+      JBD.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    def decSum(xs: Iterator[Double]): Double = {
+      var acc = JBD.ZERO
+      xs.foreach(x => acc = acc.add(JBD.valueOf(x)))
+      acc.doubleValue()
+    }
+    val d = embs.select(size(col(embCol)).as("d")).head.getInt(0)
+    val n = embs.count()
+    require(n > 0, "pca1 needs a non-empty input")
+    val sums = embs
+      .select(posexplode(graft.functions.ArrayOps
+        .outer_moments_flat(col(embCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast(DecimalType(38, 30))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val mean = Array.tabulate(d)(i => round12(sums(i).doubleValue() / n))
+    // flat index of the (i ≤ j) product: d + rows 0..i-1 (each d-t wide)
+    def mIdx(i0: Int, j0: Int): Int = {
+      val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
+      d + i * d - i * (i - 1) / 2 + (j - i)
+    }
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      round12(round12(sums(mIdx(i, j)).doubleValue() / n) - mean(i) * mean(j))
+    }
+    var v = Array.fill(d)(round12(1.0 / math.sqrt(d.toDouble)))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        decSum(Iterator.range(0, d).map(j => cov(i)(j) * v(j))))
+      val nrm = math.sqrt(decSum(w.iterator.map(x => x * x)))
+      require(nrm > 0, "pca1: zero-variance input")
+      v = w.map(x => round12(x / nrm))
+    }
+    val vLit = array(v.toSeq.map(lit): _*)
+    val proj = embs.select(col(idCol),
+      round(dot_product_exact(col(embCol), vLit), 6).as("pc1"))
+    (proj, v.toSeq)
+  }
+
   /** Symmetric int8 quantization of the embedding column:
     * (id, scale, q) with x_i ≈ scale * q_i. 4× smaller than float32 — the
     * compressed form a 100 TB vector corpus actually stores — computed by

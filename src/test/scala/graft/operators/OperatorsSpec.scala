@@ -70,6 +70,35 @@ class OperatorsSpec extends SparkSpec {
     assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == byCell)
   }
 
+  test("pca1 finds the dominant variance direction; deterministic under " +
+      "repartition") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(7)
+    // variance concentrated along axis 0 (±1), noise ~0.05 elsewhere
+    val rows = (0L until 40L).map { id =>
+      val main = if (id % 2 == 0) 1f else -1f
+      Row(id, (main +: Seq.fill(7)(0.05f * (rng.nextFloat() - 0.5f))).toSeq)
+    }
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val (proj, v) = Similarity.pca1(embs, iters = 2)
+    // unit component dominated by axis 0
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, v.toString)
+    assert(math.abs(v.head) > 0.99, v.toString)
+    // projections split by sign with the parity of the fixture
+    val byId = proj.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s0 = math.signum(byId(0L))
+    (0L until 40L).foreach { id =>
+      val expect = if (id % 2 == 0) s0 else -s0
+      assert(math.signum(byId(id)) == expect, s"id=$id ${byId(id)}")
+    }
+    // bit-identical under repartition (decimal sums are order-free)
+    val (proj2, v2) = Similarity.pca1(embs.repartition(7), iters = 2)
+    assert(v2 == v)
+    assert(proj2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == byId)
+  }
+
   test("knn graph: symmetric edges, at most k neighbors, best-first") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
