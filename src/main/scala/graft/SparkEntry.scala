@@ -426,6 +426,24 @@ object SparkEntry {
         .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("ngram")).limit(20)),
 
+    // per-doc n-gram novelty (dataset-diversity audit): the fraction of a
+    // doc's distinct 3-grams appearing in NO other document. Distinct
+    // per-doc shingles → map-side-combined document frequencies → one
+    // equi-join back; the inverse of the dd_contam overlap shape
+    "txt_novel" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+        explode_outer(array_distinct(
+          Dedup.shinglesOf(split(col("text"), " "), 3))).as("sh"))
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique").cast(DoubleType) / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // X5 extension: star-schema join over the dimension tables — explicit
     // broadcast for the true dims (region/nation/supplier stay small at any
     // scale factor); part is left to Catalyst/AQE since it grows with SF
@@ -947,6 +965,44 @@ object SparkEntry {
           to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1997-01-01")) &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d3))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem joined
+    // to part, conditional/total decimal revenue sums in one aggregate —
+    // the scan-pushed date filter cuts the fact side before the join
+    "h_q14" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(3, 2))))
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1996-03-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1996-04-01")))
+        .join(s.read.parquet(s"$d/part.parquet"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType) /
+            sum(rev).cast(DoubleType), 6).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicate): the
+    // OR-of-conjuncts post-join filter over an equi-join on partkey —
+    // the planner keeps the equi-key join and evaluates the disjunction
+    // as a join residual, never a cartesian
+    "h_q19" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val p = s.read.parquet(s"$d/part.parquet")
+      val pred =
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      li.join(p, col("l_partkey") === col("p_partkey") && pred)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(3, 2))))
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
@@ -1731,6 +1787,43 @@ object SparkEntry {
       "h_q6" -> hQ6,
       "h_q7" -> hQ7,
       "h_q10" -> hQ10,
+      "h_q14" ->
+        s"""SELECT round(100.0 *
+           |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+           |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |        (1 - CAST(l_discount AS DECIMAL(3,2))) END) AS DOUBLE) /
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |        (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 6)
+           |    AS promo_share,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem JOIN read_parquet('$sfDir/part.parquet') p
+           |  ON l_partkey = p_partkey
+           |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+           |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin,
+      "h_q19" ->
+        s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |        (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem JOIN read_parquet('$sfDir/part.parquet') p
+           |  ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 1 AND 20)
+           |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           |       AND l_quantity BETWEEN 10 AND 40)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+      "txt_novel" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |             FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct($shingleList)) AS s
+           |       FROM toks),
+           |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_unique,
+           |       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+           |             / count(*), 6) AS novelty
+           |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
       "smp_bern" ->
         s"SELECT doc_id FROM documents WHERE ${hashU("doc_id")} < 0.25 ORDER BY doc_id",
       "smp_strat" ->
