@@ -768,6 +768,17 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // RFM customer segmentation: one groupBy for the metrics, broadcast
+    // rank-selected quartile thresholds, bins as a scan-stage projection —
+    // no ntile (a global ntile is a single-partition sort over all users)
+    "ev_rfm" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Funnel.rfm(ev, "user_id", expr("(ts div 1000) div 86400000000"),
+          col("event_type"), col("value"), "purchase")
+        .orderBy(col("user_id"))
+    }),
+
     // strictly-ordered conversion funnel (first-touch): view → click →
     // purchase, each step's first event strictly after the previous
     // step's; one shuffle by user, one window node per step
@@ -1204,6 +1215,13 @@ object SparkEntry {
           Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
         .orderBy(col("column"))),
 
+    // equi-width histogram + CDF of order values: scan-stage binning,
+    // cumulative window over the bounded bin table only
+    "prof_hist" -> ((s, d) =>
+      Profiling.histogram(s.read.parquet(s"$d/orders.parquet"),
+          "o_totalprice", width = 25000.0)
+        .orderBy(col("bin"))),
+
     // pairwise Pearson correlations of all column pairs in ONE scan:
     // exact-decimal moments (sums / square-sums / cross-sums) from a
     // single aggregate, then the corr/cov formulas in fixed-order double
@@ -1317,6 +1335,27 @@ object SparkEntry {
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"), col("n_changes"))
         .orderBy(col("user_id"))
+    }),
+
+    // SCD Type-2 dimension build from a changelog: per-key versioned
+    // validity intervals — valid_from = the change's time, valid_to = the
+    // next change's (null = current). One shuffle by key, one window node
+    // for both lead() and version; per-key rows are bounded by change
+    // counts, not corpus size
+    "cdc_scd2" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"),
+          col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      ev.select(col("user_id"), col("event_type").as("attr"),
+          col("tu").as("valid_from"),
+          lead(col("tu"), 1).over(w).as("valid_to"),
+          row_number().over(w).as("version"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("version"))
     }),
 
     // snapshot diff (dataset versioning): added/removed/changed rows
@@ -2822,6 +2861,61 @@ object SparkEntry {
            |       value AS last_value, CAST(nc AS BIGINT) AS n_changes
            |FROM r WHERE rn = 1 AND event_type <> 'error'
            |ORDER BY user_id""".stripMargin,
+      "cdc_scd2" ->
+        s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+           |           FROM read_parquet('$sfDir/events.parquet')
+           |           WHERE event_type IN ('signup', 'purchase'))
+           |SELECT user_id, event_type AS attr, tu AS valid_from,
+           |       lead(tu) OVER w AS valid_to,
+           |       CAST(row_number() OVER w AS INT) AS version,
+           |       lead(tu) OVER w IS NULL AS is_current
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+           |ORDER BY user_id, version""".stripMargin,
+      "ev_rfm" -> {
+        def thr(metric: String) =
+          s"""(SELECT
+             |   min(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS ${metric}_p25,
+             |   min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS ${metric}_p50,
+             |   min(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS ${metric}_p75
+             | FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             |              sum(c) OVER () AS n
+             |       FROM (SELECT $metric AS v, count(*) AS c FROM per GROUP BY 1)))"""
+            .stripMargin
+        s"""WITH per AS (
+           |  SELECT user_id,
+           |         max(epoch_us(ts) // 86400000000) AS recency,
+           |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS frequency,
+           |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+           |               THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+           |           AS monetary
+           |  FROM read_parquet('$sfDir/events.parquet') GROUP BY 1),
+           |rt AS ${thr("recency")},
+           |ft AS ${thr("frequency")},
+           |mt AS ${thr("monetary")},
+           |binned AS (
+           |  SELECT user_id, recency, frequency, monetary,
+           |    1 + (recency > recency_p25)::INT + (recency > recency_p50)::INT
+           |      + (recency > recency_p75)::INT AS r_bin,
+           |    1 + (frequency > frequency_p25)::INT + (frequency > frequency_p50)::INT
+           |      + (frequency > frequency_p75)::INT AS f_bin,
+           |    1 + (monetary > monetary_p25)::INT + (monetary > monetary_p50)::INT
+           |      + (monetary > monetary_p75)::INT AS m_bin
+           |  FROM per, rt, ft, mt)
+           |SELECT *, CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS rfm_score
+           |FROM binned ORDER BY user_id""".stripMargin
+      },
+      "prof_hist" ->
+        """WITH b AS (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+          |                  count(*) AS n
+          |           FROM orders GROUP BY 1)
+          |SELECT bin, bin * 25000.0 AS lo, n,
+          |       CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+          |            AS BIGINT) AS cum_n,
+          |       round(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::DOUBLE
+          |             / sum(n) OVER (), 6) AS cdf
+          |FROM b ORDER BY bin""".stripMargin,
       // snapshot-diff mirror: same key-mod version slices, same +1.0
       // price bump, same full-outer status derivation
       "cdc_diff" ->

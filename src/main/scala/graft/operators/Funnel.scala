@@ -83,4 +83,52 @@ object Funnel {
     }
     counts.select(explode(array(stepRows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** RFM (recency / frequency / monetary) customer scoring with quartile
+    * bins — the classic CRM segmentation, here with every stage
+    * scale-shaped: metrics come from ONE map-side-combined groupBy over
+    * raw events; each quartile threshold set is rank-selected over a
+    * bounded distinct-value counts table and broadcast back; bins are a
+    * scan-stage projection (`1 + (v>p25) + (v>p50) + (v>p75)`), no ntile
+    * (a global ntile is a single-partition sort over every user).
+    *
+    * Monetary sums go through DECIMAL(18,2) (order-independent) and out
+    * as double. `rfm_score = r_bin·100 + f_bin·10 + m_bin`. */
+  def rfm(events: DataFrame, userCol: String, dayCol: Column,
+          typeCol: Column, valueCol: Column,
+          monetaryType: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(dayCol).cast("long").as("recency"),
+        sum(when(typeCol === monetaryType, 1L).otherwise(0L)).as("frequency"),
+        coalesce(sum(when(typeCol === monetaryType, valueCol.cast(dec))),
+          lit(0).cast(dec)).cast("double").as("monetary"))
+    def thresholds(c: String): DataFrame = {
+      val counts = per.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+      val cum = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      counts.select(col("__v"), sum(col("__c")).over(cum).as("__cum"),
+          sum(col("__c")).over(all).as("__n"))
+        .agg(
+          min(when(col("__cum") >= ceil(col("__n") * 0.25), col("__v")))
+            .as(s"${c}_p25"),
+          min(when(col("__cum") >= ceil(col("__n") * 0.5), col("__v")))
+            .as(s"${c}_p50"),
+          min(when(col("__cum") >= ceil(col("__n") * 0.75), col("__v")))
+            .as(s"${c}_p75"))
+    }
+    def bin(c: String): Column =
+      (lit(1) + (col(c) > col(s"${c}_p25")).cast("int")
+        + (col(c) > col(s"${c}_p50")).cast("int")
+        + (col(c) > col(s"${c}_p75")).cast("int"))
+    Seq("recency", "frequency", "monetary")
+      .foldLeft(per)((df, c) => df.crossJoin(broadcast(thresholds(c))))
+      .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
+        bin("recency").as("r_bin"), bin("frequency").as("f_bin"),
+        bin("monetary").as("m_bin"))
+      .withColumn("rfm_score",
+        col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+  }
 }

@@ -92,4 +92,26 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column with a running CDF: one
+    * map-side-combined groupBy on `floor(v / width)` (a scan-stage
+    * projection), then cumulative counts by a window over the BOUNDED
+    * bin table — never the rows. Only non-empty bins are emitted (the
+    * sparse convention; the CDF is still exact because cum sums skip no
+    * mass). */
+  def histogram(df: DataFrame, valCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    val bins = df
+      .select(floor(col(valCol) / width).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bins.select(col("bin"), (col("bin") * width).as("lo"), col("n"),
+      sum(col("n")).over(cum).as("cum_n"),
+      round(sum(col("n")).over(cum).cast("double") /
+        sum(col("n")).over(all), 6).as("cdf"))
+  }
 }
