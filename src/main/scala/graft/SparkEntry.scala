@@ -768,6 +768,27 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // interval-overlap join: odd-event vs even-event 2-hour windows per
+    // user — bucketed equi-join on (user, time bucket), each pair emitted
+    // once in the first shared bucket (no dedup shuffle)
+    "j_interval" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"))
+      val len = 7200000000L // 2 h in µs
+      val l = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("l_event"),
+          col("tu").as("l_from"), (col("tu") + len).as("l_to"))
+      val r = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("r_event"),
+          col("tu").as("r_from"), (col("tu") + len).as("r_to"))
+      Joins.intervalOverlap(l, "l_from", "l_to", r, "r_from", "r_to",
+          bucketWidth = 14400000000.0, keys = Seq("user_id"))
+        .select(col("user_id"), col("l_event"), col("r_event"),
+          col("l_from"), col("r_from"))
+        .orderBy(col("user_id"), col("l_event"), col("r_event"))
+    }),
+
     // RFM customer segmentation: one groupBy for the metrics, broadcast
     // rank-selected quartile thresholds, bins as a scan-stage projection —
     // no ntile (a global ntile is a single-partition sort over all users)
@@ -2861,6 +2882,17 @@ object SparkEntry {
            |       value AS last_value, CAST(nc AS BIGINT) AS n_changes
            |FROM r WHERE rn = 1 AND event_type <> 'error'
            |ORDER BY user_id""".stripMargin,
+      "j_interval" ->
+        s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu
+           |           FROM read_parquet('$sfDir/events.parquet')),
+           |l AS (SELECT user_id, event_id AS l_event, tu AS l_from,
+           |             tu + 7200000000 AS l_to FROM e WHERE event_id % 2 = 1),
+           |r AS (SELECT user_id, event_id AS r_event, tu AS r_from,
+           |             tu + 7200000000 AS r_to FROM e WHERE event_id % 2 = 0)
+           |SELECT l.user_id AS user_id, l_event, r_event, l_from, r_from
+           |FROM l JOIN r ON l.user_id = r.user_id
+           |  AND l_from <= r_to AND r_from <= l_to
+           |ORDER BY l.user_id, l_event, r_event""".stripMargin,
       "cdc_scd2" ->
         s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
            |           FROM read_parquet('$sfDir/events.parquet')

@@ -197,4 +197,33 @@ object Joins {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bucket__")
   }
+
+  /** Interval-overlap join (closed intervals: `l.lo ≤ r.hi ∧ r.lo ≤ l.hi`)
+    * as a plannable equi-join: both sides explode their covered
+    * fixed-width buckets (fanout = interval length / bucketWidth, bounded
+    * for bounded intervals), join on (keys, bucket), and each qualifying
+    * pair is emitted EXACTLY once — in the first bucket the two intervals
+    * share, `bucket == max(bucket(l.lo), bucket(r.lo))` — so no
+    * distinct-dedup shuffle is ever needed. The theta-join alternative is
+    * a per-key nested loop; this shape hash-partitions on a real key and
+    * AQE can split skewed buckets.
+    *
+    * Caller aliases overlapping column names; `keys` (optional) co-keys
+    * the join (e.g. per-user intervals). */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Double,
+                      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val l = left.withColumn("__bucket__",
+      explode(sequence(bucket(col(lLo)), bucket(col(lHi)))))
+    val r = right.withColumn("__bucket__",
+      explode(sequence(bucket(col(rLo)), bucket(col(rHi)))))
+    l.join(r, keys :+ "__bucket__")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bucket__") ===
+        greatest(bucket(col(lLo)), bucket(col(rLo))))
+      .drop("__bucket__")
+  }
 }

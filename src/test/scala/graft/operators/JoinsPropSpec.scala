@@ -127,4 +127,38 @@ object JoinsPropSpec extends Properties("Joins") {
       Prop(got == want) :| s"bw=$bw got=$got want=$want"
     }
   }
+
+  property("intervalOverlap = brute force; each pair exactly once") = {
+    val genIv = for {
+      nl <- Gen.choose(0, 8)
+      nr <- Gen.choose(0, 8)
+      ls <- Gen.listOfN(nl, for {
+        lo <- Gen.choose(0.0, 40.0); w <- Gen.choose(0.0, 15.0)
+      } yield (lo, lo + w))
+      rs <- Gen.listOfN(nr, for {
+        lo <- Gen.choose(0.0, 40.0); w <- Gen.choose(0.0, 15.0)
+      } yield (lo, lo + w))
+      bw <- Gen.oneOf(0.5, 2.0, 9.7)
+    } yield (ls, rs, bw)
+    Prop.forAll(genIv) { case (ls, rs, bw) =>
+      def df(xs: List[(Double, Double)], id: String, lo: String, hi: String) =
+        spark.createDataFrame(
+          xs.zipWithIndex.map { case ((l, h), i) => Row(i.toLong, l, h) }.asJava,
+          StructType(Seq(StructField(id, LongType),
+            StructField(lo, DoubleType), StructField(hi, DoubleType))))
+      val out = Joins.intervalOverlap(
+          df(ls, "lid2", "llo", "lhi"), "llo", "lhi",
+          df(rs, "rid2", "rlo", "rhi"), "rlo", "rhi", bw)
+        .select("lid2", "rid2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = (for {
+        ((llo, lhi), li) <- ls.zipWithIndex
+        ((rlo, rhi), ri) <- rs.zipWithIndex
+        if llo <= rhi && rlo <= lhi
+      } yield (li.toLong, ri.toLong)).toSet
+      // set equality AND no duplicate emissions across shared buckets
+      Prop(out.toSet == want && out.length == want.size) :|
+        s"bw=$bw out=${out.toList} want=$want"
+    }
+  }
 }
