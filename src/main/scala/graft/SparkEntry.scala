@@ -427,15 +427,18 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("ngram")).limit(20)),
 
     // per-doc n-gram novelty (dataset-diversity audit): the fraction of a
-    // doc's distinct 3-grams appearing in NO other document. Distinct
-    // per-doc shingles → map-side-combined document frequencies → one
-    // equi-join back; the inverse of the dd_contam overlap shape
+    // doc's distinct 3-grams appearing in NO other document. Document
+    // frequency comes from a count window over the shingle partition, not
+    // a groupBy+self-join: the join shape executes the explode subtree
+    // twice and shuffles it twice; the window is one shuffle and one pass
+    // (same fix as TfIdf, measured 1.4-1.6x there). The window key (sh)
+    // is high-cardinality, so per-partition sort groups stay tiny.
     "txt_novel" -> ((s, d) => {
       val sh = docs(s, d).select(col("doc_id"),
         explode_outer(array_distinct(
           Dedup.shinglesOf(split(col("text"), " "), 3))).as("sh"))
-      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      sh.join(dfreq, Seq("sh"))
+      sh.withColumn("df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -1037,6 +1040,143 @@ object SparkEntry {
             (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(3, 2))))
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a
+    // left-semi join whose condition carries a non-equi residual (the
+    // lineitem shipped >30 days after the order date); the quarter filter
+    // prunes orders at the scan before the semi probe, and the probe side
+    // projects just (orderkey, shipdate)
+    "h_q4" -> ((s, d) => {
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1996-07-01")) &&
+          to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1996-10-01")))
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+            to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q8 shape (national market share): nation joined TWICE in two
+    // roles (customer's nation restricts the market to one region, the
+    // supplier's nation is the share numerator). Both nation legs and the
+    // region leg broadcast; the conditional/total revenue ratio is one
+    // aggregate over the fact join, yearly
+    "h_q8" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      val rev = col("l_extendedprice").cast(d2) *
+        (lit(1).cast(d3) - col("l_discount").cast(d3))
+      val nat = s.read.parquet(s"$d/nation.parquet")
+      val custAsia = s.read.parquet(s"$d/customer.parquet")
+        .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_reg"))), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(s.read.parquet(s"$d/region.parquet")
+          .filter(col("r_name") === "ASIA")), col("cn_reg") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val sup = s.read.parquet(s"$d/supplier.parquet")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      s.read.parquet(s"$d/lineitem.parquet")
+        .join(s.read.parquet(s"$d/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_7", rev)).cast(DoubleType) /
+          sum(rev).cast(DoubleType), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT outer join
+    // keeps zero-order customers (their count(o_orderkey)=0 bucket is the
+    // query's whole point), two cascaded aggregations — the second groups
+    // the bounded count domain, so it collapses to a near-free shuffle
+    "h_q13" -> ((s, d) => {
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      s.read.parquet(s"$d/customer.parquet")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): per-supplier decimal revenue for one
+    // quarter, then the max as a broadcast 1-row scalar subquery. The rev
+    // subtree appears twice in the plan but its shuffle is identical on
+    // both sides, so Spark's ReuseExchange runs the scan+partial-agg once.
+    // Decimal equality keeps ties exact (no float max ambiguity)
+    "h_q15" -> ((s, d) => {
+      val d2 = DecimalType(12, 2); val d3 = DecimalType(3, 2)
+      val rev = s.read.parquet(s"$d/lineitem.parquet")
+        .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1).cast(d3) - col("l_discount").cast(d3))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      s.read.parquet(s"$d/supplier.parquet")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev").cast(DoubleType), 6).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    // avg-quantity subquery as a grouped aggregate JOINed back to the
+    // fact; the brand filter semi-joins the aggregate's input too, so the
+    // per-part stats are computed only for parts that can match
+    "h_q17" -> ((s, d) => {
+      val d2 = DecimalType(12, 2)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val pt = s.read.parquet(s"$d/part.parquet")
+        .filter(col("p_brand") === "Brand#23")
+      val avgq = li
+        .join(pt.select(col("p_partkey").as("bp_key")),
+          col("l_partkey") === col("bp_key"), "left_semi")
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_quantity").cast(d2)).cast(DoubleType) /
+          count(lit(1))).as("avg_qty"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast(d2)).cast(DoubleType) / 7.0, 6)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22 shape (global-account anti join): above-average-balance
+    // customers with no RECENT orders (every sf0.01 customer has some
+    // order, so the classic no-orders-ever form is vacuous here). The
+    // average is a broadcast 1-row scalar subquery compared
+    // multiplied-through (bal * n > sum) so the threshold stays
+    // decimal-exact — no engine-specific decimal division
+    "h_q22" -> ((s, d) => {
+      val dec = DecimalType(12, 2)
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(dec)).as("bal_sum"),
+          count(lit(1)).as("bal_n"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast(dec) * col("bal_n") > col("bal_sum"))
+        .join(s.read.parquet(s"$d/orders.parquet")
+            .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1999-01-01")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast(DoubleType).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
     }),
 
     // ---- deterministic sampling (portable hash order, no rand(): the
@@ -1829,6 +1969,75 @@ object SparkEntry {
          |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
          |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) t
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    val hQ4 =
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders o
+         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND CAST(l.l_shipdate AS DATE) >
+         |                    CAST(o.o_orderdate AS DATE) + 30)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    val hQ8 =
+      s"""SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+         |                      THEN CAST(l_extendedprice AS $d12) * $discF END) AS DOUBLE) /
+         |        CAST(sum(CAST(l_extendedprice AS $d12) * $discF) AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN read_parquet('$sfDir/supplier.parquet') sup ON l_suppkey = s_suppkey
+         |JOIN read_parquet('$sfDir/nation.parquet') n2 ON s_nationkey = n2.n_nationkey
+         |WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  JOIN read_parquet('$sfDir/nation.parquet') n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN read_parquet('$sfDir/region.parquet') reg ON n1.n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA')
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    val hQ13 =
+      s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer LEFT JOIN (
+         |    SELECT o_custkey, o_orderkey FROM orders
+         |    WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
+         |  GROUP BY 1) t
+         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+    val hQ15 =
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum(CAST(l_extendedprice AS $d12) * $discF) AS total_rev
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+         |FROM read_parquet('$sfDir/supplier.parquet') JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin
+    val hQ17 =
+      s"""SELECT round(CAST(sum(CAST(l_extendedprice AS $d12)) AS DOUBLE) / 7.0, 6)
+         |    AS avg_yearly,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN read_parquet('$sfDir/part.parquet') p ON l_partkey = p_partkey
+         |JOIN (SELECT l2.l_partkey AS ap_key,
+         |        CAST(sum(CAST(l2.l_quantity AS $d12)) AS DOUBLE) / count(*) AS avg_qty
+         |      FROM lineitem l2
+         |      JOIN read_parquet('$sfDir/part.parquet') p2 ON l2.l_partkey = p2.p_partkey
+         |      WHERE p2.p_brand = 'Brand#23'
+         |      GROUP BY 1) a ON l_partkey = ap_key
+         |WHERE p_brand = 'Brand#23' AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin
+    val hQ22 =
+      s"""WITH thr AS (
+         |  SELECT sum(CAST(c_acctbal AS $d12)) AS bal_sum,
+         |         CAST(count(*) AS BIGINT) AS bal_n
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS $d12)) AS DOUBLE) AS totacctbal
+         |FROM customer, thr
+         |WHERE CAST(c_acctbal AS $d12) * bal_n > bal_sum
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     val hQ10 =
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  CAST(sum(CAST(l_extendedprice AS $d12) * $discF) AS DOUBLE) AS revenue
@@ -1845,8 +2054,14 @@ object SparkEntry {
       "h_q3" -> hQ3,
       "h_q5" -> hQ5,
       "h_q6" -> hQ6,
+      "h_q4" -> hQ4,
       "h_q7" -> hQ7,
+      "h_q8" -> hQ8,
       "h_q10" -> hQ10,
+      "h_q13" -> hQ13,
+      "h_q15" -> hQ15,
+      "h_q17" -> hQ17,
+      "h_q22" -> hQ22,
       "h_q14" ->
         s"""SELECT round(100.0 *
            |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
@@ -2820,17 +3035,17 @@ object SparkEntry {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // PageRank mirror: kNN edges from the sim_knn CTEs, then the three
-      // iterations unrolled — contributions rounded to 12 and summed as
-      // DECIMAL(28,12), rank re-rounded to 12 (the clu_kmeans convention)
+      // iterations unrolled in FIXED-POINT INTEGER picoranks — floor
+      // divisions and integer sums are bit-identical across engines
+      // (double round-to-12 hit a half-way boundary on 2/500 vertices)
       "gr_pagerank" -> {
         def iterCtes(i: Int) =
-          s"""c$i AS (SELECT e.dst AS id,
-             |          sum(CAST(round(r.pr / o.odeg, 12) AS DECIMAL(28,12))) AS s
+          s"""c$i AS (SELECT e.dst AS id, sum(r.prp // o.odeg) AS s
              |        FROM knn e JOIN r${i - 1} r ON e.src = r.id
              |                   JOIN od o ON e.src = o.src GROUP BY 1),
              |r$i AS (SELECT v.vec_id AS id,
-             |          round(0.15 / nv.n + 0.85 * coalesce(CAST(c.s AS DOUBLE), 0.0), 12) AS pr
-             |        FROM embeddings v CROSS JOIN nv
+             |          bp.basep + (coalesce(c.s, 0) * 85) // 100 AS prp
+             |        FROM embeddings v CROSS JOIN basep bp
              |        LEFT JOIN c$i c ON v.vec_id = c.id)""".stripMargin
         s"""WITH ${blockedCtes(0.25)},
            |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
@@ -2839,14 +3054,16 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
            |       FROM sym),
            |knn AS (SELECT id AS src, nbr AS dst FROM rk WHERE rn <= 3),
-           |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM knn GROUP BY 1),
-           |nv AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
-           |r0 AS (SELECT vec_id AS id, round(1.0 / nv.n, 12) AS pr
+           |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM knn GROUP BY 1),
+           |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |basep AS (SELECT 15 * (1000000000000 // 100) // n AS basep FROM nv),
+           |r0 AS (SELECT vec_id AS id, 1000000000000 // nv.n AS prp
            |       FROM embeddings CROSS JOIN nv),
            |${iterCtes(1)},
            |${iterCtes(2)},
            |${iterCtes(3)}
-           |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+           |SELECT id, CAST(prp AS DOUBLE) / 1000000000000.0 AS pr
+           |FROM r3 ORDER BY id""".stripMargin
       },
       // triangle mirror: same kNN edges; the triangle SET is orientation-
       // independent, so the oracle enumerates with the natural a<b<c order

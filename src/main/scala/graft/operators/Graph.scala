@@ -28,33 +28,41 @@ object Graph {
   /** `iters` rounds of damped PageRank. `vertices`: one `id` column;
     * `edges`: `src`, `dst`. Returns (id, rank).
     *
-    * `teleport` is passed explicitly (not derived as `1 - damping`): the
-    * IEEE double `1.0 - 0.85` differs from the literal `0.15` in the last
-    * bit, and an oracle writes the literal — deriving it would make the
-    * two engines disagree at the 12th rounded digit. */
+    * All iteration state is FIXED-POINT INTEGER (picoranks, 1e-12): the
+    * per-edge split is a floor division, the damping step is
+    * `(sum * dampNum) div 100`, and the teleport base is an integer
+    * constant — every update is bit-identical in any engine. An earlier
+    * double-based variant rounded each step to 12 decimals, and 2/500
+    * vertices landed on a round-to-12 half-way boundary where JVM
+    * `BigDecimal.setScale(HALF_UP)` and libm `nearbyint`-based rounding
+    * disagree; integers have no such boundary. `damping`/`teleport` must
+    * carry at most 2 decimal digits so their scaled forms are exact. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     val n = vertices.count()
-    val base = teleport / n
+    val Scale = 1000000000000L // 1e12 picoranks
+    val dampNum = math.round(damping * 100) // e.g. 85
+    val teleNum = math.round(teleport * 100) // e.g. 15
+    require(math.abs(dampNum / 100.0 - damping) < 1e-15 &&
+      math.abs(teleNum / 100.0 - teleport) < 1e-15,
+      "damping/teleport must have at most 2 decimal digits")
+    val baseP = teleNum * (Scale / 100) / n // exact: Scale/100 is integral
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__odeg"))
     // edges ⋈ outdeg is reused every iteration: materialize it once
     val withDeg = edges.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.select(col("id"),
-      lit(BigDecimal(1.0 / n).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble).as("rank"))
+    var ranks = vertices.select(col("id"), lit(Scale / n).as("__rp"))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst"),
-          round(col("rank") / col("__odeg"), 12)
-            .cast(DecimalType(28, 12)).as("__c"))
+        .select(col("dst"), expr("__rp div __odeg").as("__c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       ranks = vertices.join(sums, vertices("id") === sums("dst"), "left")
         .select(vertices("id"),
-          round(lit(base) + lit(damping) *
-            coalesce(col("__s").cast(DoubleType), lit(0.0)), 12).as("rank"))
+          (lit(baseP) + expr(s"(coalesce(__s, 0L) * $dampNum) div 100"))
+            .as("__rp"))
     }
-    ranks
+    ranks.select(col("id"),
+      (col("__rp").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))
   }
 
   /** Per-vertex triangle participation counts over an edge list (direction
