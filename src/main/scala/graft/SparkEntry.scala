@@ -187,6 +187,19 @@ object SparkEntry {
     // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
     //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
+    // SoftDeDup: keep every copy but weight it 1/n so each duplicate
+    // group carries one document's total training influence — a count
+    // window over the fingerprint partition (high-cardinality key →
+    // window, not groupBy+join-back); the weight is one IEEE division of
+    // exact longs, so no rounding anywhere
+    "dd_soft" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          (lit(1.0) / col("n_copies").cast(DoubleType)).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
     "dd_minhash" -> ((s, d) => pairs02(s, d).orderBy(col("id1"), col("id2"))),
     "dd_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, d), portable = true),
@@ -682,6 +695,36 @@ object SparkEntry {
             col("kth_hash").cast("double"), 4))
     }),
 
+    // HyperLogLog distinct-count (m = 64 registers) as a plain two-level
+    // aggregate: bucket = h % m, register = max "rank" where rank is pure
+    // INTEGER arithmetic — 55 − MSB position via length(bin(h div m)) —
+    // so no log2 doubles whose ULPs could differ across engines. The
+    // register merge is Spark's own map-side-combined max (≤ m rows per
+    // partition through the shuffle — the sketch property without a
+    // custom aggregate), and the harmonic sum is integerized as
+    // Σ 2^(55−r) picoweights: everything up to one final double division
+    // hash-matches exactly. Empty registers contribute 2^55 (rank 0)
+    "agg_hll" -> ((s, d) => {
+      val two55 = 36028797018963968L // 2^55
+      docs(s, d)
+        .select(explode_outer(graft.functions.ArrayOps
+          .word_shingles(split(col("text"), " "), 3)).as("sh"))
+        .select(graft.functions.ArrayOps
+          .md5_long60(concat(lit("0:"), col("sh"))).as("h"))
+        .select((col("h") % 64).as("bucket"), expr("h div 64").as("hd"))
+        .groupBy(col("bucket"))
+        .agg(max(when(col("hd") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("hd"))))).as("r"))
+        .agg(count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(55 - r as int))"))
+            .as("wsum"))
+        .select(col("n_filled"),
+          (col("wsum") + (lit(64L) - col("n_filled")) * lit(two55)).as("w"))
+        .withColumn("est_distinct",
+          round(lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+            col("w").cast(DoubleType), 4))
+    }),
+
     // Count-Min sketch (custom TypedImperativeAggregate): frequency
     // estimation over an unbounded key domain with a FIXED depth×width
     // block of longs per partition through the shuffle (groupBy.count
@@ -820,6 +863,16 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$d/events.parquet")
       TimeSeries.resampleForwardFill(ev, "user_id",
+          expr("(ts div 1000) div 3600000000"), "value")
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+    // linear interpolation over the same hourly grid: gaps get the exact
+    // straight line (multiplied-through decimal, one final IEEE divide —
+    // no rounding, no half-way hazard), edges fall back to nearest
+    "ts_interp" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      TimeSeries.interpolateLinear(ev, "user_id",
           expr("(ts div 1000) div 3600000000"), "value")
         .orderBy(col("user_id"), col("bucket"))
     }),
@@ -1194,6 +1247,13 @@ object SparkEntry {
     "smp_mix" -> ((s, d) =>
       Sampling.mixture(docs(s, d), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // temperature-scaled mixture (α = 0.5): keep fractions ∝ sqrt(n)/n,
+    // scaled to a 40% corpus budget — small sources keep a larger share
+    // than their raw frequency (the multilingual-rebalance primitive)
+    "smp_temp" -> ((s, d) =>
+      Sampling.temperatureMixture(docs(s, d), "source", "doc_id",
+          budgetFrac = 0.4)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
     // DSIR importance scores: target = the English slice, raw = the whole
     // corpus; per-bucket smoothed log ratios (rounded once per BOUNDED
@@ -2113,6 +2173,16 @@ object SparkEntry {
             |frac AS (SELECT source, least(1.0::DOUBLE, cap * wt / n) AS f FROM j, cap)
             |SELECT d.doc_id, d.source FROM documents d JOIN frac USING (source)
             |WHERE ${hashU("doc_id")} < f ORDER BY doc_id""".stripMargin),
+      "smp_temp" ->
+        s"""WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wt
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(wt) AS sw FROM cnt),
+           |frac AS (SELECT source, least(CAST(1.0 AS DOUBLE),
+           |  CAST(0.4 AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(wt AS DOUBLE) /
+           |  (CAST(sw AS DOUBLE) * CAST(n AS DOUBLE))) AS f FROM cnt, tot)
+           |SELECT d.doc_id, d.source FROM documents d JOIN frac USING (source)
+           |WHERE ${hashU("doc_id")} < f ORDER BY doc_id""".stripMargin,
       "smp_dsir" ->
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            |            FROM documents),
@@ -2224,6 +2294,37 @@ object SparkEntry {
            |       CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
            |            ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_filled
            |FROM j ORDER BY user_id, bucket""".stripMargin,
+      // interpolation mirror: same grid CTEs; the line value is the
+      // multiplied-through exact-decimal form with one final double divide
+      "ts_interp" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value
+           |           FROM read_parquet('$sfDir/events.parquet')),
+           |a AS (SELECT user_id, bucket, sum(CAST(value AS DECIMAL(18,2))) AS v,
+           |             CAST(count(*) AS BIGINT) AS n
+           |      FROM e GROUP BY 1, 2),
+           |b AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY 1),
+           |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM b),
+           |j AS (SELECT g.user_id, g.bucket, a.v, coalesce(a.n, 0) AS n_events
+           |      FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket = a.bucket),
+           |x AS (SELECT *,
+           |        last_value(v IGNORE NULLS) OVER wp AS pv,
+           |        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           |          OVER wp AS pb,
+           |        first_value(v IGNORE NULLS) OVER wn AS nv,
+           |        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           |          OVER wn AS nb
+           |      FROM j
+           |      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+           |                    ROWS UNBOUNDED PRECEDING),
+           |             wn AS (PARTITION BY user_id ORDER BY bucket
+           |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT user_id, bucket, n_events,
+           |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+           |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+           |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+           |       ELSE CAST(pv * (nb - bucket) + nv * (bucket - pb) AS DOUBLE) /
+           |            CAST(nb - pb AS DOUBLE) END AS v_interp
+           |FROM x ORDER BY user_id, bucket""".stripMargin,
       "w_range" ->
         s"""SELECT o_orderkey, o_custkey, day,
            |  CAST(sum(tp) OVER w AS DOUBLE) AS sum_15d,
@@ -2328,6 +2429,26 @@ object SparkEntry {
            |       round(1023.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
            |         AS est_distinct
            |FROM mins""".stripMargin,
+      // HLL mirror: registers recomputed from the distinct hash domain
+      // with the same integer rank (55 - MSB position via bin-string
+      // length); the harmonic sum is an exact integer picoweight sum
+      "agg_hll" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT unnest($shingleList) AS s FROM toks),
+           |h AS (SELECT ${mdInt("'0:' || s")} AS h FROM sh),
+           |b AS (SELECT h % 64 AS bucket, h // 64 AS hd FROM h),
+           |regs AS (SELECT bucket,
+           |           max(CASE WHEN hd = 0 THEN 55
+           |               ELSE 55 - length(bin(hd)) END) AS r
+           |         FROM b GROUP BY 1),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_filled,
+           |          sum(CAST(1 AS BIGINT) << (55 - r)) AS wsum FROM regs)
+           |SELECT n_filled,
+           |  CAST(wsum + (64 - n_filled) * 36028797018963968 AS BIGINT) AS w,
+           |  round(CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 /
+           |    CAST(wsum + (64 - n_filled) * 36028797018963968 AS DOUBLE), 4)
+           |    AS est_distinct
+           |FROM agg""".stripMargin,
       "agg_cms" -> {
         val P = graft.operators.Dedup.UhPrime
         val rows = graft.operators.Dedup.uhParams(4).zipWithIndex.map {
@@ -2424,6 +2545,11 @@ object SparkEntry {
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
+      "dd_soft" ->
+        ("SELECT doc_id, " +
+          "CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies, " +
+          "CAST(1.0 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY md5(text)) " +
+          "AS DOUBLE) AS weight FROM documents ORDER BY doc_id"),
       // decontamination: distinct corpus 3-grams left-joined to the distinct
       // benchmark n-gram set (benchmark = the doc_id % 53 = 7 slice)
       "dd_contam" ->

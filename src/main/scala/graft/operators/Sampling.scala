@@ -103,6 +103,40 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Temperature-scaled mixture sampling (α = 0.5): per-stratum keep
+    * fractions proportional to `sqrt(n_s) / n_s`, scaled so the expected
+    * kept total is `budgetFrac` of the corpus — the standard
+    * low-resource-upweighting rebalance (small sources keep a larger
+    * share than their raw frequency). α is fixed at 0.5 because
+    * `sqrt` is correctly-rounded IEEE in every engine, while `pow(n, α)`
+    * is libm-dependent at the ULP level and would break cross-engine
+    * reproducibility of the derived fractions.
+    *
+    * Determinism: the stratum weights are `sqrt` rounded to 6 and summed
+    * as DECIMAL (order-independent); the final fraction is a fixed
+    * left-to-right double expression; the per-row keep test is the same
+    * portable-hash filter as [[sample]]. Scale shape: one tiny groupBy,
+    * two broadcast joins, then a stateless scan-stage filter. */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         budgetFrac: Double, seed: Int = 42): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac $budgetFrac not in (0,1]")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val cnt = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wt", round(sqrt(col("__n").cast(dbl)), 6).cast(dec))
+    val tot = cnt.agg(sum(col("__n")).as("__ntot"), sum(col("__wt")).as("__wtot"))
+    val frac = cnt.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        least(lit(1.0),
+          lit(budgetFrac) * col("__ntot").cast(dbl) * col("__wt").cast(dbl) /
+            (col("__wtot").cast(dbl) * col("__n").cast(dbl))).as("__frac"))
+    df.join(broadcast(frac), Seq(strataCol))
+      .filter(hashUniform(col(idCol), seed) < col("__frac"))
+      .drop("__frac")
+  }
+
   /** Deterministic train/val/test split: each row's assignment is a pure
     * function of its id (and seed), so the split is stable across runs,
     * retries, engines and corpus growth — adding documents never reshuffles

@@ -45,6 +45,55 @@ object TimeSeries {
           .cast(org.apache.spark.sql.types.DoubleType).as("v_filled"))
   }
 
+  /** Linear interpolation over the same per-key bucket grid as
+    * [[resampleForwardFill]]: an empty bucket between two observed ones
+    * gets the straight line between them; leading/trailing gaps fall back
+    * to the nearest observed value (there is nothing to interpolate
+    * toward).
+    *
+    * Determinism: the interpolated value is computed MULTIPLIED-THROUGH in
+    * exact decimal — `(pv·(nb−b) + nv·(b−pb)) / (nb−pb)` with decimal
+    * values and integer bucket gaps — so the only floating-point step is
+    * one final IEEE division of two exactly-agreed numbers. No rounding
+    * anywhere, hence no round-at-half-way cross-engine hazard.
+    *
+    * Scale shape: the four neighbor columns (previous/next value and
+    * bucket) come from two frames of the SAME partition+order window spec,
+    * so Spark computes all of them in one WindowExec — one shuffle by key,
+    * one sort, grid-sized input. */
+  def interpolateLinear(events: DataFrame, keyCol: String, bucketCol: Column,
+                        valueCol: String): DataFrame = {
+    val agg = events
+      .groupBy(col(keyCol), bucketCol.as("bucket"))
+      .agg(sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("v"), count(lit(1)).as("n_events"))
+    val grid = agg.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(keyCol), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dbl = org.apache.spark.sql.types.DoubleType
+    grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wNext))
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("v").isNotNull, col("v").cast(dbl))
+          .when(col("pv").isNull, col("nv").cast(dbl))
+          .when(col("nv").isNull, col("pv").cast(dbl))
+          .otherwise(
+            (col("pv") * (col("nb") - col("bucket")) +
+              col("nv") * (col("bucket") - col("pb"))).cast(dbl) /
+              (col("nb") - col("pb")).cast(dbl))
+          .as("v_interp"))
+  }
+
   /** Finite-horizon exponentially-weighted moving average per key: the
     * last `taps` observations weighted w_j = 2^-j (newest first),
     * normalized over the weights actually present at the start of a

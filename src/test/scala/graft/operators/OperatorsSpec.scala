@@ -604,6 +604,49 @@ class OperatorsSpec extends SparkSpec {
     assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("interpolateLinear: gaps get the line, edges the nearest value") {
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("v", DoubleType)))
+    // key a: buckets 0 and 3 observed (10.0, 40.0) -> 1,2 interpolate to
+    // 20, 30; key b: single bucket (flat)
+    val rows = Seq(Row("a", 0L, 10.0), Row("a", 3L, 40.0), Row("b", 7L, 5.0))
+    val ev = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val out = TimeSeries.interpolateLinear(ev, "k", col("t"), "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", 0L)) == ((1L, 10.0)))
+    assert(out(("a", 1L)) == ((0L, 20.0)))
+    assert(out(("a", 2L)) == ((0L, 30.0)))
+    assert(out(("a", 3L)) == ((1L, 40.0)))
+    assert(out(("b", 7L)) == ((1L, 5.0)))
+  }
+
+  test("temperatureMixture: flattens the mix toward small strata, hits budget") {
+    val schema = StructType(Seq(StructField("src", StringType),
+      StructField("id", LongType)))
+    // 900 rows of "big", 100 of "small": raw share 90/10; sqrt-weights
+    // 30/10 -> target share 75/25 of a 40% budget
+    val rows = (0L until 900L).map(i => Row("big", i)) ++
+      (900L until 1000L).map(i => Row("small", i))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val kept = Sampling.temperatureMixture(df, "src", "id", budgetFrac = 0.4)
+      .groupBy(col("src")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    // expected: big 300, small 100 (capped at 1.0 fraction)
+    assert(math.abs(total - 400) < 60, s"total $total not near budget 400")
+    val smallShare = kept("small").toDouble / total
+    assert(smallShare > 0.15, s"small share $smallShare not upweighted above 0.10")
+    // deterministic: same call returns the identical set
+    val again = Sampling.temperatureMixture(df, "src", "id", budgetFrac = 0.4)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(again == total.toLong)
+  }
+
   test("meanPool: per-group element-wise means in long form") {
     val pooled = Similarity.meanPool(embsDf, "label").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
