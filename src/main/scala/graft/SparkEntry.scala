@@ -440,21 +440,31 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("ngram")).limit(20)),
 
     // per-doc n-gram novelty (dataset-diversity audit): the fraction of a
-    // doc's distinct 3-grams appearing in NO other document. Document
-    // frequency comes from a count window over the shingle partition, not
-    // a groupBy+self-join: the join shape executes the explode subtree
-    // twice and shuffles it twice; the window is one shuffle and one pass
-    // (same fix as TfIdf, measured 1.4-1.6x there). The window key (sh)
-    // is high-cardinality, so per-partition sort groups stay tiny.
+    // doc's distinct 3-grams appearing in NO other document. A shingle
+    // with df = 1 has exactly ONE owner, so min(doc_id) inside the df
+    // aggregate recovers it — per-shingle frequencies + the unique
+    // shingles' owners come from one sort-free hash aggregate, per-doc
+    // totals from a second, and both map-side combine (the shuffles carry
+    // combined partials, not the exploded table). The previous
+    // count-window over the shingle key shuffled AND sorted the full
+    // exploded corpus — the sort is pure overhead for an unordered count
+    // (2.17 s → this shape at sf0.1; at 100 TB the sort spill would
+    // dominate). The compiled word_shingles kernel replaces the
+    // interpreted transform()-based shingle HOF on both passes.
     "txt_novel" -> ((s, d) => {
       val sh = docs(s, d).select(col("doc_id"),
-        explode_outer(array_distinct(
-          Dedup.shinglesOf(split(col("text"), " "), 3))).as("sh"))
-      sh.withColumn("df", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        explode_outer(graft.functions.ArrayOps
+          .word_shingles(split(col("text"), " "), 3)).as("sh"))
+      val uniq = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("own"))
+        .filter(col("df") === 1)
+        .groupBy(col("own").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"))
         .withColumn("novelty",
           round(col("n_unique").cast(DoubleType) / col("n_shingles"), 6))
         .orderBy(col("doc_id"))
