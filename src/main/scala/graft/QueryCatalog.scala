@@ -220,6 +220,30 @@ object QueryCatalog {
       Similarity.kmeans(embs(spark, sfDir), k = 4, iters = 3)._1
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** orders + customer written ONCE per session as 8-bucket catalog tables
+    * on the customer key (graft.sources.Bucketing): the pay-the-shuffle-at-
+    * ingest layout. Returns the (ordersTable, customerTable) names; the
+    * j_bucket query joins + aggregates on them with zero exchanges below
+    * the final sort. */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
+  def bucketedOrdersCustomer(spark: SparkSession, sfDir: String): (String, String) =
+    bucketedCache.getOrElseUpdate((spark, sfDir), {
+      // table names are per-JVM-unique so two sessions in one JVM (the
+      // cloned-session paths) can't fight over the shared catalog name
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+      val (ot, ct) = (s"g_orders_b_$tag", s"g_customer_b_$tag")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+      graft.sources.Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/orders.parquet"), ot, s"$base/orders",
+        buckets = 8, key = "o_custkey")
+      graft.sources.Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/customer.parquet"), ct, s"$base/customer",
+        buckets = 8, key = "c_custkey")
+      (ot, ct)
+    })
+
   // ---- pipeline-operator SQL helpers (mirrors of TextAnalysis) ------------
 
   def occSql(expr: String, pat: String): String = {

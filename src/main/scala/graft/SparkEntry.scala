@@ -209,6 +209,11 @@ object SparkEntry {
       val cand = pairs01(s, d).select("id1", "id2")
       Dedup.ngramJaccard(docs(s, d), cand).orderBy(col("id1"), col("id2"))
     }),
+    // character-level verification of the same LSH candidates: built-in
+    // codegen'd Levenshtein — catches in-token edits word shingles miss
+    "dd_edit" -> ((s, d) =>
+      Dedup.editDistanceVerify(docs(s, d), pairs02(s, d).select("id1", "id2"))
+        .orderBy(col("id1"), col("id2"))),
     // candidate pairs → connected duplicate groups (iterative min-label
     // propagation; every doc gets a group, keep = id == group_id)
     "dd_groups" -> ((s, d) =>
@@ -1529,6 +1534,23 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- bucketed co-located join: orders/customer written ONCE as
+    //      8-bucket catalog tables on the customer key, then join +
+    //      per-customer aggregate with ZERO exchanges below the output
+    //      sort (BucketingSpec asserts the plan) — the pay-the-shuffle-
+    //      at-ingest layout every repeated 100 TB join should use ----
+    "j_bucket" -> ((s, d) => {
+      val (ot, ct) = bucketedOrdersCustomer(s, d)
+      graft.sources.Bucketing.bucketedEquiJoin(s, ot, ct,
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_spent"))
+        .filter(col("n_orders") >= 10)
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- graph centrality: deterministic damped PageRank over the kNN
     //      graph (per-iteration decimal-summed contributions, rank
     //      re-rounded to 12 — trajectory unrolls as oracle CTEs) ----
@@ -1793,6 +1815,19 @@ object SparkEntry {
          |       len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE AS jaccard
          |FROM est JOIN shl a ON est.id1 = a.doc_id JOIN shl b ON est.id2 = b.doc_id
          |WHERE est_jaccard >= 0.1 ORDER BY id1, id2""".stripMargin
+    // Levenshtein verification over the est>=0.2 candidates — levenshtein
+    // is the identical classic DP in both engines; the similarity is one
+    // IEEE division + round(6) (mirrors Dedup.editDistanceVerify)
+    val ddEdit =
+      s"""WITH ${minhashCtes()}
+         |SELECT id1, id2,
+         |       levenshtein(a.text, b.text)::BIGINT AS edit_dist,
+         |       round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+         |             greatest(length(a.text), length(b.text), 1)::DOUBLE, 6)
+         |         AS edit_sim
+         |FROM est JOIN documents a ON est.id1 = a.doc_id
+         |         JOIN documents b ON est.id2 = b.doc_id
+         |WHERE est_jaccard >= 0.2 ORDER BY id1, id2""".stripMargin
     // portable 60-bit simhash: per-bit majority of md5-hash bits, banded on
     // 15-bit quarters, Hamming ≤ 8 (mirrors Dedup.simhash portable = true)
     val ddSimhash = {
@@ -2741,6 +2776,13 @@ object SparkEntry {
         ("SELECT c_custkey, c_acctbal FROM customer " +
           "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
           "AND o_totalprice > 300000) ORDER BY c_custkey"),
+      // the bucketed layout must not change a single value: the oracle is
+      // the plain join over the raw parquet
+      "j_bucket" ->
+        """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY c_custkey""".stripMargin,
       "w_topk" ->
         """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -2856,6 +2898,7 @@ object SparkEntry {
       "dd_embed" -> ddEmbed,
       "dd_minhash" -> ddMinhash,
       "dd_jaccard" -> ddJaccard,
+      "dd_edit" -> ddEdit,
       "dd_groups" -> ddGroups,
       "dd_simhash" -> ddSimhash,
       "txt_rolling" -> txtRolling,

@@ -180,6 +180,35 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("jaccard"))
   }
 
+  /** Character-level verification of candidate pairs: classic Levenshtein
+    * over the raw texts — the character-granularity complement to the
+    * token-level [[ngramJaccard]] (catches near-dups that differ by
+    * in-token edits, which word shingles miss entirely). Spark's built-in
+    * `levenshtein` is codegen'd and DuckDB ships the identical function,
+    * so the scores are engine-exact with no rounding concerns beyond the
+    * final similarity division.
+    *
+    * Runs ONLY on the LSH candidate set, never all-pairs — per-pair cost
+    * is O(len1·len2), so the candidate generator's bucket caps are what
+    * bound total work at corpus scale. Returns (id1, id2, edit_dist,
+    * edit_sim) with edit_sim = 1 − dist / max(len1, len2, 1). */
+  def editDistanceVerify(docs: DataFrame, candidates: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("eid"), col(textCol).as("etxt"))
+    val dist = levenshtein(col("t1"), col("t2"))
+    candidates
+      .join(t.withColumnRenamed("eid", "id1").withColumnRenamed("etxt", "t1"),
+        Seq("id1"))
+      .join(t.withColumnRenamed("eid", "id2").withColumnRenamed("etxt", "t2"),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        dist.cast("long").as("edit_dist"),
+        round(lit(1.0) - dist.cast("double") /
+          greatest(length(col("t1")), length(col("t2")), lit(1)).cast("double"),
+          6).as("edit_sim"))
+  }
+
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM shape: flag
     * training documents that share n-grams with an evaluation benchmark so
     * they can be dropped before training). For every corpus document:
