@@ -758,6 +758,25 @@ object SparkEntry {
         .orderBy(col("depth"), col("cell"))
     }),
 
+    // KLL quantile sketch (custom TypedImperativeAggregate): per-group
+    // p25/p50/p75/p90 without percentile()'s collect-everything buffers —
+    // bounded level arrays per partition through the shuffle. Capacity
+    // 4096 > any sf0.01 group, so level 0 never compacts and the sketch
+    // is EXACT sorted-rank selection (the MisraGries oracle discipline);
+    // at bench scale the same query exercises the real compaction path.
+    "agg_qsk" -> ((s, d) =>
+      s.read.parquet(s"$d/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.Sketches.kll_quantiles(col("o_totalprice"),
+            capacity = 4096, probs = Seq(0.25, 0.5, 0.75, 0.9)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q90"))
+        .orderBy(col("o_orderpriority"))),
+
     // pivoted aggregation: returnflag columns × linestatus rows, decimal-
     // exact sums (Spark's relational pivot — one partial agg + one shuffle)
     "g_pivot" -> ((s, d) =>
@@ -2512,6 +2531,21 @@ object SparkEntry {
            |                           AND g.cell = cells.cell
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       },
+      // KLL oracle (exact regime at sf0.01: groups < capacity, so the
+      // sketch IS sorted-rank selection at ceil(p·n) — ties at the rank
+      // boundary share the value, so row_number tie order is irrelevant)
+      "agg_qsk" ->
+        """WITH rk AS (SELECT o_orderpriority, o_totalprice,
+          |              row_number() OVER (PARTITION BY o_orderpriority
+          |                                 ORDER BY o_totalprice) AS r,
+          |              count(*) OVER (PARTITION BY o_orderpriority) AS n
+          |            FROM orders)
+          |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+          |       max(CASE WHEN r = CAST(ceil(0.25*n) AS BIGINT) THEN o_totalprice END) AS q25,
+          |       max(CASE WHEN r = CAST(ceil(0.5*n)  AS BIGINT) THEN o_totalprice END) AS q50,
+          |       max(CASE WHEN r = CAST(ceil(0.75*n) AS BIGINT) THEN o_totalprice END) AS q75,
+          |       max(CASE WHEN r = CAST(ceil(0.9*n)  AS BIGINT) THEN o_totalprice END) AS q90
+          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
       "g_distinct" ->
         ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
           "count(DISTINCT l_suppkey) AS n_supps, CAST(count(*) AS BIGINT) AS n_rows " +

@@ -199,6 +199,200 @@ case class CountMinSketch(child: Expression, width: Int,
       cs: IndexedSeq[Expression]): CountMinSketch = copy(child = cs.head)
 }
 
+/** KLL-style streaming quantile sketch (Karnin, Lang, Liberty, "Optimal
+  * quantile approximation in streams", FOCS 2016 — simplified: uniform
+  * per-level capacity, deterministic alternating compaction instead of
+  * random offsets) as a custom `TypedImperativeAggregate`.
+  *
+  * The 100 TB question "what are the p50/p90/p99 document lengths of this
+  * corpus?" cannot run as an exact sort at scale; `percentile` collects
+  * every value per group. This sketch keeps ≤ capacity values per level
+  * (level ℓ values each standing for 2^ℓ originals): memory is
+  * O(capacity · log(n / capacity)) and the shuffle carries the bounded
+  * level arrays, never the data.
+  *
+  * Compaction: when a level fills, it is sorted and every other element
+  * is promoted to the next level (the parity alternates per level
+  * compaction, so the up/down bias cancels). Deterministic — but in the
+  * compacting regime the result depends on merge order, like every
+  * deterministic mergeable quantile sketch; the rank-error bound
+  * (ScalaTest: ≲ 2·H/capacity with H levels) holds for any order.
+  *
+  * Oracle contract (the [[MisraGries]] discipline): when a group's total
+  * count stays ≤ capacity, level 0 never compacts and holds EVERY value,
+  * so the reported quantile — the smallest value whose cumulative weight
+  * reaches ceil(p·W) — is exactly the sorted value at rank ceil(p·n):
+  * SQL-expressible via one rank window. */
+case class KllQuantiles(child: Expression, capacity: Int, probs: Seq[Double],
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllQuantiles.Sketch] {
+
+  require(capacity >= 8, s"capacity must be >= 8, got $capacity")
+  require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+    s"probs must be in (0, 1], got $probs")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_quantiles expects double, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): KllQuantiles.Sketch =
+    new KllQuantiles.Sketch(capacity)
+
+  override def update(buf: KllQuantiles.Sketch, input: InternalRow): KllQuantiles.Sketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllQuantiles.Sketch,
+                     other: KllQuantiles.Sketch): KllQuantiles.Sketch = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: KllQuantiles.Sketch): Any =
+    new GenericArrayData(buf.quantiles(probs))
+
+  override def serialize(buf: KllQuantiles.Sketch): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Sketch =
+    KllQuantiles.Sketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllQuantiles =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): KllQuantiles = copy(child = cs.head)
+}
+
+object KllQuantiles {
+  /** Level ℓ holds values of weight 2^ℓ; level 0 is the raw stream. */
+  final class Sketch(val capacity: Int) {
+    private[functions] var levels =
+      scala.collection.mutable.ArrayBuffer(
+        new scala.collection.mutable.ArrayBuffer[Double](16))
+    // per-level compaction parity: alternating keep-even / keep-odd makes
+    // the promotion bias cancel across compactions
+    private[functions] var parity = scala.collection.mutable.ArrayBuffer(false)
+
+    def add(v: Double): Unit = { levels(0) += v; compactFrom(0) }
+
+    private def compactFrom(start: Int): Unit = {
+      var l = start
+      while (l < levels.length && levels(l).length >= capacity) {
+        if (l + 1 >= levels.length) {
+          levels += new scala.collection.mutable.ArrayBuffer[Double](16)
+          parity += false
+        }
+        val buf = levels(l)
+        val sorted = buf.toArray
+        java.util.Arrays.sort(sorted)
+        val keepOdd = parity(l)
+        parity(l) = !keepOdd
+        val from = if (keepOdd) 1 else 0
+        var i = from
+        val up = levels(l + 1)
+        while (i < sorted.length) { up += sorted(i); i += 2 }
+        // an odd-length buffer keeps its unpaired element at this level
+        // (dropping it would lose weight and bias every later rank)
+        buf.clear()
+        if (sorted.length % 2 == 1 && from == 1) buf += sorted(sorted.length - 1)
+        l += 1
+      }
+    }
+
+    def mergeFrom(other: Sketch): Unit = {
+      var l = 0
+      while (l < other.levels.length) {
+        if (l >= levels.length) {
+          levels += new scala.collection.mutable.ArrayBuffer[Double](16)
+          parity += false
+        }
+        levels(l) ++= other.levels(l)
+        l += 1
+      }
+      compactFrom(0)
+    }
+
+    /** Smallest value whose cumulative weight reaches ceil(p·W), per p.
+      * Exact-rank semantics when nothing has compacted (all weight 1). */
+    def quantiles(probs: Seq[Double]): Array[Double] = {
+      var total = 0L
+      var l = 0
+      while (l < levels.length) { total += levels(l).length.toLong << l; l += 1 }
+      if (total == 0L) return probs.map(_ => Double.NaN).toArray
+      val n = levels.iterator.map(_.length).sum
+      val vals = new Array[Double](n)
+      val wts = new Array[Long](n)
+      var i = 0
+      l = 0
+      while (l < levels.length) {
+        val b = levels(l)
+        var j = 0
+        while (j < b.length) { vals(i) = b(j); wts(i) = 1L << l; i += 1; j += 1 }
+        l += 1
+      }
+      // sort (value, weight) pairs by value
+      val idx = Array.range(0, n).sortBy(vals(_))
+      probs.map { p =>
+        val target = math.ceil(p * total).toLong
+        var cum = 0L
+        var k = 0
+        var out = vals(idx(n - 1))
+        var found = false
+        while (k < n && !found) {
+          cum += wts(idx(k))
+          if (cum >= target) { out = vals(idx(k)); found = true }
+          k += 1
+        }
+        out
+      }.toArray
+    }
+
+    def toBytes: Array[Byte] = {
+      val sz = 8 + levels.iterator.map(b => 5 + 8 * b.length).sum
+      val bb = java.nio.ByteBuffer.allocate(sz)
+      bb.putInt(capacity)
+      bb.putInt(levels.length)
+      var l = 0
+      while (l < levels.length) {
+        bb.put(if (parity(l)) 1.toByte else 0.toByte)
+        bb.putInt(levels(l).length)
+        levels(l).foreach(bb.putDouble)
+        l += 1
+      }
+      bb.array()
+    }
+  }
+
+  object Sketch {
+    def fromBytes(bytes: Array[Byte]): Sketch = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val s = new Sketch(bb.getInt())
+      val nLevels = bb.getInt()
+      s.levels.clear(); s.parity.clear()
+      var l = 0
+      while (l < nLevels) {
+        s.parity += (bb.get() == 1.toByte)
+        val n = bb.getInt()
+        val buf = new scala.collection.mutable.ArrayBuffer[Double](math.max(16, n))
+        var i = 0
+        while (i < n) { buf += bb.getDouble(); i += 1 }
+        s.levels += buf
+        l += 1
+      }
+      s
+    }
+  }
+}
+
 object Sketches {
   /** Column API: the k smallest distinct values of a pre-hashed long
     * column, sorted ascending (the KMV distinct-count sketch state). */
@@ -211,5 +405,12 @@ object Sketches {
   def count_min(c: Column, width: Int, params: Seq[(Long, Long)]): Column =
     GraftColumnBridge.column(
       CountMinSketch(GraftColumnBridge.expression(c), width, params)
+        .toAggregateExpression())
+
+  /** Column API: KLL quantile estimates of a double column, one per prob —
+    * exact sorted-rank values while the group stays ≤ capacity. */
+  def kll_quantiles(c: Column, capacity: Int, probs: Seq[Double]): Column =
+    GraftColumnBridge.column(
+      KllQuantiles(GraftColumnBridge.expression(c), capacity, probs)
         .toAggregateExpression())
 }
