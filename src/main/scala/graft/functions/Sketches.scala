@@ -285,25 +285,35 @@ object KllQuantiles {
     def add(v: Double): Unit = { levels(0) += v; compactFrom(0) }
 
     private def compactFrom(start: Int): Unit = {
+      // Scan every level, not just until the first under-capacity one:
+      // after mergeFrom a higher level can be over capacity while level 0
+      // is not, and leaving it uncompacted breaks the O(capacity·log)
+      // memory bound (and serializes oversized buffers).
       var l = start
-      while (l < levels.length && levels(l).length >= capacity) {
-        if (l + 1 >= levels.length) {
-          levels += new scala.collection.mutable.ArrayBuffer[Double](16)
-          parity += false
+      while (l < levels.length) {
+        if (levels(l).length >= capacity) {
+          if (l + 1 >= levels.length) {
+            levels += new scala.collection.mutable.ArrayBuffer[Double](16)
+            parity += false
+          }
+          val buf = levels(l)
+          val sorted = buf.toArray
+          java.util.Arrays.sort(sorted)
+          val keepOdd = parity(l)
+          parity(l) = !keepOdd
+          val from = if (keepOdd) 1 else 0
+          // An odd-length buffer pairs only its first length-1 elements;
+          // the unpaired last element stays at this level whatever the
+          // parity. (Promoting it doubles its weight: 2^(l+1) instead of
+          // 2^l, inflating total weight by 2^l per compaction.)
+          val odd = sorted.length % 2 == 1
+          val pairedEnd = if (odd) sorted.length - 1 else sorted.length
+          var i = from
+          val up = levels(l + 1)
+          while (i < pairedEnd) { up += sorted(i); i += 2 }
+          buf.clear()
+          if (odd) buf += sorted(sorted.length - 1)
         }
-        val buf = levels(l)
-        val sorted = buf.toArray
-        java.util.Arrays.sort(sorted)
-        val keepOdd = parity(l)
-        parity(l) = !keepOdd
-        val from = if (keepOdd) 1 else 0
-        var i = from
-        val up = levels(l + 1)
-        while (i < sorted.length) { up += sorted(i); i += 2 }
-        // an odd-length buffer keeps its unpaired element at this level
-        // (dropping it would lose weight and bias every later rank)
-        buf.clear()
-        if (sorted.length % 2 == 1 && from == 1) buf += sorted(sorted.length - 1)
         l += 1
       }
     }

@@ -169,14 +169,18 @@ object Sampling {
     * (`score_tok · n_docs > Σ score_tok`), so the boundary is
     * order-independent and engine-exact.
     *
-    * Scale shape: bucket counts are two map-side-combined aggregates over
-    * BOUNDED key spaces (≤ `buckets` rows each), the joined weight table is
-    * broadcast, and the per-doc score is one map-side-combined decimal sum
-    * keyed by doc id — raw text is tokenized once, in the scan stage, and
-    * nothing wider than (doc_id, decimal) is ever shuffled. Determinism:
-    * `ln` is rounded to 6 places per BUCKET (bounded rounding sites, the
-    * e9_log convention), then summed as DECIMAL — order-independent and
-    * engine-exact.
+    * Scale shape — the raw corpus is scanned and tokenized exactly ONCE:
+    * the scan aggregates straight to per-(doc, bucket) counts (map-side
+    * combined, keyed by (id, bucket)), which are materialized via
+    * `localCheckpoint` and reused for BOTH sides — raw bucket totals are a
+    * second tiny aggregate OVER THE COUNTS (≤ `buckets` result rows, never
+    * the corpus again), and per-doc scores are a decimal sum of
+    * `count · lr` over the same counts with the ≤`buckets`-row weight
+    * table broadcast. The target sample (small by definition) aggregates
+    * the same way. Nothing wider than (doc_id, bucket, long) is ever
+    * shuffled. Determinism: `ln` is rounded to 6 places per BUCKET
+    * (bounded rounding sites, the e9_log convention), then summed as
+    * DECIMAL — order-independent and engine-exact.
     *
     * @param target the in-domain sample (its ids need not be disjoint from
     *               `raw`); only its token distribution is used
@@ -192,7 +196,15 @@ object Sampling {
         .select(col("__id"),
           pmod(ArrayOps.md5_long60(concat(lit("0:"), col("__tok"))),
             lit(buckets.toLong)).as("__b"))
-    val rawCnt = bucketed(raw).groupBy(col("__b")).agg(count(lit(1)).as("__raw"))
+    // ONE corpus scan: aggregate straight to per-(doc, bucket) counts and
+    // pin them (localCheckpoint + count, the duplicateGroups pattern at
+    // [[Dedup.duplicateGroups]]) — bucket totals AND per-doc scores both
+    // derive from this materialized frame, so the full-corpus
+    // explode+tokenize subtree executes exactly once.
+    val rawDoc = bucketed(raw)
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val rawCnt = rawDoc.groupBy(col("__b")).agg(sum(col("__c")).as("__raw"))
     val tgtCnt = bucketed(target).groupBy(col("__b")).agg(count(lit(1)).as("__tgt"))
     // totals are 1-row broadcast aggregates (the scalar-subquery shape)
     val rawTot = rawCnt.agg(sum(col("__raw")).as("__rt"))
@@ -207,10 +219,10 @@ object Sampling {
             (col("__rt") + buckets.toLong).cast("double"))), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val perDoc = bucketed(raw).join(broadcast(weights), Seq("__b"))
+    val perDoc = rawDoc.join(broadcast(weights), Seq("__b"))
       .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("__lr")).cast("double").as("score"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__lr")).cast("double").as("score"))
       .withColumn("score_tok",
         round(col("score") / col("n_tokens"), 6))
     val stats = perDoc.agg(

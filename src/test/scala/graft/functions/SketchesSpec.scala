@@ -87,4 +87,106 @@ class SketchesSpec extends SparkSpec {
     val sketches = Seq(1, 3, 17).map(p => cmsCells(keys, 64, p))
     assert(sketches.distinct.size == 1)
   }
+
+  // ---- KLL quantile sketch -------------------------------------------------
+
+  /** Total weight held by the sketch: Σ_ℓ |level ℓ| · 2^ℓ. Must equal the
+    * number of values ever added — compaction conserves weight. */
+  private def kllWeight(s: KllQuantiles.Sketch): Long = {
+    var total = 0L
+    var l = 0
+    while (l < s.levels.length) { total += s.levels(l).length.toLong << l; l += 1 }
+    total
+  }
+
+  test("kll exact regime: <= capacity values -> exact sorted-rank quantiles") {
+    val s = new KllQuantiles.Sketch(64)
+    val vs = Seq(9.0, 1.0, 5.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 10.0)
+    vs.foreach(s.add)
+    val sorted = vs.sorted
+    val qs = s.quantiles(Seq(0.1, 0.5, 0.9, 1.0))
+    // smallest value whose cumulative weight reaches ceil(p·n)
+    assert(qs.toSeq == Seq(0.1, 0.5, 0.9, 1.0).map(p =>
+      sorted(math.ceil(p * vs.size).toInt - 1)))
+  }
+
+  test("kll compaction conserves total weight, incl. odd-length keep-even " +
+      "compactions from merged partial sketches") {
+    // partial sketches of coprime odd sizes force odd-length buffers at
+    // every merge; before the fix, keep-even parity promoted the unpaired
+    // element at doubled weight, inflating the total
+    val rng = new scala.util.Random(42)
+    val partials = Seq(13, 29, 31, 97, 101, 211, 503).map { n =>
+      val s = new KllQuantiles.Sketch(8)
+      (0 until n).foreach(_ => s.add(rng.nextDouble()))
+      s
+    }
+    val total = partials.map(kllWeight)
+    assert(total == Seq(13L, 29L, 31L, 97L, 101L, 211L, 503L))
+    val merged = new KllQuantiles.Sketch(8)
+    partials.foreach(merged.mergeFrom)
+    assert(kllWeight(merged) == total.sum,
+      s"weight ${kllWeight(merged)} != added ${total.sum}")
+  }
+
+  test("kll capacity bound holds at every level after merge (cascade " +
+      "compacts higher levels, not just until the first under-capacity one)") {
+    val rng = new scala.util.Random(7)
+    val merged = new KllQuantiles.Sketch(8)
+    (0 until 40).foreach { _ =>
+      val s = new KllQuantiles.Sketch(8)
+      (0 until 100).foreach(_ => s.add(rng.nextDouble()))
+      merged.mergeFrom(s)
+      merged.levels.zipWithIndex.foreach { case (b, l) =>
+        assert(b.length < 8, s"level $l holds ${b.length} >= capacity 8")
+      }
+    }
+    assert(kllWeight(merged) == 4000L)
+  }
+
+  test("kll rank error within 2·H/capacity of exact on a merged stream") {
+    val rng = new scala.util.Random(1234)
+    val data = Array.fill(10000)(rng.nextDouble() * 1000.0)
+    val merged = new KllQuantiles.Sketch(64)
+    data.grouped(1437).foreach { chunk =>           // uneven partials
+      val s = new KllQuantiles.Sketch(64)
+      chunk.foreach(s.add)
+      merged.mergeFrom(s)
+    }
+    assert(kllWeight(merged) == data.length.toLong)
+    val sorted = data.sorted
+    val h = merged.levels.length
+    val bound = 2.0 * h / 64.0
+    Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).foreach { p =>
+      val est = merged.quantiles(Seq(p)).head
+      // true rank of the estimate (fraction of values <= est)
+      val rank = sorted.count(_ <= est).toDouble / data.length
+      assert(math.abs(rank - p) <= bound,
+        s"p=$p est=$est rank=$rank err=${math.abs(rank - p)} > $bound (H=$h)")
+    }
+  }
+
+  test("kll serde round-trip preserves levels, parity, and quantiles") {
+    val rng = new scala.util.Random(99)
+    val s = new KllQuantiles.Sketch(16)
+    (0 until 777).foreach(_ => s.add(rng.nextDouble()))
+    val back = KllQuantiles.Sketch.fromBytes(s.toBytes)
+    assert(back.capacity == s.capacity)
+    assert(back.levels.map(_.toSeq) == s.levels.map(_.toSeq))
+    assert(back.parity.toSeq == s.parity.toSeq)
+    val ps = Seq(0.1, 0.5, 0.9)
+    assert(back.quantiles(ps).toSeq == s.quantiles(ps).toSeq)
+  }
+
+  test("kll partition-count robustness: agg_qsk-style exact regime is " +
+      "partition-independent through the Spark aggregate") {
+    val vs = (1 to 200).map(_.toDouble)
+    val results = Seq(1, 3, 17).map { p =>
+      vs.toDF("v").repartition(p)
+        .agg(Sketches.kll_quantiles(col("v"), 256, Seq(0.25, 0.5, 0.95)).as("q"))
+        .collect().head.getSeq[Double](0)
+    }
+    assert(results.distinct.size == 1)
+    assert(results.head == Seq(50.0, 100.0, 190.0))
+  }
 }
