@@ -56,11 +56,19 @@ object Graph {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("__rp div __odeg").as("__c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      // pin each round (the Dedup.duplicateGroups pattern): without the
+      // cut, the logical plan deepens by a join+agg per iteration and a
+      // long run re-plans a compounding DAG; the checkpointed frame is a
+      // flat (id, long) relation whose ACTUAL size feeds later join stats
       ranks = vertices.join(sums, vertices("id") === sums("dst"), "left")
         .select(vertices("id"),
           (lit(baseP) + expr(s"(coalesce(__s, 0L) * $dampNum) div 100"))
             .as("__rp"))
+        .localCheckpoint()
     }
+    // the final ranks frame is materialized above and no longer reaches
+    // through withDeg's lineage — release the cached edge join
+    withDeg.unpersist(blocking = false)
     ranks.select(col("id"),
       (col("__rp").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))
   }

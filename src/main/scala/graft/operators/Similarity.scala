@@ -199,8 +199,10 @@ object Similarity {
     * partitioning-independent, reproducible in any SQL engine), and
     * assignment breaks score ties on the lower cell id. Empty cells drop.
     *
-    * Scale shape, per iteration (iterations are full corpus passes — cache
-    * the input upstream for more than a few):
+    * Scale shape, per iteration (iterations are full corpus passes — the
+    * operator caches the input internally for iters ≥ 1 and releases it
+    * on exit; the returned lazy assignment recomputes from source once
+    * when the caller evaluates it):
     *  - assignment: k compiled decimal dot products inside one narrow
     *    projection (argmin over `|c|² − 2·e·c` structs — `|e|²` is
     *    row-constant and cancels), zero shuffle;
@@ -216,6 +218,15 @@ object Similarity {
              idCol: String = "vec_id", embCol: String = "embedding"):
       (DataFrame, Map[Int, Seq[Double]]) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got ($k, $iters)")
+    // each iteration is a full pass over embs (assignment inside update's
+    // scan) plus the init/final passes — pin the input for the loop's
+    // lifetime instead of re-reading the source every round
+    val ownCache = iters >= 1 &&
+      embs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val data =
+      if (ownCache)
+        embs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else embs
     def assign(cents: Map[Int, Seq[Double]]): DataFrame = {
       val scored = cents.toSeq.sortBy(_._1).map { case (cell, c) =>
         val cc = array(c.map(lit): _*)
@@ -226,7 +237,7 @@ object Similarity {
         struct(round(lit(acc.doubleValue()) - lit(2.0) * dotExact(col(embCol), cc), 9)
           .as("score"), lit(cell).as("cell"))
       }
-      embs.select(col(idCol), col(embCol),
+      data.select(col(idCol), col(embCol),
         array_min(array(scored: _*)).getField("cell").as("cell"))
     }
     def update(assigned: DataFrame): Map[Int, Seq[Double]] =
@@ -240,12 +251,16 @@ object Similarity {
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
-    val init = embs.orderBy(col(idCol)).limit(k)
+    val init = data.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toSeq }
       .toMap
     val finalCents = (1 to iters).foldLeft(init) { (c, _) => update(assign(c)) }
-    (assign(finalCents).select(col(idCol), col("cell")), finalCents)
+    val out = assign(finalCents).select(col(idCol), col("cell"))
+    // release the loop cache; the lazy `out` recomputes from source when
+    // evaluated (one scan — the caller no longer has to cache upstream)
+    if (ownCache) data.unpersist(blocking = false)
+    (out, finalCents)
   }
 
   /** kNN-graph construction: each vector's k most-similar neighbors above
