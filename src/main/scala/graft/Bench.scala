@@ -52,18 +52,31 @@ object Bench {
     val passes = (1 to nPasses).map(i => pass(s"/$i"))
     val results = passes.head.keys.map(k =>
       k -> passes.map(_(k)).min).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms grain): halves the line length (146
+    // queries ≈ 2.6 KB, under common 4 KB line buffers) — sbt-stdout
+    // truncation ate the full-precision tail in BENCH_r03/r04
+    def fmt(v: Double): String = {
+      val s = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      s.bigDecimal.toPlainString
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also write the line to a file: sbt log interleaving/truncation has
-    // eaten the stdout line before (BENCH_r03 parsed: null)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file copy first (the reliable channel), then the stdout contract
+    // line LAST, after spark.stop(), so no shutdown logging can interleave
+    // and the line is the final thing sbt's output pump forwards
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] json written to $outPath")
     spark.stop()
+    println(line)
+    System.out.flush()
+    // give sbt's forked-process output pump time to drain the line before
+    // JVM exit — an immediate exit has raced it and truncated the tail
+    Thread.sleep(3000)
   }
 }

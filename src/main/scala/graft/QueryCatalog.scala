@@ -229,10 +229,14 @@ object QueryCatalog {
     scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
   def bucketedOrdersCustomer(spark: SparkSession, sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate((spark, sfDir), {
-      // table names are per-JVM-unique so two sessions in one JVM (the
-      // cloned-session paths) can't fight over the shared catalog name
+      // the tag carries BOTH the data dir and the session identity: the
+      // cache is keyed per (session, sfDir), so without the session
+      // component a second session in the same JVM would re-run
+      // writeBucketed with mode=overwrite on catalog names and tmpdir
+      // files the first session may still be reading
       val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL) +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(spark))
       val (ot, ct) = (s"g_orders_b_$tag", s"g_customer_b_$tag")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
       graft.sources.Bucketing.writeBucketed(
