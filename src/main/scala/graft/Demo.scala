@@ -116,10 +116,8 @@ object Demo {
     println(s"docs folded into a smaller group: $nGroups")
 
     println("== as-of join: odd events pick up the latest even event ==")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tu"), col("value"))
+    val evs = graft.QueryCatalog.eventsWithTu(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("tu"), col("value"))
     val aj = graft.operators.Joins.asofBackward(
       evs.filter(col("event_id") % 2 === 1),
       evs.filter(col("event_id") % 2 === 0)

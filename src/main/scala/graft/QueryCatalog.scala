@@ -156,6 +156,25 @@ object QueryCatalog {
   def embs(spark: SparkSession, sfDir: String): DataFrame =
     cachedTable(spark, s"$sfDir/embeddings.parquet")
 
+  /** events.parquet with an appended epoch-µs BIGINT column `tu`, tolerant
+    * of every physical timestamp encoding the driver has shipped:
+    * TIMESTAMP(NANOS) (readable only as LongType under the legacy
+    * nanosAsLong flag — truncated ns→µs), TIMESTAMP(MICROS) (Spark 4 reads
+    * it as TIMESTAMP_NTZ), or a tz-aware TIMESTAMP. The NTZ branch diffs
+    * against the NTZ epoch literal, so it is session-timezone-free — the
+    * exact integer µs DuckDB's epoch_us(ts) computes on the same file. */
+  def eventsWithTu(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tu = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("tu", tu)
+  }
+
   /** Portable 32-slot minhash signatures, shared by the three dedup queries
     * (signature computation is the dominant cost of the LSH pipeline; the
     * banding join re-runs per query and is cheap). */

@@ -59,12 +59,10 @@ object SparkEntry {
     * pre-deduped to one row per (key, ts) — latest event_id wins — so the
     * match is unambiguous in any engine. */
   private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // events.parquet carries TIMESTAMP(NANOS) — Spark 4 reads it only as
-    // LongType via the legacy flag (truncated to µs to match DuckDB)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$d/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tu"), col("value"))
+    // `tu` = epoch-µs BIGINT via QueryCatalog.eventsWithTu (tolerant of
+    // both the TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical encodings)
+    val ev = eventsWithTu(s, d)
+      .select(col("event_id"), col("user_id"), col("tu"), col("value"))
     val l = ev.filter(col("event_id") % 2 === 1)
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("tu")).orderBy(col("event_id").desc)
@@ -825,9 +823,8 @@ object SparkEntry {
     // batch tumbling-window aggregation (the batch twin of
     // StreamingOps.eventWindowAgg): hour buckets over truncated epoch-µs
     "ev_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet")
-        .select(expr("(ts div 1000) div 3600000000").as("win_hour"),
+      eventsWithTu(s, d)
+        .select(expr("tu div 3600000000").as("win_hour"),
           col("event_type"), col("value"))
         .groupBy(col("win_hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -841,10 +838,8 @@ object SparkEntry {
     // are reduced to (user, day) in the scan stage; the per-user window
     // sees at most days-per-user rows.
     "ev_cohort" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-      Funnel.cohortRetention(ev, "user_id",
-          expr("(ts div 1000) div 86400000000"))
+      Funnel.cohortRetention(eventsWithTu(s, d), "user_id",
+          expr("tu div 86400000000"))
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
@@ -852,9 +847,8 @@ object SparkEntry {
     // user — bucketed equi-join on (user, time bucket), each pair emitted
     // once in the first shared bucket (no dedup shuffle)
     "j_interval" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"))
+      val ev = eventsWithTu(s, d)
+        .select(col("user_id"), col("event_id"), col("tu"))
       val len = 7200000000L // 2 h in µs
       val l = ev.filter(col("event_id") % 2 === 1)
         .select(col("user_id"), col("event_id").as("l_event"),
@@ -873,9 +867,7 @@ object SparkEntry {
     // rank-selected quartile thresholds, bins as a scan-stage projection —
     // no ntile (a global ntile is a single-partition sort over all users)
     "ev_rfm" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-      Funnel.rfm(ev, "user_id", expr("(ts div 1000) div 86400000000"),
+      Funnel.rfm(eventsWithTu(s, d), "user_id", expr("tu div 86400000000"),
           col("event_type"), col("value"), "purchase")
         .orderBy(col("user_id"))
     }),
@@ -884,9 +876,7 @@ object SparkEntry {
     // purchase, each step's first event strictly after the previous
     // step's; one shuffle by user, one window node per step
     "ev_funnel" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-      Funnel.funnel(ev, "user_id", expr("ts div 1000"), col("event_type"),
+      Funnel.funnel(eventsWithTu(s, d), "user_id", col("tu"), col("event_type"),
           Seq("view", "click", "purchase"))
         .orderBy(col("step"))
     }),
@@ -894,20 +884,16 @@ object SparkEntry {
     // time-series regularization: hourly resample per user with forward
     // fill over the gaps (grid from sequence-explode, ONE window per key)
     "ev_ffill" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-      TimeSeries.resampleForwardFill(ev, "user_id",
-          expr("(ts div 1000) div 3600000000"), "value")
+      TimeSeries.resampleForwardFill(eventsWithTu(s, d), "user_id",
+          expr("tu div 3600000000"), "value")
         .orderBy(col("user_id"), col("bucket"))
     }),
     // linear interpolation over the same hourly grid: gaps get the exact
     // straight line (multiplied-through decimal, one final IEEE divide —
     // no rounding, no half-way hazard), edges fall back to nearest
     "ts_interp" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-      TimeSeries.interpolateLinear(ev, "user_id",
-          expr("(ts div 1000) div 3600000000"), "value")
+      TimeSeries.interpolateLinear(eventsWithTu(s, d), "user_id",
+          expr("tu div 3600000000"), "value")
         .orderBy(col("user_id"), col("bucket"))
     }),
 
@@ -1266,6 +1252,158 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- correlated-subquery TPC-H sweep (q2/q9/q11/q12/q16/q20/q21
+    //      shapes adapted to the available star schema — no partsupp table,
+    //      so lineitem doubles as the part↔supplier relation with
+    //      min(l_extendedprice) as the supply cost). These are written as
+    //      SQL text on purpose: the correlated scalar subqueries / NOT IN /
+    //      EXISTS+NOT EXISTS forms exercise Catalyst's decorrelation rules
+    //      (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery) so the
+    //      physical plans are joins+aggregates, never per-row re-execution ----
+
+    // Q2 shape: min-cost supplier per part — a correlated scalar MIN
+    // subquery over the same cost relation that feeds the outer join.
+    // Catalyst decorrelates to a per-part aggregate joined back; the cost
+    // CTE's shuffle is shared by both sides via ReuseExchange
+    "h_q2" -> ((s, d) => s.sql(
+      s"""WITH cost AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |         min(l_extendedprice) AS cost
+         |  FROM parquet.`$d/lineitem.parquet` GROUP BY 1, 2)
+         |SELECT p_partkey, p_name, s_name, s_acctbal, cost AS supply_cost
+         |FROM parquet.`$d/part.parquet`
+         |JOIN cost ON p_partkey = pk
+         |JOIN parquet.`$d/supplier.parquet` ON sk = s_suppkey
+         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND p_size < 5
+         |  AND cost = (SELECT min(c2.cost) FROM cost c2
+         |              JOIN parquet.`$d/supplier.parquet` s2
+         |                ON c2.sk = s2.s_suppkey
+         |              JOIN parquet.`$d/nation.parquet` n2
+         |                ON s2.s_nationkey = n2.n_nationkey
+         |              JOIN parquet.`$d/region.parquet` r2
+         |                ON n2.n_regionkey = r2.r_regionkey
+         |              WHERE r2.r_name = 'ASIA' AND c2.pk = p_partkey)
+         |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 20""".stripMargin)),
+
+    // Q9 shape (product-type profit): the 4-way fact join grouped by
+    // nation × year; profit = decimal-exact revenue minus a retail-cost
+    // proxy (0.6·retailprice·qty — no ps_supplycost in this schema).
+    // Two separate decimal sums cast to double keep both engines exact
+    "h_q9" -> ((s, d) => s.sql(
+      s"""SELECT n_name AS nation, year(CAST(l_shipdate AS DATE)) AS o_year,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |             (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         |      - CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) *
+         |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.6,
+         |      4) AS profit,
+         |  count(*) AS n_items
+         |FROM parquet.`$d/lineitem.parquet`
+         |JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+         |JOIN parquet.`$d/supplier.parquet` ON l_suppkey = s_suppkey
+         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
+
+    // Q11 shape (important part values): grouped decimal value per part
+    // for one nation's suppliers, kept only above a fraction of the total —
+    // the uncorrelated scalar-subquery HAVING family. The v CTE is computed
+    // once and reused for both the rows and the threshold (ReuseExchange)
+    "h_q11" -> ((s, d) => s.sql(
+      s"""WITH v AS (
+         |  SELECT l_partkey AS ps_partkey,
+         |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |             CAST(l_quantity AS DECIMAL(12,2))) AS val
+         |  FROM parquet.`$d/lineitem.parquet`
+         |  JOIN parquet.`$d/supplier.parquet` ON l_suppkey = s_suppkey
+         |  JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY 1)
+         |SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+         |FROM v
+         |WHERE CAST(val AS DOUBLE) >
+         |      0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM v)
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin)),
+
+    // Q12 shape (shipping-delay priority counts): conditional aggregation
+    // over the order↔lineitem join with a >60-day ship-delay residual —
+    // l_returnflag stands in for the missing l_shipmode
+    "h_q12" -> ((s, d) => s.sql(
+      s"""SELECT l_returnflag AS ship_class,
+         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |           THEN 1 ELSE 0 END) AS high_line_count,
+         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |           THEN 0 ELSE 1 END) AS low_line_count
+         |FROM parquet.`$d/orders.parquet`
+         |JOIN parquet.`$d/lineitem.parquet` ON o_orderkey = l_orderkey
+         |WHERE CAST(l_shipdate AS DATE) > date_add(CAST(o_orderdate AS DATE), 60)
+         |  AND year(CAST(l_shipdate AS DATE)) = 1997
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q16 shape (supplier diversity per part group): count-distinct
+    // suppliers excluding a NOT IN subquery — Catalyst plans the null-aware
+    // anti join as a broadcast (supplier is 100 rows), then one
+    // distinct-aggregate
+    "h_q16" -> ((s, d) => s.sql(
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM parquet.`$d/lineitem.parquet`
+         |JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 5, 10, 15, 20, 25)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey
+         |                        FROM parquet.`$d/supplier.parquet`
+         |                        WHERE s_acctbal < 500)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q20 shape (excess-stock suppliers): IN over a grouped relation whose
+    // filter is a correlated scalar subquery (per-part 1997 total) — the
+    // nested-decorrelation family. Decimal sums keep the 0.3·total
+    // comparison engine-exact
+    "h_q20" -> ((s, d) => s.sql(
+      s"""SELECT s_name, s_acctbal
+         |FROM parquet.`$d/supplier.parquet`
+         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (
+         |    SELECT sq.l_suppkey FROM (
+         |      SELECT l_suppkey, l_partkey,
+         |             sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+         |      FROM parquet.`$d/lineitem.parquet`
+         |      JOIN parquet.`$d/part.parquet` ON l_partkey = p_partkey
+         |      WHERE p_name LIKE '%gear%'
+         |        AND year(CAST(l_shipdate AS DATE)) = 1997
+         |      GROUP BY 1, 2) sq
+         |    WHERE CAST(sq.q AS DOUBLE) > 0.3 * CAST(
+         |      (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+         |       FROM parquet.`$d/lineitem.parquet` l2
+         |       WHERE l2.l_partkey = sq.l_partkey
+         |         AND year(CAST(l2.l_shipdate AS DATE)) = 1997) AS DOUBLE))
+         |ORDER BY s_name""".stripMargin)),
+
+    // Q21 shape (sole at-fault supplier): EXISTS (another supplier on the
+    // order) + NOT EXISTS (another supplier also returned) — the double
+    // existence-join family; l_returnflag='R' stands in for the missing
+    // receipt/commit-date lateness predicate
+    "h_q21" -> ((s, d) => s.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM parquet.`$d/supplier.parquet`
+         |JOIN parquet.`$d/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+         |JOIN parquet.`$d/orders.parquet` ON o_orderkey = l1.l_orderkey
+         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND n_name = 'NATION_3'
+         |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
     // ---- deterministic sampling (portable hash order, no rand(): the
     //      sample is reproducible across runs/engines/partitionings and the
     //      Bernoulli forms are pure scan-stage filters — zero shuffle) ----
@@ -1369,10 +1507,8 @@ object SparkEntry {
     //      product is IEEE-exact (power-of-two scaling), the tap chains
     //      add left-to-right in both engines, ONE window node ----
     "w_ewma" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tu"), col("value"))
+      val ev = eventsWithTu(s, d)
+        .select(col("event_id"), col("user_id"), col("tu"), col("value"))
       TimeSeries.ewmaFiniteHorizon(ev, "user_id",
           Seq(col("tu"), col("event_id")), "value", taps = 10)
         .orderBy(col("event_id"))
@@ -1594,9 +1730,8 @@ object SparkEntry {
     // (ts, event_id, ...) struct picks the latest change per key without
     // a window sort; 'error' tombstones drop the key from the snapshot
     "cdc_upsert" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"),
+      val ev = eventsWithTu(s, d)
+        .select(col("user_id"), col("event_id"), col("tu"),
           col("event_type"), col("value"))
       ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_changes"),
@@ -1615,10 +1750,9 @@ object SparkEntry {
     // for both lead() and version; per-key rows are bounded by change
     // counts, not corpus size
     "cdc_scd2" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = eventsWithTu(s, d)
         .filter(col("event_type").isin("signup", "purchase"))
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tu"),
+        .select(col("user_id"), col("event_id"), col("tu"),
           col("event_type"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
@@ -2173,18 +2307,134 @@ object SparkEntry {
          |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
          |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
          |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+    val hQ2 =
+      s"""WITH cost AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |         min(l_extendedprice) AS cost
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT p_partkey, p_name, s_name, s_acctbal, cost AS supply_cost
+         |FROM read_parquet('$sfDir/part.parquet') prt
+         |JOIN cost ON p_partkey = pk
+         |JOIN read_parquet('$sfDir/supplier.parquet') sup ON sk = s_suppkey
+         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |JOIN read_parquet('$sfDir/region.parquet') reg ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND p_size < 5
+         |  AND cost = (SELECT min(c2.cost) FROM cost c2
+         |              JOIN read_parquet('$sfDir/supplier.parquet') s2
+         |                ON c2.sk = s2.s_suppkey
+         |              JOIN read_parquet('$sfDir/nation.parquet') n2
+         |                ON s2.s_nationkey = n2.n_nationkey
+         |              JOIN read_parquet('$sfDir/region.parquet') r2
+         |                ON n2.n_regionkey = r2.r_regionkey
+         |              WHERE r2.r_name = 'ASIA' AND c2.pk = p_partkey)
+         |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 20""".stripMargin
+    val hQ9 =
+      s"""SELECT n_name AS nation, year(CAST(l_shipdate AS DATE)) AS o_year,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |             (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         |      - CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) *
+         |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.6,
+         |      4) AS profit,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN read_parquet('$sfDir/part.parquet') prt ON l_partkey = p_partkey
+         |JOIN read_parquet('$sfDir/supplier.parquet') sup ON l_suppkey = s_suppkey
+         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+    val hQ11 =
+      s"""WITH v AS (
+         |  SELECT l_partkey AS ps_partkey,
+         |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |             CAST(l_quantity AS DECIMAL(12,2))) AS val
+         |  FROM lineitem
+         |  JOIN read_parquet('$sfDir/supplier.parquet') sup ON l_suppkey = s_suppkey
+         |  JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY 1)
+         |SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+         |FROM v
+         |WHERE CAST(val AS DOUBLE) >
+         |      0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM v)
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin
+    val hQ12 =
+      s"""SELECT l_returnflag AS ship_class,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM orders
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+         |  AND year(CAST(l_shipdate AS DATE)) = 1997
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    val hQ16 =
+      s"""SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem
+         |JOIN read_parquet('$sfDir/part.parquet') prt ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 5, 10, 15, 20, 25)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey
+         |                        FROM read_parquet('$sfDir/supplier.parquet')
+         |                        WHERE s_acctbal < 500)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+    val hQ20 =
+      s"""SELECT s_name, s_acctbal
+         |FROM read_parquet('$sfDir/supplier.parquet') sup
+         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (
+         |    SELECT sq.l_suppkey FROM (
+         |      SELECT l_suppkey, l_partkey,
+         |             sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+         |      FROM lineitem
+         |      JOIN read_parquet('$sfDir/part.parquet') prt ON l_partkey = p_partkey
+         |      WHERE p_name LIKE '%gear%'
+         |        AND year(CAST(l_shipdate AS DATE)) = 1997
+         |      GROUP BY 1, 2) sq
+         |    WHERE CAST(sq.q AS DOUBLE) > 0.3 * CAST(
+         |      (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+         |       FROM lineitem l2
+         |       WHERE l2.l_partkey = sq.l_partkey
+         |         AND year(CAST(l2.l_shipdate AS DATE)) = 1997) AS DOUBLE))
+         |ORDER BY s_name""".stripMargin
+    val hQ21 =
+      s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM read_parquet('$sfDir/supplier.parquet') sup
+         |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         |JOIN orders ON o_orderkey = l1.l_orderkey
+         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND n_name = 'NATION_3'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
     Map(
       "h_q1" -> hQ1,
+      "h_q2" -> hQ2,
       "h_q3" -> hQ3,
       "h_q5" -> hQ5,
       "h_q6" -> hQ6,
       "h_q4" -> hQ4,
       "h_q7" -> hQ7,
       "h_q8" -> hQ8,
+      "h_q9" -> hQ9,
       "h_q10" -> hQ10,
+      "h_q11" -> hQ11,
+      "h_q12" -> hQ12,
       "h_q13" -> hQ13,
       "h_q15" -> hQ15,
+      "h_q16" -> hQ16,
       "h_q17" -> hQ17,
+      "h_q20" -> hQ20,
+      "h_q21" -> hQ21,
       "h_q22" -> hQ22,
       "h_q14" ->
         s"""SELECT round(100.0 *

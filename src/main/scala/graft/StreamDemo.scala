@@ -22,10 +22,15 @@ object StreamDemo {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file-stream source wants a directory: point it at the sf dir and
     // glob-filter to the events table
+    val toTs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy long nanos
+        timestamp_seconds(col("ts") / lit(1000000000L))
+      case _ => col("ts").cast("timestamp") // µs NTZ / tz-aware
+    }
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+      .withColumn("ts", toTs)
     val agg = StreamingOps.eventWindowAgg(stream, window_ = "30 days",
       watermark = "60 days")
     // complete mode: a one-shot AvailableNow run never advances the

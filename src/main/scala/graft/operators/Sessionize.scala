@@ -27,18 +27,23 @@ object Sessionize {
     * one aggregation. Value sums go through DECIMAL(18,2) so results are
     * order-independent and engine-exact (driver-oracle rule).
     *
-    * Timestamps are normalized to epoch MICROSECONDS as BIGINT — the events
-    * parquet carries TIMESTAMP(NANOS), which Spark only reads via the
-    * nanosAsLong legacy flag (as LongType) and engines that read it
-    * natively truncate to µs precision; integer µs (truncated) is the
-    * exact common denominator.
+    * Timestamps are normalized to epoch MICROSECONDS as BIGINT, whatever
+    * the parquet's physical encoding: TIMESTAMP(NANOS) (readable only as
+    * LongType under the nanosAsLong legacy flag — truncated ns→µs),
+    * TIMESTAMP(MICROS) (Spark 4 reads TIMESTAMP_NTZ; diffed against the
+    * NTZ epoch so the result is session-timezone-free), or a tz-aware
+    * TIMESTAMP. Integer µs is the exact common denominator with engines
+    * that read the file natively.
     */
   def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes.toLong * 60 * 1000000L
-    val tsUs =
-      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         expr("ts div 1000") // long nanos → truncated µs
-      else unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(tsUs, col("event_id"))
     val newSession = when(

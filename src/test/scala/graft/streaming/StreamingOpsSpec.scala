@@ -226,10 +226,16 @@ class StreamingOpsSpec extends SparkSpec {
       .select(col("user_id"), col("n_events"), round(col("sum_value"), 6).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(identity).view.mapValues(_.length).toMap
-    // stream the same events (ns → ms timestamps), then advance the
-    // watermark with far-future sentinels so every open session times out
-    val evs = raw.select(col("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("ts"),
+    // stream the same events (ts → ms timestamps, physical-type-tolerant:
+    // long nanos under the legacy flag, or TIMESTAMP_NTZ/TIMESTAMP for µs
+    // parquet), then advance the watermark with far-future sentinels so
+    // every open session times out
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_millis(ts div 1000000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    val evs = raw.select(col("user_id"), tsMs.as("ts"),
         col("value")).collect()
       .map(r => SessEv(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
     val maxMs = evs.map(_.ts.getTime).max
