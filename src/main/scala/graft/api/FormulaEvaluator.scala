@@ -15,15 +15,20 @@ import graft.validate.ResultValidator
   * @param decimalPrecision significant digits for ADP mode (must be > 0 — F5)
   * @param fillInvalid     replace NaN/±Inf/NULL results with 0 (V4)
   * @param verbose         log per-formula validity diagnostics (V7)
+  * @param unboundedExponent with adpEnabled: BigDecimal string cells with an
+  *                        unbounded exponent (the reference's mpf
+  *                        1e-30/1e30 regime, SURVEY §7.4(5)); `+ - *` exact,
+  *                        `/` at decimalPrecision significant digits
   */
 final class FormulaEvaluator(
     dataDict: Map[String, NamedData],
     val adpEnabled: Boolean = false,
     val decimalPrecision: Int = 35,
     val fillInvalid: Boolean = false,
-    val verbose: Boolean = false) {
+    val verbose: Boolean = false,
+    val unboundedExponent: Boolean = false) {
 
-  val mode: NumericMode = NumericMode(adpEnabled, decimalPrecision)
+  val mode: NumericMode = NumericMode(adpEnabled, decimalPrecision, unboundedExponent)
   val validator = new ResultValidator(mode, fillInvalid, verbose)
 
   /** Construction-time ingest cast (S1/S2, coeff_maker.py:633-671): every

@@ -3,6 +3,7 @@ package graft.compile
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ast._
+import graft.functions.BigDec
 import graft.model._
 
 /** Thrown when a formula references a name absent from the registry; the
@@ -48,6 +49,7 @@ final case class ScalarResult(v: Double) extends EvalResult
 final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode) {
 
   private val std = !mode.adpEnabled
+  private val ubp = mode.ubp
 
   // ---- compile-time values ------------------------------------------------
 
@@ -162,7 +164,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case m: Matrix =>
         val phys = ctx.physOf(name)
         val cols = phys.map { case (l, p) =>
-          (l, if (std) Ops.denull(col(p)) else col(p).cast(mode.cellType))
+          (l,
+            if (std) Ops.denull(col(p))
+            else if (ubp) BigDec.norm(col(p).cast(mode.cellType))
+            else col(p).cast(mode.cellType))
         }
         CMatrix(cols, isBool = false)
       case v: Vec => CVecD(v.values, v.labels)
@@ -171,9 +176,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     case Unary(op, e) => (op, eval(e, ctx)) match {
       case ("+", v) => v
       case ("-", CMatrix(cols, b)) =>
-        require(!b, "unary - on boolean frame"); CMatrix(mapCols(cols)(Ops.neg), b)
+        require(!b, "unary - on boolean frame")
+        CMatrix(mapCols(cols)(if (ubp) BigDec.neg else Ops.neg), b)
       case ("-", CVecD(vs, ls)) => CVecD(vs.map(x => -x), ls)
-      case ("-", CVecC(cols, ids)) => CVecC(mapCols(cols)(Ops.neg), ids)
+      case ("-", CVecC(cols, ids)) =>
+        CVecC(mapCols(cols)(if (ubp) BigDec.neg else Ops.neg), ids)
       case ("-", CScalar(v)) => CScalar(-v)
       case ("~", CMatrix(cols, true)) => CMatrix(mapCols(cols)(Ops.not), isBool = true)
       case (o, _) => throw new FormulaTypeException(s"unary '$o' not applicable here")
@@ -220,6 +227,23 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ">" => Ops.gt; case "<" => Ops.lt; case ">=" => Ops.geq
       case "<=" => Ops.leq; case "==" => Ops.eq; case "!=" => Ops.neq
       case "&" => Ops.and; case "|" => Ops.or
+    } else if (ubp) op match {
+      // unbounded ADP: BigDecimal string cells — + - * exact (no rounding),
+      // / at decimalPrecision significant digits; /0 and %0 yield NULL (the
+      // ADP invalid marker); comparisons are numeric via the compiled
+      // three-way compare
+      case "+" => BigDec.add _; case "-" => BigDec.sub _
+      case "*" => BigDec.mul _
+      case "/" => (l: Column, r: Column) => BigDec.div(l, r, mode.decimalPrecision)
+      case "%" => BigDec.mod _
+      case ">" => (l: Column, r: Column) => BigDec.cmp(l, r) > 0
+      case "<" => (l: Column, r: Column) => BigDec.cmp(l, r) < 0
+      case ">=" => (l: Column, r: Column) => BigDec.cmp(l, r) >= 0
+      case "<=" => (l: Column, r: Column) => BigDec.cmp(l, r) <= 0
+      case "==" => (l: Column, r: Column) => BigDec.cmp(l, r) === 0
+      case "!=" => (l: Column, r: Column) => BigDec.cmp(l, r) =!= 0
+      case "&" => Ops.and; case "|" => Ops.or
+      case other => throw new AdpUnsupportedException(s"'$other' unsupported in ADP mode")
     } else op match {
       // decimal mode: Spark decimal arithmetic via try_* — division by zero
       // and precision overflow yield NULL (the ADP invalid marker) instead of
@@ -240,7 +264,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     binopWith(colOp(op), (a, b) => Ops.scalarBin(op, a, b), l, r, ctx, bool = isCmp(op))
 
   private def litOf(v: Double): Column =
-    if (std) lit(v) else lit(v).cast(mode.cellType)
+    if (std) lit(v)
+    else if (ubp) {
+      // no NaN/Inf cells in decimal modes: the invalid marker is NULL
+      // (alignment holes from the label-union path land here as NaN)
+      if (v.isNaN || v.isInfinite) lit(null).cast(mode.cellType)
+      else lit(BigDec.litOf(v))
+    } else lit(v).cast(mode.cellType)
 
   private def binopWith(f: (Column, Column) => Column, fs: (Double, Double) => Double,
                         l: CValue, r: CValue, ctx: Ctx, bool: Boolean): CValue = (l, r) match {
@@ -334,6 +364,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val clipped =
           if (std) mapCols(cols)(c => when(isnan(c), c)
             .otherwise(least(greatest(c, litOf(l)), litOf(h))))
+          else if (ubp) mapCols(cols)(c =>
+            // least/greatest on strings would compare lexicographically;
+            // clip via the numeric three-way compare instead
+            when(BigDec.cmp(c, litOf(l)) < 0, litOf(l))
+              .when(BigDec.cmp(c, litOf(h)) > 0, litOf(h))
+              .otherwise(c))
           else mapCols(cols)(c => least(greatest(c, litOf(l)), litOf(h)))
         CMatrix(clipped, isBool = false)
       case ("clip", CVecD(vs, ls), List(lo, hi)) =>
@@ -343,6 +379,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ("pow", t, List(k)) => binop("**", t, k, ctx)
       case ("abs", t, Nil)     =>
         if (std) applyFn(Ops.functions("abs"), "abs", t)
+        else if (ubp) t match {
+          case CMatrix(cols, false) => CMatrix(mapCols(cols)(BigDec.abs), isBool = false)
+          case other => applyFn(BigDec.abs, "abs", other)
+        }
         else t match {
           case CMatrix(cols, false) => CMatrix(mapCols(cols)(abs), isBool = false)
           case other => applyFn(abs(_), "abs", other)
@@ -386,13 +426,22 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
     }
     val aggExprs = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
-      val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
-      if (mean) {
-        val m = avg(nonNan)
-        (if (std) coalesce(m, lit(Double.NaN)) else m).as(alias)
+      if (ubp) {
+        // exact BigDecimal sum (nulls skipped, empty → "0"); mean = sum /
+        // non-null count at decimalPrecision digits — count 0 divides by
+        // "0" and yields NULL, the ADP all-invalid marker
+        val s = BigDec.sum(c)
+        (if (mean) BigDec.div(s, count(c).cast(mode.cellType), mode.decimalPrecision)
+         else s).as(alias)
       } else {
-        val s = sum(nonNan)
-        (if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))).as(alias)
+        val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
+        if (mean) {
+          val m = avg(nonNan)
+          (if (std) coalesce(m, lit(Double.NaN)) else m).as(alias)
+        } else {
+          val s = sum(nonNan)
+          (if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))).as(alias)
+        }
       }
     }
     ctx.aggDfs += base.agg(aggExprs.head, aggExprs.tail: _*)

@@ -62,20 +62,29 @@ object Vec {
   * ADP mode = DecimalType(38, scale) — the Spark-native analogue of the
   * reference's arbitrary-decimal-precision mpmath mode
   * (coeff_maker.py:647-671); divergences documented in SURVEY §7.4(5).
+  * Unbounded ADP mode (`adpEnabled && unbounded`) = canonical decimal
+  * STRING cells computed by the [[graft.functions.BigDecMath]] Catalyst
+  * family — `java.math.BigDecimal` arithmetic with an unbounded exponent,
+  * covering the reference's mpf 1e-30/1e30 extreme-magnitude regime that
+  * the fixed DecimalType geometry cannot represent (`+ - *` exact, `/` at
+  * `decimalPrecision` significant digits).
   */
-final case class NumericMode(adpEnabled: Boolean, decimalPrecision: Int) {
+final case class NumericMode(adpEnabled: Boolean, decimalPrecision: Int,
+                             unbounded: Boolean = false) {
   require(decimalPrecision > 0, "decimal_precision must be > 0") // F5 contract
-  /** Spark decimal cell geometry. Spark's division rule gives the result
-    * scale max(6, 38 - (p1 - s1 + s2)); a (24,12) cell keeps 14 fractional
-    * digits through division while allowing 12 integer digits. This is the
-    * documented divergence from the reference's arbitrary-exponent mpf
-    * (SURVEY §7.4(5)): the parity target is the test contract (±1e-10 and
-    * better-than-double relative error), not bit-identical mpf.
+  /** Spark decimal cell geometry (bounded ADP). Spark's division rule gives
+    * the result scale max(6, 38 - (p1 - s1 + s2)); a (24,12) cell keeps 14
+    * fractional digits through division while allowing 12 integer digits.
+    * The extreme-exponent regime beyond this geometry is covered by the
+    * unbounded mode (SURVEY §7.4(5)).
     */
   val decimalCellPrecision: Int = math.min(24, math.max(6, decimalPrecision))
   val decimalScale: Int = decimalCellPrecision / 2
+  val ubp: Boolean = adpEnabled && unbounded
   val cellType: DataType =
-    if (adpEnabled) DecimalType(decimalCellPrecision, decimalScale) else DoubleType
+    if (ubp) StringType
+    else if (adpEnabled) DecimalType(decimalCellPrecision, decimalScale)
+    else DoubleType
 }
 
 object NumericMode {
@@ -92,17 +101,25 @@ object Ingest {
   private val numericTypes: Set[DataType] =
     Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
 
-  /** Cast a single physical column to the session cell type, strictly. */
+  /** Cast a single physical column to the session cell type, strictly.
+    * Unbounded ADP additionally accepts STRING columns holding exact
+    * decimal text (the mpf-literal ingest path, e.g. "1e-30") — parsed and
+    * canonicalized by BdNorm, which raises on non-numeric content. */
   def castCell(df: DataFrame, phys: String, mode: NumericMode): Column = {
     val dt = df.schema(phys).dataType
-    val ok = numericTypes.contains(dt) || dt.isInstanceOf[DecimalType]
+    val ok = numericTypes.contains(dt) || dt.isInstanceOf[DecimalType] ||
+      (mode.ubp && dt == StringType)
     if (!ok)
       throw new IllegalArgumentException(
         s"could not convert column '$phys' of type ${dt.simpleString} to " +
           s"${mode.cellType.simpleString}: non-numeric input data " +
           "(the engine casts every cell at construction; see reference " +
           "coeff_maker.py:633-638)")
-    if (mode.adpEnabled) col(phys).cast(mode.cellType)
+    if (mode.ubp)
+      // numeric → shortest-decimal string (Spark's double→string cast),
+      // then canonicalize/parse-check; exact for every physical type
+      graft.functions.BigDec.norm(col(phys).cast(StringType))
+    else if (mode.adpEnabled) col(phys).cast(mode.cellType)
     else coalesce(col(phys).cast(DoubleType), lit(Double.NaN))
   }
 
