@@ -33,8 +33,14 @@ object Bench {
     // fully-correlated storm much less likely (pass 1 also warms the
     // shared caches, so later passes measure the warm path a user's query
     // batch actually runs).
+    // optional subset (comma-separated names): scale probes re-measure only
+    // the expensive tail instead of paying the full catalog per pass
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(o =>
+      SparkEntry.queries.view.filterKeys(o).toMap)
     def pass(tag: String): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (gc0, gct0) = gcStats()
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

@@ -2,16 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off generator: replicate sf0.1 10× (key-shifted) into /tmp/graft_sf1
-  * so headline queries can be measured at ~6M lineitem rows. Key shifts
-  * keep referential integrity: fact and dimension foreign keys shift
-  * together per replica; value columns are left untouched so data
-  * distributions (and therefore per-row work) are preserved. */
+/** One-off generator: replicate sf0.1 N× (key-shifted, default 10× into
+  * /tmp/graft_sf1) so headline queries can be measured at ~6M+ lineitem
+  * rows. Usage: runMain graft.ScaleGen [reps] [dstDir]. Key shifts keep
+  * referential integrity: fact and dimension foreign keys shift together
+  * per replica; value columns are left untouched so data distributions
+  * (and therefore per-row work) are preserved. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/graft_sf1"
-    val reps = 10
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

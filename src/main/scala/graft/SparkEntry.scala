@@ -108,6 +108,7 @@ object SparkEntry {
     "e10_fillna" -> ((s, d) => formulaQuery("qty.fillna(0) + pos", fill = false)(s, d)),
     "e11_clip" -> ((s, d) => formulaQuery("qty.clip(5, 20)")(s, d)),
     "e11_sum" -> ((s, d) => formulaQuery("qty.sum()")(s, d)),
+    "e11_cumsum" -> ((s, d) => formulaQuery("qty.cumsum()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
@@ -2827,6 +2828,15 @@ object SparkEntry {
         s"CASE WHEN q$j IS NULL THEN 0.0 ELSE LEAST(GREATEST(q$j, 5), 20) END"),
       "e11_sum" ->
         s"$W SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS c$j").mkString(", ")} FROM w",
+      // pandas skipna cumsum: a NULL-hole cell stays invalid (filled to 0
+      // by V4) but does not poison later cells; quantity sums are
+      // integer-valued, so the running double sum is exact in any engine
+      "e11_cumsum" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE coalesce(" +
+          "sum(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW), 0.0) END AS c$j").replace("$j", j.toString))
+          .mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
       // pandas skipna mean ≡ SQL avg (NULL holes excluded from both count
       // and sum); quantity sums are integer-valued → exact in any order
       "e11_mean" ->

@@ -398,6 +398,38 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val ok = vs.filter(!_.isNaN)
         CScalar(if (ok.isEmpty) Double.NaN else ok.sum / ok.length)
 
+      // `.cumsum()` (E11 long tail): pandas column-wise running sum down the
+      // index order — the row id is the engine's only ordering contract.
+      // skipna semantics: a NaN/invalid cell stays NaN/NULL in the output
+      // but does NOT poison later cells. Compiles to a running-frame window
+      // over the row id; NOTE the window is global (ordering without
+      // partitioning), so the prefix sum runs on one partition — inherent
+      // to the sequential semantics and fine at the reference's single-node
+      // scale. A 100 TB cumsum should use the two-phase distributed prefix
+      // sum instead (graft.operators.Packing's per-partition-totals
+      // pattern); this method mirrors the reference API, not the scale path.
+      case ("cumsum", CMatrix(cols, false), Nil) =>
+        if (ubp) throw new AdpUnsupportedException(
+          "'.cumsum()' is not supported in unbounded ADP mode")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(ctx.rowIdOut))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val out = mapCols(cols) { c =>
+          if (std) {
+            val running = sum(when(isnan(c), lit(null)).otherwise(c)).over(w)
+            when(isnan(c), c).otherwise(coalesce(running, lit(0.0)))
+          } else
+            // bounded decimal: NULL is the invalid marker; the window sum
+            // skips it, the cell itself stays invalid
+            when(c.isNull, c).otherwise(sum(c).over(w))
+        }
+        CMatrix(out, isBool = false)
+      case ("cumsum", CVecD(vs, ls), Nil) =>
+        var acc = 0.0
+        CVecD(vs.map { x =>
+          if (x.isNaN) Double.NaN else { acc += x; acc }
+        }, ls)
+
       // `.T` (attribute access, E11): the reference evaluates it through
       // pd.eval (SURVEY §8 probe Q8). On 1-D values (Series → ndarray,
       // reductions, scalars) numpy's .T is the IDENTITY — supported. On a
@@ -415,7 +447,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, sum, mean, T — SURVEY §2.2 E11)")
+            "(fillna, clip, pow, abs, sum, mean, cumsum, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

@@ -241,12 +241,32 @@ class FormulaEvaluatorSpec extends SparkSpec {
     assert(e.getMessage.contains("transpose"), e.getMessage)
   }
 
+  // E11 long tail: pandas column-wise running sum down the index, skipna —
+  // the NaN cell stays NaN but does not poison later cells
+  test(".cumsum() runs down the row-id order with pandas skipna semantics") {
+    golden("i.cumsum()", Seq(Seq(7, Double.NaN, 1), Seq(16, 5, 10),
+      Seq(23, 13, Double.NaN)))
+    // matches `i + i.cumsum()` composition too (window + projection fuse)
+    golden("i.cumsum() - i", Seq(Seq(0, Double.NaN, 0), Seq(7, 0, 1),
+      Seq(16, 5, Double.NaN)))
+  }
+
+  test(".cumsum() on a driver vector is a running skipna scan") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA,
+      "v" -> Vec(IndexedSeq(1.0, Double.NaN, 2.0), IndexedSeq("c0", "c1", "c2"))))
+    ev.evaluateFormula("v.cumsum()") match {
+      case VecResult(v) =>
+        assert(v.values(0) == 1.0 && v.values(1).isNaN && v.values(2) == 3.0)
+      case other => fail(s"expected vector result, got $other")
+    }
+  }
+
   test("unknown methods raise the reference's decorated type-error family") {
     val ev = new FormulaEvaluator(reg("a" -> fixA))
-    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.cumsum()"))
-    assert(e.getMessage.startsWith("Type error in formula 'a.cumsum()':"),
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.rank()"))
+    assert(e.getMessage.startsWith("Type error in formula 'a.rank()':"),
       e.getMessage)
-    assert(e.getMessage.contains("'.cumsum'"), e.getMessage)
+    assert(e.getMessage.contains("'.rank'"), e.getMessage)
   }
 
   // chained comparison end-to-end (desugars to conjunction)
