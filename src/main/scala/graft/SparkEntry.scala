@@ -1264,28 +1264,30 @@ object SparkEntry {
 
     // Q2 shape: min-cost supplier per part — a correlated scalar MIN
     // subquery over the same cost relation that feeds the outer join.
-    // Catalyst decorrelates to a per-part aggregate joined back; the cost
-    // CTE's shuffle is shared by both sides via ReuseExchange
+    // Catalyst decorrelates it to a per-part aggregate joined back (never
+    // per-row execution). The region restriction lives INSIDE the cost CTE
+    // so both consumers aggregate the already-reduced relation; the CTE
+    // still plans twice (runtime-filter injection keeps the two instances
+    // from canonicalizing equal), the inherent cost of q2's declarative
+    // form — the window-min formulation is the single-scan alternative
     "h_q2" -> ((s, d) => s.sql(
       s"""WITH cost AS (
          |  SELECT l_partkey AS pk, l_suppkey AS sk,
          |         min(l_extendedprice) AS cost
-         |  FROM parquet.`$d/lineitem.parquet` GROUP BY 1, 2)
+         |  FROM parquet.`$d/lineitem.parquet`
+         |  WHERE l_suppkey IN (
+         |    SELECT s_suppkey FROM parquet.`$d/supplier.parquet`
+         |    JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
+         |    JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+         |    WHERE r_name = 'ASIA')
+         |  GROUP BY 1, 2)
          |SELECT p_partkey, p_name, s_name, s_acctbal, cost AS supply_cost
          |FROM parquet.`$d/part.parquet`
          |JOIN cost ON p_partkey = pk
          |JOIN parquet.`$d/supplier.parquet` ON sk = s_suppkey
-         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
-         |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA' AND p_size < 5
+         |WHERE p_size < 5
          |  AND cost = (SELECT min(c2.cost) FROM cost c2
-         |              JOIN parquet.`$d/supplier.parquet` s2
-         |                ON c2.sk = s2.s_suppkey
-         |              JOIN parquet.`$d/nation.parquet` n2
-         |                ON s2.s_nationkey = n2.n_nationkey
-         |              JOIN parquet.`$d/region.parquet` r2
-         |                ON n2.n_regionkey = r2.r_regionkey
-         |              WHERE r2.r_name = 'ASIA' AND c2.pk = p_partkey)
+         |              WHERE c2.pk = p_partkey)
          |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 20""".stripMargin)),
 
     // Q9 shape (product-type profit): the 4-way fact join grouped by
@@ -2312,22 +2314,20 @@ object SparkEntry {
       s"""WITH cost AS (
          |  SELECT l_partkey AS pk, l_suppkey AS sk,
          |         min(l_extendedprice) AS cost
-         |  FROM lineitem GROUP BY 1, 2)
+         |  FROM lineitem
+         |  WHERE l_suppkey IN (
+         |    SELECT s_suppkey FROM read_parquet('$sfDir/supplier.parquet') sup
+         |    JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
+         |    JOIN read_parquet('$sfDir/region.parquet') reg ON n_regionkey = r_regionkey
+         |    WHERE r_name = 'ASIA')
+         |  GROUP BY 1, 2)
          |SELECT p_partkey, p_name, s_name, s_acctbal, cost AS supply_cost
          |FROM read_parquet('$sfDir/part.parquet') prt
          |JOIN cost ON p_partkey = pk
          |JOIN read_parquet('$sfDir/supplier.parquet') sup ON sk = s_suppkey
-         |JOIN read_parquet('$sfDir/nation.parquet') nat ON s_nationkey = n_nationkey
-         |JOIN read_parquet('$sfDir/region.parquet') reg ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA' AND p_size < 5
+         |WHERE p_size < 5
          |  AND cost = (SELECT min(c2.cost) FROM cost c2
-         |              JOIN read_parquet('$sfDir/supplier.parquet') s2
-         |                ON c2.sk = s2.s_suppkey
-         |              JOIN read_parquet('$sfDir/nation.parquet') n2
-         |                ON s2.s_nationkey = n2.n_nationkey
-         |              JOIN read_parquet('$sfDir/region.parquet') r2
-         |                ON n2.n_regionkey = r2.r_regionkey
-         |              WHERE r2.r_name = 'ASIA' AND c2.pk = p_partkey)
+         |              WHERE c2.pk = p_partkey)
          |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 20""".stripMargin
     val hQ9 =
       s"""SELECT n_name AS nation, year(CAST(l_shipdate AS DATE)) AS o_year,

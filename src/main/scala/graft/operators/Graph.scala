@@ -52,23 +52,27 @@ object Graph {
     val withDeg = edges.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices.select(col("id"), lit(Scale / n).as("__rp"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("__rp div __odeg").as("__c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      // pin each round (the Dedup.duplicateGroups pattern): without the
-      // cut, the logical plan deepens by a join+agg per iteration and a
-      // long run re-plans a compounding DAG; the checkpointed frame is a
-      // flat (id, long) relation whose ACTUAL size feeds later join stats
-      ranks = vertices.join(sums, vertices("id") === sums("dst"), "left")
+      val next = vertices.join(sums, vertices("id") === sums("dst"), "left")
         .select(vertices("id"),
           (lit(baseP) + expr(s"(coalesce(__s, 0L) * $dampNum) div 100"))
             .as("__rp"))
-        .localCheckpoint()
+      // pin every 4th round (the Dedup.duplicateGroups pattern): without a
+      // cut the logical plan deepens by a join+agg per iteration and a
+      // long run re-plans a compounding DAG; the checkpointed frame is a
+      // flat (id, long) relation whose ACTUAL size feeds later join stats.
+      // Pinning EVERY round paid an eager materialization job per
+      // iteration — 4.6× on the 3-iteration benchmark — so short runs
+      // stay one lazy chain and only long runs amortize the cuts
+      ranks = if (i % 4 == 0) next.localCheckpoint() else next
     }
-    // the final ranks frame is materialized above and no longer reaches
-    // through withDeg's lineage — release the cached edge join
-    withDeg.unpersist(blocking = false)
+    // release the cached edge join once the final ranks no longer reach
+    // through its lineage (last round pinned); otherwise it stays cached
+    // for the consumer's first job — the price of keeping short runs lazy
+    if (iters % 4 == 0) withDeg.unpersist(blocking = false)
     ranks.select(col("id"),
       (col("__rp").cast(DoubleType) / lit(Scale.toDouble)).as("rank"))
   }
