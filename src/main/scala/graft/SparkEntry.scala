@@ -109,6 +109,8 @@ object SparkEntry {
     "e11_clip" -> ((s, d) => formulaQuery("qty.clip(5, 20)")(s, d)),
     "e11_sum" -> ((s, d) => formulaQuery("qty.sum()")(s, d)),
     "e11_cumsum" -> ((s, d) => formulaQuery("qty.cumsum()")(s, d)),
+    "e11_cummax" -> ((s, d) => formulaQuery("qty.cummax()")(s, d)),
+    "e11_rank" -> ((s, d) => formulaQuery("qty.rank()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
@@ -2831,6 +2833,23 @@ object SparkEntry {
       // pandas skipna cumsum: a NULL-hole cell stays invalid (filled to 0
       // by V4) but does not poison later cells; quantity sums are
       // integer-valued, so the running double sum is exact in any engine
+      // running max with the same skipna contract (SQL max skips NULLs);
+      // a leading all-NULL prefix is NaN in pandas -> filled 0 by V4
+      "e11_cummax" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE coalesce(" +
+          "max(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW), 0.0) END AS c$j").replace("$j", j.toString))
+          .mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      // pandas rank(method='average', ascending): ties share the average
+      // of their positions = rank + (tie_count-1)/2; NaN cells excluded
+      // from the ranking (and filled 0 by V4). Value-based -> exact ties
+      "e11_rank" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
+          "rank() OVER (ORDER BY q$j NULLS LAST) + " +
+          "(count(q$j) OVER (PARTITION BY q$j) - 1) / 2.0 END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
       "e11_cumsum" -> (s"$W SELECT __row_id__, " +
         J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE coalesce(" +
           "sum(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +

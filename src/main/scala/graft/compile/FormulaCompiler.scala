@@ -408,26 +408,65 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // scale. A 100 TB cumsum should use the two-phase distributed prefix
       // sum instead (graft.operators.Packing's per-partition-totals
       // pattern); this method mirrors the reference API, not the scale path.
-      case ("cumsum", CMatrix(cols, false), Nil) =>
+      case (cm @ ("cumsum" | "cummax" | "cummin"), CMatrix(cols, false), Nil) =>
         if (ubp) throw new AdpUnsupportedException(
-          "'.cumsum()' is not supported in unbounded ADP mode")
+          s"'.$cm()' is not supported in unbounded ADP mode")
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col(ctx.rowIdOut))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val agg: Column => Column = cm match {
+          case "cumsum" => sum(_); case "cummax" => max(_); case "cummin" => min(_)
+        }
         val out = mapCols(cols) { c =>
           if (std) {
-            val running = sum(when(isnan(c), lit(null)).otherwise(c)).over(w)
-            when(isnan(c), c).otherwise(coalesce(running, lit(0.0)))
+            val running = agg(when(isnan(c), lit(null)).otherwise(c)).over(w)
+            // cumsum of a leading-NaN prefix is 0 in pandas only for sum
+            // (empty sum = 0); cummax/cummin stay NaN until a real value
+            val empty = if (cm == "cumsum") lit(0.0) else litOf(Double.NaN)
+            when(isnan(c), c).otherwise(coalesce(running, empty))
           } else
-            // bounded decimal: NULL is the invalid marker; the window sum
+            // bounded decimal: NULL is the invalid marker; the window agg
             // skips it, the cell itself stays invalid
-            when(c.isNull, c).otherwise(sum(c).over(w))
+            when(c.isNull, c).otherwise(agg(c).over(w))
         }
         CMatrix(out, isBool = false)
-      case ("cumsum", CVecD(vs, ls), Nil) =>
-        var acc = 0.0
+      case (cm @ ("cumsum" | "cummax" | "cummin"), CVecD(vs, ls), Nil) =>
+        val combine: (Double, Double) => Double = cm match {
+          case "cumsum" => _ + _; case "cummax" => math.max; case "cummin" => math.min
+        }
+        var acc = Double.NaN
         CVecD(vs.map { x =>
-          if (x.isNaN) Double.NaN else { acc += x; acc }
+          if (x.isNaN) Double.NaN
+          else { acc = if (acc.isNaN) x else combine(acc, x); acc }
+        }, ls)
+
+      // `.rank()` (E11 long tail): pandas column-wise average rank
+      // (method='average', ascending, NaN excluded and returned as NaN).
+      // Two value-ordered windows per column — rank over non-null values
+      // (ties share the smallest position) plus the tie-group size, giving
+      // average = rank + (ties-1)/2. Deterministic: value-based, no
+      // arbitrary-order dependence. Same global-window caveat as cumsum.
+      case ("rank", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.rank()' is not supported in ADP mode")
+        val out = mapCols(cols) { c =>
+          val cNull = when(isnan(c), lit(null)).otherwise(c)
+          val byVal = org.apache.spark.sql.expressions.Window
+            .orderBy(cNull.asc_nulls_last)
+          val ties = org.apache.spark.sql.expressions.Window.partitionBy(cNull)
+          val avgRank = rank().over(byVal).cast("double") +
+            (count(cNull).over(ties).cast("double") - 1.0) / 2.0
+          when(isnan(c), c).otherwise(avgRank)
+        }
+        CMatrix(out, isBool = false)
+      case ("rank", CVecD(vs, ls), Nil) =>
+        val ok = vs.filter(!_.isNaN).sorted
+        CVecD(vs.map { x =>
+          if (x.isNaN) Double.NaN
+          else {
+            val first = ok.indexWhere(_ == x); val last = ok.lastIndexWhere(_ == x)
+            (first + last) / 2.0 + 1.0
+          }
         }, ls)
 
       // `.T` (attribute access, E11): the reference evaluates it through
@@ -447,7 +486,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, sum, mean, cumsum, T — SURVEY §2.2 E11)")
+            "(fillna, clip, pow, abs, sum, mean, cumsum, cummax, cummin, " +
+            "rank, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

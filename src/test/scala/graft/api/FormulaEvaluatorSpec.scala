@@ -251,6 +251,19 @@ class FormulaEvaluatorSpec extends SparkSpec {
       Seq(16, 5, Double.NaN)))
   }
 
+  test(".cummax()/.cummin() run down the rows with skipna semantics") {
+    golden("i.cummax()", Seq(Seq(7, Double.NaN, 1), Seq(9, 5, 9),
+      Seq(9, 8, Double.NaN)))
+    golden("i.cummin()", Seq(Seq(7, Double.NaN, 1), Seq(7, 5, 1),
+      Seq(7, 5, Double.NaN)))
+  }
+
+  test(".rank() is the pandas average rank per column, NaN excluded") {
+    // i = [[7,NaN,1],[9,5,9],[7,8,NaN]]: c0 has a tie at 7 -> (1+2)/2
+    golden("i.rank()", Seq(Seq(1.5, Double.NaN, 1), Seq(3, 1, 2),
+      Seq(1.5, 2, Double.NaN)))
+  }
+
   test(".cumsum() on a driver vector is a running skipna scan") {
     val ev = new FormulaEvaluator(reg("a" -> fixA,
       "v" -> Vec(IndexedSeq(1.0, Double.NaN, 2.0), IndexedSeq("c0", "c1", "c2"))))
@@ -263,10 +276,10 @@ class FormulaEvaluatorSpec extends SparkSpec {
 
   test("unknown methods raise the reference's decorated type-error family") {
     val ev = new FormulaEvaluator(reg("a" -> fixA))
-    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.rank()"))
-    assert(e.getMessage.startsWith("Type error in formula 'a.rank()':"),
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.cumprod()"))
+    assert(e.getMessage.startsWith("Type error in formula 'a.cumprod()':"),
       e.getMessage)
-    assert(e.getMessage.contains("'.rank'"), e.getMessage)
+    assert(e.getMessage.contains("'.cumprod'"), e.getMessage)
   }
 
   // chained comparison end-to-end (desugars to conjunction)
