@@ -155,7 +155,8 @@ final class CoefficientCalculator(
     fillInvalid: Boolean = false,
     verbose: Boolean = false,
     chainResults: Boolean = false,
-    parallelism: Int = 4) {
+    parallelism: Int = 4,
+    unboundedExponent: Boolean = false) {
 
   // F6: mandatory-column validation (KeyError analogue, coeff_maker.py:938-954)
   locally {
@@ -168,7 +169,7 @@ final class CoefficientCalculator(
   }
 
   val evaluator = new FormulaEvaluator(dataDict, adpEnabled, decimalPrecision,
-                                       fillInvalid, verbose)
+                                       fillInvalid, verbose, unboundedExponent)
 
   /** S4 sink: write every computed coefficient to `outDir/<name>` parquet
     * (the reference returns an in-memory dict and writes nothing; at scale
@@ -226,7 +227,7 @@ final class CoefficientCalculator(
           if (chainResults) asNamedData(result).foreach { nd =>
             dict = dict + (name -> nd)
             ev = new FormulaEvaluator(dict, adpEnabled, decimalPrecision,
-              fillInvalid, verbose)
+              fillInvalid, verbose, unboundedExponent)
           }
         }
       }
@@ -260,7 +261,7 @@ final class CoefficientCalculator(
         (name, formula, pool.submit(new java.util.concurrent.Callable[EvalResult] {
           def call(): EvalResult =
             new FormulaEvaluator(dataDict, adpEnabled, decimalPrecision,
-              fillInvalid, verbose).evaluateFormula(formula)
+              fillInvalid, verbose, unboundedExponent).evaluateFormula(formula)
         }))
       }
       var out = scala.collection.immutable.ListMap.empty[String, EvalResult]
