@@ -160,20 +160,40 @@ object QueryCatalog {
     * of every physical timestamp encoding the driver has shipped:
     * TIMESTAMP(NANOS) (readable only as LongType under the legacy
     * nanosAsLong flag — truncated ns→µs), TIMESTAMP(MICROS) (Spark 4 reads
-    * it as TIMESTAMP_NTZ), or a tz-aware TIMESTAMP. The NTZ branch diffs
-    * against the NTZ epoch literal, so it is session-timezone-free — the
-    * exact integer µs DuckDB's epoch_us(ts) computes on the same file. */
-  def eventsWithTu(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val tu = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
-      case TimestampNTZType =>
-        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-      case _ => unix_micros(col("ts"))
-    }
-    raw.withColumn("tu", tu)
-  }
+    * it as TIMESTAMP_NTZ), or a tz-aware TIMESTAMP.
+    *
+    * Fast path for the µs encoding: parquet stores it as plain INT64, so a
+    * user-schema read with `ts: LongType` yields raw epoch-µs with ZERO
+    * per-row conversion — `tu` rides the scan for free. Because Spark's
+    * schema can't distinguish MICROS from MILLIS (both read TIMESTAMP_NTZ),
+    * a one-row min() cross-check against the session-timezone-free NTZ
+    * epoch-diff guards the unit before trusting the raw read; on mismatch
+    * (a millis file) the compiled timestampdiff projection is used instead.
+    * The decision (and the frame) is cached per (session, data dir). */
+  private val evCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def eventsWithTu(spark: SparkSession, sfDir: String): DataFrame =
+    evCache.getOrElseUpdate((spark, sfDir), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("tu", expr("ts div 1000"))
+        case TimestampNTZType =>
+          val ntzUs =
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          val longSchema = StructType(raw.schema.map(f =>
+            if (f.name == "ts") StructField("ts", LongType, f.nullable) else f))
+          val asLong = spark.read.schema(longSchema).parquet(path)
+          val rawMin = asLong.agg(min(col("ts"))).head()
+          val ntzMin = raw.agg(min(ntzUs)).head()
+          if (!rawMin.isNullAt(0) && !ntzMin.isNullAt(0) &&
+              rawMin.getLong(0) == ntzMin.getLong(0))
+            asLong.withColumn("tu", col("ts"))
+          else raw.withColumn("tu", ntzUs)
+        case _ => raw.withColumn("tu", unix_micros(col("ts")))
+      }
+    })
 
   /** Portable 32-slot minhash signatures, shared by the three dedup queries
     * (signature computation is the dominant cost of the LSH pipeline; the
