@@ -107,6 +107,24 @@ object Demo {
       case other => println(other)
     }
 
+    println("== unbounded ADP: BigDecimal cells, mpf extreme-magnitude regime ==")
+    val ubpMat = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("__row_id__", LongType),
+        StructField("c0", StringType)))
+      graft.model.Matrix.of(spark.createDataFrame(java.util.List.of(
+        Row(0L, "1e-30"), Row(1L, "1e30")), schema), "__row_id__", Seq("c0"))
+    }
+    val evUbp = new graft.api.FormulaEvaluator(
+      Map("x" -> ubpMat), adpEnabled = true, decimalPrecision = 50,
+      unboundedExponent = true)
+    evUbp.evaluateFormula("x * x + x") match {
+      case MatrixResult(d, r, _, _) =>
+        println("x*x + x over {1e-30, 1e30} (exact, DecimalType can't hold either):")
+        d.orderBy(col(r)).show(false)
+      case other => println(other)
+    }
+
     println("== pipeline operators: near-dup groups over documents ==")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val ndPairs = graft.operators.Dedup.minhashLsh(docs, threshold = 0.2)
