@@ -1,0 +1,71 @@
+package graft
+
+/** Plan-shape assertions for the correlated-subquery TPC-H sweep
+  * (h_q2 / h_q11 / h_q20 / h_q21): Catalyst must DECORRELATE every
+  * subquery into joins + aggregates — never per-row re-execution, never
+  * a cartesian/nested-loop fallback. These four cover the classic
+  * decorrelation families:
+  *   - q2: correlated scalar MIN over the outer key (equality) →
+  *     per-key aggregate joined back (RewriteCorrelatedScalarSubquery)
+  *   - q11: uncorrelated scalar HAVING threshold → one-shot subquery
+  *     (executed once, reused — never per-row)
+  *   - q20: IN over a relation filtered by a correlated scalar → left-semi
+  *     join over the decorrelated aggregate
+  *   - q21: EXISTS + NOT EXISTS with non-equi residuals → left-semi +
+  *     left-anti equi-joins on the correlation key
+  * At 100 TB a regression to a nested-loop shape is the difference
+  * between minutes and forever, so the shape is pinned here.
+  */
+class TpchPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def assertNoPerRowShapes(name: String, plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$name: cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name: nested-loop join in plan (subquery not decorrelated?):\n$plan")
+  }
+
+  test("h_q2: correlated scalar MIN decorrelates to aggregate + equi-join") {
+    val plan = physical("h_q2")
+    assertNoPerRowShapes("h_q2", plan)
+    // the min-cost-per-part subquery must appear as a grouped aggregate
+    // joined back on the part key — at least the two cost aggregates plus
+    // the join tree, all hash-based
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"h_q2: expected decorrelated per-part aggregates:\n$plan")
+    assert("Join".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("h_q11: HAVING threshold is a one-shot scalar subquery, not per-row") {
+    val plan = physical("h_q11")
+    assertNoPerRowShapes("h_q11", plan)
+    // uncorrelated scalar subquery: planned as a separate one-shot subquery
+    // stage feeding a filter — visible as Subquery/ReusedSubquery, never a
+    // join per outer row
+    assert(plan.contains("Subquery"),
+      s"h_q11: expected one-shot scalar subquery stage:\n$plan")
+  }
+
+  test("h_q20: IN + nested correlated scalar plans as left-semi over aggregate") {
+    val plan = physical("h_q20")
+    assertNoPerRowShapes("h_q20", plan)
+    assert(plan.contains("LeftSemi"),
+      s"h_q20: IN subquery must plan as a left-semi join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"h_q20: correlated per-part total must decorrelate to an aggregate:\n$plan")
+  }
+
+  test("h_q21: EXISTS/NOT EXISTS plan as semi/anti equi-joins") {
+    val plan = physical("h_q21")
+    assertNoPerRowShapes("h_q21", plan)
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"h_q21: EXISTS must plan as a semi/existence join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"h_q21: NOT EXISTS must plan as an anti join:\n$plan")
+  }
+}
