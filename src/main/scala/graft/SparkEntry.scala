@@ -1409,6 +1409,22 @@ object SparkEntry {
          |                    AND l3.l_returnflag = 'R')
          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
 
+    // ---- data layout (z-order clustering — the 100 TB scan-pruning
+    //      lever): the Morton key is a pure shift/mask projection (codegen,
+    //      zero shuffle); the reports are single hash aggregates. lay_zorder
+    //      dumps the per-file min/max extents a scan planner prunes on;
+    //      lay_prune quantifies the win: files/rows surviving min-max
+    //      pruning for a 10%-per-dim box under the z layout vs a 1-D sort
+    //      at the same file count ----
+    "lay_zorder" -> ((s, d) =>
+      Layout.fileExtents(eventsWithTu(s, d).select("user_id", "event_id"),
+          "user_id", "event_id", bits = 8, fileShift = 8)
+        .orderBy(col("file_id"))),
+    "lay_prune" -> ((s, d) =>
+      Layout.pruneStats(eventsWithTu(s, d).select("user_id", "event_id"),
+        "user_id", "event_id", bits = 8, fileShift = 8,
+        boxNum = 1, boxDen = 10)),
+
     // ---- deterministic sampling (portable hash order, no rand(): the
     //      sample is reproducible across runs/engines/partitionings and the
     //      Bernoulli forms are pure scan-stage filters — zero shuffle) ----
@@ -2419,7 +2435,68 @@ object SparkEntry {
          |                    AND l3.l_suppkey <> l1.l_suppkey
          |                    AND l3.l_returnflag = 'R')
          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+    // Morton interleave, unrolled to plain bit ops (bit i of bx → 2i,
+    // bit i of by → 2i+1) — the exact mirror of Layout.interleaveBits
+    def zInterleaveSql(bx: String, by: String, bits: Int): String =
+      (0 until bits).flatMap(i => Seq(
+        s"(($bx & ${1L << i}) << $i)",
+        s"(($by & ${1L << i}) << ${i + 1})")).mkString(" | ")
+    // equi-width 8-bit bucket, binary64-exact (mirror of Layout.eqWidthBucket)
+    def bucketSql(x: String, lo: String, hi: String): String =
+      s"CAST(floor((($x - $lo) * 256.0) / CAST($hi - $lo + 1 AS DOUBLE)) AS BIGINT)"
+    val layKeyed =
+      s"""b AS (SELECT min(user_id) AS lo_x, max(user_id) AS hi_x,
+         |             min(event_id) AS lo_y, max(event_id) AS hi_y
+         |      FROM read_parquet('$sfDir/events.parquet')),
+         |k AS (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y,
+         |             ${zInterleaveSql("bxe", "bye", 8)} AS z, bye
+         |      FROM (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y,
+         |              ${bucketSql("user_id", "lo_x", "hi_x")} AS bxe,
+         |              ${bucketSql("event_id", "lo_y", "hi_y")} AS bye
+         |            FROM read_parquet('$sfDir/events.parquet'), b))""".stripMargin
+    val layZorder =
+      s"""WITH $layKeyed
+         |SELECT z >> 8 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(user_id) AS x_lo, max(user_id) AS x_hi,
+         |       min(event_id) AS y_lo, max(event_id) AS y_hi
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+    val layPrune = {
+      // centered 10%-per-dim box, integer-exact: lo + span·4/10 .. lo + span·5/10
+      val boxed =
+        s"""kb AS (SELECT *,
+           |         lo_x + ((hi_x - lo_x + 1) * 4) // 10 AS bx_lo,
+           |         lo_x + ((hi_x - lo_x + 1) * 5) // 10 AS bx_hi,
+           |         lo_y + ((hi_y - lo_y + 1) * 4) // 10 AS by_lo,
+           |         lo_y + ((hi_y - lo_y + 1) * 5) // 10 AS by_hi,
+           |         z >> 8 AS zfile, bye AS lfile
+           |       FROM k)""".stripMargin
+      def fileAgg(fileCol: String, name: String, suffix: String) =
+        s"""$name AS (SELECT CAST(count(*) AS BIGINT) AS n_files_$suffix,
+           |  CAST(sum(CASE WHEN x_hi >= bx_lo AND x_lo <= bx_hi
+           |                 AND y_hi >= by_lo AND y_lo <= by_hi
+           |            THEN 1 ELSE 0 END) AS BIGINT) AS files_kept_$suffix,
+           |  CAST(sum(CASE WHEN x_hi >= bx_lo AND x_lo <= bx_hi
+           |                 AND y_hi >= by_lo AND y_lo <= by_hi
+           |            THEN n ELSE 0 END) AS BIGINT) AS rows_kept_$suffix
+           |  FROM (SELECT $fileCol, count(*) AS n,
+           |          min(user_id) AS x_lo, max(user_id) AS x_hi,
+           |          min(event_id) AS y_lo, max(event_id) AS y_hi,
+           |          min(bx_lo) AS bx_lo, min(bx_hi) AS bx_hi,
+           |          min(by_lo) AS by_lo, min(by_hi) AS by_hi
+           |        FROM kb GROUP BY 1))""".stripMargin
+      s"""WITH $layKeyed,
+         |$boxed,
+         |${fileAgg("zfile", "za", "z")},
+         |${fileAgg("lfile", "la", "lin")},
+         |ex AS (SELECT CAST(sum(CASE WHEN user_id BETWEEN bx_lo AND bx_hi
+         |                             AND event_id BETWEEN by_lo AND by_hi
+         |                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+         |       FROM kb)
+         |SELECT * FROM za, la, ex""".stripMargin
+    }
     Map(
+      "lay_zorder" -> layZorder,
+      "lay_prune" -> layPrune,
       "h_q1" -> hQ1,
       "h_q2" -> hQ2,
       "h_q3" -> hQ3,
