@@ -1431,6 +1431,11 @@ object SparkEntry {
     "smp_bern" -> ((s, d) =>
       Sampling.sample(docs(s, d), "doc_id", 0.25)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // deterministic global shuffle (training-order permutation) with
+    // materialized contiguous positions — two-phase distributed prefix,
+    // never a single-partition row_number window
+    "smp_shuffle" -> ((s, d) =>
+      Sampling.shuffleOrder(docs(s, d), "doc_id").orderBy(col("doc_id"))),
     "smp_strat" -> ((s, d) =>
       Sampling.stratified(docs(s, d), "lang", "doc_id",
           Map("en" -> 0.1, "zh" -> 0.5), default = 1.0)
@@ -2555,6 +2560,9 @@ object SparkEntry {
            |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
       "smp_bern" ->
         s"SELECT doc_id FROM documents WHERE ${hashU("doc_id")} < 0.25 ORDER BY doc_id",
+      "smp_shuffle" ->
+        (s"SELECT doc_id, row_number() OVER (ORDER BY ${mdInt("'42:' || doc_id")}, doc_id) - 1 AS pos " +
+          "FROM documents ORDER BY doc_id"),
       "smp_strat" ->
         (s"SELECT doc_id, lang FROM documents WHERE ${hashU("doc_id")} < " +
           "CASE WHEN lang = 'en' THEN 0.1 WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END " +

@@ -232,4 +232,45 @@ object Sampling {
       .withColumn("keep", col("score_tok").cast(dec) * col("__n") > col("__s"))
       .drop("__s", "__n")
   }
+
+  /** Deterministic global shuffle with MATERIALIZED positions: every row
+    * gets its contiguous 0-based rank in the portable-hash order
+    * (h = md5_long60("seed:id"), id tiebreak) — the training-order
+    * permutation a pretraining run writes out once and replays.
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY h)` collapses the
+    * corpus into ONE window partition; this runs the same two-phase
+    * distributed prefix as [[Packing.packContiguous]] instead — range
+    * partition + in-partition sort (one shuffle), per-partition COUNTS
+    * (nParts rows) collected and scanned into base offsets, then a second
+    * fully-parallel pass. The permutation is partition-boundary-independent
+    * (global rank by (h, id)), so it is stable across cluster sizes,
+    * retries and engines. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("h", ArrayOps.md5_long60(
+        concat(lit(s"$seed:"), col("id").cast("string"))))
+      .repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .as[(Long, Long)]
+    val counts = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      Iterator.single((pid, it.size.toLong))
+    }.collect().toMap
+    val nParts = keyed.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var pos = bc.value(pid)
+      it.map { case (id, _) =>
+        val p = pos; pos += 1; (id, p)
+      }
+    }.toDF(idCol, "pos")
+  }
 }

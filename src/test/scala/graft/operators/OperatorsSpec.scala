@@ -623,6 +623,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("b", 7L)) == ((1L, 5.0)))
   }
 
+  test("shuffleOrder: contiguous permutation, partition-invariant, window-free") {
+    def posMap(in: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sampling.shuffleOrder(in, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1 = posMap(docs)
+    // exactly the positions 0..n-1, each once
+    assert(p1.values.toSeq.sorted == (0L until docs.count()).toSeq)
+    // the permutation is a pure function of (seed, id): repartitioning the
+    // input must not move anything (retry/cluster-size stability)
+    assert(posMap(docs.repartition(7)) == p1)
+    assert(posMap(docs.coalesce(1)) == p1)
+    // scale shape: no window operator anywhere (the naive row_number form
+    // would single-partition the corpus)
+    val plan = Sampling.shuffleOrder(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in shuffleOrder:\n$plan")
+  }
+
   test("temperatureMixture: flattens the mix toward small strata, hits budget") {
     val schema = StructType(Seq(StructField("src", StringType),
       StructField("id", LongType)))
