@@ -257,6 +257,11 @@ object Sampling {
       .repartitionByRange(parts, col("h"), col("id"))
       .sortWithinPartitions(col("h"), col("id"))
       .as[(Long, Long)]
+      // two passes read this frame (counts, then positions) and
+      // repartitionByRange adds a bounds-sampling job on top — pin the
+      // sorted frame once (the duplicateGroups/DSIR pattern) so the hash +
+      // exchange + sort run exactly once
+      .localCheckpoint()
     val counts = keyed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       Iterator.single((pid, it.size.toLong))
