@@ -72,6 +72,46 @@ class LayoutSpec extends SparkSpec {
     assert(eZ < eBase / 2.0, s"event_id extent did not narrow: $eZ vs $eBase")
   }
 
+  test("z-ordered parquet prunes at the REAL reader: scan emits a fraction of the rows") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_id")
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("event_id"), max("event_id")).head()
+    def box(lo: Long, hi: Long) =
+      (lo + (hi - lo + 1) * 4 / 10, lo + (hi - lo + 1) * 5 / 10)
+    val (buLo, buHi) = box(b.getLong(0), b.getLong(1))
+    val (beLo, beHi) = box(b.getLong(2), b.getLong(3))
+    val tmp = java.nio.file.Files.createTempDirectory("zlay").toString
+    Layout.zorderLayout(ev, "user_id", "event_id", 8, 16)
+      .write.parquet(s"$tmp/z")
+    ev.repartition(16).write.parquet(s"$tmp/r")
+    // rows the parquet reader actually materializes = rows in row groups /
+    // pages surviving min-max skipping (per-row filtering happens later,
+    // in the Filter node — scan numOutputRows isolates the layout effect)
+    def scanRows(plan: org.apache.spark.sql.execution.SparkPlan): Long =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanRows(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+        case p => p.children.map(scanRows).sum
+      }
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(
+        col("user_id").between(buLo, buHi) &&
+          col("event_id").between(beLo, beHi))
+      val matched = df.collect().length.toLong
+      (scanRows(df.queryExecution.executedPlan), matched)
+    }
+    val (zScan, zMatch) = scanned(s"$tmp/z")
+    val (rScan, rMatch) = scanned(s"$tmp/r")
+    assert(zMatch == rMatch, "both layouts must return identical results")
+    // random layout: every file spans both full ranges → nothing skips.
+    // z layout: only the files whose z-range intersects the box survive.
+    assert(zScan < rScan / 2,
+      s"z layout must let the reader skip most row groups: z=$zScan r=$rScan")
+  }
+
   test("pruneStats: z layout strictly dominates the 1-D sort on a box predicate") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select("user_id", "event_id")
