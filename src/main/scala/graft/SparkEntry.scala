@@ -711,6 +711,43 @@ object SparkEntry {
             col("kth_hash").cast("double"), 4))
     }),
 
+    // KMV set operations ACROSS corpora: per-source min-k sketches in ONE
+    // grouped aggregate, then union / Jaccard / intersection estimates by
+    // pure array algebra on the two k-long sketches (Beyer et al., SIGMOD
+    // 2007 — the min-k union sample is a uniform sample of the true
+    // union). At 100 TB this estimates cross-corpus overlap with NO join
+    // between the corpora: each side ships k longs per partition through
+    // one shuffle, the combine is O(k log k) on a single row
+    "agg_setsk" -> ((s, d) => {
+      val k = 512
+      val hash = graft.functions.ArrayOps.md5_long60(
+        concat(lit("0:"), col("sh")))
+      val sk = docs(s, d).filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode_outer(graft.functions.ArrayOps
+            .word_shingles(split(col("text"), " "), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(graft.functions.Sketches.kmin_values(hash, k).as("mins"))
+        // pivot the two sketch rows into one row (array max = the single
+        // non-null per branch) — no second pass over the corpus
+        .agg(max(when(col("source") === "src0", col("mins"))).as("am"),
+          max(when(col("source") === "src1", col("mins"))).as("bm"))
+      sk.select(col("am"), col("bm"),
+          slice(array_sort(array_union(col("am"), col("bm"))), 1, k).as("u"))
+        .select(
+          element_at(col("u"), k).as("kth"),
+          size(array_intersect(array_intersect(col("u"), col("am")),
+            col("bm"))).cast("long").as("n_both"))
+        .select(
+          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth").cast("double"), 4).as("est_union"),
+          round(col("n_both").cast("double") / lit(k.toDouble), 6)
+            .as("est_jaccard"),
+          round((col("n_both").cast("double") / lit(k.toDouble)) *
+            (lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+              col("kth").cast("double")), 4).as("est_inter"))
+    }),
+
     // HyperLogLog distinct-count (m = 64 registers) as a plain two-level
     // aggregate: bucket = h % m, register = max "rank" where rank is pure
     // INTEGER arithmetic — 55 − MSB position via length(bin(h div m)) —
@@ -2831,6 +2868,32 @@ object SparkEntry {
            |       round(1023.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
            |         AS est_distinct
            |FROM mins""".stripMargin,
+      // KMV set-ops mirror: per-source DISTINCT-ORDER-LIMIT min-k sets,
+      // union sample re-limited to k, then the same double formulas with
+      // identical association order
+      "agg_setsk" ->
+        s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |              FROM documents WHERE source IN ('src0', 'src1')),
+           |sh AS (SELECT source, unnest($shingleList) AS s FROM toks),
+           |ha AS (SELECT DISTINCT ${mdInt("'0:' || s")} AS h FROM sh
+           |       WHERE source = 'src0' ORDER BY h LIMIT 512),
+           |hb AS (SELECT DISTINCT ${mdInt("'0:' || s")} AS h FROM sh
+           |       WHERE source = 'src1' ORDER BY h LIMIT 512),
+           |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           |      ORDER BY h LIMIT 512),
+           |st AS (SELECT max(h) AS kth,
+           |         CAST(sum(CASE WHEN h IN (SELECT h FROM ha)
+           |                        AND h IN (SELECT h FROM hb)
+           |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+           |       FROM u)
+           |SELECT
+           |  round(511.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+           |    AS est_union,
+           |  round(CAST(n_both AS DOUBLE) / 512.0, 6) AS est_jaccard,
+           |  round((CAST(n_both AS DOUBLE) / 512.0) *
+           |        (511.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)), 4)
+           |    AS est_inter
+           |FROM st""".stripMargin,
       // HLL mirror: registers recomputed from the distinct hash domain
       // with the same integer rank (55 - MSB position via bin-string
       // length); the harmonic sum is an exact integer picoweight sum

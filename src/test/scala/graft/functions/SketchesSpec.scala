@@ -24,6 +24,32 @@ class SketchesSpec extends SparkSpec {
     assert(mink(vs, 8, 5) == (1L to 8L))
   }
 
+  test("KMV set operations track exact cross-source overlap (agg_setsk)") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("agg_setsk")(spark, sf).head()
+    val estUnion = r.getAs[Double]("est_union")
+    val estJac = r.getAs[Double]("est_jaccard")
+    val estInter = r.getAs[Double]("est_inter")
+    // exact truth: distinct shingle sets per source, collected (sf0.001
+    // has ~1.3k shingles per source — test-only driver work)
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(graft.functions.ArrayOps
+        .word_shingles(split(col("text"), " "), 3)).as("sh"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    val a = sets("src0"); val b = sets("src1")
+    val trueUnion = (a ++ b).size.toDouble
+    val trueJac = (a & b).size.toDouble / trueUnion
+    // k=512 over a ~2.5k union: stderr ≈ 1/√512 ≈ 4.4%; 15% is generous
+    assert(math.abs(estUnion - trueUnion) / trueUnion < 0.15,
+      s"union: est $estUnion vs true $trueUnion")
+    assert(math.abs(estJac - trueJac) < 0.1,
+      s"jaccard: est $estJac vs true $trueJac")
+    assert(math.abs(estInter - trueJac * trueUnion) <
+      0.25 * trueUnion, s"inter: est $estInter vs true ${trueJac * trueUnion}")
+  }
+
   test("partition-independent: same sketch at 1, 3, 17 partitions") {
     val vs = (0 until 5000).map(i => (i * 2654435761L) % 100000L)
     val sketches = Seq(1, 3, 17).map(p => mink(vs, 64, p))
