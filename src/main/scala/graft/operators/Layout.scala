@@ -116,22 +116,34 @@ object Layout {
       .withColumn("inbox",
         (col(dimX) >= col("bx_lo") && col(dimX) <= col("bx_hi") &&
           col(dimY) >= col("by_lo") && col(dimY) <= col("by_hi")).cast("long"))
+    // ONE corpus scan: collapse to the (zfile × lfile) cell grid first
+    // (≤ 2^(2·bits−fileShift) · 2^(2·bits−fileShift) tiny rows), pin it,
+    // and derive both layouts' file statistics plus the exact match count
+    // by re-aggregating the grid — never re-scanning the input
+    val cells = keyed.groupBy(col("zfile"), col("lfile"))
+      .agg(count(lit(1)).as("n"),
+        min(col(dimX)).as("x_lo"), max(col(dimX)).as("x_hi"),
+        min(col(dimY)).as("y_lo"), max(col(dimY)).as("y_hi"),
+        sum(col("inbox")).as("nin"),
+        // box bounds are constant per row; carry one copy per cell
+        min(col("bx_lo")).as("bx_lo"), min(col("bx_hi")).as("bx_hi"),
+        min(col("by_lo")).as("by_lo"), min(col("by_hi")).as("by_hi"))
+      .localCheckpoint()
     def layoutAgg(fileCol: String, suffix: String) = {
       val survives =
         col("x_hi") >= col("bx_lo") && col("x_lo") <= col("bx_hi") &&
           col("y_hi") >= col("by_lo") && col("y_lo") <= col("by_hi")
-      keyed.groupBy(col(fileCol))
-        .agg(count(lit(1)).as("n"),
-          min(col(dimX)).as("x_lo"), max(col(dimX)).as("x_hi"),
-          min(col(dimY)).as("y_lo"), max(col(dimY)).as("y_hi"),
-          // box bounds are constant per row; carry one copy per file
+      cells.groupBy(col(fileCol))
+        .agg(sum(col("n")).as("n"),
+          min(col("x_lo")).as("x_lo"), max(col("x_hi")).as("x_hi"),
+          min(col("y_lo")).as("y_lo"), max(col("y_hi")).as("y_hi"),
           min(col("bx_lo")).as("bx_lo"), min(col("bx_hi")).as("bx_hi"),
           min(col("by_lo")).as("by_lo"), min(col("by_hi")).as("by_hi"))
         .agg(count(lit(1)).as(s"n_files_$suffix"),
           sum(when(survives, 1L).otherwise(0L)).as(s"files_kept_$suffix"),
           sum(when(survives, col("n")).otherwise(0L)).as(s"rows_kept_$suffix"))
     }
-    val exact = keyed.agg(sum(col("inbox")).as("rows_matching"))
+    val exact = cells.agg(sum(col("nin")).as("rows_matching"))
     layoutAgg("zfile", "z").crossJoin(layoutAgg("lfile", "lin")).crossJoin(exact)
   }
 }
