@@ -153,6 +153,18 @@ object Demo {
     println("physical plan (partial heaps -> exchange -> final heaps, no sort):")
     topk.explain()
 
+    println("== z-order layout: multi-dim min/max pruning vs a 1-D sort ==")
+    val pr = graft.operators.Layout.pruneStats(
+      evs.select(col("user_id"), col("event_id")),
+      "user_id", "event_id", bits = 8, fileShift = 8,
+      boxNum = 1, boxDen = 10).head()
+    println(s"10%-per-dim box over events: z layout keeps " +
+      s"${pr.getAs[Long]("files_kept_z")}/${pr.getAs[Long]("n_files_z")} files " +
+      s"(${pr.getAs[Long]("rows_kept_z")} rows scanned) vs 1-D sort " +
+      s"${pr.getAs[Long]("files_kept_lin")}/${pr.getAs[Long]("n_files_lin")} files " +
+      s"(${pr.getAs[Long]("rows_kept_lin")} rows) for " +
+      s"${pr.getAs[Long]("rows_matching")} matching rows")
+
     spark.stop()
   }
 }
