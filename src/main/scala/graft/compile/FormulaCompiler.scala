@@ -376,6 +376,32 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
         CVecD(vs.map(x => if (x.isNaN) x else math.min(math.max(x, l), h)), ls)
 
+      // `.round(n)` (E11 long tail): pandas/numpy half-even rounding to n
+      // decimals — Spark's bround IS HALF_EVEN, and the driver-side paths
+      // use java BigDecimal.valueOf(x).setScale(n, HALF_EVEN), the same
+      // algorithm bround runs. (numpy's scaled-rint formulation can differ
+      // at binary-representation edges like 2.675 — documented, test-pinned
+      // on safe values.) NaN/null cells propagate unchanged. Rejected in
+      // unbounded mode: exactness is that mode's contract.
+      case ("round", t, args) if args.length <= 1 =>
+        val n = args.headOption.map(a => asScalar(a, "round").toInt).getOrElse(0)
+        if (ubp) throw new AdpUnsupportedException(
+          "'.round()' is not supported in unbounded ADP mode")
+        def jround(x: Double): Double =
+          if (x.isNaN || x.isInfinite) x
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+        t match {
+          case CMatrix(cols, false) =>
+            CMatrix(mapCols(cols)(c => bround(c, n)), isBool = false)
+          case CVecC(cols, ids) => CVecC(mapCols(cols)(c => bround(c, n)), ids)
+          case CVecD(vs, ls)    => CVecD(vs.map(jround), ls)
+          case CScalar(x)       => CScalar(jround(x))
+          case other =>
+            throw new FormulaTypeException(
+              s"'.round()' is not defined on ${other.getClass.getSimpleName}")
+        }
+
       case ("pow", t, List(k)) => binop("**", t, k, ctx)
       case ("abs", t, Nil)     =>
         if (std) applyFn(Ops.functions("abs"), "abs", t)
@@ -486,8 +512,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, sum, mean, cumsum, cummax, cummin, " +
-            "rank, T — SURVEY §2.2 E11)")
+            "(fillna, clip, pow, abs, round, sum, mean, cumsum, cummax, " +
+            "cummin, rank, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

@@ -264,6 +264,28 @@ class FormulaEvaluatorSpec extends SparkSpec {
       Seq(1.5, 2, Double.NaN)))
   }
 
+  test(".round(n) is half-even to n decimals, NaN-transparent (E11)") {
+    // (i / 8) = [[0.875, NaN, 0.125], [1.125, 0.625, 1.125], [0.875, 1.0, NaN]]
+    // half-even at 1 decimal: 0.875→0.9 (HALF_EVEN on the DECIMAL string
+    // 0.875, which binary64 stores exactly), 0.125→0.1, 1.125→1.1, 0.625→0.6
+    golden("(i / 8).round(1)", Seq(Seq(0.9, Double.NaN, 0.1),
+      Seq(1.1, 0.6, 1.1), Seq(0.9, 1.0, Double.NaN)))
+    // default n = 0; ties go to the even integer: 3.5→4, 0.5→0, 4.5→4, 2.5→2
+    golden("(i / 2).round()", Seq(Seq(4, Double.NaN, 0),
+      Seq(4, 2, 4), Seq(4, 4, Double.NaN)))
+    // scalar and reduction paths
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    assert(ev.evaluateFormula("(1 / 3).round(2)") == ScalarResult(0.33))
+    ev.evaluateFormula("(a / 7).sum().round(1)") match {
+      case RowResult(df, labels) =>
+        val r = df.head()
+        // col sums of a/7: 6/7≈0.857→0.9, 18/7≈2.571→2.6, 16/7≈2.286→2.3
+        assert(labels.map(l => r.getDouble(r.fieldIndex(l))) ==
+          Seq(0.9, 2.6, 2.3))
+      case other => fail(s"expected row result, got $other")
+    }
+  }
+
   test(".cumsum() on a driver vector is a running skipna scan") {
     val ev = new FormulaEvaluator(reg("a" -> fixA,
       "v" -> Vec(IndexedSeq(1.0, Double.NaN, 2.0), IndexedSeq("c0", "c1", "c2"))))
