@@ -748,6 +748,34 @@ object SparkEntry {
               col("kth").cast("double")), 4).as("est_inter"))
     }),
 
+    // Corpus-overlap MATRIX: estimated Jaccard for every source pair from
+    // the same per-source min-k sketches — the "which sources duplicate
+    // each other" curation report. ONE corpus aggregate produces 20 sketch
+    // rows; the pair join is sketch⊗sketch (sources² rows, bounded by the
+    // source cardinality, never by the corpus), so at 100 TB the corpus is
+    // read once and the matrix costs nothing
+    "agg_setmat" -> ((s, d) => {
+      val k = 256
+      val hash = graft.functions.ArrayOps.md5_long60(
+        concat(lit("0:"), col("sh")))
+      val sk = docs(s, d)
+        .select(col("source"),
+          explode_outer(graft.functions.ArrayOps
+            .word_shingles(split(col("text"), " "), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(graft.functions.Sketches.kmin_values(hash, k).as("mins"))
+      sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          slice(array_sort(array_union(col("x.mins"), col("y.mins"))), 1, k)
+            .as("u"),
+          col("x.mins").as("am"), col("y.mins").as("bm"))
+        .select(col("src_a"), col("src_b"),
+          round(size(array_intersect(array_intersect(col("u"), col("am")),
+            col("bm"))).cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+        .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
+        .limit(20)
+    }),
+
     // HyperLogLog distinct-count (m = 64 registers) as a plain two-level
     // aggregate: bucket = h % m, register = max "rank" where rank is pure
     // INTEGER arithmetic — 55 − MSB position via length(bin(h div m)) —
@@ -2922,6 +2950,37 @@ object SparkEntry {
            |        (511.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)), 4)
            |    AS est_inter
            |FROM st""".stripMargin,
+      // overlap-matrix mirror: per-source min-k via a partitioned
+      // row_number window, per-pair union re-limited to k the same way,
+      // intersection membership by joining back to both sketch sides
+      "agg_setmat" ->
+        s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |              FROM documents),
+           |sh AS (SELECT source, unnest($shingleList) AS s FROM toks),
+           |hs AS (SELECT DISTINCT source, ${mdInt("'0:' || s")} AS h FROM sh),
+           |mins AS (SELECT source, h FROM
+           |           (SELECT source, h,
+           |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           |            FROM hs) WHERE rn <= 256),
+           |pairs AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+           |          FROM mins a, mins b WHERE a.source < b.source),
+           |ud AS (SELECT DISTINCT p.sa, p.sb, m.h
+           |       FROM pairs p JOIN mins m
+           |         ON m.source = p.sa OR m.source = p.sb),
+           |uk AS (SELECT sa, sb, h FROM
+           |         (SELECT sa, sb, h,
+           |            row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+           |          FROM ud) WHERE rn <= 256),
+           |bth AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS c
+           |         FROM uk u
+           |         JOIN mins ma ON ma.source = u.sa AND ma.h = u.h
+           |         JOIN mins mb ON mb.source = u.sb AND mb.h = u.h
+           |         GROUP BY 1, 2)
+           |SELECT p.sa AS src_a, p.sb AS src_b,
+           |       round(CAST(COALESCE(b.c, 0) AS DOUBLE) / 256.0, 6)
+           |         AS est_jaccard
+           |FROM pairs p LEFT JOIN bth b ON p.sa = b.sa AND p.sb = b.sb
+           |ORDER BY est_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin,
       // HLL mirror: registers recomputed from the distinct hash domain
       // with the same integer rank (55 - MSB position via bin-string
       // length); the harmonic sum is an exact integer picoweight sum
