@@ -60,6 +60,21 @@ class TpchPlanSpec extends SparkSpec {
       s"h_q20: correlated per-part total must decorrelate to an aggregate:\n$plan")
   }
 
+  test("h_q2w: the window-min variant scans lineitem once, not twice") {
+    val subq = physical("h_q2")
+    val win = physical("h_q2w")
+    assertNoPerRowShapes("h_q2w", win)
+    def lineitemScans(plan: String): Int =
+      "Scan parquet[^\\n]*lineitem".r.findAllIn(plan).length
+    // the correlated form re-plans the cost CTE for the scalar subquery;
+    // the window-min form computes the per-part floor in the pass that
+    // carries the rows — exactly one lineitem scan
+    assert(lineitemScans(win) == 1,
+      s"h_q2w must scan lineitem once, got ${lineitemScans(win)}:\n$win")
+    assert(lineitemScans(subq) >= 2,
+      s"(baseline check) the subquery form plans the CTE twice, got ${lineitemScans(subq)}")
+  }
+
   test("h_q21: EXISTS/NOT EXISTS plan as semi/anti equi-joins") {
     val plan = physical("h_q21")
     assertNoPerRowShapes("h_q21", plan)
