@@ -95,6 +95,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmin_values keeps a running distinct-count sketch across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    // running min-k over the hashed stream: the same TypedImperativeAggregate
+    // the batch agg_kmv/agg_setsk queries use, here merged across batches by
+    // the streaming state store (complete mode)
+    val q = in.toDF()
+      .agg(graft.functions.Sketches.kmin_values(
+        graft.functions.ArrayOps.md5_long60(col("text")), 16).as("mins"))
+      .select(size(col("mins")).as("n_distinct"))
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(Doc(ts(0), "alpha"), Doc(ts(1), "alpha"), Doc(ts(2), "beta"))
+      q.processAllAvailable()
+      assert(spark.table("kmv_out").collect().map(_.getInt(0)).last == 2)
+      in.addData(Doc(ts(3), "gamma"), Doc(ts(4), "beta"), Doc(ts(5), "delta"))
+      q.processAllAvailable()
+      // below k=16 the sketch is EXACT: 4 distinct texts seen so far
+      assert(spark.table("kmv_out").collect().map(_.getInt(0)).last == 4)
+    } finally q.stop()
+  }
+
   test("streaming grouped top-k holds the k-best per key across micro-batches") {
     val spark2 = spark
     import spark2.implicits._
