@@ -764,6 +764,9 @@ object SparkEntry {
             .word_shingles(split(col("text"), " "), 3)).as("sh"))
         .groupBy(col("source"))
         .agg(graft.functions.Sketches.kmin_values(hash, k).as("mins"))
+        // the self-join below references this subtree twice — pin the
+        // ~sources-row sketch frame so the corpus aggregate runs ONCE
+        .localCheckpoint()
       sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
         .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
           slice(array_sort(array_union(col("x.mins"), col("y.mins"))), 1, k)
