@@ -75,6 +75,18 @@ class TpchPlanSpec extends SparkSpec {
       s"(baseline check) the subquery form plans the CTE twice, got ${lineitemScans(subq)}")
   }
 
+  test("h_q16: NOT IN plans as a null-aware anti join, not per-row") {
+    val plan = physical("h_q16")
+    assert(!plan.contains("CartesianProduct"),
+      s"h_q16: cartesian product in plan:\n$plan")
+    // NOT IN needs null-aware anti semantics; with a 100-row broadcast
+    // side this is the single-column null-aware BroadcastHashJoin (or a
+    // plain LeftAnti when nullability lets Catalyst simplify) — either
+    // way an anti join, never row-at-a-time subquery execution
+    assert(plan.contains("LeftAnti"),
+      s"h_q16: NOT IN must plan as an anti join:\n$plan")
+  }
+
   test("h_q21: EXISTS/NOT EXISTS plan as semi/anti equi-joins") {
     val plan = physical("h_q21")
     assertNoPerRowShapes("h_q21", plan)
