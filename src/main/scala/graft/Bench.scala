@@ -79,6 +79,23 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] json written to $outPath")
     spark.stop()
+    // The ~2.6 KB contract line has been tail-truncated by the driver's
+    // stdout capture three rounds running (BENCH_r03..r05 "parsed": null)
+    // despite compaction, printing last, and a drain sleep. Escalation:
+    // ALSO print the same JSON as numbered ≤1 KB chunk lines — short
+    // enough that no observed truncation can touch them — so the full
+    // payload is reconstructable from stdout by concatenating the "data"
+    // fields of {"benchpart":i,"of":n,...} in order. The one-line contract
+    // still goes out LAST, intact whenever the capture permits.
+    val chunkSize = 1000
+    val chunks = line.grouped(chunkSize).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      // the payload is JSON-with-quotes; escape for embedding as a string
+      val esc = c.replace("\\", "\\\\").replace("\"", "\\\"")
+      println(s"""{"benchpart":${i + 1},"of":${chunks.size},"data":"$esc"}""")
+      System.out.flush()
+      Thread.sleep(50)
+    }
     println(line)
     System.out.flush()
     // give sbt's forked-process output pump time to drain the line before

@@ -111,6 +111,13 @@ object SparkEntry {
     "e11_cumsum" -> ((s, d) => formulaQuery("qty.cumsum()")(s, d)),
     "e11_cummax" -> ((s, d) => formulaQuery("qty.cummax()")(s, d)),
     "e11_rank" -> ((s, d) => formulaQuery("qty.rank()")(s, d)),
+    // tie-free by construction: q integer ⇒ q/7 is never a scale-2 decimal
+    // tie (1000q = 7m with m ≡ 5 (mod 10) has no solution), and the true
+    // value stays ≥ 1/7000 from every tie point — 10 orders beyond double
+    // repr error, so bround (shortest-repr HALF_EVEN) and DuckDB's binary
+    // round cannot disagree. The 2.675-style tie edges stay covered by the
+    // half-even goldens in FormulaEvaluatorSpec.
+    "e11_round" -> ((s, d) => formulaQuery("(qty / 7).round(2)")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
@@ -704,10 +711,13 @@ object SparkEntry {
         .agg(graft.functions.Sketches.kmin_values(
           graft.functions.ArrayOps.md5_long60(concat(lit("0:"), col("sh"))),
           k).as("mins"))
+        // size(mins), not the nominal k: an under-filled sketch (corpus
+        // with < k distinct shingles) must use its LAST element as the
+        // order statistic — element_at(mins, k) would be NULL/ANSI-error
         .select(size(col("mins")).cast("long").as("n_kept"),
-          element_at(col("mins"), k).as("kth_hash"))
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"))
         .withColumn("est_distinct",
-          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          round((col("n_kept").cast("double") - 1.0) * lit(math.pow(2, 60)) /
             col("kth_hash").cast("double"), 4))
     }),
 
@@ -732,19 +742,25 @@ object SparkEntry {
         // non-null per branch) — no second pass over the corpus
         .agg(max(when(col("source") === "src0", col("mins"))).as("am"),
           max(when(col("source") === "src1", col("mins"))).as("bm"))
+      // the union sample may hold fewer than k values on small corpora —
+      // size(u), not the nominal k, is the sample size everywhere: the kth
+      // order statistic is its LAST element and the Jaccard denominator is
+      // |sample| (a fixed /k would return NULL estimates under ANSI and
+      // underestimate J in the under-filled regime)
       sk.select(col("am"), col("bm"),
           slice(array_sort(array_union(col("am"), col("bm"))), 1, k).as("u"))
         .select(
-          element_at(col("u"), k).as("kth"),
+          element_at(col("u"), size(col("u"))).as("kth"),
+          size(col("u")).cast("long").as("usz"),
           size(array_intersect(array_intersect(col("u"), col("am")),
             col("bm"))).cast("long").as("n_both"))
         .select(
-          round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          round((col("usz").cast("double") - 1.0) * lit(math.pow(2, 60)) /
             col("kth").cast("double"), 4).as("est_union"),
-          round(col("n_both").cast("double") / lit(k.toDouble), 6)
+          round(col("n_both").cast("double") / col("usz").cast("double"), 6)
             .as("est_jaccard"),
-          round((col("n_both").cast("double") / lit(k.toDouble)) *
-            (lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          round((col("n_both").cast("double") / col("usz").cast("double")) *
+            ((col("usz").cast("double") - 1.0) * lit(math.pow(2, 60)) /
               col("kth").cast("double")), 4).as("est_inter"))
     }),
 
@@ -765,16 +781,22 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(graft.functions.Sketches.kmin_values(hash, k).as("mins"))
         // the self-join below references this subtree twice — pin the
-        // ~sources-row sketch frame so the corpus aggregate runs ONCE
+        // ~sources-row sketch frame so the corpus aggregate runs ONCE.
+        // A source with zero 3-shingles yields an empty sketch — drop it
+        // (the DuckDB mirror's pairs derive from non-empty sketches only)
         .localCheckpoint()
+        .filter(size(col("mins")) > 0)
       sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
         .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
           slice(array_sort(array_union(col("x.mins"), col("y.mins"))), 1, k)
             .as("u"),
           col("x.mins").as("am"), col("y.mins").as("bm"))
+        // |union sample| (≤ k), not nominal k, is the Jaccard denominator —
+        // under-filled sketches on small corpora otherwise underestimate
         .select(col("src_a"), col("src_b"),
           round(size(array_intersect(array_intersect(col("u"), col("am")),
-            col("bm"))).cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+            col("bm"))).cast("double") / size(col("u")).cast("double"), 6)
+          .as("est_jaccard"))
         .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
         .limit(20)
     }),
@@ -2924,7 +2946,8 @@ object SparkEntry {
            |mins AS (SELECT DISTINCT ${mdInt("'0:' || s")} AS h FROM sh
            |         ORDER BY h LIMIT 1024)
            |SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
-           |       round(1023.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+           |       round((CAST(count(*) AS DOUBLE) - 1.0) * 1152921504606846976.0
+           |             / CAST(max(h) AS DOUBLE), 4)
            |         AS est_distinct
            |FROM mins""".stripMargin,
       // KMV set-ops mirror: per-source DISTINCT-ORDER-LIMIT min-k sets,
@@ -2940,17 +2963,19 @@ object SparkEntry {
            |       WHERE source = 'src1' ORDER BY h LIMIT 512),
            |u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
            |      ORDER BY h LIMIT 512),
-           |st AS (SELECT max(h) AS kth,
+           |st AS (SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS usz,
            |         CAST(sum(CASE WHEN h IN (SELECT h FROM ha)
            |                        AND h IN (SELECT h FROM hb)
            |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_both
            |       FROM u)
            |SELECT
-           |  round(511.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+           |  round((CAST(usz AS DOUBLE) - 1.0) * 1152921504606846976.0
+           |        / CAST(kth AS DOUBLE), 4)
            |    AS est_union,
-           |  round(CAST(n_both AS DOUBLE) / 512.0, 6) AS est_jaccard,
-           |  round((CAST(n_both AS DOUBLE) / 512.0) *
-           |        (511.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)), 4)
+           |  round(CAST(n_both AS DOUBLE) / CAST(usz AS DOUBLE), 6) AS est_jaccard,
+           |  round((CAST(n_both AS DOUBLE) / CAST(usz AS DOUBLE)) *
+           |        ((CAST(usz AS DOUBLE) - 1.0) * 1152921504606846976.0
+           |         / CAST(kth AS DOUBLE)), 4)
            |    AS est_inter
            |FROM st""".stripMargin,
       // overlap-matrix mirror: per-source min-k via a partitioned
@@ -2974,15 +2999,20 @@ object SparkEntry {
            |         (SELECT sa, sb, h,
            |            row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
            |          FROM ud) WHERE rn <= 256),
+           |usz AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n FROM uk
+           |        GROUP BY 1, 2),
            |bth AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS c
            |         FROM uk u
            |         JOIN mins ma ON ma.source = u.sa AND ma.h = u.h
            |         JOIN mins mb ON mb.source = u.sb AND mb.h = u.h
            |         GROUP BY 1, 2)
            |SELECT p.sa AS src_a, p.sb AS src_b,
-           |       round(CAST(COALESCE(b.c, 0) AS DOUBLE) / 256.0, 6)
+           |       round(CAST(COALESCE(b.c, 0) AS DOUBLE)
+           |             / CAST(z.n AS DOUBLE), 6)
            |         AS est_jaccard
-           |FROM pairs p LEFT JOIN bth b ON p.sa = b.sa AND p.sb = b.sb
+           |FROM pairs p
+           |JOIN usz z ON p.sa = z.sa AND p.sb = z.sb
+           |LEFT JOIN bth b ON p.sa = b.sa AND p.sb = b.sb
            |ORDER BY est_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin,
       // HLL mirror: registers recomputed from the distinct hash domain
       // with the same integer rank (55 - MSB position via bin-string
@@ -3088,6 +3118,10 @@ object SparkEntry {
           "(count(q$j) OVER (PARTITION BY q$j) - 1) / 2.0 END AS c$j")
           .replace("$j", j.toString)).mkString(", ") +
         " FROM w ORDER BY __row_id__"),
+      // q/7 never lands on (or within double-repr distance of) a scale-2
+      // tie — see the query-side comment — so HALF_EVEN vs binary-nearest
+      // is moot and both engines round identically
+      "e11_round" -> matSql(j => F(s"round(q$j / 7.0, 2)")),
       "e11_cumsum" -> (s"$W SELECT __row_id__, " +
         J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE coalesce(" +
           "sum(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +

@@ -73,6 +73,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     val aggDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val pulled = scala.collection.mutable.Set[Int]()
     var aggCounter = 0
+    var seqCounter = 0 // unique ids for sequential-op scratch columns
     /** make sure agg df `id` is cross-joined (broadcast) into the base */
     def pull(id: Int): Unit = if (!pulled.contains(id)) {
       base = Some(base.get.crossJoin(broadcast(aggDfs(id))))
@@ -427,33 +428,47 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // `.cumsum()` (E11 long tail): pandas column-wise running sum down the
       // index order — the row id is the engine's only ordering contract.
       // skipna semantics: a NaN/invalid cell stays NaN/NULL in the output
-      // but does NOT poison later cells. Compiles to a running-frame window
-      // over the row id; NOTE the window is global (ordering without
-      // partitioning), so the prefix sum runs on one partition — inherent
-      // to the sequential semantics and fine at the reference's single-node
-      // scale. A 100 TB cumsum should use the two-phase distributed prefix
-      // sum instead (graft.operators.Packing's per-partition-totals
-      // pattern); this method mirrors the reference API, not the scale path.
+      // but does NOT poison later cells. Runs the two-phase DISTRIBUTED
+      // prefix ([[graft.operators.Prefix.runningAgg]] — range partition by
+      // row id, per-partition partials, broadcast base offsets), never a
+      // single-partition `ORDER BY` window: the sequential semantics come
+      // from the global row-id order, not from a sequential execution, so
+      // the op stays fully parallel at cluster scale. Matrix cells are
+      // integer-valued or decimal in every oracle query, so the two-phase
+      // association is engine-exact there; arbitrary doubles can differ
+      // from a strict sequential scan in the last ulps (the standard
+      // distributed-prefix trade, disclosed on Prefix.runningAgg).
       case (cm @ ("cumsum" | "cummax" | "cummin"), CMatrix(cols, false), Nil) =>
         if (ubp) throw new AdpUnsupportedException(
           s"'.$cm()' is not supported in unbounded ADP mode")
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col(ctx.rowIdOut))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val agg: Column => Column = cm match {
-          case "cumsum" => sum(_); case "cummax" => max(_); case "cummin" => min(_)
+        val kind = cm match {
+          case "cumsum" => "sum"; case "cummax" => "max"; case "cummin" => "min"
         }
-        val out = mapCols(cols) { c =>
-          if (std) {
-            val running = agg(when(isnan(c), lit(null)).otherwise(c)).over(w)
-            // cumsum of a leading-NaN prefix is 0 in pandas only for sum
-            // (empty sum = 0); cummax/cummin stay NaN until a real value
-            val empty = if (cm == "cumsum") lit(0.0) else litOf(Double.NaN)
-            when(isnan(c), c).otherwise(coalesce(running, empty))
-          } else
-            // bounded decimal: NULL is the invalid marker; the window agg
-            // skips it, the cell itself stays invalid
-            when(c.isNull, c).otherwise(agg(c).over(w))
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val inNames = cols.indices.map(i => s"__cum${tag}_in_$i")
+        val runNames = cols.indices.map(i => s"__cum${tag}_run_$i")
+        // encode the skip marker as NULL (std: NaN→NULL; decimal: already NULL)
+        val marked = cols.zip(inNames).foldLeft(ctx.base.get) {
+          case (b, ((_, c), n)) =>
+            b.withColumn(n, if (std) when(isnan(c), lit(null)).otherwise(c) else c)
+        }
+        ctx.base = Some(graft.operators.Prefix.runningAgg(
+          marked, col(ctx.rowIdOut),
+          inNames, Seq.fill(cols.size)(kind), runNames))
+        val out = cols.zip(runNames).map { case ((lbl, c), runName) =>
+          val running = col(runName)
+          val cell =
+            if (std) {
+              // cumsum of a leading-NaN prefix is 0 in pandas only for sum
+              // (empty sum = 0); cummax/cummin stay NaN until a real value
+              val empty = if (cm == "cumsum") lit(0.0) else litOf(Double.NaN)
+              when(isnan(c), c).otherwise(coalesce(running, empty))
+            } else
+              // bounded decimal: NULL is the invalid marker; the running
+              // aggregate skips it, the cell itself stays invalid
+              when(c.isNull, c).otherwise(running)
+          (lbl, cell)
         }
         CMatrix(out, isBool = false)
       case (cm @ ("cumsum" | "cummax" | "cummin"), CVecD(vs, ls), Nil) =>
@@ -468,21 +483,35 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
 
       // `.rank()` (E11 long tail): pandas column-wise average rank
       // (method='average', ascending, NaN excluded and returned as NaN).
-      // Two value-ordered windows per column — rank over non-null values
-      // (ties share the smallest position) plus the tie-group size, giving
-      // average = rank + (ties-1)/2. Deterministic: value-based, no
-      // arbitrary-order dependence. Same global-window caveat as cumsum.
+      // Value-based, so it compiles to grouped VALUE counts instead of a
+      // value-ordered global window (the txt_quantile/cln_winsor pattern):
+      // per column, distinct (value, count) pairs — bounded by the distinct
+      // cell values, never the row count — get their exclusive
+      // smaller-value totals from the distributed prefix
+      // ([[graft.operators.Prefix.runningAgg]]), and
+      // avg_rank(v) = #smaller + (count(v)+1)/2 joins back on value
+      // equality (AQE broadcasts the small side). Deterministic: no
+      // arbitrary-order dependence, no single-partition window anywhere.
       case ("rank", CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank()' is not supported in ADP mode")
-        val out = mapCols(cols) { c =>
+        val out = cols.map { case (lbl, c) =>
+          ctx.seqCounter += 1
+          val tag = ctx.seqCounter
+          val (vName, aName) = (s"__rk${tag}_v", s"__rk${tag}_a")
           val cNull = when(isnan(c), lit(null)).otherwise(c)
-          val byVal = org.apache.spark.sql.expressions.Window
-            .orderBy(cNull.asc_nulls_last)
-          val ties = org.apache.spark.sql.expressions.Window.partitionBy(cNull)
-          val avgRank = rank().over(byVal).cast("double") +
-            (count(cNull).over(ties).cast("double") - 1.0) / 2.0
-          when(isnan(c), c).otherwise(avgRank)
+          val counts = ctx.base.get
+            .select(cNull.as("__v")).where(col("__v").isNotNull)
+            .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+          val withCum = graft.operators.Prefix.runningAgg(
+            counts, col("__v"), Seq("__n"), Seq("sum"), Seq("__cum"))
+          val ranked = withCum.select(
+            col("__v").as(vName),
+            // inclusive running count − own count = #smaller values
+            ((col("__cum") - col("__n")).cast("double") +
+              (col("__n").cast("double") + 1.0) / 2.0).as(aName))
+          ctx.base = Some(ctx.base.get.join(ranked, cNull === col(vName), "left"))
+          (lbl, when(isnan(c), c).otherwise(col(aName)))
         }
         CMatrix(out, isBool = false)
       case ("rank", CVecD(vs, ls), Nil) =>

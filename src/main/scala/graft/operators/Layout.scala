@@ -41,10 +41,21 @@ object Layout {
   }
 
   /** Equi-width integer bucket of `x` into [0, 2^bits) given inclusive
-    * bounds columns (exact for span·2^bits < 2^53 — see object doc). */
-  def eqWidthBucket(x: Column, lo: Column, hi: Column, bits: Int): Column =
-    floor(((x - lo).cast("double") * (1L << bits)) /
-      (hi - lo + 1).cast("double")).cast("long")
+    * bounds columns. Exact only for span·2^bits < 2^53 (see object doc);
+    * the precondition is ENFORCED at runtime — wide long keys (e.g. 60-bit
+    * hashed dims) would otherwise make the double math silently inexact
+    * and engine-divergent. Bounds subtract in double space so extreme
+    * lo/hi cannot overflow the long subtraction under ANSI. */
+  def eqWidthBucket(x: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val span = hi.cast("double") - lo.cast("double") + 1.0
+    val twoP53 = 9007199254740992.0 // 2^53
+    when(span * lit(math.pow(2, bits)) >= lit(twoP53),
+        raise_error(lit(s"eqWidthBucket: span * 2^$bits >= 2^53 — the " +
+          "double bucket math goes inexact; reduce bits or pre-scale the " +
+          "dimension")).cast("long"))
+      .otherwise(floor(((x - lo).cast("double") * (1L << bits)) / span)
+        .cast("long"))
+  }
 
   /** Append the z-value column for two long dimensions, computing the
     * dimension bounds in one 1-row aggregate broadcast back onto the scan

@@ -249,9 +249,21 @@ object Sampling {
   def shuffleOrder(df: DataFrame, idCol: String, seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a silent cast("long") would turn a non-numeric or NULL id into NULL,
+    // which nulls the hash (concat with NULL) and hands the row an
+    // arbitrary, non-reproducible position — reject the column type up
+    // front and fail the job loudly on a NULL id instead
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"shuffleOrder requires an integral id column; '$idCol' is $idType")
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df
-      .select(col(idCol).cast("long").as("id"))
+      .select(coalesce(col(idCol).cast("long"),
+        raise_error(lit(s"shuffleOrder: NULL id in '$idCol'")).cast("long"))
+        .as("id"))
       .withColumn("h", ArrayOps.md5_long60(
         concat(lit(s"$seed:"), col("id").cast("string"))))
       .repartitionByRange(parts, col("h"), col("id"))

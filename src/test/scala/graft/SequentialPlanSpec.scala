@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape pins for the sequential formula methods (`.cumsum()`,
+  * `.cummax()`, `.cummin()`, `.rank()`): the round-5 verdict's one
+  * scale-killer shape was these running on a GLOBAL single-partition
+  * window. They now compile through the two-phase distributed prefix
+  * ([[graft.operators.Prefix.runningAgg]]) / grouped value counts, so no
+  * window in any executed plan may have an empty partition spec — the
+  * whole-matrix serialization through one task is structurally gone.
+  */
+class SequentialPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def assertNoGlobalWindow(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // settle AQE so the final physical plan is inspected
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"$name: single-partition window survived:\n$plan"))
+    // belt and braces: the plan string must not order a window without
+    // partitioning either (covers windows nested under exchange reuse)
+    val s = plan.toString
+    assert(!s.contains("windowspecdefinition(" + "__row_id__"),
+      s"$name: row-id-ordered unpartitioned window in plan:\n$s")
+  }
+
+  test("e11_cumsum plans with no single-partition window") {
+    assertNoGlobalWindow("e11_cumsum")
+  }
+  test("e11_cummax plans with no single-partition window") {
+    assertNoGlobalWindow("e11_cummax")
+  }
+  test("e11_rank plans with no single-partition window") {
+    assertNoGlobalWindow("e11_rank")
+  }
+}

@@ -71,8 +71,11 @@ class TpchPlanSpec extends SparkSpec {
     // carries the rows — exactly one lineitem scan
     assert(lineitemScans(win) == 1,
       s"h_q2w must scan lineitem once, got ${lineitemScans(win)}:\n$win")
-    assert(lineitemScans(subq) >= 2,
-      s"(baseline check) the subquery form plans the CTE twice, got ${lineitemScans(subq)}")
+    // informational, not asserted: pinning the BASELINE's inefficiency
+    // (>= 2 scans) would fail the suite if a Spark upgrade learns to dedup
+    // the CTE — an improvement, not a regression
+    info(s"baseline h_q2 plans ${lineitemScans(subq)} lineitem scan(s) " +
+      "(2 expected on Spark 4.1: runtime-filter injection blocks CTE reuse)")
   }
 
   test("h_q16: NOT IN plans as a null-aware anti join, not per-row") {
@@ -94,5 +97,42 @@ class TpchPlanSpec extends SparkSpec {
       s"h_q21: EXISTS must plan as a semi/existence join:\n$plan")
     assert(plan.contains("LeftAnti"),
       s"h_q21: NOT EXISTS must plan as an anti join:\n$plan")
+  }
+
+  // Family-wide guard: EVERY TPC-H entry in the catalog must stay free of
+  // per-row shapes — a Spark upgrade that regresses any decorrelation
+  // (q4's EXISTS, q8's double-sided filters, q13's right-outer double agg,
+  // q17/q22's decorrelated scalar AVG, q19's OR-of-ANDs, …) to a
+  // cartesian/nested-loop fallback fails here, not at 100 TB. One
+  // nested-loop shape is legitimate and allowed: a cross join whose
+  // broadcast side is a ONE-ROW groupless aggregate (the scalar-subquery
+  // broadcast in h_q22's threshold compare) — bounded by construction.
+  test("all TPC-H entries avoid cartesian and nested-loop fallbacks") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val names = SparkEntry.queries.keys.filter(_.startsWith("h_q")).toSeq.sorted
+    assert(names.size >= 23, s"expected the full TPC-H sweep, got $names")
+    val bad = names.flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.count() // settle AQE
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val cart = plan.toString.contains("CartesianProduct")
+      val badBnlj = plan.collect { case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left; case BuildRight => j.right
+        }
+        val oneRowAgg = build.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }.nonEmpty
+        !oneRowAgg
+      }.exists(identity)
+      if (cart || badBnlj) Some(s"$n (cartesian=$cart, bnlj=$badBnlj)") else None
+    }
+    assert(bad.isEmpty, s"per-row shapes in: ${bad.mkString(", ")}")
   }
 }
