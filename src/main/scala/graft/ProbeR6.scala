@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 scale probes (VERDICT r5 asks #2/#6/#8):
+  *
+  *  - `cumsum`: the distributed-prefix formula methods at 1× vs 10× — the
+  *    plan must scale with partitions, not serialize through one window
+  *    task (the shape this round removed).
+  *  - `setmat`: agg_setmat source-cardinality probe — wall must track the
+  *    SOURCE pair count (sketch⊗sketch matrix), not the corpus: 100
+  *    sources at 1× corpus vs 20 sources at 1×/10×/30× corpus.
+  *  - `curate`: pipe_curate per-stage attribution at 10× vs 30× — which
+  *    stage grows, and is any super-linear.
+  *
+  * Usage: runMain graft.ProbeR6 [outPath]. Expects /tmp/graft_sf1 (10×)
+  * and /tmp/graft_sf3 (30×) from ScaleGen; builds /tmp/graft_src100
+  * (sf0.1 documents with source remapped to 100 values) itself.
+  */
+object ProbeR6 {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  /** min of 3 passes — the host suffers transient CPU-steal storms */
+  private def best(f: => Long): Double = (1 to 3).map(_ => time(f)).min
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SCALE_r6.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf1x = "/root/testdata/sf0.1"
+    val sf10 = "/tmp/graft_sf1"
+    val sf30 = "/tmp/graft_sf3"
+
+    // ---- build the 100-source variant (same corpus, remapped source) ----
+    val src100 = "/tmp/graft_src100"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$src100/documents.parquet"))) {
+      spark.read.parquet(s"$sf1x/documents.parquet")
+        .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(100))))
+        .write.mode("overwrite").parquet(s"$src100/documents.parquet")
+    }
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+
+    // ---- cumsum 1x vs 10x --------------------------------------------------
+    def cumsum(dir: String): Long =
+      QueryCatalog.formulaQuery("qty.cumsum()")(spark, dir).count()
+    def rank(dir: String): Long =
+      QueryCatalog.formulaQuery("qty.rank()")(spark, dir).count()
+    QueryCatalog.wide(spark, sf1x).count(); QueryCatalog.wide(spark, sf10).count()
+    val c1 = best(cumsum(sf1x)); val c10 = best(cumsum(sf10))
+    val r1 = best(rank(sf1x)); val r10 = best(rank(sf10))
+    out += "cumsum" -> Map("t1x" -> c1, "t10x" -> c10, "ratio" -> c10 / c1)
+    out += "rank" -> Map("t1x" -> r1, "t10x" -> r10, "ratio" -> r10 / r1)
+    System.err.println(s"[probe] cumsum 1x=$c1 10x=$c10; rank 1x=$r1 10x=$r10")
+
+    // ---- agg_setmat source cardinality ------------------------------------
+    def setmat(dir: String): Long = SparkEntry.queries("agg_setmat")(spark, dir).count()
+    val s20_1 = best(setmat(sf1x))
+    val s100_1 = best(setmat(src100))
+    val s20_10 = best(setmat(sf10))
+    val s20_30 = best(setmat(sf30))
+    out += "setmat_sources" -> Map(
+      "src20_corpus1x" -> s20_1, "src100_corpus1x" -> s100_1,
+      "src20_corpus10x" -> s20_10, "src20_corpus30x" -> s20_30,
+      "pairs_20" -> 190, "pairs_100" -> 4950,
+      "src_ratio" -> s100_1 / s20_1, "corpus30x_ratio" -> s20_30 / s20_1)
+    System.err.println(s"[probe] setmat 20src/1x=$s20_1 100src/1x=$s100_1 " +
+      s"20src/10x=$s20_10 20src/30x=$s20_30")
+
+    // ---- pipe_curate stage attribution at 10x vs 30x ----------------------
+    def stages(dir: String): Map[String, Double] = {
+      val dd = QueryCatalog.docs(spark, dir); dd.count() // warm the shared cache
+      val tokenStats = () => operators.TextAnalysis.tokenStats(dd).count()
+      val lang = () => dd.select(col("doc_id"),
+        operators.TextAnalysis.langPred(col("text")).as("lp")).count()
+      val pairs = () => QueryCatalog.pairs02(spark, dir).count()
+      val groups = () => operators.Dedup.duplicateGroups(dd,
+        QueryCatalog.pairs02(spark, dir).select("id1", "id2")).count()
+      val full = () => SparkEntry.queries("pipe_curate")(spark, dir).count()
+      scala.collection.immutable.ListMap(
+        "tokenStats" -> best(tokenStats()),
+        "langPred" -> best(lang()),
+        "minhashPairs" -> best(pairs()),
+        "dupGroups" -> best(groups()),
+        "full" -> best(full()))
+    }
+    val st10 = stages(sf10); val st30 = stages(sf30)
+    // the workload driver behind the dedup stages: key-shifted replication
+    // duplicates every text across replicas, so the near-dup pair graph
+    // grows ~quadratically in the replica count — stage wall must be
+    // judged against EDGES, not docs
+    val pairs10 = QueryCatalog.pairs02(spark, sf10).count()
+    val pairs30 = QueryCatalog.pairs02(spark, sf30).count()
+    out += "curate_stages" -> Map("t10x" -> st10, "t30x" -> st30,
+      "ratios" -> st10.map { case (k, v) => k -> st30(k) / v },
+      "pairs02_10x" -> pairs10.toInt, "pairs02_30x" -> pairs30.toInt,
+      "edge_ratio" -> pairs30.toDouble / pairs10)
+    System.err.println(s"[probe] curate 10x=$st10")
+    System.err.println(s"[probe] curate 30x=$st30")
+
+    def js(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
+      case d: Double => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+      case i: Int => i.toString
+      case s => "\"" + s + "\""
+    }
+    val json = js(out)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[probe] written to $outPath")
+    spark.stop()
+  }
+}

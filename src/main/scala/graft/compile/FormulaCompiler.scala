@@ -495,22 +495,33 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ("rank", CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank()' is not supported in ADP mode")
-        val out = cols.map { case (lbl, c) =>
-          ctx.seqCounter += 1
-          val tag = ctx.seqCounter
-          val (vName, aName) = (s"__rk${tag}_v", s"__rk${tag}_a")
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        // ONE stacked pass over all matrix columns: (column-index, value)
+        // pairs → grouped value counts → grouped distributed prefix
+        // (partitioned by column index) → per-column rank tables carved
+        // out of the SAME subtree, which AQE stage reuse executes once
+        val base0 = ctx.base.get
+        val stacked = base0.select(posexplode(array(cols.map { case (_, c) =>
+            when(isnan(c), lit(null)).otherwise(c)
+          }: _*)).as(Seq("__ci", "__v")))
+          .where(col("__v").isNotNull)
+        val counts = stacked.groupBy(col("__ci"), col("__v"))
+          .agg(count(lit(1)).as("__n"))
+        val withCum = graft.operators.Prefix.runningAgg(
+          counts, col("__v"), Seq("__n"), Seq("sum"), Seq("__cum"),
+          partitionCols = Seq("__ci"))
+        val ranked = withCum.select(col("__ci"),
+          col("__v"),
+          // inclusive running count − own count = #smaller values
+          ((col("__cum") - col("__n")).cast("double") +
+            (col("__n").cast("double") + 1.0) / 2.0).as("__avg"))
+        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+          val (vName, aName) = (s"__rk${tag}_v_$i", s"__rk${tag}_a_$i")
           val cNull = when(isnan(c), lit(null)).otherwise(c)
-          val counts = ctx.base.get
-            .select(cNull.as("__v")).where(col("__v").isNotNull)
-            .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
-          val withCum = graft.operators.Prefix.runningAgg(
-            counts, col("__v"), Seq("__n"), Seq("sum"), Seq("__cum"))
-          val ranked = withCum.select(
-            col("__v").as(vName),
-            // inclusive running count − own count = #smaller values
-            ((col("__cum") - col("__n")).cast("double") +
-              (col("__n").cast("double") + 1.0) / 2.0).as(aName))
-          ctx.base = Some(ctx.base.get.join(ranked, cNull === col(vName), "left"))
+          val rankedI = ranked.where(col("__ci") === i)
+            .select(col("__v").as(vName), col("__avg").as(aName))
+          ctx.base = Some(ctx.base.get.join(rankedI, cNull === col(vName), "left"))
           (lbl, when(isnan(c), c).otherwise(col(aName)))
         }
         CMatrix(out, isBool = false)

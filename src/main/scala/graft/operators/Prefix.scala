@@ -1,35 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Distributed running aggregates over a GLOBAL ordering without ever
-  * collapsing the data onto one window partition.
+  * collapsing row-scaled data onto one window partition.
   *
   * The naive `agg(c) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING)` plans a
   * single-partition Window — the whole frame serializes through one task, a
-  * scale-killer at cluster data sizes. This runs the same two-phase
-  * distributed prefix as [[Packing.packContiguous]] / [[Sampling.shuffleOrder]]
-  * instead, generalized to any (sum | max | min) running aggregate over any
-  * column set:
+  * scale-killer at cluster data sizes. This runs a two-phase distributed
+  * prefix instead (the [[Packing.packContiguous]] / [[Sampling.shuffleOrder]]
+  * family), generalized to any (sum | max | min) running aggregate over any
+  * column set and kept entirely LAZY inside one plan:
   *
-  *   1. range-partition by the order column and sort within partitions
-  *      (ONE shuffle; the global order becomes partition-major order), pin
-  *      the sorted frame with `localCheckpoint` so both passes read the
-  *      identical partitioning;
-  *   2. per-partition partial aggregates — `nParts` rows, collected to the
-  *      driver and scanned into EXCLUSIVE base offsets (the only
-  *      driver-side step, bounded by the partition count, never the data);
-  *   3. a fully-parallel second pass: within-partition running window
-  *      (partitioned by the physical partition id) combined with the
-  *      broadcast-joined base offset.
+  *   1. every row gets a DETERMINISTIC slice id: its order-column value
+  *      equi-width-bucketed into `spark.sql.shuffle.partitions` slices
+  *      against broadcast min/max bounds (per group, when `partitionCols`
+  *      is given — the scalar-subquery shape, no driver round-trip). A
+  *      pure projection of the data: unlike `repartitionByRange` +
+  *      `spark_partition_id`, whose sampled boundaries change per exchange
+  *      instance (the RangePartitioner seeds by RDD id), the slice id is
+  *      identical in every subtree that computes it, so the plan needs no
+  *      checkpoint to keep its two consumers consistent;
+  *   2. per-slice partial aggregates — ≤ `parts` rows per group — turned
+  *      into EXCLUSIVE base offsets by a window over that bounded partial
+  *      frame (one task, but over slice-count-many rows, never
+  *      data-scaled — the winsor/pipe_curr bounded-cardinality pattern);
+  *   3. a fully-parallel second pass: within-slice running window
+  *      (partitioned by the slice id) combined with the broadcast-joined
+  *      base offset. ONE hash exchange on the slice id — the window's own
+  *      requirement — moves the data.
   *
   * NULL cells are skipped (SQL aggregate semantics): the running output is
   * the aggregate of all non-NULL cells up to and including the current row,
   * and is NULL while no value has been seen yet. Callers encode their own
   * invalid-cell markers (NaN → NULL) before calling and decode after.
+  * `orderCol` must be numeric (slice bucketing is arithmetic) and
+  * (near-)unique: rows tied on it receive an arbitrary relative order,
+  * exactly as under a global ORDER BY window. Slice balance follows the
+  * order column's VALUE distribution (equi-width, not equi-height); dense
+  * row ids — the engine's ordering contract — bucket evenly, while a
+  * heavily skewed order domain concentrates slices (correctness holds;
+  * parallelism degrades toward the skew).
   *
   * Floating-point note: two-phase summation associates differently from a
   * strictly sequential scan; integer-valued doubles and decimals are exact,
@@ -39,84 +52,73 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 object Prefix {
 
   /** Appends `outNames(i)` = running `kinds(i)` aggregate of `inNames(i)`
-    * (both physical columns of `df`) in the global `orderCol` order.
+    * (both physical columns of `df`) in the global `orderCol` order —
+    * restarting per group when `partitionCols` is non-empty (the grouped
+    * running aggregate, still distributed WITHIN each group, so one huge
+    * group cannot serialize onto one task).
     * All original columns are preserved. `kinds(i)` ∈ sum | max | min.
     */
   def runningAgg(df: DataFrame, orderCol: Column,
                  inNames: Seq[String], kinds: Seq[String],
-                 outNames: Seq[String]): DataFrame = {
+                 outNames: Seq[String],
+                 partitionCols: Seq[String] = Nil): DataFrame = {
     require(inNames.length == kinds.length && kinds.length == outNames.length,
       "inNames, kinds and outNames must align")
     require(kinds.forall(Set("sum", "max", "min")),
       s"unsupported running-aggregate kind in $kinds")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-
-    // phase 1: one range exchange + in-partition sort; pinned so the
-    // partials pass and the output pass see the exact same partitioning
-    val sorted = df
-      .repartitionByRange(parts, orderCol)
-      .sortWithinPartitions(orderCol)
-      .withColumn("__pfx_pid", spark_partition_id())
-      .localCheckpoint()
+    val pCols = partitionCols.map(col)
 
     def aggOf(kind: String, c: Column): Column = kind match {
       case "sum" => sum(c); case "max" => max(c); case "min" => min(c)
     }
 
-    // phase 2a: per-partition partials — nParts rows on the driver
+    // deterministic slice id: equi-width bucket of orderCol against the
+    // (per-group) broadcast bounds — a pure projection, stable across
+    // every subtree that evaluates it
+    val ord = orderCol.cast("double")
+    val bounds =
+      if (pCols.isEmpty)
+        df.agg(min(ord).as("__pfx_lo"), max(ord).as("__pfx_hi"))
+      else
+        df.groupBy(pCols: _*).agg(min(ord).as("__pfx_lo"), max(ord).as("__pfx_hi"))
+    val withBounds =
+      if (pCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), partitionCols)
+    val span = col("__pfx_hi") - col("__pfx_lo")
+    val sliced = withBounds.withColumn("__pfx_pid",
+        when(span <= 0.0, lit(0)).otherwise(
+          least(lit(parts - 1),
+            floor((ord - col("__pfx_lo")) / span * parts).cast("int"))))
+      .drop("__pfx_lo", "__pfx_hi")
+
+    // per-(slice, group) partials → exclusive base offsets via a window
+    // over the BOUNDED partial frame (≤ parts rows per group) — slice-
+    // count-scaled, never data-scaled. Grouped mode partitions the window
+    // by the group; ungrouped mode is a single task over ≤parts rows
+    // (SequentialPlanSpec verifies every empty-spec window sits on a
+    // partials aggregate)
     val partialCols = inNames.zip(kinds).zipWithIndex.map {
       case ((n, k), i) => aggOf(k, col(n)).as(s"__pfx_p_$i")
     }
-    val partials = sorted.groupBy(col("__pfx_pid")).agg(partialCols.head, partialCols.tail: _*)
-    val partialSchema = partials.schema
-    val byPid: Map[Int, Row] =
-      partials.collect().map(r => r.getInt(0) -> r).toMap
-    val nParts = sorted.rdd.getNumPartitions
+    val partials = sliced.groupBy(col("__pfx_pid") +: pCols: _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    val offW = (if (pCols.isEmpty) Window.orderBy(col("__pfx_pid"))
+                else Window.partitionBy(pCols: _*).orderBy(col("__pfx_pid")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.select(
+      (col("__pfx_pid") +: pCols) ++
+        kinds.zipWithIndex.map { case (k, i) =>
+          aggOf(k, col(s"__pfx_p_$i")).over(offW).as(s"__pfx_o_$i")
+        }: _*)
 
-    // exclusive prefix per spec: offsets(p) folds partials 0..p-1 with the
-    // same combine the aggregate uses; null = nothing seen before p
-    def combine(kind: String, a: Any, b: Any): Any = (a, b) match {
-      case (null, x) => x
-      case (x, null) => x
-      case (x: java.lang.Double, y: java.lang.Double) => kind match {
-        case "sum" => Double.box(x + y)
-        case "max" => Double.box(math.max(x, y))
-        case "min" => Double.box(math.min(x, y))
-      }
-      case (x: java.lang.Long, y: java.lang.Long) => kind match {
-        case "sum" => Long.box(x + y)
-        case "max" => Long.box(math.max(x, y))
-        case "min" => Long.box(math.min(x, y))
-      }
-      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => kind match {
-        case "sum" => x.add(y)
-        case "max" => if (x.compareTo(y) >= 0) x else y
-        case "min" => if (x.compareTo(y) <= 0) x else y
-      }
-      case other => throw new IllegalArgumentException(
-        s"runningAgg supports double, long and decimal columns, got: $other")
-    }
-    val offsetRows = new Array[Row](nParts)
-    val acc = new Array[Any](kinds.length)
-    for (p <- 0 until nParts) {
-      offsetRows(p) = Row.fromSeq(p +: acc.toSeq)
-      byPid.get(p).foreach { r =>
-        for (i <- kinds.indices)
-          acc(i) = combine(kinds(i), acc(i), r.get(i + 1))
-      }
-    }
-    val offSchema = StructType(
-      StructField("__pfx_pid", IntegerType, nullable = false) +:
-        kinds.indices.map(i =>
-          StructField(s"__pfx_o_$i", partialSchema(i + 1).dataType, nullable = true)))
-    val offsets = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1), offSchema)
-
-    // phase 2b: parallel within-partition running window + base offset
-    val w = Window.partitionBy(col("__pfx_pid")).orderBy(orderCol)
+    // parallel within-slice running window + base offset; the window's
+    // (slice, group) requirement plans the single hash exchange
+    val w = Window.partitionBy(col("__pfx_pid") +: pCols: _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = sorted.join(broadcast(offsets), Seq("__pfx_pid"), "left")
+    val joined = sliced.join(broadcast(offsets),
+      "__pfx_pid" +: partitionCols, "left")
     val outCols = inNames.zip(kinds).zipWithIndex.map { case ((n, k), i) =>
       val run = aggOf(k, col(n)).over(w)
       val off = col(s"__pfx_o_$i")

@@ -264,6 +264,23 @@ class FormulaEvaluatorSpec extends SparkSpec {
       Seq(1.5, 2, Double.NaN)))
   }
 
+  test(".cumsum()/.cummax() in bounded ADP mode (decimal prefix offsets)") {
+    // exercises Prefix.runningAgg's java.math.BigDecimal offset fold: the
+    // decimal partials collected per partition must combine exactly
+    val ev = new FormulaEvaluator(
+      reg("a" -> fixA, "i" -> fixI), adpEnabled = true)
+    val got = evalMat(ev, "a.cumsum()")
+    val expect = Seq(Seq(1, 7, 6), Seq(5, 11, 14), Seq(6, 18, 16))
+    for (r <- 0 until 3; ci <- 0 until 3)
+      assertCell(got(r.toLong)(s"c$ci"), expect(r)(ci))
+    val gotMax = evalMat(ev, "i.cummax()")
+    // decimal mode marks invalid cells NULL; cells() maps NULL -> NaN
+    val expMax = Seq(Seq(7.0, Double.NaN, 1.0), Seq(9.0, 5.0, 9.0),
+      Seq(9.0, 8.0, Double.NaN))
+    for (r <- 0 until 3; ci <- 0 until 3)
+      assertCell(gotMax(r.toLong)(s"c$ci"), expMax(r)(ci))
+  }
+
   test(".round(n) is half-even to n decimals, NaN-transparent (E11)") {
     // (i / 8) = [[0.875, NaN, 0.125], [1.125, 0.625, 1.125], [0.875, 1.0, NaN]]
     // half-even at 1 decimal: 0.875→0.9 (HALF_EVEN on the DECIMAL string

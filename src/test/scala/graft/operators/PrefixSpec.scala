@@ -65,20 +65,59 @@ class PrefixSpec extends SparkSpec {
     assert(colOf(2) == sequential(values, math.min))
   }
 
-  test("the plan contains no single-partition window") {
+  test("no data-scaled single-partition window in the plan") {
     val df = Prefix.runningAgg(frame(Seq[java.lang.Double](1.0, 2.0, 3.0)),
       col("ord"), Seq("v"), Seq("sum"), Seq("run"))
     df.count()
-    val windows = df.queryExecution.executedPlan.collect {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    // AQE may hide the final plan behind an adaptive wrapper; fall back to
-    // the plan string if the collect sees nothing
-    if (windows.nonEmpty)
-      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-        s"single-partition window in plan:\n${df.queryExecution.executedPlan}"))
-    val s = df.queryExecution.executedPlan.toString
-    assert(s.contains("__pfx_pid"), s"expected pid-partitioned window:\n$s")
+    assert(windows.nonEmpty, s"expected window nodes in:\n$plan")
+    windows.foreach { w =>
+      // unpartitioned windows may only sit on the bounded ≤nParts partials
+      // aggregate (the offsets scan); the running window must be
+      // partitioned by the physical partition id
+      val boundedOffsets = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__pfx_pid")) => a
+      }.nonEmpty
+      assert(w.partitionSpec.nonEmpty || boundedOffsets,
+        s"data-scaled single-partition window:\n$plan")
+    }
+    assert(plan.toString.contains("__pfx_pid"),
+      s"expected pid-partitioned window:\n$plan")
+  }
+
+  test("grouped running agg restarts per group, distributed within each") {
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("ord", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 40) yield
+      Row(g, i.toLong, if ((i + g.hashCode) % 5 == 0) null
+        else Double.box(((i * 31 + g.hashCode) % 17).toDouble))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val out = Prefix.runningAgg(df, col("ord"), Seq("v"), Seq("sum"), Seq("run"),
+        partitionCols = Seq("g"))
+      .orderBy(col("g"), col("ord"))
+      .select(col("g"), col("v"), col("run")).collect()
+    // driver reference: per-group sequential fold
+    val byG = rows.groupBy(_.getString(0))
+    for (g <- Seq("a", "b", "c")) {
+      val vals = byG(g).sortBy(_.getLong(1)).map(r =>
+        if (r.isNullAt(2)) null else Double.box(r.getDouble(2)))
+      val expect = sequential(vals, _ + _)
+      val got = out.filter(_.getString(0) == g)
+        .map(r => if (r.isNullAt(2)) null else Double.box(r.getDouble(2))).toSeq
+      assert(got == expect, s"group $g mismatch")
+    }
   }
 
   test("larger-than-partition-count input: global order holds across partitions") {
@@ -90,5 +129,27 @@ class PrefixSpec extends SparkSpec {
       .orderBy(col("ord")).select(col("run")).collect()
       .map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0))).toSeq
     assert(out == sequential(values, _ + _))
+  }
+
+  test("slice ids agree across plan branches at high partition counts") {
+    // REGRESSION: an earlier formulation derived the slice id from
+    // repartitionByRange + spark_partition_id; the RangePartitioner seeds
+    // its boundary sampling by RDD id, so the partials branch and the
+    // output branch could bucket the SAME row differently unless the
+    // exchange happened to be reused — silently double-counting offsets
+    // (caught only at 32 partitions on the sf0.01 oracle). The slice id is
+    // now a pure projection of the data; this pins the failing condition.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val n = 5000
+      val values: Seq[java.lang.Double] =
+        (0 until n).map(i => if (i % 11 == 5) null
+          else Double.box(((i * 1103515245L) % 997).toDouble))
+      val out = Prefix.runningAgg(frame(values), col("ord"), Seq("v"), Seq("sum"), Seq("run"))
+        .orderBy(col("ord")).select(col("run")).collect()
+        .map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0))).toSeq
+      assert(out == sequential(values, _ + _))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 }
