@@ -1603,6 +1603,18 @@ object SparkEntry {
         graft.operators.Packing.packContiguous(
           s.read.parquet(s"$d/documents.parquet"), budget = 4096))
         .orderBy(col("pack_id"))),
+    // length-bucketed batching (padding-waste lever): per-bucket contiguous
+    // positions via the GROUPED distributed prefix — a dominant length
+    // bucket cannot serialize onto one task
+    "pack_batch" -> ((s, d) =>
+      graft.operators.Packing.lengthBatches(docs(s, d),
+          bucketWidth = 64, batchSize = 32)
+        .orderBy(col("id"))),
+    // overlapping token-window chunking (RAG / long-doc splitting): pure
+    // scan-stage generator, token array materialized once per row
+    "txt_chunks" -> ((s, d) =>
+      TextAnalysis.chunkWindows(docs(s, d), chunkTokens = 32, overlap = 8)
+        .orderBy(col("id"), col("chunk_idx"))),
 
     // corpus TF-IDF: top-3 most distinctive terms per document (bounded-heap
     // top-k on the custom operator; scores rounded before ranking so the
@@ -2755,6 +2767,31 @@ object SparkEntry {
             |       CAST(count(*) AS BIGINT) AS n_docs,
             |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
             |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin),
+      // length-bucket batching mirror: per-bucket id-order rank via a
+      // partitioned row_number (fine in the referee; the engine side uses
+      // the grouped distributed prefix for the same positions)
+      "pack_batch" ->
+        (s"""WITH t AS (SELECT doc_id AS id, $tokSql AS n_tokens FROM documents),
+            |b AS (SELECT id, n_tokens, CAST(n_tokens // 64 AS BIGINT) AS bucket,
+            |        row_number() OVER (PARTITION BY n_tokens // 64
+            |                           ORDER BY id) - 1 AS pos FROM t)
+            |SELECT id, n_tokens, bucket,
+            |       CAST(pos // 32 AS BIGINT) AS batch_in_bucket
+            |FROM b ORDER BY id""".stripMargin),
+      // chunk-window mirror: same windows by 1-based inclusive slices,
+      // same 'c:'-prefixed 60-bit fingerprint of the joined chunk text
+      "txt_chunks" ->
+        (s"""WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+            |           FROM documents),
+            |c AS (SELECT id, len(w) AS n, w,
+            |        unnest(range(0, 1 + greatest(0,
+            |          CAST(ceil((len(w) - 32)::DOUBLE / 24) AS INT)))) AS idx
+            |      FROM t)
+            |SELECT id, CAST(idx AS INT) AS chunk_idx,
+            |       CAST(least(32, n - idx * 24) AS BIGINT) AS chunk_tokens,
+            |       ${mdInt("'c:' || array_to_string(w[idx*24+1 : idx*24+32], ' ')")}
+            |         AS chunk_fp
+            |FROM c ORDER BY id, chunk_idx""".stripMargin),
       "txt_tfidf" ->
         ("""WITH terms AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
            |               FROM documents),

@@ -84,4 +84,37 @@ object Packing {
   def packStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
+
+  /** Length-bucketed batch assignment — the padding-waste lever of every
+    * fixed-shape training loop: documents are grouped into token-length
+    * buckets of `bucketWidth`, and each bucket is cut into deterministic
+    * `batchSize`-document batches in id order. Batching within a length
+    * bucket bounds per-batch padding to `bucketWidth − 1` tokens per
+    * document, versus up-to-longest-document waste under random batching.
+    *
+    * Scale shape: token counts are a scan-stage projection; the per-bucket
+    * contiguous position comes from the GROUPED distributed prefix
+    * ([[Prefix.runningAgg]] with `partitionCols = bucket`) — one hash
+    * exchange, distributed WITHIN each bucket, so a dominant length bucket
+    * (most corpora cluster hard around the median length) cannot
+    * serialize onto one task the way a per-bucket `row_number` window
+    * would. Deterministic: position is the global id-order rank within
+    * the bucket, independent of partitioning.
+    *
+    * Returns (id, n_tokens, bucket, batch_in_bucket). */
+  def lengthBatches(docs: DataFrame, bucketWidth: Long, batchSize: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val toks = docs
+      .select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div ${bucketWidth}L"))
+      .withColumn("__one", lit(1L))
+    Prefix.runningAgg(toks, col("id"), Seq("__one"), Seq("sum"), Seq("__cum"),
+        partitionCols = Seq("bucket"))
+      .select(col("id"), col("n_tokens"), col("bucket"),
+        expr(s"(__cum - 1) div ${batchSize}L").as("batch_in_bucket"))
+  }
 }

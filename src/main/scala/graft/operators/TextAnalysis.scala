@@ -284,4 +284,41 @@ object TextAnalysis {
         count(lit(1)).as("cf_shard"),
         md5(concat_ws(",", sort_array(collect_list(
           concat_ws(":", col("doc"), col("pos")))))).as("postings_fp"))
+
+  /** Overlapping token-window chunking — the RAG / long-document splitting
+    * primitive: each document becomes ⌈max(0, n−chunk)/step⌉ + 1 windows of
+    * `chunkTokens` tokens advancing by `step = chunkTokens − overlap`, so
+    * consecutive chunks share `overlap` tokens and no token is dropped
+    * (the final window may be short). A document shorter than one chunk
+    * yields exactly one window.
+    *
+    * Scale shape: a pure scan-stage projection + generator — the token
+    * array is materialized ONCE per row in the projection beneath the
+    * generate (never re-split per chunk), the chunk count is arithmetic on
+    * its length, and no shuffle is involved; output size is corpus tokens
+    * × (1 + overlap/step). Chunk text ships as a 60-bit fingerprint, not
+    * the text — downstream dedup/indexing wants the id anyway.
+    *
+    * Returns (id, chunk_idx, chunk_tokens, chunk_fp). */
+  def chunkWindows(docs: DataFrame, chunkTokens: Int, overlap: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val withWords = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__extra", greatest(lit(0),
+        ceil((col("__n") - lit(chunkTokens)).cast("double") / step).cast("int")))
+    withWords
+      .select(col("id"), col("__w"), col("__n"),
+        posexplode(sequence(lit(0), col("__extra"))).as(Seq("chunk_idx", "__i")))
+      .select(col("id"), col("chunk_idx"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * step)
+          .cast("long").as("chunk_tokens"),
+        graft.functions.ArrayOps.md5_long60(concat(lit("c:"),
+          array_join(slice(col("__w"), col("chunk_idx") * step + 1,
+            lit(chunkTokens)), " "))).as("chunk_fp"))
+  }
 }
