@@ -471,15 +471,65 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
-      case (cm @ ("cumsum" | "cummax" | "cummin"), CVecD(vs, ls), Nil) =>
+      case (cm @ ("cumsum" | "cummax" | "cummin" | "cumprod"), CVecD(vs, ls), Nil) =>
         val combine: (Double, Double) => Double = cm match {
           case "cumsum" => _ + _; case "cummax" => math.max; case "cummin" => math.min
+          case "cumprod" => _ * _
         }
         var acc = Double.NaN
         CVecD(vs.map { x =>
           if (x.isNaN) Double.NaN
           else { acc = if (acc.isNaN) x else combine(acc, x); acc }
         }, ls)
+
+      // `.cumprod()` (E11 long tail, r6): pandas skipna running product.
+      // Products don't distribute as products (no partial-product window
+      // at scale without the same single-partition trap), but they DO as
+      // three running SUMS through the same distributed prefix:
+      //   ln Σ  = running sum of ln|v| over non-zero cells,
+      //   negs  = running count of negative cells (sign = parity),
+      //   zeros = running count of zero cells (any ⇒ product is 0).
+      // out = 0 if zeros > 0 else (−1)^negs · e^lnΣ. The exp/ln round-trip
+      // costs ~1 ulp relative vs a sequential multiply — documented, so
+      // this method is golden-tested, not oracle-hashed (the e9_log
+      // float-function policy).
+      case ("cumprod", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.cumprod()' is not supported in ADP mode")
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val inNames = cols.indices.flatMap(i =>
+          Seq(s"__cp${tag}_ln_$i", s"__cp${tag}_ng_$i", s"__cp${tag}_zr_$i"))
+        val runNames = cols.indices.flatMap(i =>
+          Seq(s"__cp${tag}_lns_$i", s"__cp${tag}_ngs_$i", s"__cp${tag}_zrs_$i"))
+        val marked = cols.zipWithIndex.foldLeft(ctx.base.get) {
+          case (b, ((_, c), i)) =>
+            val valid = !isnan(c)
+            b.withColumn(s"__cp${tag}_ln_$i",
+                when(valid && c =!= 0.0, log(abs(c))).otherwise(lit(null)))
+              .withColumn(s"__cp${tag}_ng_$i",
+                when(valid && c < 0.0, lit(1L)).otherwise(lit(null)))
+              .withColumn(s"__cp${tag}_zr_$i",
+                when(valid && c === 0.0, lit(1L)).otherwise(lit(null)))
+        }
+        ctx.base = Some(graft.operators.Prefix.runningAgg(
+          marked, col(ctx.rowIdOut),
+          inNames, Seq.fill(inNames.size)("sum"), runNames))
+        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+          val lns = col(s"__cp${tag}_lns_$i")
+          val ngs = coalesce(col(s"__cp${tag}_ngs_$i"), lit(0L))
+          val zrs = coalesce(col(s"__cp${tag}_zrs_$i"), lit(0L))
+          val sign = lit(1.0) - lit(2.0) * (ngs % 2).cast("double")
+          val cell = when(isnan(c), c)
+            .otherwise(when(zrs > 0, lit(0.0))
+              // a leading all-NaN prefix has no factors: pandas keeps NaN
+              // until the first real value (unlike cumsum's empty-sum 0)
+              .otherwise(when(lns.isNull && ngs === 0 && zrs === 0,
+                  litOf(Double.NaN))
+                .otherwise(sign * exp(coalesce(lns, lit(0.0))))))
+          (lbl, cell)
+        }
+        CMatrix(out, isBool = false)
 
       // `.rank()` (E11 long tail): pandas column-wise average rank
       // (method='average', ascending, NaN excluded and returned as NaN).
@@ -553,7 +603,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, cumsum, cummax, " +
-            "cummin, rank, T — SURVEY §2.2 E11)")
+            "cummin, cumprod, rank, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

@@ -264,6 +264,30 @@ class FormulaEvaluatorSpec extends SparkSpec {
       Seq(1.5, 2, Double.NaN)))
   }
 
+  test(".cumprod() is the pandas skipna running product (E11, r6)") {
+    // a = [[1,7,6],[4,4,8],[1,7,2]] column-wise: [1,4,4], [7,28,196], [6,48,96]
+    golden("a.cumprod()", Seq(Seq(1, 7, 6), Seq(4, 28, 48), Seq(4, 196, 96)))
+    // i = [[7,NaN,1],[9,5,9],[7,8,NaN]]: NaN stays NaN, does not poison
+    golden("i.cumprod()", Seq(Seq(7, Double.NaN, 1), Seq(63, 5, 9),
+      Seq(441, 40, Double.NaN)))
+    // zeros zero out everything after (g has zero off-diagonals); negatives
+    // flip the sign by parity
+    golden("g.cumprod()", Seq(Seq(6, 0, 0), Seq(0, 0, 0), Seq(0, 0, 0)))
+    golden("(e - c).cumprod()", // e=0 ⇒ cells -c: [-2,-1,-2],[ -1,-1,-2],[-2,-2,-1]
+      Seq(Seq(-2, -1, -2), Seq(2, 1, 4), Seq(-4, -2, -4)))
+  }
+
+  test(".cumprod() on a driver vector is a running skipna product") {
+    val ev = new FormulaEvaluator(reg("v" -> Vec(IndexedSeq(2.0, Double.NaN, 3.0, -4.0),
+      IndexedSeq("a", "b", "c", "d"))))
+    ev.evaluateFormula("v.cumprod()") match {
+      case VecResult(out) =>
+        assertCell(out.values(0), 2.0); assert(out.values(1).isNaN)
+        assertCell(out.values(2), 6.0); assertCell(out.values(3), -24.0)
+      case other => fail(s"expected vector, got $other")
+    }
+  }
+
   test(".cumsum()/.cummax() in bounded ADP mode (decimal prefix offsets)") {
     // exercises Prefix.runningAgg's java.math.BigDecimal offset fold: the
     // decimal partials collected per partition must combine exactly
@@ -315,10 +339,10 @@ class FormulaEvaluatorSpec extends SparkSpec {
 
   test("unknown methods raise the reference's decorated type-error family") {
     val ev = new FormulaEvaluator(reg("a" -> fixA))
-    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.cumprod()"))
-    assert(e.getMessage.startsWith("Type error in formula 'a.cumprod()':"),
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.kurtosis()"))
+    assert(e.getMessage.startsWith("Type error in formula 'a.kurtosis()':"),
       e.getMessage)
-    assert(e.getMessage.contains("'.cumprod'"), e.getMessage)
+    assert(e.getMessage.contains("'.kurtosis'"), e.getMessage)
   }
 
   // chained comparison end-to-end (desugars to conjunction)
