@@ -45,7 +45,29 @@ object ProbeR6 {
     }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(section: String): Boolean = only.forall(_.contains(section))
 
+    // ---- r6 batching/chunking ops at 1x vs 10x vs 30x ----------------------
+    if (want("newops")) {
+      def batch(dir: String): Long =
+        SparkEntry.queries("pack_batch")(spark, dir).count()
+      def chunks(dir: String): Long =
+        SparkEntry.queries("txt_chunks")(spark, dir).count()
+      QueryCatalog.docs(spark, sf1x).count(); QueryCatalog.docs(spark, sf10).count()
+      QueryCatalog.docs(spark, sf30).count()
+      val b1 = best(batch(sf1x)); val b10 = best(batch(sf10)); val b30 = best(batch(sf30))
+      val c1 = best(chunks(sf1x)); val c10 = best(chunks(sf10)); val c30 = best(chunks(sf30))
+      out += "pack_batch" -> Map("t1x" -> b1, "t10x" -> b10, "t30x" -> b30,
+        "ratio30x" -> b30 / b1)
+      out += "txt_chunks" -> Map("t1x" -> c1, "t10x" -> c10, "t30x" -> c30,
+        "ratio30x" -> c30 / c1)
+      System.err.println(s"[probe] pack_batch 1x=$b1 10x=$b10 30x=$b30; " +
+        s"txt_chunks 1x=$c1 10x=$c10 30x=$c30")
+    }
+
+    if (want("seq")) {
     // ---- cumsum 1x vs 10x --------------------------------------------------
     def cumsum(dir: String): Long =
       QueryCatalog.formulaQuery("qty.cumsum()")(spark, dir).count()
@@ -57,7 +79,9 @@ object ProbeR6 {
     out += "cumsum" -> Map("t1x" -> c1, "t10x" -> c10, "ratio" -> c10 / c1)
     out += "rank" -> Map("t1x" -> r1, "t10x" -> r10, "ratio" -> r10 / r1)
     System.err.println(s"[probe] cumsum 1x=$c1 10x=$c10; rank 1x=$r1 10x=$r10")
+    }
 
+    if (want("setmat")) {
     // ---- agg_setmat source cardinality ------------------------------------
     def setmat(dir: String): Long = SparkEntry.queries("agg_setmat")(spark, dir).count()
     val s20_1 = best(setmat(sf1x))
@@ -71,7 +95,9 @@ object ProbeR6 {
       "src_ratio" -> s100_1 / s20_1, "corpus30x_ratio" -> s20_30 / s20_1)
     System.err.println(s"[probe] setmat 20src/1x=$s20_1 100src/1x=$s100_1 " +
       s"20src/10x=$s20_10 20src/30x=$s20_30")
+    }
 
+    if (want("curate")) {
     // ---- pipe_curate stage attribution at 10x vs 30x ----------------------
     def stages(dir: String): Map[String, Double] = {
       val dd = QueryCatalog.docs(spark, dir); dd.count() // warm the shared cache
@@ -102,6 +128,7 @@ object ProbeR6 {
       "edge_ratio" -> pairs30.toDouble / pairs10)
     System.err.println(s"[probe] curate 10x=$st10")
     System.err.println(s"[probe] curate 30x=$st30")
+    }
 
     def js(v: Any): String = v match {
       case m: scala.collection.Map[_, _] =>
