@@ -426,4 +426,41 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got == Set(("click", 3L, 13.0), ("view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  case class IdDoc(doc_id: Long, text: String)
+
+  test("chunkWindows is stateless and streams unchanged, matching batch") {
+    // the r6 chunker is a pure scan-stage generator — it must run under
+    // readStream with NO state store and produce batch-identical rows
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      IdDoc(1L, (0 until 9).map(i => s"w$i").mkString(" ")), // 9 tokens → 3 chunks @ 4/1
+      IdDoc(2L, "tiny doc"))
+    val in = MemoryStream[IdDoc]
+    val q = graft.operators.TextAnalysis
+      .chunkWindows(in.toDF(), chunkTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val batchIn = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            docs.map(d => org.apache.spark.sql.Row(d.doc_id, d.text))).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val batch = graft.operators.TextAnalysis
+        .chunkWindows(batchIn, chunkTokens = 4, overlap = 1).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch && streamed.count(_._1 == 1L) == 3)
+    } finally q.stop()
+  }
 }
