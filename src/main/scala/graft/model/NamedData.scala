@@ -142,6 +142,30 @@ object Ingest {
     matrix(df, rowId, valueCols, mode)
   }
 
+  /** Read a header CSV as a Matrix. Standard/bounded-ADP modes infer
+    * numeric types from the text; unbounded ADP deliberately KEEPS cells
+    * as text so decimal literals ("1e-30", 40-digit mantissas) ingest
+    * EXACTLY — `BdNorm` parses the string straight to BigDecimal with no
+    * double round-trip, the mpf-literal parity path the reference gets
+    * from python floats-in-CSV only approximately. Malformed numerics
+    * fail the construction-time strict cast either way. */
+  def csvMatrix(spark: SparkSession, path: String, rowId: String,
+                valueCols: Seq[String],
+                mode: NumericMode = NumericMode.Standard): Matrix = {
+    val reader = spark.read.option("header", "true")
+    val df =
+      if (mode.ubp) reader.csv(path)
+      else reader.option("inferSchema", "true").csv(path)
+    matrix(df, rowId, valueCols, mode)
+  }
+
+  /** Read JSON-lines as a Matrix (schema inferred; same strict cast). */
+  def jsonMatrix(spark: SparkSession, path: String, rowId: String,
+                 valueCols: Seq[String],
+                 mode: NumericMode = NumericMode.Standard): Matrix = {
+    matrix(spark.read.json(path), rowId, valueCols, mode)
+  }
+
   /** Persist a matrix backing bucketed+sorted by its row id. Two matrices
     * written this way with the SAME bucket count co-locate: the alignment
     * full-outer join (SURVEY §2.3 A1) plans with ZERO Exchange — at 100 TB
