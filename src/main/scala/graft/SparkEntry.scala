@@ -1768,6 +1768,20 @@ object SparkEntry {
           "o_totalprice", width = 25000.0)
         .orderBy(col("bin"))),
 
+    // distribution-drift monitor (PSI): token-length distribution of the
+    // src0 slice vs src1 — the "is the new crawl shaped like the old one"
+    // gate; corpora never join, each collapses to <=bins counted rows
+    "prof_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      Profiling.psiDrift(
+          dd.filter(col("source") === "src0")
+            .select(TextAnalysis.tokenCount(col("text")).as("v")),
+          dd.filter(col("source") === "src1")
+            .select(TextAnalysis.tokenCount(col("text")).as("v")),
+          "v", bins = 16, lo = 0.0, hi = 160.0)
+        .orderBy(col("bin"))
+    }),
+
     // pairwise Pearson correlations of all column pairs in ONE scan:
     // exact-decimal moments (sums / square-sums / cross-sums) from a
     // single aggregate, then the corr/cov formulas in fixed-order double
@@ -3956,6 +3970,34 @@ object SparkEntry {
            |SELECT *, CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS rfm_score
            |FROM binned ORDER BY user_id""".stripMargin
       },
+      // PSI drift mirror: identical clamped binning, +1 Laplace smoothing,
+      // 6-dp shares and logs, decimal contribution fold
+      "prof_drift" ->
+        (s"""WITH a AS (SELECT least(15, greatest(0,
+            |             CAST(floor($tokSql / 10.0) AS INT))) AS bin,
+            |             count(*) AS n FROM documents WHERE source = 'src0'
+            |           GROUP BY 1),
+            |b AS (SELECT least(15, greatest(0,
+            |        CAST(floor($tokSql / 10.0) AS INT))) AS bin,
+            |        count(*) AS n FROM documents WHERE source = 'src1'
+            |      GROUP BY 1),
+            |g AS (SELECT CAST(range AS INT) AS bin FROM range(16)),
+            |j AS (SELECT g.bin, CAST(coalesce(a.n, 0) AS BIGINT) AS n_a,
+            |             CAST(coalesce(b.n, 0) AS BIGINT) AS n_b
+            |      FROM g LEFT JOIN a ON g.bin = a.bin
+            |             LEFT JOIN b ON g.bin = b.bin),
+            |p AS (SELECT bin, n_a, n_b,
+            |        round((n_a + 1)::DOUBLE / (sum(n_a) OVER () + 16), 6) AS p_a,
+            |        round((n_b + 1)::DOUBLE / (sum(n_b) OVER () + 16), 6) AS p_b
+            |      FROM j),
+            |c AS (SELECT bin, n_a, n_b, p_a, p_b,
+            |        CAST(round((p_a - p_b) * round(ln(p_a / p_b), 6), 9)
+            |             AS DECIMAL(28,12)) AS cd
+            |      FROM p)
+            |SELECT bin, n_a, n_b, p_a, p_b,
+            |       CAST(cd AS DOUBLE) AS contrib,
+            |       round(CAST(sum(cd) OVER () AS DOUBLE), 6) AS psi
+            |FROM c ORDER BY bin""".stripMargin),
       "prof_hist" ->
         """WITH b AS (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
           |                  count(*) AS n

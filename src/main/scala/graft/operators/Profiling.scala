@@ -114,4 +114,55 @@ object Profiling {
       round(sum(col("n")).over(cum).cast("double") /
         sum(col("n")).over(all), 6).as("cdf"))
   }
+
+  /** Population Stability Index between two samples of `valCol` — the
+    * standard corpus-version drift monitor (is today's crawl shaped like
+    * the one the model was trained on?). `bins` fixed equi-width bins on
+    * [lo, hi); out-of-range values clamp to the edge bins so both sides
+    * see the identical binning. Laplace (+1 per bin) smoothing keeps
+    * empty bins finite. PSI = Σ (pA−pB)·ln(pA/pB); <0.1 stable, >0.25
+    * drifted (the conventional thresholds).
+    *
+    * Scale shape: each side collapses to ≤`bins` counted rows in one
+    * map-side-combined aggregate (the corpora are never joined); the bin
+    * grid join and the PSI fold run over the BOUNDED bin frame (the
+    * prof_hist pattern). Determinism: shares and logs rounded to 6, the
+    * PSI sum folded as DECIMAL — order-independent and engine-exact.
+    *
+    * Returns per-bin rows (bin, n_a, n_b, p_a, p_b, contrib, psi) with
+    * the total replicated per row. */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valCol: String,
+               bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
+    val spark = dfA.sparkSession
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, as: String): DataFrame = df
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valCol) - lo) / width).cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val grid = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val joined = grid
+      .join(binned(dfA, "n_a"), Seq("bin"), "left")
+      .join(binned(dfB, "n_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // smoothed shares over the bounded bin frame; 6-dp rounding makes the
+    // double arithmetic engine-identical, the decimal fold makes the sum
+    // order-independent
+    val pA = round((col("n_a") + 1).cast("double") /
+      (sum(col("n_a")).over(all) + bins).cast("double"), 6)
+    val pB = round((col("n_b") + 1).cast("double") /
+      (sum(col("n_b")).over(all) + bins).cast("double"), 6)
+    val contrib = round((pA - pB) * round(log(pA / pB), 6), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    joined
+      .select(col("bin"), col("n_a"), col("n_b"),
+        pA.as("p_a"), pB.as("p_b"),
+        contrib.cast("double").as("contrib"),
+        round(sum(contrib).over(all).cast("double"), 6).as("psi"))
+  }
 }

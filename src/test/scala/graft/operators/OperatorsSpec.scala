@@ -678,4 +678,27 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(pooled((label, 0L))._1 - mean0) < 1e-6)
     }
   }
+
+  test("psiDrift: identical samples score ~0, disjoint samples score high") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def frame(vals: Seq[Double]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(vals.map(Row(_))).asJava),
+      StructType(Seq(StructField("v", DoubleType))))
+    val a = frame((0 until 200).map(i => (i % 10) * 10.0))
+    val same = Profiling.psiDrift(a, a, "v", bins = 10, lo = 0, hi = 100)
+      .select("psi").head().getDouble(0)
+    assert(same == 0.0, s"identical distributions must score 0, got $same")
+    val b = frame((0 until 200).map(i => 50.0 + (i % 5) * 10.0)) // shifted
+    val drift = Profiling.psiDrift(a, b, "v", bins = 10, lo = 0, hi = 100)
+      .select("psi").head().getDouble(0)
+    assert(drift > 0.25, s"disjoint-half distributions must flag, got $drift")
+    // out-of-range values clamp to edge bins rather than vanish
+    val c = frame(Seq(-50.0, 500.0))
+    val rows = Profiling.psiDrift(c, c, "v", bins = 10, lo = 0, hi = 100)
+      .orderBy("bin").collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(1) == 1L && rows.last.getLong(1) == 1L)
+  }
 }
