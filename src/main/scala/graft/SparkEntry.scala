@@ -3992,11 +3992,18 @@ object SparkEntry {
             |      FROM j),
             |c AS (SELECT bin, n_a, n_b, p_a, p_b,
             |        CAST(round((p_a - p_b) * round(ln(p_a / p_b), 6), 9)
-            |             AS DECIMAL(28,12)) AS cd
+            |             AS DECIMAL(28,12)) AS cd,
+            |        round(abs(
+            |          round(sum(n_a) OVER (ORDER BY bin ROWS UNBOUNDED
+            |                PRECEDING)::DOUBLE / sum(n_a) OVER (), 6) -
+            |          round(sum(n_b) OVER (ORDER BY bin ROWS UNBOUNDED
+            |                PRECEDING)::DOUBLE / sum(n_b) OVER (), 6)), 6)
+            |          AS gap
             |      FROM p)
             |SELECT bin, n_a, n_b, p_a, p_b,
             |       CAST(cd AS DOUBLE) AS contrib,
-            |       round(CAST(sum(cd) OVER () AS DOUBLE), 6) AS psi
+            |       round(CAST(sum(cd) OVER () AS DOUBLE), 6) AS psi,
+            |       round(max(gap) OVER (), 6) AS ks
             |FROM c ORDER BY bin""".stripMargin),
       "prof_hist" ->
         """WITH b AS (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,

@@ -159,10 +159,24 @@ object Profiling {
       (sum(col("n_b")).over(all) + bins).cast("double"), 6)
     val contrib = round((pA - pB) * round(log(pA / pB), 6), 9)
       .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    // the binned two-sample KS statistic rides along for free: max gap
+    // between the RAW (unsmoothed, KS convention) cumulative shares
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdfGap = abs(
+      round(sum(col("n_a")).over(cum).cast("double") /
+        sum(col("n_a")).over(all).cast("double"), 6) -
+      round(sum(col("n_b")).over(cum).cast("double") /
+        sum(col("n_b")).over(all).cast("double"), 6))
+    // two stages: windows may not nest, so the per-bin gap/contribution
+    // materialize first and the whole-frame folds run over them
     joined
       .select(col("bin"), col("n_a"), col("n_b"),
-        pA.as("p_a"), pB.as("p_b"),
-        contrib.cast("double").as("contrib"),
-        round(sum(contrib).over(all).cast("double"), 6).as("psi"))
+        pA.as("p_a"), pB.as("p_b"), contrib.as("__cd"),
+        round(cdfGap, 6).as("__gap"))
+      .select(col("bin"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        col("__cd").cast("double").as("contrib"),
+        round(sum(col("__cd")).over(all).cast("double"), 6).as("psi"),
+        round(max(col("__gap")).over(all), 6).as("ks"))
   }
 }

@@ -687,13 +687,17 @@ class OperatorsSpec extends SparkSpec {
         .SeqHasAsJava(vals.map(Row(_))).asJava),
       StructType(Seq(StructField("v", DoubleType))))
     val a = frame((0 until 200).map(i => (i % 10) * 10.0))
-    val same = Profiling.psiDrift(a, a, "v", bins = 10, lo = 0, hi = 100)
-      .select("psi").head().getDouble(0)
-    assert(same == 0.0, s"identical distributions must score 0, got $same")
+    val sameRow = Profiling.psiDrift(a, a, "v", bins = 10, lo = 0, hi = 100)
+      .select("psi", "ks").head()
+    assert(sameRow.getDouble(0) == 0.0 && sameRow.getDouble(1) == 0.0,
+      s"identical distributions must score 0, got $sameRow")
     val b = frame((0 until 200).map(i => 50.0 + (i % 5) * 10.0)) // shifted
-    val drift = Profiling.psiDrift(a, b, "v", bins = 10, lo = 0, hi = 100)
-      .select("psi").head().getDouble(0)
-    assert(drift > 0.25, s"disjoint-half distributions must flag, got $drift")
+    val driftRow = Profiling.psiDrift(a, b, "v", bins = 10, lo = 0, hi = 100)
+      .select("psi", "ks").head()
+    assert(driftRow.getDouble(0) > 0.25,
+      s"disjoint-half distributions must flag, got $driftRow")
+    // half of a's mass sits below b's support → KS gap 0.5
+    assert(driftRow.getDouble(1) == 0.5, s"expected KS 0.5, got $driftRow")
     // out-of-range values clamp to edge bins rather than vanish
     val c = frame(Seq(-50.0, 500.0))
     val rows = Profiling.psiDrift(c, c, "v", bins = 10, lo = 0, hi = 100)
