@@ -195,6 +195,26 @@ object SparkEntry {
     // ---- dedup (portable md5-based hashes → DuckDB-checkable end-to-end;
     //      the xxhash64 default paths stay the library's fast mode) ----
     "dd_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy(col("fp"))),
+    // incremental-ingest content delta: which NEW arrivals already exist
+    // in the accepted history by exact content hash — the dedup gate every
+    // crawl increment runs. The slices deliberately OVERLAP (history =
+    // even ids, arrivals = ids divisible by 3: a re-crawl re-fetching
+    // pages), so both outcomes exercise. Both sides shuffle on the 128-bit
+    // fp (hash equi-join, corpus-scale safe); the history collapses to
+    // distinct fps first, so the join's build side is bounded by UNIQUE
+    // historical content, not raw rows
+    "dd_delta" -> ((s, d) => {
+      val dd = docs(s, d)
+      val history = dd.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(md5(col("text")).as("fp")).distinct()
+        .withColumn("seen", lit(true))
+      dd.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(history, Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("seen"), lit(false)).as("is_known"))
+        .orderBy(col("doc_id"))
+    }),
     // SoftDeDup: keep every copy but weight it 1/n so each duplicate
     // group carries one document's total training influence — a count
     // window over the fingerprint partition (high-cardinality key →
@@ -3226,6 +3246,13 @@ object SparkEntry {
       "dd_exact" ->
         ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY fp"),
+      "dd_delta" ->
+        ("""WITH hist AS (SELECT DISTINCT md5(text) AS fp FROM documents
+           |              WHERE doc_id % 2 = 0)
+           |SELECT d.doc_id, md5(d.text) AS fp,
+           |       (md5(d.text) IN (SELECT fp FROM hist)) AS is_known
+           |FROM documents d WHERE d.doc_id % 3 = 0
+           |ORDER BY d.doc_id""".stripMargin),
       "dd_soft" ->
         ("SELECT doc_id, " +
           "CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies, " +
