@@ -1818,6 +1818,26 @@ object SparkEntry {
       Similarity.meanPool(s.read.parquet(s"$d/embeddings.parquet"), "label")
         .orderBy(col("label"), col("i"))),
 
+    // embedding-quality diagnostics per label: vector counts, decimal-exact
+    // squared-norm mass, zero-vector count, norm extrema — the "are these
+    // embeddings healthy" gate before any ANN/dedup run. The squared norm
+    // is ONE compiled dot kernel per row (codegen, array order fixed →
+    // engine-identical doubles); per-vector values rounded once, then the
+    // cross-vector sum folds as DECIMAL (order-independent)
+    "emb_stats" -> ((s, d) => {
+      val sq = graft.functions.ArrayOps
+        .dot_product(col("embedding"), col("embedding"))
+      embs(s, d).select(col("label"), sq.as("sq"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("sq"), 9).cast(DecimalType(28, 12)))
+            .cast(DoubleType).as("sum_sq"),
+          sum(when(col("sq") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(min(round(sqrt(col("sq")), 6)), 6).as("min_norm"),
+          round(max(round(sqrt(col("sq")), 6)), 6).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
     // ---- data cleaning: winsorization at per-group exact quantiles
     //      (rank-selected over GROUPED value counts — bounded cardinality —
     //      then thresholds broadcast back; clip is a scan-stage projection) ----
@@ -3805,6 +3825,21 @@ object SparkEntry {
           rows.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_x, col_y")
       },
       // mean-pool mirror: same decimal-exact per-(group, dim) means
+      // embedding diagnostics mirror: same in-order double fold per vector
+      // (list_sum over the transformed list), same rounding + decimal mass
+      "emb_stats" ->
+        """WITH e AS (SELECT label,
+          |             list_sum(list_transform(embedding,
+          |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+          |           FROM embeddings)
+          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          |       CAST(sum(CAST(round(sq, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          |         AS sum_sq,
+          |       CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_zero,
+          |       round(min(round(sqrt(sq), 6)), 6) AS min_norm,
+          |       round(max(round(sqrt(sq), 6)), 6) AS max_norm
+          |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
       "emb_pool" ->
         """WITH e AS (SELECT label, unnest(embedding) AS v,
           |                  generate_subscripts(embedding, 1) - 1 AS i

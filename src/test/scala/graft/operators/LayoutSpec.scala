@@ -130,4 +130,22 @@ class LayoutSpec extends SparkSpec {
     assert(filesZ < r.getAs[Long]("n_files_z") / 4,
       s"a 10% box must prune >75% of z files, kept $filesZ")
   }
+
+  test("eqWidthBucket enforces the span*2^bits < 2^53 exactness bound (ADVICE r5)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // a 60-bit hashed dimension: span ~2^60, bits 12 → far past 2^53
+    val wide = Seq((0L, Long.MinValue + 1), (1L, Long.MaxValue)).toDF("id", "x")
+    val e = intercept[Exception] {
+      wide.select(Layout.eqWidthBucket(col("x"), min(col("x")).over(),
+        max(col("x")).over(), 12)).collect()
+    }
+    assert(e.getMessage.contains("2^53"), e.getMessage)
+    // in-contract spans still bucket fine
+    val ok = Seq((0L, 0L), (1L, 1000L)).toDF("id", "x")
+      .select(Layout.eqWidthBucket(col("x"), lit(0L), lit(1000L), 12).as("b"))
+      .collect().map(_.getLong(0))
+    assert(ok.forall(b => b >= 0 && b < 4096))
+  }
 }
