@@ -2019,6 +2019,25 @@ object SparkEntry {
           (0 until 16).map(i =>
             element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
         .orderBy(col("media_id"))),
+    // REAL codec roundtrips (r6): the synth parameters are deterministic
+    // functions of the id/token count, so the oracle PREDICTS analytically
+    // what the byte-level RIFF/BMP parse must recover — if the encoder or
+    // the chunk-walking parser is off by one byte anywhere, these rows
+    // hash-mismatch. (Sample-content features — rms/peak/thumb — are
+    // covered by MediaCodecSpec roundtrips; an engine-independent oracle
+    // cannot replay the 64-bit LCG.)
+    "mm_wav" -> ((s, d) =>
+      Multimodal.decodeWav(Multimodal.asWavTable(docs(s, d)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy(col("media_id"))),
+    "mm_bmp" -> ((s, d) =>
+      Multimodal.decodeBmp(Multimodal.asBmpTable(docs(s, d)))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 9).as("mean_r"),
+          round(col("mean_g"), 9).as("mean_g"),
+          round(col("mean_b"), 9).as("mean_b"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3378,6 +3397,28 @@ object SparkEntry {
             |SELECT vec_id, cell FROM ranked WHERE rn <= 25
             |ORDER BY cell, vec_id""".stripMargin),
       "mm_features" -> mmFeatures,
+      // analytic codec-roundtrip mirrors: predict what the byte-level
+      // RIFF/BMP parse must recover from the deterministic synth params
+      "mm_wav" ->
+        (s"""SELECT doc_id AS media_id,
+            |  CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+            |  CAST(greatest(16, $tokSql * 16) AS INT) AS n_samples,
+            |  round(CAST(greatest(16, $tokSql * 16) AS DOUBLE) * 1000.0
+            |        / 16000.0, 6) AS duration_ms
+            |FROM documents ORDER BY media_id""".stripMargin),
+      "mm_bmp" ->
+        ("""WITH d AS (SELECT doc_id AS id, 16 + doc_id % 17 AS w,
+           |                  12 + doc_id % 11 AS h FROM documents),
+           |cells AS (SELECT id, w, h,
+           |    ((x.range * 255) // (w - 1) + id) % 256 AS v,
+           |    ((y.range * 255) // (h - 1) + id * 3) % 256 AS u
+           |  FROM d, range(0, 40) x, range(0, 30) y
+           |  WHERE x.range < w AND y.range < h)
+           |SELECT id AS media_id, CAST(w AS INT) AS width,
+           |       CAST(h AS INT) AS height,
+           |       round(avg(v), 9) AS mean_r, round(avg(u), 9) AS mean_g,
+           |       round(avg((v + u) // 2), 9) AS mean_b
+           |FROM cells GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
       // read_parquet by interpolated path: an `events` view may not be
