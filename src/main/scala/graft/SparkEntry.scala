@@ -409,6 +409,14 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(docs(s, d))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+    // collocation mining: top-20 bigrams by lift (exponent-free PMI) —
+    // counts aggregate map-side, the pair table joins the vocab twice
+    // (bounded by distinct bigrams), the top-k is a bounded-heap
+    // TakeOrdered; every score op is an exactly-rounded IEEE div/mul so
+    // the oracle computes bit-identical doubles
+    "txt_pmi" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), n = 20, minCount = 5)
+        .orderBy(col("lift").desc, col("w1"), col("w2"))),
     // Gopher repetition filters: one compiled pass per row, zero shuffle
     "txt_rep" -> ((s, d) =>
       TextAnalysis.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
@@ -1577,6 +1585,12 @@ object SparkEntry {
       Sampling.stratified(docs(s, d), "lang", "doc_id",
           Map("en" -> 0.1, "zh" -> 0.5), default = 1.0)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // weighted priority sample: the 150 docs with the smallest
+    // hash(id)/n_chars key (longer docs proportionally likelier) — a
+    // stateless scan projection + bounded-heap TakeOrdered, never a
+    // shuffle; division-keyed so the key is bit-identical cross-engine
+    "smp_res" -> ((s, d) =>
+      Sampling.weightedPriority(docs(s, d), "doc_id", "n_chars", n = 150)),
     // mixture targeting: the kept corpus must be 50/30/20 across three
     // sources (maximal retention; every other source dropped)
     "smp_mix" -> ((s, d) =>
@@ -1866,6 +1880,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // group-mean imputation over a deterministic 10% missing-value mask
+    // (hash-derived, planted identically in the oracle): per-type means
+    // from one map-side-combined decimal-exact aggregate joined back —
+    // never a rows-level window partitioned by the handful of groups
+    "cln_impute" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          when(Sampling.hashUniform(col("event_id"), seed = 7) < 0.1,
+            lit(null).cast(DoubleType)).otherwise(col("value")).as("value"))
+      Cleaning.imputeGroupMean(ev, "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("imputed"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- entity resolution: blocked candidates (equi-join on the cheap
     //      key, never all-pairs) + levenshtein verification; the dirty
     //      fixture is a deterministic function of custkey, derived
@@ -1931,6 +1961,14 @@ object SparkEntry {
     // clusters show up as high per-vertex triangle counts
     "gr_tri" -> ((s, d) =>
       Graph.triangleCounts(knnEdges(s, d)
+          .select(col("id").as("src"), col("nbr").as("dst")))
+        .orderBy(col("id"))),
+    // connected components of the kNN graph (cluster extraction): the
+    // size-adaptive duplicateGroups core behind a general edge-list API —
+    // driver union-find below the pair cutoff, doubling label propagation
+    // above it; labels are component-minimum vertex ids
+    "gr_cc" -> ((s, d) =>
+      Graph.connectedComponents(knnEdges(s, d)
           .select(col("id").as("src"), col("nbr").as("dst")))
         .orderBy(col("id"))),
 
@@ -2763,6 +2801,11 @@ object SparkEntry {
            |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY 1""".stripMargin,
       "smp_bern" ->
         s"SELECT doc_id FROM documents WHERE ${hashU("doc_id")} < 0.25 ORDER BY doc_id",
+      // weighted-priority mirror: identical hash, identical single IEEE
+      // division (exactly rounded in both engines), identical tiebreak
+      "smp_res" ->
+        (s"SELECT doc_id, n_chars, ${hashU("doc_id")} / CAST(n_chars AS DOUBLE) AS key " +
+          "FROM documents ORDER BY key, doc_id LIMIT 150"),
       "smp_shuffle" ->
         (s"SELECT doc_id, row_number() OVER (ORDER BY ${mdInt("'42:' || doc_id")}, doc_id) - 1 AS pos " +
           "FROM documents ORDER BY doc_id"),
@@ -3708,6 +3751,26 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |       round(CAST(sum(lp) AS DOUBLE)/count(*), 6) AS lm_score
            |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      // collocation mirror: identical count tables and the identical IEEE
+      // division/multiply chain — lift carries no log, so no libm
+      // divergence; ordering on the UNROUNDED score with (w1, w2) tiebreak
+      "txt_pmi" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |uni AS (SELECT w[i] AS word FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+          |cw AS (SELECT word, count(*) AS c_w FROM uni GROUP BY 1),
+          |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM uni),
+          |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+          |       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+          |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bg),
+          |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
+          |        GROUP BY 1, 2 HAVING count(*) >= 5),
+          |lf AS (SELECT w1, w2, c_ab,
+          |         (CAST(c_ab AS DOUBLE) / n_bg) /
+          |         ((CAST(a.c_w AS DOUBLE) / n_tok) * (CAST(b.c_w AS DOUBLE) / n_tok)) AS l
+          |       FROM cab JOIN cw a ON a.word = w1 JOIN cw b ON b.word = w2
+          |            CROSS JOIN nt CROSS JOIN nb)
+          |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, round(l, 6) AS lift
+          |FROM lf ORDER BY l DESC, w1, w2 LIMIT 20""".stripMargin,
       // classifier mirror: same unigram+bigram features, same md5 bucket,
       // same hash-derived fixed-point weights; milli is an exact integer
       // sum so mean and sign agree bit-for-bit
@@ -3928,6 +3991,21 @@ object SparkEntry {
            |FROM read_parquet('$sfDir/events.parquet') JOIN m2 USING (user_id)
            |WHERE key_std > 0 AND abs(round((value - key_mean) / key_std, 6)) > 2.0
            |ORDER BY event_id""".stripMargin,
+      // imputation mirror: identical hash-derived missing mask, identical
+      // decimal-exact group means (sum DECIMAL / count, round 6), coalesce
+      "cln_impute" ->
+        s"""WITH masked AS (SELECT event_id, event_type,
+           |    CASE WHEN ${hashU("event_id", 7)} < 0.1 THEN NULL
+           |         ELSE value END AS value
+           |  FROM read_parquet('$sfDir/events.parquet')),
+           |m AS (SELECT event_type,
+           |        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |              / count(value), 6) AS mv
+           |      FROM masked WHERE value IS NOT NULL GROUP BY 1)
+           |SELECT event_id, event_type, coalesce(value, mv) AS value,
+           |       (value IS NULL AND mv IS NOT NULL) AS imputed
+           |FROM masked LEFT JOIN m USING (event_type)
+           |ORDER BY event_id""".stripMargin,
       // entity-resolution mirror: identical dirty-variant derivation,
       // identical blocking key, identical levenshtein verification
       "er_match" ->
@@ -4002,6 +4080,26 @@ object SparkEntry {
            |            SELECT y FROM tri UNION ALL SELECT z FROM tri)
            |SELECT id, CAST(count(*) AS BIGINT) AS n_tri
            |FROM corners GROUP BY 1 ORDER BY id""".stripMargin,
+      // connected-components mirror: same kNN edges; the reachability
+      // closure via a recursive CTE, min reachable id = component label
+      // (identical convention to the engine's union-find / label-prop)
+      "gr_cc" ->
+        s"""WITH RECURSIVE ${blockedCtes(0.25)},
+           |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+           |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+           |rk AS (SELECT id, nbr,
+           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+           |       FROM sym),
+           |knn AS (SELECT id AS src, nbr AS dst FROM rk WHERE rn <= 3),
+           |e2 AS (SELECT src AS a, dst AS b FROM knn
+           |       UNION ALL SELECT dst, src FROM knn),
+           |nodes AS (SELECT src AS id FROM knn UNION SELECT dst FROM knn),
+           |reach(id, l) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.a, r.l FROM e2 e JOIN reach r ON e.b = r.id)
+           |SELECT id, min(l) AS group_id FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin,
       // upsert mirror: latest row per key via window rank (the result —
       // not the plan — is what must match the struct-max aggregate)
       "cdc_upsert" ->

@@ -86,4 +86,27 @@ object Cleaning {
       .filter(abs(col("zscore")) > z)
       .drop("__n")
   }
+
+  /** Group-mean imputation: fill NULLs in `valCol` with the mean of the
+    * group's non-null values (the standard numeric-cleaning pass before
+    * feature extraction; groups whose values are ALL null stay null).
+    *
+    * The mean is decimal-exact and engine-identical: non-null values sum
+    * through DECIMAL(18,2) (order-independent), divide once as double,
+    * round to 6. Shape: one map-side-combined per-group aggregate (rows
+    * bounded by group cardinality) joined back — AQE broadcasts the stats
+    * table when groups are few; a rows-level window over
+    * `partition by group` would cap parallelism at the group count
+    * instead. Returns df with `valCol` replaced and an `imputed` flag. */
+  def imputeGroupMean(df: DataFrame, groupCol: String,
+                      valCol: String): DataFrame = {
+    val means = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(sum(col(valCol).cast(DecimalType(18, 2))).cast(DoubleType)
+        / count(lit(1)), 6).as("__mean"))
+    df.join(means, Seq(groupCol), "left")
+      .withColumn("imputed", col(valCol).isNull && col("__mean").isNotNull)
+      .withColumn(valCol, coalesce(col(valCol), col("__mean")))
+      .drop("__mean")
+  }
 }

@@ -116,4 +116,28 @@ object Graph {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Connected components of an undirected edge list (`src`, `dst`).
+    * Returns (id, group_id) for every vertex that appears as an endpoint,
+    * where group_id is the component's MINIMUM vertex id — the same label
+    * convention as [[Dedup.duplicateGroups]], whose size-adaptive core this
+    * delegates to: pairs that fit on the driver resolve through
+    * path-compressed union-find (zero iterative Spark rounds, one broadcast
+    * join back), larger graphs through doubling label propagation
+    * (O(log diameter) rounds, each a label-table join thousands of times
+    * smaller than the corpus).
+    *
+    * This is the general-graph face of the machinery: duplicateGroups
+    * answers "which docs are copies", this answers connectivity over ANY
+    * edge set — kNN cluster extraction, citation components, session
+    * stitching. */
+  def connectedComponents(edges: DataFrame,
+                          driverMaxPairs: Long = 10000000L): DataFrame = {
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    Dedup.duplicateGroups(verts,
+        edges.select(col("src").as("id1"), col("dst").as("id2")),
+        idCol = "id", driverMaxPairs = driverMaxPairs)
+  }
 }

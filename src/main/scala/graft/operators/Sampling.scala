@@ -70,6 +70,31 @@ object Sampling {
       .drop("__rank__")
   }
 
+  /** Deterministic weighted priority sample: the n rows with the smallest
+    * `hashUniform(id) / weight` key — rows with larger weights draw
+    * proportionally smaller keys, so selection probability rises with
+    * weight (the priority-sampling family; this is the division-keyed
+    * variant, chosen over the classical u^(1/w) exponent form because
+    * IEEE division is EXACTLY rounded and therefore bit-identical in any
+    * engine, while pow/log are libm-dependent). Same id + seed + weight →
+    * same sample, independent of partitioning, cluster size, or retries.
+    *
+    * Shape: a stateless scan-stage projection followed by a global top-n
+    * (TakeOrdered: per-partition bounded heaps, then an n-row driver
+    * merge) — the corpus is never shuffled or sorted, so this runs at
+    * read bandwidth at 100 TB for any n that fits on the driver.
+    *
+    * Returns (idCol, weightCol, key) ordered by (key, id). */
+  def weightedPriority(df: DataFrame, idCol: String, weightCol: String,
+                       n: Int, seed: Int = 42): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.select(col(idCol), col(weightCol),
+        (hashUniform(col(idCol), seed) / col(weightCol).cast("double"))
+          .as("key"))
+      .orderBy(col("key"), col(idCol))
+      .limit(n)
+  }
+
   /** Mixture targeting: downsample so the surviving corpus hits TARGET
     * PROPORTIONS across strata (the static data-mixing pass of an LLM
     * pretraining pipeline — "the mix should be 50% web, 30% code, 20%

@@ -226,6 +226,59 @@ object TextAnalysis {
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
   }
 
+  /** Collocation mining: the corpus's top-n adjacent word pairs by LIFT —
+    * observed bigram probability over the independence expectation,
+    * `(c_ab/N_bg) / ((c_a/N_tok)·(c_b/N_tok))` — the exponent-free core of
+    * PMI (PMI = log2(lift); log is deliberately NOT applied so every
+    * arithmetic step is an exactly-rounded IEEE division/multiply and the
+    * score is bit-identical across engines — the weightedPriority
+    * convention). Collocation tables drive tokenizer-vocabulary induction
+    * and phrase-aware quality scoring in curation pipelines.
+    *
+    * Scale shape: unigram and bigram counting are map-side-combined
+    * aggregates over narrow projections; the unigram table joins TWICE
+    * onto the GROUPED bigram table (bounded by distinct-bigram
+    * cardinality, not corpus rows; AQE broadcasts when the vocab is
+    * small), totals ride in as two 1-row broadcast cross joins, and the
+    * top-n is a TakeOrdered (bounded heaps, no global sort). `minCount`
+    * floors c_ab so rare-pair noise (lift explodes as counts → 1) never
+    * reaches the heap.
+    *
+    * Returns (w1, w2, c_ab, lift) ordered by (lift desc, w1, w2), lift
+    * rounded to 6 for display AFTER the unrounded order is taken. */
+  def collocations(docs: DataFrame, n: Int, minCount: Long = 5,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(n > 0 && minCount >= 1, s"need n > 0, minCount >= 1")
+    val toks = Dedup.tokenized(docs, textCol, idCol) // (id, words) + barrier
+    val uni = toks.select(explode(col("words")).as("w"))
+    val cW = uni.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nTok = uni.agg(count(lit(1)).cast("double").as("n_tok"))
+    val bg = toks.select(
+        explode(when(size(col("words")) >= 2,
+          transform(sequence(lit(0), size(col("words")) - 2),
+            i => struct(
+              element_at(col("words"), i + 1).as("w1"),
+              element_at(col("words"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("x"))
+      .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
+    val cAb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nBig = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+    val lift = cAb
+      .join(cW.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(cW.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("__lift",
+        (col("c_ab").cast("double") / col("n_bg")) /
+          ((col("c_a").cast("double") / col("n_tok")) *
+           (col("c_b").cast("double") / col("n_tok"))))
+    lift.orderBy(col("__lift").desc, col("w1"), col("w2")).limit(n)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(col("__lift"), 6).as("lift"))
+  }
+
   /** Canonical text normalization (the pass run before exact dedup so
     * cosmetic variants collapse): lowercase → strip everything but
     * [a-z0-9 ] → collapse runs of spaces → trim. A pure codegen'd

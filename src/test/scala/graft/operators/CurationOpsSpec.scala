@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Round-6 wave-2 operators: general connected components, weighted
+  * priority sampling, collocation mining (lift), group-mean imputation. */
+class CurationOpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
+  test("connectedComponents: min-id labels over both components") {
+    val e = df(edgeSchema,
+      Seq(Row(2L, 1L), Row(2L, 3L), Row(3L, 4L), Row(10L, 11L)))
+    val got = Graph.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: distributed label-prop path agrees with union-find") {
+    val e = df(edgeSchema,
+      // a 12-node path (diameter stresses the doubling rounds) + a pair
+      (1L until 12L).map(i => Row(i, i + 1)) ++ Seq(Row(100L, 99L)))
+    val uf = Graph.connectedComponents(e)
+    val lp = Graph.connectedComponents(e, driverMaxPairs = 0L)
+    assert(uf.collect().toSet == lp.collect().toSet)
+    assert(lp.filter(col("id") <= 12).agg(max("group_id")).head.getLong(0) == 1L)
+  }
+
+  test("weightedPriority: deterministic, partition-independent, key = hash/weight") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("w", DoubleType)))
+    val d = df(schema, (1L to 200L).map(i => Row(i, (i % 7 + 1).toDouble)))
+    val a = Sampling.weightedPriority(d, "id", "w", n = 20).collect()
+    val b = Sampling.weightedPriority(d.repartition(13), "id", "w", n = 20)
+      .collect()
+    assert(a.toSeq == b.toSeq) // same rows in the same (key, id) order
+    assert(a.length == 20)
+    val keys = a.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y })
+    // the key column IS hash(id)/w, recomputed independently
+    val h = d.select(col("id"),
+      (Sampling.hashUniform(col("id")) / col("w")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach(r => assert(r.getDouble(2) == h(r.getLong(0))))
+  }
+
+  test("collocations: lift matches the hand computation") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(schema, Seq(Row(1L, "x y x y"), Row(2L, "x y z")))
+    val got = TextAnalysis.collocations(d, n = 10, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // unigrams x:3 y:3 z:1 (n=7); bigrams xy:3 yx:1 yz:1 (n=5)
+    // lift(x,y) = (3/5) / ((3/7)*(3/7)) = 49*3/(5*9) = 3.266667
+    assert(got(("x", "y"))._1 == 3L)
+    assert(got(("x", "y"))._2 == 3.266667)
+    // lift(y,z) = (1/5) / ((3/7)*(1/7)) = 49/(5*3) = 3.266667
+    assert(got(("y", "z"))._2 == 3.266667)
+    assert(got.size == 3)
+  }
+
+  test("collocations: minCount floors rare pairs before the heap") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(schema, Seq(Row(1L, "a b a b a b c d")))
+    val got = TextAnalysis.collocations(d, n = 10, minCount = 3)
+    assert(got.select("w1", "w2").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
+  }
+
+  test("imputeGroupMean: fills with the group mean; all-null group stays null") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val d = df(schema, Seq(
+      Row("a", 1.0), Row("a", 3.0), Row("a", null),
+      Row("b", null), Row("b", null)))
+    val got = Cleaning.imputeGroupMean(d, "g", "v")
+    val aRows = got.filter(col("g") === "a").collect()
+    assert(aRows.forall(!_.isNullAt(1)))
+    val imputedA = aRows.filter(_.getBoolean(2))
+    assert(imputedA.length == 1 && imputedA.head.getDouble(1) == 2.0)
+    // a group with no observed values cannot be imputed
+    val bRows = got.filter(col("g") === "b").collect()
+    assert(bRows.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
+    assert(got.count() == 5) // imputation never drops rows
+  }
+}
