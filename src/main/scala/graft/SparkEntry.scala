@@ -396,6 +396,23 @@ object SparkEntry {
       Similarity.ivfTopK(Similarity.ivfAssign(e, cents, exact = true), cents, q,
         k = 25, nProbe = 4, exact = true)
     }),
+    // ANN quality gate: recall@25 of the IVF(nProbe=4) list against the
+    // exact top-25 — both sides are k-bounded, so the check itself is
+    // free; it certifies the speed/recall trade before a corpus-scale run
+    "sim_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.ivfCentroids(e, 16)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val approx = Similarity.ivfTopK(
+        Similarity.ivfAssign(e, cents, exact = true), cents, q,
+        k = 25, nProbe = 4, exact = true)
+      val qc = array(q.map(v => lit(v)): _*)
+      val exact = e.select(col("vec_id"),
+          Similarity.cosineExact(col("embedding"), qc).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(25)
+      Similarity.recallAtK(approx, exact, k = 25)
+    }),
 
     // ---- text analysis ----
     "txt_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy(col("doc_id"))),
@@ -1815,6 +1832,12 @@ object SparkEntry {
           "v", bins = 16, lo = 0.0, hi = 160.0)
         .orderBy(col("bin"))
     }),
+
+    // per-source corpus datacard: doc/token volumes, exact-dup exposure,
+    // short-doc fraction, English share — one scan projection, one
+    // bounded fingerprint groupBy+join, one |sources|-row aggregate
+    "prof_card" -> ((s, d) =>
+      Profiling.corpusCard(docs(s, d)).orderBy(col("source"))),
 
     // pairwise Pearson correlations of all column pairs in ONE scan:
     // exact-decimal moments (sums / square-sums / cross-sums) from a
@@ -3429,6 +3452,15 @@ object SparkEntry {
            |       md5(array_to_string(qv, ',')) AS q_fp
            |FROM q ORDER BY vec_id""".stripMargin),
       "sim_ivf" -> simIvf,
+      // recall mirror: the full IVF statement and the exact top-25 as
+      // scoped subqueries (their inner CTE names don't collide across
+      // subquery scopes), intersected on vec_id
+      "sim_recall" ->
+        s"""WITH ivf AS ($simIvf),
+           |ex AS (${cosineCore + " ORDER BY sim DESC, vec_id LIMIT 25"})
+           |SELECT CAST(25 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+           |       round(CAST(count(*) AS DOUBLE) / 25, 6) AS recall
+           |FROM ivf JOIN ex USING (vec_id)""".stripMargin,
       "clu_kmeans" -> cluKmeans,
       "dd_semantic" -> ddSemantic,
       "clu_sample" ->
@@ -4216,6 +4248,24 @@ object SparkEntry {
           |       round(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::DOUBLE
           |             / sum(n) OVER (), 6) AS cdf
           |FROM b ORDER BY bin""".stripMargin,
+      // datacard mirror: same md5 fingerprint classes, same integer
+      // counts, same round-6 fractions
+      "prof_card" ->
+        s"""WITH base AS (SELECT source, lang, $tokSql AS n_tokens,
+           |                     md5(text) AS fp
+           |              FROM documents),
+           |dc AS (SELECT fp, count(*) AS n FROM base GROUP BY 1)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+           |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           |       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS dup_frac,
+           |       CAST(sum(CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           |       round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS en_frac
+           |FROM base JOIN dc USING (fp)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // snapshot-diff mirror: same key-mod version slices, same +1.0
       // price bump, same full-outer status derivation
       "cdc_diff" ->

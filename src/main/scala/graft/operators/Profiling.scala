@@ -179,4 +179,39 @@ object Profiling {
         round(sum(col("__cd")).over(all).cast("double"), 6).as("psi"),
         round(max(col("__gap")).over(all), 6).as("ks"))
   }
+
+  /** Per-source corpus datacard — the one-table summary a curation run
+    * publishes alongside the data (the "data card"): document and token
+    * volumes, exact-duplicate exposure (corpus-wide fingerprint classes,
+    * attributed to each source that holds a copy), short-doc fraction,
+    * English share.
+    *
+    * Shape: one narrow scan projection (token count + md5 fingerprint are
+    * codegen'd row-local ops), one fingerprint groupBy whose fanout is
+    * bounded by duplicate-class sizes, a join back on the fingerprint,
+    * and a final map-side-combined aggregate into |sources| rows — two
+    * shuffles total, nothing driver-side. All fractions round to 6 over
+    * exact integer counts, so any engine reproduces them bit-for-bit. */
+  def corpusCard(docs: DataFrame, shortTokens: Long = 25,
+                 sourceCol: String = "source", langCol: String = "lang",
+                 textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      md5(col(textCol)).as("__fp"))
+    val dupCounts = base.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+    val isDup = when(col("__n") > 1, 1L).otherwise(0L)
+    base.join(dupCounts, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        sum(isDup).as("n_dup_docs"),
+        round(sum(isDup).cast("double") / count(lit(1)), 6).as("dup_frac"),
+        sum(when(col("n_tokens") < shortTokens, 1L).otherwise(0L))
+          .as("n_short"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("en_frac"))
+  }
 }

@@ -469,4 +469,23 @@ object Similarity {
           (col("n1") * col("n2")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one — the
+    * standard ANN quality gate (run it after tuning nProbe / LSH planes to
+    * certify the speed/recall trade before a full-corpus run). `approx`
+    * and `exact` each carry one row per retrieved id in `idCol`; recall =
+    * |approx ∩ exact| / k.
+    *
+    * Shape: both inputs are already k-bounded (top-k outputs), so the
+    * intersection join and the 1-row count are driver-trivial at any
+    * corpus scale — the cost lives in producing the inputs, not here. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    approx.select(col(idCol)).distinct()
+      .join(exact.select(col(idCol)).distinct(), Seq(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(k.toLong).as("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+  }
 }

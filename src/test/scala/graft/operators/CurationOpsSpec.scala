@@ -78,6 +78,34 @@ class CurationOpsSpec extends SparkSpec {
       (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
   }
 
+  test("recallAtK: intersection over k; duplicates in inputs don't inflate") {
+    val schema = StructType(Seq(StructField("vec_id", LongType)))
+    val approx = df(schema, Seq(1L, 2L, 3L, 4L, 4L).map(Row(_)))
+    val exact = df(schema, Seq(3L, 4L, 5L, 6L).map(Row(_)))
+    val r = Similarity.recallAtK(approx, exact, k = 4).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getDouble(2) == 0.5)
+  }
+
+  test("corpusCard: per-source volumes, cross-source dup attribution, fractions") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val d = df(schema, Seq(
+      Row("s0", "en", "a b c"),      // 3 tokens, dup with the s1 copy
+      Row("s0", "de", "x y z w v"),  // 5 tokens, unique
+      Row("s1", "en", "a b c")))     // the cross-source copy
+    val got = Profiling.corpusCard(d, shortTokens = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getLong(1) == 2 && s0.getLong(2) == 8) // docs, tokens
+    assert(s0.getDouble(3) == 4.0)                   // avg tokens
+    assert(s0.getLong(4) == 1 && s0.getDouble(5) == 0.5) // dup doc + frac
+    assert(s0.getLong(6) == 1)                       // one short doc (<4)
+    assert(s0.getDouble(7) == 0.5)                   // en fraction
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 1 && s1.getLong(4) == 1 && s1.getDouble(7) == 1.0)
+  }
+
   test("imputeGroupMean: fills with the group mean; all-null group stays null") {
     val schema = StructType(Seq(
       StructField("g", StringType), StructField("v", DoubleType)))
