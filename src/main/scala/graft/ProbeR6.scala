@@ -67,6 +67,20 @@ object ProbeR6 {
         s"txt_chunks 1x=$c1 10x=$c10 30x=$c30")
     }
 
+    // ---- r6 wave-2 ops at 1x vs 10x ---------------------------------------
+    if (want("wave2")) {
+      def q(name: String)(dir: String): Long =
+        SparkEntry.queries(name)(spark, dir).count()
+      QueryCatalog.docs(spark, sf1x).count()
+      QueryCatalog.docs(spark, sf10).count()
+      for (name <- Seq("txt_pmi", "prof_card", "smp_res", "cln_impute",
+          "gr_cc")) {
+        val t1 = best(q(name)(sf1x)); val t10 = best(q(name)(sf10))
+        out += name -> Map("t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
+        System.err.println(s"[probe] $name 1x=$t1 10x=$t10")
+      }
+    }
+
     if (want("seq")) {
     // ---- cumsum 1x vs 10x --------------------------------------------------
     def cumsum(dir: String): Long =

@@ -434,6 +434,12 @@ object SparkEntry {
     "txt_pmi" -> ((s, d) =>
       TextAnalysis.collocations(docs(s, d), n = 20, minCount = 5)
         .orderBy(col("lift").desc, col("w1"), col("w2"))),
+    // BPE merge induction: the first 3 merge rules a tokenizer trainer
+    // learns — one pair-count aggregate + 1-row TakeOrdered per round,
+    // the replaced corpus pinned between rounds; exact greedy fusion via
+    // the doubled-separator replace (closed representation, regex-free)
+    "txt_vocab" -> ((s, d) =>
+      TextAnalysis.bpeMerges(docs(s, d), rounds = 3).orderBy(col("round"))),
     // Gopher repetition filters: one compiled pass per row, zero shuffle
     "txt_rep" -> ((s, d) =>
       TextAnalysis.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
@@ -3803,6 +3809,34 @@ object SparkEntry {
           |            CROSS JOIN nt CROSS JOIN nb)
           |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, round(l, 6) AS lift
           |FROM lf ORDER BY l DESC, w1, w2 LIMIT 20""".stripMargin,
+      // BPE mirror: identical doubled-separator representation, identical
+      // literal replace per round (both engines fuse non-overlapping
+      // occurrences left-to-right), identical (count desc, pair asc) pick
+      "txt_vocab" -> {
+        def rnd(i: Int, src: String) =
+          s"""w${i}s AS (SELECT string_split(trim(t), '  ') AS w FROM $src),
+             |p$i AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c
+             |        FROM w${i}s, UNNEST(range(1, len(w))) AS u(i)
+             |        GROUP BY 1, 2),
+             |m$i AS (SELECT w1, w2, c FROM p$i
+             |        ORDER BY c DESC, w1, w2 LIMIT 1)""".stripMargin
+        def fuse(i: Int, src: String) =
+          s"""d$i AS (SELECT replace($src.t,
+             |  ' ' || m$i.w1 || '  ' || m$i.w2 || ' ',
+             |  ' ' || m$i.w1 || '_' || m$i.w2 || ' ') AS t
+             |  FROM $src, m$i)""".stripMargin
+        s"""WITH d0 AS (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS t
+           |            FROM documents),
+           |${rnd(1, "d0")},
+           |${fuse(1, "d0")},
+           |${rnd(2, "d1")},
+           |${fuse(2, "d1")},
+           |${rnd(3, "d2")}
+           |SELECT 1 AS round, w1, w2, CAST(c AS BIGINT) AS cnt FROM m1
+           |UNION ALL SELECT 2, w1, w2, CAST(c AS BIGINT) FROM m2
+           |UNION ALL SELECT 3, w1, w2, CAST(c AS BIGINT) FROM m3
+           |ORDER BY round""".stripMargin
+      },
       // classifier mirror: same unigram+bigram features, same md5 bucket,
       // same hash-derived fixed-point weights; milli is an exact integer
       // sum so mean and sign agree bit-for-bit

@@ -595,11 +595,13 @@ case class SimHash60(child: Expression, portable: Boolean = true)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Word n-gram shingle array (first-occurrence-distinct, " "-joined),
-  * compiled. Matches the `transform(sequence(...))` + array_distinct
-  * formulation of Dedup.shinglesOf, which runs INTERPRETED per element;
-  * this is one loop per row. Whole-doc shingle for docs under n tokens. */
-case class WordShingles(child: Expression, n: Int)
+/** Word n-gram shingle array (" "-joined), compiled. Default mode is
+  * first-occurrence-distinct, matching the `transform(sequence(...))` +
+  * array_distinct formulation of Dedup.shinglesOf (which runs INTERPRETED
+  * per element); `distinct = false` keeps EVERY occurrence in order — the
+  * counting mode (BPE pair frequencies, collocation counts). One loop per
+  * row either way. Whole-doc shingle for docs under n tokens. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -622,7 +624,10 @@ case class WordShingles(child: Expression, n: Int)
 
   def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    val seen =
+      if (distinct) new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else null
     val sb = new java.lang.StringBuilder(64)
     def shingle(from: Int, until: Int): Unit = {
       sb.setLength(0)
@@ -632,14 +637,15 @@ case class WordShingles(child: Expression, n: Int)
         sb.append(arr.getUTF8String(j).toString)
         j += 1
       }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      if (seen == null || seen.add(s)) out.add(s)
     }
     if (m >= n) {
       var i = 0
       while (i <= m - n) { shingle(i, i + n); i += 1 }
     } else shingle(0, m)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      seen.toArray.asInstanceOf[Array[AnyRef]])
+      out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -736,6 +742,11 @@ object ArrayOps {
   /** Compiled word n-gram shingle array (first-occurrence distinct). */
   def word_shingles(words: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(expr(words), n))
+
+  /** Compiled word n-gram shingle array, EVERY occurrence in order (the
+    * counting mode: BPE pair frequencies, collocation counts). */
+  def word_shingles_all(words: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(expr(words), n, distinct = false))
 
   /** Symmetric int8 quantization: struct(scale: double, q: array<int>). */
   def quantize_int8(emb: Column): Column =

@@ -166,6 +166,14 @@ object Ingest {
     matrix(spark.read.json(path), rowId, valueCols, mode)
   }
 
+  /** Read ORC as a Matrix (the second typed columnar format Spark ships
+    * natively; same construction-time strict cast as parquet — ORC
+    * carries real column types, so no inference step is involved). */
+  def orcMatrix(spark: SparkSession, path: String, rowId: String,
+                valueCols: Seq[String],
+                mode: NumericMode = NumericMode.Standard): Matrix =
+    matrix(spark.read.orc(path), rowId, valueCols, mode)
+
   /** Persist a matrix backing bucketed+sorted by its row id. Two matrices
     * written this way with the SAME bucket count co-locate: the alignment
     * full-outer join (SURVEY §2.3 A1) plans with ZERO Exchange — at 100 TB

@@ -279,6 +279,75 @@ object TextAnalysis {
         round(col("__lift"), 6).as("lift"))
   }
 
+  /** BPE merge induction: the first `rounds` merge rules a byte-pair-style
+    * tokenizer trainer would learn from this corpus — each round counts
+    * adjacent token pairs, takes the most frequent (count desc, pair asc),
+    * fuses every non-overlapping occurrence left-to-right, and recounts.
+    * Returns one row per round: (round, w1, w2, cnt) with cnt = the pair's
+    * frequency at merge time.
+    *
+    * The corpus rides in a DOUBLED-SEPARATOR representation,
+    * `' ' + join(tokens, '  ') + ' '`, which is CLOSED under the merge
+    * replace `' w1  w2 ' → ' w1_w2 '`: every token owns its flanking
+    * spaces, so directly adjacent repeats ("a b a b") both fuse — plain
+    * left-to-right `replace` implements exact greedy BPE application, and
+    * `replace` is a literal (regex-free) operation with identical
+    * semantics in any engine.
+    *
+    * Scale shape: one map-side-combined pair-count aggregate (compiled
+    * word_shingles kernel) + a 1-row TakeOrdered per round — the standard
+    * one-corpus-pass-per-merge trainer cost; each round's replaced corpus
+    * is pinned (localCheckpoint) so round r never re-executes rounds
+    * 1..r-1's replaces. Driver state is one (w1, w2, count) row per
+    * round. */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+                textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]")
+    val spark = docs.sparkSession
+    var cur = docs.select(concat(lit(" "),
+      replace(col(textCol), lit(" "), lit("  ")), lit(" ")).as("t"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .select(split(trim(col("t")), "  ").as("w"))
+        // docs fully fused to one token have no pairs (the kernel would
+        // emit its whole-doc fallback shingle — not a pair)
+        .filter(size(col("w")) >= 2)
+        .select(explode(graft.functions.ArrayOps
+          .word_shingles_all(col("w"), 2)).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+        // joined-string order == (w1, w2) order: tokens never contain a
+        // space and ' ' sorts below every token character
+        .orderBy(col("c").desc, col("sh")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(w1, w2) = top(0).getString(0).split(" ", 2)
+        merges += org.apache.spark.sql.Row(r, w1, w2, top(0).getLong(1))
+        if (r < rounds) cur = cur.select(
+            replace(col("t"), lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 "))
+              .as("t"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** Canonical text normalization (the pass run before exact dedup so
     * cosmetic variants collapse): lowercase → strip everything but
     * [a-z0-9 ] → collapse runs of spaces → trim. A pure codegen'd

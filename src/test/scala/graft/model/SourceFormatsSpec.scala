@@ -28,6 +28,28 @@ class SourceFormatsSpec extends SparkSpec {
     assertCell(got(0L)("c0"), 3.0); assertCell(got(1L)("c1"), 9.0)
   }
 
+  test("orcMatrix round-trips typed columns through ORC and evaluates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("m.orc").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c0",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, 1.5, 2.0),
+        org.apache.spark.sql.Row(1L, 3.0, 4.5)), schema)
+      .write.mode("overwrite").orc(dir)
+    val m = Ingest.orcMatrix(spark, dir, "rid", Seq("c0", "c1"))
+    val ev = new FormulaEvaluator(Map("a" -> m))
+    val MatrixResult(df, rowId, labels, _) =
+      ev.evaluateFormula("a * 2"): @unchecked
+    val got = cells(df, rowId, labels)
+    assertCell(got(0L)("c0"), 3.0); assertCell(got(1L)("c1"), 9.0)
+  }
+
   test("jsonMatrix ingests JSON lines and evaluates") {
     val p = tmp("m.json", Seq(
       """{"rid": 0, "c0": 2.0, "c1": 8.0}""",

@@ -78,6 +78,20 @@ class CurationOpsSpec extends SparkSpec {
       (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
   }
 
+  test("bpeMerges: greedy fusion incl. adjacent repeats; (count, pair) pick order") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = df(schema, Seq(Row(1L, "a b a b"), Row(2L, "a b c")))
+    val got = TextAnalysis.bpeMerges(d, rounds = 3).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(got(1) == (("a", "b", 3L)))
+    // after round 1: "a_b a_b" / "a_b c" — BOTH adjacent repeats fused;
+    // round 2 tie (count 1) breaks on pair order: (a_b,a_b) < (a_b,c)
+    assert(got(2) == (("a_b", "a_b", 1L)))
+    assert(got(3) == (("a_b", "c", 1L)))
+  }
+
   test("recallAtK: intersection over k; duplicates in inputs don't inflate") {
     val schema = StructType(Seq(StructField("vec_id", LongType)))
     val approx = df(schema, Seq(1L, 2L, 3L, 4L, 4L).map(Row(_)))
