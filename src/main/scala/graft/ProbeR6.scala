@@ -74,7 +74,7 @@ object ProbeR6 {
       QueryCatalog.docs(spark, sf1x).count()
       QueryCatalog.docs(spark, sf10).count()
       for (name <- Seq("txt_pmi", "prof_card", "smp_res", "cln_impute",
-          "gr_cc")) {
+          "gr_cc", "txt_vocab")) {
         val t1 = best(q(name)(sf1x)); val t10 = best(q(name)(sf10))
         out += name -> Map("t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
         System.err.println(s"[probe] $name 1x=$t1 10x=$t10")

@@ -87,6 +87,52 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming distribution-drift gate: per event-time window, the PSI of
+    * the incoming value distribution against a STATIC reference histogram
+    * (the training-snapshot shares — e.g. the `p_b` column of a batch
+    * [[graft.operators.Profiling.psiDrift]] run). The binning, +1 Laplace
+    * smoothing, 6-dp share/log rounding and decimal contribution fold all
+    * mirror the batch operator, so a window whose rows equal a batch slice
+    * produces the identical PSI.
+    *
+    * Shape: bins is a compile-time constant, so the whole histogram is ONE
+    * watermarked windowed aggregate (`bins` conditional counts — no
+    * chained aggregation, which append-mode streaming forbids) and the PSI
+    * fold is a scalar projection over those columns. State: one row of
+    * `bins` longs per open window.
+    *
+    * Returns (win_start, n, psi) per closed window. */
+  def driftStream(rows: DataFrame, refShares: Seq[Double], valCol: String,
+                  lo: Double, hi: Double,
+                  tsCol: String = "ts",
+                  window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val bins = refShares.size
+    require(bins > 0 && hi > lo, "need at least one reference share and hi > lo")
+    require(refShares.forall(p => p > 0 && p < 1),
+      "reference shares must be smoothed (strictly inside (0,1))")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valCol) - lo) / width).cast("int")))
+    val counts = (0 until bins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until bins).map(i => col(s"__n$i")).reduce(_ + _)
+    def p(i: Int) = round((col(s"__n$i") + 1).cast("double") /
+      (total + bins).cast("double"), 6)
+    val contribs = (0 until bins).map { i =>
+      val ref = refShares(i)
+      round((p(i) - ref) * round(log(p(i) / ref), 6), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    }
+    agged.select(col("window.start").as("win_start"),
+      total.as("n"),
+      round(contribs.reduce(_ + _).cast("double"), 6).as("psi"))
+  }
+
   // ---- streaming near-duplicate detection (stateful MinHash-LSH) ----------
 
   case class NdRow(id: Long, ts: java.sql.Timestamp, sig: Seq[Long],

@@ -405,6 +405,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI equals batch psiDrift on an identical window slice") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refVals = Seq(1.0, 2.0, 2.5, 7.0, 8.0, 9.0)
+    val incoming = Seq(1.0, 1.5, 8.5, 9.5, 3.0)
+    val batch = graft.operators.Profiling.psiDrift(
+      incoming.toDF("v"), refVals.toDF("v"), "v",
+      bins = 4, lo = 0.0, hi = 10.0)
+    val refShares = batch.orderBy("bin").select("p_b").collect()
+      .map(_.getDouble(0)).toSeq
+    val expectedPsi = batch.select("psi").head().getDouble(0)
+    val in = MemoryStream[KeyedEv]
+    val q = StreamingOps.driftStream(in.toDF(), refShares, "value",
+        lo = 0.0, hi = 10.0, window_ = "10 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      in.addData(incoming.zipWithIndex.map { case (v, i) =>
+        KeyedEv(i.toLong, ts(i), v) }: _*)
+      q.processAllAvailable()
+      // advance the watermark far past the window so it closes and emits
+      in.addData(KeyedEv(99L, ts(60), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_out").orderBy("win_start").collect()
+      assert(got.nonEmpty)
+      assert(got.head.getLong(1) == incoming.size)
+      assert(got.head.getDouble(2) == expectedPsi)
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
