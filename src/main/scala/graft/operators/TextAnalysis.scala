@@ -250,22 +250,32 @@ object TextAnalysis {
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(n > 0 && minCount >= 1, s"need n > 0, minCount >= 1")
-    val toks = Dedup.tokenized(docs, textCol, idCol) // (id, words) + barrier
+    // two corpus passes total (unigram counts, bigram counts) — the
+    // corpus itself is NOT pinned (at 100 TB two scan-bandwidth passes
+    // beat materializing the tokenized corpus); only the GROUPED tables,
+    // bounded by vocab / distinct-bigram cardinality, are pinned because
+    // each is read twice (totals fold + join)
+    val toks = Dedup.tokenized(docs, textCol, idCol)
     val uni = toks.select(explode(col("words")).as("w"))
     val cW = uni.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-    val nTok = uni.agg(count(lit(1)).cast("double").as("n_tok"))
-    val bg = toks.select(
-        explode(when(size(col("words")) >= 2,
-          transform(sequence(lit(0), size(col("words")) - 2),
-            i => struct(
-              element_at(col("words"), i + 1).as("w1"),
-              element_at(col("words"), i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("x"))
-      .select(col("x.w1").as("w1"), col("x.w2").as("w2"))
-    val cAb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val nBig = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+      .localCheckpoint() // vocab table: read for totals + joined twice
+    // totals fold over the GROUPED tables (vocab/bigram cardinality),
+    // never a separate corpus pass
+    val nTok = cW.agg(sum(col("c_w")).cast("double").as("n_tok"))
+    // compiled every-occurrence shingle kernel (one loop per row) beats
+    // the interpreted transform() formulation; 1-token docs are excluded
+    // up front — the kernel's whole-doc fallback shingle is not a pair
+    val cAbAll = toks
+      .filter(size(col("words")) >= 2)
+      .select(explode(graft.functions.ArrayOps
+        .word_shingles_all(col("words"), 2)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val nBig = cAbAll.agg(sum(col("c_ab")).cast("double").as("n_bg"))
+    val cAb = cAbAll.filter(col("c_ab") >= minCount)
+      .select(split(col("sh"), " ", 2).as("p"), col("c_ab"))
+      .select(element_at(col("p"), 1).as("w1"),
+        element_at(col("p"), 2).as("w2"), col("c_ab"))
     val lift = cAb
       .join(cW.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
       .join(cW.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
