@@ -1592,6 +1592,13 @@ object SparkEntry {
       Layout.pruneStats(eventsWithTu(s, d).select("user_id", "event_id"),
         "user_id", "event_id", bits = 8, fileShift = 8,
         boxNum = 1, boxDen = 10)),
+    // Hilbert-curve layout (locality strictly better than Morton: every
+    // consecutive cell is grid-adjacent, so key-range files carry tighter
+    // extents) — same compiled-projection + single-aggregate shape
+    "lay_hilbert" -> ((s, d) =>
+      Layout.hilbertExtents(eventsWithTu(s, d).select("user_id", "event_id"),
+          "user_id", "event_id", bits = 8, fileShift = 8)
+        .orderBy(col("file_id"))),
 
     // ---- deterministic sampling (portable hash order, no rand(): the
     //      sample is reproducible across runs/engines/partitionings and the
@@ -2718,16 +2725,38 @@ object SparkEntry {
     // equi-width 8-bit bucket, binary64-exact (mirror of Layout.eqWidthBucket)
     def bucketSql(x: String, lo: String, hi: String): String =
       s"CAST(floor((($x - $lo) * 256.0) / CAST($hi - $lo + 1 AS DOUBLE)) AS BIGINT)"
+    // Hilbert xy→d walk unrolled as one CTE per bit level (full-grid
+    // rotation variant: reflections use 2^bits−1 so coordinates stay
+    // non-negative and the div/mod bit reads are portable integer math —
+    // mirrors functions.HilbertIndex2D.compute exactly)
+    def hilbertLevelCtes(bits: Int): String = {
+      val n1 = (1 << bits) - 1
+      (0 until bits).reverse.zipWithIndex.map { case (lev, j) =>
+        val sb = 1L << lev
+        val idx = j + 1
+        s"""k$idx AS (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y, z, bye,
+           |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $n1 - hy ELSE hy END ELSE hx END AS hx,
+           |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $n1 - hx ELSE hx END ELSE hy END AS hy,
+           |  hd + ${sb * sb} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+           |       WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS hd
+           |  FROM (SELECT *, ((hx // $sb) % 2) AS rx, ((hy // $sb) % 2) AS ry
+           |        FROM k${idx - 1}))""".stripMargin
+      }.mkString(",\n")
+    }
     val layKeyed =
       s"""b AS (SELECT min(user_id) AS lo_x, max(user_id) AS hi_x,
          |             min(event_id) AS lo_y, max(event_id) AS hi_y
          |      FROM read_parquet('$sfDir/events.parquet')),
-         |k AS (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y,
-         |             ${zInterleaveSql("bxe", "bye", 8)} AS z, bye
+         |k0 AS (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y,
+         |             ${zInterleaveSql("bxe", "bye", 8)} AS z, bye,
+         |             bxe AS hx, bye AS hy, CAST(0 AS BIGINT) AS hd
          |      FROM (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y,
          |              ${bucketSql("user_id", "lo_x", "hi_x")} AS bxe,
          |              ${bucketSql("event_id", "lo_y", "hi_y")} AS bye
-         |            FROM read_parquet('$sfDir/events.parquet'), b))""".stripMargin
+         |            FROM read_parquet('$sfDir/events.parquet'), b)),
+         |${hilbertLevelCtes(8)},
+         |k AS (SELECT user_id, event_id, lo_x, hi_x, lo_y, hi_y, z, bye, hd
+         |      FROM k8)""".stripMargin
     val layZorder =
       s"""WITH $layKeyed
          |SELECT z >> 8 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
@@ -2742,7 +2771,7 @@ object SparkEntry {
            |         lo_x + ((hi_x - lo_x + 1) * 5) // 10 AS bx_hi,
            |         lo_y + ((hi_y - lo_y + 1) * 4) // 10 AS by_lo,
            |         lo_y + ((hi_y - lo_y + 1) * 5) // 10 AS by_hi,
-           |         z >> 8 AS zfile, bye AS lfile
+           |         z >> 8 AS zfile, bye AS lfile, hd >> 8 AS hfile
            |       FROM k)""".stripMargin
       def fileAgg(fileCol: String, name: String, suffix: String) =
         s"""$name AS (SELECT CAST(count(*) AS BIGINT) AS n_files_$suffix,
@@ -2762,15 +2791,24 @@ object SparkEntry {
          |$boxed,
          |${fileAgg("zfile", "za", "z")},
          |${fileAgg("lfile", "la", "lin")},
+         |${fileAgg("hfile", "ha", "h")},
          |ex AS (SELECT CAST(sum(CASE WHEN user_id BETWEEN bx_lo AND bx_hi
          |                             AND event_id BETWEEN by_lo AND by_hi
          |                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
          |       FROM kb)
-         |SELECT * FROM za, la, ex""".stripMargin
+         |SELECT * FROM za, la, ha, ex""".stripMargin
     }
+    // Hilbert-layout extent mirror: same k CTE, files on hd
+    val layHilbert =
+      s"""WITH $layKeyed
+         |SELECT hd >> 8 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(user_id) AS x_lo, max(user_id) AS x_hi,
+         |       min(event_id) AS y_lo, max(event_id) AS y_hi
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
     Map(
       "lay_zorder" -> layZorder,
       "lay_prune" -> layPrune,
+      "lay_hilbert" -> layHilbert,
       "h_q1" -> hQ1,
       "h_q2" -> hQ2,
       "h_q2w" -> hQ2, // window-min variant: same result set by construction

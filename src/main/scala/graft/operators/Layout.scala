@@ -72,6 +72,34 @@ object Layout {
       .drop("__lo_x", "__hi_x", "__lo_y", "__hi_y")
   }
 
+  /** Append the Hilbert-curve key for two long dimensions (same bounds
+    * derivation as [[withZValue]]; the key itself is the compiled
+    * [[graft.functions.HilbertIndex2D]] walk). Hilbert keys preserve
+    * locality strictly better than Morton: consecutive cells are always
+    * grid-adjacent, so equal-size key-range files carry tighter min/max
+    * extents — fewer files survive pruning for the same box. */
+  def withHilbert(df: DataFrame, dimX: String, dimY: String, bits: Int,
+                  hCol: String = "h"): DataFrame = {
+    val b = df.agg(
+      min(col(dimX)).as("__lo_x"), max(col(dimX)).as("__hi_x"),
+      min(col(dimY)).as("__lo_y"), max(col(dimY)).as("__hi_y"))
+    df.crossJoin(broadcast(b))
+      .withColumn(hCol, graft.functions.ArrayOps.hilbert_2d(
+        eqWidthBucket(col(dimX), col("__lo_x"), col("__hi_x"), bits),
+        eqWidthBucket(col(dimY), col("__lo_y"), col("__hi_y"), bits), bits))
+      .drop("__lo_x", "__hi_x", "__lo_y", "__hi_y")
+  }
+
+  /** Per-file extent report for the Hilbert layout (the [[fileExtents]]
+    * twin on the Hilbert key). */
+  def hilbertExtents(df: DataFrame, dimX: String, dimY: String,
+                     bits: Int, fileShift: Int): DataFrame =
+    withHilbert(df, dimX, dimY, bits, "__h")
+      .groupBy(shiftright(col("__h"), fileShift).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(dimX)).as("x_lo"), max(col(dimX)).as("x_hi"),
+        min(col(dimY)).as("y_lo"), max(col(dimY)).as("y_hi"))
+
   /** Cluster `df` for a z-ordered write: one range exchange on the
     * z-value, rows sorted by z within each output partition. Feed straight
     * into `.write.parquet(...)` — each file then carries narrow min/max
@@ -98,11 +126,12 @@ object Layout {
 
   /** Pruning-effectiveness report for a centered box predicate covering
     * `boxNum/boxDen` of each dimension's span (integer-exact bounds):
-    * compares the z-ordered layout against a 1-D layout bucketed on dimY
-    * alone, at the same file count. One row:
+    * compares the z-ordered AND Hilbert layouts against a 1-D layout
+    * bucketed on dimY alone, at the same file count. One row:
     * (n_files, files/rows surviving min-max pruning under each layout,
     * rows actually matching). rows_z / rows_matching ≈ 1 and
-    * rows_lin >> rows_z is the whole argument for z-ordering. */
+    * rows_lin >> rows_z is the argument for multi-dim clustering;
+    * rows_h ≤ rows_z is Hilbert's locality edge over Morton. */
   def pruneStats(df: DataFrame, dimX: String, dimY: String,
                  bits: Int, fileShift: Int,
                  boxNum: Int, boxDen: Int): DataFrame = {
@@ -120,7 +149,11 @@ object Layout {
       .withColumn("__z", interleaveBits(
         eqWidthBucket(col(dimX), col("lo_x"), col("hi_x"), bits),
         eqWidthBucket(col(dimY), col("lo_y"), col("hi_y"), bits), bits))
+      .withColumn("__h", graft.functions.ArrayOps.hilbert_2d(
+        eqWidthBucket(col(dimX), col("lo_x"), col("hi_x"), bits),
+        eqWidthBucket(col(dimY), col("lo_y"), col("hi_y"), bits), bits))
       .withColumn("zfile", shiftright(col("__z"), fileShift))
+      .withColumn("hfile", shiftright(col("__h"), fileShift))
       // the 1-D strawman: same file count, bucketed on dimY only
       .withColumn("lfile", eqWidthBucket(col(dimY), col("lo_y"), col("hi_y"),
         2 * bits - fileShift))
@@ -131,7 +164,7 @@ object Layout {
     // (≤ 2^(2·bits−fileShift) · 2^(2·bits−fileShift) tiny rows), pin it,
     // and derive both layouts' file statistics plus the exact match count
     // by re-aggregating the grid — never re-scanning the input
-    val cells = keyed.groupBy(col("zfile"), col("lfile"))
+    val cells = keyed.groupBy(col("zfile"), col("lfile"), col("hfile"))
       .agg(count(lit(1)).as("n"),
         min(col(dimX)).as("x_lo"), max(col(dimX)).as("x_hi"),
         min(col(dimY)).as("y_lo"), max(col(dimY)).as("y_hi"),
@@ -155,6 +188,7 @@ object Layout {
           sum(when(survives, col("n")).otherwise(0L)).as(s"rows_kept_$suffix"))
     }
     val exact = cells.agg(sum(col("nin")).as("rows_matching"))
-    layoutAgg("zfile", "z").crossJoin(layoutAgg("lfile", "lin")).crossJoin(exact)
+    layoutAgg("zfile", "z").crossJoin(layoutAgg("lfile", "lin"))
+      .crossJoin(layoutAgg("hfile", "h")).crossJoin(exact)
   }
 }

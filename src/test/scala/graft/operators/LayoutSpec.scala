@@ -129,6 +129,25 @@ class LayoutSpec extends SparkSpec {
       s"z pruning ($rowsZ rows) must beat 1-D pruning ($rowsLin rows)")
     assert(filesZ < r.getAs[Long]("n_files_z") / 4,
       s"a 10% box must prune >75% of z files, kept $filesZ")
+    // the Hilbert layout is sound too, and never worse than Morton here
+    val rowsH = r.getAs[Long]("rows_kept_h")
+    assert(rowsH >= matching && rowsH < rowsLin)
+  }
+
+  test("hilbert_2d is a space-filling curve: bijective with unit-step adjacency") {
+    val bits = 3; val n = 1 << bits // the full 8x8 grid, driver-checked
+    val rows = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), expr(s"id div $n").as("y"))
+      .select(col("x"), col("y"),
+        graft.functions.ArrayOps.hilbert_2d(col("x"), col("y"), bits).as("d"))
+      .collect()
+    val byD = rows.map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(byD.keySet == (0L until n.toLong * n).toSet, "bijection onto [0, n^2)")
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"cells at d=$d and ${d + 1} must be grid-adjacent")
+    }
   }
 
   test("eqWidthBucket enforces the span*2^bits < 2^53 exactness bound (ADVICE r5)") {
