@@ -1621,6 +1621,19 @@ object SparkEntry {
     // shuffle; division-keyed so the key is bit-identical cross-engine
     "smp_res" -> ((s, d) =>
       Sampling.weightedPriority(docs(s, d), "doc_id", "n_chars", n = 150)),
+    // token-budget selection: longest-first greedy fill of a 10k-token
+    // budget — the running total is the two-phase distributed prefix
+    // (never a single-partition window), the cut a stateless filter; the
+    // priority key is unique so the walk order is total
+    "smp_budget" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudget(t,
+          col("doc_id") - col("n_tokens") * lit(10000000L), "n_tokens",
+          budget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // mixture targeting: the kept corpus must be 50/30/20 across three
     // sources (maximal retention; every other source dropped)
     "smp_mix" -> ((s, d) =>
@@ -2873,6 +2886,16 @@ object SparkEntry {
       "smp_res" ->
         (s"SELECT doc_id, n_chars, ${hashU("doc_id")} / CAST(n_chars AS DOUBLE) AS key " +
           "FROM documents ORDER BY key, doc_id LIMIT 150"),
+      // budget mirror: identical unique priority key, inclusive running
+      // sum, identical cut
+      "smp_budget" ->
+        s"""WITH t AS (SELECT doc_id, $tokSql AS n_tokens FROM documents),
+           |r AS (SELECT doc_id, n_tokens,
+           |        sum(n_tokens) OVER (ORDER BY doc_id - n_tokens * 10000000
+           |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           |      FROM t)
+           |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+           |FROM r WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
       "smp_shuffle" ->
         (s"SELECT doc_id, row_number() OVER (ORDER BY ${mdInt("'42:' || doc_id")}, doc_id) - 1 AS pos " +
           "FROM documents ORDER BY doc_id"),

@@ -95,6 +95,31 @@ object Sampling {
       .limit(n)
   }
 
+  /** Token-budget corpus selection: walk the rows in ascending `orderKey`
+    * (= priority) order and keep the prefix whose INCLUSIVE running
+    * `tokensCol` total stays within `budget` — "fill a 10B-token budget
+    * with the best documents", the final cut of every pretraining data
+    * plan. The caller encodes priority into a single numeric key whose
+    * values are UNIQUE (e.g. `doc_id - quality·C` for a constant C larger
+    * than any id), so the walk order — and therefore the cut — is total
+    * and engine-identical.
+    *
+    * Shape: the running total is the two-phase distributed prefix
+    * ([[Prefix.runningAgg]]): one range exchange + per-partition partials
+    * + a fully parallel second pass — never a single-partition window —
+    * and the budget cut is a stateless filter on the materialized running
+    * column. Returns all input columns plus `cum_tokens`. */
+  def tokenBudget(df: DataFrame, orderKey: Column, tokensCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    Prefix.runningAgg(df.withColumn("__bkey", orderKey), col("__bkey"),
+        Seq(tokensCol), Seq("sum"), Seq("cum_tokens"))
+      .filter(col("cum_tokens") <= budget)
+      // re-select the caller's columns: the prefix machinery's join put
+      // its internal slice id first in the column order
+      .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+  }
+
   /** Mixture targeting: downsample so the surviving corpus hits TARGET
     * PROPORTIONS across strata (the static data-mixing pass of an LLM
     * pretraining pipeline — "the mix should be 50% web, 30% code, 20%

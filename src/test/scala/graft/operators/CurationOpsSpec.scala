@@ -120,6 +120,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(s1.getLong(1) == 1 && s1.getLong(4) == 1 && s1.getDouble(7) == 1.0)
   }
 
+  test("tokenBudget: inclusive greedy cut in priority order") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tok", LongType)))
+    val d = df(schema, Seq(Row(1L, 5L), Row(2L, 4L), Row(3L, 3L),
+      Row(4L, 10L)))
+    val got = Sampling.tokenBudget(d, col("id"), "tok", budget = 12L)
+      .orderBy(col("id")).collect()
+    // cum: 5, 9, 12, 22 — the first doc past the budget is excluded
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 9L, 12L))
+  }
+
   test("imputeGroupMean: fills with the group mean; all-null group stays null") {
     val schema = StructType(Seq(
       StructField("g", StringType), StructField("v", DoubleType)))
