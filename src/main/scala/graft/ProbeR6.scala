@@ -67,17 +67,26 @@ object ProbeR6 {
         s"txt_chunks 1x=$c1 10x=$c10 30x=$c30")
     }
 
-    // ---- r6 wave-2 ops at 1x vs 10x ---------------------------------------
-    if (want("wave2")) {
+    // ---- r6 wave-2 ops at 1x vs 10x (vs 30x with wave2x30) ----------------
+    if (want("wave2") || want("wave2x30")) {
+      val deep = want("wave2x30")
       def q(name: String)(dir: String): Long =
         SparkEntry.queries(name)(spark, dir).count()
       QueryCatalog.docs(spark, sf1x).count()
       QueryCatalog.docs(spark, sf10).count()
+      if (deep) QueryCatalog.docs(spark, sf30).count()
       for (name <- Seq("txt_pmi", "prof_card", "smp_res", "cln_impute",
-          "gr_cc", "txt_vocab")) {
+          "gr_cc", "txt_vocab", "smp_budget", "lay_hilbert")) {
         val t1 = best(q(name)(sf1x)); val t10 = best(q(name)(sf10))
-        out += name -> Map("t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
-        System.err.println(s"[probe] $name 1x=$t1 10x=$t10")
+        val m = scala.collection.mutable.LinkedHashMap[String, Any](
+          "t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
+        if (deep) {
+          val t30 = best(q(name)(sf30))
+          m += "t30x" -> t30; m += "ratio30x" -> t30 / t1
+        }
+        out += name -> m
+        System.err.println(s"[probe] $name 1x=$t1 10x=$t10" +
+          (if (deep) s" 30x=${m("t30x")}" else ""))
       }
     }
 
