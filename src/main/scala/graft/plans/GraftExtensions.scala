@@ -25,9 +25,13 @@ import graft.functions.{DotProduct, DotProductExact, Md5Long60, MinHashSig,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rules: interpreted HOF dot products → compiled DotProduct;
-    // row_number()-over-window top-k filters → the custom TopK operator
+    // row_number()-over-window top-k filters → the custom TopK operator;
+    // surviving GLOBAL row_number windows → the two-phase distributed
+    // prefix (registered after the top-k rule so bounded filters take the
+    // heap operator and only genuine full numberings are re-planned)
     ext.injectOptimizerRule(_ => CompiledDotProductRule)
     ext.injectOptimizerRule(_ => WindowTopKRule)
+    ext.injectOptimizerRule(_ => GlobalRowNumberRule)
     // physical strategy for the grouped top-k operator (TopKPerKeyNode →
     // partial heaps → exchange → final heaps)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
