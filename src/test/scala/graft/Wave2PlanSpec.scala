@@ -50,6 +50,24 @@ class Wave2PlanSpec extends SparkSpec {
     }
   }
 
+  test("smp_budget: the running total is the distributed prefix, not a global window") {
+    val df = SparkEntry.queries("smp_budget")(spark, sf)
+    df.count()
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    // the only tolerable empty-partition window is the bounded offsets
+    // fold over the per-slice partials aggregate (≤ shuffle.partitions
+    // rows) — recognizable by the prefix's slice-id grouping beneath it
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val bounded = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__pfx_pid")) => a
+      }.nonEmpty
+      assert(bounded,
+        s"smp_budget: data-scaled single-partition window survived:\n$plan")
+    }
+  }
+
   test("hilbertExtents: pure projection — no exchange beyond bounds broadcast + aggregate") {
     // the operator itself, without the catalog's display orderBy (which
     // legitimately range-exchanges the ≤256-row aggregate output)
