@@ -2020,6 +2020,14 @@ object SparkEntry {
       Graph.connectedComponents(knnEdges(s, d)
           .select(col("id").as("src"), col("nbr").as("dst")))
         .orderBy(col("id"))),
+    // label-propagation communities (2 synchronous rounds, min-label tie):
+    // splits the kNN graph into densely-linked groups — per round one
+    // label join + two map-side-combined aggregates, argmax as a
+    // struct-min fold, label table pinned between rounds
+    "gr_lpa" -> ((s, d) =>
+      Graph.labelPropagation(knnEdges(s, d)
+          .select(col("id").as("src"), col("nbr").as("dst")), iters = 2)
+        .orderBy(col("id"))),
 
     // changelog upsert (CDC latest-wins with delete tombstones): final
     // entity state in ONE map-side-combinable aggregate — max over a
@@ -4227,6 +4235,31 @@ object SparkEntry {
            |  SELECT e.a, r.l FROM e2 e JOIN reach r ON e.b = r.id)
            |SELECT id, min(l) AS group_id FROM reach GROUP BY id
            |ORDER BY id""".stripMargin,
+      // LPA mirror: same symmetric simple edges, rounds unrolled, argmax
+      // per vertex via (count desc, label asc) row_number — identical to
+      // the engine's struct-min fold
+      "gr_lpa" -> {
+        def round(i: Int): String =
+          s"""c$i AS (SELECT s.v, l.lbl, count(*) AS c
+             |        FROM se s JOIN l${i - 1} l ON s.nbr = l.id GROUP BY 1, 2),
+             |l$i AS (SELECT v AS id, lbl FROM (
+             |          SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |            ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+        s"""WITH ${blockedCtes(0.25)},
+           |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+           |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+           |rk AS (SELECT id, nbr,
+           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+           |       FROM sym),
+           |knn AS (SELECT id AS src, nbr AS dst FROM rk WHERE rn <= 3),
+           |se AS (SELECT DISTINCT v, nbr FROM (
+           |         SELECT src AS v, dst AS nbr FROM knn
+           |         UNION ALL SELECT dst, src FROM knn) WHERE v <> nbr),
+           |l0 AS (SELECT DISTINCT v AS id, v AS lbl FROM se),
+           |${round(1)},
+           |${round(2)}
+           |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin
+      },
       // upsert mirror: latest row per key via window rank (the result —
       // not the plan — is what must match the struct-max aggregate)
       "cdc_upsert" ->

@@ -117,6 +117,48 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label-propagation communities over an undirected edge
+    * list (`src`, `dst`) — the near-linear community-detection baseline
+    * (Raghavan et al. 2007), made DETERMINISTIC: every vertex starts
+    * labeled with its own id and each round simultaneously adopts the
+    * most frequent label among its neighbors, ties broken by SMALLEST
+    * label (the rounded-score + id tie-break convention, so any engine
+    * reproduces the trajectory and an oracle can unroll the rounds as
+    * CTEs). Unlike [[connectedComponents]] (pure reachability), LPA
+    * splits a connected graph into densely-linked groups.
+    *
+    * Scale shape per round: ONE equi-join of the label table onto the
+    * symmetric edge list (shuffle on the vertex key; AQE broadcasts when
+    * the label table is small) + two map-side-combined aggregates
+    * ((v, label) counts, then the per-vertex argmax as a struct-min fold
+    * — no window, no sort). The label table is pinned each round, the
+    * duplicateGroups discipline, so round r never re-executes rounds
+    * 1..r−1. Isolated vertices don't appear in the edge list and are not
+    * returned. Returns (id, community). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, "iters must be in [1,32]")
+    val sym = edges
+      .select(col("src").as("v"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("v"), col("src").as("nbr")))
+      .filter(col("v") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint() // read once per round
+    var lbl = sym.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(lbl.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      lbl = counts
+        .groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("v").as("id"), col("m.l").as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Connected components of an undirected edge list (`src`, `dst`).
     * Returns (id, group_id) for every vertex that appears as an endpoint,
     * where group_id is the component's MINIMUM vertex id — the same label

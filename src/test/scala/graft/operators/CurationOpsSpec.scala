@@ -35,6 +35,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(lp.filter(col("id") <= 12).agg(max("group_id")).head.getLong(0) == 1L)
   }
 
+  test("labelPropagation: hand-traced two rounds on two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6} bridged by (3,4)
+    val e = df(edgeSchema, Seq(Row(1L, 2L), Row(2L, 3L), Row(1L, 3L),
+      Row(3L, 4L), Row(4L, 5L), Row(5L, 6L), Row(4L, 6L)))
+    val got = Graph.labelPropagation(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 (all labels unique → min neighbor label):
+    //   1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    // round 2 (most frequent neighbor label, min tie):
+    //   1:{1,1}→1  2:{2,1}→1  3:{2,1,3}→1  4:{1,4,4}→4  5:{3,4}→3  6:{3,4}→3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L))
+  }
+
   test("weightedPriority: deterministic, partition-independent, key = hash/weight") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("w", DoubleType)))
