@@ -153,17 +153,34 @@ object Demo {
     println("physical plan (partial heaps -> exchange -> final heaps, no sort):")
     topk.explain()
 
-    println("== z-order layout: multi-dim min/max pruning vs a 1-D sort ==")
+    println("== data layout: multi-dim min/max pruning, z-order vs hilbert vs 1-D sort ==")
     val pr = graft.operators.Layout.pruneStats(
       evs.select(col("user_id"), col("event_id")),
       "user_id", "event_id", bits = 8, fileShift = 8,
       boxNum = 1, boxDen = 10).head()
     println(s"10%-per-dim box over events: z layout keeps " +
       s"${pr.getAs[Long]("files_kept_z")}/${pr.getAs[Long]("n_files_z")} files " +
-      s"(${pr.getAs[Long]("rows_kept_z")} rows scanned) vs 1-D sort " +
+      s"(${pr.getAs[Long]("rows_kept_z")} rows scanned), hilbert " +
+      s"${pr.getAs[Long]("files_kept_h")} files " +
+      s"(${pr.getAs[Long]("rows_kept_h")} rows) vs 1-D sort " +
       s"${pr.getAs[Long]("files_kept_lin")}/${pr.getAs[Long]("n_files_lin")} files " +
       s"(${pr.getAs[Long]("rows_kept_lin")} rows) for " +
       s"${pr.getAs[Long]("rows_matching")} matching rows")
+
+    println("== BPE merge induction: the corpus's first 3 tokenizer merges ==")
+    graft.operators.TextAnalysis.bpeMerges(
+      spark.read.parquet(s"$sfDir/documents.parquet"), rounds = 3)
+      .orderBy(col("round")).show(3, truncate = false)
+
+    println("== token-budget selection: longest-first fill of a 2k-token budget ==")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val bud = graft.operators.Sampling.tokenBudget(docs0,
+      col("doc_id") - col("n_tokens") * lit(10000000L), "n_tokens", 2000L)
+    println(s"kept ${bud.count()} docs, " +
+      s"${bud.agg(max(col("cum_tokens"))).head.getLong(0)} of 2000 tokens used " +
+      "(running total = two-phase distributed prefix, no global window)")
 
     spark.stop()
   }
