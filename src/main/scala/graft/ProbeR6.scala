@@ -76,7 +76,7 @@ object ProbeR6 {
       QueryCatalog.docs(spark, sf10).count()
       if (deep) QueryCatalog.docs(spark, sf30).count()
       for (name <- Seq("txt_pmi", "prof_card", "smp_res", "cln_impute",
-          "gr_cc", "txt_vocab", "smp_budget", "lay_hilbert")) {
+          "gr_cc", "txt_vocab", "smp_budget", "lay_hilbert", "gr_lpa")) {
         val t1 = best(q(name)(sf1x)); val t10 = best(q(name)(sf10))
         val m = scala.collection.mutable.LinkedHashMap[String, Any](
           "t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
