@@ -74,7 +74,10 @@ object Bench {
     // file copy first (the reliable channel), then the stdout contract
     // line LAST, after spark.stop(), so no shutdown logging can interleave
     // and the line is the final thing sbt's output pump forwards
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // subset runs (SPARK_GRAFT_BENCH_ONLY) default to a scratch file so a
+    // quick re-measure can never clobber the committed full-catalog copy
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] json written to $outPath")

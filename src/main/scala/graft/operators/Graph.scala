@@ -143,9 +143,11 @@ object Graph {
       .filter(col("v") =!= col("nbr"))
       .distinct()
       .localCheckpoint() // read once per round
+    // the seed labels are read exactly once (the first round's join) —
+    // only ROUND OUTPUTS pin, each being read once by the next round and
+    // carrying the cumulative lineage worth cutting
     var lbl = sym.select(col("v").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val counts = sym
         .join(lbl.withColumnRenamed("id", "nbr"), "nbr")
