@@ -93,6 +93,73 @@ object CurationPropSpec extends Properties("Curation") {
   private val edgeSchema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType)))
 
+  property("labelPropagation = driver synchronous LPA with min-label ties") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))),
+      Gen.choose(1, 3)) { (edges0, iters) =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.nonEmpty ==> {
+        val df = spark.createDataFrame(
+          edges.map { case (a, b) => Row(a, b) }.asJava, edgeSchema)
+        val got = Graph.labelPropagation(df, iters).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver reference: symmetric simple adjacency, synchronous rounds
+        val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+          .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lbl = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to iters) {
+          lbl = adj.map { case (v, nbrs) =>
+            val counts = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        got == lbl
+      }
+    }
+
+  property("bpeMerges = driver greedy non-overlapping fusion") =
+    Prop.forAll(
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(1, 10).flatMap(m => Gen.listOfN(m,
+          Gen.oneOf("a", "b", "c"))))),
+      Gen.choose(1, 3)) { (corpus, rounds) =>
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        corpus.zipWithIndex.map { case (ws, i) =>
+          Row(i.toLong, ws.mkString(" ")) }.asJava, docSchema)
+      val got = TextAnalysis.bpeMerges(df, rounds).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toList
+      // driver reference on token lists
+      var docs = corpus
+      var want = List.empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val pairs = docs.flatMap(ws => ws.zip(ws.drop(1)))
+        if (pairs.isEmpty) done = true
+        else {
+          val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+          val ((w1, w2), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          want ::= ((r, w1, w2, c))
+          // greedy left-to-right non-overlapping fusion
+          docs = docs.map { ws =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < ws.length) {
+              if (i + 1 < ws.length && ws(i) == w1 && ws(i + 1) == w2) {
+                out += s"${w1}_$w2"; i += 2
+              } else { out += ws(i); i += 1 }
+            }
+            out.toList
+          }
+          r += 1
+        }
+      }
+      got == want.reverse
+    }
+
   property("connectedComponents = driver union-find, any driverMaxPairs") =
     Prop.forAll(
       Gen.listOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L))),
