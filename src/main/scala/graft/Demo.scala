@@ -178,8 +178,12 @@ object Demo {
         graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val bud = graft.operators.Sampling.tokenBudget(docs0,
       col("doc_id") - col("n_tokens") * lit(10000000L), "n_tokens", 2000L)
-    println(s"kept ${bud.count()} docs, " +
-      s"${bud.agg(max(col("cum_tokens"))).head.getLong(0)} of 2000 tokens used " +
+    // one job, null-safe: an empty selection (first doc alone over budget)
+    // must print 0, not NPE on a NULL max
+    val budStats = bud.agg(count(lit(1)).as("n"),
+      coalesce(max(col("cum_tokens")), lit(0L)).as("used")).head()
+    println(s"kept ${budStats.getLong(0)} docs, " +
+      s"${budStats.getLong(1)} of 2000 tokens used " +
       "(running total = two-phase distributed prefix, no global window)")
 
     spark.stop()

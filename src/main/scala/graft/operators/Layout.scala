@@ -47,13 +47,22 @@ object Layout {
     * and engine-divergent. Bounds subtract in double space so extreme
     * lo/hi cannot overflow the long subtraction under ANSI. */
   def eqWidthBucket(x: Column, lo: Column, hi: Column, bits: Int): Column = {
-    val span = hi.cast("double") - lo.cast("double") + 1.0
+    // Two span forms with distinct jobs. The GUARD evaluates in double
+    // space (cannot overflow, at worst a 1-ulp-lenient threshold); the
+    // BUCKET math subtracts in LONG first (exact — the oracle mirror
+    // subtracts in BIGINT too), because a double-space subtract silently
+    // rounds for |bounds| > 2^53 even when the span itself is tiny and
+    // in-contract (lo = 2^55, hi = 2^55 + 999). CASE short-circuits, so
+    // the long subtraction only runs once the guard has bounded
+    // |hi − lo| < 2^53 — no ANSI overflow possible.
+    val spanGuard = hi.cast("double") - lo.cast("double") + 1.0
+    val spanExact = (hi - lo).cast("double") + 1.0
     val twoP53 = 9007199254740992.0 // 2^53
-    when(span * lit(math.pow(2, bits)) >= lit(twoP53),
+    when(spanGuard * lit(math.pow(2, bits)) >= lit(twoP53),
         raise_error(lit(s"eqWidthBucket: span * 2^$bits >= 2^53 — the " +
           "double bucket math goes inexact; reduce bits or pre-scale the " +
           "dimension")).cast("long"))
-      .otherwise(floor(((x - lo).cast("double") * (1L << bits)) / span)
+      .otherwise(floor(((x - lo).cast("double") * (1L << bits)) / spanExact)
         .cast("long"))
   }
 

@@ -66,6 +66,13 @@ object MediaCodec {
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+      // the 32-bit length field is UNTRUSTED input: a negative value would
+      // stall the walk forever (off += 0) or smuggle a negative dataLen
+      // past the truncation check, and a length past EOF would read wild —
+      // executor tasks run this over arbitrary binary columns, so every
+      // advance must be validated before use
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length,
+        s"malformed '$id' chunk: len=$len at off=$off of ${bytes.length}")
       id match {
         case "fmt " =>
           require(len >= 16, s"fmt chunk too short: $len")
@@ -140,7 +147,12 @@ object MediaCodec {
     require(bpp == 24, s"only 24 bpp supported, got $bpp")
     require(w > 0 && h > 0, s"unsupported dimensions ${w}x$h")
     val stride = rowStride(w)
-    require(dataOff + stride * h <= bytes.length, "truncated pixel data")
+    // LONG math: a header claiming huge dimensions would int-overflow
+    // stride*h negative, pass the check, and crash the scan loop with an
+    // uncontrolled out-of-bounds instead of this clean error
+    require(dataOff >= 0 &&
+      dataOff.toLong + stride.toLong * h <= bytes.length,
+      "truncated pixel data")
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
@@ -162,9 +174,18 @@ object MediaCodec {
     * `ow`×`oh` grayscale float array (row-major, luma = (R+G+B)/3/255). */
   def bmpResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
     require(ow > 0 && oh > 0)
+    // same untrusted-header validation as parseBmp — this entry point was
+    // reading header fields from arbitrary bytes unchecked
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP file")
     val dataOff = rdLe32(bytes, 10)
     val w = rdLe32(bytes, 18); val h = rdLe32(bytes, 22)
+    require(rdLe16(bytes, 28) == 24, "only 24 bpp supported")
+    require(w > 0 && h > 0, s"unsupported dimensions ${w}x$h")
     val stride = rowStride(w)
+    require(dataOff >= 0 &&
+      dataOff.toLong + stride.toLong * h <= bytes.length,
+      "truncated pixel data")
     val out = new Array[Float](ow * oh)
     var oy = 0
     while (oy < oh) {

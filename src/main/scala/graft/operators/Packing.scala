@@ -107,8 +107,20 @@ object Packing {
                     textCol: String = "text"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(batchSize > 0, "batchSize must be positive")
+    // a silent cast("long") would turn a non-numeric id into NULL, whose
+    // rows then receive arbitrary non-reproducible positions — reject the
+    // column type up front (the shuffleOrder discipline) and fail loudly
+    // on a NULL id
+    val idType = docs.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"lengthBatches requires an integral id column; '$idCol' is $idType")
     val toks = docs
-      .select(col(idCol).cast("long").as("id"),
+      .select(coalesce(col(idCol).cast("long"),
+          raise_error(lit(s"lengthBatches: NULL id in '$idCol'")).cast("long"))
+        .as("id"),
         tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens div ${bucketWidth}L"))
       .withColumn("__one", lit(1L))

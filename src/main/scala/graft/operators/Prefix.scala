@@ -87,8 +87,11 @@ object Prefix {
       if (pCols.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), partitionCols)
     val span = col("__pfx_hi") - col("__pfx_lo")
+    // NULL order values take slice 0 — consistent with ascending NULLS
+    // FIRST (they sort before every non-null value, whose smallest slice
+    // is also 0), so callers need no null guard of their own
     val sliced = withBounds.withColumn("__pfx_pid",
-        when(span <= 0.0, lit(0)).otherwise(
+        when(ord.isNull || span <= 0.0, lit(0)).otherwise(
           least(lit(parts - 1),
             floor((ord - col("__pfx_lo")) / span * parts).cast("int"))))
       .drop("__pfx_lo", "__pfx_hi")
@@ -130,7 +133,11 @@ object Prefix {
       }
       merged.as(outNames(i))
     }
+    // drop ALL working columns — __pfx_pid leaking into caller schemas
+    // forced every call site to project around it (and the USING join put
+    // it first in column order)
     joined.select(col("*") +: outCols: _*)
       .drop(kinds.indices.map(i => s"__pfx_o_$i"): _*)
+      .drop("__pfx_pid")
   }
 }

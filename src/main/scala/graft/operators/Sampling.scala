@@ -88,9 +88,17 @@ object Sampling {
   def weightedPriority(df: DataFrame, idCol: String, weightCol: String,
                        n: Int, seed: Int = 42): DataFrame = {
     require(n > 0, "n must be positive")
+    // a NULL weight would yield a NULL key, which sorts FIRST and silently
+    // fills the sample with exactly the rows that have no weight; a
+    // non-positive weight flips the priority order — fail the job loudly
+    // instead (the shuffleOrder discipline)
+    val w = col(weightCol).cast("double")
+    val guarded = when(w.isNull || w <= 0.0,
+        raise_error(lit(s"weightedPriority: NULL or non-positive weight " +
+          s"in '$weightCol'")).cast("double"))
+      .otherwise(w)
     df.select(col(idCol), col(weightCol),
-        (hashUniform(col(idCol), seed) / col(weightCol).cast("double"))
-          .as("key"))
+        (hashUniform(col(idCol), seed) / guarded).as("key"))
       .orderBy(col("key"), col(idCol))
       .limit(n)
   }

@@ -254,8 +254,14 @@ object TextAnalysis {
     // corpus itself is NOT pinned (at 100 TB two scan-bandwidth passes
     // beat materializing the tokenized corpus); only the GROUPED tables,
     // bounded by vocab / distinct-bigram cardinality, are pinned because
-    // each is read twice (totals fold + join)
-    val toks = Dedup.tokenized(docs, textCol, idCol)
+    // each is read twice (totals fold + join). A plain projection, NOT
+    // Dedup.tokenized: its repartition barrier (needed there against
+    // per-element HOF re-splitting) would shuffle the full tokenized
+    // corpus, and neither consumer here needs it — explode and the
+    // compiled shingle kernel each evaluate the split once per row, and
+    // both aggregates re-shuffle by their own keys anyway
+    val toks = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("words"))
     val uni = toks.select(explode(col("words")).as("w"))
     val cW = uni.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
       .localCheckpoint() // vocab table: read for totals + joined twice

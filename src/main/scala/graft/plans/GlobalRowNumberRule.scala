@@ -44,8 +44,7 @@ import org.apache.spark.sql.types._
   */
 object GlobalRowNumberRule extends Rule[LogicalPlan] {
 
-  private val PidCol = "__gw_pid"
-  private val OffCol = "__gw_off"
+  private val OneCol = "__gw_one"
   private val RnCol = "__gw_rn"
 
   private def monotoneUnderDoubleCast(t: DataType): Boolean = t match {
@@ -60,7 +59,7 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
         Nil, Seq(SortOrder(ordExpr, Ascending, NullsFirst, _)), child, _)
         if ordExpr.deterministic && ordExpr.resolved &&
           monotoneUnderDoubleCast(ordExpr.dataType) &&
-          !child.output.exists(a => a.name == PidCol || a.name == OffCol) =>
+          !child.output.exists(a => a.name == OneCol || a.name == RnCol) =>
       rewrite(child, ordExpr, alias)
   }
 
@@ -69,28 +68,14 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val df = GraftColumnBridge.ofRows(spark, child)
     val ordCol = GraftColumnBridge.column(ordExpr)
-    val o = ordCol.cast("double")
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val bounds = df.agg(min(o).as("__gw_lo"), max(o).as("__gw_hi"))
-    // NULL order values take slice 0 — consistent with NULLS FIRST (they
-    // sort before every non-null value, whose smallest slice is also 0)
-    val span = col("__gw_hi") - col("__gw_lo")
-    val sliced = df.crossJoin(broadcast(bounds))
-      .withColumn(PidCol,
-        when(o.isNull || span <= 0.0, lit(0)).otherwise(
-          least(lit(parts - 1),
-            floor((o - col("__gw_lo")) / span * parts).cast("int"))))
-      .drop("__gw_lo", "__gw_hi")
-    val counts = sliced.groupBy(col(PidCol)).agg(count(lit(1)).as("__gw_n"))
-    // bounded empty-partition window: ≤ shuffle.partitions count rows
-    val offW = org.apache.spark.sql.expressions.Window.orderBy(col(PidCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = counts.select(col(PidCol),
-      coalesce(sum(col("__gw_n")).over(offW), lit(0L)).as(OffCol))
-    val inW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(PidCol)).orderBy(ordCol)
-    val out = sliced.join(broadcast(offsets), Seq(PidCol))
-      .withColumn(RnCol, col(OffCol) + row_number().over(inW))
+    // row_number == the inclusive running SUM of ones in the order-column
+    // order — exactly operators.Prefix.runningAgg, which already owns the
+    // monotone slice mapping, NULL handling (slice 0 = NULLS FIRST), the
+    // bounded offsets window and the broadcast join; one implementation,
+    // one place to fix (this rule previously carried its own copy)
+    val out = graft.operators.Prefix.runningAgg(
+      df.withColumn(OneCol, lit(1L)), ordCol,
+      Seq(OneCol), Seq("sum"), Seq(RnCol)).drop(OneCol)
     // the fresh analyzed subtree still carries ResolvedHint nodes (this
     // rule runs in the end-of-optimization user batch, after the stock
     // hint elimination already ran on the original plan) — fold them into
