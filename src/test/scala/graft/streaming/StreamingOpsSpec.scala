@@ -437,6 +437,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI merges late rows within the watermark into their window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(1.0, 1.5, 8.5, 9.5, 3.0)
+    val refVals = Seq(1.0, 2.0, 7.0, 9.0)
+    val batch = graft.operators.Profiling.psiDrift(
+      all.toDF("v"), refVals.toDF("v"), "v", bins = 4, lo = 0.0, hi = 10.0)
+    val refShares = batch.orderBy("bin").select("p_b").collect()
+      .map(_.getDouble(0)).toSeq
+    val expectedPsi = batch.select("psi").head().getDouble(0)
+    val in = MemoryStream[KeyedEv]
+    val q = StreamingOps.driftStream(in.toDF(), refShares, "value",
+        lo = 0.0, hi = 10.0, window_ = "10 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("drift_late_out")
+      .outputMode("append").start()
+    try {
+      // three on-time rows, then two LATE arrivals for the same window
+      // (delivered in a later micro-batch but inside the 30 min watermark)
+      in.addData(all.take(3).zipWithIndex.map { case (v, i) =>
+        KeyedEv(i.toLong, ts(i), v) }: _*)
+      q.processAllAvailable()
+      in.addData(KeyedEv(10L, ts(4), all(3)), KeyedEv(11L, ts(5), all(4)))
+      q.processAllAvailable()
+      // now advance the watermark far past the window so it closes once
+      in.addData(KeyedEv(99L, ts(120), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_late_out").orderBy("win_start").collect()
+      assert(got.length == 1) // one closed window, emitted once
+      assert(got.head.getLong(1) == all.size) // late rows merged in
+      assert(got.head.getDouble(2) == expectedPsi)
+    } finally q.stop()
+  }
+
   test("windowed event aggregation merges late data within the watermark") {
     val spark2 = spark
     import spark2.implicits._
