@@ -118,6 +118,10 @@ object SparkEntry {
     // round cannot disagree. The 2.675-style tie edges stay covered by the
     // half-even goldens in FormulaEvaluatorSpec.
     "e11_round" -> ((s, d) => formulaQuery("(qty / 7).round(2)")(s, d)),
+    // positional shift/diff down the row-id order: dense position via the
+    // distributed prefix + an equi-join on pos−n — no global window
+    "e11_shift" -> ((s, d) => formulaQuery("qty.shift(2)")(s, d)),
+    "e11_diff" -> ((s, d) => formulaQuery("qty.diff()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
@@ -3373,6 +3377,13 @@ object SparkEntry {
       // tie — see the query-side comment — so HALF_EVEN vs binary-nearest
       // is moot and both engines round identically
       "e11_round" -> matSql(j => F(s"round(q$j / 7.0, 2)")),
+      // shift/diff mirrors: LAG over the row-id order — values (including
+      // NULL holes) MOVE, the vacated edge is NULL, fill maps both to 0;
+      // diff's subtraction is one exactly-rounded IEEE op per cell
+      "e11_shift" -> matSql(j =>
+        F(s"lag(q$j, 2) OVER (ORDER BY __row_id__)")),
+      "e11_diff" -> matSql(j =>
+        F(s"q$j - lag(q$j, 1) OVER (ORDER BY __row_id__)")),
       "e11_cumsum" -> (s"$W SELECT __row_id__, " +
         J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE coalesce(" +
           "sum(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +

@@ -471,6 +471,63 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
+      // `.shift(n)` / `.diff(n)` (E11 long tail, r6): pandas POSITIONAL
+      // shift down the index order / discrete difference x[i] − x[i−n].
+      // Row ids are the ordering contract but are NOT guaranteed
+      // contiguous, so the dense position comes from the distributed
+      // prefix (running count of ones — never a global window); the
+      // shifted value then arrives through a plain equi-JOIN on
+      // `pos − n`, a fully plannable shuffle/broadcast join at any scale.
+      // Cost: two passes over the base (main + donor side of the
+      // self-join) — the standard shift trade. No skipna: shift MOVES
+      // invalid cells like any value (pandas semantics); the vacated edge
+      // rows become invalid. diff subtracts in native column arithmetic,
+      // so NaN/NULL propagate exactly as in `a - b`.
+      case (m @ ("shift" | "diff"), CMatrix(cols, false), args)
+          if args.length <= 1 =>
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(1)
+        if (ubp && m == "diff") throw new AdpUnsupportedException(
+          "'.diff()' is not supported in unbounded ADP mode")
+        if (n == 0) {
+          if (m == "shift") CMatrix(cols, isBool = false)
+          else CMatrix(mapCols(cols)(c => c - c), isBool = false)
+        } else {
+          ctx.seqCounter += 1
+          val tag = ctx.seqCounter
+          val valNames = cols.indices.map(i => s"__sh${tag}_v_$i")
+          val posCol = s"__sh${tag}_pos"
+          val materialized = cols.zip(valNames).foldLeft(
+            ctx.base.get.withColumn(s"__sh${tag}_one", lit(1L))) {
+              case (b, ((_, c), vn)) => b.withColumn(vn, c)
+            }
+          val posed = graft.operators.Prefix.runningAgg(materialized,
+              col(ctx.rowIdOut), Seq(s"__sh${tag}_one"), Seq("sum"),
+              Seq(posCol))
+            .drop(s"__sh${tag}_one")
+          val donor = posed.select(
+            (col(posCol) + lit(n.toLong)).as(posCol) +:
+              valNames.map(vn => col(vn).as(s"${vn}_sh")): _*)
+          ctx.base = Some(posed.join(donor, Seq(posCol), "left"))
+          val out = cols.zip(valNames).map { case ((lbl, _), vn) =>
+            val sh = col(s"${vn}_sh")
+            // beyond-the-edge rows: NaN in std (the pandas fill), NULL
+            // (the invalid marker) in the decimal/unbounded modes
+            val shifted = if (std) coalesce(sh, litOf(Double.NaN)) else sh
+            val cell =
+              if (m == "shift") shifted else col(vn) - shifted
+            (lbl, cell)
+          }
+          CMatrix(out, isBool = false)
+        }
+      case (m @ ("shift" | "diff"), CVecD(vs, ls), args) if args.length <= 1 =>
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(1)
+        val shifted = vs.indices.map { i =>
+          val j = i - n
+          if (j >= 0 && j < vs.length) vs(j) else Double.NaN
+        }
+        if (m == "shift") CVecD(shifted.toIndexedSeq, ls)
+        else CVecD(vs.indices.map(i => vs(i) - shifted(i)).toIndexedSeq, ls)
+
       case (cm @ ("cumsum" | "cummax" | "cummin" | "cumprod"), CVecD(vs, ls), Nil) =>
         val combine: (Double, Double) => Double = cm match {
           case "cumsum" => _ + _; case "cummax" => math.max; case "cummin" => math.min
@@ -603,7 +660,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, cumsum, cummax, " +
-            "cummin, cumprod, rank, T — SURVEY §2.2 E11)")
+            "cummin, cumprod, rank, shift, diff, T — SURVEY §2.2 E11)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {

@@ -55,4 +55,8 @@ class SequentialPlanSpec extends SparkSpec {
   test("e11_rank plans with no single-partition window") {
     assertNoGlobalWindow("e11_rank")
   }
+  test("e11_shift/e11_diff plan with no single-partition window") {
+    assertNoGlobalWindow("e11_shift")
+    assertNoGlobalWindow("e11_diff")
+  }
 }

@@ -258,6 +258,15 @@ class FormulaEvaluatorSpec extends SparkSpec {
       Seq(7, 5, Double.NaN)))
   }
 
+  test(".shift()/.diff() move values positionally down the row-id order") {
+    val nan = Double.NaN
+    // shift MOVES cells (including NaN) — no skipna; vacated edge = NaN
+    golden("i.shift(1)", Seq(Seq(nan, nan, nan), Seq(7, nan, 1), Seq(9, 5, 9)))
+    golden("i.shift(-1)", Seq(Seq(9, 5, 9), Seq(7, 8, nan), Seq(nan, nan, nan)))
+    // diff = x − x.shift(n); NaN propagates through the subtraction
+    golden("i.diff()", Seq(Seq(nan, nan, nan), Seq(2, nan, 8), Seq(-2, 3, nan)))
+  }
+
   test(".rank() is the pandas average rank per column, NaN excluded") {
     // i = [[7,NaN,1],[9,5,9],[7,8,NaN]]: c0 has a tie at 7 -> (1+2)/2
     golden("i.rank()", Seq(Seq(1.5, Double.NaN, 1), Seq(3, 1, 2),
