@@ -91,17 +91,16 @@ object ProbeR6 {
     }
 
     if (want("seq")) {
-    // ---- cumsum 1x vs 10x --------------------------------------------------
-    def cumsum(dir: String): Long =
-      QueryCatalog.formulaQuery("qty.cumsum()")(spark, dir).count()
-    def rank(dir: String): Long =
-      QueryCatalog.formulaQuery("qty.rank()")(spark, dir).count()
+    // ---- cumsum/rank/shift 1x vs 10x ---------------------------------------
+    def fq(f: String)(dir: String): Long =
+      QueryCatalog.formulaQuery(f)(spark, dir).count()
     QueryCatalog.wide(spark, sf1x).count(); QueryCatalog.wide(spark, sf10).count()
-    val c1 = best(cumsum(sf1x)); val c10 = best(cumsum(sf10))
-    val r1 = best(rank(sf1x)); val r10 = best(rank(sf10))
-    out += "cumsum" -> Map("t1x" -> c1, "t10x" -> c10, "ratio" -> c10 / c1)
-    out += "rank" -> Map("t1x" -> r1, "t10x" -> r10, "ratio" -> r10 / r1)
-    System.err.println(s"[probe] cumsum 1x=$c1 10x=$c10; rank 1x=$r1 10x=$r10")
+    for ((name, f) <- Seq("cumsum" -> "qty.cumsum()", "rank" -> "qty.rank()",
+        "shift" -> "qty.shift(2)", "diff" -> "qty.diff()")) {
+      val t1 = best(fq(f)(sf1x)); val t10 = best(fq(f)(sf10))
+      out += name -> Map("t1x" -> t1, "t10x" -> t10, "ratio" -> t10 / t1)
+      System.err.println(s"[probe] $name 1x=$t1 10x=$t10")
+    }
     }
 
     if (want("setmat")) {
