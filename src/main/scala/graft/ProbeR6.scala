@@ -103,6 +103,46 @@ object ProbeR6 {
     }
     }
 
+    if (want("seqjobs")) {
+      // per-JOB attribution of one shift/diff/cumsum execution at 10× —
+      // which Spark job (bounds agg, offsets broadcast, donor broadcast,
+      // main pass) carries the wall
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+      val jobs = scala.collection.mutable.LinkedHashMap[Int, (Long, String)]()
+      val done = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      val stages = scala.collection.mutable.ArrayBuffer[String]()
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.synchronized { jobs(js.jobId) = (js.time, js.stageInfos.map(_.name).mkString("|").take(80)) }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          done.synchronized { done(je.jobId) = je.time }
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          stages.synchronized {
+            val si = sc.stageInfo
+            val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+              yield (a - b) / 1000.0).getOrElse(-1.0)
+            val run = si.taskMetrics.executorRunTime / 1000.0
+            if (wall > 0.02)
+              stages += f"stage${si.stageId} ${wall}%.3fs run=${run}%.3fs tasks=${si.numTasks} ${si.name.take(60)}"
+          }
+      }
+      QueryCatalog.wide(spark, sf10).count()
+      for (f <- Seq("qty.cumsum()", "qty.shift(2)", "qty.diff()")) {
+        QueryCatalog.formulaQuery(f)(spark, sf10).count() // warm
+        jobs.clear(); done.clear(); stages.clear()
+        spark.sparkContext.addSparkListener(l)
+        val t = time(QueryCatalog.formulaQuery(f)(spark, sf10).count())
+        spark.sparkContext.removeSparkListener(l)
+        Thread.sleep(300)
+        val rows = jobs.toSeq.sortBy(_._1).map { case (id, (t0, name)) =>
+          val d = done.get(id).map(e => (e - t0) / 1000.0).getOrElse(-1.0)
+          f"job$id%d ${d}%.3fs $name"
+        }.filter(!_.contains(" 0.0"))
+        System.err.println(s"[probe] $f total=$t\n  " + rows.mkString("\n  ") +
+          "\n  " + stages.mkString("\n  "))
+      }
+    }
+
     if (want("setmat")) {
     // ---- agg_setmat source cardinality ------------------------------------
     def setmat(dir: String): Long = SparkEntry.queries("agg_setmat")(spark, dir).count()

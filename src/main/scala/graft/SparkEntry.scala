@@ -122,6 +122,13 @@ object SparkEntry {
     // distributed prefix + an equi-join on pos−n — no global window
     "e11_shift" -> ((s, d) => formulaQuery("qty.shift(2)")(s, d)),
     "e11_diff" -> ((s, d) => formulaQuery("qty.diff()")(s, d)),
+    // tie-free by construction: factors (q % 3 − 1) ∈ {−1, 0, 1}, so the
+    // engine's exp/ln running-product path is BIT-exact (ln 1 = 0 exactly,
+    // exp 0 = 1 exactly, sign from negative-count parity, zero latches the
+    // product at 0) — the one value domain where the distributed cumprod
+    // and a sequential multiply cannot differ by even an ulp. Magnitude
+    // accumulation stays covered by the goldens in FormulaEvaluatorSpec.
+    "e11_cumprod" -> ((s, d) => formulaQuery("(qty % 3 - 1).cumprod()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
@@ -3390,6 +3397,20 @@ object SparkEntry {
           "PRECEDING AND CURRENT ROW), 0.0) END AS c$j").replace("$j", j.toString))
           .mkString(", ") +
         " FROM w ORDER BY __row_id__"),
+      // cumprod over factors in {−1, 0, 1}: skipna running product =
+      // 0 once any zero factor was seen, else (−1)^(negatives so far) —
+      // the oracle tracks the zero latch and the sign parity with two
+      // running counts, exactly the engine's decomposition, over a value
+      // domain where both are integer-exact
+      "e11_cumprod" -> matSql { j =>
+        val v = s"((q$j % 3) - 1)"
+        val win = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"CASE WHEN q$j IS NULL THEN NULL " +
+          s"WHEN coalesce(sum(CASE WHEN $v = 0 THEN 1 END) $win, 0) > 0 " +
+          s"THEN 0.0 ELSE 1.0 - 2.0 * " +
+          s"(coalesce(sum(CASE WHEN $v = -1 THEN 1 END) $win, 0) % 2) END")
+      },
       // pandas skipna mean ≡ SQL avg (NULL holes excluded from both count
       // and sum); quantity sums are integer-valued → exact in any order
       "e11_mean" ->

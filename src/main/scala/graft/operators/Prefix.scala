@@ -140,4 +140,60 @@ object Prefix {
       .drop(kinds.indices.map(i => s"__pfx_o_$i"): _*)
       .drop("__pfx_pid")
   }
+
+  /** Appends `outNames(i)` = the value of `inNames(i)` at global POSITION
+    * `p − n` in the `orderCol` order (positional lag; `n < 0` is a lead),
+    * NULL beyond the data edge. Positions are the dense 1..N ranks of
+    * `orderCol` — rows need not be contiguous on it (the engine's
+    * shift/diff densification). `keyCol` must be a non-null UNIQUE key of
+    * `df` (the engine's row id): the lag is computed on a NARROW
+    * projection and joined back on it.
+    *
+    * Why not a window `lag()` over the distributed slices? Offset window
+    * frames (lag/lead) make WindowExec BUFFER every partition's rows
+    * (`ExternalAppendOnlyUnsafeRowArray`) instead of streaming them the
+    * way running-aggregate frames do — measured at 4–15× the executor
+    * time of the cumsum pass on the same data, before even paying for the
+    * cross-slice boundary handoff. And any design that moves the FULL
+    * frame through the positional machinery pays wide-row exchange and
+    * materialization costs (checkpointing the wide frame measured 0.7 s
+    * at 10× where the narrow pin is ~free).
+    *
+    * So the movement-optimal shape keeps the wide frame still:
+    *
+    *   1. project `(key, order, values)` — the only columns positions
+    *      need (column-pruned straight into the scan);
+    *   2. dense pos via [[runningAgg]] of ones — a STREAMING running-sum
+    *      window, never an offset frame; pinned (`localCheckpoint`, the
+    *      duplicateGroups discipline — narrow, so the pin is cheap) so
+    *      the self-join below reads materialized partitions instead of
+    *      carrying two copies of the prefix subtree (un-pinned this
+    *      measured 14 Spark jobs and >1 s of driver re-planning);
+    *   3. narrow self-equi-join on `pos − n` — both sides ~5 columns, a
+    *      plannable shuffle join with a unique dense key, no skew;
+    *   4. ONE wide join back on `keyCol`. On a cluster where the base is
+    *      bucketed / hash-partitioned by the row id (the engine's layout
+    *      contract) this plans exchange-free on the wide side — the
+    *      100 TB frame never moves for a shift.
+    */
+  def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
+                    inNames: Seq[String], n: Int,
+                    outNames: Seq[String]): DataFrame = {
+    require(n != 0, "positionalLag needs a non-zero offset")
+    require(inNames.length == outNames.length, "inNames/outNames must align")
+    val okey = "__lag_ord"
+    val narrow = df.select(
+      col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)
+    val posed = runningAgg(narrow.withColumn("__lag_one", lit(1L)),
+        col(okey), Seq("__lag_one"), Seq("sum"), Seq("__lag_p"))
+      .drop("__lag_one")
+      .localCheckpoint()
+    val donor = posed.select(
+      (col("__lag_p") + lit(n.toLong)).as("__lag_p") +:
+        inNames.zip(outNames).map { case (i, o) => col(i).as(o) }: _*)
+    val shifted = posed.select(col(keyCol), col("__lag_p"))
+      .join(donor, Seq("__lag_p"), "left")
+      .drop("__lag_p")
+    df.join(shifted, Seq(keyCol), "left")
+  }
 }

@@ -55,8 +55,31 @@ class SequentialPlanSpec extends SparkSpec {
   test("e11_rank plans with no single-partition window") {
     assertNoGlobalWindow("e11_rank")
   }
+  test("e11_cumprod plans with no single-partition window") {
+    assertNoGlobalWindow("e11_cumprod")
+  }
   test("e11_shift/e11_diff plan with no single-partition window") {
     assertNoGlobalWindow("e11_shift")
     assertNoGlobalWindow("e11_diff")
+  }
+
+  /** shift/diff must never plan a window `lag`/`lead`: offset window
+    * frames make WindowExec buffer whole partitions
+    * (ExternalAppendOnlyUnsafeRowArray) instead of streaming — measured
+    * at 4–15× the executor time of the streaming prefix pass. The
+    * positional move compiles to the narrow prefix + equi-join
+    * ([[graft.operators.Prefix.positionalLag]]) instead. */
+  test("e11_shift/e11_diff plan with no offset window frame") {
+    for (name <- Seq("e11_shift", "e11_diff")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach { w =>
+        val s = w.windowExpression.mkString(";")
+        assert(!s.contains("lag(") && !s.contains("lead("),
+          s"$name: buffering offset window frame survived:\n$w")
+      }
+    }
   }
 }
