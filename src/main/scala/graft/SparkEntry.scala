@@ -2144,6 +2144,22 @@ object SparkEntry {
           round(col("mean_g"), 9).as("mean_g"),
           round(col("mean_b"), 9).as("mean_b"))
         .orderBy(col("media_id"))),
+    // r7: PNG is a real COMPRESSED codec roundtrip — zlib deflate/inflate
+    // (java.util.zip), all five scanline filters applied by the encoder
+    // and reversed by the decoder, every chunk CRC-verified. The oracle
+    // predicts the channel means analytically from the synth parameters;
+    // one wrong byte in filter math, inflate bookkeeping, or the chunk
+    // walk shifts a mean and hash-mismatches. RGBA (even ids) and RGB
+    // (odd ids) both exercised; RGB reports the opaque mean_a = 255.
+    "mm_png" -> ((s, d) =>
+      Multimodal.decodePng(Multimodal.asPngTable(docs(s, d)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("color_type"),
+          round(col("mean_r"), 9).as("mean_r"),
+          round(col("mean_g"), 9).as("mean_g"),
+          round(col("mean_b"), 9).as("mean_b"),
+          round(col("mean_a"), 9).as("mean_a"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3601,6 +3617,24 @@ object SparkEntry {
            |       round(avg(v), 9) AS mean_r, round(avg(u), 9) AS mean_g,
            |       round(avg((v + u) // 2), 9) AS mean_b
            |FROM cells GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin),
+      "mm_png" ->
+        ("""WITH d AS (SELECT doc_id AS id, 8 + doc_id % 13 AS w,
+           |                  6 + doc_id % 7 AS h FROM documents),
+           |cells AS (SELECT id, w, h,
+           |    ((x.range * 255) // (w - 1) + id) % 256 AS v,
+           |    ((y.range * 255) // (h - 1) + id * 3) % 256 AS u,
+           |    (x.range + y.range + 7 * id) % 256 AS a
+           |  FROM d, range(0, 20) x, range(0, 12) y
+           |  WHERE x.range < w AND y.range < h)
+           |SELECT id AS media_id, CAST(w AS INT) AS width,
+           |       CAST(h AS INT) AS height,
+           |       CAST(CASE WHEN id % 2 = 0 THEN 6 ELSE 2 END AS INT)
+           |         AS color_type,
+           |       round(avg(v), 9) AS mean_r, round(avg(u), 9) AS mean_g,
+           |       round(avg((v + u) // 2), 9) AS mean_b,
+           |       round(CASE WHEN id % 2 = 0 THEN avg(a) ELSE 255.0 END, 9)
+           |         AS mean_a
+           |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
       // read_parquet by interpolated path: an `events` view may not be

@@ -170,6 +170,253 @@ object MediaCodec {
     BmpInfo(w, h, bpp, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
+  // ---- PNG, 8-bit RGB/RGBA, non-interlaced --------------------------------
+  //
+  // PNG is the one mainstream image container that needs NO media library:
+  // its only compression is zlib (java.util.zip ships Deflater/Inflater)
+  // and its only transform is the five per-scanline byte filters. This is
+  // a real codec, not a container walk: the encoder deflates filtered
+  // scanlines (cycling through ALL five filter types so the decoder's
+  // un-filtering is actually exercised), the decoder walks the chunk list
+  // big-endian, verifies every CRC-32, inflates, un-filters, and folds
+  // channel means. Spec: PNG (Second Edition), W3C/ISO 15948.
+
+  final case class PngInfo(width: Int, height: Int, bitDepth: Int,
+                           colorType: Int, meanR: Double, meanG: Double,
+                           meanB: Double, meanA: Double)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def crcOf(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       payload: Array[Byte]): Unit = {
+    val buf = new Array[Byte](8 + payload.length + 4)
+    be32(buf, 0, payload.length)
+    typ.getBytes("US-ASCII").copyToArray(buf, 4)
+    payload.copyToArray(buf, 8)
+    be32(buf, 8 + payload.length, crcOf(buf, 4, 4 + payload.length))
+    out.write(buf)
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit PNG; `rgba(x, y)` returns 0xAARRGGBB with (0,0) the
+    * top-left pixel. `withAlpha` selects color type 6 (RGBA) vs 2 (RGB,
+    * alpha byte ignored). Scanline `y` is written with filter type
+    * `y % 5`, so every filter (None/Sub/Up/Average/Paeth) round-trips. */
+  def pngBytes(w: Int, h: Int, rgba: (Int, Int) => Int,
+               withAlpha: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val bpp = if (withAlpha) 4 else 3
+    val stride = w * bpp
+    // raw scanlines, top-down
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = rgba(x, y)
+        val o = y * stride + x * bpp
+        raw(o) = ((c >>> 16) & 0xFF).toByte
+        raw(o + 1) = ((c >>> 8) & 0xFF).toByte
+        raw(o + 2) = (c & 0xFF).toByte
+        if (withAlpha) raw(o + 3) = ((c >>> 24) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filtered stream: 1 filter byte + stride bytes per scanline
+    val filtered = new Array[Byte](h * (stride + 1))
+    y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xFF
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // zlib-deflate the filtered stream
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ false)
+    defl.setInput(filtered); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, w); be32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (withAlpha) 6 else 2).toByte // color type
+    // compression 0, filter 0, interlace 0 already zero
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode to raw top-down pixel bytes: walk chunks (CRC-verified),
+    * inflate the concatenated IDAT stream, reverse the per-scanline
+    * filters. Returns (w, h, colorType, pixels[h*w*bpp]). */
+  private def pngDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 + 25 && // sig + IHDR at minimum
+      java.util.Arrays.equals(bytes, 0, 8, PngSig, 0, 8), "not a PNG file")
+    var off = 8
+    var w = -1; var h = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended) {
+      // every field of the chunk header is UNTRUSTED: lengths are signed
+      // reads of attacker bytes and must bound-check in LONG math before
+      // any advance — executor tasks run this over arbitrary binary cells
+      require(off + 8 <= bytes.length, "truncated chunk header")
+      val len = rdBe32(bytes, off)
+      val typ = tag(bytes, off + 4)
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        s"malformed '$typ' chunk: len=$len at off=$off of ${bytes.length}")
+      require(rdBe32(bytes, off + 8 + len) == crcOf(bytes, off + 4, 4 + len),
+        s"CRC mismatch in '$typ' chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          w = rdBe32(bytes, off + 8); h = rdBe32(bytes, off + 12)
+          val depth = bytes(off + 16) & 0xFF
+          colorType = bytes(off + 17) & 0xFF
+          require(depth == 8, s"only 8-bit PNG supported, got depth $depth")
+          require(colorType == 2 || colorType == 6,
+            s"only RGB/RGBA PNG supported, got color type $colorType")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+            bytes(off + 20) == 0, "unsupported compression/filter/interlace")
+          require(w > 0 && h > 0 && w.toLong * h <= 64000000L,
+            s"unsupported dimensions ${w}x$h")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks (tEXt/pHYs/...) skip
+      }
+      off += 12 + len
+    }
+    require(w > 0 && idat.size > 0, "missing IHDR or IDAT")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val expect = h.toLong * (stride + 1)
+    require(expect <= Int.MaxValue, "image too large")
+    val filtered = new Array[Byte](expect.toInt)
+    val infl = new java.util.zip.Inflater(/* nowrap = */ false)
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    while (got < filtered.length && !infl.finished()) {
+      val n = infl.inflate(filtered, got, filtered.length - got)
+      // all input was supplied up front: a zero-byte round that is not
+      // the end of the stream means truncated/corrupt data, not "feed me"
+      require(n > 0 || infl.finished(), "truncated IDAT stream")
+      got += n
+    }
+    infl.end()
+    require(got == filtered.length, s"IDAT inflated to $got of $expect bytes")
+    // un-filter scanlines in place into the raw buffer
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = filtered(y * (stride + 1)) & 0xFF
+      require(f <= 4, s"bad filter type $f on scanline $y")
+      var i = 0
+      while (i < stride) {
+        val v = filtered(y * (stride + 1) + 1 + i) & 0xFF
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * stride + i) = ((v + pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, colorType, raw)
+  }
+
+  /** Parse an 8-bit RGB/RGBA PNG: header fields + per-channel means.
+    * `meanA` is 255 for alpha-less images (the opaque convention). */
+  def parsePng(bytes: Array[Byte]): PngInfo = {
+    val (w, h, colorType, raw) = pngDecode(bytes)
+    val bpp = if (colorType == 6) 4 else 3
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var o = 0
+    while (o < raw.length) {
+      sr += raw(o) & 0xFF; sg += raw(o + 1) & 0xFF; sb += raw(o + 2) & 0xFF
+      if (bpp == 4) sa += raw(o + 3) & 0xFF
+      o += bpp
+    }
+    val n = w.toLong * h
+    PngInfo(w, h, 8, colorType, sr.toDouble / n, sg.toDouble / n,
+      sb.toDouble / n, if (bpp == 4) sa.toDouble / n else 255.0)
+  }
+
+  /** REAL resize: nearest-neighbor downsample of an 8-bit PNG to an
+    * `ow`×`oh` grayscale float array (row-major, luma = (R+G+B)/3/255). */
+  def pngResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
+    require(ow > 0 && oh > 0)
+    val (w, h, colorType, raw) = pngDecode(bytes)
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val out = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val sy = math.min(h - 1, oy * h / oh)
+      var ox = 0
+      while (ox < ow) {
+        val sx = math.min(w - 1, ox * w / ow)
+        val o = sy * stride + sx * bpp
+        val r = raw(o) & 0xFF; val g = raw(o + 1) & 0xFF
+        val b = raw(o + 2) & 0xFF
+        out(oy * ow + ox) = (r + g + b) / 3.0f / 255.0f
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** REAL resize: nearest-neighbor downsample of a 24 bpp BMP to an
     * `ow`×`oh` grayscale float array (row-major, luma = (R+G+B)/3/255). */
   def bmpResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * Two REAL codecs ship as of r6 — RIFF/WAVE (PCM16) and BMP (24 bpp),
-  * pure-JVM byte-level parsers in [[MediaCodec]] with encoder round-trips
-  * and analytic oracle rows (`mm_wav`/`mm_bmp`). Formats that genuinely
-  * need native libraries (JPEG, MP3, H.264, …) remain stubbed behind the
-  * same dataflow: the `asMediaTable`/`extractFeatures` fake exercises the
-  * identical batch-wise `mapPartitions` shape (the Scala analogue of
-  * `mapInPandas`) a JNI codec stage would slot into.
+  * Three REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6,
+  * PNG (8-bit RGB/RGBA, zlib + all five scanline filters, CRC-verified)
+  * as of r7 — pure-JVM byte-level parsers in [[MediaCodec]] with encoder
+  * round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/`mm_png`).
+  * Formats that genuinely need native libraries (JPEG, MP3, H.264, …)
+  * remain stubbed behind the same dataflow: the
+  * `asMediaTable`/`extractFeatures` fake exercises the identical
+  * batch-wise `mapPartitions` shape (the Scala analogue of `mapInPandas`)
+  * a JNI codec stage would slot into.
   *
   * Scale posture: media payloads stay opaque bytes end-to-end; nothing
   * shuffles them except the user's own repartition. Feature extraction is
@@ -186,6 +188,64 @@ object Multimodal {
           (v << 16) | (u << 8) | ((v + u) / 2)
         })
         Row(id, bytes, Row("image/bmp", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a VALID 8-bit PNG per document: even ids encode RGBA
+    * (color type 6), odd ids RGB (color type 2); pixel channels are
+    * integer functions of (x, y, id) the oracle reproduces in SQL, and
+    * the encoder cycles through all five PNG scanline filters, so the
+    * decode exercises zlib + un-filtering on every image. */
+  def asPngTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 13).toInt; val h = 6 + (id % 7).toInt
+        val withAlpha = id % 2 == 0
+        val bytes = MediaCodec.pngBytes(w, h, (x, y) => {
+          val rC = ((x.toLong * 255 / (w - 1) + id) % 256).toInt
+          val gC = ((y.toLong * 255 / (h - 1) + id * 3) % 256).toInt
+          val bC = (rC + gC) / 2
+          val aC = ((x + y + 7 * id) % 256).toInt
+          (aC << 24) | (rC << 16) | (gC << 8) | bC
+        }, withAlpha)
+        Row(id, bytes, Row("image/png", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL PNG decode + resize: chunk walk (CRC-verified), zlib inflate,
+    * scanline un-filter, per-channel means, and a nearest-neighbor
+    * grayscale thumbnail — the embedding-model preprocessing shape. */
+  def decodePng(media: DataFrame, thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("color_type", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("mean_a", DoubleType),
+      StructField("thumb", ArrayType(FloatType))))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val info = MediaCodec.parsePng(bytes)
+        val thumb = MediaCodec.pngResizeGray(bytes, thumbW, thumbH)
+        Row(r.getLong(0), info.width, info.height, info.colorType,
+          info.meanR, info.meanG, info.meanB, info.meanA, thumb.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -57,6 +57,49 @@ class MediaCodecSpec extends SparkSpec {
     assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
   }
 
+  test("PNG roundtrip: zlib + every scanline filter recover pixels exactly") {
+    // tall enough that filters 0..4 each cover at least one scanline
+    // (encoder writes filter y % 5); asymmetric gradient catches x/y swaps
+    def px(x: Int, y: Int): Int =
+      (((x + 2 * y + 9) % 256) << 24) | (((x * 37) % 256) << 16) |
+        (((y * 11) % 256) << 8) | ((x * y) % 256)
+    for (alpha <- Seq(true, false)) {
+      val w = 7; val h = 11
+      val bytes = MediaCodec.pngBytes(w, h, px, alpha)
+      val info = MediaCodec.parsePng(bytes)
+      assert(info.width == w && info.height == h && info.bitDepth == 8)
+      assert(info.colorType == (if (alpha) 6 else 2))
+      val n = (w * h).toDouble
+      def mean(f: (Int, Int) => Int): Double =
+        (for (y <- 0 until h; x <- 0 until w) yield f(x, y)).sum / n
+      assert(math.abs(info.meanR - mean((x, y) => (px(x, y) >>> 16) & 0xFF)) < 1e-9)
+      assert(math.abs(info.meanG - mean((x, y) => (px(x, y) >>> 8) & 0xFF)) < 1e-9)
+      assert(math.abs(info.meanB - mean((x, y) => px(x, y) & 0xFF)) < 1e-9)
+      val wantA = if (alpha) mean((x, y) => (px(x, y) >>> 24) & 0xFF) else 255.0
+      assert(math.abs(info.meanA - wantA) < 1e-9)
+    }
+  }
+
+  test("PNG parser verifies CRCs and rejects malformed input") {
+    val bytes = MediaCodec.pngBytes(5, 4, (x, y) => (x * 40) << 16 | (y * 60), withAlpha = false)
+    // flip one bit inside the IDAT payload: CRC check must catch it
+    val corrupt = bytes.clone()
+    corrupt(8 + 25 + 20) = (corrupt(8 + 25 + 20) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.parsePng(corrupt))
+    assert(e.getMessage.contains("CRC"))
+    // truncation and junk both fail with clean errors
+    intercept[IllegalArgumentException](MediaCodec.parsePng(bytes.take(40)))
+    intercept[IllegalArgumentException](
+      MediaCodec.parsePng("definitely not a png".getBytes))
+  }
+
+  test("PNG resize is a real nearest-neighbor downsample with the right luma") {
+    val bytes = MediaCodec.pngBytes(4, 4,
+      (x, _) => if (x < 2) 0x000000 else 0xFFFFFF, withAlpha = false)
+    val thumb = MediaCodec.pngResizeGray(bytes, 2, 2)
+    assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
@@ -72,6 +115,14 @@ class MediaCodecSpec extends SparkSpec {
     assert(b.getLong(0) == nDocs)
     assert(b.getInt(1) >= 16 && b.getInt(2) <= 32)
     assert(b.getDouble(3) >= 0.0 && b.getDouble(4) <= 255.0)
+    val png = Multimodal.decodePng(Multimodal.asPngTable(docs))
+    val p = png.agg(count(lit(1)), min(col("width")), max(col("width")),
+      min(col("mean_a")), max(col("mean_a")),
+      countDistinct(col("color_type"))).head()
+    assert(p.getLong(0) == nDocs)
+    assert(p.getInt(1) >= 8 && p.getInt(2) <= 20)
+    assert(p.getDouble(3) >= 0.0 && p.getDouble(4) <= 255.0)
+    assert(p.getLong(5) == 2) // both RGB and RGBA synthesized
     // determinism: same id → identical decoded features across runs
     val twice = Multimodal.decodeWav(Multimodal.asWavTable(docs))
       .select("media_id", "rms")
