@@ -57,11 +57,22 @@ object Prefix {
     * running aggregate, still distributed WITHIN each group, so one huge
     * group cannot serialize onto one task).
     * All original columns are preserved. `kinds(i)` ∈ sum | max | min.
+    *
+    * `descending` mirrors the slice id (`parts − 1 − slice`) and sorts
+    * within-slice windows DESC, so the running order is by falling
+    * `orderCol`; `nullsLast` sends NULL order values to the last slice
+    * instead of the first. Defaults reproduce Spark's `ASC NULLS FIRST`.
+    * NaN order values (doubles) are excluded from the bounds and pinned
+    * to the slice matching Spark's sort convention (greatest value: last
+    * slice ASC, first slice DESC) — without the guard the slice cast
+    * would throw under ANSI.
     */
   def runningAgg(df: DataFrame, orderCol: Column,
                  inNames: Seq[String], kinds: Seq[String],
                  outNames: Seq[String],
-                 partitionCols: Seq[String] = Nil): DataFrame = {
+                 partitionCols: Seq[String] = Nil,
+                 descending: Boolean = false,
+                 nullsLast: Boolean = false): DataFrame = {
     require(inNames.length == kinds.length && kinds.length == outNames.length,
       "inNames, kinds and outNames must align")
     require(kinds.forall(Set("sum", "max", "min")),
@@ -76,24 +87,35 @@ object Prefix {
 
     // deterministic slice id: equi-width bucket of orderCol against the
     // (per-group) broadcast bounds — a pure projection, stable across
-    // every subtree that evaluates it
+    // every subtree that evaluates it. Bounds exclude NaN (min/max would
+    // otherwise return NaN — Spark sorts NaN greatest — and poison every
+    // slice via a NaN span).
     val ord = orderCol.cast("double")
+    val ordFinite = when(isnan(ord), lit(null)).otherwise(ord)
     val bounds =
       if (pCols.isEmpty)
-        df.agg(min(ord).as("__pfx_lo"), max(ord).as("__pfx_hi"))
+        df.agg(min(ordFinite).as("__pfx_lo"), max(ordFinite).as("__pfx_hi"))
       else
-        df.groupBy(pCols: _*).agg(min(ord).as("__pfx_lo"), max(ord).as("__pfx_hi"))
+        df.groupBy(pCols: _*)
+          .agg(min(ordFinite).as("__pfx_lo"), max(ordFinite).as("__pfx_hi"))
     val withBounds =
       if (pCols.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), partitionCols)
     val span = col("__pfx_hi") - col("__pfx_lo")
-    // NULL order values take slice 0 — consistent with ascending NULLS
-    // FIRST (they sort before every non-null value, whose smallest slice
-    // is also 0), so callers need no null guard of their own
+    val nullSlice = if (nullsLast) parts - 1 else 0
+    val nanSlice = if (descending) 0 else parts - 1 // NaN sorts greatest
+    val bucket = least(lit(parts - 1),
+      floor((ord - col("__pfx_lo")) / span * parts).cast("int"))
+    val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
+    // NULL/NaN order values take the slice matching their sort position,
+    // so callers need no guard of their own; a degenerate span (all equal
+    // or all NULL/NaN) collapses real values onto slice 0, where the
+    // within-slice sort still places them correctly vs NULL/NaN slices
     val sliced = withBounds.withColumn("__pfx_pid",
-        when(ord.isNull || span <= 0.0, lit(0)).otherwise(
-          least(lit(parts - 1),
-            floor((ord - col("__pfx_lo")) / span * parts).cast("int"))))
+        when(ord.isNull, lit(nullSlice))
+          .when(isnan(ord), lit(nanSlice))
+          .when(span.isNull || span <= 0.0, lit(0))
+          .otherwise(valueSlice))
       .drop("__pfx_lo", "__pfx_hi")
 
     // per-(slice, group) partials → exclusive base offsets via a window
@@ -117,8 +139,15 @@ object Prefix {
         }: _*)
 
     // parallel within-slice running window + base offset; the window's
-    // (slice, group) requirement plans the single hash exchange
-    val w = Window.partitionBy(col("__pfx_pid") +: pCols: _*).orderBy(orderCol)
+    // (slice, group) requirement plans the single hash exchange. The
+    // within-slice sort mirrors the requested global order exactly.
+    val slOrd = (descending, nullsLast) match {
+      case (false, false) => orderCol.asc_nulls_first
+      case (false, true)  => orderCol.asc_nulls_last
+      case (true, false)  => orderCol.desc_nulls_first
+      case (true, true)   => orderCol.desc_nulls_last
+    }
+    val w = Window.partitionBy(col("__pfx_pid") +: pCols: _*).orderBy(slOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = sliced.join(broadcast(offsets),
       "__pfx_pid" +: partitionCols, "left")

@@ -32,12 +32,13 @@ import org.apache.spark.sql.types._
   *
   * Conservative preconditions — the rewrite fires only when the Window has
   * exactly one expression, `row_number()` over the default frame with an
-  * EMPTY partition spec; the single sort order is Ascending NullsFirst on
-  * a deterministic expression of a numeric, date or timestamp type (types
-  * whose natural order the double cast preserves — the slice mapping must
-  * be monotone in the sort order or global numbering breaks); and the
-  * child does not already carry the rule's working columns. Everything
-  * else is left untouched. Ties get an arbitrary-but-valid numbering,
+  * EMPTY partition spec; the single sort order (any direction and nulls
+  * placement as of r7 — DESC mirrors the slice id, NULLS LAST moves the
+  * null slice to the end) is on a deterministic expression of a numeric,
+  * date or timestamp type (types whose natural order the double cast
+  * preserves — the slice mapping must be monotone in the sort order or
+  * global numbering breaks); and the child does not already carry the
+  * rule's working columns. Everything else is left untouched. Ties get an arbitrary-but-valid numbering,
   * exactly like the single-partition original. Registered by
   * [[GraftExtensions]] AFTER [[WindowTopKRule]], so bounded top-k filters
   * take the heap operator and only genuine full numberings land here.
@@ -56,26 +57,32 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
     case w @ WindowNode(Seq(alias @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(Nil, _, SpecifiedWindowFrame(RowFrame,
             UnboundedPreceding, CurrentRow))), _)),
-        Nil, Seq(SortOrder(ordExpr, Ascending, NullsFirst, _)), child, _)
+        Nil, Seq(so @ SortOrder(ordExpr, _, _, _)), child, _)
         if ordExpr.deterministic && ordExpr.resolved &&
           monotoneUnderDoubleCast(ordExpr.dataType) &&
           !child.output.exists(a => a.name == OneCol || a.name == RnCol) =>
-      rewrite(child, ordExpr, alias)
+      // ANY direction/nulls combination re-plans: DESC mirrors the slice
+      // id (parts−1−slice — still monotone in the sort order), NULLS LAST
+      // moves the null slice to the end; both live inside runningAgg
+      rewrite(child, ordExpr, alias, so)
   }
 
   private def rewrite(child: LogicalPlan, ordExpr: Expression,
-                      alias: Alias): LogicalPlan = {
+                      alias: Alias, so: SortOrder): LogicalPlan = {
     val spark = SparkSession.active
     val df = GraftColumnBridge.ofRows(spark, child)
     val ordCol = GraftColumnBridge.column(ordExpr)
     // row_number == the inclusive running SUM of ones in the order-column
     // order — exactly operators.Prefix.runningAgg, which already owns the
-    // monotone slice mapping, NULL handling (slice 0 = NULLS FIRST), the
-    // bounded offsets window and the broadcast join; one implementation,
-    // one place to fix (this rule previously carried its own copy)
+    // monotone (optionally mirrored) slice mapping, NULL/NaN placement,
+    // the bounded offsets window and the broadcast join; one
+    // implementation, one place to fix (this rule previously carried its
+    // own copy)
     val out = graft.operators.Prefix.runningAgg(
       df.withColumn(OneCol, lit(1L)), ordCol,
-      Seq(OneCol), Seq("sum"), Seq(RnCol)).drop(OneCol)
+      Seq(OneCol), Seq("sum"), Seq(RnCol),
+      descending = so.direction == Descending,
+      nullsLast = so.nullOrdering == NullsLast).drop(OneCol)
     // the fresh analyzed subtree still carries ResolvedHint nodes (this
     // rule runs in the end-of-optimization user batch, after the stock
     // hint elimination already ran on the original plan) — fold them into
@@ -83,8 +90,7 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
     val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
       GraftColumnBridge.logicalPlan(out))
     val rnAttr = analyzed.output.find(_.name == RnCol).getOrElse(
-      return WindowNode(Seq(alias), Nil,
-        Seq(SortOrder(ordExpr, Ascending)), child))
+      return WindowNode(Seq(alias), Nil, Seq(so), child))
     // restore the original attribute id and IntegerType so downstream
     // references to the row-number column are untouched
     Project(child.output :+ Alias(Cast(rnAttr, IntegerType),

@@ -66,18 +66,69 @@ class GlobalRowNumberRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b })
   }
 
-  test("guards: partitioned and descending windows are untouched") {
+  test("guards: partitioned and string-keyed windows are untouched") {
     val df = spark.range(100).select((col("id") % 5).as("g"), col("id").as("v"))
     val part = df.withColumn("rn",
       row_number().over(Window.partitionBy("g").orderBy("v")))
     assert(part.filter(col("rn") === 1).count() == 5)
-    val desc = df.withColumn("rn",
-      row_number().over(Window.orderBy(col("v").desc)))
-    // still correct through the untouched path
-    assert(desc.filter(col("rn") === 1).select("v").head().getLong(0) == 99L)
-    // and a string order key must not be re-planned (cast is not monotone)
+    // a string order key must not be re-planned (cast is not monotone)
     val str = df.select(concat(lit("s"), col("v")).as("s"))
       .withColumn("rn", row_number().over(Window.orderBy("s")))
     assert(str.count() == 100)
+  }
+
+  test("DESC global row_number re-plans with identical numbering (r7)") {
+    // "rank by score" — the most common user shape. k a permutation of
+    // 0..999, DESC ⇒ rn must be 1000 − k.
+    val df = spark.range(1000).select(
+      (col("id") * 37 % 1000).as("k"), col("id").as("payload"))
+    val rn = df.withColumn("rn", row_number().over(Window.orderBy(col("k").desc)))
+    val got = rn.collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.forall { case (k, r) => r == 1000 - k })
+    assert(globalRowNumberWindows(rn).isEmpty,
+      "the DESC global row_number window must be re-planned onto the prefix")
+  }
+
+  test("NULLS placement: asc_nulls_last / desc_nulls_first number identically") {
+    // every 10th key NULL: the numbering must agree with the window
+    // semantics exactly — nulls after all values (asc_nulls_last) and
+    // before all values (desc_nulls_first)
+    val df = spark.range(300).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") * 37 % 300)
+        .as("k"), col("id").as("payload"))
+    val nVals = 300 - 30
+    val ascLast = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k").asc_nulls_last)))
+    val a = ascLast.collect().map(r => (Option(r.get(0)), r.getInt(2)))
+    // non-null rows: rn == rank of k among the non-null keys (all distinct)
+    val sortedKeys = a.flatMap(_._1.map(_.asInstanceOf[Long])).sorted
+    val rankOf = sortedKeys.zipWithIndex.toMap
+    assert(a.forall {
+      case (Some(k), r) => r == rankOf(k.asInstanceOf[Long]) + 1
+      case (None, r) => r > nVals // all null rows number after every value
+    })
+    assert(globalRowNumberWindows(ascLast).isEmpty)
+    val descFirst = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k").desc_nulls_first)))
+    val d = descFirst.collect().map(r => (Option(r.get(0)), r.getInt(2)))
+    assert(d.forall {
+      case (Some(k), r) =>
+        r == 30 + (nVals - rankOf(k.asInstanceOf[Long]))
+      case (None, r) => r <= 30 // nulls first
+    })
+    assert(globalRowNumberWindows(descFirst).isEmpty)
+  }
+
+  test("NaN order values number like the window original (sort greatest)") {
+    val df = spark.range(100).select(
+      when(col("id") % 9 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("k"))
+    val rn = df.withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+    val got = rn.collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val nNan = got.count(_._1.isNaN)
+    // NaN sorts greatest in Spark: all NaN rows take the top numbers
+    assert(got.filter(_._1.isNaN).forall(_._2 > 100 - nNan))
+    assert(got.filter(!_._1.isNaN).map(_._2).max <= 100 - nNan + 0)
+    assert(globalRowNumberWindows(rn).isEmpty)
   }
 }
