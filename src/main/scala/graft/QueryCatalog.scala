@@ -78,7 +78,16 @@ object QueryCatalog {
       "pos"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"p$j"))),
       "zro"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"z$j"))),
       "w"     -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0), labels.toIndexedSeq),
-      "va"    -> Vec(IndexedSeq(1.0, 2.0, 3.0, 4.0), labels.toIndexedSeq))
+      "va"    -> Vec(IndexedSeq(1.0, 2.0, 3.0, 4.0), labels.toIndexedSeq),
+      // matmul right operand (E12): rows keyed by qty's COLUMN labels —
+      // the coefficient matrix of a column-space linear transform
+      "mm"    -> Matrix.of(spark.createDataFrame(
+        java.util.List.of(
+          Row("c1", 1.0, 1.0), Row("c2", 2.0, 4.0),
+          Row("c3", 3.0, 9.0), Row("c4", 4.0, 16.0)),
+        StructType(Seq(StructField("__row_id__", StringType),
+          StructField("d1", DoubleType), StructField("d2", DoubleType)))),
+        "__row_id__", Seq("d1", "d2")))
   }
 
   /** The matching DuckDB WITH-clause. */

@@ -130,6 +130,15 @@ object SparkEntry {
     // accumulation stays covered by the goldens in FormulaEvaluatorSpec.
     "e11_cumprod" -> ((s, d) => formulaQuery("(qty % 3 - 1).cumprod()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
+    // E12: explicit matmul (pandas DataFrame.dot; `@` stays rejected like
+    // pd.eval). matrix⊗vector is a positional linear combination of the
+    // columns; matrix⊗matrix a literal-coefficient column-space transform
+    // against the driver-collected registry matrix `mm` (rows keyed by
+    // qty's column labels). Both compile to pure projections: zero joins,
+    // zero shuffles. Cells are integer-valued, so the double dot products
+    // are exact — no rounding needed on either side.
+    "e12_matmul" -> ((s, d) => formulaQuery("qty.matmul(w)")(s, d)),
+    "e12_matmat" -> ((s, d) => formulaQuery("qty.matmul(mm)")(s, d)),
     "e11_norm" -> ((s, d) => formulaQuery("qty / qty.sum()")(s, d)),
     // A1: alignment full-outer join across different backing frames
     "a1_align" -> ((s, d) => {
@@ -3431,6 +3440,17 @@ object SparkEntry {
       // and sum); quantity sums are integer-valued → exact in any order
       "e11_mean" ->
         s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
+      // matmul: NaN/NULL holes propagate through the whole dot product on
+      // both sides (any NULL qj nulls the sum in DuckDB; any NaN qj NaNs
+      // it in the engine), then fill → 0. Integer-valued cells times
+      // integer coefficients: exact in double regardless of add order.
+      "e12_matmul" -> (s"$W SELECT __row_id__, " +
+        F(J.map(j => s"q$j * ${j * 10}.0").mkString(" + ")) + " AS \"0\" " +
+        "FROM w ORDER BY __row_id__"),
+      "e12_matmat" -> (s"$W SELECT __row_id__, " +
+        F(J.map(j => s"q$j * $j.0").mkString(" + ")) + " AS d1, " +
+        F(J.map(j => s"q$j * ${j * j}.0").mkString(" + ")) + " AS d2 " +
+        "FROM w ORDER BY __row_id__"),
       "e4_neg" -> matSql(j => F(s"-q$j + e$j")),
       "e11_norm" -> (s"$W, s AS (SELECT ${J.map(j => s"coalesce(sum(q$j),0.0) AS s$j").mkString(", ")} FROM w) " +
         s"SELECT __row_id__, ${J.map(j => s"${F(s"q$j / s.s$j")} AS c$j").mkString(", ")} " +

@@ -62,6 +62,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * DataFrames its columns reference */
   private case class CVecC(cols: Seq[(String, Column)], aggIds: Set[Int]) extends CValue
   private case class CScalar(v: Double) extends CValue
+  /** driver-collected matrix: a matmul RIGHT operand. Its row count equals
+    * the left operand's column count by pandas' dot-alignment rule, so it
+    * is schema-small by construction (`rows` is (rowId → cell values) in
+    * collection order; `colLabels` the pandas column order). */
+  private case class CMatD(rows: IndexedSeq[(String, IndexedSeq[Double])],
+                           colLabels: Seq[String]) extends CValue
 
   // ---- compile context ----------------------------------------------------
 
@@ -88,7 +94,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     vars.foreach { v =>
       if (!registry.contains(v)) throw new VariableNotFoundException(v, registry.keys)
     }
-    val matVars = vars.filter(v => registry(v).isInstanceOf[Matrix])
+    // a registry matrix used ONLY as a matmul right operand is driver-
+    // collected (see [[collectMatD]]) — its row ids live in the left
+    // operand's column-label domain, not the row-id domain, so it must
+    // stay OUT of the aligned base (a full-outer alignment join against
+    // disjoint row ids would pollute the result with hole rows)
+    val (mmArg, mmOther) = matmulUsage(ast)
+    val collectedOnly = mmArg -- mmOther
+    val matVars = vars.filter(v =>
+      registry(v).isInstanceOf[Matrix] && !collectedOnly.contains(v))
     val ctx = buildBase(matVars)
     eval(ast, ctx) match {
       case CMatrix(cols, isBool) =>
@@ -207,7 +221,56 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           s"Unknown function '$fn' with ${args.length} argument(s)")
       }
 
+    // matmul with a registry-matrix right operand: driver-collect it
+    // instead of evaluating over the aligned base (its row ids are the
+    // left operand's column labels — a different domain). The collect cap
+    // is the left's inner dimension, so a data-scaled frame on the right
+    // fails with pandas' alignment error, never an unbounded collect.
+    case Method(t, "matmul", List(Var(n)))
+        if registry.get(n).exists(_.isInstanceOf[Matrix]) =>
+      val tgt = eval(t, ctx)
+      val cap = tgt match {
+        case CMatrix(cols, _) => cols.length
+        case CVecD(vs, _)     => vs.length
+        case _                => 0
+      }
+      method(tgt, "matmul", List(collectMatD(registry(n).asInstanceOf[Matrix], cap)), ctx)
+
     case Method(t, name, args) => method(eval(t, ctx), name, args.map(eval(_, ctx)), ctx)
+  }
+
+  /** Var names appearing as the RIGHT operand of `.matmul(...)` vs anywhere
+    * else (a var doing both stays in the aligned base AND is collected). */
+  private def matmulUsage(ast: FormulaAst): (Set[String], Set[String]) = {
+    val arg = Set.newBuilder[String]; val other = Set.newBuilder[String]
+    def go(a: FormulaAst): Unit = a match {
+      case Num(_)       => ()
+      case Var(n)       => other += n
+      case Unary(_, e)  => go(e)
+      case Bin(_, l, r) => go(l); go(r)
+      case Call(_, as)  => as.foreach(go)
+      case Method(t, "matmul", List(Var(n))) => go(t); arg += n
+      case Method(t, _, as) => go(t); as.foreach(go)
+    }
+    go(ast)
+    (arg.result(), other.result())
+  }
+
+  /** Driver-collect a matmul right operand (row ids as strings, cells as
+    * doubles, null → NaN). `limit(cap + 1)` bounds the collect at the
+    * left operand's inner dimension — one extra row proves misalignment. */
+  private def collectMatD(m: Matrix, cap: Int): CMatD = {
+    val rows = m.base.select((col(m.rowId).cast("string") +:
+        m.cols.map { case (_, p) => col(p).cast("double") }): _*)
+      .limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new FormulaTypeException(
+        s"matrices are not aligned: matmul right operand has more than $cap " +
+          "rows (its row ids must equal the left operand's column labels)")
+    CMatD(rows.toIndexedSeq.map { r =>
+      r.getString(0) -> m.cols.indices.map(i =>
+        if (r.isNullAt(i + 1)) Double.NaN else r.getDouble(i + 1)).toIndexedSeq
+    }, m.labels)
   }
 
   private def mapCols(cols: Seq[(String, Column)])(f: Column => Column) =
@@ -638,6 +701,64 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
 
+      // `.matmul(b)` (E12, SURVEY §2.2): pandas DataFrame.dot semantics,
+      // as the explicit method pd.eval's python engine dispatches (the
+      // ambiguous `@` operator stays rejected at the tokenizer, matching
+      // pd.eval — SURVEY §8 Q8). The inner dimension of a valid product is
+      // always the LEFT operand's column count, so the right operand is
+      // schema-small by construction: matrix⊗matrix compiles to a pure
+      // literal-coefficient projection over the base — ZERO joins, ZERO
+      // shuffles, one WholeStageCodegen span, the column-space linear
+      // transform a 100 TB frame can afford — and matrix⊗vector to the
+      // same with positional coefficients (Series → positional ndarray,
+      // the A2/A3 convention).
+      case ("matmul", _, _) if !std =>
+        throw new AdpUnsupportedException(
+          "'.matmul()' is not supported in ADP mode")
+      case ("matmul", CMatrix(cols, false), List(CMatD(rows, colLabels))) =>
+        val byId = rows.toMap
+        val missing = cols.map(_._1).filterNot(byId.contains)
+        if (missing.nonEmpty || rows.length != cols.length)
+          throw new FormulaTypeException(
+            "matrices are not aligned: matmul needs the right operand's row " +
+              s"ids to equal the left operand's column labels (right rows: " +
+              s"${rows.length}, left columns: ${cols.length}" +
+              (if (missing.nonEmpty) s", missing: ${missing.mkString(", ")}" else "") + ")")
+        val out = colLabels.zipWithIndex.map { case (cl, j) =>
+          (cl, cols.map { case (k, c) => c * litOf(byId(k)(j)) }.reduceLeft(_ + _))
+        }
+        CMatrix(out, isBool = false)
+      case ("matmul", CMatrix(cols, false), List(CVecD(vs, _))) =>
+        if (vs.length != cols.length)
+          throw new FormulaTypeException(
+            s"matrices are not aligned: matrix has ${cols.length} columns, " +
+              s"vector has ${vs.length} entries")
+        // numpy column label 0 (df.dot(ndarray) → an unnamed Series)
+        CMatrix(Seq(("0",
+          cols.zip(vs).map { case ((_, c), v) => c * litOf(v) }.reduceLeft(_ + _))),
+          isBool = false)
+      case ("matmul", CVecD(vs, _), List(CVecD(ws, _))) =>
+        if (vs.length != ws.length)
+          throw new FormulaTypeException(
+            s"matrices are not aligned: vectors of length ${vs.length} and ${ws.length}")
+        CScalar(vs.lazyZip(ws).map(_ * _).sum)
+      case ("matmul", CVecD(vs, ls), List(CMatD(rows, colLabels))) =>
+        // series.dot(df): labels align to the right operand's row ids
+        val byId = rows.toMap
+        if (rows.length != ls.length || !ls.forall(byId.contains))
+          throw new FormulaTypeException(
+            "matrices are not aligned: matmul needs the right operand's row " +
+              "ids to equal the vector's labels")
+        CVecD(colLabels.indices.map(j =>
+          ls.indices.map(i => vs(i) * byId(ls(i))(j)).sum).toIndexedSeq,
+          colLabels.toIndexedSeq)
+      case ("matmul", CVecD(_, _), List(CMatrix(_, _))) =>
+        throw new FormulaTypeException(
+          "vector.matmul(matrix) over a distributed matrix needs a " +
+            "row-aligned vector (one entry per matrix ROW, a data-scaled " +
+            "object); register the weights as a single-column matrix and " +
+            "use element-wise '*' plus '.sum()' instead")
+
       // `.T` (attribute access, E11): the reference evaluates it through
       // pd.eval (SURVEY §8 probe Q8). On 1-D values (Series → ndarray,
       // reductions, scalars) numpy's .T is the IDENTITY — supported. On a
@@ -656,7 +777,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, cumsum, cummax, " +
-            "cummin, cumprod, rank, shift, diff, T — SURVEY §2.2 E11)")
+            "cummin, cumprod, rank, shift, diff, matmul, T — SURVEY §2.2 " +
+            "E11/E12)")
     }
 
   private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {
