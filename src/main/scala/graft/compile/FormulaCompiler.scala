@@ -770,7 +770,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           "'.T' on a matrix is a distributed row<->column transpose, which " +
             "the engine does not support (the row-id data model is fixed " +
-            "per session; transpose at ingest instead). '.T' on vectors, " +
+            "per session; transpose at ingest instead via " +
+            "Ingest.transposedMatrix, which bounds the collect to " +
+            "schema-small frames). '.T' on vectors, " +
             "reductions and scalars is the identity, matching numpy.")
 
       case (other, _, _) =>

@@ -200,6 +200,44 @@ object Ingest {
                      valueCols: Seq[String]): Matrix =
     Matrix.of(spark.table(table), rowId, valueCols)
 
+  /** Ingest-time transpose: the sanctioned route for the reference's
+    * matrix `.T` (pd.eval python-engine attribute access, SURVEY §8 Q8),
+    * which the formula compiler rejects — a distributed row↔column
+    * transpose would turn data-scaled row ids into schema columns. Here
+    * the constraint is explicit: the SOURCE must be schema-small in rows
+    * (its row ids become the result's column set, and a Spark schema is
+    * driver-side metadata), so the collect is bounded by `cap` and a
+    * too-large frame fails loudly instead of materializing. Column order
+    * of the result = row-id order of the source (the engine's ordering
+    * contract); source column labels become the result's row ids, in
+    * pandas column order; null/NaN cells stay NaN.
+    */
+  def transposedMatrix(m: Matrix, cap: Int = 10000): Matrix = {
+    val taken = m.base
+      .select((col(m.rowId).cast(StringType) +:
+        m.cols.map { case (_, p) => col(p).cast(DoubleType) }): _*)
+      .orderBy(col(m.rowId).cast(StringType))
+      .limit(cap + 1).collect()
+    if (taken.length > cap)
+      throw new IllegalArgumentException(
+        s"cannot transpose a matrix with more than $cap rows: its row ids " +
+          "would become schema columns (driver-side metadata). Raise `cap` " +
+          "only if the frame is genuinely schema-small.")
+    val ids = taken.map(_.getString(0)).toSeq
+    require(ids.distinct.length == ids.length,
+      "cannot transpose: duplicate row ids would collide as column names")
+    val schema = StructType(StructField("__row_id__", StringType) +:
+      ids.map(id => StructField(id, DoubleType)))
+    val data = m.cols.zipWithIndex.map { case ((lbl, _), i) =>
+      org.apache.spark.sql.Row.fromSeq(lbl +: taken.map(r =>
+        if (r.isNullAt(i + 1)) Double.NaN else r.getDouble(i + 1)).toSeq)
+    }
+    val df = m.base.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+    Matrix.of(df, "__row_id__", ids)
+  }
+
   /** Collect a tiny 2-column DataFrame (label, value) into a Vec. Vectors are
     * one-entry-per-matrix-column; collecting them is the reference's own
     * semantics (Series → ndarray on the driver).
