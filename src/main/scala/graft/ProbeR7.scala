@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.{Matrix, NamedData}
+
+/** Round-7 probes (VERDICT r6 asks #1/#4/#6):
+  *
+  *  - `rankwide`: `.rank()` on 4/50/100-column matrices — compile + plan
+  *    wall and physical-plan size. The r6 concern is PLAN growth (one
+  *    value-equality join per column), not data scale; this measures
+  *    where (if anywhere) analysis time or plan size blows up.
+  *  - `lpa_cadence`: labelPropagation at iters=8/16 on the 10× kNN graph
+  *    under localCheckpoint cadence 1 (every round, current) vs 4 (the
+  *    pageRank-measured optimum) — pin the winner.
+  *  - `seqshift`: e11_shift / e11_diff at 1× vs 10× AFTER the r7
+  *    narrow-prefix re-plan — the r6 wide self-join measured 2.25×/2.90×;
+  *    done-criterion is ≤ ~1.5×.
+  *
+  * Usage: runMain graft.ProbeR7 [outPath]. Expects /tmp/graft_sf1 (10×)
+  * from ScaleGen for the lpa/seqshift sections.
+  * Gate sections with SPARK_GRAFT_PROBE_ONLY=rankwide,lpa_cadence,seqshift.
+  */
+object ProbeR7 {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  /** min of 3 passes — the host suffers transient CPU-steal storms */
+  private def best(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("PROBE_r7.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf1x = "/root/testdata/sf0.1"
+    val sf10 = "/tmp/graft_sf1"
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(section: String): Boolean = only.forall(_.contains(section))
+
+    if (want("rankwide")) {
+      // deterministic pseudo-random int cells (≤997 distinct per column:
+      // the value-count domain rank's join-back is bounded by)
+      def widthProbe(width: Int): Map[String, Any] = {
+        val n = 200000L
+        val labels = (0 until width).map(i => s"c$i")
+        val df = spark.range(n).select(
+          (col("id").as("__row_id__") +: labels.zipWithIndex.map { case (c, i) =>
+            pmod(hash(col("id") * lit(i + 1)), lit(997)).cast("double").as(c)
+          }): _*)
+        val ev = new graft.api.FormulaEvaluator(
+          Map[String, NamedData]("m" -> Matrix.of(df, "__row_id__", labels)))
+        var res: graft.compile.MatrixResult = null
+        val tCompile = time {
+          res = ev.evaluateRaw("m.rank()")
+            .asInstanceOf[graft.compile.MatrixResult]
+        }
+        var planChars = 0
+        val tPlan = time {
+          planChars = res.df.queryExecution.executedPlan.toString.length
+        }
+        val tExec = best {
+          res.df.write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(s"[probe] rankwide w=$width compile=$tCompile " +
+          s"plan=$tPlan exec=$tExec planChars=$planChars")
+        Map("compile_s" -> tCompile, "plan_s" -> tPlan, "exec_s" -> tExec,
+          "plan_chars" -> planChars)
+      }
+      out += "rank_wide" -> Map(
+        "w4" -> widthProbe(4), "w50" -> widthProbe(50), "w100" -> widthProbe(100))
+    }
+
+    if (want("lpa_cadence")) {
+      val edges = QueryCatalog.knnEdges(spark, sf10)
+        .select(col("id").as("src"), col("nbr").as("dst"))
+        .localCheckpoint() // exclude kNN construction from the measurement
+      def run(iters: Int, every: Int): Double =
+        best { operators.Graph.labelPropagation(edges, iters, every).count() }
+      val r = scala.collection.immutable.ListMap(
+        "i8_every1" -> run(8, 1), "i8_every4" -> run(8, 4),
+        "i16_every1" -> run(16, 1), "i16_every4" -> run(16, 4))
+      out += "lpa_cadence" -> (r ++ Map(
+        "i8_ratio_4v1" -> r("i8_every4") / r("i8_every1"),
+        "i16_ratio_4v1" -> r("i16_every4") / r("i16_every1")))
+      System.err.println(s"[probe] lpa_cadence $r")
+    }
+
+    if (want("seqshift")) {
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val s1 = q("e11_shift", sf1x); val s10 = q("e11_shift", sf10)
+      val d1 = q("e11_diff", sf1x); val d10 = q("e11_diff", sf10)
+      out += "seqshift" -> Map(
+        "shift_1x" -> s1, "shift_10x" -> s10, "shift_ratio" -> s10 / s1,
+        "diff_1x" -> d1, "diff_10x" -> d10, "diff_ratio" -> d10 / d1)
+      System.err.println(s"[probe] shift $s1->$s10 diff $d1->$d10")
+    }
+
+    def js(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
+      case d: Double => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+      case i: Int => i.toString
+      case s => "\"" + s + "\""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (js(out) + "\n").getBytes("UTF-8"))
+    System.err.println(s"[probe] written to $outPath")
+    spark.stop()
+  }
+}

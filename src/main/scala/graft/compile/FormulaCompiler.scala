@@ -51,6 +51,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private val std = !mode.adpEnabled
   private val ubp = mode.ubp
 
+  /** Column count above which `.rank()` switches from per-column
+    * value-equality joins to the single stacked (column-index, value)
+    * join. Per-column joins are fine at formula-typical widths (AQE
+    * broadcasts the tiny rank tables) but each Dataset.join re-resolves a
+    * self-join over a tree containing all previous joins — analysis cost
+    * explodes combinatorially (PROBE_r7.json: 50 columns never finished;
+    * the stacked plan compiles in constant node count at any width). */
+  private val WideRankThreshold = 16
+
   // ---- compile-time values ------------------------------------------------
 
   private sealed trait CValue
@@ -682,15 +691,52 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // inclusive running count − own count = #smaller values
           ((col("__cum") - col("__n")).cast("double") +
             (col("__n").cast("double") + 1.0) / 2.0).as("__avg"))
-        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
-          val (vName, aName) = (s"__rk${tag}_v_$i", s"__rk${tag}_a_$i")
-          val cNull = when(isnan(c), lit(null)).otherwise(c)
-          val rankedI = ranked.where(col("__ci") === i)
-            .select(col("__v").as(vName), col("__avg").as(aName))
-          ctx.base = Some(ctx.base.get.join(rankedI, cNull === col(vName), "left"))
-          (lbl, when(isnan(c), c).otherwise(col(aName)))
+        if (cols.size <= WideRankThreshold) {
+          // narrow matrices: one value-equality left join per column onto
+          // the base; each rank table is a filter over the SAME ranked
+          // subtree, which AQE stage reuse executes once, and the joins
+          // broadcast (bounded by distinct values, never rows)
+          val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+            val (vName, aName) = (s"__rk${tag}_v_$i", s"__rk${tag}_a_$i")
+            val cNull = when(isnan(c), lit(null)).otherwise(c)
+            val rankedI = ranked.where(col("__ci") === i)
+              .select(col("__v").as(vName), col("__avg").as(aName))
+            ctx.base = Some(ctx.base.get.join(rankedI, cNull === col(vName), "left"))
+            (lbl, when(isnan(c), c).otherwise(col(aName)))
+          }
+          CMatrix(out, isBool = false)
+        } else {
+          // wide matrices: the per-column joins are a COMPILE-TIME
+          // explosion, not a data-scale one — every Dataset.join on the
+          // growing base re-resolves a self-join whose tree contains all
+          // previous joins (PROBE_r7: a 50-column .rank() never finished
+          // analysis; >600 s in resolveSelfJoinCondition). Re-plan as ONE
+          // (column-index, value) equi-join of the row-id-carrying
+          // stacked frame against the rank tables, pivoted back with a
+          // max(when) fold per column and joined onto the base ONCE on
+          // the row id — 3 fixed plan nodes at ANY width, all linear in
+          // n·p rows.
+          val (rid, aNames) = (s"__rk${tag}_rid",
+            cols.indices.map(i => s"__rk${tag}_a_$i"))
+          val look = base0.select(col(ctx.rowIdOut).as(rid),
+              posexplode(array(cols.map { case (_, c) =>
+                when(isnan(c), lit(null)).otherwise(c)
+              }: _*)).as(Seq("__ci", "__v")))
+            .where(col("__v").isNotNull)
+          val aggExprs = aNames.zipWithIndex.map { case (a, i) =>
+            max(when(col("__ci") === i, col("__avg"))).as(a)
+          }
+          val pivoted = look.join(ranked, Seq("__ci", "__v"), "left")
+            .groupBy(col(rid))
+            .agg(aggExprs.head, aggExprs.tail: _*)
+          val b = ctx.base.get
+          ctx.base = Some(b.join(pivoted, b(ctx.rowIdOut) === pivoted(rid), "left")
+            .drop(rid))
+          val out = cols.zip(aNames).map { case ((lbl, c), a) =>
+            (lbl, when(isnan(c), c).otherwise(col(a)))
+          }
+          CMatrix(out, isBool = false)
         }
-        CMatrix(out, isBool = false)
       case ("rank", CVecD(vs, ls), Nil) =>
         val ok = vs.filter(!_.isNaN).sorted
         CVecD(vs.map { x =>

@@ -135,8 +135,10 @@ object Graph {
     * duplicateGroups discipline, so round r never re-executes rounds
     * 1..r−1. Isolated vertices don't appear in the edge list and are not
     * returned. Returns (id, community). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1 && iters <= 32, "iters must be in [1,32]")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val sym = edges
       .select(col("src").as("v"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("v"), col("src").as("nbr")))
@@ -145,18 +147,24 @@ object Graph {
       .localCheckpoint() // read once per round
     // the seed labels are read exactly once (the first round's join) —
     // only ROUND OUTPUTS pin, each being read once by the next round and
-    // carrying the cumulative lineage worth cutting
+    // carrying the cumulative lineage worth cutting. Cadence: pinning
+    // EVERY round measured fastest for LPA (PROBE_r7.json `lpa_cadence`:
+    // unlike pageRank's narrow per-round plan, each un-pinned LPA round
+    // re-executes a join + two wide aggregates inside the next round's
+    // job — lineage here is expensive to replay, so cut it eagerly);
+    // `checkpointEvery` exists for re-measurement, not for tuning down.
     var lbl = sym.select(col("v").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val counts = sym
         .join(lbl.withColumnRenamed("id", "nbr"), "nbr")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-      lbl = counts
+      val next = counts
         .groupBy(col("v"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("v").as("id"), col("m.l").as("lbl"))
-        .localCheckpoint()
+      lbl = if (r % checkpointEvery == 0 || r == iters) next.localCheckpoint()
+            else next
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }
