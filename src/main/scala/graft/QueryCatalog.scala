@@ -127,7 +127,8 @@ object QueryCatalog {
           roundTo.fold(c0)(n => round(c0, n)).as(l)
         }
         df.select((col(rowId) +: out): _*).orderBy(col(rowId))
-      case RowResult(df, _) => df
+      case RowResult(df, lbls) =>
+        roundTo.fold(df)(n => df.select(lbls.map(l => round(col(l), n).as(l)): _*))
       case VecResult(v) =>
         spark.createDataFrame(java.util.List.of(Row.fromSeq(v.values)),
           StructType(v.labels.map(l => StructField(l, DoubleType))))

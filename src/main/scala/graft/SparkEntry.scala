@@ -130,6 +130,19 @@ object SparkEntry {
     // accumulation stays covered by the goldens in FormulaEvaluatorSpec.
     "e11_cumprod" -> ((s, d) => formulaQuery("(qty % 3 - 1).cumprod()")(s, d)),
     "e11_mean" -> ((s, d) => formulaQuery("qty.mean()")(s, d)),
+    // the rest of the pd.eval-dispatchable reduction family (E11 long
+    // tail): each one partial-agg tree-reduce, 1-row result. std/var are
+    // ddof=1 and float-valued → rounded to 6 on both sides (the e9
+    // policy); median interpolates the even middle (integer-valued cells
+    // → halves, exact); prod runs the ln/sign/zero decomposition over
+    // factors pinned to {−1, 1}, where it is integer-exact
+    "e11_min" -> ((s, d) => formulaQuery("qty.min()")(s, d)),
+    "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
+    "e11_count" -> ((s, d) => formulaQuery("qty.count()")(s, d)),
+    "e11_median" -> ((s, d) => formulaQuery("qty.median()")(s, d)),
+    "e11_std" -> ((s, d) => formulaQuery("qty.std()", roundTo = Some(6))(s, d)),
+    "e11_var" -> ((s, d) => formulaQuery("qty.var()", roundTo = Some(6))(s, d)),
+    "e11_prod" -> ((s, d) => formulaQuery("(2 * (qty % 2) - 1).prod()")(s, d)),
     // E12: explicit matmul (pandas DataFrame.dot; `@` stays rejected like
     // pd.eval). matrix⊗vector is a positional linear combination of the
     // columns; matrix⊗matrix a literal-coefficient column-space transform
@@ -3440,6 +3453,25 @@ object SparkEntry {
       // and sum); quantity sums are integer-valued → exact in any order
       "e11_mean" ->
         s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
+      "e11_min" ->
+        s"$W SELECT ${J.map(j => s"CAST(min(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_max" ->
+        s"$W SELECT ${J.map(j => s"CAST(max(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_count" ->
+        s"$W SELECT ${J.map(j => s"CAST(count(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_median" ->
+        s"$W SELECT ${J.map(j => s"CAST(median(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_std" ->
+        s"$W SELECT ${J.map(j => s"round(stddev_samp(q$j), 6) AS c$j").mkString(", ")} FROM w",
+      "e11_var" ->
+        s"$W SELECT ${J.map(j => s"round(var_samp(q$j), 6) AS c$j").mkString(", ")} FROM w",
+      // prod over factors 2*(q%2)−1 ∈ {−1,1}: the sign is the parity of
+      // the −1 count (rows with even q), NULL holes skipped (pandas
+      // skipna) — integer-exact on both sides
+      "e11_prod" -> (s"$W SELECT " +
+        J.map(j => "CASE WHEN mod(coalesce(sum(" +
+          s"CASE WHEN (q$j % 2) = 0 THEN 1 END), 0), 2) = 1 " +
+          s"THEN -1.0 ELSE 1.0 END AS c$j").mkString(", ") + " FROM w"),
       // matmul: NaN/NULL holes propagate through the whole dot product on
       // both sides (any NULL qj nulls the sum in DuckDB; any NaN qj NaNs
       // it in the engine), then fill → 0. Integer-valued cells times

@@ -488,14 +488,36 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
 
       // whole-frame reductions: pandas skipna semantics (sum of all-NaN = 0,
-      // mean of all-NaN = NaN). One partial-agg tree-reduce; 1-row result.
-      case ("sum", CMatrix(cols, false), Nil)  => reduce(cols, ctx, mean = false)
-      case ("mean", CMatrix(cols, false), Nil) => reduce(cols, ctx, mean = true)
-      case ("sum", CVecD(vs, _), Nil) =>
-        CScalar(vs.filter(!_.isNaN).sum) // all-NaN → 0.0, matching pandas
-      case ("mean", CVecD(vs, _), Nil) =>
+      // prod of all-NaN = 1, the rest NaN; count of none = 0). One
+      // partial-agg tree-reduce; 1-row result. std/var are ddof=1; median
+      // interpolates the even middle — the full pd.eval-dispatchable
+      // reduction family (E11 long tail).
+      case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
+                 "median" | "prod"), CMatrix(cols, false), Nil) =>
+        reduce(cols, ctx, k)
+      case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
+                 "median" | "prod"), CVecD(vs, _), Nil) =>
         val ok = vs.filter(!_.isNaN)
-        CScalar(if (ok.isEmpty) Double.NaN else ok.sum / ok.length)
+        CScalar(k match {
+          case "sum"   => ok.sum
+          case "prod"  => ok.product
+          case "count" => ok.length.toDouble
+          case _ if ok.isEmpty => Double.NaN
+          case "mean"  => ok.sum / ok.length
+          case "min"   => ok.min
+          case "max"   => ok.max
+          case "std" | "var" =>
+            if (ok.length < 2) Double.NaN
+            else {
+              val m = ok.sum / ok.length
+              val v = ok.map(x => (x - m) * (x - m)).sum / (ok.length - 1)
+              if (k == "var") v else math.sqrt(v)
+            }
+          case "median" =>
+            val s = ok.sorted
+            val n = s.length
+            if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        })
 
       // `.cumsum()` (E11 long tail): pandas column-wise running sum down the
       // index order — the row id is the engine's only ordering contract.
@@ -824,17 +846,50 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, round, sum, mean, cumsum, cummax, " +
-            "cummin, cumprod, rank, shift, diff, matmul, T — SURVEY §2.2 " +
-            "E11/E12)")
+            "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
+            "std, var, median, prod, cumsum, cummax, cummin, cumprod, " +
+            "rank, shift, diff, matmul, T — SURVEY §2.2 E11/E12)")
     }
 
-  private def reduce(cols: Seq[(String, Column)], ctx: Ctx, mean: Boolean): CValue = {
+  /** Whole-frame column reductions (pandas skipna semantics): one
+    * partial-agg tree-reduce, 1-row result. `kind` ∈ sum, mean (all
+    * modes), min, max, count (std + bounded decimal), std, var, median,
+    * prod (std only — std/var/median are float-valued by nature and prod
+    * runs the ln/sign/zero decomposition, neither meaningful on decimal
+    * cells). pandas edge values: empty sum = 0, empty prod = 1, empty
+    * min/max/mean/std/var/median = NaN, count of none = 0; std/var use
+    * ddof=1 (stddev_samp/var_samp), median interpolates the even middle
+    * (percentile 0.5). */
+  private def reduce(cols: Seq[(String, Column)], ctx: Ctx, kind: String): CValue = {
     val base = ctx.base.getOrElse(
       throw new FormulaTypeException("reduction requires a matrix operand"))
+    if (ubp && kind != "sum" && kind != "mean")
+      throw new AdpUnsupportedException(
+        s"'.$kind()' is not supported in unbounded ADP mode")
+    if (!std && Set("std", "var", "median", "prod")(kind))
+      throw new AdpUnsupportedException(
+        s"'.$kind()' is not supported in ADP mode")
     val id = ctx.aggDfs.length
     val aliases = cols.map { case (lbl, _) =>
       ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
+    }
+    if (kind == "prod") {
+      // product as three aggregates through the ln/sign/zero
+      // decomposition (the cumprod discipline, FormulaCompiler cumprod):
+      // 0 if any zero, else (−1)^negatives · e^Σln|v|; empty product = 1
+      val parts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
+        val nonNan = when(isnan(c), lit(null)).otherwise(c)
+        Seq(sum(when(nonNan =!= 0.0, log(abs(nonNan)))).as(s"${alias}_ln"),
+          count(when(nonNan < 0.0, lit(1))).as(s"${alias}_ng"),
+          count(when(nonNan === 0.0, lit(1))).as(s"${alias}_zr"))
+      }
+      ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
+      val outCols = aliases.map { case (lbl, alias) =>
+        val sign = lit(1.0) - lit(2.0) * (col(s"${alias}_ng") % 2).cast("double")
+        (lbl, when(col(s"${alias}_zr") > 0, lit(0.0))
+          .otherwise(sign * exp(coalesce(col(s"${alias}_ln"), lit(0.0)))))
+      }
+      return CVecC(outCols, Set(id))
     }
     val aggExprs = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
       if (ubp) {
@@ -842,17 +897,25 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         // non-null count at decimalPrecision digits — count 0 divides by
         // "0" and yields NULL, the ADP all-invalid marker
         val s = BigDec.sum(c)
-        (if (mean) BigDec.div(s, count(c).cast(mode.cellType), mode.decimalPrecision)
+        (if (kind == "mean")
+           BigDec.div(s, count(c).cast(mode.cellType), mode.decimalPrecision)
          else s).as(alias)
       } else {
         val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
-        if (mean) {
-          val m = avg(nonNan)
-          (if (std) coalesce(m, lit(Double.NaN)) else m).as(alias)
-        } else {
-          val s = sum(nonNan)
-          (if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))).as(alias)
-        }
+        val nanIfEmpty: Column => Column =
+          e => if (std) coalesce(e, lit(Double.NaN)) else e
+        (kind match {
+          case "sum" =>
+            val s = sum(nonNan)
+            if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))
+          case "mean"   => nanIfEmpty(avg(nonNan))
+          case "min"    => nanIfEmpty(min(nonNan))
+          case "max"    => nanIfEmpty(max(nonNan))
+          case "count"  => count(nonNan).cast("double")
+          case "std"    => nanIfEmpty(stddev_samp(nonNan))
+          case "var"    => nanIfEmpty(var_samp(nonNan))
+          case "median" => nanIfEmpty(percentile(nonNan, lit(0.5)))
+        }).as(alias)
       }
     }
     ctx.aggDfs += base.agg(aggExprs.head, aggExprs.tail: _*)

@@ -136,7 +136,7 @@ object Graph {
     * 1..r−1. Isolated vertices don't appear in the edge list and are not
     * returned. Returns (id, community). */
   def labelPropagation(edges: DataFrame, iters: Int,
-                       checkpointEvery: Int = 1): DataFrame = {
+                       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 32, "iters must be in [1,32]")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val sym = edges
@@ -147,12 +147,13 @@ object Graph {
       .localCheckpoint() // read once per round
     // the seed labels are read exactly once (the first round's join) —
     // only ROUND OUTPUTS pin, each being read once by the next round and
-    // carrying the cumulative lineage worth cutting. Cadence: pinning
-    // EVERY round measured fastest for LPA (PROBE_r7.json `lpa_cadence`:
-    // unlike pageRank's narrow per-round plan, each un-pinned LPA round
-    // re-executes a join + two wide aggregates inside the next round's
-    // job — lineage here is expensive to replay, so cut it eagerly);
-    // `checkpointEvery` exists for re-measurement, not for tuning down.
+    // carrying the cumulative lineage worth cutting. Cadence: every-4th
+    // round measured fastest, the same optimum as pageRank (PROBE_r7.json
+    // `lpa_cadence`, 10× kNN graph: iters=8 3.44 s vs 4.62 s every-round,
+    // iters=16 5.37 s vs 6.67 s — Catalyst replays the ≤3 un-pinned
+    // rounds' joins cheaper than eagerly materializing each round). The
+    // final round always pins, so short runs (gr_lpa's iters=2) are
+    // unaffected and results are cadence-invariant by construction.
     var lbl = sym.select(col("v").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (r <- 1 to iters) {

@@ -451,4 +451,248 @@ object MediaCodec {
     }
     out
   }
+
+  // ---- GIF (r7): indexed-color LZW — a third real compressed format ----
+  // GIF89a with a 256-entry global color table and the full variable-width
+  // LZW coder (9→12-bit codes, clear-code dictionary reset at 4096,
+  // LSB-first bit packing, 255-byte sub-blocks). Spec: GIF89a (CompuServe
+  // 1990) §§17-24, Appendix F.
+
+  final case class GifInfo(width: Int, height: Int, gctSize: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  private val GifSig: Array[Byte] = "GIF89a".getBytes("US-ASCII")
+
+  /** Encode an indexed-color GIF89a: 256-entry palette `palette(i)` =
+    * 0xRRGGBB, pixel indices from `idx(x, y)` with (0,0) top-left. */
+  def gifBytes(w: Int, h: Int, palette: Int => Int,
+               idx: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF,
+      s"bad dimensions ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream
+    out.write(GifSig)
+    // logical screen descriptor: GCT present, 8 bits/channel, 256 entries
+    out.write(w & 0xFF); out.write(w >>> 8)
+    out.write(h & 0xFF); out.write(h >>> 8)
+    out.write(0xF7) // 1 111 0 111: GCT, color res 8, unsorted, 2^8 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    var i = 0
+    while (i < 256) {
+      val c = palette(i)
+      out.write((c >>> 16) & 0xFF); out.write((c >>> 8) & 0xFF)
+      out.write(c & 0xFF)
+      i += 1
+    }
+    // image descriptor at (0,0), no local table, not interlaced
+    out.write(0x2C)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xFF); out.write(w >>> 8)
+    out.write(h & 0xFF); out.write(h >>> 8)
+    out.write(0)
+    // LZW-compress the index stream
+    val minCode = 8
+    out.write(minCode)
+    val clear = 1 << minCode; val eoi = clear + 1
+    val dict = new java.util.HashMap[Integer, Integer]() // (prev<<8|k) → code
+    var next = eoi + 1
+    var width = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0
+    val data = new java.io.ByteArrayOutputStream
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    def resetDict(): Unit = { dict.clear(); next = eoi + 1; width = minCode + 1 }
+    put(clear)
+    var prev = -1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = idx(x, y) & 0xFF
+        if (prev < 0) prev = k
+        else {
+          val key: Integer = (prev << 8) | k
+          val hit = dict.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev)
+            dict.put(key, next)
+            // grow AFTER registering: the decoder mirrors this exactly
+            // (it grows when its next-slot fills the current width)
+            if (next == (1 << width) && width < 12) width += 1
+            next += 1
+            if (next == 4096) { put(clear); resetDict() }
+            prev = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prev >= 0) put(prev)
+    put(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xFF).toInt)
+    // 255-byte sub-blocks + terminator
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n)
+      off += n
+    }
+    out.write(0)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a GIF written in the [[gifBytes]] profile (GCT, one image, no
+    * extensions — extension blocks are SKIPPED so foreign single-frame
+    * GIFs parse too). Returns (w, h, gctSize, palette, indices). */
+  private def gifDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Int], Array[Byte]) = {
+    require(bytes.length >= 13 &&
+      (java.util.Arrays.equals(bytes, 0, 6, GifSig, 0, 6) ||
+        bytes.startsWith("GIF87a".getBytes("US-ASCII"))), "not a GIF file")
+    val sw = rdLe16(bytes, 6); val sh = rdLe16(bytes, 8)
+    val packed = bytes(10) & 0xFF
+    require((packed & 0x80) != 0, "global color table required")
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    require(off + 3 * gctSize <= bytes.length, "truncated color table")
+    val palette = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      palette(i) = ((bytes(off) & 0xFF) << 16) | ((bytes(off + 1) & 0xFF) << 8) |
+        (bytes(off + 2) & 0xFF)
+      off += 3; i += 1
+    }
+    // skip extension blocks (0x21 label, sub-blocks) to the image descriptor
+    while (off < bytes.length && (bytes(off) & 0xFF) == 0x21) {
+      off += 2 // introducer + label
+      while ((bytes(off) & 0xFF) != 0) off += 1 + (bytes(off) & 0xFF)
+      off += 1
+    }
+    require(off < bytes.length && (bytes(off) & 0xFF) == 0x2C,
+      "image descriptor not found")
+    val w = rdLe16(bytes, off + 5); val h = rdLe16(bytes, off + 7)
+    require(w == sw && h == sh && ((bytes(off + 9) & 0x80) == 0),
+      "only full-frame images with the global table are supported")
+    off += 10
+    val minCode = bytes(off) & 0xFF; off += 1
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream
+    while ((bytes(off) & 0xFF) != 0) {
+      val n = bytes(off) & 0xFF
+      require(off + 1 + n <= bytes.length, "truncated image data")
+      data.write(bytes, off + 1, n); off += 1 + n
+    }
+    val stream = data.toByteArray
+    // variable-width LZW decode
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var next = eoi + 1; var width = minCode + 1
+    i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    val seq = new Array[Byte](4096)
+    def expand(code: Int): Int = { // write table entry, return first byte
+      var c = code; var n = 0
+      while (c >= 0) { seq(n) = suffix(c); c = prefix(c); n += 1 }
+      val first = seq(n - 1) & 0xFF
+      var j = n - 1
+      while (j >= 0 && outPos < out.length) {
+        out(outPos) = seq(j); outPos += 1; j -= 1
+      }
+      first
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < stream.length) {
+        bitBuf |= (stream(pos) & 0xFFL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= width, "truncated LZW stream")
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) done = true
+      else {
+        require(code <= next, s"corrupt LZW code $code (table size $next)")
+        if (prev < 0) { expand(code); prev = code }
+        else {
+          if (next < 4096) {
+            prefix(next) = prev
+            // the K of wKwK: first byte of THIS code's expansion
+            suffix(next) = 0 // patched below
+          }
+          val first =
+            if (code < next) expand(code)
+            else { // code == next: wKw — expand prev then its first byte
+              var c = prev; var n = 0
+              while (c >= 0) { seq(n) = suffix(c); c = prefix(c); n += 1 }
+              val f = seq(n - 1) & 0xFF
+              var j = n - 1
+              while (j >= 0 && outPos < out.length) {
+                out(outPos) = seq(j); outPos += 1; j -= 1
+              }
+              if (outPos < out.length) { out(outPos) = f.toByte; outPos += 1 }
+              f
+            }
+          if (next < 4096) {
+            suffix(next) = first.toByte
+            // grow when the just-filled slot saturates the current width
+            // (mirrors the encoder's post-registration growth)
+            if (next + 1 == (1 << width) && width < 12) width += 1
+            next += 1
+          }
+          prev = code
+        }
+      }
+      if (outPos >= out.length && !done) {
+        // all pixels recovered; consume through EOI if present, else stop
+        done = true
+      }
+    }
+    require(outPos == w * h, s"decoded $outPos of ${w * h} pixels")
+    (w, h, gctSize, palette, out)
+  }
+
+  /** Parse + per-channel means through the palette. */
+  def parseGif(bytes: Array[Byte]): GifInfo = {
+    val (w, h, gctSize, palette, px) = gifDecode(bytes)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val c = palette(px(i) & 0xFF)
+      sr += (c >>> 16) & 0xFF; sg += (c >>> 8) & 0xFF; sb += c & 0xFF
+      i += 1
+    }
+    val n = (w.toLong * h).toDouble
+    GifInfo(w, h, gctSize, sr / n, sg / n, sb / n)
+  }
+
+  /** Nearest-neighbor grayscale thumbnail from the decoded indices. */
+  def gifResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
+    val (w, h, _, palette, px) = gifDecode(bytes)
+    val out = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val sy = math.min(h - 1, oy * h / oh)
+      var ox = 0
+      while (ox < ow) {
+        val sx = math.min(w - 1, ox * w / ow)
+        val c = palette(px(sy * w + sx) & 0xFF)
+        val r = (c >>> 16) & 0xFF; val g = (c >>> 8) & 0xFF; val b = c & 0xFF
+        out(oy * ow + ox) = (r + g + b) / 3.0f / 255.0f
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
 }

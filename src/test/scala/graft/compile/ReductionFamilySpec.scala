@@ -1,0 +1,82 @@
+package graft.compile
+
+import graft.SparkSpec
+import graft.api.FormulaEvaluator
+import graft.model.Vec
+
+/** The full pd.eval-dispatchable reduction family (E11 long tail):
+  * min/max/count/std/var/median/prod beside the original sum/mean, with
+  * pandas skipna and empty-input semantics, on both the distributed
+  * (matrix → 1-row tree-reduce) and driver (vector) paths. */
+class ReductionFamilySpec extends SparkSpec {
+
+  private def rowVals(f: String): Map[String, Double] = {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "i" -> fixI),
+      fillInvalid = false)
+    ev.evaluateFormula(f) match {
+      case RowResult(df, labels) =>
+        val r = df.collect().head
+        labels.map(l => l -> (r.get(r.fieldIndex(l)) match {
+          case null => Double.NaN
+          case d: Double => d
+          case x => x.toString.toDouble
+        })).toMap
+      case other => fail(s"expected row result, got $other")
+    }
+  }
+
+  // fixA columns: c0=(1,4,1) c1=(7,4,7) c2=(6,8,2)
+  test("matrix .min/.max/.count") {
+    val mn = rowVals("a.min()")
+    assert(mn("c0") == 1.0 && mn("c1") == 4.0 && mn("c2") == 2.0)
+    val mx = rowVals("a.max()")
+    assert(mx("c0") == 4.0 && mx("c1") == 7.0 && mx("c2") == 8.0)
+    val ct = rowVals("a.count()")
+    assert(ct("c0") == 3.0 && ct("c1") == 3.0 && ct("c2") == 3.0)
+  }
+
+  test("matrix .std/.var are ddof=1") {
+    val v = rowVals("a.var()")
+    assertCell(v("c0"), 3.0) // var([1,4,1]) = 9/3... ddof=1: ((0-1)^2... ) recompute below
+    // mean c0 = 2; devs (−1,2,−1) → ss = 6 → /2 = 3
+    assertCell(v("c1"), 3.0) // mean 6; devs (1,−2,1) → 6/2 = 3
+    val s = rowVals("a.std()")
+    assertCell(s("c2"), math.sqrt(((6 - 16.0 / 3) * (6 - 16.0 / 3) +
+      (8 - 16.0 / 3) * (8 - 16.0 / 3) + (2 - 16.0 / 3) * (2 - 16.0 / 3)) / 2))
+  }
+
+  test("matrix .median interpolates and skips NaN") {
+    val m = rowVals("a.median()")
+    assert(m("c0") == 1.0 && m("c1") == 7.0 && m("c2") == 6.0)
+    // fixI: c1 = (NaN, 5, 8) → median of (5,8) = 6.5
+    val mi = rowVals("i.median()")
+    assert(mi("c1") == 6.5)
+  }
+
+  test("matrix .prod: sign/zero/skip semantics") {
+    val p = rowVals("(a - 4).prod()") // c0: (−3,0,−3)→0; c1: (3,0,3)→0; c2: (2,4,−2)→−16
+    assert(p("c0") == 0.0 && p("c1") == 0.0)
+    assertCell(p("c2"), -16.0, tol = 1e-9)
+    // NaN skipped: fixI c1 = (NaN,5,8) → 40
+    val pi = rowVals("i.prod()")
+    assertCell(pi("c1"), 40.0, tol = 1e-9)
+  }
+
+  test("vector reduction family on the driver") {
+    val ev = new FormulaEvaluator(reg(
+      "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
+    def scalar(f: String): Double =
+      (ev.evaluateFormula(f): @unchecked) match { case ScalarResult(x) => x }
+    assert(scalar("v.min()") == 1.0 && scalar("v.max()") == 4.0)
+    assert(scalar("v.count()") == 4.0)
+    assert(scalar("v.median()") == 2.0) // (1,1,3,4) → (1+3)/2
+    assert(scalar("v.prod()") == 12.0)
+    assertCell(scalar("v.var()"), 2.25) // mean 2.25; ss 6.75 → /3
+  }
+
+  test("new reductions are rejected in decimal modes where unsupported") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA), adpEnabled = true)
+    assertThrows[AdpUnsupportedException](ev.evaluateFormula("a.std()"))
+    assertThrows[AdpUnsupportedException](ev.evaluateFormula("a.prod()"))
+  }
+}
