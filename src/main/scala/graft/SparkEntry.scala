@@ -2182,6 +2182,20 @@ object SparkEntry {
           round(col("mean_b"), 9).as("mean_b"),
           round(col("mean_a"), 9).as("mean_a"))
         .orderBy(col("media_id"))),
+    // r7: GIF89a — the fourth real codec, this one LZW-compressed with
+    // variable-width codes (9→10 bits exercised at catalog image sizes).
+    // The oracle predicts channel means from the palette + index synth
+    // functions; any slip in bit packing, width growth, sub-block
+    // reassembly, or the wKwK special case corrupts pixels and
+    // hash-mismatches.
+    "mm_gif" -> ((s, d) =>
+      Multimodal.decodeGif(Multimodal.asGifTable(docs(s, d)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("gct_size"),
+          round(col("mean_r"), 9).as("mean_r"),
+          round(col("mean_g"), 9).as("mean_g"),
+          round(col("mean_b"), 9).as("mean_b"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3686,6 +3700,19 @@ object SparkEntry {
            |       round(avg((v + u) // 2), 9) AS mean_b,
            |       round(CASE WHEN id % 2 = 0 THEN avg(a) ELSE 255.0 END, 9)
            |         AS mean_a
+           |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      "mm_gif" ->
+        ("""WITH d AS (SELECT doc_id AS id, 10 + doc_id % 31 AS w,
+           |                  8 + doc_id % 23 AS h FROM documents),
+           |cells AS (SELECT id, w, h,
+           |    (x.range * 7 + y.range * 11 + id) % 256 AS i
+           |  FROM d, range(0, 41) x, range(0, 31) y
+           |  WHERE x.range < w AND y.range < h)
+           |SELECT id AS media_id, CAST(w AS INT) AS width,
+           |       CAST(h AS INT) AS height, CAST(256 AS INT) AS gct_size,
+           |       round(avg(i), 9) AS mean_r,
+           |       round(avg((2 * i) % 256), 9) AS mean_g,
+           |       round(avg((3 * i) % 256), 9) AS mean_b
            |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).

@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * Three REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6,
+  * Four REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6,
   * PNG (8-bit RGB/RGBA, zlib + all five scanline filters, CRC-verified)
-  * as of r7 — pure-JVM byte-level parsers in [[MediaCodec]] with encoder
-  * round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/`mm_png`).
+  * and GIF89a (indexed color, variable-width 9→12-bit LZW) as of r7 —
+  * pure-JVM byte-level parsers in [[MediaCodec]] with encoder
+  * round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/`mm_png`/
+  * `mm_gif`).
   * Formats that genuinely need native libraries (JPEG, MP3, H.264, …)
   * remain stubbed behind the same dataflow: the
   * `asMediaTable`/`extractFeatures` fake exercises the identical
@@ -246,6 +248,59 @@ object Multimodal {
         val thumb = MediaCodec.pngResizeGray(bytes, thumbW, thumbH)
         Row(r.getLong(0), info.width, info.height, info.colorType,
           info.meanR, info.meanG, info.meanB, info.meanA, thumb.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a VALID GIF89a per document: 256-entry global color table
+    * with palette(i) = (i, 2i mod 256, 3i mod 256), pixel indices
+    * (x·7 + y·11 + id) mod 256 — integer functions the oracle reproduces
+    * in SQL. Dimensions up to 40×30 push the LZW dictionary past 512
+    * entries, so the variable-width 9→10-bit code growth is exercised on
+    * real catalog data, not just in the spec. */
+  def asGifTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 10 + (id % 31).toInt; val h = 8 + (id % 23).toInt
+        val bytes = MediaCodec.gifBytes(w, h,
+          i => (i << 16) | (((2 * i) % 256) << 8) | ((3 * i) % 256),
+          (x, y) => ((x * 7 + y * 11 + id) % 256).toInt)
+        Row(id, bytes, Row("image/gif", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL GIF decode + resize: header/descriptor walk, sub-block
+    * reassembly, variable-width LZW decompression, palette lookup,
+    * per-channel means and a nearest-neighbor grayscale thumbnail. */
+  def decodeGif(media: DataFrame, thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("gct_size", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("thumb", ArrayType(FloatType))))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val info = MediaCodec.parseGif(bytes)
+        val thumb = MediaCodec.gifResizeGray(bytes, thumbW, thumbH)
+        Row(r.getLong(0), info.width, info.height, info.gctSize,
+          info.meanR, info.meanG, info.meanB, thumb.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -100,6 +100,58 @@ class MediaCodecSpec extends SparkSpec {
     assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
   }
 
+  test("GIF roundtrip: variable-width LZW recovers every pixel exactly") {
+    def pal(i: Int): Int = (i << 16) | (((5 * i) % 256) << 8) | ((255 - i))
+    def idx(x: Int, y: Int): Int = (x * 13 + y * 29) % 256
+    // 40×30 = 1200 pixels: the dictionary passes 512 entries, so 10-bit
+    // codes are read and written; asymmetric indices catch x/y swaps
+    val w = 40; val h = 30
+    val bytes = MediaCodec.gifBytes(w, h, pal, idx)
+    val info = MediaCodec.parseGif(bytes)
+    assert(info.width == w && info.height == h && info.gctSize == 256)
+    val n = (w * h).toDouble
+    def mean(f: Int => Int): Double =
+      (for (y <- 0 until h; x <- 0 until w) yield f(idx(x, y))).sum / n
+    assert(math.abs(info.meanR - mean(i => (pal(i) >>> 16) & 0xFF)) < 1e-9)
+    assert(math.abs(info.meanG - mean(i => (pal(i) >>> 8) & 0xFF)) < 1e-9)
+    assert(math.abs(info.meanB - mean(i => pal(i) & 0xFF)) < 1e-9)
+  }
+
+  test("GIF LZW survives a mid-stream dictionary reset (4096-entry clear)") {
+    // 256 distinct index values in a non-repeating-enough pattern push
+    // the dictionary to 4096 on a large image, forcing the encoder's
+    // mid-stream clear code and the decoder's reset handling
+    def idx(x: Int, y: Int): Int = (x * x * 3 + y * y * 7 + x * y) % 256
+    val w = 120; val h = 90 // 10,800 pixels
+    val bytes = MediaCodec.gifBytes(w, h, i => i * 0x010101, idx)
+    val info = MediaCodec.parseGif(bytes)
+    assert(info.width == w && info.height == h)
+    val n = (w * h).toDouble
+    val want = (for (y <- 0 until h; x <- 0 until w) yield idx(x, y)).sum / n
+    assert(math.abs(info.meanR - want) < 1e-9) // gray palette: r = index
+    assert(math.abs(info.meanG - want) < 1e-9)
+  }
+
+  test("GIF wKwK special case and single-color runs decode correctly") {
+    // constant image: immediate wKwK chains (code == next) every step
+    val flat = MediaCodec.gifBytes(16, 16, i => i << 16, (_, _) => 7)
+    val fi = MediaCodec.parseGif(flat)
+    assert(fi.meanR == 7.0 && fi.meanG == 0.0 && fi.meanB == 0.0)
+    // 1×1 minimal image
+    val one = MediaCodec.gifBytes(1, 1, i => i, (_, _) => 200)
+    assert(MediaCodec.parseGif(one).meanB == 200.0)
+    // junk rejects cleanly
+    intercept[IllegalArgumentException](
+      MediaCodec.parseGif("definitely not a gif".getBytes))
+  }
+
+  test("GIF resize is a real nearest-neighbor downsample with the right luma") {
+    val bytes = MediaCodec.gifBytes(4, 4, i => i * 0x010101,
+      (x, _) => if (x < 2) 0 else 255)
+    val thumb = MediaCodec.gifResizeGray(bytes, 2, 2)
+    assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
