@@ -143,6 +143,9 @@ object SparkEntry {
     "e11_std" -> ((s, d) => formulaQuery("qty.std()", roundTo = Some(6))(s, d)),
     "e11_var" -> ((s, d) => formulaQuery("qty.var()", roundTo = Some(6))(s, d)),
     "e11_prod" -> ((s, d) => formulaQuery("(2 * (qty % 2) - 1).prod()")(s, d)),
+    // quantile interpolation positions are quarters of integer gaps →
+    // exact in double on both sides
+    "e11_quantile" -> ((s, d) => formulaQuery("qty.quantile(0.75)")(s, d)),
     // E12: explicit matmul (pandas DataFrame.dot; `@` stays rejected like
     // pd.eval). matrix⊗vector is a positional linear combination of the
     // columns; matrix⊗matrix a literal-coefficient column-space transform
@@ -3479,6 +3482,8 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"round(stddev_samp(q$j), 6) AS c$j").mkString(", ")} FROM w",
       "e11_var" ->
         s"$W SELECT ${J.map(j => s"round(var_samp(q$j), 6) AS c$j").mkString(", ")} FROM w",
+      "e11_quantile" ->
+        s"$W SELECT ${J.map(j => s"CAST(quantile_cont(q$j, 0.75) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
       // prod over factors 2*(q%2)−1 ∈ {−1,1}: the sign is the parity of
       // the −1 count (rows with even q), NULL holes skipped (pandas
       // skipna) — integer-exact on both sides

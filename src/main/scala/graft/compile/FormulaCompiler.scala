@@ -495,6 +495,23 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod"), CMatrix(cols, false), Nil) =>
         reduce(cols, ctx, k)
+      // `.quantile(q)`: the parameterized median — pandas linear
+      // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont
+      case ("quantile", CMatrix(cols, false), args) if args.length <= 1 =>
+        val q = args.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
+        if (q < 0.0 || q > 1.0)
+          throw new FormulaTypeException(s"quantile $q outside [0, 1]")
+        reduce(cols, ctx, s"quantile:$q")
+      case ("quantile", CVecD(vs, _), args) if args.length <= 1 =>
+        val q = args.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
+        if (q < 0.0 || q > 1.0)
+          throw new FormulaTypeException(s"quantile $q outside [0, 1]")
+        val ok = vs.filter(!_.isNaN).sorted
+        CScalar(if (ok.isEmpty) Double.NaN else {
+          val pos = q * (ok.length - 1)
+          val lo = pos.toInt; val hi = math.min(ok.length - 1, lo + 1)
+          ok(lo) + (pos - lo) * (ok(hi) - ok(lo))
+        })
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod"), CVecD(vs, _), Nil) =>
         val ok = vs.filter(!_.isNaN)
@@ -847,8 +864,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
-            "std, var, median, prod, cumsum, cummax, cummin, cumprod, " +
-            "rank, shift, diff, matmul, T — SURVEY §2.2 E11/E12)")
+            "std, var, median, quantile, prod, cumsum, cummax, cummin, " +
+            "cumprod, rank, shift, diff, matmul, T — SURVEY §2.2 E11/E12)")
     }
 
   /** Whole-frame column reductions (pandas skipna semantics): one
@@ -866,9 +883,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     if (ubp && kind != "sum" && kind != "mean")
       throw new AdpUnsupportedException(
         s"'.$kind()' is not supported in unbounded ADP mode")
-    if (!std && Set("std", "var", "median", "prod")(kind))
+    if (!std && (Set("std", "var", "median", "prod")(kind) ||
+        kind.startsWith("quantile")))
       throw new AdpUnsupportedException(
-        s"'.$kind()' is not supported in ADP mode")
+        s"'.${kind.takeWhile(_ != ':')}()' is not supported in ADP mode")
     val id = ctx.aggDfs.length
     val aliases = cols.map { case (lbl, _) =>
       ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
@@ -915,6 +933,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "std"    => nanIfEmpty(stddev_samp(nonNan))
           case "var"    => nanIfEmpty(var_samp(nonNan))
           case "median" => nanIfEmpty(percentile(nonNan, lit(0.5)))
+          case q if q.startsWith("quantile:") =>
+            nanIfEmpty(percentile(nonNan, lit(q.stripPrefix("quantile:").toDouble)))
         }).as(alias)
       }
     }

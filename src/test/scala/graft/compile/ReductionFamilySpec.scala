@@ -62,6 +62,15 @@ class ReductionFamilySpec extends SparkSpec {
     assertCell(pi("c1"), 40.0, tol = 1e-9)
   }
 
+  test("matrix .quantile(q) interpolates like pandas") {
+    // fixA c0 = (1,4,1) sorted (1,1,4): q=0.75 → pos 1.5 → 2.5
+    val q = rowVals("a.quantile(0.75)")
+    assertCell(q("c0"), 2.5)
+    assertCell(q("c1"), 7.0) // (4,7,7): pos 1.5 → 7
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    assertThrows[FormulaTypeException](ev.evaluateFormula("a.quantile(1.5)"))
+  }
+
   test("vector reduction family on the driver") {
     val ev = new FormulaEvaluator(reg(
       "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
@@ -70,6 +79,7 @@ class ReductionFamilySpec extends SparkSpec {
     assert(scalar("v.min()") == 1.0 && scalar("v.max()") == 4.0)
     assert(scalar("v.count()") == 4.0)
     assert(scalar("v.median()") == 2.0) // (1,1,3,4) → (1+3)/2
+    assert(scalar("v.quantile(0.25)") == 1.0) // pos 0.75 → 1 + 0.75·(1−1)
     assert(scalar("v.prod()") == 12.0)
     assertCell(scalar("v.var()"), 2.25) // mean 2.25; ss 6.75 → /3
   }
