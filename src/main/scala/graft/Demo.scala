@@ -186,6 +186,20 @@ object Demo {
       s"${budStats.getLong(1)} of 2000 tokens used " +
       "(running total = two-phase distributed prefix, no global window)")
 
+    println("== r7: explicit matmul — a zero-shuffle column-space transform ==")
+    val mmDemo = QueryCatalog.formulaQuery("qty.matmul(mm)")(spark, sfDir)
+    mmDemo.show(3)
+    println("physical plan (pure projection over the base — no join, no exchange):")
+    mmDemo.explain()
+
+    println("== r7: GIF89a codec roundtrip (variable-width LZW, pure JVM) ==")
+    graft.operators.Multimodal.decodeGif(
+        graft.operators.Multimodal.asGifTable(
+          spark.read.parquet(s"$sfDir/documents.parquet").limit(3)))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 3).as("mean_r"), round(col("mean_g"), 3).as("mean_g"))
+      .show(3)
+
     spark.stop()
   }
 }

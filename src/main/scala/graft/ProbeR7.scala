@@ -91,6 +91,27 @@ object ProbeR7 {
       System.err.println(s"[probe] lpa_cadence $r")
     }
 
+    if (want("r7ops")) {
+      // the three new r7 shapes: a tree-reduce (e11_min), a zero-shuffle
+      // literal-coefficient projection (e12_matmat), and a per-row codec
+      // map (mm_gif) — all must be ~linear-flat at 10× data
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      QueryCatalog.docs(spark, sf1x).count()
+      QueryCatalog.docs(spark, sf10).count()
+      val r = scala.collection.immutable.ListMap(
+        "min_1x" -> q("e11_min", sf1x), "min_10x" -> q("e11_min", sf10),
+        "matmat_1x" -> q("e12_matmat", sf1x), "matmat_10x" -> q("e12_matmat", sf10),
+        "gif_1x" -> q("mm_gif", sf1x), "gif_10x" -> q("mm_gif", sf10))
+      out += "r7ops" -> (r ++ Map(
+        "min_ratio" -> r("min_10x") / r("min_1x"),
+        "matmat_ratio" -> r("matmat_10x") / r("matmat_1x"),
+        "gif_ratio" -> r("gif_10x") / r("gif_1x")))
+      System.err.println(s"[probe] r7ops $r")
+    }
+
     if (want("seqshift")) {
       def q(name: String, dir: String): Double =
         best { SparkEntry.queries(name)(spark, dir).count() }
