@@ -119,6 +119,75 @@ class GlobalRowNumberRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globalRowNumberWindows(descFirst).isEmpty)
   }
 
+  private def globalRankWindows(df: org.apache.spark.sql.DataFrame,
+                                fn: String): Seq[WindowExec] = {
+    df.count()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        w.windowExpression.exists(_.toString.contains(fn)) => w
+    }
+  }
+
+  test("global rank(): exact tie-equal ranks via grouped value counts (r7)") {
+    // k = id % 7 over 500 rows: counts (72,72,72,71,71,71,71) →
+    // rank(k) = #smaller + 1 = (1, 73, 145, 217, 288, 359, 430)
+    val df = spark.range(500).select((col("id") % 7).as("k"))
+    val expect = Map(0L -> 1, 1L -> 73, 2L -> 145, 3L -> 217,
+      4L -> 288, 5L -> 359, 6L -> 430)
+    val r = df.withColumn("r", rank().over(Window.orderBy(col("k"))))
+    assert(r.collect().forall(row => row.getInt(1) == expect(row.getLong(0))))
+    assert(globalRankWindows(r, "rank").isEmpty,
+      "the global rank window must be re-planned onto the grouped prefix")
+    // DESC: rank(k) = #larger + 1
+    val expectD = Map(6L -> 1, 5L -> 72, 4L -> 143, 3L -> 214,
+      2L -> 285, 1L -> 357, 0L -> 429)
+    val rd = df.withColumn("r", rank().over(Window.orderBy(col("k").desc)))
+    assert(rd.collect().forall(row => row.getInt(1) == expectD(row.getLong(0))))
+    assert(globalRankWindows(rd, "rank").isEmpty)
+  }
+
+  test("global dense_rank(): distinct-value position (r7)") {
+    val df = spark.range(500).select((col("id") % 7).as("k"))
+    val d = df.withColumn("d", dense_rank().over(Window.orderBy(col("k"))))
+    assert(d.collect().forall(row => row.getInt(1) == row.getLong(0) + 1))
+    assert(globalRankWindows(d, "dense_rank").isEmpty)
+  }
+
+  test("global percent_rank(): (rank-1)/(n-1), single-row edge 0.0 (r7)") {
+    val df = spark.range(500).select((col("id") % 7).as("k"))
+    val expect = Map(0L -> 1, 1L -> 73, 2L -> 145, 3L -> 217,
+      4L -> 288, 5L -> 359, 6L -> 430)
+    val p = df.withColumn("p", percent_rank().over(Window.orderBy(col("k"))))
+    assert(p.collect().forall(row =>
+      math.abs(row.getDouble(1) - (expect(row.getLong(0)) - 1) / 499.0) < 1e-12))
+    assert(globalRankWindows(p, "percent_rank").isEmpty)
+    val one = spark.range(1).select(col("id").as("k"))
+      .withColumn("p", percent_rank().over(Window.orderBy(col("k"))))
+    assert(one.collect().head.getDouble(1) == 0.0)
+  }
+
+  test("global ntile(): SQL bucket-size rule in exact integer math (r7)") {
+    // 500 rows, 3 buckets → sizes 167, 167, 166
+    val df = spark.range(500).select((col("id") * 37 % 500).as("k"))
+    val t = df.withColumn("t", ntile(3).over(Window.orderBy(col("k"))))
+    val got = t.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(1 -> 167, 2 -> 167, 3 -> 166), sizes.toString)
+    // k is a permutation: bucket must be monotone in k
+    val byK = got.sortBy(_._1).map(_._2)
+    assert(byK.zip(byK.tail).forall { case (a, b) => a <= b })
+    assert(globalRankWindows(t, "ntile").isEmpty)
+    // more buckets than rows: row i → bucket i
+    val tiny = spark.range(3).select(col("id").as("k"))
+      .withColumn("t", ntile(5).over(Window.orderBy(col("k"))))
+    assert(tiny.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ==
+      Map(0L -> 1, 1L -> 2, 2L -> 3))
+  }
+
   test("NaN order values number like the window original (sort greatest)") {
     val df = spark.range(100).select(
       when(col("id") % 9 === 0, lit(Double.NaN))
