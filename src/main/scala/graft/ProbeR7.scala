@@ -76,6 +76,31 @@ object ProbeR7 {
         "w4" -> widthProbe(4), "w50" -> widthProbe(50), "w100" -> widthProbe(100))
     }
 
+    if (want("rankrules")) {
+      // attribute the w100 optimizer wall (rank_wide: ~30 s plan_s) to
+      // specific Catalyst rules via RuleExecutor's global metrics
+      val width = 100
+      val labels = (0 until width).map(i => s"c$i")
+      val df = spark.range(200000L).select(
+        (col("id").as("__row_id__") +: labels.zipWithIndex.map { case (c, i) =>
+          pmod(hash(col("id") * lit(i + 1)), lit(997)).cast("double").as(c)
+        }): _*)
+      val ev = new graft.api.FormulaEvaluator(
+        Map[String, NamedData]("m" -> Matrix.of(df, "__row_id__", labels)))
+      val res = ev.evaluateRaw("m.rank()")
+        .asInstanceOf[graft.compile.MatrixResult]
+      org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      val tPlan = time { res.df.queryExecution.executedPlan }
+      val report = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+      // report lines: "<rule name> <nanos> <runs> ..." — keep the top 8
+      val top = report.linesIterator
+        .filter(_.trim.matches(".*\\d+.*"))
+        .toSeq.drop(2).take(10)
+      System.err.println(s"[probe] rankrules plan=$tPlan")
+      top.foreach(l => System.err.println(s"[probe]   $l"))
+      out += "rank_rules_w100" -> Map("plan_s" -> tPlan)
+    }
+
     if (want("lpa_cadence")) {
       val edges = QueryCatalog.knnEdges(spark, sf10)
         .select(col("id").as("src"), col("nbr").as("dst"))

@@ -125,6 +125,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val joined = v.aggIds.toSeq.sorted.map(ctx.aggDfs).reduceLeft(_.crossJoin(_))
         RowResult(joined.select(v.cols.map { case (l, c) => c.as(l) }: _*), v.cols.map(_._1))
       case CScalar(x)     => ScalarResult(x)
+      case _: CMatD       =>
+        // unreachable: CMatD is only ever constructed as a matmul RIGHT
+        // operand and consumed inside the same method() dispatch
+        throw new FormulaTypeException(
+          "internal: collected matmul operand escaped to the top level")
     }
   }
 
