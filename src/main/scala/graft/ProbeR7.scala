@@ -101,6 +101,58 @@ object ProbeR7 {
       out += "rank_rules_w100" -> Map("plan_s" -> tPlan)
     }
 
+    if (want("rankscale")) {
+      // (a) the USER-FACING global ranking rule at 1× vs 10× rows: a
+      // naive rank() over a Graft-extended session must scale like the
+      // grouped prefix, not like the single-partition window it replaces.
+      // (b) the stacked wide-rank path (>16 cols) at 1× vs 10× rows.
+      val ext = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .appName("graft-rankscale").getOrCreate()
+      def userRank(n: Long): Double = {
+        val df = ext.range(n).select(
+          (org.apache.spark.sql.functions.pmod(col("id") * 37, lit(9973)))
+            .as("k"), col("id").as("payload"))
+        best { df.withColumn("r", org.apache.spark.sql.functions.rank()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+          .write.format("noop").mode("overwrite").save() }
+      }
+      def wideRank(n: Long): Double = {
+        val labels = (0 until 24).map(i => s"c$i")
+        val df = ext.range(n).select(
+          (col("id").as("__row_id__") +: labels.zipWithIndex.map { case (c, i) =>
+            pmod(hash(col("id") * lit(i + 1)), lit(997)).cast("double").as(c)
+          }): _*)
+        val ev = new graft.api.FormulaEvaluator(
+          Map[String, NamedData]("m" -> Matrix.of(df, "__row_id__", labels)))
+        val res = ev.evaluateRaw("m.rank()")
+          .asInstanceOf[graft.compile.MatrixResult]
+        best { res.df.write.format("noop").mode("overwrite").save() }
+      }
+      // the single-partition window the rule replaces, on a PLAIN session
+      def naiveRank(n: Long): Double = {
+        val df = spark.range(n).select(
+          (org.apache.spark.sql.functions.pmod(col("id") * 37, lit(9973)))
+            .as("k"), col("id").as("payload"))
+        best { df.withColumn("r", org.apache.spark.sql.functions.rank()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+          .write.format("noop").mode("overwrite").save() }
+      }
+      val u1 = userRank(500000L); val u10 = userRank(5000000L)
+      val n1 = naiveRank(500000L); val n10 = naiveRank(5000000L)
+      val w1 = wideRank(200000L); val w10 = wideRank(2000000L)
+      out += "rank_scale" -> Map(
+        "user_rank_1x" -> u1, "user_rank_10x" -> u10,
+        "user_rank_ratio" -> u10 / u1,
+        "naive_window_1x" -> n1, "naive_window_10x" -> n10,
+        "speedup_10x" -> n10 / u10,
+        "wide24_1x" -> w1, "wide24_10x" -> w10, "wide24_ratio" -> w10 / w1)
+      System.err.println(s"[probe] rankscale user $u1->$u10 naive $n1->$n10 " +
+        s"wide24 $w1->$w10")
+    }
+
     if (want("lpa_cadence")) {
       val edges = QueryCatalog.knnEdges(spark, sf10)
         .select(col("id").as("src"), col("nbr").as("dst"))
