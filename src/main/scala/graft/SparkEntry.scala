@@ -1771,6 +1771,16 @@ object SparkEntry {
       Dedup.chunkDupStats(docs(s, d), "text", "doc_id", chunkSize = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- sliding-window exact-substring duplication (r7; the Lee et al.
+    //      span-removal shape): every OVERLAPPING 8-token window
+    //      fingerprinted via the (S1 − pos·S0, S0) pair of sliding sums —
+    //      catches a repeated sentence at ANY offset, where dd_chunk only
+    //      sees boundary-aligned copies; removable_tokens folds maximal
+    //      dup runs (run + k−1 per run) with one lag ----
+    "dd_span" -> ((s, d) =>
+      Dedup.spanDupStats(docs(s, d), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- finite-horizon EWMA per user (10 taps, 2^-j weights): every
     //      product is IEEE-exact (power-of-two scaling), the tap chains
     //      add left-to-right in both engines, ONE window node ----
@@ -4099,6 +4109,37 @@ object SparkEntry {
            |       CAST(n_dup AS BIGINT) AS n_dup_chunks,
            |       round(n_dup::DOUBLE / n_chunks, 6) AS dup_chunk_frac
            |FROM pd ORDER BY doc_id""".stripMargin,
+      // sliding-span mirror: identical window sums, 40-bit md5 token
+      // hashes, identical run-fold arithmetic
+      "dd_span" ->
+        s"""WITH toksp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |              FROM documents),
+           |h AS (SELECT doc_id, pos,
+           |             (${mdInt("'0:' || tok")} % 1099511627776) AS th
+           |      FROM toksp),
+           |st AS (SELECT doc_id, pos,
+           |              sum(th) OVER w AS s0,
+           |              sum(th * (pos + 1)) OVER w AS s1,
+           |              count(*) OVER w AS wn
+           |       FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+           |                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           |f AS (SELECT doc_id, pos, s1 - pos * s0 AS f1, s0 AS f0
+           |      FROM st WHERE wn = 8),
+           |freq AS (SELECT f1, f0, count(DISTINCT doc_id) AS nd
+           |         FROM f GROUP BY 1, 2),
+           |fl AS (SELECT doc_id, pos,
+           |              CASE WHEN nd > 1 THEN 1 ELSE 0 END AS dup
+           |       FROM f JOIN freq USING (f1, f0)),
+           |wp AS (SELECT doc_id, dup,
+           |              coalesce(lag(dup) OVER (PARTITION BY doc_id
+           |                ORDER BY pos), 0) AS prev
+           |       FROM fl)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |       CAST(sum(dup) AS BIGINT) AS n_dup_windows,
+           |       CAST(sum(dup) + 7 * sum(CASE WHEN dup = 1 AND prev = 0
+           |              THEN 1 ELSE 0 END) AS BIGINT) AS removable_tokens
+           |FROM wp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // EWMA mirror: identical lag taps, exact power-of-two weight
       // literals, identical left-to-right addition order
       "w_ewma" -> {

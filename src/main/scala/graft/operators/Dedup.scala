@@ -519,6 +519,69 @@ object Dedup {
     * is "dup" when its fingerprint occurs in ≥ 2 DISTINCT documents
     * (internal repetition inside one document is the repetition operator's
     * job, not dedup's). */
+  /** Sliding-window exact-substring duplication — the "deduplicating
+    * training data" span-removal shape (Lee et al. 2022,
+    * arXiv:2107.06499), re-expressed for Spark: every OVERLAPPING k-token
+    * window of every document is fingerprinted, and a window is a
+    * duplicated span when its fingerprint occurs in ≥ 2 DISTINCT
+    * documents. Unlike [[chunkDupStats]] (boundary-aligned chunks), this
+    * catches a repeated sentence at ANY token offset. Returns per doc
+    * (id, n_windows, n_dup_windows, removable_tokens) where
+    * `removable_tokens` counts the token positions covered by at least
+    * one duplicated window — the Lee-style removal target. Documents
+    * shorter than k tokens have no windows and drop out.
+    *
+    * Scale shape: the order-sensitive window fingerprint is the PAIR
+    * (S1 − pos·S0, S0) of two plain sliding SUMS of position-weighted
+    * 40-bit token hashes — Σh·(pos+1) minus pos·Σh re-weights every
+    * window to relative offsets 1..k, so equal spans at different
+    * offsets collide exactly. That makes the whole operator three
+    * bounded per-document window aggregates (frames of width k — never
+    * data-scaled partitions) + one fingerprint groupBy (bounded by
+    * distinct windows) + an equi-join back; coverage folds maximal
+    * dup-start runs with one lag (run length + k−1 per run). No suffix
+    * array, no higher-order functions, no cross-doc shuffle before the
+    * fingerprint aggregate. 40-bit hashes keep every intermediate under
+    * 2^57 for documents up to 2^16 tokens — ANSI-safe, and the identical
+    * arithmetic is reproducible in any SQL engine (the oracle mirrors
+    * it). */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 256, "window size k must be in [2, 256]")
+    val tokHash = graft.functions.ArrayOps.md5_long60(
+      concat(lit("0:"), col("tok"))) % lit(1099511627776L) // 2^40
+    val e = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("__h", tokHash)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val frame = byDoc.rowsBetween(0, k - 1)
+    val starts = e
+      .withColumn("__s0", sum(col("__h")).over(frame))
+      .withColumn("__s1", sum(col("__h") * (col("pos") + 1)).over(frame))
+      .withColumn("__wn", count(lit(1)).over(frame))
+      .where(col("__wn") === k)
+      .select(col(idCol), col("pos"),
+        (col("__s1") - col("pos") * col("__s0")).as("__f1"),
+        col("__s0").as("__f0"))
+    val freq = starts.groupBy(col("__f1"), col("__f0"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val flagged = starts.join(freq, Seq("__f1", "__f0"))
+      .select(col(idCol), col("pos"),
+        when(col("__nd") > 1, 1L).otherwise(0L).as("__dup"))
+    // maximal runs of consecutive dup starts [a..b] cover a..b+k−1:
+    // coverage = Σ dup + (k−1) · (#runs); starts are consecutive by
+    // construction, so a run boundary is dup ∧ ¬lag(dup)
+    val withPrev = flagged.withColumn("__prev",
+      lag(col("__dup"), 1, 0L).over(byDoc))
+    withPrev.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__dup")).as("n_dup_windows"),
+        (sum(col("__dup")) + lit((k - 1).toLong) *
+          sum(when(col("__dup") === 1L && col("__prev") === 0L, 1L)
+            .otherwise(0L))).as("removable_tokens"))
+  }
+
   def chunkDupStats(docs: DataFrame, textCol: String, idCol: String,
                     chunkSize: Int = 8): DataFrame = {
     val tokHash = graft.functions.ArrayOps.md5_long60(concat(lit("0:"), col("tok"))) %
