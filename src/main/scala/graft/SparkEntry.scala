@@ -1780,6 +1780,11 @@ object SparkEntry {
     "dd_span" -> ((s, d) =>
       Dedup.spanDupStats(docs(s, d), "text", "doc_id", k = 8)
         .orderBy(col("doc_id"))),
+    // the ACTION half: corpus rewritten with covered tokens removed —
+    // clean_text hash-matching pins the whole pipeline byte-for-byte
+    "dd_despan" -> ((s, d) =>
+      Dedup.removeDupSpans(docs(s, d), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))),
 
     // ---- finite-horizon EWMA per user (10 taps, 2^-j weights): every
     //      product is IEEE-exact (power-of-two scaling), the tap chains
@@ -4140,6 +4145,41 @@ object SparkEntry {
            |       CAST(sum(dup) + 7 * sum(CASE WHEN dup = 1 AND prev = 0
            |              THEN 1 ELSE 0 END) AS BIGINT) AS removable_tokens
            |FROM wp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // despan mirror: same flag CTEs, token⟕start left join, k-wide
+      // coverage max, order-preserving string_agg rebuild
+      "dd_despan" ->
+        s"""WITH toksp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |              FROM documents),
+           |h AS (SELECT doc_id, pos, tok,
+           |             (${mdInt("'0:' || tok")} % 1099511627776) AS th
+           |      FROM toksp),
+           |st AS (SELECT doc_id, pos,
+           |              sum(th) OVER w AS s0,
+           |              sum(th * (pos + 1)) OVER w AS s1,
+           |              count(*) OVER w AS wn
+           |       FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+           |                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           |f AS (SELECT doc_id, pos, s1 - pos * s0 AS f1, s0 AS f0
+           |      FROM st WHERE wn = 8),
+           |freq AS (SELECT f1, f0, count(DISTINCT doc_id) AS nd
+           |         FROM f GROUP BY 1, 2),
+           |fl AS (SELECT doc_id, pos,
+           |              CASE WHEN nd > 1 THEN 1 ELSE 0 END AS dup
+           |       FROM f JOIN freq USING (f1, f0)),
+           |tk AS (SELECT t.doc_id, t.pos, t.tok, coalesce(fl.dup, 0) AS sdup
+           |       FROM toksp t LEFT JOIN fl ON t.doc_id = fl.doc_id
+           |                                AND t.pos = fl.pos),
+           |cv AS (SELECT doc_id, pos, tok,
+           |              max(sdup) OVER (PARTITION BY doc_id ORDER BY pos
+           |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+           |       FROM tk)
+           |SELECT doc_id,
+           |       coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+           |                           ORDER BY pos), '') AS clean_text,
+           |       CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(sum(cov) AS BIGINT) AS removed_tokens
+           |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // EWMA mirror: identical lag taps, exact power-of-two weight
       // literals, identical left-to-right addition order
       "w_ewma" -> {

@@ -545,8 +545,9 @@ object Dedup {
     * 2^57 for documents up to 2^16 tokens — ANSI-safe, and the identical
     * arithmetic is reproducible in any SQL engine (the oracle mirrors
     * it). */
-  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 8): DataFrame = {
+  /** Shared core: (exploded tokens, dup-flagged window starts). */
+  private def spanFlags(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 256, "window size k must be in [2, 256]")
     val tokHash = graft.functions.ArrayOps.md5_long60(
       concat(lit("0:"), col("tok"))) % lit(1099511627776L) // 2^40
@@ -569,6 +570,14 @@ object Dedup {
     val flagged = starts.join(freq, Seq("__f1", "__f0"))
       .select(col(idCol), col("pos"),
         when(col("__nd") > 1, 1L).otherwise(0L).as("__dup"))
+    (e.select(col(idCol), col("pos"), col("tok")), flagged)
+  }
+
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8): DataFrame = {
+    val (_, flagged) = spanFlags(docs, textCol, idCol, k)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
     // maximal runs of consecutive dup starts [a..b] cover a..b+k−1:
     // coverage = Σ dup + (k−1) · (#runs); starts are consecutive by
     // construction, so a run boundary is dup ∧ ¬lag(dup)
@@ -580,6 +589,40 @@ object Dedup {
         (sum(col("__dup")) + lit((k - 1).toLong) *
           sum(when(col("__dup") === 1L && col("__prev") === 0L, 1L)
             .otherwise(0L))).as("removable_tokens"))
+  }
+
+  /** The ACTION half of [[spanDupStats]]: rewrite each document with every
+    * token covered by a cross-doc duplicated k-window REMOVED (the Lee
+    * et al. span-removal output). A token at position p is covered when
+    * any duplicated window starts in [p−k+1, p] — one more bounded
+    * per-doc window (a k-wide max over the start flags, tail positions
+    * included via the token⟕start left join). Documents shorter than k
+    * have no windows and pass through unchanged; a fully-duplicated
+    * document collapses to an empty string (kept, so the caller decides
+    * whether to drop it). Token order is restored deterministically by
+    * sorting the kept (pos, token) structs — never a bare collect_list
+    * order. Returns (id, clean_text, n_tokens, removed_tokens). */
+  def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8): DataFrame = {
+    val (tokens, flagged) = spanFlags(docs, textCol, idCol, k)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val joined = tokens.join(
+      flagged.withColumnRenamed("__dup", "__sdup"),
+      Seq(idCol, "pos"), "left")
+    val covered = joined.withColumn("__cov",
+      max(coalesce(col("__sdup"), lit(0L)))
+        .over(byDoc.rowsBetween(-(k - 1), 0)))
+    covered.groupBy(col(idCol))
+      .agg(
+        // collect_list skips the when()-null entries (covered tokens);
+        // array_sort on (pos, tok) structs restores document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov") === 0L,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__cov")).as("removed_tokens"))
   }
 
   def chunkDupStats(docs: DataFrame, textCol: String, idCol: String,

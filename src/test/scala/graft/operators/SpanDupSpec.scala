@@ -66,4 +66,31 @@ class SpanDupSpec extends SparkSpec {
     val got = stats(df, k = 4)
     assert(!got.contains(1L) && got(2L)._1 == 2L)
   }
+
+  private def clean(df: org.apache.spark.sql.DataFrame, k: Int = 4) =
+    Dedup.removeDupSpans(df, "text", "doc_id", k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("removeDupSpans strips exactly the covered tokens, order preserved") {
+    val df = corpus(
+      1L -> "p q r s t u x1 y1 z1 w1",
+      2L -> "a b c p q r s t u z2")
+    val got = clean(df, k = 4)
+    // doc1: dup starts 0..2 cover positions 0..5 → the copied span goes
+    assert(got(1L) == (("x1 y1 z1 w1", 10L, 6L)), got(1L).toString)
+    // doc2: starts 3..5 cover 3..8
+    assert(got(2L) == (("a b c z2", 10L, 6L)), got(2L).toString)
+  }
+
+  test("removeDupSpans: short docs pass through; full dup collapses to empty") {
+    val df = corpus(
+      1L -> "a b c",
+      2L -> "d1 d2 d3 d4",
+      3L -> "d1 d2 d3 d4")
+    val got = clean(df, k = 4)
+    assert(got(1L) == (("a b c", 3L, 0L)))
+    assert(got(2L) == (("", 4L, 4L)))
+    assert(got(3L) == (("", 4L, 4L)))
+  }
 }
