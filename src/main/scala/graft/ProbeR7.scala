@@ -189,6 +189,22 @@ object ProbeR7 {
       System.err.println(s"[probe] r7ops $r")
     }
 
+    if (want("spans")) {
+      // dd_span / dd_despan at 1× vs 10× docs: per-doc bounded window
+      // frames + a distinct-window-bounded fingerprint groupBy — both
+      // must track the corpus ~linearly
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.docs(spark, sf1x).count()
+      QueryCatalog.docs(spark, sf10).count()
+      val s1 = q("dd_span", sf1x); val s10 = q("dd_span", sf10)
+      val c1 = q("dd_despan", sf1x); val c10 = q("dd_despan", sf10)
+      out += "spans" -> Map(
+        "span_1x" -> s1, "span_10x" -> s10, "span_ratio" -> s10 / s1,
+        "despan_1x" -> c1, "despan_10x" -> c10, "despan_ratio" -> c10 / c1)
+      System.err.println(s"[probe] spans $s1->$s10 despan $c1->$c10")
+    }
+
     if (want("seqshift")) {
       def q(name: String, dir: String): Double =
         best { SparkEntry.queries(name)(spark, dir).count() }
