@@ -568,14 +568,21 @@ object MediaCodec {
         (bytes(off + 2) & 0xFF)
       off += 3; i += 1
     }
-    // skip extension blocks (0x21 label, sub-blocks) to the image descriptor
+    // skip extension blocks (0x21 label, sub-blocks) to the image
+    // descriptor — every read bounds-checked so truncated input raises a
+    // clean IllegalArgumentException, never an out-of-bounds crash
     while (off < bytes.length && (bytes(off) & 0xFF) == 0x21) {
       off += 2 // introducer + label
-      while ((bytes(off) & 0xFF) != 0) off += 1 + (bytes(off) & 0xFF)
+      require(off < bytes.length, "truncated extension block")
+      while ((bytes(off) & 0xFF) != 0) {
+        off += 1 + (bytes(off) & 0xFF)
+        require(off < bytes.length, "truncated extension block")
+      }
       off += 1
     }
     require(off < bytes.length && (bytes(off) & 0xFF) == 0x2C,
       "image descriptor not found")
+    require(off + 11 <= bytes.length, "truncated image descriptor")
     val w = rdLe16(bytes, off + 5); val h = rdLe16(bytes, off + 7)
     require(w == sw && h == sh && ((bytes(off + 9) & 0x80) == 0),
       "only full-frame images with the global table are supported")
@@ -583,9 +590,10 @@ object MediaCodec {
     val minCode = bytes(off) & 0xFF; off += 1
     // concatenate sub-blocks
     val data = new java.io.ByteArrayOutputStream
+    require(off < bytes.length, "truncated image data")
     while ((bytes(off) & 0xFF) != 0) {
       val n = bytes(off) & 0xFF
-      require(off + 1 + n <= bytes.length, "truncated image data")
+      require(off + 1 + n < bytes.length, "truncated image data")
       data.write(bytes, off + 1, n); off += 1 + n
     }
     val stream = data.toByteArray

@@ -145,6 +145,30 @@ class MediaCodecSpec extends SparkSpec {
       MediaCodec.parseGif("definitely not a gif".getBytes))
   }
 
+  test("GIF decoder fails CLEANLY on truncation and corruption, never OOB") {
+    val good = MediaCodec.gifBytes(20, 15, i => i * 0x010101,
+      (x, y) => (x * 3 + y * 5) % 256)
+    // EVERY truncation point must raise IllegalArgumentException (a
+    // require) — never ArrayIndexOutOfBounds or an infinite loop. The
+    // last byte is the trailer, which the parser tolerates missing (all
+    // pixels are already recovered), hence length − 1.
+    for (len <- 1 until good.length - 1) {
+      val e = intercept[Exception](MediaCodec.parseGif(good.take(len)))
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"truncation at $len threw ${e.getClass}: ${e.getMessage}")
+    }
+    // bit flips inside the LZW stream: either a clean reject or a decode
+    // to SOME pixel matrix (sum fingerprints no longer match, which the
+    // oracle would catch) — never a crash class
+    for (off <- Seq(800, 850, 900)) {
+      if (off < good.length - 2) {
+        val c = good.clone(); c(off) = (c(off) ^ 0x40).toByte
+        try { MediaCodec.parseGif(c); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("GIF resize is a real nearest-neighbor downsample with the right luma") {
     val bytes = MediaCodec.gifBytes(4, 4, i => i * 0x010101,
       (x, _) => if (x < 2) 0 else 255)
