@@ -63,7 +63,8 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
     * and a broadcast 1-row total; ntile derives from the row_number
     * prefix and the same total via the SQL bucket-size rule. */
   private def supported(fn: Expression): Boolean = fn match {
-    case RowNumber() | _: Rank | _: DenseRank | _: PercentRank => true
+    case RowNumber() | _: Rank | _: DenseRank | _: PercentRank |
+         _: CumeDist => true
     case NTile(Literal(b: Int, IntegerType)) => b > 0
     case _ => false
   }
@@ -84,6 +85,7 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
         case _: Rank         => rewriteRank(child, ordExpr, alias, so, dense = false)
         case _: DenseRank    => rewriteRank(child, ordExpr, alias, so, dense = true)
         case _: PercentRank  => rewritePercentRank(child, ordExpr, alias, so)
+        case _: CumeDist     => rewriteCumeDist(child, ordExpr, alias, so)
         case NTile(Literal(b: Int, IntegerType)) =>
           rewriteNtile(child, ordExpr, alias, so, b)
         case _ => w
@@ -144,7 +146,7 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
     val rankVal =
       if (dense) col("__gw_s") else col("__gw_s") - col("__gw_c") + lit(1L)
     val table = withCum.select(col("__gw_k").as("__gw_k2"),
-      rankVal.as("__gw_r"))
+      rankVal.as("__gw_r"), col("__gw_s").as("__gw_cum"))
     keyed.join(table, col("__gw_k") <=> col("__gw_k2"), "inner")
   }
 
@@ -183,6 +185,20 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
             (col("__gw_n").cast(DoubleType) - 1.0))
           .otherwise(lit(0.0)))
     restore(child, alias, out, "__gw_pr", None,
+      WindowNode(Seq(alias), Nil, Seq(so), child))
+  }
+
+  /** cume_dist() = (inclusive running count of rows ≤ current, in order)
+    * / n — the rank table's inclusive cum over the same broadcast total. */
+  private def rewriteCumeDist(child: LogicalPlan, ordExpr: Expression,
+                              alias: Alias, so: SortOrder): LogicalPlan = {
+    val ranked = rankJoined(child, ordExpr, so, dense = false)
+    val total = GraftColumnBridge.ofRows(SparkSession.active, child)
+      .agg(count(lit(1)).as("__gw_n"))
+    val out = ranked.crossJoin(broadcast(total))
+      .withColumn("__gw_cd",
+        col("__gw_cum").cast(DoubleType) / col("__gw_n").cast(DoubleType))
+    restore(child, alias, out, "__gw_cd", None,
       WindowNode(Seq(alias), Nil, Seq(so), child))
   }
 

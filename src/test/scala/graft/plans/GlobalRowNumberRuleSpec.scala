@@ -170,6 +170,17 @@ class GlobalRowNumberRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.collect().head.getDouble(1) == 0.0)
   }
 
+  test("global cume_dist(): inclusive cumulative share (r7)") {
+    // k = id % 7 over 500 rows: inclusive cums (72,144,216,287,358,429,500)
+    val df = spark.range(500).select((col("id") % 7).as("k"))
+    val cums = Map(0L -> 72, 1L -> 144, 2L -> 216, 3L -> 287,
+      4L -> 358, 5L -> 429, 6L -> 500)
+    val c = df.withColumn("c", cume_dist().over(Window.orderBy(col("k"))))
+    assert(c.collect().forall(row =>
+      math.abs(row.getDouble(1) - cums(row.getLong(0)) / 500.0) < 1e-12))
+    assert(globalRankWindows(c, "cume_dist").isEmpty)
+  }
+
   test("global ntile(): SQL bucket-size rule in exact integer math (r7)") {
     // 500 rows, 3 buckets → sizes 167, 167, 166
     val df = spark.range(500).select((col("id") * 37 % 500).as("k"))
