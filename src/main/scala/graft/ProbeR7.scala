@@ -76,6 +76,36 @@ object ProbeR7 {
         "w4" -> widthProbe(4), "w50" -> widthProbe(50), "w100" -> widthProbe(100))
     }
 
+    if (want("cumwide")) {
+      // the OTHER sequential E11 methods at 100 columns: cumsum runs ONE
+      // runningAgg (no per-column joins) and shift ONE positional join —
+      // neither should share rank's pre-fix compile explosion
+      def probe(formula: String): Map[String, Any] = {
+        val labels = (0 until 100).map(i => s"c$i")
+        val df = spark.range(200000L).select(
+          (col("id").as("__row_id__") +: labels.zipWithIndex.map { case (c, i) =>
+            pmod(hash(col("id") * lit(i + 1)), lit(997)).cast("double").as(c)
+          }): _*)
+        val ev = new graft.api.FormulaEvaluator(
+          Map[String, NamedData]("m" -> Matrix.of(df, "__row_id__", labels)))
+        var res: graft.compile.MatrixResult = null
+        val tCompile = time {
+          res = ev.evaluateRaw(formula).asInstanceOf[graft.compile.MatrixResult]
+        }
+        val tPlan = time { res.df.queryExecution.executedPlan }
+        val tExec = best {
+          res.df.write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(s"[probe] cumwide $formula compile=$tCompile " +
+          s"plan=$tPlan exec=$tExec")
+        Map("compile_s" -> tCompile, "plan_s" -> tPlan, "exec_s" -> tExec)
+      }
+      out += "cum_wide100" -> Map(
+        "cumsum" -> probe("m.cumsum()"),
+        "shift" -> probe("m.shift(2)"),
+        "cumprod" -> probe("m.cumprod()"))
+    }
+
     if (want("rankrules")) {
       // attribute the w100 optimizer wall (rank_wide: ~30 s plan_s) to
       // specific Catalyst rules via RuleExecutor's global metrics
