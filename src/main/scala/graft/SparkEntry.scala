@@ -2214,6 +2214,18 @@ object SparkEntry {
           round(col("mean_g"), 9).as("mean_g"),
           round(col("mean_b"), 9).as("mean_b"))
         .orderBy(col("media_id"))),
+    // r7: baseline TIFF — the fifth real format; the substance is the
+    // IFD tag walk (typed entries, values inline-or-out-of-line,
+    // out-of-line BitsPerSample SHORT triple, strip bounds). Oracle
+    // predicts channel means analytically from the synth functions.
+    "mm_tiff" -> ((s, d) =>
+      Multimodal.decodeTiff(Multimodal.asTiffTable(docs(s, d)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("samples_per_pixel"),
+          round(col("mean_r"), 9).as("mean_r"),
+          round(col("mean_g"), 9).as("mean_g"),
+          round(col("mean_b"), 9).as("mean_b"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3733,6 +3745,20 @@ object SparkEntry {
            |       round(avg(i), 9) AS mean_r,
            |       round(avg((2 * i) % 256), 9) AS mean_g,
            |       round(avg((3 * i) % 256), 9) AS mean_b
+           |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      "mm_tiff" ->
+        ("""WITH d AS (SELECT doc_id AS id, 9 + doc_id % 19 AS w,
+           |                  7 + doc_id % 13 AS h FROM documents),
+           |cells AS (SELECT id, w, h,
+           |    (x.range * 5 + id) % 256 AS r,
+           |    (y.range * 7 + 2 * id) % 256 AS g,
+           |    (x.range + y.range + 3 * id) % 256 AS b
+           |  FROM d, range(0, 28) x, range(0, 20) y
+           |  WHERE x.range < w AND y.range < h)
+           |SELECT id AS media_id, CAST(w AS INT) AS width,
+           |       CAST(h AS INT) AS height, CAST(3 AS INT) AS samples_per_pixel,
+           |       round(avg(r), 9) AS mean_r, round(avg(g), 9) AS mean_g,
+           |       round(avg(b), 9) AS mean_b
            |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).

@@ -684,6 +684,141 @@ object MediaCodec {
     GifInfo(w, h, gctSize, sr / n, sg / n, sb / n)
   }
 
+  // ---- TIFF (r7): baseline little-endian truecolor — the IFD walk ----
+  // Uncompressed 8-bit RGB, single strip, "II*\0" byte order. The work a
+  // TIFF reader genuinely does is the Image File Directory: a tag table
+  // of (tag, type, count, value-or-offset) entries with values inlined
+  // when they fit 4 bytes and stored out-of-line otherwise — this parser
+  // walks it for real (BitsPerSample lives out-of-line as 3 SHORTs).
+  // Spec: TIFF 6.0 (Adobe, 1992) §2.
+
+  final case class TiffInfo(width: Int, height: Int, samplesPerPixel: Int,
+                            meanR: Double, meanG: Double, meanB: Double)
+
+  /** Encode a baseline RGB TIFF; `rgb(x, y)` returns 0xRRGGBB, (0,0)
+    * top-left. Layout: 8-byte header · pixel strip · BitsPerSample array ·
+    * IFD. */
+  def tiffBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+      s"bad dimensions ${w}x$h")
+    val nPix = w * h * 3
+    val pixOff = 8
+    val bitsOff = pixOff + nPix
+    val ifdOff = bitsOff + 6
+    val nEntries = 9
+    val out = new Array[Byte](ifdOff + 2 + nEntries * 12 + 4)
+    out(0) = 'I'; out(1) = 'I'; le16(out, 2, 42); le32(out, 4, ifdOff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = rgb(x, y)
+        val o = pixOff + (y * w + x) * 3
+        out(o) = ((c >>> 16) & 0xFF).toByte
+        out(o + 1) = ((c >>> 8) & 0xFF).toByte
+        out(o + 2) = (c & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    le16(out, bitsOff, 8); le16(out, bitsOff + 2, 8); le16(out, bitsOff + 4, 8)
+    le16(out, ifdOff, nEntries)
+    var e = ifdOff + 2
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      le16(out, e, tag); le16(out, e + 2, typ); le32(out, e + 4, count)
+      if (typ == 3 && count == 1) le16(out, e + 8, value) // SHORT inline
+      else le32(out, e + 8, value)
+      e += 12
+    }
+    entry(256, 4, 1, w)        // ImageWidth LONG
+    entry(257, 4, 1, h)        // ImageLength LONG
+    entry(258, 3, 3, bitsOff)  // BitsPerSample: 3 SHORTs out-of-line
+    entry(259, 3, 1, 1)        // Compression: none
+    entry(262, 3, 1, 2)        // Photometric: RGB
+    entry(273, 4, 1, pixOff)   // StripOffsets
+    entry(277, 3, 1, 3)        // SamplesPerPixel
+    entry(278, 4, 1, h)        // RowsPerStrip: one strip
+    entry(279, 4, 1, nPix)     // StripByteCounts
+    le32(out, e, 0)            // no next IFD
+    out
+  }
+
+  /** Walk the IFD and return (w, h, spp, pixel strip offset). Every read
+    * bounds-checked: truncation raises IllegalArgumentException. */
+  private def tiffDecode(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= 8 && bytes(0) == 'I' && bytes(1) == 'I' &&
+      rdLe16(bytes, 2) == 42, "not a little-endian TIFF file")
+    val ifdOff = rdLe32(bytes, 4)
+    require(ifdOff >= 8 && ifdOff + 2 <= bytes.length, "truncated IFD offset")
+    val n = rdLe16(bytes, ifdOff)
+    require(ifdOff + 2 + n * 12 + 4 <= bytes.length, "truncated IFD")
+    var tags = Map.empty[Int, (Int, Int, Int)] // tag → (type, count, raw value)
+    var i = 0
+    while (i < n) {
+      val e = ifdOff + 2 + i * 12
+      val tag = rdLe16(bytes, e); val typ = rdLe16(bytes, e + 2)
+      val count = rdLe32(bytes, e + 4)
+      val v = if (typ == 3 && count == 1) rdLe16(bytes, e + 8)
+              else rdLe32(bytes, e + 8)
+      tags += tag -> (typ, count, v)
+      i += 1
+    }
+    def req(tag: Int, what: String): (Int, Int, Int) =
+      tags.getOrElse(tag, throw new IllegalArgumentException(s"missing $what tag"))
+    val w = req(256, "ImageWidth")._3; val h = req(257, "ImageLength")._3
+    require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+      s"unsupported dimensions ${w}x$h")
+    require(req(259, "Compression")._3 == 1, "only uncompressed TIFF supported")
+    require(req(262, "Photometric")._3 == 2, "only RGB TIFF supported")
+    val spp = req(277, "SamplesPerPixel")._3
+    require(spp == 3, "only 3 samples per pixel supported")
+    val (bTyp, bCount, bOff) = req(258, "BitsPerSample")
+    require(bTyp == 3 && bCount == 3 && bOff + 6 <= bytes.length,
+      "unsupported BitsPerSample layout")
+    require((0 until 3).forall(j => rdLe16(bytes, bOff + 2 * j) == 8),
+      "only 8-bit samples supported")
+    val strip = req(273, "StripOffsets")._3
+    val nBytes = req(279, "StripByteCounts")._3
+    require(nBytes == w * h * 3 && strip >= 0 &&
+      strip.toLong + nBytes <= bytes.length, "truncated pixel strip")
+    (w, h, spp, strip)
+  }
+
+  /** Parse + per-channel means from the pixel strip. */
+  def parseTiff(bytes: Array[Byte]): TiffInfo = {
+    val (w, h, spp, strip) = tiffDecode(bytes)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      sr += bytes(strip + i * 3) & 0xFF
+      sg += bytes(strip + i * 3 + 1) & 0xFF
+      sb += bytes(strip + i * 3 + 2) & 0xFF
+      i += 1
+    }
+    TiffInfo(w, h, spp, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Nearest-neighbor grayscale thumbnail straight off the strip. */
+  def tiffResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
+    val (w, h, _, strip) = tiffDecode(bytes)
+    val out = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val sy = math.min(h - 1, oy * h / oh)
+      var ox = 0
+      while (ox < ow) {
+        val sx = math.min(w - 1, ox * w / ow)
+        val o = strip + (sy * w + sx) * 3
+        out(oy * ow + ox) = ((bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) +
+          (bytes(o + 2) & 0xFF)) / 3.0f / 255.0f
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor grayscale thumbnail from the decoded indices. */
   def gifResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
     val (w, h, _, palette, px) = gifDecode(bytes)

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * Four REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6,
-  * PNG (8-bit RGB/RGBA, zlib + all five scanline filters, CRC-verified)
-  * and GIF89a (indexed color, variable-width 9→12-bit LZW) as of r7 —
-  * pure-JVM byte-level parsers in [[MediaCodec]] with encoder
-  * round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/`mm_png`/
-  * `mm_gif`).
+  * Five REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6;
+  * PNG (8-bit RGB/RGBA, zlib + all five scanline filters, CRC-verified),
+  * GIF89a (indexed color, variable-width 9→12-bit LZW) and baseline
+  * TIFF (little-endian IFD walk, out-of-line BitsPerSample, single
+  * strip) as of r7 — pure-JVM byte-level parsers in [[MediaCodec]] with
+  * encoder round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/
+  * `mm_png`/`mm_gif`/`mm_tiff`).
   * Formats that genuinely need native libraries (JPEG, MP3, H.264, …)
   * remain stubbed behind the same dataflow: the
   * `asMediaTable`/`extractFeatures` fake exercises the identical
@@ -300,6 +301,59 @@ object Multimodal {
         val info = MediaCodec.parseGif(bytes)
         val thumb = MediaCodec.gifResizeGray(bytes, thumbW, thumbH)
         Row(r.getLong(0), info.width, info.height, info.gctSize,
+          info.meanR, info.meanG, info.meanB, thumb.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a VALID baseline little-endian TIFF per document (8-bit
+    * RGB, single strip, out-of-line BitsPerSample) — the IFD tag walk is
+    * the part a TIFF reader genuinely exercises. Pixel channels are
+    * integer functions of (x, y, id) the oracle reproduces in SQL. */
+  def asTiffTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 9 + (id % 19).toInt; val h = 7 + (id % 13).toInt
+        val bytes = MediaCodec.tiffBytes(w, h, (x, y) => {
+          val rC = ((x * 5 + id) % 256).toInt
+          val gC = ((y * 7 + 2 * id) % 256).toInt
+          val bC = ((x + y + 3 * id) % 256).toInt
+          (rC << 16) | (gC << 8) | bC
+        })
+        Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL TIFF decode + resize: IFD walk (out-of-line BitsPerSample,
+    * strip checks), per-channel means, grayscale thumbnail. */
+  def decodeTiff(media: DataFrame, thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("samples_per_pixel", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("thumb", ArrayType(FloatType))))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val info = MediaCodec.parseTiff(bytes)
+        val thumb = MediaCodec.tiffResizeGray(bytes, thumbW, thumbH)
+        Row(r.getLong(0), info.width, info.height, info.samplesPerPixel,
           info.meanR, info.meanG, info.meanB, thumb.toSeq)
       }
     }

@@ -176,6 +176,51 @@ class MediaCodecSpec extends SparkSpec {
     assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
   }
 
+  test("TIFF roundtrip: IFD walk, out-of-line BitsPerSample, strip means") {
+    def px(x: Int, y: Int): Int =
+      (((x * 11) % 256) << 16) | (((y * 17) % 256) << 8) | ((x + 3 * y) % 256)
+    val w = 13; val h = 9
+    val bytes = MediaCodec.tiffBytes(w, h, px)
+    val info = MediaCodec.parseTiff(bytes)
+    assert(info.width == w && info.height == h && info.samplesPerPixel == 3)
+    val n = (w * h).toDouble
+    def mean(f: (Int, Int) => Int): Double =
+      (for (y <- 0 until h; x <- 0 until w) yield f(x, y)).sum / n
+    assert(math.abs(info.meanR - mean((x, y) => (px(x, y) >>> 16) & 0xFF)) < 1e-9)
+    assert(math.abs(info.meanG - mean((x, y) => (px(x, y) >>> 8) & 0xFF)) < 1e-9)
+    assert(math.abs(info.meanB - mean((x, y) => px(x, y) & 0xFF)) < 1e-9)
+  }
+
+  test("TIFF decoder rejects unsupported profiles and truncation cleanly") {
+    val good = MediaCodec.tiffBytes(6, 4, (x, y) => (x * 40) << 16 | (y * 60))
+    // big-endian, wrong magic, junk: clean rejects
+    val be = good.clone(); be(0) = 'M'; be(1) = 'M'
+    intercept[IllegalArgumentException](MediaCodec.parseTiff(be))
+    intercept[IllegalArgumentException](
+      MediaCodec.parseTiff("not a tiff at all!!".getBytes))
+    // every truncation point raises IllegalArgumentException, never OOB
+    for (len <- 1 until good.length) {
+      val e = intercept[Exception](MediaCodec.parseTiff(good.take(len)))
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"truncation at $len threw ${e.getClass}: ${e.getMessage}")
+    }
+    // a flipped Compression tag value must be refused, not mis-decoded
+    val comp = good.clone()
+    // entry order: Compression is the 4th entry; value at +8 of its slot
+    val ifdOff = comp(4) & 0xFF | (comp(5) & 0xFF) << 8 |
+      (comp(6) & 0xFF) << 16 | (comp(7) & 0xFF) << 24
+    comp(ifdOff + 2 + 3 * 12 + 8) = 5 // LZW
+    val e = intercept[IllegalArgumentException](MediaCodec.parseTiff(comp))
+    assert(e.getMessage.contains("uncompressed"))
+  }
+
+  test("TIFF resize is a real nearest-neighbor downsample with the right luma") {
+    val bytes = MediaCodec.tiffBytes(4, 4,
+      (x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    val thumb = MediaCodec.tiffResizeGray(bytes, 2, 2)
+    assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
