@@ -2214,6 +2214,16 @@ object SparkEntry {
           round(col("mean_g"), 9).as("mean_g"),
           round(col("mean_b"), 9).as("mean_b"))
         .orderBy(col("media_id"))),
+    // r7: G.711 µ-law WAV — companded audio where the oracle checks the
+    // DECODED CONTENT: the expansion is exact integer bit-math, so mean
+    // |PCM| and peak are analytically predictable (mm_wav's PCM16 LCG
+    // content is golden-tested instead; this closes that gap for audio)
+    "mm_ulaw" -> ((s, d) =>
+      Multimodal.decodeUlaw(Multimodal.asUlawTable(docs(s, d)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("mean_abs"), 6).as("mean_abs"),
+          col("peak"))
+        .orderBy(col("media_id"))),
     // r7: baseline TIFF — the fifth real format; the substance is the
     // IFD tag walk (typed entries, values inline-or-out-of-line,
     // out-of-line BitsPerSample SHORT triple, strip bounds). Oracle
@@ -3746,6 +3756,22 @@ object SparkEntry {
            |       round(avg((2 * i) % 256), 9) AS mean_g,
            |       round(avg((3 * i) % 256), 9) AS mean_b
            |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      // µ-law mirror: the exact G.711 expansion in integer SQL —
+      // u = 255 − b; |pcm| = ((u%16)·8 + 132) · 2^((u//16)%8) − 132
+      "mm_ulaw" ->
+        (s"""WITH d AS (SELECT doc_id AS id,
+           |              least(2048, greatest(16, $tokSql * 4)) AS n
+           |            FROM documents),
+           |s AS (SELECT id, n, (x.range * 7 + id) % 256 AS b
+           |      FROM d, range(0, 2048) x WHERE x.range < n),
+           |m AS (SELECT id, n,
+           |        ((((255 - b) % 16) * 8 + 132) *
+           |          (1 << (((255 - b) // 16) % 8))) - 132 AS mag
+           |      FROM s)
+           |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           |       CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_samples,
+           |       round(avg(mag), 6) AS mean_abs, CAST(max(mag) AS INT) AS peak
+           |FROM m GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
       "mm_tiff" ->
         ("""WITH d AS (SELECT doc_id AS id, 9 + doc_id % 19 AS w,
            |                  7 + doc_id % 13 AS h FROM documents),

@@ -55,6 +55,86 @@ object MediaCodec {
     out
   }
 
+  // ---- G.711 µ-law (r7): companded telephony audio inside RIFF ----------
+
+  final case class UlawInfo(sampleRate: Int, channels: Int, nSamples: Int,
+                            meanAbs: Double, peak: Int)
+
+  /** Expand one µ-law byte to its linear PCM16 value — the G.711 table
+    * formula in exact integer arithmetic (ITU-T G.711, µ=255):
+    * complement the byte, split sign/exponent/mantissa, rebuild the
+    * magnitude with the 0x84 bias. Pure bit-math, reproducible in SQL. */
+  def ulawExpand(b: Int): Int = {
+    val u = ~b & 0xFF
+    val sign = (u & 0x80) != 0
+    val exp = (u >>> 4) & 7
+    val mant = u & 0xF
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if (sign) -mag else mag
+  }
+
+  /** Encode a mono µ-law WAV (format code 7, 8 bits/sample) from raw
+    * µ-law bytes. */
+  def ulawWavBytes(ulaw: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val dataLen = ulaw.length
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    le32(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    le32(out, 16, 16)
+    le16(out, 20, 7) // WAVE_FORMAT_MULAW
+    le16(out, 22, 1) // mono
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate) // byte rate: 1 byte/sample
+    le16(out, 32, 1) // block align
+    le16(out, 34, 8) // bits per (companded) sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    le32(out, 40, dataLen)
+    ulaw.copyToArray(out, 44)
+    out
+  }
+
+  /** Parse a µ-law WAV (RIFF walk as [[parseWav]], format code 7), expand
+    * every byte through [[ulawExpand]], fold mean |PCM| and peak — the
+    * decoded-CONTENT features an oracle can predict exactly (the
+    * expansion is integer bit-math, unlike PCM16's LCG synth). */
+  def parseUlawWav(bytes: Array[Byte]): UlawInfo = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+      tag(bytes, 8) == "WAVE", "not a RIFF/WAVE file")
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length,
+        s"malformed '$id' chunk: len=$len at off=$off of ${bytes.length}")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"fmt chunk too short: $len")
+          val fmt = rdLe16(bytes, off + 8)
+          require(fmt == 7, s"not mu-law (format $fmt)")
+          channels = rdLe16(bytes, off + 10)
+          sampleRate = rdLe32(bytes, off + 12)
+          bits = rdLe16(bytes, off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    require(bits == 8, s"mu-law carries 8-bit bytes, got $bits-bit")
+    var sumAbs = 0L; var peak = 0; var i = 0
+    while (i < dataLen) {
+      val pcm = ulawExpand(bytes(dataOff + i) & 0xFF)
+      val a = math.abs(pcm)
+      sumAbs += a; if (a > peak) peak = a
+      i += 1
+    }
+    UlawInfo(sampleRate, channels, dataLen,
+      if (dataLen == 0) 0.0 else sumAbs.toDouble / dataLen, peak)
+  }
+
   /** Parse a WAV file: walk the RIFF chunk list (not fixed offsets — files
     * with LIST/fact chunks parse too), validate PCM, and fold the sample
     * data into RMS / peak in one pass. Throws on malformed input. */

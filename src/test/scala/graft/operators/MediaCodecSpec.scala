@@ -221,6 +221,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(thumb.toSeq == Seq(0.0f, 1.0f, 0.0f, 1.0f))
   }
 
+  test("mu-law expansion matches the G.711 reference table points") {
+    // ITU-T G.711 landmark values: 0xFF → 0, 0x7F → −0? (sign byte),
+    // spot-check the closed form against hand-computed expansions
+    assert(MediaCodec.ulawExpand(0xFF) == 0)     // u=0: (132<<0)−132
+    assert(MediaCodec.ulawExpand(0x7F) == 0)     // sign bit only
+    assert(MediaCodec.ulawExpand(0xFE) == 8)     // u=1: (140<<0)−132
+    assert(MediaCodec.ulawExpand(0x7E) == -8)
+    assert(MediaCodec.ulawExpand(0x80) == 32124) // u=127: max magnitude
+    assert(MediaCodec.ulawExpand(0x00) == -32124)
+    // monotone decreasing magnitude as the byte increases within a sign
+    val mags = (0x80 to 0xFF).map(MediaCodec.ulawExpand)
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("mu-law WAV roundtrip: RIFF walk + expansion recover content features") {
+    val n = 300
+    val ulaw = Array.tabulate(n)(i => ((i * 11 + 5) % 256).toByte)
+    val bytes = MediaCodec.ulawWavBytes(ulaw, 8000)
+    val info = MediaCodec.parseUlawWav(bytes)
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.nSamples == n)
+    val pcm = ulaw.map(b => MediaCodec.ulawExpand(b & 0xFF))
+    assert(info.peak == pcm.map(math.abs).max)
+    assert(math.abs(info.meanAbs -
+      pcm.map(math.abs(_).toLong).sum.toDouble / n) < 1e-9)
+    // a PCM16 file must be refused by the mu-law parser and vice versa
+    val pcm16 = MediaCodec.wavBytes(Array[Short](1, 2, 3), 8000)
+    intercept[IllegalArgumentException](MediaCodec.parseUlawWav(pcm16))
+    intercept[IllegalArgumentException](MediaCodec.parseWav(bytes))
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
