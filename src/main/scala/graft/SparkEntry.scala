@@ -595,6 +595,24 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // ---- semi-structured JSON props (r7): events.props is a JSON string
+    //      column; extraction via Spark's JSON path machinery, then a
+    //      plain grouped aggregate — the web/event-pipeline shape where
+    //      payloads arrive as JSON blobs. Oracle extracts the same field
+    //      with a capture-group regex (the VALUES must match; the
+    //      machinery is each engine's own) ----
+    "ev_json" -> ((s, d) => {
+      val ev = eventsWithTu(s, d)
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- sessionization (events table; windowed custom-state shape) ----
     "ev_sessions" -> ((s, d) => {
       // events.parquet carries TIMESTAMP(NANOS) — Spark 4 reads it only as
@@ -3790,6 +3808,17 @@ object SparkEntry {
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
       // read_parquet by interpolated path: an `events` view may not be
       // pre-registered by the gate.
+      "ev_json" ->
+        (s"""WITH e AS (SELECT event_type,
+           |        CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+           |             AS BIGINT) AS k
+           |      FROM read_parquet('$sfDir/events.parquet'))
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+           |       round(avg(k), 6) AS avg_k,
+           |       CAST(min(k) AS BIGINT) AS min_k,
+           |       CAST(max(k) AS BIGINT) AS max_k
+           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
       "ev_sessions" ->
         s"""WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
           |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pu
