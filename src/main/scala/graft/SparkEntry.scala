@@ -2242,6 +2242,13 @@ object SparkEntry {
           col("n_samples"), round(col("mean_abs"), 6).as("mean_abs"),
           col("peak"))
         .orderBy(col("media_id"))),
+    // the A-law half of G.711 (format code 6), same content-oracle idea
+    "mm_alaw" -> ((s, d) =>
+      Multimodal.decodeAlaw(Multimodal.asAlawTable(docs(s, d)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("mean_abs"), 6).as("mean_abs"),
+          col("peak"))
+        .orderBy(col("media_id"))),
     // r7: baseline TIFF — the fifth real format; the substance is the
     // IFD tag walk (typed entries, values inline-or-out-of-line,
     // out-of-line BitsPerSample SHORT triple, strip bounds). Oracle
@@ -3785,6 +3792,24 @@ object SparkEntry {
            |m AS (SELECT id, n,
            |        ((((255 - b) % 16) * 8 + 132) *
            |          (1 << (((255 - b) // 16) % 8))) - 132 AS mag
+           |      FROM s)
+           |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           |       CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_samples,
+           |       round(avg(mag), 6) AS mean_abs, CAST(max(mag) AS INT) AS peak
+           |FROM m GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      // A-law mirror: a = b XOR 0x55; |pcm| = mant·16+8 in segment 0,
+      // (mant·16+264)·2^(exp−1) above
+      "mm_alaw" ->
+        (s"""WITH d AS (SELECT doc_id AS id,
+           |              least(2048, greatest(16, $tokSql * 4)) AS n
+           |            FROM documents),
+           |s AS (SELECT id, n, xor(CAST((x.range * 11 + 3 * id) % 256 AS BIGINT),
+           |                        CAST(85 AS BIGINT)) AS a
+           |      FROM d, range(0, 2048) x WHERE x.range < n),
+           |m AS (SELECT id, n,
+           |        CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+           |             ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+           |        END AS mag
            |      FROM s)
            |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
            |       CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_samples,

@@ -135,6 +135,65 @@ object MediaCodec {
       if (dataLen == 0) 0.0 else sumAbs.toDouble / dataLen, peak)
   }
 
+  /** Expand one A-law byte to linear PCM — G.711's other companding half
+    * (ITU-T G.711, A=87.6): XOR the 0x55 toggle pattern, split fields,
+    * rebuild with the segment-0 special case. Exact integer bit-math. */
+  def alawExpand(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xFF
+    val sign = (a & 0x80) != 0
+    val exp = (a >>> 4) & 7
+    val mant = a & 0xF
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if (sign) mag else -mag
+  }
+
+  /** Encode a mono A-law WAV (format code 6, 8 bits/sample). */
+  def alawWavBytes(alaw: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = ulawWavBytes(alaw, sampleRate)
+    le16(out, 20, 6) // WAVE_FORMAT_ALAW over the same RIFF skeleton
+    out
+  }
+
+  /** Parse an A-law WAV (format code 6), expand through [[alawExpand]],
+    * fold decoded-content features like [[parseUlawWav]]. */
+  def parseAlawWav(bytes: Array[Byte]): UlawInfo = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+      tag(bytes, 8) == "WAVE", "not a RIFF/WAVE file")
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length,
+        s"malformed '$id' chunk: len=$len at off=$off of ${bytes.length}")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"fmt chunk too short: $len")
+          val fmt = rdLe16(bytes, off + 8)
+          require(fmt == 6, s"not A-law (format $fmt)")
+          channels = rdLe16(bytes, off + 10)
+          sampleRate = rdLe32(bytes, off + 12)
+          bits = rdLe16(bytes, off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    require(bits == 8, s"A-law carries 8-bit bytes, got $bits-bit")
+    var sumAbs = 0L; var peak = 0; var i = 0
+    while (i < dataLen) {
+      val pcm = alawExpand(bytes(dataOff + i) & 0xFF)
+      val a = math.abs(pcm)
+      sumAbs += a; if (a > peak) peak = a
+      i += 1
+    }
+    UlawInfo(sampleRate, channels, dataLen,
+      if (dataLen == 0) 0.0 else sumAbs.toDouble / dataLen, peak)
+  }
+
   /** Parse a WAV file: walk the RIFF chunk list (not fixed offsets — files
     * with LIST/fact chunks parse too), validate PCM, and fold the sample
     * data into RMS / peak in one pass. Throws on malformed input. */

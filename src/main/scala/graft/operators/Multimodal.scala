@@ -358,6 +358,53 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** A-law sibling of [[asUlawTable]] (format code 6; same deterministic
+    * byte synth, shifted so the two signals differ). */
+  def asAlawTable(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long"),
+        TextAnalysis.tokenCount(col(textCol))).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val nTok = r.getLong(1)
+          val n = math.min(2048L, math.max(16L, nTok * 4)).toInt
+          val alaw = new Array[Byte](n)
+          var i = 0
+          while (i < n) { alaw(i) = ((i * 11 + 3 * id) % 256).toByte; i += 1 }
+          val bytes = MediaCodec.alawWavBytes(alaw, 8000)
+          Row(id, bytes, Row("audio/alaw", bytes.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL A-law decode (format code 6) — decoded content features. */
+  def decodeAlaw(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("mean_abs", DoubleType),
+      StructField("peak", IntegerType)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val info = MediaCodec.parseAlawWav(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), info.sampleRate, info.channels, info.nSamples,
+          info.meanAbs, info.peak)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Synthesize a VALID baseline little-endian TIFF per document (8-bit
     * RGB, single strip, out-of-line BitsPerSample) — the IFD tag walk is
     * the part a TIFF reader genuinely exercises. Pixel channels are

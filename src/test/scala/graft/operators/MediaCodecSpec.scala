@@ -251,6 +251,26 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.parseWav(bytes))
   }
 
+  test("A-law expansion and WAV roundtrip (G.711's other half)") {
+    // landmark values: 0x55 → segment 0, mant 0 → +8; 0xD5 → −8? sign
+    // convention: a-law sign bit SET means positive after the XOR
+    assert(MediaCodec.alawExpand(0xD5) == 8)   // a=0x80: sign+seg0+mant0
+    assert(MediaCodec.alawExpand(0x55) == -8)  // a=0x00
+    assert(MediaCodec.alawExpand(0xAA) == 32256) // a=0xFF: max magnitude
+    assert(MediaCodec.alawExpand(0x2A) == -32256)
+    val n = 250
+    val alaw = Array.tabulate(n)(i => ((i * 13 + 7) % 256).toByte)
+    val bytes = MediaCodec.alawWavBytes(alaw, 8000)
+    val info = MediaCodec.parseAlawWav(bytes)
+    assert(info.nSamples == n && info.sampleRate == 8000)
+    val pcm = alaw.map(b => MediaCodec.alawExpand(b & 0xFF))
+    assert(info.peak == pcm.map(math.abs).max)
+    assert(math.abs(info.meanAbs -
+      pcm.map(math.abs(_).toLong).sum.toDouble / n) < 1e-9)
+    // mu-law and A-law parsers reject each other's format codes
+    intercept[IllegalArgumentException](MediaCodec.parseUlawWav(bytes))
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
