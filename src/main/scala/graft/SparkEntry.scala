@@ -4242,15 +4242,21 @@ object SparkEntry {
            |fl AS (SELECT doc_id, pos,
            |              CASE WHEN nd > 1 THEN 1 ELSE 0 END AS dup
            |       FROM f JOIN freq USING (f1, f0)),
-           |wp AS (SELECT doc_id, dup,
-           |              coalesce(lag(dup) OVER (PARTITION BY doc_id
-           |                ORDER BY pos), 0) AS prev
-           |       FROM fl)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-           |       CAST(sum(dup) AS BIGINT) AS n_dup_windows,
-           |       CAST(sum(dup) + 7 * sum(CASE WHEN dup = 1 AND prev = 0
-           |              THEN 1 ELSE 0 END) AS BIGINT) AS removable_tokens
-           |FROM wp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+           |tk AS (SELECT t.doc_id, t.pos, coalesce(fl.dup, 0) AS sdup
+           |       FROM toksp t LEFT JOIN fl ON t.doc_id = fl.doc_id
+           |                                AND t.pos = fl.pos),
+           |cv AS (SELECT doc_id,
+           |              max(sdup) OVER (PARTITION BY doc_id ORDER BY pos
+           |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+           |       FROM tk),
+           |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |              CAST(sum(dup) AS BIGINT) AS n_dup_windows
+           |       FROM fl GROUP BY doc_id),
+           |cs AS (SELECT doc_id, CAST(sum(cov) AS BIGINT)
+           |                        AS removable_tokens
+           |       FROM cv GROUP BY doc_id)
+           |SELECT doc_id, n_windows, n_dup_windows, removable_tokens
+           |FROM ws JOIN cs USING (doc_id) ORDER BY doc_id""".stripMargin,
       // despan mirror: same flag CTEs, token⟕start left join, k-wide
       // coverage max, order-preserving string_agg rebuild
       "dd_despan" ->

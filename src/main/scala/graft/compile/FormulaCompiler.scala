@@ -246,7 +246,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       val cap = tgt match {
         case CMatrix(cols, _) => cols.length
         case CVecD(vs, _)     => vs.length
-        case _                => 0
+        case CVecC(cols, _)   => cols.length
+        case _ => throw new FormulaTypeException(
+          "'.matmul()' needs a matrix, vector or reduction left operand " +
+            "(a scalar has no '.dot' in pandas)")
       }
       method(tgt, "matmul", List(collectMatD(registry(n).asInstanceOf[Matrix], cap)), ctx)
 
@@ -848,6 +851,45 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "row-aligned vector (one entry per matrix ROW, a data-scaled " +
             "object); register the weights as a single-column matrix and " +
             "use element-wise '*' plus '.sum()' instead")
+      case ("matmul", CVecC(cols, ids), List(CMatD(rows, colLabels))) =>
+        // Series-from-reduction .dot(df) — pandas `qty.sum().dot(mm)`:
+        // the reduction's labels align to the right operand's row ids and
+        // the result stays a 1-row reduction-domain vector over the same
+        // agg frames (pure column arithmetic, no extra join)
+        val byId = rows.toMap
+        if (rows.length != cols.length ||
+            !cols.forall { case (l, _) => byId.contains(l) })
+          throw new FormulaTypeException(
+            "matrices are not aligned: matmul needs the right operand's " +
+              "row ids to equal the reduction's labels")
+        CVecC(colLabels.zipWithIndex.map { case (cl, j) =>
+          (cl, cols.map { case (l, c) => c * litOf(byId(l)(j)) }
+            .reduceLeft(_ + _))
+        }, ids)
+      case ("matmul", CMatrix(mc, false), List(CVecC(vc, ids))) =>
+        // df.dot(reduction-series): series labels align to the matrix's
+        // column labels; the 1-row agg joins in broadcast (ctx.pull) and
+        // the product is still one zero-shuffle projection
+        val byLbl = vc.toMap
+        if (vc.length != mc.length ||
+            !mc.forall { case (l, _) => byLbl.contains(l) })
+          throw new FormulaTypeException(
+            "matrices are not aligned: matmul needs the reduction's labels " +
+              "to equal the left operand's column labels")
+        ids.foreach(ctx.pull)
+        CMatrix(Seq(("0",
+          mc.map { case (l, c) => c * byLbl(l) }.reduceLeft(_ + _))),
+          isBool = false)
+      case ("matmul", _: CScalar, _) =>
+        throw new FormulaTypeException(
+          "'.matmul()' is not defined on a scalar left operand " +
+            "(pandas scalars have no '.dot')")
+      case ("matmul", _, _) =>
+        throw new FormulaTypeException(
+          "unsupported '.matmul()' operand shapes; supported: " +
+            "matrix.matmul(matrix | vector | reduction), " +
+            "vector.matmul(vector | registry matrix), " +
+            "reduction.matmul(registry matrix)")
 
       // `.T` (attribute access, E11): the reference evaluates it through
       // pd.eval (SURVEY §8 probe Q8). On 1-D values (Series → ndarray,

@@ -213,10 +213,14 @@ object Ingest {
     * pandas column order; null/NaN cells stay NaN.
     */
   def transposedMatrix(m: Matrix, cap: Int = 10000): Matrix = {
+    // order by the row id in its NATIVE type BEFORE the string cast —
+    // casting first would sort numeric ids lexicographically
+    // (0,1,10,11,…,2) once there are ≥10 rows, breaking "column order =
+    // row-id order of the source"
     val taken = m.base
+      .orderBy(col(m.rowId))
       .select((col(m.rowId).cast(StringType) +:
         m.cols.map { case (_, p) => col(p).cast(DoubleType) }): _*)
-      .orderBy(col(m.rowId).cast(StringType))
       .limit(cap + 1).collect()
     if (taken.length > cap)
       throw new IllegalArgumentException(

@@ -538,17 +538,21 @@ object Dedup {
     * offsets collide exactly. That makes the whole operator three
     * bounded per-document window aggregates (frames of width k — never
     * data-scaled partitions) + one fingerprint groupBy (bounded by
-    * distinct windows) + an equi-join back; coverage folds maximal
-    * dup-start runs with one lag (run length + k−1 per run). No suffix
-    * array, no higher-order functions, no cross-doc shuffle before the
-    * fingerprint aggregate. 40-bit hashes keep every intermediate under
-    * 2^57 for documents up to 2^16 tokens — ANSI-safe, and the identical
-    * arithmetic is reproducible in any SQL engine (the oracle mirrors
-    * it). */
+    * distinct windows) + an equi-join back; coverage is the per-token
+    * k-wide max over dup-start flags (the same count [[removeDupSpans]]
+    * removes — overlap-exact even when dup runs sit closer than k−1
+    * apart). No suffix array, no higher-order functions, no cross-doc
+    * shuffle before the fingerprint aggregate. 40-bit hashes with k ≤ 64
+    * keep every intermediate under 2^62 for documents up to 2^16
+    * tokens — ANSI-safe, and the identical arithmetic is reproducible in
+    * any SQL engine (the oracle mirrors it). */
   /** Shared core: (exploded tokens, dup-flagged window starts). */
   private def spanFlags(docs: DataFrame, textCol: String, idCol: String,
                         k: Int): (DataFrame, DataFrame) = {
-    require(k >= 2 && k <= 256, "window size k must be in [2, 256]")
+    // k ≤ 64 keeps __s1 = Σ h·(pos+1) inside Long under ANSI: terms are
+    // < 2^40 · 2^16 = 2^56, so 64 of them stay < 2^62 (k = 256 would
+    // approach 2^64 and overflow on long documents)
+    require(k >= 2 && k <= 64, "window size k must be in [2, 64]")
     val tokHash = graft.functions.ArrayOps.md5_long60(
       concat(lit("0:"), col("tok"))) % lit(1099511627776L) // 2^40
     val e = docs.select(col(idCol),
@@ -575,20 +579,28 @@ object Dedup {
 
   def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 8): DataFrame = {
-    val (_, flagged) = spanFlags(docs, textCol, idCol, k)
+    val (tokens, flagged) = spanFlags(docs, textCol, idCol, k)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    // maximal runs of consecutive dup starts [a..b] cover a..b+k−1:
-    // coverage = Σ dup + (k−1) · (#runs); starts are consecutive by
-    // construction, so a run boundary is dup ∧ ¬lag(dup)
-    val withPrev = flagged.withColumn("__prev",
-      lag(col("__dup"), 1, 0L).over(byDoc))
-    withPrev.groupBy(col(idCol))
+    // window counts from the start flags alone (docs shorter than k have
+    // no windows and drop out via the inner join below)
+    val winStats = flagged.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
-        sum(col("__dup")).as("n_dup_windows"),
-        (sum(col("__dup")) + lit((k - 1).toLong) *
-          sum(when(col("__dup") === 1L && col("__prev") === 0L, 1L)
-            .otherwise(0L))).as("removable_tokens"))
+        sum(col("__dup")).as("n_dup_windows"))
+    // coverage counted EXACTLY as removeDupSpans removes it: a token at
+    // position p is covered when any dup window starts in [p−k+1, p] — a
+    // k-wide max over the start flags per token, then a sum. (The earlier
+    // Σdup + (k−1)·#runs run-fold double-counted the k−1 extension when
+    // two maximal runs sat closer than k−1 apart.)
+    val joined = tokens.select(col(idCol), col("pos")).join(
+      flagged.withColumnRenamed("__dup", "__sdup"),
+      Seq(idCol, "pos"), "left")
+    val covStats = joined.withColumn("__cov",
+        max(coalesce(col("__sdup"), lit(0L)))
+          .over(byDoc.rowsBetween(-(k - 1), 0)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cov")).as("removable_tokens"))
+    winStats.join(covStats, Seq(idCol))
   }
 
   /** The ACTION half of [[spanDupStats]]: rewrite each document with every

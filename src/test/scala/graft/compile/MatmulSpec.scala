@@ -84,6 +84,29 @@ class MatmulSpec extends SparkSpec {
     assert(vec.values == IndexedSeq(1 + 6 + 15.0, 2 + 8 + 18.0))
   }
 
+  test("reduction.matmul(registry matrix): pandas Series-from-reduction .dot") {
+    // a.sum() = (c0: 6, c1: 18, c2: 16); · m rows (1,2)(3,4)(5,6)
+    val RowResult(df, labels) = evalCells("a.sum().matmul(m)"): @unchecked
+    assert(labels == Seq("d1", "d2"))
+    val row = df.collect().head
+    assert(row.getDouble(0) == 6 + 54 + 80.0)
+    assert(row.getDouble(1) == 12 + 72 + 96.0)
+  }
+
+  test("matrix.matmul(reduction): df.dot(Series) with label alignment") {
+    val MatrixResult(df, rowId, labels, _) = evalCells("a.matmul(a.sum())"): @unchecked
+    assert(labels == Seq("0"))
+    val got = cells(df, rowId, labels)
+    assertCell(got(0L)("0"), 6 + 126 + 96)
+    assertCell(got(1L)("0"), 24 + 72 + 128)
+    assertCell(got(2L)("0"), 6 + 126 + 32)
+  }
+
+  test("scalar left operand gets a targeted error, not a bogus alignment one") {
+    val e = intercept[FormulaTypeException](evalCells("(v.matmul(u)).matmul(m)"))
+    assert(e.getMessage.contains("scalar has no"), e.getMessage)
+  }
+
   test("misaligned shapes raise pandas' alignment error") {
     // wrong vector length
     val e1 = intercept[FormulaTypeException](evalCells("a.matmul(w2)",

@@ -44,6 +44,16 @@ class TransposeSpec extends SparkSpec {
     assert(labels == Seq("0", "1", "2"))
   }
 
+  test("numeric row ids keep NUMERIC order past 10 rows (not 0,1,10,11,…,2)") {
+    val src = spark.range(12).selectExpr("id AS __row_id__",
+      "CAST(id * 10 AS DOUBLE) AS v")
+    val t = Ingest.transposedMatrix(Matrix.of(src, "__row_id__", Seq("v")))
+    assert(t.labels == (0 until 12).map(_.toString),
+      s"column order must follow the source row-id order, got ${t.labels}")
+    val row = t.base.collect().head
+    assert((0 until 12).forall(i => row.getDouble(i + 1) == i * 10.0))
+  }
+
   test("a data-scaled frame is refused, not collected") {
     val big = spark.range(20001).selectExpr("id AS __row_id__",
       "CAST(id AS DOUBLE) AS v")

@@ -6,8 +6,8 @@ import graft.SparkSpec
 
 /** [[Dedup.spanDupStats]] — sliding-window exact-substring duplication.
   * Hand-crafted corpora pin the offset-invariance (a copied sentence at a
-  * DIFFERENT offset must collide), the run-fold coverage arithmetic, and
-  * the short-document drop. */
+  * DIFFERENT offset must collide), the per-token coverage arithmetic
+  * (including overlapping runs), and the short-document drop. */
 class SpanDupSpec extends SparkSpec {
 
   private def corpus(docs: (Long, String)*) = {
@@ -51,6 +51,24 @@ class SpanDupSpec extends SparkSpec {
     assert(got(1L)._2 == 2L && got(1L)._3 == 8L, got(1L).toString)
     assert(got(2L)._2 == 1L && got(2L)._3 == 4L, got(2L).toString)
     assert(got(3L) == ((4L, 0L, 0L)), got(3L).toString)
+  }
+
+  test("overlapping dup runs count coverage once (no run-fold double count)") {
+    // doc1's dup starts are 0 (a b c d) and 2 (c d e f) — two maximal
+    // runs separated by ONE non-dup start, so their coverage intervals
+    // [0,3] and [2,5] overlap. The old Σdup + (k−1)·#runs fold said
+    // 2 + 3·2 = 8 > n_tokens = 6; true coverage is 6, and it must agree
+    // with what removeDupSpans actually removes.
+    val df = corpus(
+      1L -> "a b c d e f",
+      2L -> "a b c d Z c d e f")
+    val got = stats(df, k = 4)
+    assert(got(1L) == ((3L, 2L, 6L)), got(1L).toString)
+    // doc2: dup starts 0 and 5, gap > k−1 → disjoint runs, 4 + 4 = 8
+    assert(got(2L) == ((6L, 2L, 8L)), got(2L).toString)
+    val removed = clean(df, k = 4)
+    assert(removed(1L)._3 == got(1L)._3 && removed(2L)._3 == got(2L)._3,
+      "spanDupStats.removable_tokens must equal removeDupSpans.removed_tokens")
   }
 
   test("within-doc repetition alone is NOT cross-doc duplication") {
