@@ -14,15 +14,23 @@ import org.apache.spark.sql.expressions.Window
   * family), generalized to any (sum | max | min) running aggregate over any
   * column set and kept entirely LAZY inside one plan:
   *
-  *   1. every row gets a DETERMINISTIC slice id: its order-column value
-  *      equi-width-bucketed into `spark.sql.shuffle.partitions` slices
-  *      against broadcast min/max bounds (per group, when `partitionCols`
-  *      is given — the scalar-subquery shape, no driver round-trip). A
-  *      pure projection of the data: unlike `repartitionByRange` +
-  *      `spark_partition_id`, whose sampled boundaries change per exchange
-  *      instance (the RangePartitioner seeds by RDD id), the slice id is
-  *      identical in every subtree that computes it, so the plan needs no
-  *      checkpoint to keep its two consumers consistent;
+  *   1. every row gets a DETERMINISTIC slice id. Ungrouped: sampled
+  *      QUANTILE boundaries (equi-height) — a bounded deterministic
+  *      hash-sample of the order domain (smallest-hash top-K, fully
+  *      tie-broken, so every evaluation picks the SAME sample — unlike
+  *      `repartitionByRange`, whose RangePartitioner seeds by RDD id and
+  *      re-samples per exchange instance), exact quantiles of that
+  *      sample broadcast back, and a codegen'd boundary-count bucket of
+  *      the composite (order value, row-entropy hash) key. Ties on the
+  *      order value may legally SPLIT across adjacent slices (any split
+  *      is a valid arbitrary tie order), so even a single heavy value
+  *      balances when the tie hash has row entropy. Grouped mode keeps
+  *      the per-group equi-width bucket against broadcast min/max bounds
+  *      (the scalar-subquery shape, no driver round-trip) — per-group
+  *      top-K sampling would cost a data-scaled shuffle. Either way the
+  *      slice id is a pure projection of the data, identical in every
+  *      subtree that computes it, so the plan needs no checkpoint to
+  *      keep its two consumers consistent;
   *   2. per-slice partial aggregates — ≤ `parts` rows per group — turned
   *      into EXCLUSIVE base offsets by a window over that bounded partial
   *      frame (one task, but over slice-count-many rows, never
@@ -36,13 +44,18 @@ import org.apache.spark.sql.expressions.Window
   * the aggregate of all non-NULL cells up to and including the current row,
   * and is NULL while no value has been seen yet. Callers encode their own
   * invalid-cell markers (NaN → NULL) before calling and decode after.
-  * `orderCol` must be numeric (slice bucketing is arithmetic) and
-  * (near-)unique: rows tied on it receive an arbitrary relative order,
-  * exactly as under a global ORDER BY window. Slice balance follows the
-  * order column's VALUE distribution (equi-width, not equi-height); dense
-  * row ids — the engine's ordering contract — bucket evenly, while a
-  * heavily skewed order domain concentrates slices (correctness holds;
-  * parallelism degrades toward the skew).
+  * `orderCol` must be numeric (slice bucketing is arithmetic) and rows
+  * tied on it receive an arbitrary relative order, exactly as under a
+  * global ORDER BY window. Ungrouped slice balance is equi-HEIGHT
+  * (sampled quantiles of the actual row distribution, ties split by the
+  * `tieCols` hash), so a skewed — even constant — order domain still
+  * parallelizes as long as `tieCols` carries row entropy (default:
+  * order + value columns; pass the full row when values repeat, as
+  * [[graft.plans.GlobalRowNumberRule]] does). Grouped mode stays
+  * equi-width per group: callers there order by dense per-group
+  * positions, which bucket evenly by construction (a skewed grouped
+  * order domain would concentrate slices — correctness holds,
+  * parallelism degrades).
   *
   * Floating-point note: two-phase summation associates differently from a
   * strictly sequential scan; integer-valued doubles and decimals are exact,
@@ -50,6 +63,23 @@ import org.apache.spark.sql.expressions.Window
   * every distributed prefix sum.
   */
 object Prefix {
+
+  /** All columns of `df` whose types `xxhash64` can digest (maps excluded,
+    * structs/arrays recursed) — the full-row entropy set callers pass as
+    * `tieCols` when their order domain may repeat and the value columns
+    * carry no entropy of their own (a `row_number() OVER (ORDER BY
+    * skewed_col)` rewrite sums constant ones, so only the rest of the row
+    * can split the heavy value across slices). */
+  def entropyCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def ok(t: DataType): Boolean = t match {
+      case _: MapType    => false
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case a: ArrayType  => ok(a.elementType)
+      case _             => true
+    }
+    df.schema.fields.filter(f => ok(f.dataType)).map(f => df.col(f.name)).toSeq
+  }
 
   /** Appends `outNames(i)` = running `kinds(i)` aggregate of `inNames(i)`
     * (both physical columns of `df`) in the global `orderCol` order —
@@ -72,7 +102,8 @@ object Prefix {
                  outNames: Seq[String],
                  partitionCols: Seq[String] = Nil,
                  descending: Boolean = false,
-                 nullsLast: Boolean = false): DataFrame = {
+                 nullsLast: Boolean = false,
+                 tieCols: Seq[Column] = Nil): DataFrame = {
     require(inNames.length == kinds.length && kinds.length == outNames.length,
       "inNames, kinds and outNames must align")
     require(kinds.forall(Set("sum", "max", "min")),
@@ -85,38 +116,8 @@ object Prefix {
       case "sum" => sum(c); case "max" => max(c); case "min" => min(c)
     }
 
-    // deterministic slice id: equi-width bucket of orderCol against the
-    // (per-group) broadcast bounds — a pure projection, stable across
-    // every subtree that evaluates it. Bounds exclude NaN (min/max would
-    // otherwise return NaN — Spark sorts NaN greatest — and poison every
-    // slice via a NaN span).
-    val ord = orderCol.cast("double")
-    val ordFinite = when(isnan(ord), lit(null)).otherwise(ord)
-    val bounds =
-      if (pCols.isEmpty)
-        df.agg(min(ordFinite).as("__pfx_lo"), max(ordFinite).as("__pfx_hi"))
-      else
-        df.groupBy(pCols: _*)
-          .agg(min(ordFinite).as("__pfx_lo"), max(ordFinite).as("__pfx_hi"))
-    val withBounds =
-      if (pCols.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), partitionCols)
-    val span = col("__pfx_hi") - col("__pfx_lo")
-    val nullSlice = if (nullsLast) parts - 1 else 0
-    val nanSlice = if (descending) 0 else parts - 1 // NaN sorts greatest
-    val bucket = least(lit(parts - 1),
-      floor((ord - col("__pfx_lo")) / span * parts).cast("int"))
-    val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
-    // NULL/NaN order values take the slice matching their sort position,
-    // so callers need no guard of their own; a degenerate span (all equal
-    // or all NULL/NaN) collapses real values onto slice 0, where the
-    // within-slice sort still places them correctly vs NULL/NaN slices
-    val sliced = withBounds.withColumn("__pfx_pid",
-        when(ord.isNull, lit(nullSlice))
-          .when(isnan(ord), lit(nanSlice))
-          .when(span.isNull || span <= 0.0, lit(0))
-          .otherwise(valueSlice))
-      .drop("__pfx_lo", "__pfx_hi")
+    val sliced = withSliceId(df, orderCol, inNames, partitionCols,
+      descending, nullsLast, tieCols, parts)
 
     // per-(slice, group) partials → exclusive base offsets via a window
     // over the BOUNDED partial frame (≤ parts rows per group) — slice-
@@ -170,6 +171,111 @@ object Prefix {
       .drop("__pfx_pid")
   }
 
+  /** The deterministic slice-id projection behind [[runningAgg]]: appends
+    * `__pfx_pid` ∈ [0, parts). Ungrouped: sampled-quantile (equi-height)
+    * boundaries over the composite (order value, tie hash) key; grouped:
+    * per-group equi-width bucket against broadcast min/max bounds.
+    * `private[graft]` so probes can measure slice balance directly. */
+  private[graft] def withSliceId(df: DataFrame, orderCol: Column,
+                                 inNames: Seq[String],
+                                 partitionCols: Seq[String],
+                                 descending: Boolean, nullsLast: Boolean,
+                                 tieCols: Seq[Column],
+                                 parts: Int): DataFrame = {
+    val pCols = partitionCols.map(col)
+    val ord = orderCol.cast("double")
+    val ordFinite = when(isnan(ord), lit(null)).otherwise(ord)
+    val nullSlice = if (nullsLast) parts - 1 else 0
+    val nanSlice = if (descending) 0 else parts - 1 // NaN sorts greatest
+
+    if (pCols.isEmpty) {
+      // ---- ungrouped: sampled-QUANTILE slices (equi-height) ----
+      // composite sort key (order value, tie hash): the tie hash breaks
+      // order-value ties deterministically, so a heavy value may split
+      // across adjacent slices — a valid arbitrary tie order — and slice
+      // balance follows the ROW distribution, not the value domain
+      val tie = xxhash64((if (tieCols.nonEmpty) tieCols
+                          else orderCol +: inNames.map(col)) :+
+        lit("__pfx_tie"): _*)
+      // bounded deterministic sample: the sampleK rows with the smallest
+      // row hash — a uniform sample that every evaluation of this subtree
+      // reproduces bit-for-bit (the order below is TOTAL: hash, then the
+      // composite key itself, so even a hash collision at the cut line
+      // picks an interchangeable row)
+      // 256 sample rows per slice → per-boundary quantile error ≈
+      // 1/√256 ≈ 6% of a slice width (measured: parts·64 left 42% slice
+      // imbalance on the Zipf probe, parts·256 ~20%); the sample is
+      // driver-tiny either way and the offsets frame stays ≤ parts rows
+      val sampleK = parts * 256
+      val narrow = df.select(ordFinite.as("__pfx_o"), tie.as("__pfx_t"))
+        .where(col("__pfx_o").isNotNull)
+      val samp = narrow
+        .withColumn("__pfx_h",
+          xxhash64(col("__pfx_o"), col("__pfx_t"), lit("__pfx_h")))
+        .orderBy(col("__pfx_h"), col("__pfx_o"), col("__pfx_t"))
+        .limit(sampleK)
+      // exact quantiles of the sorted sample → parts−1 boundary pairs as
+      // SCALAR columns of a 1-row frame (empty input → NULL boundaries →
+      // every real row lands in slice 0, the degenerate collapse)
+      val allSorted = samp.agg(sort_array(collect_list(
+        struct(col("__pfx_o").as("o"), col("__pfx_t").as("t"))))
+        .as("__pfx_all"))
+      val bndCols = (1 until parts).flatMap { i =>
+        val n = size(col("__pfx_all"))
+        val idx = least(n, greatest(lit(1),
+          floor(n * lit(i) / lit(parts)).cast("int")))
+        // size-guarded element_at with a clamped index (never out of range
+        // under ANSI); NOT try_element_at — that is RuntimeReplaceable and
+        // cannot codegen when this plan is built inside a post-optimizer
+        // rule (GlobalRowNumberRule), where ReplaceExpressions already ran
+        val b = when(n > 0, element_at(col("__pfx_all"), idx))
+        Seq(b.getField("o").as(s"__pfx_bo_$i"),
+          b.getField("t").as(s"__pfx_bt_$i"))
+      }
+      val bnds = allSorted.select(bndCols: _*)
+      // bucket = how many boundaries (bo, bt) are ≤ (ord, tie) — parts−1
+      // flat codegen'd comparisons (no interpreted higher-order function),
+      // monotone in the order value, deterministic in the tie
+      val bucket = (1 until parts).map { i =>
+        when(col(s"__pfx_bo_$i") < ord ||
+          (col(s"__pfx_bo_$i") === ord && col(s"__pfx_bt_$i") <= tie),
+          1).otherwise(0)
+      }.reduceLeft(_ + _)
+      val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
+      df.crossJoin(broadcast(bnds))
+        .withColumn("__pfx_pid",
+          when(ord.isNull, lit(nullSlice))
+            .when(isnan(ord), lit(nanSlice))
+            .otherwise(valueSlice))
+        .drop((1 until parts).flatMap(i =>
+          Seq(s"__pfx_bo_$i", s"__pfx_bt_$i")): _*)
+    } else {
+      // ---- grouped: per-group equi-width bucket against broadcast
+      // min/max bounds — a pure projection, stable across every subtree
+      // that evaluates it (per-group quantile sampling would need a
+      // data-scaled shuffle). Bounds exclude NaN (min/max would otherwise
+      // return NaN — Spark sorts NaN greatest — and poison every slice
+      // via a NaN span).
+      val bounds = df.groupBy(pCols: _*)
+        .agg(min(ordFinite).as("__pfx_lo"), max(ordFinite).as("__pfx_hi"))
+      val withBounds = df.join(broadcast(bounds), partitionCols)
+      val span = col("__pfx_hi") - col("__pfx_lo")
+      val bucket = least(lit(parts - 1),
+        floor((ord - col("__pfx_lo")) / span * parts).cast("int"))
+      val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
+      // NULL/NaN order values take the slice matching their sort position,
+      // so callers need no guard of their own; a degenerate span (all equal
+      // or all NULL/NaN) collapses real values onto slice 0, where the
+      // within-slice sort still places them correctly vs NULL/NaN slices
+      withBounds.withColumn("__pfx_pid",
+          when(ord.isNull, lit(nullSlice))
+            .when(isnan(ord), lit(nanSlice))
+            .when(span.isNull || span <= 0.0, lit(0))
+            .otherwise(valueSlice))
+        .drop("__pfx_lo", "__pfx_hi")
+    }
+  }
+
   /** Appends `outNames(i)` = the value of `inNames(i)` at global POSITION
     * `p − n` in the `orderCol` order (positional lag; `n < 0` is a lead),
     * NULL beyond the data edge. Positions are the dense 1..N ranks of
@@ -214,7 +320,10 @@ object Prefix {
     val narrow = df.select(
       col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)
     val posed = runningAgg(narrow.withColumn("__lag_one", lit(1L)),
-        col(okey), Seq("__lag_one"), Seq("sum"), Seq("__lag_p"))
+        col(okey), Seq("__lag_one"), Seq("sum"), Seq("__lag_p"),
+        // the unique row id is the perfect tie column: slices balance
+        // even when the user order value repeats heavily
+        tieCols = Seq(col(keyCol)))
       .drop("__lag_one")
       .localCheckpoint()
     val donor = posed.select(

@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   * protection to naive user queries on a Graft-extended session by
   * rewriting the window into that prefix:
   *
-  *   1. 1-row bounds aggregate over the order value (broadcast back);
-  *   2. a MONOTONE equi-width slice id from the bounds (a pure projection
-  *      — deterministic in the VALUE, so stable across retries, unlike a
-  *      partition id);
+  *   1. a bounded deterministic hash-sample of the order domain →
+  *      sampled-quantile boundaries (broadcast back, r8 — equi-HEIGHT, so
+  *      a skewed or even constant user order value still parallelizes);
+  *   2. a MONOTONE slice id from the boundaries plus a full-row tie hash
+  *      (a pure projection — deterministic in the row, so stable across
+  *      retries, unlike a partition id; ties may split across slices,
+  *      which is a valid arbitrary tie order);
   *   3. per-slice counts (≤ shuffle.partitions rows) → exclusive running
   *      offsets via a window over that bounded frame;
   *   4. offsets broadcast-joined back; rank = offset + within-slice
@@ -107,7 +110,10 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
       df.withColumn(OneCol, lit(1L)), ordCol,
       Seq(OneCol), Seq("sum"), Seq(RnCol),
       descending = so.direction == Descending,
-      nullsLast = so.nullOrdering == NullsLast).drop(OneCol)
+      nullsLast = so.nullOrdering == NullsLast,
+      // full-row entropy: the summed column is a constant 1, so only the
+      // rest of the row can split a heavy order value across slices
+      tieCols = graft.operators.Prefix.entropyCols(df)).drop(OneCol)
     // the fresh analyzed subtree still carries ResolvedHint nodes (this
     // rule runs in the end-of-optimization user batch, after the stock
     // hint elimination already ran on the original plan) — fold them into
@@ -213,7 +219,8 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
       df.withColumn(OneCol, lit(1L)), GraftColumnBridge.column(ordExpr),
       Seq(OneCol), Seq("sum"), Seq(RnCol),
       descending = so.direction == Descending,
-      nullsLast = so.nullOrdering == NullsLast).drop(OneCol)
+      nullsLast = so.nullOrdering == NullsLast,
+      tieCols = graft.operators.Prefix.entropyCols(df)).drop(OneCol)
     val total = df.agg(count(lit(1)).as("__gw_n"))
     val out = rn.crossJoin(broadcast(total))
       .withColumn("__gw_nt", expr(
