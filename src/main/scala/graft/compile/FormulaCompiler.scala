@@ -594,13 +594,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // shift down the index order / discrete difference x[i] − x[i−n].
       // Row ids are the ordering contract but are NOT guaranteed
       // contiguous, so the move is by dense POSITION
-      // ([[graft.operators.Prefix.positionalLag]]): the positional
-      // machinery runs on a NARROW (rowid, values) projection — streaming
-      // prefix for pos, pinned, narrow self-equi-join on `pos − n` — and
-      // the wide base joins the result ONCE on the row id, so the big
-      // frame never flows through the shift (the r6 wide self-join
-      // measured 2.25×/2.90× wall at 10× data; window `lag()` was worse
-      // still — offset frames buffer whole partitions).
+      // ([[graft.operators.Prefix.positionalLag]]): r8 single-pass — the
+      // frame is sliced on the (row id) total order, each slice's |n|
+      // edge rows hand off through a bounded driver collect, and one
+      // exchange + within-partition sort + streaming ring buffer emits
+      // every row with its donor attached. No join, no second movement
+      // of the frame (the r7 positional join measured 1.93×/2.00× wall
+      // at 10× data; window `lag()` is worse still — offset frames
+      // buffer whole partitions).
       // No skipna: shift MOVES
       // invalid cells like any value (pandas semantics); the vacated edge
       // rows become invalid. diff subtracts in native column arithmetic,

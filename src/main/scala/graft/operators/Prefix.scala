@@ -214,41 +214,26 @@ object Prefix {
           xxhash64(col("__pfx_o"), col("__pfx_t"), lit("__pfx_h")))
         .orderBy(col("__pfx_h"), col("__pfx_o"), col("__pfx_t"))
         .limit(sampleK)
-      // exact quantiles of the sorted sample → parts−1 boundary pairs as
-      // SCALAR columns of a 1-row frame (empty input → NULL boundaries →
-      // every real row lands in slice 0, the degenerate collapse)
-      val allSorted = samp.agg(sort_array(collect_list(
+      // the ONE broadcast column: the sorted sample array itself (empty
+      // input → empty array → every real row lands in slice 0, the
+      // degenerate collapse). The slice id is a compiled binary search
+      // against it ([[graft.functions.QuantileBucket]]): a flat
+      // boundary-column formulation (parts−1 comparison terms) generated
+      // a projection method past the JIT's 8 KB bytecode ceiling, which
+      // HotSpot then refused to compile — the interpreted-bytecode
+      // projection measured ~25× the scan cost of the same frame.
+      val bnds = samp.agg(sort_array(collect_list(
         struct(col("__pfx_o").as("o"), col("__pfx_t").as("t"))))
         .as("__pfx_all"))
-      val bndCols = (1 until parts).flatMap { i =>
-        val n = size(col("__pfx_all"))
-        val idx = least(n, greatest(lit(1),
-          floor(n * lit(i) / lit(parts)).cast("int")))
-        // size-guarded element_at with a clamped index (never out of range
-        // under ANSI); NOT try_element_at — that is RuntimeReplaceable and
-        // cannot codegen when this plan is built inside a post-optimizer
-        // rule (GlobalRowNumberRule), where ReplaceExpressions already ran
-        val b = when(n > 0, element_at(col("__pfx_all"), idx))
-        Seq(b.getField("o").as(s"__pfx_bo_$i"),
-          b.getField("t").as(s"__pfx_bt_$i"))
-      }
-      val bnds = allSorted.select(bndCols: _*)
-      // bucket = how many boundaries (bo, bt) are ≤ (ord, tie) — parts−1
-      // flat codegen'd comparisons (no interpreted higher-order function),
-      // monotone in the order value, deterministic in the tie
-      val bucket = (1 until parts).map { i =>
-        when(col(s"__pfx_bo_$i") < ord ||
-          (col(s"__pfx_bo_$i") === ord && col(s"__pfx_bt_$i") <= tie),
-          1).otherwise(0)
-      }.reduceLeft(_ + _)
+      val bucket = graft.functions.ArrayOps.quantile_bucket(
+        col("__pfx_all"), ord, tie, parts)
       val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
       df.crossJoin(broadcast(bnds))
         .withColumn("__pfx_pid",
           when(ord.isNull, lit(nullSlice))
             .when(isnan(ord), lit(nanSlice))
-            .otherwise(valueSlice))
-        .drop((1 until parts).flatMap(i =>
-          Seq(s"__pfx_bo_$i", s"__pfx_bt_$i")): _*)
+            .otherwise(coalesce(valueSlice, lit(0))))
+        .drop("__pfx_all")
     } else {
       // ---- grouped: per-group equi-width bucket against broadcast
       // min/max bounds — a pure projection, stable across every subtree
@@ -281,41 +266,158 @@ object Prefix {
     * NULL beyond the data edge. Positions are the dense 1..N ranks of
     * `orderCol` — rows need not be contiguous on it (the engine's
     * shift/diff densification). `keyCol` must be a non-null UNIQUE key of
-    * `df` (the engine's row id): the lag is computed on a NARROW
-    * projection and joined back on it.
+    * `df` (the engine's row id): it breaks order ties into a TOTAL
+    * deterministic order, so the result is reproducible across runs and
+    * task retries.
     *
     * Why not a window `lag()` over the distributed slices? Offset window
     * frames (lag/lead) make WindowExec BUFFER every partition's rows
     * (`ExternalAppendOnlyUnsafeRowArray`) instead of streaming them the
     * way running-aggregate frames do — measured at 4–15× the executor
     * time of the cumsum pass on the same data, before even paying for the
-    * cross-slice boundary handoff. And any design that moves the FULL
-    * frame through the positional machinery pays wide-row exchange and
-    * materialization costs (checkpointing the wide frame measured 0.7 s
-    * at 10× where the narrow pin is ~free).
+    * cross-slice boundary handoff.
     *
-    * So the movement-optimal shape keeps the wide frame still:
+    * r8: TRUE single-pass (the r7 shape computed dense positions on a
+    * pinned narrow projection, self-joined on `pos − n`, and joined the
+    * wide frame back — three narrow shuffles plus a wide join). Now the
+    * donor travels WITH the row:
     *
-    *   1. project `(key, order, values)` — the only columns positions
-    *      need (column-pruned straight into the scan);
-    *   2. dense pos via [[runningAgg]] of ones — a STREAMING running-sum
-    *      window, never an offset frame; pinned (`localCheckpoint`, the
-    *      duplicateGroups discipline — narrow, so the pin is cheap) so
-    *      the self-join below reads materialized partitions instead of
-    *      carrying two copies of the prefix subtree (un-pinned this
-    *      measured 14 Spark jobs and >1 s of driver re-planning);
-    *   3. narrow self-equi-join on `pos − n` — both sides ~5 columns, a
-    *      plannable shuffle join with a unique dense key, no skew;
-    *   4. ONE wide join back on `keyCol`. On a cluster where the base is
-    *      bucketed / hash-partitioned by the row id (the engine's layout
-    *      contract) this plans exchange-free on the wide side — the
-    *      100 TB frame never moves for a shift.
+    *   1. [[withSliceId]] over the (order, key) total order — the same
+    *      deterministic sampled-quantile slices as [[runningAgg]];
+    *   2. the |n| EDGE rows of every slice (a bounded per-slice
+    *      `row_number ≤ |n|` over the narrow projection — parts·|n| rows
+    *      in total, driver-collected by contract, like the prefix's own
+    *      ≤ parts-row offsets frame) become each slice's incoming ring
+    *      buffer: exactly the |n| rows that globally precede (follow,
+    *      for a lead) the slice's first processed row;
+    *   3. ONE hash exchange of the frame on the slice id + a
+    *      within-partition sort on the total order, then a streaming
+    *      `mapPartitions` ring buffer of size |n| emits every row with
+    *      its donor values attached — O(|n|) state, no window buffering,
+    *      no join, and the wide frame moves exactly once.
+    *
+    * `mapPartitions` is deliberate (the last-resort clause earned): the
+    * semantics need the row |n| places back in a total order — offset
+    * window frames are measured-forbidden, and every join formulation
+    * moves the data at least twice. Offsets beyond 256 fall back to the
+    * r7 positional join (the edge collect is parts·|n| rows — bounded
+    * only while |n| is small).
     */
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
                     outNames: Seq[String]): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
+    if (math.abs(n) <= 256)
+      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames)
+    else
+      positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames)
+  }
+
+  private def positionalLagStream(df: DataFrame, keyCol: String,
+                                  orderCol: Column, inNames: Seq[String],
+                                  n: Int, outNames: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val k = math.abs(n)
+    val rev = n < 0 // lead: process the total order in reverse
+    val okey = "__lag_ord"
+    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
+      inNames, Nil, descending = false, nullsLast = false,
+      tieCols = Seq(col(keyCol)), parts)
+
+    // the total processing order: (order asc nulls first, key asc) — or
+    // its exact mirror for a lead. NaN doubles sort greatest either way
+    // (Spark's convention), matching the slice placement in withSliceId.
+    val ordAsc  = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
+    val ordDesc = Seq(col(okey).desc_nulls_last, col(keyCol).desc)
+    val streamOrd = if (rev) ordDesc else ordAsc
+
+    // per-slice edge rows: the k rows a NEIGHBOURING slice needs as its
+    // incoming buffer — the LAST k of each slice for a lag, the FIRST k
+    // for a lead. row_number's running frame streams (never buffers).
+    val edgeOrd = if (rev) ordAsc else ordDesc
+    val edgeW = Window.partitionBy(col("__pfx_pid")).orderBy(edgeOrd: _*)
+    val edges = sliced
+      .select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
+        inNames.map(col): _*)
+      .withColumn("__lag_rn", row_number().over(edgeW))
+      .where(col("__lag_rn") <= k)
+      // collect in GLOBAL ascending order so the driver never re-implements
+      // the engine's NULL/NaN sort semantics
+      .orderBy((col("__pfx_pid").asc +: ordAsc): _*)
+      .select(col("__pfx_pid") +: inNames.map(col): _*)
+      .collect()
+
+    // incoming buffer per slice, oldest-processed first: for a lag, the
+    // last k edge rows of slices BELOW s (ascending); for a lead, the
+    // first k edge rows of slices ABOVE s, reversed (the reversed stream
+    // processes larger rows earlier)
+    val byPid = edges.groupBy(_.getInt(0))
+    val incoming: Map[Int, Array[Array[Any]]] =
+      (0 until parts).map { s =>
+        val vals =
+          if (rev)
+            (s + 1 until parts).iterator
+              .flatMap(p => byPid.getOrElse(p, Array.empty[org.apache.spark.sql.Row]))
+              .take(k).toArray.reverse
+          else
+            (0 until s).iterator
+              .flatMap(p => byPid.getOrElse(p, Array.empty[org.apache.spark.sql.Row]))
+              .toArray.takeRight(k)
+        s -> vals.map(r => inNames.indices.map(i => r.get(i + 1)).toArray)
+      }.toMap
+
+    val inSchema = sliced.schema
+    val inIdx = inNames.map(inSchema.fieldIndex)
+    val pidIdx = inSchema.fieldIndex("__pfx_pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields ++ outNames.zip(inNames).map { case (o, i) =>
+        inSchema(inSchema.fieldIndex(i)).copy(name = o, nullable = true)
+      })
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+
+    val streamed = sliced
+      .repartition(parts, col("__pfx_pid"))
+      .sortWithinPartitions((col("__pfx_pid").asc +: streamOrd): _*)
+      .mapPartitions { it =>
+        var curPid = Int.MinValue
+        val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
+        it.map { r =>
+          val pid = r.getInt(pidIdx)
+          if (pid != curPid) { // new contiguous slice run
+            buf.clear()
+            incoming.getOrElse(pid, Array.empty).foreach(buf.append)
+            curPid = pid
+          }
+          val donor: Array[Any] =
+            if (buf.length >= k) buf(buf.length - k) else null
+          val cur = inIdx.map(r.get).toArray
+          val outVals = new Array[Any](r.length + inIdx.length)
+          var i = 0
+          while (i < r.length) { outVals(i) = r.get(i); i += 1 }
+          var j = 0
+          while (j < inIdx.length) {
+            outVals(r.length + j) = if (donor == null) null else donor(j)
+            j += 1
+          }
+          buf.append(cur)
+          if (buf.length > k) buf.removeHead()
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            outVals, outSchema): org.apache.spark.sql.Row
+        }
+      }
+    streamed.drop("__pfx_pid", okey)
+  }
+
+  /** The r7 positional-join fallback for very large offsets: dense pos on
+    * a pinned narrow projection via [[runningAgg]] of ones, a narrow
+    * self-equi-join on `pos − n`, and one wide join back on the unique
+    * `keyCol`. */
+  private def positionalLagJoin(df: DataFrame, keyCol: String,
+                                orderCol: Column, inNames: Seq[String],
+                                n: Int, outNames: Seq[String]): DataFrame = {
     val okey = "__lag_ord"
     val narrow = df.select(
       col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)

@@ -131,6 +131,133 @@ class PrefixSpec extends SparkSpec {
     assert(out == sequential(values, _ + _))
   }
 
+  test("a CONSTANT order column still computes correctly (and spreads slices)") {
+    // r8: sampled-quantile slices split order-value ties by the tie hash,
+    // so even a degenerate single-value order domain parallelizes; the
+    // running sum under ties is any valid arbitrary tie order — for sum
+    // of the same rows, every tie order gives the same FINAL prefix set
+    val n = 2000
+    val schema = StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = (0 until n).map(i => Row(7L, Double.box(1.0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    // tieCols default = ord + values (all constant here) → one slice is
+    // legal; with a row-entropy tie the slices must SPREAD
+    val out = Prefix.runningAgg(df, col("ord"), Seq("v"), Seq("sum"), Seq("run"))
+      .select(col("run")).collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == (1 to n).map(_.toDouble), "prefix set must be 1..n")
+    val hist = Prefix.withSliceId(df.withColumn("rk", monotonically_increasing_id()),
+        col("ord"), Seq("v"), Nil, descending = false, nullsLast = false,
+        tieCols = Seq(col("rk")), 32)
+      .groupBy("__pfx_pid").count().collect()
+    assert(hist.length > 16,
+      s"constant order with row-entropy ties must use most slices, got ${hist.length}")
+  }
+
+  private def lagFrame(n: Int, ord: Int => Long) = {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("o", LongType, nullable = false),
+      StructField("a", DoubleType, nullable = true),
+      StructField("b", DoubleType, nullable = false)))
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, ord(i),
+        if (i % 7 == 0) null else Double.box(i.toDouble),
+        Double.box(i * 1000.0))
+    }
+    (rows, spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).repartition(7))
+  }
+
+  test("positionalLag: lag and lead match a driver reference on a unique order") {
+    val n = 500
+    val (rows, df) = lagFrame(n, i => (i * 13 % 997).toLong * 1000 + i) // unique, shuffled
+    for (shift <- Seq(1, 3, -2)) {
+      val out = Prefix.positionalLag(df, "k", col("o"), Seq("a", "b"), shift,
+          Seq("la", "lb")).orderBy(col("o"))
+        .select(col("k"), col("la"), col("lb")).collect()
+      val sorted = rows.sortBy(_.getLong(1))
+      val byPos = sorted.zipWithIndex.map { case (r, i) => i -> r }.toMap
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val got = out(i)
+        assert(got.getLong(0) == r.getLong(0), "row order must follow o")
+        byPos.get(i - shift) match {
+          case None => assert(got.isNullAt(1) && got.isNullAt(2),
+            s"edge row $i shift $shift must be NULL")
+          case Some(d) =>
+            if (d.isNullAt(2)) assert(got.isNullAt(1),
+              s"NULL donor value must stay NULL at $i shift $shift")
+            else assert(!got.isNullAt(1) && got.getDouble(1) == d.getDouble(2),
+              s"donor a mismatch at $i shift $shift")
+            assert(got.getDouble(2) == d.getDouble(3),
+              s"donor b mismatch at $i shift $shift")
+        }
+      }
+    }
+  }
+
+  test("positionalLag: heavy order ties form SOME valid total order") {
+    // ties get an arbitrary-but-deterministic relative order (the engine
+    // contract); the output must still be the successor structure of ONE
+    // total order extending the o-order: exactly |n| edge NULLs, every
+    // row donated at most once, donors never from a later o-group
+    val n = 400
+    val (rows, df) = lagFrame(n, i => (i / 50).toLong) // 8 big tie groups
+    for (shift <- Seq(2, -3)) {
+      val out = Prefix.positionalLag(df, "k", col("o"), Seq("b"), shift,
+          Seq("lb")).select(col("k"), col("o"), col("lb")).collect()
+      assert(out.length == n)
+      val nullEdges = out.count(_.isNullAt(2))
+      assert(nullEdges == math.abs(shift),
+        s"expected ${math.abs(shift)} edge NULLs, got $nullEdges")
+      val donorB = out.filter(!_.isNullAt(2)).map(_.getDouble(2))
+      assert(donorB.distinct.length == donorB.length,
+        "no row may donate twice")
+      val oOfB = rows.map(r => r.getDouble(3) -> r.getLong(1)).toMap
+      out.filter(!_.isNullAt(2)).foreach { r =>
+        val dOrd = oOfB(r.getDouble(2))
+        if (shift > 0) assert(dOrd <= r.getLong(1), "lag donor from later o-group")
+        else assert(dOrd >= r.getLong(1), "lead donor from earlier o-group")
+      }
+    }
+  }
+
+  test("positionalLag: offset beyond the data length yields all NULL donors") {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = (0 until 10).map(i => Row(i.toLong, Double.box(i.toDouble)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val out = Prefix.positionalLag(df, "k", col("k"), Seq("v"), 50, Seq("lv"))
+      .select(col("lv")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("QuantileBucket kernel: empty, tiny and boundary-tie cases") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    def arr(elems: (Double, Long)*): ArrayData =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        elems.map { case (o, t) => InternalRow(o, t) }.toArray[Any])
+    import graft.functions.GraftVec.quantileBucket
+    assert(quantileBucket(arr(), 5.0, 0L, 32) == 0, "empty sample → slice 0")
+    val s = arr((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
+    assert(quantileBucket(s, 0.5, 0L, 4) == 0)   // below all
+    assert(quantileBucket(s, 9.0, 0L, 4) == 3)   // above all → clamp
+    assert(quantileBucket(s, 2.0, 20L, 4) == 2)  // ≤ ties count inclusively
+    assert(quantileBucket(s, 2.0, 19L, 4) == 1)  // tie hash below element
+    // monotone in (o, t)
+    val keys = Seq((0.0, 0L), (1.0, 9L), (1.0, 10L), (2.5, 0L), (4.0, 40L), (9.9, 1L))
+    val buckets = keys.map { case (o, t) => quantileBucket(s, o, t, 4) }
+    assert(buckets == buckets.sorted, s"must be monotone: $buckets")
+  }
+
   test("slice ids agree across plan branches at high partition counts") {
     // REGRESSION: an earlier formulation derived the slice id from
     // repartitionByRange + spark_partition_id; the RangePartitioner seeds
