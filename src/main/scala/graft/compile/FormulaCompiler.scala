@@ -567,11 +567,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val tag = ctx.seqCounter
         val inNames = cols.indices.map(i => s"__cum${tag}_in_$i")
         val runNames = cols.indices.map(i => s"__cum${tag}_run_$i")
-        // encode the skip marker as NULL (std: NaN→NULL; decimal: already NULL)
-        val marked = cols.zip(inNames).foldLeft(ctx.base.get) {
-          case (b, ((_, c), n)) =>
-            b.withColumn(n, if (std) when(isnan(c), lit(null)).otherwise(c) else c)
-        }
+        // encode the skip marker as NULL (std: NaN→NULL; decimal: already
+        // NULL). ONE select, never a p-deep withColumn fold — each
+        // withColumn re-analyzes the whole plan, quadratic in width
+        // (measured: the bulk of the 12.7 s wide-cumprod compile)
+        val marked = ctx.base.get.select(col("*") +:
+          cols.zip(inNames).map { case ((_, c), n) =>
+            (if (std) when(isnan(c), lit(null)).otherwise(c) else c).as(n)
+          }: _*)
         ctx.base = Some(graft.operators.Prefix.runningAgg(
           marked, col(ctx.rowIdOut),
           inNames, Seq.fill(cols.size)(kind), runNames))
@@ -618,9 +621,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ctx.seqCounter += 1
           val tag = ctx.seqCounter
           val valNames = cols.indices.map(i => s"__sh${tag}_v_$i")
-          val materialized = cols.zip(valNames).foldLeft(ctx.base.get) {
-            case (b, ((_, c), vn)) => b.withColumn(vn, c)
-          }
+          val materialized = ctx.base.get.select(col("*") +:
+            cols.zip(valNames).map { case ((_, c), vn) => c.as(vn) }: _*)
           ctx.base = Some(graft.operators.Prefix.positionalLag(
             materialized, ctx.rowIdOut, col(ctx.rowIdOut), valNames, n,
             valNames.map(vn => s"${vn}_sh")))
@@ -658,10 +660,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // `.cumprod()` (E11 long tail, r6): pandas skipna running product.
       // Products don't distribute as products (no partial-product window
       // at scale without the same single-partition trap), but they DO as
-      // three running SUMS through the same distributed prefix:
-      //   ln Σ  = running sum of ln|v| over non-zero cells,
-      //   negs  = running count of negative cells (sign = parity),
-      //   zeros = running count of zero cells (any ⇒ product is 0).
+      // running SUMS through the same distributed prefix. r8 packs the
+      // working width to TWO columns per source column (was three):
+      //   ln Σ    = running sum of ln|v| over non-zero cells,
+      //   packed  = running sum of (zero?·2³¹ + negative?) — the zero
+      //             count in the high bits, the negative count (sign =
+      //             parity) in the low 31; exact while each column has
+      //             < 2³¹ zero and < 2³¹ negative cells (≈2.1 billion —
+      //             beyond any engine frame's per-column pathology).
       // out = 0 if zeros > 0 else (−1)^negs · e^lnΣ. The exp/ln round-trip
       // costs ~1 ulp relative vs a sequential multiply — documented, so
       // this method is golden-tested, not oracle-hashed (the e9_log
@@ -672,33 +678,35 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val inNames = cols.indices.flatMap(i =>
-          Seq(s"__cp${tag}_ln_$i", s"__cp${tag}_ng_$i", s"__cp${tag}_zr_$i"))
+          Seq(s"__cp${tag}_ln_$i", s"__cp${tag}_pk_$i"))
         val runNames = cols.indices.flatMap(i =>
-          Seq(s"__cp${tag}_lns_$i", s"__cp${tag}_ngs_$i", s"__cp${tag}_zrs_$i"))
-        val marked = cols.zipWithIndex.foldLeft(ctx.base.get) {
-          case (b, ((_, c), i)) =>
+          Seq(s"__cp${tag}_lns_$i", s"__cp${tag}_pks_$i"))
+        // ONE select (see the cumsum note: withColumn folds re-analyze
+        // the plan per column, quadratic in width)
+        val marked = ctx.base.get.select(col("*") +:
+          cols.zipWithIndex.flatMap { case ((_, c), i) =>
             val valid = !isnan(c)
-            b.withColumn(s"__cp${tag}_ln_$i",
-                when(valid && c =!= 0.0, log(abs(c))).otherwise(lit(null)))
-              .withColumn(s"__cp${tag}_ng_$i",
-                when(valid && c < 0.0, lit(1L)).otherwise(lit(null)))
-              .withColumn(s"__cp${tag}_zr_$i",
-                when(valid && c === 0.0, lit(1L)).otherwise(lit(null)))
-        }
+            Seq(
+              when(valid && c =!= 0.0, log(abs(c))).otherwise(lit(null))
+                .as(s"__cp${tag}_ln_$i"),
+              when(valid, (c === 0.0).cast("long") * lit(2147483648L) +
+                  (c < 0.0).cast("long")).otherwise(lit(null))
+                .as(s"__cp${tag}_pk_$i"))
+          }: _*)
         ctx.base = Some(graft.operators.Prefix.runningAgg(
           marked, col(ctx.rowIdOut),
           inNames, Seq.fill(inNames.size)("sum"), runNames))
         val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
           val lns = col(s"__cp${tag}_lns_$i")
-          val ngs = coalesce(col(s"__cp${tag}_ngs_$i"), lit(0L))
-          val zrs = coalesce(col(s"__cp${tag}_zrs_$i"), lit(0L))
+          val pks = coalesce(col(s"__cp${tag}_pks_$i"), lit(0L))
+          val ngs = pks.bitwiseAND(lit(0x7FFFFFFFL))
+          val zrs = shiftright(pks, 31)
           val sign = lit(1.0) - lit(2.0) * (ngs % 2).cast("double")
           val cell = when(isnan(c), c)
             .otherwise(when(zrs > 0, lit(0.0))
               // a leading all-NaN prefix has no factors: pandas keeps NaN
               // until the first real value (unlike cumsum's empty-sum 0)
-              .otherwise(when(lns.isNull && ngs === 0 && zrs === 0,
-                  litOf(Double.NaN))
+              .otherwise(when(lns.isNull && pks === 0, litOf(Double.NaN))
                 .otherwise(sign * exp(coalesce(lns, lit(0.0))))))
           (lbl, cell)
         }
