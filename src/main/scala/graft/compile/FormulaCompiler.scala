@@ -768,10 +768,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // previous joins (PROBE_r7: a 50-column .rank() never finished
           // analysis; >600 s in resolveSelfJoinCondition). Re-plan as ONE
           // (column-index, value) equi-join of the row-id-carrying
-          // stacked frame against the rank tables, pivoted back with a
-          // max(when) fold per column and joined onto the base ONCE on
-          // the row id — 3 fixed plan nodes at ANY width, all linear in
-          // n·p rows.
+          // stacked frame against the rank tables, pivoted back with
+          // Spark's literal-value pivot (r8 — resolves to PivotFirst, a
+          // fixed-width hash-aggregate buffer updated O(1) per input row;
+          // the earlier p-wide max(when) fold made every n·p-row group
+          // evaluate p when-aggregates, quadratic in width: w50 7.5 s →
+          // w100 30.1 s exec, and a map_from_entries(collect_list) pivot
+          // forces object/sort aggregation — measured slower still at
+          // w50) and joined onto the base ONCE on the row id — 3 fixed
+          // plan nodes and one linear aggregate at ANY width.
           val (rid, aNames) = (s"__rk${tag}_rid",
             cols.indices.map(i => s"__rk${tag}_a_$i"))
           val look = base0.select(col(ctx.rowIdOut).as(rid),
@@ -779,12 +784,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 when(isnan(c), lit(null)).otherwise(c)
               }: _*)).as(Seq("__ci", "__v")))
             .where(col("__v").isNotNull)
-          val aggExprs = aNames.zipWithIndex.map { case (a, i) =>
-            max(when(col("__ci") === i, col("__avg"))).as(a)
-          }
           val pivoted = look.join(ranked, Seq("__ci", "__v"), "left")
             .groupBy(col(rid))
-            .agg(aggExprs.head, aggExprs.tail: _*)
+            .pivot("__ci", cols.indices.map(Int.box))
+            .agg(first(col("__avg")))
+            // pivot names columns by value ("0".."p−1") — rename before
+            // they can collide with matrix labels on the base join
+            .select(col(rid) +: cols.indices.map(i =>
+              col(s"`$i`").as(aNames(i))): _*)
           val b = ctx.base.get
           ctx.base = Some(b.join(pivoted, b(ctx.rowIdOut) === pivoted(rid), "left")
             .drop(rid))

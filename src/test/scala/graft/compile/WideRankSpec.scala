@@ -57,6 +57,28 @@ class WideRankSpec extends SparkSpec {
     }
   }
 
+  test("an ALL-NaN row survives the pivot (its row id is absent from the stack)") {
+    // every cell NaN → the stacked frame has no rows for that rid → the
+    // pivot join misses → every output cell must stay NaN, not null-crash
+    val labels = (0 until nCols).map(i => s"c$i")
+    val schema = StructType(StructField("__row_id__", LongType) +:
+      labels.map(l => StructField(l, DoubleType)))
+    val data = (0 until 6).map { r =>
+      Row.fromSeq(r.toLong +: labels.indices.map(c =>
+        if (r == 3) Double.NaN else (r * 2 + c % 3).toDouble))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+    val ev = new FormulaEvaluator(
+      reg("m" -> Matrix.of(df, "__row_id__", labels)), fillInvalid = false)
+    val MatrixResult(res, rowId, outLabels, _) =
+      ev.evaluateFormula("m.rank()"): @unchecked
+    val got = cells(res, rowId, outLabels)
+    assert(outLabels.forall(l => got(3L)(l).isNaN), "all-NaN row must stay NaN")
+    assert(got(0L)("c0") == 1.0) // sanity: other rows still ranked
+  }
+
   test("wide .rank() compiles in bounded time and plan size") {
     val ev = new FormulaEvaluator(reg("m" -> wideMatrix), fillInvalid = false)
     val t0 = System.nanoTime()
