@@ -58,6 +58,18 @@ object SparkEntry {
     * against even events per user on epoch-µs time. The right side is
     * pre-deduped to one row per (key, ts) — latest event_id wins — so the
     * match is unambiguous in any engine. */
+  /** Deterministic NESTED JSON document rebuilt from real event columns —
+    * the ev_jstruct/ev_jarr input. Both engines construct the byte-identical
+    * string and then use their own JSON machinery to take it apart. */
+  private def nestedJson: org.apache.spark.sql.Column = concat(
+    lit("{\"m\":{\"k\":"),
+    coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+    lit(",\"t\":\""), col("event_type"), lit("\"},\"vals\":["),
+    pmod(col("event_id"), lit(7L)),
+    lit(","), pmod(col("event_id") * 3, lit(11L)),
+    lit(","), pmod(col("event_id") * 5, lit(13L)),
+    lit("]}"))
+
   private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // `tu` = epoch-µs BIGINT via QueryCatalog.eventsWithTu (tolerant of
     // both the TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical encodings)
@@ -611,6 +623,40 @@ object SparkEntry {
           round(avg(col("k")), 6).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+    // r8: TYPED semi-structured extraction. The events payload is a flat
+    // {"k": n}; real event pipelines carry nested objects and arrays, so
+    // the query first REBUILDS a nested JSON document from real columns
+    // (deterministic string concat — both engines construct the identical
+    // document), then parses it back with a typed from_json schema
+    // (struct field access, no per-path string extraction) and, in
+    // ev_jarr, posexplodes the nested array. All scan-stage projections +
+    // one grouped agg — the decode cost scales linearly and fuses into
+    // the scan.
+    "ev_jstruct" -> ((s, d) => {
+      val ev = eventsWithTu(s, d)
+      val js = nestedJson
+      val schema = "m STRUCT<k: BIGINT, t: STRING>, vals ARRAY<BIGINT>"
+      val p = from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema))
+      ev.select(p.as("p"))
+        .groupBy(col("p.m.t").as("t"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("p.m.k")), lit(0L)).as("sum_k"),
+          sum(size(col("p.vals")).cast(LongType)).as("n_vals"),
+          coalesce(sum(col("p.vals")(0)), lit(0L)).as("sum_v0"))
+        .orderBy(col("t"))
+    }),
+    "ev_jarr" -> ((s, d) => {
+      val ev = eventsWithTu(s, d)
+      val js = nestedJson
+      val schema = "m STRUCT<k: BIGINT, t: STRING>, vals ARRAY<BIGINT>"
+      val p = from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema))
+      ev.select(p.getField("vals").as("vals"))
+        .select(posexplode(col("vals")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          round(avg(col("v")), 6).as("avg_v"))
+        .orderBy(col("pos"))
     }),
 
     // ---- sessionization (events table; windowed custom-state shape) ----
@@ -3844,6 +3890,41 @@ object SparkEntry {
            |       CAST(min(k) AS BIGINT) AS min_k,
            |       CAST(max(k) AS BIGINT) AS max_k
            |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+      // typed nested-JSON mirrors: construct the byte-identical document,
+      // then take it apart with DuckDB's own JSON machinery (json_extract
+      // paths and a BIGINT[] cast of the array field)
+      "ev_jstruct" ->
+        (s"""WITH e AS (SELECT
+           |        '{"m":{"k":' ||
+           |          coalesce(regexp_extract(props, '"k":\\s*(\\d+)', 1), 'null') ||
+           |          ',"t":"' || event_type || '"},"vals":[' ||
+           |          (event_id % 7) || ',' || (event_id * 3 % 11) || ',' ||
+           |          (event_id * 5 % 13) || ']}' AS js
+           |      FROM read_parquet('$sfDir/events.parquet')),
+           |p AS (SELECT
+           |        CAST(js -> '$$.m' ->> 'k' AS BIGINT) AS k,
+           |        js -> '$$.m' ->> 't' AS t,
+           |        CAST(js -> '$$.vals' AS BIGINT[]) AS vals
+           |      FROM e)
+           |SELECT t, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+           |       CAST(sum(len(vals)) AS BIGINT) AS n_vals,
+           |       CAST(coalesce(sum(vals[1]), 0) AS BIGINT) AS sum_v0
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      "ev_jarr" ->
+        (s"""WITH e AS (SELECT
+           |        '{"vals":[' ||
+           |          (event_id % 7) || ',' || (event_id * 3 % 11) || ',' ||
+           |          (event_id * 5 % 13) || ']}' AS js
+           |      FROM read_parquet('$sfDir/events.parquet')),
+           |v AS (SELECT CAST(js -> '$$.vals' AS BIGINT[]) AS vals FROM e),
+           |x AS (SELECT unnest(vals) AS v,
+           |             generate_subscripts(vals, 1) - 1 AS pos
+           |      FROM v)
+           |SELECT CAST(pos AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(v) AS BIGINT) AS sum_v,
+           |       round(avg(v), 6) AS avg_v
+           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
       "ev_sessions" ->
         s"""WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS tu,
           |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pu
