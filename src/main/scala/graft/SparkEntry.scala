@@ -2307,6 +2307,19 @@ object SparkEntry {
           round(col("mean_g"), 9).as("mean_g"),
           round(col("mean_b"), 9).as("mean_b"))
         .orderBy(col("media_id"))),
+    // r8: baseline JPEG (SOF0) — the last image modality without native
+    // code. The decode is the real thing (Huffman, dequant, 2-D IDCT,
+    // fixed-point color transform); the DC-only synthesis makes the
+    // decoded pixels integer-exact, so the oracle predicts the CONTENT
+    // analytically (the G.711 discipline), not just the header fields.
+    "mm_jpeg" -> ((s, d) =>
+      Multimodal.decodeJpeg(Multimodal.asJpegTable(docs(s, d)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_components"),
+          round(col("mean_r"), 9).as("mean_r"),
+          round(col("mean_g"), 9).as("mean_g"),
+          round(col("mean_b"), 9).as("mean_b"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3875,6 +3888,40 @@ object SparkEntry {
            |       round(avg(r), 9) AS mean_r, round(avg(g), 9) AS mean_g,
            |       round(avg(b), 9) AS mean_b
            |FROM cells GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      // baseline JPEG mirror: blockwise-constant DC-only synthesis means
+      // the decoded pixels are exact integers — the oracle rebuilds each
+      // block's (Y, Cb, Cr) from the same formulas and mirrors the
+      // decoder's 16.16 fixed-point color transform (floor division =
+      // the arithmetic >> 16). Block-aligned dims, so block avg = pixel avg.
+      "mm_jpeg" ->
+        (s"""WITH d AS (SELECT doc_id AS id, 8*(2 + doc_id % 4) AS w,
+           |                   8*(1 + doc_id % 3) AS h
+           |            FROM documents),
+           |blocks AS (
+           |  SELECT id, w, h, bx.range AS bx, by.range AS by
+           |  FROM d, range(0, 5) bx, range(0, 3) by
+           |  WHERE bx.range < w // 8 AND by.range < h // 8),
+           |c AS (SELECT id, w, h,
+           |        (bx*17 + by*29 + id) % 256 AS y,
+           |        (bx*5 + by*3 + 2*id) % 256 AS cb,
+           |        (bx*11 + by*7 + 3*id) % 256 AS cr
+           |      FROM blocks),
+           |rgb AS (SELECT id, w, h,
+           |  CASE WHEN id % 2 = 1 THEN y ELSE greatest(0, least(255,
+           |    y + CAST(floor((91881*(cr-128)) / 65536.0) AS BIGINT))) END AS r,
+           |  CASE WHEN id % 2 = 1 THEN y ELSE greatest(0, least(255,
+           |    y - CAST(floor((22554*(cb-128) + 46802*(cr-128)) / 65536.0)
+           |        AS BIGINT))) END AS g,
+           |  CASE WHEN id % 2 = 1 THEN y ELSE greatest(0, least(255,
+           |    y + CAST(floor((116130*(cb-128)) / 65536.0) AS BIGINT))) END AS b
+           |  FROM c)
+           |SELECT id AS media_id, CAST(w AS INT) AS width,
+           |       CAST(h AS INT) AS height,
+           |       CAST(CASE WHEN id % 2 = 1 THEN 1 ELSE 3 END AS INT)
+           |         AS n_components,
+           |       round(avg(r), 9) AS mean_r, round(avg(g), 9) AS mean_g,
+           |       round(avg(b), 9) AS mean_b
+           |FROM rgb GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
       // read_parquet by interpolated path: an `events` view may not be

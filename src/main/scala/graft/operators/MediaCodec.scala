@@ -958,6 +958,443 @@ object MediaCodec {
     out
   }
 
+  // ====================================================================
+  // Baseline JPEG (SOF0) — the eighth pure-JVM format, and the last image
+  // modality that usually hides behind a native library. Real byte-level
+  // machinery on BOTH sides: the encoder writes JFIF/DQT/SOF0/DHT/SOS
+  // segments, canonical Huffman DC categories, byte-stuffed entropy data;
+  // the decoder walks markers, rebuilds canonical Huffman tables from the
+  // DHT payload, entropy-decodes DC diffs + run-length AC, dezigzags,
+  // dequantizes, runs a REAL 2-D IDCT, and converts YCbCr→RGB in exact
+  // integer fixed point. Exactness contract (the G.711 "decoded content"
+  // oracle discipline): the synthesizer emits blockwise-constant images
+  // (DC-only coefficients, q₀₀ = 8), where the IDCT's float path is
+  // integral up to ~1e-13 — absorbed by rounding — so decoded pixels are
+  // bit-exact in any conforming engine and the oracle PREDICTS them
+  // analytically. Limits (disclosed): 8-bit precision, 4:4:4 (all
+  // sampling factors 1×1), no DRI/progressive/arithmetic coding.
+  // Reference for structure: ITU-T T.81 (public standard).
+  // ====================================================================
+
+  final case class JpegInfo(width: Int, height: Int, nComponents: Int,
+                            meanR: Double, meanG: Double, meanB: Double)
+
+  /** Natural-order index visited at each zigzag position (T.81 Figure 5). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K luminance DC table: category codes 0..11. */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(i => i)
+  /** Minimal AC table: the single EOB symbol (the encoder never writes
+    * AC coefficients — blocks are DC-only by construction). A one-entry
+    * canonical table is a perfectly legal DHT. */
+  private val AcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals = Array(0x00)
+
+  /** value → (code, length) for a canonical (BITS, HUFFVAL) table. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> (code, len); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit = while (n != 0) put(1, 1)
+  }
+
+  /** Encode a baseline JFIF JPEG whose 8×8 blocks are each CONSTANT:
+    * `blockYCbCr(bx, by)` returns the (Y, Cb, Cr) triple of block
+    * (bx, by), each in 0..255. `gray = true` emits a 1-component frame
+    * (Cb/Cr ignored). Dimensions need not be block-aligned — edge blocks
+    * are simply cropped by the decoder, exactly as the standard says. */
+  def jpegBytes(w: Int, h: Int, blockYCbCr: (Int, Int) => (Int, Int, Int),
+                gray: Boolean = false): Array[Byte] = {
+    require(w >= 1 && w <= 0xFFFF && h >= 1 && h <= 0xFFFF, "bad jpeg dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8) // SOI
+    m(0xE0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    val nComp = if (gray) 1 else 3
+    // DQT: q₀₀ = 8 (the exactness pivot: dequantized DC = 8·(v−128) and
+    // the IDCT divides by 8), the other 63 entries 16 — never used, the
+    // encoder emits no AC
+    def dqt(tq: Int): Unit = {
+      m(0xDB); be16(2 + 65); out.write(tq)
+      out.write(8); (1 until 64).foreach(_ => out.write(16))
+    }
+    dqt(0); if (!gray) dqt(1)
+    m(0xC0); be16(2 + 6 + 3 * nComp) // SOF0
+    out.write(8); be16(h); be16(w); out.write(nComp)
+    for (ci <- 0 until nComp) {
+      out.write(ci + 1); out.write(0x11); out.write(if (ci == 0) 0 else 1)
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xC4); be16(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | th); bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
+    m(0xDA); be16(2 + 1 + 2 * nComp + 3) // SOS
+    out.write(nComp)
+    for (ci <- 0 until nComp) { out.write(ci + 1); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val bw = new JpegBitWriter(out)
+    val mx = (w + 7) / 8; val my = (h + 7) / 8
+    val pred = new Array[Int](nComp)
+    var by = 0
+    while (by < my) {
+      var bx = 0
+      while (bx < mx) {
+        val (y, cb, cr) = blockYCbCr(bx, by)
+        val comps = if (gray) Seq(y) else Seq(y, cb, cr)
+        for (ci <- comps.indices) {
+          val dc = comps(ci) - 128 // with q₀₀=8 the DC coefficient IS v−128
+          val diff = dc - pred(ci); pred(ci) = dc
+          val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (code, len) = dcCodes(cat)
+          bw.put(code, len)
+          if (cat > 0)
+            bw.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+          val (eob, eobLen) = acCodes(0x00)
+          bw.put(eob, eobLen)
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushWithOnes()
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length)
+          throw new IllegalArgumentException("jpeg: truncated entropy stream")
+        val v = b(pos) & 0xFF; pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length)
+            throw new IllegalArgumentException("jpeg: truncated after 0xFF")
+          val mk = b(pos) & 0xFF
+          if (mk == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalArgumentException(
+            f"jpeg: unexpected marker 0xFF$mk%02X inside entropy data " +
+              "(restart intervals are not supported)")
+        }
+        acc = v; n = 8
+      }
+      n -= 1; (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** length-indexed canonical decode tables: (firstCode, firstIndex) per
+    * bit length, plus the value list. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val codes = canonicalCodes(bits, vals) // value → (code, len)
+    private val byLen: Map[Int, Map[Int, Int]] = // len → code → value
+      codes.toSeq.groupBy(_._2._2).map { case (len, s) =>
+        len -> s.map { case (v, (c, _)) => c -> v }.toMap
+      }
+    def decode(br: JpegBitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.bit(); len += 1
+        byLen.get(len).flatMap(_.get(code)) match {
+          case Some(v) => return v
+          case None    =>
+        }
+      }
+      throw new IllegalArgumentException("jpeg: invalid Huffman code")
+    }
+  }
+
+  private def jpegExtend(v: Int, cat: Int): Int =
+    if (cat == 0) 0
+    else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+    else v
+
+  private val IdctCos: Array[Double] =
+    Array.tabulate(64)(i => math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16))
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Direct 2-D IDCT (T.81 A.3.3) + level shift + clamp. Real float
+    * implementation — DC-only blocks land within ~1e-13 of the integer
+    * answer, absorbed by the rounding, which is what makes the corpus
+    * oracle exact. */
+  private[operators] def jpegIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val f = coef(v * 8 + u)
+            if (f != 0) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              s += cu * cv * f * IdctCos(x * 8 + u) * IdctCos(y * 8 + v)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Exact integer YCbCr→RGB (JFIF constants in 16.16 fixed point; >> is
+    * an arithmetic shift = floor division, which the oracle mirrors with
+    * floor(x / 65536)). */
+  private def ycc2rgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def clamp(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = clamp(y + ((91881 * (cr - 128)) >> 16))
+    val g = clamp(y - ((22554 * (cb - 128) + 46802 * (cr - 128)) >> 16))
+    val b = clamp(y + ((116130 * (cb - 128)) >> 16))
+    (r, g, b)
+  }
+
+  /** Full baseline decode → (w, h, nComp, per-pixel packed RGB). */
+  private def jpegDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "not a JPEG (missing SOI)")
+    var pos = 2
+    def u8(i: Int): Int = {
+      if (i >= bytes.length) throw new IllegalArgumentException("jpeg: truncated")
+      bytes(i) & 0xFF
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0; var nComp = 0
+    var compTq: Array[Int] = null
+    var compIds: Array[Int] = null
+    var sosOrder: Array[Int] = null // component indices in scan order
+    var compTd: Array[Int] = null; var compTa: Array[Int] = null
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (u8(pos) != 0xFF)
+        throw new IllegalArgumentException("jpeg: expected marker")
+      val marker = u8(pos + 1); pos += 2
+      // every marker handled below carries a 2-byte length; a corrupt
+      // length < 2 would stall the walk forever
+      if (marker != 0xD9)
+        require(u16(pos) >= 2, "jpeg: bad segment length")
+      marker match {
+        case 0xD9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xDB => // DQT (possibly several tables per segment)
+          val len = u16(pos); val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+            require(pq == 0, "jpeg: only 8-bit quantization tables supported")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(Zigzag(i)) = u8(p + 1 + i); i += 1 }
+            quant(tq) = t; p += 65
+          }
+          pos = end
+        case 0xC4 => // DHT (possibly several tables per segment)
+          val len = u16(pos); val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0F
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => u8(p + 17 + i))
+            val table = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = table else acTables(th) = table
+            p += 17 + nv
+          }
+          pos = end
+        case 0xC0 => // SOF0 baseline
+          val len = u16(pos)
+          require(u8(pos + 2) == 8, "jpeg: only 8-bit precision supported")
+          h = u16(pos + 3); w = u16(pos + 5); nComp = u8(pos + 7)
+          require(nComp == 1 || nComp == 3, s"jpeg: $nComp components unsupported")
+          compTq = new Array[Int](nComp)
+          compIds = new Array[Int](nComp)
+          for (ci <- 0 until nComp) {
+            compIds(ci) = u8(pos + 8 + 3 * ci)
+            val sampling = u8(pos + 9 + 3 * ci)
+            require(sampling == 0x11,
+              "jpeg: only 4:4:4 (1x1 sampling) supported")
+            compTq(ci) = u8(pos + 10 + 3 * ci)
+          }
+          pos += len
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+             0xCD | 0xCE | 0xCF =>
+          throw new IllegalArgumentException(
+            f"jpeg: SOF marker 0xFF$marker%02X — only baseline SOF0 supported")
+        case 0xDD =>
+          throw new IllegalArgumentException("jpeg: DRI/restart not supported")
+        case 0xDA => // SOS
+          require(compIds != null, "jpeg: SOS before SOF0")
+          val ns = u8(pos + 2)
+          require(ns == nComp, "jpeg: partial scans not supported")
+          sosOrder = new Array[Int](ns)
+          compTd = new Array[Int](ns); compTa = new Array[Int](ns)
+          for (i <- 0 until ns) {
+            val cid = u8(pos + 3 + 2 * i)
+            sosOrder(i) = compIds.indexOf(cid)
+            require(sosOrder(i) >= 0, s"jpeg: scan component $cid not in frame")
+            compTd(i) = u8(pos + 4 + 2 * i) >> 4
+            compTa(i) = u8(pos + 4 + 2 * i) & 0x0F
+          }
+          scanStart = pos + u16(pos)
+        case _ => // APPn / COM / others: length-skip
+          pos += u16(pos)
+      }
+    }
+    require(w > 0 && h > 0, "jpeg: SOS before SOF0")
+    val br = new JpegBitReader(bytes, scanStart)
+    val mx = (w + 7) / 8; val my = (h + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Int](mx * 8 * my * 8))
+    val pred = new Array[Int](nComp)
+    var by = 0
+    while (by < my) {
+      var bx = 0
+      while (bx < mx) {
+        var si = 0
+        while (si < nComp) {
+          val ci = sosOrder(si)
+          val dcT = dcTables(compTd(si)); val acT = acTables(compTa(si))
+          require(dcT != null && acT != null, "jpeg: scan references missing DHT")
+          val q = quant(compTq(ci))
+          require(q != null, "jpeg: frame references missing DQT")
+          val coef = new Array[Int](64)
+          val cat = dcT.decode(br)
+          require(cat <= 15, "jpeg: bad DC category")
+          pred(ci) += jpegExtend(br.receive(cat), cat)
+          coef(0) = pred(ci) * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acT.decode(br)
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16 // ZRL
+            else {
+              k += rs >> 4
+              val s = rs & 0x0F
+              require(k < 64, "jpeg: AC run past block end")
+              coef(Zigzag(k)) = jpegExtend(br.receive(s), s) * q(Zigzag(k))
+              k += 1
+            }
+          }
+          val px = jpegIdct(coef)
+          val plane = planes(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * mx * 8 + bx * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          si += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    // trailing bits flushed; the next marker must be EOI
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * mx * 8 + x
+        val (r, g, b) =
+          if (nComp == 1) { val v = planes(0)(i); (v, v, v) }
+          else ycc2rgb(planes(0)(i), planes(1)(i), planes(2)(i))
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, nComp, rgb)
+  }
+
+  def parseJpeg(bytes: Array[Byte]): JpegInfo = {
+    val (w, h, nComp, rgb) = jpegDecode(bytes)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < rgb.length) {
+      sr += (rgb(i) >>> 16) & 0xFF; sg += (rgb(i) >>> 8) & 0xFF
+      sb += rgb(i) & 0xFF
+      i += 1
+    }
+    val n = rgb.length.toDouble
+    JpegInfo(w, h, nComp, sr / n, sg / n, sb / n)
+  }
+
+  /** Nearest-neighbor grayscale thumbnail from the decoded pixels. */
+  def jpegResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
+    val (w, h, _, rgb) = jpegDecode(bytes)
+    val out = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val sy = math.min(h - 1, oy * h / oh)
+      var ox = 0
+      while (ox < ow) {
+        val sx = math.min(w - 1, ox * w / ow)
+        val c = rgb(sy * w + sx)
+        out(oy * ow + ox) = (((c >>> 16) & 0xFF) + ((c >>> 8) & 0xFF) +
+          (c & 0xFF)) / 3.0f / 255.0f
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor grayscale thumbnail from the decoded indices. */
   def gifResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
     val (w, h, _, palette, px) = gifDecode(bytes)

@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * Five REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6;
+  * Eight REAL codecs ship — RIFF/WAVE (PCM16) and BMP (24 bpp) as of r6;
   * PNG (8-bit RGB/RGBA, zlib + all five scanline filters, CRC-verified),
-  * GIF89a (indexed color, variable-width 9→12-bit LZW) and baseline
-  * TIFF (little-endian IFD walk, out-of-line BitsPerSample, single
-  * strip) as of r7 — pure-JVM byte-level parsers in [[MediaCodec]] with
-  * encoder round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/
-  * `mm_png`/`mm_gif`/`mm_tiff`).
-  * Formats that genuinely need native libraries (JPEG, MP3, H.264, …)
+  * GIF89a (indexed color, variable-width 9→12-bit LZW), baseline TIFF
+  * (little-endian IFD walk, out-of-line BitsPerSample, single strip) and
+  * G.711 µ-law/A-law WAV as of r7; baseline JPEG (SOF0: marker walk,
+  * canonical Huffman from DHT, dequant, real 2-D IDCT, fixed-point
+  * YCbCr→RGB) as of r8 — pure-JVM byte-level parsers in [[MediaCodec]]
+  * with encoder round-trips and analytic oracle rows (`mm_wav`/`mm_bmp`/
+  * `mm_png`/`mm_gif`/`mm_tiff`/`mm_ulaw`/`mm_alaw`/`mm_jpeg`).
+  * Formats that genuinely need native libraries (MP3, H.264, …)
   * remain stubbed behind the same dataflow: the
   * `asMediaTable`/`extractFeatures` fake exercises the identical
   * batch-wise `mapPartitions` shape (the Scala analogue of `mapInPandas`)
@@ -301,6 +303,63 @@ object Multimodal {
         val info = MediaCodec.parseGif(bytes)
         val thumb = MediaCodec.gifResizeGray(bytes, thumbW, thumbH)
         Row(r.getLong(0), info.width, info.height, info.gctSize,
+          info.meanR, info.meanG, info.meanB, thumb.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a VALID baseline JPEG (SOF0, 4:4:4) per document:
+    * block-aligned dimensions, each 8×8 block a constant (Y, Cb, Cr)
+    * triple that is an integer function of (bx, by, id) — the DC-only
+    * construction where the decode (Huffman, dequant, IDCT, fixed-point
+    * color transform) is integer-exact, so the oracle predicts the
+    * decoded RGB content analytically. Even ids are color, odd ids
+    * grayscale (1-component frames). */
+  def asJpegTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 8 * (2 + (id % 4).toInt); val h = 8 * (1 + (id % 3).toInt)
+        val gray = id % 2 == 1
+        val bytes = MediaCodec.jpegBytes(w, h, (bx, by) => (
+          ((bx * 17 + by * 29 + id) % 256).toInt,
+          ((bx * 5 + by * 3 + 2 * id) % 256).toInt,
+          ((bx * 11 + by * 7 + 3 * id) % 256).toInt), gray)
+        Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL baseline JPEG decode + resize: marker walk, canonical Huffman
+    * rebuild from DHT, DC-diff + AC run-length entropy decode, dezigzag,
+    * dequant, 2-D IDCT, fixed-point YCbCr→RGB, per-channel means and a
+    * nearest-neighbor grayscale thumbnail. */
+  def decodeJpeg(media: DataFrame, thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_components", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("thumb", ArrayType(FloatType))))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val info = MediaCodec.parseJpeg(bytes)
+        val thumb = MediaCodec.jpegResizeGray(bytes, thumbW, thumbH)
+        Row(r.getLong(0), info.width, info.height, info.nComponents,
           info.meanR, info.meanG, info.meanB, thumb.toSeq)
       }
     }

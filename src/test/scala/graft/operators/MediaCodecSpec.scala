@@ -271,6 +271,127 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.parseUlawWav(bytes))
   }
 
+  test("JPEG roundtrip: Huffman DC diffs, IDCT and fixed-point color are exact") {
+    // blockwise-constant color image: decoded pixels must be the exact
+    // fixed-point transform of the synthesized (Y, Cb, Cr)
+    def yCbCr(bx: Int, by: Int): (Int, Int, Int) =
+      ((bx * 31 + by * 7 + 3) % 256, (bx * 13 + 40) % 256, (by * 17 + 90) % 256)
+    val bytes = MediaCodec.jpegBytes(24, 16, yCbCr)
+    val info = MediaCodec.parseJpeg(bytes)
+    assert(info.width == 24 && info.height == 16 && info.nComponents == 3)
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    val blocks = for (by <- 0 until 2; bx <- 0 until 3) yield yCbCr(bx, by)
+    val expR = blocks.map { case (y, _, cr) =>
+      clamp(y + ((91881 * (cr - 128)) >> 16)) }.sum / 6.0
+    val expG = blocks.map { case (y, cb, cr) =>
+      clamp(y - ((22554 * (cb - 128) + 46802 * (cr - 128)) >> 16)) }.sum / 6.0
+    val expB = blocks.map { case (y, cb, _) =>
+      clamp(y + ((116130 * (cb - 128)) >> 16)) }.sum / 6.0
+    assert(info.meanR == expR, s"${info.meanR} vs $expR")
+    assert(info.meanG == expG && info.meanB == expB)
+    // grayscale: decoded value IS the synthesized Y
+    val g = MediaCodec.parseJpeg(
+      MediaCodec.jpegBytes(16, 8, (bx, by) => ((bx * 100 + by * 9) % 256, 0, 0),
+        gray = true))
+    assert(g.nComponents == 1)
+    val expY = (0 until 2).map(bx => (bx * 100) % 256).sum / 2.0
+    assert(g.meanR == expY && g.meanG == expY && g.meanB == expY)
+  }
+
+  test("JPEG AC path: hand-built scan with runs, ZRL and a custom DHT") {
+    // a single 8×8 grayscale block with REAL AC coefficients, assembled
+    // by hand against a custom canonical AC table, checked against an
+    // independent textbook IDCT — exercises run-length skips, ZRL,
+    // extend() sign decoding, dezigzag and dequant
+    val out = new java.io.ByteArrayOutputStream()
+    def m(x: Int) = { out.write(0xFF); out.write(x) }
+    def be16(v: Int) = { out.write(v >> 8); out.write(v & 0xFF) }
+    m(0xD8)
+    m(0xDB); be16(67); out.write(0); (0 until 64).foreach(_ => out.write(1))
+    m(0xC0); be16(11); out.write(8); be16(8); be16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    // standard DC table (cat 3 → code 100); custom AC: four 2-bit codes
+    // 00→EOB, 01→(r0,s1), 10→(r1,s1), 11→ZRL
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    m(0xC4); be16(2 + 1 + 16 + 12); out.write(0x00)
+    dcBits.foreach(out.write); (0 until 12).foreach(out.write)
+    m(0xC4); be16(2 + 1 + 16 + 4); out.write(0x10)
+    Array(0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    Array(0x00, 0x01, 0x11, 0xF0).foreach(out.write)
+    m(0xDA); be16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    // bits: DC cat3=100, diff=5 → 101 | AC 01,+1 | ZRL 11 | 10, bit 0=−1
+    // | EOB 00  ⇒ 10010101 11100100 wait — recompute below as bytes
+    // "100101" "01" "1" "11" "10" "0" "00" = 1001 0101 1111 0000
+    out.write(0x95); out.write(0xF0)
+    m(0xD9)
+    val bytes = out.toByteArray
+    // natural-order coefficients the scan encodes (quant all-1s):
+    // F(0,0)=5, zigzag[1]=natural 1 → +1, ZRL skips 16, then run 1 →
+    // k=19, zigzag[19]=natural 33 → −1
+    val coef = new Array[Int](64)
+    coef(0) = 5; coef(1) = 1; coef(33) = -1
+    // independent textbook IDCT reference
+    val ref = Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.floor(s / 4.0 + 128.0 + 0.5).toInt))
+    }
+    val thumb = MediaCodec.jpegResizeGray(bytes, 8, 8)
+    for (i <- 0 until 64)
+      assert(math.abs(thumb(i) - ref(i) / 255.0f) < 1e-6,
+        s"pixel $i: ${thumb(i)} vs ${ref(i) / 255.0f}")
+  }
+
+  test("JPEG decoder fails CLEANLY on truncation; rejects unsupported profiles") {
+    val good = MediaCodec.jpegBytes(24, 16,
+      (bx, by) => ((bx * 31 + by * 7) % 256, 128, 128))
+    for (len <- 1 until good.length - 2) {
+      val e = intercept[Exception](MediaCodec.parseJpeg(good.take(len)))
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"truncation at $len threw ${e.getClass}: ${e.getMessage}")
+    }
+    // progressive (SOF2) and subsampling must be rejected with clear errors
+    val sof = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0) at = i
+        else i += 1
+      }
+      at
+    }
+    val prog = good.clone(); prog(sof + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException](MediaCodec.parseJpeg(prog))
+    assert(e1.getMessage.contains("SOF0"), e1.getMessage)
+    val sub = good.clone(); sub(sof + 11) = 0x22.toByte // luma sampling 2x2
+    val e2 = intercept[IllegalArgumentException](MediaCodec.parseJpeg(sub))
+    assert(e2.getMessage.contains("4:4:4"), e2.getMessage)
+    assert(e2.getMessage.contains("1x1"), e2.getMessage)
+  }
+
+  test("JPEG byte stuffing: 0xFF entropy bytes are stuffed and unstuffed") {
+    // blocks [0, 0, 255, 255]: the streams bit-lengths are 15 (diff −128)
+    // + 3 (diff 0) = 18 ≡ 2 (mod 8), so the following diff +255 (code
+    // 111110, 6 bits) puts its EIGHT all-ones value bits exactly at bits
+    // 24..31 — a guaranteed 0xFF entropy byte that MUST be stuffed with
+    // 0x00 and decode back exactly
+    val b = MediaCodec.jpegBytes(8 * 4, 8,
+      (bx, _) => (if (bx < 2) 0 else 255, 0, 0), gray = true)
+    val hasStuffed = (0 until b.length - 1).exists(i =>
+      (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0x00)
+    assert(hasStuffed, "expected a stuffed 0xFF00 in the entropy data")
+    val info = MediaCodec.parseJpeg(b)
+    assert(info.meanR == 127.5, s"${info.meanR}") // 2 black + 2 white blocks
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
