@@ -1849,6 +1849,16 @@ object SparkEntry {
     "dd_despan" -> ((s, d) =>
       Dedup.removeDupSpans(docs(s, d), "text", "doc_id", k = 8)
         .orderBy(col("doc_id"))),
+    // r8: CROSS-CORPUS span decontamination (Lee et al.'s eval-set
+    // shape): flag windows of the target corpus shared with a REFERENCE
+    // corpus (here the doc_id%5==0 slice) — one equi-join of target
+    // starts against the reference's distinct fingerprints
+    "dd_spanref" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.spanStatsAgainst(dd.where(col("doc_id") % 5 =!= 0),
+          dd.where(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- finite-horizon EWMA per user (10 taps, 2^-j weights): every
     //      product is IEEE-exact (power-of-two scaling), the tap chains
@@ -4370,6 +4380,56 @@ object SparkEntry {
            |fl AS (SELECT doc_id, pos,
            |              CASE WHEN nd > 1 THEN 1 ELSE 0 END AS dup
            |       FROM f JOIN freq USING (f1, f0)),
+           |tk AS (SELECT t.doc_id, t.pos, coalesce(fl.dup, 0) AS sdup
+           |       FROM toksp t LEFT JOIN fl ON t.doc_id = fl.doc_id
+           |                                AND t.pos = fl.pos),
+           |cv AS (SELECT doc_id,
+           |              max(sdup) OVER (PARTITION BY doc_id ORDER BY pos
+           |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+           |       FROM tk),
+           |ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |              CAST(sum(dup) AS BIGINT) AS n_dup_windows
+           |       FROM fl GROUP BY doc_id),
+           |cs AS (SELECT doc_id, CAST(sum(cov) AS BIGINT)
+           |                        AS removable_tokens
+           |       FROM cv GROUP BY doc_id)
+           |SELECT doc_id, n_windows, n_dup_windows, removable_tokens
+           |FROM ws JOIN cs USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // cross-corpus span mirror: identical fingerprint CTEs computed per
+      // corpus slice; a target window is dup when its fingerprint exists
+      // among the reference slice's distinct fingerprints
+      "dd_spanref" ->
+        s"""WITH toksp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |              FROM documents WHERE doc_id % 5 <> 0),
+           |h AS (SELECT doc_id, pos,
+           |             (${mdInt("'0:' || tok")} % 1099511627776) AS th
+           |      FROM toksp),
+           |st AS (SELECT doc_id, pos,
+           |              sum(th) OVER w AS s0,
+           |              sum(th * (pos + 1)) OVER w AS s1,
+           |              count(*) OVER w AS wn
+           |       FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+           |                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           |f AS (SELECT doc_id, pos, s1 - pos * s0 AS f1, s0 AS f0
+           |      FROM st WHERE wn = 8),
+           |rtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |         FROM documents WHERE doc_id % 5 = 0),
+           |rh AS (SELECT doc_id, pos,
+           |              (${mdInt("'0:' || tok")} % 1099511627776) AS th
+           |       FROM rtok),
+           |rst AS (SELECT doc_id, pos,
+           |               sum(th) OVER w AS s0,
+           |               sum(th * (pos + 1)) OVER w AS s1,
+           |               count(*) OVER w AS wn
+           |        FROM rh WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+           |                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           |rf AS (SELECT DISTINCT s1 - pos * s0 AS f1, s0 AS f0
+           |       FROM rst WHERE wn = 8),
+           |fl AS (SELECT f.doc_id, f.pos,
+           |              CASE WHEN rf.f1 IS NOT NULL THEN 1 ELSE 0 END AS dup
+           |       FROM f LEFT JOIN rf ON f.f1 = rf.f1 AND f.f0 = rf.f0),
            |tk AS (SELECT t.doc_id, t.pos, coalesce(fl.dup, 0) AS sdup
            |       FROM toksp t LEFT JOIN fl ON t.doc_id = fl.doc_id
            |                                AND t.pos = fl.pos),

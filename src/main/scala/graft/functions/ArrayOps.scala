@@ -358,6 +358,106 @@ case class SetOverlapCount(child: Expression, set: Array[String])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-document sliding-window span-dedup against a FIXED reference
+  * fingerprint set — the streaming twin of the batch span machinery
+  * (`Dedup.spanStatsAgainst`), collapsed into ONE compiled pass per row so
+  * the streaming gate is a stateless projection (append-mode-safe, no
+  * window functions, no stream-static join re-executed per micro-batch).
+  * `ref` packs the reference's distinct (f1, f0) window fingerprints flat;
+  * the per-token hash and the position-reweighted window fingerprint are
+  * BIT-IDENTICAL to the batch operator's (md5_long60("0:"+tok) mod 2^40;
+  * f1 = Σh·(rel+1), f0 = Σh), so batch equivalence is exact. Returns
+  * struct(n_windows, n_dup_windows, removable_tokens, clean_text); docs
+  * shorter than k pass through with zero windows. */
+case class SpanRefStats(child: Expression, k: Int, ref: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 2 && k <= 64, "window size k must be in [2, 64]")
+  require(ref.length % 2 == 0, "ref must pack (f1, f0) pairs")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_dup_windows", LongType, nullable = false),
+    StructField("removable_tokens", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"span_ref_stats expects array<string>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val lookup: java.util.HashSet[(Long, Long)] = {
+    val s = new java.util.HashSet[(Long, Long)](ref.length)
+    var i = 0
+    while (i < ref.length) { s.add((ref(i), ref(i + 1))); i += 2 }
+    s
+  }
+
+  override def nullSafeEval(in: Any): Any = compute(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refObj = ctx.addReferenceObj("spanRefStats", this)
+    defineCodeGen(ctx, ev, c => s"$refObj.compute($c)")
+  }
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val h = new Array[Long](n)
+    val zero = org.apache.spark.unsafe.types.UTF8String.fromString("0:")
+    var i = 0
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i)
+      h(i) = GraftHash.md5Long60(
+        org.apache.spark.unsafe.types.UTF8String.concat(zero, toks(i))) %
+        1099511627776L
+      i += 1
+    }
+    val nWin = math.max(0, n - k + 1)
+    val dup = new Array[Boolean](math.max(nWin, 0))
+    var nDup = 0L
+    if (nWin > 0) {
+      // sliding sums, exactly the batch arithmetic
+      var s0 = 0L; var s1 = 0L
+      var j = 0
+      while (j < k) { s0 += h(j); s1 += h(j) * (j + 1); j += 1 }
+      var p = 0
+      while (p < nWin) {
+        if (p > 0) {
+          s0 += h(p + k - 1) - h(p - 1)
+          s1 += h(p + k - 1) * (p + k) - h(p - 1) * p.toLong
+        }
+        if (lookup.contains((s1 - p.toLong * s0, s0))) { dup(p) = true; nDup += 1 }
+        p += 1
+      }
+    }
+    // coverage: token p covered when any dup window starts in [p−k+1, p]
+    var removable = 0L
+    val sb = new java.lang.StringBuilder()
+    var p = 0
+    while (p < n) {
+      var cov = false
+      var s = math.max(0, p - k + 1)
+      val e = math.min(nWin - 1, p)
+      while (!cov && s <= e) { cov = dup(s); s += 1 }
+      if (cov) removable += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(p).toString)
+      }
+      p += 1
+    }
+    InternalRow(nWin.toLong, nDup, removable,
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Static vector kernels callable from generated Java (object → static
   * forwarders, same pattern as [[GraftHash]]). The element-type flags are
   * codegen-time literals, so the JIT sees constant branches. */
@@ -895,4 +995,10 @@ object ArrayOps {
   def quantile_bucket(all: Column, ord: Column, tie: Column,
                       parts: Int): Column =
     GraftColumnBridge.column(QuantileBucket(expr(all), expr(ord), expr(tie), parts))
+
+  /** Per-row sliding-window span-dedup stats + removal against a fixed
+    * reference fingerprint set (one compiled pass; the streaming twin of
+    * Dedup.spanStatsAgainst). */
+  def span_ref_stats(tokens: Column, k: Int, ref: Array[Long]): Column =
+    GraftColumnBridge.column(SpanRefStats(expr(tokens), k, ref))
 }

@@ -546,9 +546,9 @@ object Dedup {
     * keep every intermediate under 2^62 for documents up to 2^16
     * tokens — ANSI-safe, and the identical arithmetic is reproducible in
     * any SQL engine (the oracle mirrors it). */
-  /** Shared core: (exploded tokens, dup-flagged window starts). */
-  private def spanFlags(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int): (DataFrame, DataFrame) = {
+  /** Shared core: (exploded tokens, per-window-start fingerprints). */
+  private def spanStarts(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int): (DataFrame, DataFrame) = {
     // k ≤ 64 keeps __s1 = Σ h·(pos+1) inside Long under ANSI: terms are
     // < 2^40 · 2^16 = 2^56, so 64 of them stay < 2^62 (k = 256 would
     // approach 2^64 and overflow on long documents)
@@ -569,17 +569,25 @@ object Dedup {
       .select(col(idCol), col("pos"),
         (col("__s1") - col("pos") * col("__s0")).as("__f1"),
         col("__s0").as("__f0"))
+    (e.select(col(idCol), col("pos"), col("tok")), starts)
+  }
+
+  /** Shared core: (exploded tokens, dup-flagged window starts). */
+  private def spanFlags(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int): (DataFrame, DataFrame) = {
+    val (tokens, starts) = spanStarts(docs, textCol, idCol, k)
     val freq = starts.groupBy(col("__f1"), col("__f0"))
       .agg(countDistinct(col(idCol)).as("__nd"))
     val flagged = starts.join(freq, Seq("__f1", "__f0"))
       .select(col(idCol), col("pos"),
         when(col("__nd") > 1, 1L).otherwise(0L).as("__dup"))
-    (e.select(col(idCol), col("pos"), col("tok")), flagged)
+    (tokens, flagged)
   }
 
-  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 8): DataFrame = {
-    val (tokens, flagged) = spanFlags(docs, textCol, idCol, k)
+  /** Shared tail: per-doc window counts + the per-token k-wide coverage
+    * count (the same count [[removeDupSpans]] removes — overlap-exact). */
+  private def spanAggregate(tokens: DataFrame, flagged: DataFrame,
+                            idCol: String, k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     // window counts from the start flags alone (docs shorter than k have
@@ -602,6 +610,46 @@ object Dedup {
       .agg(sum(col("__cov")).as("removable_tokens"))
     winStats.join(covStats, Seq(idCol))
   }
+
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8): DataFrame = {
+    val (tokens, flagged) = spanFlags(docs, textCol, idCol, k)
+    spanAggregate(tokens, flagged, idCol, k)
+  }
+
+  /** Cross-corpus span decontamination (the Lee et al. 2022 eval-set
+    * shape): flag every k-window of `docs` whose fingerprint occurs
+    * ANYWHERE in `reference` — e.g. spans of training documents shared
+    * with a benchmark. Returns the [[spanDupStats]] schema per doc. Scale
+    * shape: both corpora run the bounded per-doc window fingerprints; the
+    * only cross-corpus contact is one equi-join of the target's starts
+    * against the reference's DISTINCT fingerprints (bounded by distinct
+    * reference windows, broadcast when small). The streaming twin
+    * ([[graft.streaming.StreamingOps.spanDupGate]]) compiles the same
+    * reference set into a per-row expression — batch-equivalence asserted
+    * in StreamingOpsSpec. */
+  def spanStatsAgainst(docs: DataFrame, reference: DataFrame,
+                       textCol: String, idCol: String,
+                       k: Int = 8): DataFrame = {
+    val (tokens, starts) = spanStarts(docs, textCol, idCol, k)
+    val refFps = spanStarts(reference, textCol, idCol, k)._2
+      .select(col("__f1"), col("__f0")).distinct()
+      .withColumn("__hit", lit(1L))
+    val flagged = starts.join(refFps, Seq("__f1", "__f0"), "left")
+      .select(col(idCol), col("pos"),
+        when(col("__hit").isNotNull, 1L).otherwise(0L).as("__dup"))
+    spanAggregate(tokens, flagged, idCol, k)
+  }
+
+  /** The reference corpus's distinct window fingerprints, driver-collected
+    * for the streaming gate (pairs packed flat as [f1, f0, f1, f0, …]).
+    * Bounded by the benchmark-set contract (MBs of eval data vs TBs of
+    * corpus), like the contamination gate's n-gram set. */
+  def spanRefFingerprints(reference: DataFrame, textCol: String,
+                          idCol: String, k: Int = 8): Array[Long] =
+    spanStarts(reference, textCol, idCol, k)._2
+      .select(col("__f1"), col("__f0")).distinct()
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
 
   /** The ACTION half of [[spanDupStats]]: rewrite each document with every
     * token covered by a cross-doc duplicated k-window REMOVED (the Lee

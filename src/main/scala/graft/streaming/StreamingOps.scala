@@ -75,6 +75,33 @@ object StreamingOps {
       .drop("__ngs", "__matched")
   }
 
+  /** Streaming span-decontamination gate (r8): per incoming document,
+    * flag/remove every k-token window whose fingerprint occurs in a
+    * STATIC reference corpus — the streaming twin of
+    * [[graft.operators.Dedup.spanStatsAgainst]] (the Lee et al.
+    * eval-set span shape), with BIT-IDENTICAL window fingerprints.
+    *
+    * The reference's distinct fingerprints are collected ONCE at plan
+    * time (driver-bounded by the benchmark-set contract) and compiled
+    * into [[graft.functions.SpanRefStats]] — one pass per row, so the
+    * gate is a pure stateless projection: append-mode-safe, per-doc
+    * bounded work, no streaming state, no window functions, no
+    * stream-static join re-executing per micro-batch. Returns
+    * (id, n_windows, n_dup_windows, removable_tokens, clean_text). */
+  def spanDupGate(docs: DataFrame, reference: DataFrame, k: Int = 8,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.ArrayOps
+    val ref = graft.operators.Dedup.spanRefFingerprints(
+      reference, textCol, idCol, k)
+    docs.select(col(idCol),
+        ArrayOps.span_ref_stats(split(col(textCol), " "), k, ref).as("__s"))
+      .select(col(idCol), col("__s.n_windows").as("n_windows"),
+        col("__s.n_dup_windows").as("n_dup_windows"),
+        col("__s.removable_tokens").as("removable_tokens"),
+        col("__s.clean_text").as("clean_text"))
+  }
+
   /** Windowed event-rate aggregation with late-data handling: per
     * (window, event_type) counts and value sums; watermark bounds state. */
   def eventWindowAgg(events: DataFrame, tsCol: String = "ts",

@@ -74,6 +74,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span gate matches the batch cross-corpus span operator") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "a b c d e f g h i j"),
+      (101L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val rows = Seq(
+      IdDoc(1L, "x1 a b c d e f g h i j x2 x3"), // ref span at offset 1
+      IdDoc(2L, "m n o p q r s t"),              // one window, no match
+      IdDoc(3L, "a b c d e f g h"),              // exactly the ref window
+      IdDoc(4L, "zz yy"))                        // shorter than k
+    val in = MemoryStream[IdDoc]
+    val q = StreamingOps.spanDupGate(in.toDF(), ref, k = 8)
+      .writeStream.format("memory").queryName("span_gate_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("span_gate_out").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      // hand-computed expectations (k = 8)
+      assert(got(1L) == ((6L, 3L, 10L, "x1 x2 x3")), got(1L).toString)
+      assert(got(2L) == ((1L, 0L, 0L, "m n o p q r s t")), got(2L).toString)
+      assert(got(3L) == ((1L, 1L, 8L, "")), got(3L).toString)
+      assert(got(4L) == ((0L, 0L, 0L, "zz yy")), got(4L).toString)
+      // batch equivalence: identical stats for every doc the batch
+      // operator reports (docs with ≥1 window; the gate additionally
+      // passes short docs through with zeros)
+      val batch = graft.operators.Dedup.spanStatsAgainst(
+          rows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          ref, "text", "doc_id", k = 8)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(batch.keySet == Set(1L, 2L, 3L))
+      batch.foreach { case (id, st) =>
+        val g = got(id)
+        assert((g._1, g._2, g._3) == st, s"doc $id: stream $g vs batch $st")
+      }
+    } finally q.stop()
+  }
+
   test("heavy_hitters aggregates a stream in update mode (exact on bounded domain)") {
     val spark2 = spark
     import spark2.implicits._
