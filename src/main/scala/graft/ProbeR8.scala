@@ -252,6 +252,28 @@ object ProbeR8 {
         s"[probe] variants real=$tRealReal litbnds=$tLitB nopid=$tNoPid")
     }
 
+    if (want("r8ops")) {
+      // the round's new query shapes at 1× vs 10× data: cross-corpus span
+      // join, typed JSON extraction, JPEG decode map — plus two quantile-
+      // slice prefix consumers to show the sample-pass overhead is a
+      // fixed constant, not a data-scaled term
+      val sf1x = "/root/testdata/sf0.1"; val sf10 = "/tmp/graft_sf1"
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.docs(spark, sf1x).count()
+      QueryCatalog.docs(spark, sf10).count()
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val names = Seq("dd_spanref", "ev_jstruct", "ev_jarr", "mm_jpeg",
+        "e11_cumsum", "smp_budget")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] r8ops $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "r8ops" -> r
+    }
+
     def js(v: Any): String = v match {
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
