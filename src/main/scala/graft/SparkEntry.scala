@@ -149,6 +149,12 @@ object SparkEntry {
     // → halves, exact); prod runs the ln/sign/zero decomposition over
     // factors pinned to {−1, 1}, where it is integer-exact
     "e11_min" -> ((s, d) => formulaQuery("qty.min()")(s, d)),
+    // r8 reduction tail: distinct count (dropna) and skipna truthiness —
+    // any/all run over `zro` (coalesced quantities WITH zeros, so the
+    // truth values are data-determined, not vacuous)
+    "e11_nunique" -> ((s, d) => formulaQuery("qty.nunique()")(s, d)),
+    "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
+    "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
     "e11_count" -> ((s, d) => formulaQuery("qty.count()")(s, d)),
     "e11_median" -> ((s, d) => formulaQuery("qty.median()")(s, d)),
@@ -3603,6 +3609,14 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
       "e11_min" ->
         s"$W SELECT ${J.map(j => s"CAST(min(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_nunique" ->
+        s"$W SELECT ${J.map(j => s"CAST(count(DISTINCT q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      // zro cells are never NULL (coalesced), so bool_or/bool_and run the
+      // plain truthiness fold; coalesce mirrors the engine's empty edges
+      "e11_any" ->
+        s"$W SELECT ${J.map(j => s"coalesce(bool_or(z$j <> 0), false) AS c$j").mkString(", ")} FROM w",
+      "e11_all" ->
+        s"$W SELECT ${J.map(j => s"coalesce(bool_and(z$j <> 0), true) AS c$j").mkString(", ")} FROM w",
       "e11_max" ->
         s"$W SELECT ${J.map(j => s"CAST(max(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
       "e11_count" ->

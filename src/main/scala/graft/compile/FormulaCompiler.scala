@@ -501,7 +501,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // interpolates the even middle — the full pd.eval-dispatchable
       // reduction family (E11 long tail).
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
-                 "median" | "prod"), CMatrix(cols, false), Nil) =>
+                 "median" | "prod" | "nunique" | "any" | "all"),
+            CMatrix(cols, false), Nil) =>
         reduce(cols, ctx, k)
       // `.quantile(q)`: the parameterized median — pandas linear
       // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont
@@ -521,12 +522,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ok(lo) + (pos - lo) * (ok(hi) - ok(lo))
         })
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
-                 "median" | "prod"), CVecD(vs, _), Nil) =>
+                 "median" | "prod" | "nunique" | "any" | "all"),
+            CVecD(vs, _), Nil) =>
         val ok = vs.filter(!_.isNaN)
         CScalar(k match {
           case "sum"   => ok.sum
           case "prod"  => ok.product
           case "count" => ok.length.toDouble
+          // scalar results are doubles by model: any/all encode as 1/0
+          case "nunique" => ok.distinct.length.toDouble
+          case "any"   => if (ok.exists(_ != 0.0)) 1.0 else 0.0
+          case "all"   => if (ok.forall(_ != 0.0)) 1.0 else 0.0
           case _ if ok.isEmpty => Double.NaN
           case "mean"  => ok.sum / ok.length
           case "min"   => ok.min
@@ -927,8 +933,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
-            "std, var, median, quantile, prod, cumsum, cummax, cummin, " +
-            "cumprod, rank, shift, diff, matmul, T — SURVEY §2.2 E11/E12)")
+            "std, var, median, quantile, prod, nunique, any, all, cumsum, " +
+            "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
+            "SURVEY §2.2 E11/E12)")
     }
 
   /** Whole-frame column reductions (pandas skipna semantics): one
@@ -998,6 +1005,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "median" => nanIfEmpty(percentile(nonNan, lit(0.5)))
           case q if q.startsWith("quantile:") =>
             nanIfEmpty(percentile(nonNan, lit(q.stripPrefix("quantile:").toDouble)))
+          // r8 tail: nunique (dropna, like pandas), any/all (skipna
+          // truthiness v != 0; empty/all-invalid: any → False, all → True
+          // — pandas' vacuous defaults). any/all yield BOOLEAN columns,
+          // composable with the E8 boolean operators
+          case "nunique" => countDistinct(nonNan).cast("double")
+          case "any"     => coalesce(max(nonNan =!= lit(0)), lit(false))
+          case "all"     => coalesce(min(nonNan =!= lit(0)), lit(true))
         }).as(alias)
       }
     }

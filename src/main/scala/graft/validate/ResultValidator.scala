@@ -46,8 +46,14 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
     if (std) c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
     else lit(false)
 
-  /** V1+V2+V3 in one pass: one job, one tree-aggregate, no per-check rescan. */
-  def stats(df: DataFrame, valueCols: Seq[String]): ValidationStats = {
+  /** V1+V2+V3 in one pass: one job, one tree-aggregate, no per-check rescan.
+    * BOOLEAN columns (any/all reductions, r8) carry no invalid states and
+    * are excluded — a bool cell is never NULL/NaN/±Inf by construction. */
+  def stats(df: DataFrame, valueCols0: Seq[String]): ValidationStats = {
+    val valueCols = valueCols0.filter(c =>
+      df.schema(c).dataType != org.apache.spark.sql.types.BooleanType)
+    if (valueCols.isEmpty) return ValidationStats(0L, 0L,
+      hasNan = false, hasInf = false)
     val inv = valueCols.map(c => sum(invalidCol(col(c)).cast("long")))
       .reduce(_ + _)
     val nan = valueCols.map(c => max(nanCol(col(c)))).reduce(greatest(_, _))
@@ -112,8 +118,12 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
 
   private def fillRow(df: DataFrame, labels: Seq[String]): RowResult = {
     val zero = if (std) lit(0.0) else lit(0).cast(mode.cellType)
-    RowResult(df.select(labels.map(c =>
-      when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)): _*), labels)
+    RowResult(df.select(labels.map { c =>
+      // booleans pass through: no invalid states to fill (r8 any/all)
+      if (df.schema(c).dataType == org.apache.spark.sql.types.BooleanType)
+        col(c).as(c)
+      else when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)
+    }: _*), labels)
   }
 
   private def finish(result: EvalResult, st: ValidationStats, ast: FormulaAst,

@@ -71,6 +71,35 @@ class ReductionFamilySpec extends SparkSpec {
     assertThrows[FormulaTypeException](ev.evaluateFormula("a.quantile(1.5)"))
   }
 
+  test("matrix .nunique drops NaN like pandas; .any/.all use skipna truthiness") {
+    // fixA columns: c0=(1,4,1) c1=(7,4,7) c2=(6,8,2)
+    val nu = rowVals("a.nunique()")
+    assert(nu("c0") == 2.0 && nu("c1") == 2.0 && nu("c2") == 3.0)
+    // fixI c1 = (NaN, 5, 8): NaN excluded → 2 distinct
+    assert(rowVals("i.nunique()")("c1") == 2.0)
+    // any/all: truthiness v != 0, skipna; (a - 4) has zeros in c0/c1
+    def boolVals(f: String): Map[String, Boolean] = {
+      val ev = new FormulaEvaluator(reg("a" -> fixA, "i" -> fixI),
+        fillInvalid = false)
+      ev.evaluateFormula(f) match {
+        case RowResult(df, labels) =>
+          val r = df.collect().head
+          labels.map(l => l -> r.getBoolean(r.fieldIndex(l))).toMap
+        case other => fail(s"expected row result, got $other")
+      }
+    }
+    val any = boolVals("(a - 4).any()") // c0 (−3,0,−3), c1 (3,0,3), c2 (2,4,−2)
+    assert(any("c0") && any("c1") && any("c2"))
+    val all = boolVals("(a - 4).all()")
+    assert(!all("c0") && !all("c1") && all("c2"))
+    // NaN skipped: fixI c1 = (NaN,5,8) → all True despite the hole
+    assert(boolVals("i.all()")("c1"))
+    // boolean reduction columns survive fill mode (no isnan on bools)
+    val evFill = new FormulaEvaluator(reg("a" -> fixA), fillInvalid = true)
+    val RowResult(df, _) = evFill.evaluateFormula("a.any()"): @unchecked
+    assert(df.collect().head.getBoolean(0))
+  }
+
   test("vector reduction family on the driver") {
     val ev = new FormulaEvaluator(reg(
       "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
