@@ -153,6 +153,8 @@ object SparkEntry {
     // any/all run over `zro` (coalesced quantities WITH zeros, so the
     // truth values are data-determined, not vacuous)
     "e11_nunique" -> ((s, d) => formulaQuery("qty.nunique()")(s, d)),
+    "e11_idxmax" -> ((s, d) => formulaQuery("qty.idxmax()")(s, d)),
+    "e11_idxmin" -> ((s, d) => formulaQuery("qty.idxmin()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -3609,6 +3611,12 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
       "e11_min" ->
         s"$W SELECT ${J.map(j => s"CAST(min(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      // arg-reductions: value first, then the smallest row id (native
+      // numeric order) — both engines break max/min ties identically
+      "e11_idxmax" ->
+        s"$W SELECT ${J.map(j => s"CAST(min(CASE WHEN q$j = (SELECT max(q$j) FROM w) THEN __row_id__ END) AS VARCHAR) AS c$j").mkString(", ")} FROM w",
+      "e11_idxmin" ->
+        s"$W SELECT ${J.map(j => s"CAST(min(CASE WHEN q$j = (SELECT min(q$j) FROM w) THEN __row_id__ END) AS VARCHAR) AS c$j").mkString(", ")} FROM w",
       "e11_nunique" ->
         s"$W SELECT ${J.map(j => s"CAST(count(DISTINCT q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the

@@ -501,9 +501,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // interpolates the even middle — the full pd.eval-dispatchable
       // reduction family (E11 long tail).
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
-                 "median" | "prod" | "nunique" | "any" | "all"),
+                 "median" | "prod" | "nunique" | "any" | "all" |
+                 "idxmax" | "idxmin"),
             CMatrix(cols, false), Nil) =>
         reduce(cols, ctx, k)
+      case ("idxmax" | "idxmin", _: CVecD, Nil) =>
+        throw new FormulaTypeException(
+          "idxmax/idxmin on a driver vector returns a LABEL, not a " +
+            "number — read the vector's labels directly instead")
       // `.quantile(q)`: the parameterized median — pandas linear
       // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont
       case ("quantile", CMatrix(cols, false), args) if args.length <= 1 =>
@@ -933,7 +938,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
-            "std, var, median, quantile, prod, nunique, any, all, cumsum, " +
+            "std, var, median, quantile, prod, nunique, any, all, " +
+            "idxmax, idxmin, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
             "SURVEY §2.2 E11/E12)")
     }
@@ -960,6 +966,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     val id = ctx.aggDfs.length
     val aliases = cols.map { case (lbl, _) =>
       ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
+    }
+    if (kind == "idxmax" || kind == "idxmin") {
+      // pandas arg-reduction: the ROW ID of the first max/min per column
+      // (skipna). Deterministic under ties without a second pass: min of
+      // struct(±value, rid) — the struct's lexicographic order resolves
+      // the value first, then the SMALLEST rid in its native order
+      // (pandas' first-occurrence rule under the engine's row-id
+      // ordering contract). Output cast to string for a stable schema.
+      val rid = col(ctx.rowIdOut)
+      val parts = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
+        val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
+        val key = if (kind == "idxmax") -nonNan else nonNan
+        min(when(nonNan.isNull, lit(null))
+          .otherwise(struct(key.as("k"), rid.as("r")))).as(alias)
+      }
+      ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
+      return CVecC(aliases.map { case (lbl, alias) =>
+        (lbl, col(alias).getField("r").cast("string")) }, Set(id))
     }
     if (kind == "prod") {
       // product as three aggregates through the ln/sign/zero

@@ -50,8 +50,11 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
     * BOOLEAN columns (any/all reductions, r8) carry no invalid states and
     * are excluded — a bool cell is never NULL/NaN/±Inf by construction. */
   def stats(df: DataFrame, valueCols0: Seq[String]): ValidationStats = {
-    val valueCols = valueCols0.filter(c =>
-      df.schema(c).dataType != org.apache.spark.sql.types.BooleanType)
+    val valueCols = valueCols0.filter(c => df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false // bool/string reductions carry no invalid states
+    })
     if (valueCols.isEmpty) return ValidationStats(0L, 0L,
       hasNan = false, hasInf = false)
     val inv = valueCols.map(c => sum(invalidCol(col(c)).cast("long")))
@@ -119,10 +122,15 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
   private def fillRow(df: DataFrame, labels: Seq[String]): RowResult = {
     val zero = if (std) lit(0.0) else lit(0).cast(mode.cellType)
     RowResult(df.select(labels.map { c =>
-      // booleans pass through: no invalid states to fill (r8 any/all)
-      if (df.schema(c).dataType == org.apache.spark.sql.types.BooleanType)
-        col(c).as(c)
-      else when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)
+      df.schema(c).dataType match {
+        // only CELL-typed columns have invalid states to fill; bool
+        // (any/all) and string (idxmax/idxmin) reductions pass through —
+        // the when(...) coercion would silently retype them
+        case org.apache.spark.sql.types.DoubleType |
+             _: org.apache.spark.sql.types.DecimalType =>
+          when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)
+        case _ => col(c).as(c)
+      }
     }: _*), labels)
   }
 

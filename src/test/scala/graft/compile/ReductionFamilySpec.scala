@@ -100,6 +100,34 @@ class ReductionFamilySpec extends SparkSpec {
     assert(df.collect().head.getBoolean(0))
   }
 
+  test("matrix .idxmax/.idxmin: first-occurrence row id under ties, NaN skipped") {
+    def strVals(f: String): Map[String, String] = {
+      val ev = new FormulaEvaluator(reg("a" -> fixA, "i" -> fixI),
+        fillInvalid = false)
+      ev.evaluateFormula(f) match {
+        case RowResult(df, labels) =>
+          val r = df.collect().head
+          labels.map(l => l -> r.getString(r.fieldIndex(l))).toMap
+        case other => fail(s"expected row result, got $other")
+      }
+    }
+    // fixA rows 0..2: c0=(1,4,1) c1=(7,4,7) c2=(6,8,2)
+    val mx = strVals("a.idxmax()")
+    assert(mx("c0") == "1")            // unique max at row 1
+    assert(mx("c1") == "0")            // tie 7@rows{0,2} → FIRST (row 0)
+    assert(mx("c2") == "1")
+    val mn = strVals("a.idxmin()")
+    assert(mn("c0") == "0")            // tie 1@rows{0,2} → first
+    assert(mn("c1") == "1" && mn("c2") == "2")
+    // NaN skipped: fixI c1 = (NaN, 5, 8) → idxmax row 2, idxmin row 1
+    val mi = strVals("i.idxmax()"); val mi2 = strVals("i.idxmin()")
+    assert(mi("c1") == "2" && mi2("c1") == "1")
+    // fill mode must not retype the string columns
+    val evFill = new FormulaEvaluator(reg("a" -> fixA), fillInvalid = true)
+    val RowResult(df2, _) = evFill.evaluateFormula("a.idxmax()"): @unchecked
+    assert(df2.collect().head.getString(0) == "1")
+  }
+
   test("vector reduction family on the driver") {
     val ev = new FormulaEvaluator(reg(
       "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
