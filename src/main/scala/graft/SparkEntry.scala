@@ -154,6 +154,9 @@ object SparkEntry {
     // truth values are data-determined, not vacuous)
     "e11_nunique" -> ((s, d) => formulaQuery("qty.nunique()")(s, d)),
     "e11_idxmax" -> ((s, d) => formulaQuery("qty.idxmax()")(s, d)),
+    "e11_sem" -> ((s, d) => formulaQuery("qty.sem()", roundTo = Some(6))(s, d)),
+    "e11_skew" -> ((s, d) => formulaQuery("qty.skew()", roundTo = Some(6))(s, d)),
+    "e11_kurt" -> ((s, d) => formulaQuery("qty.kurt()", roundTo = Some(6))(s, d)),
     "e11_idxmin" -> ((s, d) => formulaQuery("qty.idxmin()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
@@ -3611,6 +3614,25 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"avg(q$j) AS c$j").mkString(", ")} FROM w",
       "e11_min" ->
         s"$W SELECT ${J.map(j => s"CAST(min(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      // sem/skew/kurt: the raw power sums are integer-exact on quantity
+      // cells, and the closing float formula mirrors the engine's op
+      // order exactly; rounded 6dp like std/var
+      "e11_sem" ->
+        s"$W SELECT ${J.map(j => s"round(stddev_samp(q$j) / sqrt(count(q$j)), 6) AS c$j").mkString(", ")} FROM w",
+      "e11_skew" -> (s"$W SELECT " + J.map { j =>
+        val n = s"CAST(count(q$j) AS DOUBLE)"
+        val m = s"(sum(q$j) / $n)"
+        val m2 = s"(sum(q$j*q$j) / $n - $m * $m)"
+        val m3 = s"(sum(q$j*q$j*q$j) / $n - 3.0 * $m * (sum(q$j*q$j) / $n) + 2.0 * $m * $m * $m)"
+        s"round(CASE WHEN $n >= 3 AND $m2 > 0 THEN sqrt($n * ($n - 1.0)) / ($n - 2.0) * ($m3 / pow($m2, 1.5)) END, 6) AS c$j"
+      }.mkString(", ") + " FROM w"),
+      "e11_kurt" -> (s"$W SELECT " + J.map { j =>
+        val n = s"CAST(count(q$j) AS DOUBLE)"
+        val m = s"(sum(q$j) / $n)"
+        val m2 = s"(sum(q$j*q$j) / $n - $m * $m)"
+        val m4 = s"(sum(q$j*q$j*q$j*q$j) / $n - 4.0 * $m * (sum(q$j*q$j*q$j) / $n) + 6.0 * $m * $m * (sum(q$j*q$j) / $n) - 3.0 * $m * $m * $m * $m)"
+        s"round(CASE WHEN $n >= 4 AND $m2 > 0 THEN (($n * $n - 1.0) * ($m4 / ($m2 * $m2)) - 3.0 * ($n - 1.0) * ($n - 1.0)) / (($n - 2.0) * ($n - 3.0)) END, 6) AS c$j"
+      }.mkString(", ") + " FROM w"),
       // arg-reductions: value first, then the smallest row id (native
       // numeric order) — both engines break max/min ties identically
       "e11_idxmax" ->

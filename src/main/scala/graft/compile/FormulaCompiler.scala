@@ -502,7 +502,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // reduction family (E11 long tail).
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod" | "nunique" | "any" | "all" |
-                 "idxmax" | "idxmin"),
+                 "idxmax" | "idxmin" | "sem" | "skew" | "kurt"),
             CMatrix(cols, false), Nil) =>
         reduce(cols, ctx, k)
       case ("idxmax" | "idxmin", _: CVecD, Nil) =>
@@ -527,7 +527,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ok(lo) + (pos - lo) * (ok(hi) - ok(lo))
         })
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
-                 "median" | "prod" | "nunique" | "any" | "all"),
+                 "median" | "prod" | "nunique" | "any" | "all" |
+                 "sem" | "skew" | "kurt"),
             CVecD(vs, _), Nil) =>
         val ok = vs.filter(!_.isNaN)
         CScalar(k match {
@@ -553,6 +554,31 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             val s = ok.sorted
             val n = s.length
             if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+          case "sem" =>
+            if (ok.length < 2) Double.NaN
+            else {
+              val m = ok.sum / ok.length
+              val v = ok.map(x => (x - m) * (x - m)).sum / (ok.length - 1)
+              math.sqrt(v) / math.sqrt(ok.length.toDouble)
+            }
+          case "skew" | "kurt" =>
+            val n = ok.length.toDouble
+            val m = ok.sum / n
+            val m2 = ok.map(x => (x - m) * (x - m)).sum / n
+            if (k == "skew") {
+              if (ok.length < 3 || m2 <= 0) Double.NaN
+              else {
+                val m3 = ok.map(x => math.pow(x - m, 3)).sum / n
+                math.sqrt(n * (n - 1)) / (n - 2) * (m3 / math.pow(m2, 1.5))
+              }
+            } else {
+              if (ok.length < 4 || m2 <= 0) Double.NaN
+              else {
+                val m4 = ok.map(x => math.pow(x - m, 4)).sum / n
+                ((n * n - 1) * (m4 / (m2 * m2)) - 3 * (n - 1) * (n - 1)) /
+                  ((n - 2) * (n - 3))
+              }
+            }
         })
 
       // `.cumsum()` (E11 long tail): pandas column-wise running sum down the
@@ -939,7 +965,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
-            "idxmax, idxmin, cumsum, " +
+            "idxmax, idxmin, sem, skew, kurt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
             "SURVEY §2.2 E11/E12)")
     }
@@ -959,8 +985,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     if (ubp && kind != "sum" && kind != "mean")
       throw new AdpUnsupportedException(
         s"'.$kind()' is not supported in unbounded ADP mode")
-    if (!std && (Set("std", "var", "median", "prod")(kind) ||
-        kind.startsWith("quantile")))
+    if (!std && (Set("std", "var", "median", "prod", "sem", "skew",
+        "kurt")(kind) || kind.startsWith("quantile")))
       throw new AdpUnsupportedException(
         s"'.${kind.takeWhile(_ != ':')}()' is not supported in ADP mode")
     val id = ctx.aggDfs.length
@@ -984,6 +1010,46 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
       return CVecC(aliases.map { case (lbl, alias) =>
         (lbl, col(alias).getField("r").cast("string")) }, Set(id))
+    }
+    if (kind == "skew" || kind == "kurt") {
+      // pandas bias-corrected sample skewness / Fisher excess kurtosis
+      // from RAW power sums (one aggregate pass; the sums are
+      // integer-exact on integer-valued cells, and the closing float
+      // arithmetic is mirrored op-for-op in the oracle SQL):
+      //   m_k = central moments from Σv, Σv², Σv³, Σv⁴
+      //   skew = √(n(n−1))/(n−2) · m₃/m₂^1.5           (n ≥ 3)
+      //   kurt = [ (n²−1)·m₄/m₂² − 3(n−1)² ] / ((n−2)(n−3))   (n ≥ 4)
+      // m₂ ≤ 0 (constant column) → NaN on both sides by construction.
+      val parts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
+        val v = when(isnan(c), lit(null)).otherwise(c)
+        Seq(count(v).cast("double").as(s"${alias}_n"),
+          sum(v).as(s"${alias}_s1"), sum(v * v).as(s"${alias}_s2"),
+          sum(v * v * v).as(s"${alias}_s3"),
+          sum(v * v * v * v).as(s"${alias}_s4"))
+      }
+      ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
+      val outCols = aliases.map { case (lbl, alias) =>
+        val n = col(s"${alias}_n")
+        val m = col(s"${alias}_s1") / n
+        val m2 = col(s"${alias}_s2") / n - m * m
+        val m3 = col(s"${alias}_s3") / n - lit(3.0) * m *
+          (col(s"${alias}_s2") / n) + lit(2.0) * m * m * m
+        val m4 = col(s"${alias}_s4") / n - lit(4.0) * m *
+          (col(s"${alias}_s3") / n) + lit(6.0) * m * m *
+          (col(s"${alias}_s2") / n) - lit(3.0) * m * m * m * m
+        val cell =
+          if (kind == "skew")
+            when(n >= 3.0 && m2 > 0.0,
+              sqrt(n * (n - lit(1.0))) / (n - lit(2.0)) *
+                (m3 / pow(m2, lit(1.5)))).otherwise(litOf(Double.NaN))
+          else
+            when(n >= 4.0 && m2 > 0.0,
+              ((n * n - lit(1.0)) * (m4 / (m2 * m2)) -
+                lit(3.0) * (n - lit(1.0)) * (n - lit(1.0))) /
+                ((n - lit(2.0)) * (n - lit(3.0)))).otherwise(litOf(Double.NaN))
+        (lbl, cell)
+      }
+      return CVecC(outCols, Set(id))
     }
     if (kind == "prod") {
       // product as three aggregates through the ln/sign/zero
@@ -1034,6 +1100,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // — pandas' vacuous defaults). any/all yield BOOLEAN columns,
           // composable with the E8 boolean operators
           case "nunique" => countDistinct(nonNan).cast("double")
+          // standard error of the mean: ddof-1 std / √n (n = 1 → NaN via
+          // stddev_samp's own NaN)
+          case "sem" =>
+            nanIfEmpty(stddev_samp(nonNan) / sqrt(count(nonNan).cast("double")))
           case "any"     => coalesce(max(nonNan =!= lit(0)), lit(false))
           case "all"     => coalesce(min(nonNan =!= lit(0)), lit(true))
         }).as(alias)

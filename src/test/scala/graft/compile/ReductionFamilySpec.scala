@@ -128,6 +128,28 @@ class ReductionFamilySpec extends SparkSpec {
     assert(df2.collect().head.getString(0) == "1")
   }
 
+  test("matrix .sem/.skew/.kurt match pandas' bias-corrected formulas") {
+    // c0 = (1,4,1): std = √3 → sem = √3/√3 = 1; skew = √(6)/1 · m3/m2^1.5
+    // with m2 = 2, m3 = 2 → √6/√8·2 = √3
+    val sem = rowVals("a.sem()")
+    assertCell(sem("c0"), 1.0)
+    val sk = rowVals("a.skew()")
+    assertCell(sk("c0"), math.sqrt(3.0), tol = 1e-9)
+    // kurtosis needs n ≥ 4 → every column NaN on a 3-row frame, which the
+    // validator's all-invalid contract (V5) turns into the decorated error
+    intercept[graft.validate.AllInvalidResultException] {
+      rowVals("a.kurt()")
+    }
+    // vector path: pandas kurtosis([10,20,30,40]) = −1.2 exactly
+    val ev = new FormulaEvaluator(reg("a" -> fixA,
+      "v4" -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0),
+        IndexedSeq("a", "b", "c", "d"))), fillInvalid = false)
+    val ScalarResult(kv) = ev.evaluateFormula("v4.kurt()"): @unchecked
+    assertCell(kv, -1.2, tol = 1e-12)
+    val ScalarResult(sv) = ev.evaluateFormula("v4.skew()"): @unchecked
+    assertCell(sv, 0.0, tol = 1e-12) // symmetric
+  }
+
   test("vector reduction family on the driver") {
     val ev = new FormulaEvaluator(reg(
       "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
