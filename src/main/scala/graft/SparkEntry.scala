@@ -154,6 +154,9 @@ object SparkEntry {
     // truth values are data-determined, not vacuous)
     "e11_nunique" -> ((s, d) => formulaQuery("qty.nunique()")(s, d)),
     "e11_idxmax" -> ((s, d) => formulaQuery("qty.idxmax()")(s, d)),
+    // method-form arithmetic: same binop machinery as the operators —
+    // one oracle row pins the dispatch end-to-end
+    "e11_madd" -> ((s, d) => formulaQuery("qty.add(price).mul(2)")(s, d)),
     "e11_sem" -> ((s, d) => formulaQuery("qty.sem()", roundTo = Some(6))(s, d)),
     "e11_skew" -> ((s, d) => formulaQuery("qty.skew()", roundTo = Some(6))(s, d)),
     "e11_kurt" -> ((s, d) => formulaQuery("qty.kurt()", roundTo = Some(6))(s, d)),
@@ -3536,6 +3539,7 @@ object SparkEntry {
           s"PARTITION BY o_orderstatus ORDER BY ${hashU("o_orderkey")}, o_orderkey) AS rn " +
           "FROM orders) WHERE rn <= 50 ORDER BY o_orderstatus, o_orderkey"),
       "e1_add" -> matSql(j => F(s"q$j + e$j")),
+      "e11_madd" -> matSql(j => F(s"(q$j + e$j) * 2")),
       "e1_sub" -> matSql(j => F(s"q$j - e$j")),
       "e1_mul" -> matSql(j => F(s"q$j * e$j")),
       "e1_div" -> matSql(j => F(s"q$j / p$j")),

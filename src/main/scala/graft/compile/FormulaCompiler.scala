@@ -960,12 +960,38 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "schema-small frames). '.T' on vectors, " +
             "reductions and scalars is the identity, matching numpy.")
 
+      // pandas method-form arithmetic (pd.eval's python engine dispatches
+      // the real pandas methods): df.add(other) ≡ df + other, etc. —
+      // delegated to the SAME binop machinery, so every operand-shape
+      // pair, alignment rule and mode restriction is identical to the
+      // operator form. `.pow` stays on its dedicated whitelist case
+      // (scalar exponent + the ADP rejection).
+      case (m @ ("add" | "sub" | "mul" | "div" | "truediv" | "mod" |
+                 "floordiv"), t, List(a)) =>
+        val op = m match {
+          case "add" => "+"; case "sub" => "-"; case "mul" => "*"
+          case "div" | "truediv" => "/"; case "mod" => "%"
+          case "floordiv" => "//"
+        }
+        binop(op, t, a, ctx)
+      // ...and the reflected forms (other ∘ self)
+      case (m @ ("radd" | "rsub" | "rmul" | "rdiv" | "rtruediv" | "rmod" |
+                 "rfloordiv"), t, List(a)) =>
+        val op = m match {
+          case "radd" => "+"; case "rsub" => "-"; case "rmul" => "*"
+          case "rdiv" | "rtruediv" => "/"; case "rmod" => "%"
+          case "rfloordiv" => "//"
+        }
+        binop(op, a, t, ctx)
+
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
-            "idxmax, idxmin, sem, skew, kurt, cumsum, " +
+            "idxmax, idxmin, sem, skew, kurt, " +
+            "add, sub, mul, div, truediv, mod, floordiv + reflected " +
+            "r-forms, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
             "SURVEY §2.2 E11/E12)")
     }

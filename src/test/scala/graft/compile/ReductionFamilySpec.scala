@@ -150,6 +150,20 @@ class ReductionFamilySpec extends SparkSpec {
     assertCell(sv, 0.0, tol = 1e-12) // symmetric
   }
 
+  test("method-form arithmetic equals the operator form, incl. reflected") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA, "b" -> fixB),
+      fillInvalid = false)
+    def cellsOf(f: String): Map[Long, Map[String, Double]] = {
+      val MatrixResult(df, rowId, labels, _) = ev.evaluateFormula(f): @unchecked
+      cells(df, rowId, labels)
+    }
+    assert(cellsOf("a.add(b).mul(2)") == cellsOf("(a + b) * 2"))
+    assert(cellsOf("a.div(b)") == cellsOf("a / b"))
+    assert(cellsOf("a.rsub(10)") == cellsOf("10 - a"))
+    assert(cellsOf("a.rdiv(b)") == cellsOf("b / a"))
+    assert(cellsOf("a.floordiv(2)") == cellsOf("a // 2"))
+  }
+
   test("vector reduction family on the driver") {
     val ev = new FormulaEvaluator(reg(
       "v" -> Vec(IndexedSeq(3.0, 1.0, 4.0, 1.0), IndexedSeq("a", "b", "c", "d"))))
