@@ -2055,6 +2055,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // robust (median/MAD) outliers — the heavy-tail-safe sibling: 1% of
+    // rows get a deterministic 100x spike; quantities are integers, so
+    // both engines' interpolated medians are exact to the half
+    "cln_mad" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_returnflag"),
+          (col("l_quantity") * (lit(1) + lit(99) *
+            (col("l_orderkey") % 97 === 0).cast("int"))).as("v"))
+      Cleaning.madOutliers(li, "l_returnflag", "v")
+        .groupBy(col("l_returnflag"), col("key_median"), col("key_mad"))
+        .agg(count(lit(1)).as("n_outliers"),
+          round(max(abs(col("robust_z"))), 6).as("max_abs_z"),
+          round(min(abs(col("robust_z"))), 6).as("min_abs_z"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- anomaly detection: per-user z-scores from ONE decimal-exact
     //      partial aggregate (sum, sum-of-squares) joined back — the
     //      groupBy+join shape map-side-combines at any scale ----
@@ -4686,6 +4702,27 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN l_quantity > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
           |FROM lineitem l JOIN thr USING (l_returnflag)
           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+      // MAD mirror: two interpolated medians (exact on integer inputs),
+      // identical float chain, 6dp rounding before the threshold
+      "cln_mad" ->
+        """WITH src AS (SELECT l_returnflag,
+          |        l_quantity * (1 + 99 * (CASE WHEN l_orderkey % 97 = 0
+          |                                THEN 1 ELSE 0 END)) AS v
+          |      FROM lineitem),
+          |med AS (SELECT l_returnflag, median(v) AS key_median
+          |        FROM src GROUP BY 1),
+          |j1 AS (SELECT s.l_returnflag, v, key_median
+          |       FROM src s JOIN med USING (l_returnflag)),
+          |mad AS (SELECT l_returnflag, median(abs(v - key_median)) AS key_mad
+          |        FROM j1 GROUP BY 1),
+          |fl AS (SELECT j1.l_returnflag, v, key_median, key_mad,
+          |              round(0.6745 * (v - key_median) / key_mad, 6) AS rz
+          |       FROM j1 JOIN mad USING (l_returnflag) WHERE key_mad > 0)
+          |SELECT l_returnflag, key_median, key_mad,
+          |       CAST(count(*) AS BIGINT) AS n_outliers,
+          |       round(max(abs(rz)), 6) AS max_abs_z,
+          |       round(min(abs(rz)), 6) AS min_abs_z
+          |FROM fl WHERE abs(rz) > 3.5 GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
       // z-score mirror: decimal-exact (sum, sum²) per user; mean/msq/std
       // each rounded to 6 so the IEEE chain is engine-identical; variance
       // guarded > 0 BEFORE sqrt (NaN ordering differs across engines)

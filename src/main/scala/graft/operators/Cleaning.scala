@@ -87,6 +87,35 @@ object Cleaning {
       .drop("__n")
   }
 
+  /** Robust (median/MAD) outlier flags per group — the heavy-tail-safe
+    * sibling of [[zscoreAnomalies]]: ordinary z-scores drown in the very
+    * outliers they hunt, while the median and the median absolute
+    * deviation ignore them. robust_z = 0.6745 · (v − median) / MAD (the
+    * 0.6745 normal-consistency constant makes it comparable to a
+    * z-score); |robust_z| > `threshold` flags (3.5 is the standard
+    * Iglewicz–Hoaglin cut). Constant-valued groups (MAD = 0) produce no
+    * flags (guarded BEFORE the division — never an Inf/NaN cell).
+    *
+    * Shape: two grouped medians (group-cardinality-bounded aggregates —
+    * percentile folds with map-side partials, never a rows-level window)
+    * joined back; both engines interpolate the even-count middle
+    * identically and the closing float chain is rounded at 6dp. */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("key_median"))
+    val j1 = df.join(med, Seq(keyCol))
+    val mad = j1.groupBy(col(keyCol))
+      .agg(percentile(abs(col(valCol) - col("key_median")), lit(0.5))
+        .as("key_mad"))
+    j1.join(mad, Seq(keyCol))
+      .filter(col("key_mad") > 0)
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col(valCol) - col("key_median")) /
+          col("key_mad"), 6))
+      .filter(abs(col("robust_z")) > threshold)
+  }
+
   /** Group-mean imputation: fill NULLs in `valCol` with the mean of the
     * group's non-null values (the standard numeric-cleaning pass before
     * feature extraction; groups whose values are ALL null stay null).

@@ -66,6 +66,27 @@ class CleaningGraphSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("zscore")) > 2.0)
   }
 
+  test("madOutliers: robust to the outlier mass that drowns plain z-scores") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType)))
+    // five huge outliers among twenty inliers: the classic case where the
+    // outliers inflate mean/std enough to hide themselves from zscore,
+    // while median/MAD stay pinned to the inlier mass
+    val d = df(schema,
+      (1 to 20).map(i => Row("u", 10.0 + (i % 5))) ++
+        (1 to 5).map(_ => Row("u", 1000.0)) ++
+        Seq.fill(4)(Row("c", 7.0))) // constant key: MAD 0 → no rows
+    val robust = Cleaning.madOutliers(d, "k", "v").collect()
+    assert(robust.length == 5, s"expected the 5 planted outliers, got ${robust.length}")
+    assert(robust.forall(r => r.getDouble(r.fieldIndex("v")) == 1000.0))
+    assert(robust.forall(r =>
+      math.abs(r.getDouble(r.fieldIndex("robust_z"))) > 3.5))
+    // the plain z-score at the same strictness misses ALL of them: std is
+    // inflated to ~370 by the outliers themselves
+    val plain = Cleaning.zscoreAnomalies(d, "k", "v", z = 3.5).collect()
+    assert(plain.isEmpty, s"plain z-score should drown, got ${plain.length}")
+  }
+
   test("entity resolution: distance-1 variants match their master, the 4-edit class is rejected") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val dirty = EntityResolution.dirtyCustomers(cust)
