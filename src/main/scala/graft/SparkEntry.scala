@@ -388,6 +388,33 @@ object SparkEntry {
     // under graph-based dedup / NN-Descent-style index builds)
     "sim_knn" -> ((s, d) =>
       knnEdges(s, d).orderBy(col("id"), col("sim").desc, col("nbr"))),
+    // r8: 1-bit binary quantization + Hamming scan — the modern
+    // first-pass ANN (64x smaller than float32, distance = popcount of
+    // XOR). Sign bits pack scan-stage into two 32-bit halves (compiled
+    // SignPack32 — never the sign bit of a long, so any SQL engine
+    // reproduces the packing); ~25 probe codes broadcast against the
+    // corpus, top-5 per probe by (hamming, cand id)
+    "sim_binq" -> ((s, d) => {
+      import graft.functions.ArrayOps
+      val coded = embs(s, d).select(col("vec_id"),
+        ArrayOps.sign_pack32(col("embedding"), 0).as("lo"),
+        ArrayOps.sign_pack32(col("embedding"), 1).as("hi"))
+      val probes = coded.where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val pairs = coded.where(col("vec_id") % 199 =!= 0)
+        .crossJoin(broadcast(probes))
+        .withColumn("ham",
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
+          col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -3828,6 +3855,29 @@ object SparkEntry {
           |             CAST(sum(CAST(e.v * v2.x AS DECIMAL(38,30))) AS DOUBLE) AS dt
           |      FROM e JOIN v2 ON e.i = v2.i GROUP BY 1)
           |SELECT vec_id, round(dt, 6) AS pc1 FROM p ORDER BY vec_id""".stripMargin,
+      "sim_binq" ->
+        (s"""WITH u AS (SELECT vec_id, unnest(embedding) AS e,
+           |                  generate_subscripts(embedding, 1) AS i
+           |           FROM read_parquet('$sfDir/embeddings.parquet')),
+           |b AS (SELECT vec_id,
+           |        CAST(sum(CASE WHEN e > 0 AND i <= 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           |          AS BIGINT) AS lo,
+           |        CAST(sum(CASE WHEN e > 0 AND i > 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+           |          AS BIGINT) AS hi
+           |      FROM u GROUP BY 1),
+           |p AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM b
+           |      WHERE vec_id % 199 = 0),
+           |pr AS (SELECT q_id, c.vec_id AS cand_id,
+           |              bit_count(xor(c.lo, qlo)) +
+           |                bit_count(xor(c.hi, qhi)) AS ham
+           |       FROM b c, p WHERE c.vec_id % 199 <> 0),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |                 ORDER BY ham, cand_id) AS rk FROM pr)
+           |SELECT q_id, cand_id, CAST(ham AS INT) AS ham,
+           |       CAST(rk AS INT) AS rk
+           |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,
            |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale

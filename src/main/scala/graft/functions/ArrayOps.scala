@@ -493,6 +493,22 @@ object GraftVec {
     acc.doubleValue()
   }
 
+  /** 32 sign bits of embedding half `half` packed into a long (see
+    * [[SignPack32]]). */
+  def signPack32(a: ArrayData, half: Int, isFloat: Boolean): Long = {
+    var code = 0L
+    val base = half * 32
+    val n = math.min(32, a.numElements() - base)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(base + i).toDouble
+              else a.getDouble(base + i)
+      if (v > 0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
   /** Equi-height bucket of a composite (ord, tie) key against a SORTED
     * sample array of struct(o: double, t: long): binary-search the count
     * `c` of sample elements lexicographically ≤ (ord, tie), return
@@ -517,6 +533,43 @@ object GraftVec {
     val b = (lo.toLong * parts / size).toInt
     if (b > parts - 1) parts - 1 else b
   }
+}
+
+/** 32 sign bits of one HALF of a float/double embedding packed into a
+  * long (bit i of half h = [element 32h+i > 0]) — the 1-bit binary
+  * quantization modern vector search ships for its first-pass Hamming
+  * scan (64× smaller than float32; distance = popcount of XOR). A
+  * compiled scan-stage projection; two halves cover dim ≤ 64 without
+  * touching the sign bit of either long, so the identical packing is
+  * expressible in any SQL engine (the oracle mirrors it). */
+case class SignPack32(child: Expression, half: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(half >= 0, "half must be non-negative")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_pack32 expects array<float|double>, got ${t.simpleString}")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(in: Any): Any =
+    GraftVec.signPack32(in.asInstanceOf[ArrayData], half, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftVec.signPack32($c, $half, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** The quantile slice id of [[graft.operators.Prefix]]: equi-height bucket
@@ -995,6 +1048,10 @@ object ArrayOps {
   def quantile_bucket(all: Column, ord: Column, tie: Column,
                       parts: Int): Column =
     GraftColumnBridge.column(QuantileBucket(expr(all), expr(ord), expr(tie), parts))
+
+  /** 1-bit binary quantization: 32 sign bits of half `half` as a long. */
+  def sign_pack32(emb: Column, half: Int): Column =
+    GraftColumnBridge.column(SignPack32(expr(emb), half))
 
   /** Per-row sliding-window span-dedup stats + removal against a fixed
     * reference fingerprint set (one compiled pass; the streaming twin of
