@@ -415,6 +415,40 @@ object SparkEntry {
           col("rk"))
         .orderBy(col("q_id"), col("rk"))
     }),
+    // the full two-stage ANN: Hamming coarse scan (top-20 per probe on
+    // the 1-bit codes) -> exact decimal-scored cosine rerank of only
+    // those 20 -> final top-5. The shape every production vector store
+    // runs: the cheap code distance bounds the candidate set, the
+    // expensive exact score only ever touches k-bounded lists
+    "sim_rerank" -> ((s, d) => {
+      import graft.functions.ArrayOps
+      val coded = embs(s, d).select(col("vec_id"), col("embedding"),
+        ArrayOps.sign_pack32(col("embedding"), 0).as("lo"),
+        ArrayOps.sign_pack32(col("embedding"), 1).as("hi"))
+      val probes = coded.where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+          col("lo").as("qlo"), col("hi").as("qhi"))
+      val pairs = coded.where(col("vec_id") % 199 =!= 0)
+        .crossJoin(broadcast(probes))
+        .withColumn("ham",
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id").asc)
+      val coarse = pairs.withColumn("crk", row_number().over(w1))
+        .where(col("crk") <= 20)
+      val scored = coarse.withColumn("sim", round(
+        ArrayOps.dot_product_exact(col("embedding"), col("qemb")) /
+          (sqrt(ArrayOps.dot_product_exact(col("qemb"), col("qemb"))) *
+            sqrt(ArrayOps.dot_product_exact(col("embedding"),
+              col("embedding")))), 6))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w2)).where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
+          col("sim"), col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -3878,6 +3912,49 @@ object SparkEntry {
            |SELECT q_id, cand_id, CAST(ham AS INT) AS ham,
            |       CAST(rk AS INT) AS rk
            |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "sim_rerank" ->
+        (s"""WITH u AS (SELECT vec_id, unnest(embedding) AS e,
+           |                  generate_subscripts(embedding, 1) AS i
+           |           FROM read_parquet('$sfDir/embeddings.parquet')),
+           |b AS (SELECT vec_id,
+           |        CAST(sum(CASE WHEN e > 0 AND i <= 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           |          AS BIGINT) AS lo,
+           |        CAST(sum(CASE WHEN e > 0 AND i > 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+           |          AS BIGINT) AS hi
+           |      FROM u GROUP BY 1),
+           |p AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM b
+           |      WHERE vec_id % 199 = 0),
+           |pr AS (SELECT q_id, c.vec_id AS cand_id,
+           |              bit_count(xor(c.lo, qlo)) +
+           |                bit_count(xor(c.hi, qhi)) AS ham
+           |       FROM b c, p WHERE c.vec_id % 199 <> 0),
+           |co AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |         PARTITION BY q_id ORDER BY ham, cand_id) AS crk FROM pr)
+           |       WHERE crk <= 20),
+           |dots AS (SELECT co.q_id, co.cand_id, co.ham,
+           |           sum(CAST(CAST(eq.e AS DOUBLE) * CAST(ec.e AS DOUBLE)
+           |               AS DECIMAL(38,30))) AS dt
+           |         FROM co JOIN u eq ON eq.vec_id = co.q_id
+           |                 JOIN u ec ON ec.vec_id = co.cand_id
+           |                          AND ec.i = eq.i
+           |         GROUP BY 1, 2, 3),
+           |norms AS (SELECT vec_id,
+           |            sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+           |                AS DECIMAL(38,30))) AS nn
+           |          FROM u GROUP BY 1),
+           |scored AS (SELECT q_id, cand_id, ham,
+           |             round(CAST(dt AS DOUBLE) /
+           |               (sqrt(CAST(nq.nn AS DOUBLE)) *
+           |                sqrt(CAST(nc.nn AS DOUBLE))), 6) AS sim
+           |           FROM dots JOIN norms nq ON nq.vec_id = dots.q_id
+           |                     JOIN norms nc ON nc.vec_id = dots.cand_id),
+           |r2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |                 ORDER BY sim DESC, cand_id) AS rk FROM scored)
+           |SELECT q_id, cand_id, CAST(ham AS INT) AS ham, sim,
+           |       CAST(rk AS INT) AS rk
+           |FROM r2 WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,
            |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
