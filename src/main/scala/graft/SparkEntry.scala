@@ -2119,6 +2119,12 @@ object SparkEntry {
     // robust (median/MAD) outliers — the heavy-tail-safe sibling: 1% of
     // rows get a deterministic 100x spike; quantities are integers, so
     // both engines' interpolated medians are exact to the half
+    // entropy / mutual information of two categorical columns — the
+    // feature-redundancy probe of a dataset audit
+    "prof_mi" -> ((s, d) =>
+      Profiling.mutualInformation(s.read.parquet(s"$d/lineitem.parquet"),
+        "l_returnflag", "l_linestatus")),
+
     "cln_mad" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_returnflag"),
@@ -4831,6 +4837,37 @@ object SparkEntry {
           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
       // MAD mirror: two interpolated medians (exact on integer inputs),
       // identical float chain, 6dp rounding before the threshold
+      // MI mirror: identical 6/6/9-dp rounding chain, decimal folds
+      "prof_mi" ->
+        """WITH ab AS (SELECT l_returnflag AS a, l_linestatus AS b,
+          |                   count(*) AS nab
+          |            FROM lineitem GROUP BY 1, 2),
+          |t AS (SELECT sum(nab) AS tot FROM ab),
+          |ca AS (SELECT l_returnflag AS k, count(*) AS n FROM lineitem GROUP BY 1),
+          |cb AS (SELECT l_linestatus AS k, count(*) AS n FROM lineitem GROUP BY 1),
+          |ha AS (SELECT round(CAST(sum(CAST(round(
+          |         -round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM ca), 6)
+          |         * round(ln(round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM ca), 6)), 6),
+          |         9) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_a FROM ca),
+          |hb AS (SELECT round(CAST(sum(CAST(round(
+          |         -round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM cb), 6)
+          |         * round(ln(round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM cb), 6)), 6),
+          |         9) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_b FROM cb),
+          |m AS (SELECT ab.a, ab.b, nab,
+          |        round(CAST(nab AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS pxy,
+          |        round(CAST(na.s AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS px,
+          |        round(CAST(nb.s AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS py
+          |      FROM ab, t,
+          |        (SELECT a, sum(nab) AS s FROM ab GROUP BY 1) na,
+          |        (SELECT b, sum(nab) AS s FROM ab GROUP BY 1) nb
+          |      WHERE na.a = ab.a AND nb.b = ab.b),
+          |mi AS (SELECT round(CAST(sum(CAST(round(
+          |         pxy * round(ln(pxy / (px * py)), 6), 9)
+          |         AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi FROM m)
+          |SELECT h_a, h_b, mi,
+          |       CASE WHEN h_a > 0 AND h_b > 0
+          |            THEN round(mi / round(sqrt(h_a * h_b), 6), 6) END AS nmi
+          |FROM ha, hb, mi""".stripMargin,
       "cln_mad" ->
         """WITH src AS (SELECT l_returnflag,
           |        l_quantity * (1 + 99 * (CASE WHEN l_orderkey % 97 = 0

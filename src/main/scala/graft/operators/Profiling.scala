@@ -214,4 +214,47 @@ object Profiling {
         round(sum(when(col("lang") === "en", 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 6).as("en_frac"))
   }
+
+  /** Shannon entropy of two categorical columns plus their mutual
+    * information and the normalized MI — the feature-redundancy /
+    * label-leakage probe a dataset audit runs ("does this column already
+    * encode the label?"). NMI = MI / √(H(A)·H(B)) ∈ [0, 1].
+    *
+    * Scale shape: three bounded aggregates (distinct values of A, of B,
+    * and of the (A, B) pairs — the categorical-cardinality contract, like
+    * the PSI bins), each folded with the engine-exact discipline: 6-dp
+    * shares, 6-dp logs, 9-dp contributions summed through DECIMAL(28,12)
+    * (order-independent), final 6-dp round. One row out. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def entropy(c: String, alias: String): DataFrame = {
+      val cnt = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      val tot = sum(col("n")).over(all)
+      val p = round(col("n").cast(DoubleType) / tot.cast(DoubleType), 6)
+      cnt.select(round(-p * round(log(p), 6), 9)
+          .cast(DecimalType(28, 12)).as("c"))
+        .agg(round(sum(col("c")).cast(DoubleType), 6).as(alias))
+    }
+    val joint = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val tot = sum(col("nab")).over(all)
+    val wa = Window.partitionBy(col("a")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wb = Window.partitionBy(col("b")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pxy = round(col("nab").cast(DoubleType) / tot.cast(DoubleType), 6)
+    val px = round(sum(col("nab")).over(wa).cast(DoubleType) /
+      tot.cast(DoubleType), 6)
+    val py = round(sum(col("nab")).over(wb).cast(DoubleType) /
+      tot.cast(DoubleType), 6)
+    val mi = joint
+      .select(round(pxy * round(log(pxy / (px * py)), 6), 9)
+        .cast(DecimalType(28, 12)).as("c"))
+      .agg(round(sum(col("c")).cast(DoubleType), 6).as("mi"))
+    entropy(colA, "h_a").crossJoin(entropy(colB, "h_b")).crossJoin(mi)
+      .withColumn("nmi", when(col("h_a") > 0 && col("h_b") > 0,
+        round(col("mi") / round(sqrt(col("h_a") * col("h_b")), 6), 6)))
+  }
 }

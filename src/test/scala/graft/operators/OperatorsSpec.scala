@@ -679,6 +679,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mutualInformation: copies score NMI ~1, independent columns ~0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def frame(rows: Seq[(String, String)]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map(r => Row(r._1, r._2))).asJava),
+      StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+    // b is a pure relabeling of a → MI = H(A) = H(B) → NMI = 1
+    val dep = frame((0 until 120).map(i =>
+      (s"k${i % 4}", s"v${i % 4}")))
+    val d = Profiling.mutualInformation(dep, "a", "b").head()
+    assert(math.abs(d.getDouble(d.fieldIndex("h_a")) - math.log(4)) < 1e-3)
+    assert(math.abs(d.getDouble(d.fieldIndex("nmi")) - 1.0) < 1e-3,
+      s"relabeled column must have NMI ~1, got $d")
+    // a and b cycle with coprime periods over a multiple of both → exactly
+    // independent → MI 0 (up to the 6dp rounding discipline)
+    val ind = frame((0 until 120).map(i => (s"k${i % 4}", s"v${i % 3}")))
+    val r = Profiling.mutualInformation(ind, "a", "b").head()
+    assert(math.abs(r.getDouble(r.fieldIndex("mi"))) < 1e-3,
+      s"independent columns must have MI ~0, got $r")
+  }
+
   test("psiDrift: identical samples score ~0, disjoint samples score high") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
