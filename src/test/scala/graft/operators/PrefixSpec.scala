@@ -226,6 +226,19 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("positionalLag: offsets past 256 take the join fallback, same semantics") {
+    val n = 400
+    val (rows, df) = lagFrame(n, i => i.toLong)
+    val out = Prefix.positionalLag(df, "k", col("o"), Seq("b"), 300, Seq("lb"))
+      .orderBy(col("o")).select(col("k"), col("lb")).collect()
+    rows.indices.foreach { i =>
+      val got = out(i)
+      if (i < 300) assert(got.isNullAt(1), s"edge row $i")
+      else assert(got.getDouble(1) == rows(i - 300).getDouble(3),
+        s"donor mismatch at $i")
+    }
+  }
+
   test("positionalLag: offset beyond the data length yields all NULL donors") {
     val schema = StructType(Seq(
       StructField("k", LongType, nullable = false),
