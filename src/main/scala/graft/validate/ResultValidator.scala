@@ -53,7 +53,11 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
     val valueCols = valueCols0.filter(c => df.schema(c).dataType match {
       case org.apache.spark.sql.types.DoubleType => true
       case _: org.apache.spark.sql.types.DecimalType => true
-      case _ => false // bool/string reductions carry no invalid states
+      // unbounded-ADP cells ARE strings — only exclude strings when they
+      // can't be cells (std/decimal modes: idxmax/idxmin label columns)
+      case org.apache.spark.sql.types.StringType =>
+        mode.cellType == org.apache.spark.sql.types.StringType
+      case _ => false // bool reductions carry no invalid states
     })
     if (valueCols.isEmpty) return ValidationStats(0L, 0L,
       hasNan = false, hasInf = false)
@@ -124,10 +128,14 @@ final class ResultValidator(mode: NumericMode, fillInvalid: Boolean, verbose: Bo
     RowResult(df.select(labels.map { c =>
       df.schema(c).dataType match {
         // only CELL-typed columns have invalid states to fill; bool
-        // (any/all) and string (idxmax/idxmin) reductions pass through —
-        // the when(...) coercion would silently retype them
+        // (any/all) and non-ubp string (idxmax/idxmin) reductions pass
+        // through — the when(...) coercion would silently retype them.
+        // Unbounded-ADP cells ARE strings and must keep the fill.
         case org.apache.spark.sql.types.DoubleType |
              _: org.apache.spark.sql.types.DecimalType =>
+          when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)
+        case org.apache.spark.sql.types.StringType
+            if mode.cellType == org.apache.spark.sql.types.StringType =>
           when(invalidCol(col(c)), zero).otherwise(col(c)).as(c)
         case _ => col(c).as(c)
       }
