@@ -157,6 +157,7 @@ object SparkEntry {
     // method-form arithmetic: same binop machinery as the operators —
     // one oracle row pins the dispatch end-to-end
     "e11_madd" -> ((s, d) => formulaQuery("qty.add(price).mul(2)")(s, d)),
+    "e11_desc" -> ((s, d) => formulaQuery("qty.describe()", roundTo = Some(6))(s, d)),
     "e11_sem" -> ((s, d) => formulaQuery("qty.sem()", roundTo = Some(6))(s, d)),
     "e11_skew" -> ((s, d) => formulaQuery("qty.skew()", roundTo = Some(6))(s, d)),
     "e11_kurt" -> ((s, d) => formulaQuery("qty.kurt()", roundTo = Some(6))(s, d)),
@@ -3704,6 +3705,10 @@ object SparkEntry {
       // sem/skew/kurt: the raw power sums are integer-exact on quantity
       // cells, and the closing float formula mirrors the engine's op
       // order exactly; rounded 6dp like std/var
+      // describe mirror: the 8 stat rows unioned, each reusing the
+      // established per-stat exactness policy, ordered by stat name
+      "e11_desc" ->
+        (s"$W SELECT * FROM (SELECT 'count' AS __row_id__, round(CAST(count(q1) AS DOUBLE), 6) AS c1, round(CAST(count(q2) AS DOUBLE), 6) AS c2, round(CAST(count(q3) AS DOUBLE), 6) AS c3, round(CAST(count(q4) AS DOUBLE), 6) AS c4 FROM w UNION ALL SELECT 'mean' AS __row_id__, round(avg(q1), 6) AS c1, round(avg(q2), 6) AS c2, round(avg(q3), 6) AS c3, round(avg(q4), 6) AS c4 FROM w UNION ALL SELECT 'std' AS __row_id__, round(stddev_samp(q1), 6) AS c1, round(stddev_samp(q2), 6) AS c2, round(stddev_samp(q3), 6) AS c3, round(stddev_samp(q4), 6) AS c4 FROM w UNION ALL SELECT 'min' AS __row_id__, round(CAST(min(q1) AS DOUBLE), 6) AS c1, round(CAST(min(q2) AS DOUBLE), 6) AS c2, round(CAST(min(q3) AS DOUBLE), 6) AS c3, round(CAST(min(q4) AS DOUBLE), 6) AS c4 FROM w UNION ALL SELECT '25%' AS __row_id__, round(quantile_cont(q1, 0.25), 6) AS c1, round(quantile_cont(q2, 0.25), 6) AS c2, round(quantile_cont(q3, 0.25), 6) AS c3, round(quantile_cont(q4, 0.25), 6) AS c4 FROM w UNION ALL SELECT '50%' AS __row_id__, round(quantile_cont(q1, 0.5), 6) AS c1, round(quantile_cont(q2, 0.5), 6) AS c2, round(quantile_cont(q3, 0.5), 6) AS c3, round(quantile_cont(q4, 0.5), 6) AS c4 FROM w UNION ALL SELECT '75%' AS __row_id__, round(quantile_cont(q1, 0.75), 6) AS c1, round(quantile_cont(q2, 0.75), 6) AS c2, round(quantile_cont(q3, 0.75), 6) AS c3, round(quantile_cont(q4, 0.75), 6) AS c4 FROM w UNION ALL SELECT 'max' AS __row_id__, round(CAST(max(q1) AS DOUBLE), 6) AS c1, round(CAST(max(q2) AS DOUBLE), 6) AS c2, round(CAST(max(q3) AS DOUBLE), 6) AS c3, round(CAST(max(q4) AS DOUBLE), 6) AS c4 FROM w) ORDER BY __row_id__"),
       "e11_sem" ->
         s"$W SELECT ${J.map(j => s"round(stddev_samp(q$j) / sqrt(count(q$j)), 6) AS c$j").mkString(", ")} FROM w",
       "e11_skew" -> (s"$W SELECT " + J.map { j =>

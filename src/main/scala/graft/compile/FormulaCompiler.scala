@@ -77,6 +77,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * collection order; `colLabels` the pandas column order). */
   private case class CMatD(rows: IndexedSeq[(String, IndexedSeq[Double])],
                            colLabels: Seq[String]) extends CValue
+  /** TERMINAL summary frame (describe): its row domain is stat names, not
+    * the base's row ids, so it cannot compose further. */
+  private case class CFrame(df: org.apache.spark.sql.DataFrame,
+                            rowId: String, labels: Seq[String]) extends CValue
 
   // ---- compile context ----------------------------------------------------
 
@@ -125,6 +129,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val joined = v.aggIds.toSeq.sorted.map(ctx.aggDfs).reduceLeft(_.crossJoin(_))
         RowResult(joined.select(v.cols.map { case (l, c) => c.as(l) }: _*), v.cols.map(_._1))
       case CScalar(x)     => ScalarResult(x)
+      case CFrame(df, rid, labels) => MatrixResult(df, rid, labels, isBool = false)
       case _: CMatD       =>
         // unreachable: CMatD is only ever constructed as a matmul RIGHT
         // operand and consumed inside the same method() dispatch
@@ -960,6 +965,65 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "schema-small frames). '.T' on vectors, " +
             "reductions and scalars is the identity, matching numpy.")
 
+      // `.describe()`: pandas' 8-row summary frame (count/mean/std/min/
+      // 25%/50%/75%/max per column) — ONE partial-agg tree-reduce over the
+      // base, the single agg row exploded into the 8 stat rows. TERMINAL:
+      // the result's row domain is stat names, not the base's row ids, so
+      // further composition is rejected with a clear error.
+      case ("describe", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.describe()' is not supported in ADP mode")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("describe requires a matrix operand"))
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val stats = Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max")
+        val aggExprs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+          val v = when(isnan(c), lit(null)).otherwise(c)
+          Seq(count(v).cast("double").as(s"__d${tag}_cnt_$i"),
+            avg(v).as(s"__d${tag}_avg_$i"),
+            stddev_samp(v).as(s"__d${tag}_std_$i"),
+            min(v).as(s"__d${tag}_min_$i"),
+            percentile(v, lit(0.25)).as(s"__d${tag}_q1_$i"),
+            percentile(v, lit(0.5)).as(s"__d${tag}_q2_$i"),
+            percentile(v, lit(0.75)).as(s"__d${tag}_q3_$i"),
+            max(v).as(s"__d${tag}_max_$i"))
+        }
+        val agg1 = base.agg(aggExprs.head, aggExprs.tail: _*)
+        val keys = Seq("cnt", "avg", "std", "min", "q1", "q2", "q3", "max")
+        val rows = stats.zip(keys).map { case (statName, key) =>
+          struct((lit(statName).as("__row_id__") +:
+            cols.zipWithIndex.map { case ((lbl, _), i) =>
+              col(s"__d${tag}_${key}_$i").as(lbl)
+            }): _*)
+        }
+        val framed = agg1.select(explode(array(rows: _*)).as("__r"))
+          .select(col("__r.*"))
+        CFrame(framed, "__row_id__", cols.map(_._1))
+      case ("describe", CVecD(vs, _), Nil) =>
+        val ok = vs.filter(!_.isNaN)
+        def pct(q: Double): Double =
+          if (ok.isEmpty) Double.NaN
+          else {
+            val so = ok.sorted
+            val pos = q * (so.length - 1)
+            val lo = pos.toInt; val hi = math.min(so.length - 1, lo + 1)
+            so(lo) + (pos - lo) * (so(hi) - so(lo))
+          }
+        val n = ok.length
+        val mean = if (n == 0) Double.NaN else ok.sum / n
+        val sd =
+          if (n < 2) Double.NaN
+          else math.sqrt(ok.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+        CVecD(IndexedSeq(n.toDouble, mean, sd,
+          if (n == 0) Double.NaN else ok.min, pct(0.25), pct(0.5), pct(0.75),
+          if (n == 0) Double.NaN else ok.max),
+          IndexedSeq("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+      case (_, _: CFrame, _) =>
+        throw new FormulaTypeException(
+          "'.describe()' results are terminal: the frame's rows are stat " +
+            "names, not the engine's row ids — evaluate it as its own formula")
+
       // pandas method-form arithmetic (pd.eval's python engine dispatches
       // the real pandas methods): df.add(other) ≡ df + other, etc. —
       // delegated to the SAME binop machinery, so every operand-shape
@@ -989,7 +1053,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           s"Method '.$other' is not in the supported whitelist " +
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
-            "idxmax, idxmin, sem, skew, kurt, " +
+            "idxmax, idxmin, sem, skew, kurt, describe, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

@@ -150,6 +150,34 @@ class ReductionFamilySpec extends SparkSpec {
     assertCell(sv, 0.0, tol = 1e-12) // symmetric
   }
 
+  test(".describe(): pandas' 8-stat summary frame; terminal; vector path") {
+    val ev = new FormulaEvaluator(reg("a" -> fixA,
+      "v4" -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0),
+        IndexedSeq("a", "b", "c", "d"))), fillInvalid = false)
+    val MatrixResult(df, rowId, labels, _) =
+      ev.evaluateFormula("a.describe()"): @unchecked
+    assert(labels == Seq("c0", "c1", "c2"))
+    val byStat = df.collect().map(r => r.getString(0) ->
+      labels.indices.map(i => r.getDouble(i + 1))).toMap
+    // fixA c0 = (1,4,1): count 3, mean 2, std √3, min 1, q25 1, q50 1,
+    // q75 2.5, max 4
+    assert(byStat("count")(0) == 3.0 && byStat("mean")(0) == 2.0)
+    assertCell(byStat("std")(0), math.sqrt(3.0))
+    assert(byStat("min")(0) == 1.0 && byStat("max")(0) == 4.0)
+    assert(byStat("25%")(0) == 1.0 && byStat("50%")(0) == 1.0)
+    assert(byStat("75%")(0) == 2.5)
+    // terminal: composing past describe is a clear error
+    val e = intercept[FormulaTypeException](ev.evaluateFormula("a.describe() + 1"))
+    assert(e.getMessage.contains("terminal") ||
+      e.getMessage.contains("cannot combine"), e.getMessage)
+    // Series path: a driver vector of the 8 stats
+    val VecResult(v) = ev.evaluateFormula("v4.describe()"): @unchecked
+    assert(v.labels == IndexedSeq("count", "mean", "std", "min", "25%",
+      "50%", "75%", "max"))
+    assert(v.values(0) == 4.0 && v.values(1) == 25.0)
+    assert(v.values(4) == 17.5 && v.values(6) == 32.5) // quartiles
+  }
+
   test("method-form arithmetic equals the operator form, incl. reflected") {
     val ev = new FormulaEvaluator(reg("a" -> fixA, "b" -> fixB),
       fillInvalid = false)
