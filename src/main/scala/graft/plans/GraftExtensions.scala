@@ -95,6 +95,11 @@ object GraftExtensions {
       "quantize_int8(emb) - symmetric int8 quantization of a numeric array: " +
         "struct(scale: double, q: array<int>)",
       arity("quantize_int8", 1)(a => graft.functions.QuantizeInt8(a(0)))),
+    ("sign_pack32",
+      "sign_pack32(emb, half) - 32 sign bits of embedding half `half` " +
+        "packed into a long (1-bit binary quantization; r8)",
+      arity("sign_pack32", 2)(a =>
+        graft.functions.SignPack32(a(0), litInt(a(1), "half")))),
     ("repetition_stats",
       "repetition_stats(words) - Gopher repetition signals of a token array: " +
         "struct(n_tokens, n_bigrams, dup_word_frac, top_bigram_frac, dup_bigram_frac)",

@@ -68,6 +68,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT md5_long60(CAST(NULL AS STRING)) IS NULL").head().getBoolean(0))
   }
 
+  test("sign_pack32 is callable from SQL and matches the Column API") {
+    // 64 floats alternating +/− → both halves 0x55555555
+    val row = spark.sql(
+      """SELECT sign_pack32(transform(sequence(0, 63),
+        |         i -> CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END), 0) AS lo,
+        |       sign_pack32(transform(sequence(0, 63),
+        |         i -> CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END), 1) AS hi
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 0x55555555L && row.getLong(1) == 0x55555555L)
+  }
+
   test("unknown arity fails with a clear message") {
     val e = intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").head())
     assert(e.getMessage.contains("dot_product expects 2"))
