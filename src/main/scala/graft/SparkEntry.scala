@@ -394,7 +394,10 @@ object SparkEntry {
     // XOR). Sign bits pack scan-stage into two 32-bit halves (compiled
     // SignPack32 — never the sign bit of a long, so any SQL engine
     // reproduces the packing); ~25 probe codes broadcast against the
-    // corpus, top-5 per probe by (hamming, cand id)
+    // corpus. r9: the per-probe top-5 runs on the bounded-heap
+    // TopKPerKey operator (partial heaps cut every partition to ≤5 rows
+    // per probe BEFORE the exchange) — the r8 row_number window carried
+    // the ENTIRE candidate corpus through one window task per probe
     "sim_binq" -> ((s, d) => {
       import graft.functions.ArrayOps
       val coded = embs(s, d).select(col("vec_id"),
@@ -408,19 +411,20 @@ object SparkEntry {
         .withColumn("ham",
           (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
             bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id"))
-        .orderBy(col("ham").asc, col("vec_id").asc)
-      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
+          Seq(col("ham").asc, col("vec_id").asc), k = 5, rankCol = "rk")
         .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
-          col("rk"))
+          col("rk").cast("int").as("rk"))
         .orderBy(col("q_id"), col("rk"))
     }),
     // the full two-stage ANN: Hamming coarse scan (top-20 per probe on
     // the 1-bit codes) -> exact decimal-scored cosine rerank of only
     // those 20 -> final top-5. The shape every production vector store
     // runs: the cheap code distance bounds the candidate set, the
-    // expensive exact score only ever touches k-bounded lists
+    // expensive exact score only ever touches k-bounded lists. r9: BOTH
+    // ranking stages run on the bounded-heap TopKPerKey operator — the
+    // coarse stage no longer moves the whole corpus into one window
+    // partition per probe, and the rerank top-5 heaps over ≤20-row lists
     "sim_rerank" -> ((s, d) => {
       import graft.functions.ArrayOps
       val coded = embs(s, d).select(col("vec_id"), col("embedding"),
@@ -434,20 +438,18 @@ object SparkEntry {
         .withColumn("ham",
           (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
             bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
-      val w1 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id").asc)
-      val coarse = pairs.withColumn("crk", row_number().over(w1))
-        .where(col("crk") <= 20)
+      val coarse = graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
+          Seq(col("ham").asc, col("vec_id").asc), k = 20, rankCol = "crk")
+        .drop("crk")
       val scored = coarse.withColumn("sim", round(
         ArrayOps.dot_product_exact(col("embedding"), col("qemb")) /
           (sqrt(ArrayOps.dot_product_exact(col("qemb"), col("qemb"))) *
             sqrt(ArrayOps.dot_product_exact(col("embedding"),
               col("embedding")))), 6))
-      val w2 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w2)).where(col("rk") <= 5)
+      graft.plans.TopKPerKey(scored, Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id").asc), k = 5, rankCol = "rk")
         .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
-          col("sim"), col("rk"))
+          col("sim"), col("rk").cast("int").as("rk"))
         .orderBy(col("q_id"), col("rk"))
     }),
     "sim_lsh" -> ((s, d) =>

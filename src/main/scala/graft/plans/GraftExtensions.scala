@@ -114,4 +114,29 @@ object GraftExtensions {
       GraftColumnBridge.registerFunction(spark,
         FunctionIdentifier(name), info(name, usage), builder)
     }
+
+  /** Idempotently install the optimizer rules AND the custom-operator
+    * planner strategy on an EXISTING session (r9): `spark.experimental`
+    * is the runtime registration hook Spark provides for exactly this —
+    * the rules land in the optimizer's "User Provided Optimizers" batch,
+    * the strategy ahead of the built-in ones. After this call a plain
+    * (extensions-less) session re-plans the `row_number() <= k` window
+    * idiom onto the bounded-heap [[TopKPerKeyNode]] and global
+    * numberings onto the distributed prefix, same as a session built
+    * `.withExtensions(new GraftExtensions)`. Rule order matters and is
+    * preserved: [[WindowTopKRule]] ahead of [[GlobalRowNumberRule]], so
+    * bounded filters take the heap operator and only genuine full
+    * numberings are re-planned. */
+  def ensureRules(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.catalyst.rules.Rule
+    val rules: Seq[Rule[LogicalPlan]] =
+      Seq(CompiledDotProductRule, WindowTopKRule, GlobalRowNumberRule)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
+    TopKPerKey.ensureStrategy(spark)
+    ensureFunctions(spark)
+  }
 }
