@@ -509,25 +509,33 @@ object GraftVec {
     code
   }
 
-  /** Equi-height bucket of a composite (ord, tie) key against a SORTED
-    * sample array of struct(o: double, t: long): binary-search the count
-    * `c` of sample elements lexicographically ≤ (ord, tie), return
-    * min(parts−1, c·parts/size) — the quantile slice id of
-    * `Prefix.withSliceId`. ~log2(size) struct compares per row where the
-    * flat boundary-column formulation generated a method past the JIT's
-    * 8 KB bytecode ceiling (HotSpot refuses to compile huge methods, so
-    * the generated projection ran INTERPRETED — measured ~25× the scan
-    * cost of the same frame). Empty sample → 0. */
-  def quantileBucket(all: ArrayData, ord: Double, tie: Long, parts: Int): Int = {
+  /** Equi-height bucket of a composite (ord, v, tie) key against a SORTED
+    * sample array of struct(o: double, v: long, t: long): binary-search
+    * the count `c` of sample elements lexicographically ≤ (ord, v, tie),
+    * return min(parts−1, c·parts/size) — the quantile slice id of
+    * `Prefix.withSliceId`. `v` (r9) is a NATIVE-ORDER long surrogate
+    * compared BEFORE the tie hash: order columns whose distinct native
+    * values collide after the double cast (BIGINT > 2^53) would otherwise
+    * have the hash split a collision group across slices in an order
+    * inconsistent with the native within-slice sort. ~log2(size) struct
+    * compares per row where the flat boundary-column formulation
+    * generated a method past the JIT's 8 KB bytecode ceiling (HotSpot
+    * refuses to compile huge methods, so the generated projection ran
+    * INTERPRETED — measured ~25× the scan cost of the same frame). Empty
+    * sample → 0. */
+  def quantileBucket(all: ArrayData, ord: Double, v: Long, tie: Long,
+                     parts: Int): Int = {
     val size = all.numElements()
     if (size == 0) return 0
     var lo = 0
     var hi = size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      val e = all.getStruct(mid, 2)
+      val e = all.getStruct(mid, 3)
       val eo = e.getDouble(0)
-      val le = eo < ord || (eo == ord && e.getLong(1) <= tie)
+      val ev = e.getLong(1)
+      val le = eo < ord || (eo == ord &&
+        (ev < v || (ev == v && e.getLong(2) <= tie)))
       if (le) lo = mid + 1 else hi = mid
     }
     val b = (lo.toLong * parts / size).toInt
@@ -573,40 +581,47 @@ case class SignPack32(child: Expression, half: Int)
 }
 
 /** The quantile slice id of [[graft.operators.Prefix]]: equi-height bucket
-  * of (ord, tie) against a broadcast sorted sample array — one compiled
-  * binary search per row (see [[GraftVec.quantileBucket]]). */
+  * of (ord, v, tie) against a broadcast sorted sample array — one compiled
+  * binary search per row (see [[GraftVec.quantileBucket]]). `second` is
+  * the double order key, `third` the native-order long surrogate (r9 —
+  * compared before the tie hash so slice order always extends the native
+  * sort even when distinct native values collide in double), `fourth` the
+  * tie hash. */
 case class QuantileBucket(first: Expression, second: Expression,
-                          third: Expression, parts: Int)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+                          third: Expression, fourth: Expression, parts: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(StructType(fs), _), DoubleType, LongType)
-          if fs.length == 2 && fs(0).dataType == DoubleType &&
-            fs(1).dataType == LongType => true
+    val ok = (first.dataType, second.dataType, third.dataType,
+        fourth.dataType) match {
+      case (ArrayType(StructType(fs), _), DoubleType, LongType, LongType)
+          if fs.length == 3 && fs(0).dataType == DoubleType &&
+            fs(1).dataType == LongType && fs(2).dataType == LongType => true
       case _ => false
     }
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "quantile_bucket expects (array<struct<o:double,t:bigint>>, double, " +
-        s"bigint), got ${first.dataType.simpleString}, " +
-        s"${second.dataType.simpleString}, ${third.dataType.simpleString}")
+      "quantile_bucket expects (array<struct<o:double,v:bigint,t:bigint>>, " +
+        s"double, bigint, bigint), got ${first.dataType.simpleString}, " +
+        s"${second.dataType.simpleString}, ${third.dataType.simpleString}, " +
+        s"${fourth.dataType.simpleString}")
   }
 
-  override def nullSafeEval(a: Any, o: Any, t: Any): Any =
+  override def nullSafeEval(a: Any, o: Any, v: Any, t: Any): Any =
     GraftVec.quantileBucket(a.asInstanceOf[ArrayData],
-      o.asInstanceOf[Double], t.asInstanceOf[Long], parts)
+      o.asInstanceOf[Double], v.asInstanceOf[Long], t.asInstanceOf[Long],
+      parts)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, o, t) =>
-      s"${ev.value} = graft.functions.GraftVec.quantileBucket($a, $o, $t, $parts);")
+    nullSafeCodeGen(ctx, ev, (a, o, v, t) =>
+      s"${ev.value} = graft.functions.GraftVec.quantileBucket($a, $o, $v, $t, $parts);")
 
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression) =
-    copy(first = f, second = s, third = t)
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** Engine-portable rolling hash of a string array (one compiled loop per
@@ -1043,11 +1058,13 @@ object ArrayOps {
   def set_overlap_count(arr: Column, set: Array[String]): Column =
     GraftColumnBridge.column(SetOverlapCount(expr(arr), set))
 
-  /** Equi-height quantile bucket of (ord, tie) against a sorted sample
-    * array column (compiled binary search). */
-  def quantile_bucket(all: Column, ord: Column, tie: Column,
+  /** Equi-height quantile bucket of (ord, v, tie) against a sorted sample
+    * array column (compiled binary search); `v` is the native-order long
+    * surrogate compared before the tie hash (r9). */
+  def quantile_bucket(all: Column, ord: Column, v: Column, tie: Column,
                       parts: Int): Column =
-    GraftColumnBridge.column(QuantileBucket(expr(all), expr(ord), expr(tie), parts))
+    GraftColumnBridge.column(
+      QuantileBucket(expr(all), expr(ord), expr(v), expr(tie), parts))
 
   /** 1-bit binary quantization: 32 sign bits of half `half` as a long. */
   def sign_pack32(emb: Column, half: Int): Column =

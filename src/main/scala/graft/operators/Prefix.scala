@@ -190,13 +190,44 @@ object Prefix {
 
     if (pCols.isEmpty) {
       // ---- ungrouped: sampled-QUANTILE slices (equi-height) ----
-      // composite sort key (order value, tie hash): the tie hash breaks
-      // order-value ties deterministically, so a heavy value may split
-      // across adjacent slices — a valid arbitrary tie order — and slice
-      // balance follows the ROW distribution, not the value domain
-      val tie = xxhash64((if (tieCols.nonEmpty) tieCols
-                          else orderCol +: inNames.map(col)) :+
-        lit("__pfx_tie"): _*)
+      // composite sort key (order value, native surrogate, tie hash): the
+      // tie hash breaks order-value ties deterministically, so a heavy
+      // value may split across adjacent slices — a valid arbitrary tie
+      // order — and slice balance follows the ROW distribution, not the
+      // value domain.
+      //
+      // r9 (native-order surrogate `v`, compared BEFORE the hash): the
+      // bucket key's first component is the order value cast to DOUBLE,
+      // but within-slice sorts use the NATIVE type — so for columns whose
+      // distinct native values can collide after the cast (BIGINT beyond
+      // 2^53), the hash alone could split a collision group across slices
+      // in an order that contradicts the native sort. For such columns
+      // the native long value itself (exact, monotone with the double
+      // cast) sits between the double and the hash; for types whose
+      // double cast is injective+monotone (int/float/double/short
+      // decimals) the surrogate is a constant 0. Types with neither
+      // property (high-precision decimals, strings) do not tie-split at
+      // all (v = t = 0): double-colliding or equal values stay in ONE
+      // slice, where the native within-slice sort orders them — the
+      // r7 equi-width behavior, traded back for correctness on exotic
+      // order domains only.
+      val ordType = df.select(orderCol).schema.head.dataType
+      import org.apache.spark.sql.types._
+      val (vCol, tieSplit) = ordType match {
+        case LongType => (orderCol.cast(LongType), true)
+        case TimestampType => (unix_micros(orderCol), true)
+        case ByteType | ShortType | IntegerType | FloatType | DoubleType |
+             BooleanType => (lit(0L), true)
+        case d: DecimalType if d.precision <= 15 => (lit(0L), true)
+        case _ => (lit(0L), false)
+      }
+      val v = coalesce(vCol, lit(0L))
+      val tie =
+        if (tieSplit)
+          xxhash64((if (tieCols.nonEmpty) tieCols
+                    else orderCol +: inNames.map(col)) :+
+            lit("__pfx_tie"): _*)
+        else lit(0L)
       // bounded deterministic sample: the sampleK rows with the smallest
       // row hash — a uniform sample that every evaluation of this subtree
       // reproduces bit-for-bit (the order below is TOTAL: hash, then the
@@ -207,12 +238,15 @@ object Prefix {
       // imbalance on the Zipf probe, parts·256 ~20%); the sample is
       // driver-tiny either way and the offsets frame stays ≤ parts rows
       val sampleK = parts * 256
-      val narrow = df.select(ordFinite.as("__pfx_o"), tie.as("__pfx_t"))
+      val narrow = df.select(ordFinite.as("__pfx_o"), v.as("__pfx_v"),
+          tie.as("__pfx_t"))
         .where(col("__pfx_o").isNotNull)
       val samp = narrow
         .withColumn("__pfx_h",
-          xxhash64(col("__pfx_o"), col("__pfx_t"), lit("__pfx_h")))
-        .orderBy(col("__pfx_h"), col("__pfx_o"), col("__pfx_t"))
+          xxhash64(col("__pfx_o"), col("__pfx_v"), col("__pfx_t"),
+            lit("__pfx_h")))
+        .orderBy(col("__pfx_h"), col("__pfx_o"), col("__pfx_v"),
+          col("__pfx_t"))
         .limit(sampleK)
       // the ONE broadcast column: the sorted sample array itself (empty
       // input → empty array → every real row lands in slice 0, the
@@ -223,10 +257,11 @@ object Prefix {
       // HotSpot then refused to compile — the interpreted-bytecode
       // projection measured ~25× the scan cost of the same frame.
       val bnds = samp.agg(sort_array(collect_list(
-        struct(col("__pfx_o").as("o"), col("__pfx_t").as("t"))))
+        struct(col("__pfx_o").as("o"), col("__pfx_v").as("v"),
+          col("__pfx_t").as("t"))))
         .as("__pfx_all"))
       val bucket = graft.functions.ArrayOps.quantile_bucket(
-        col("__pfx_all"), ord, tie, parts)
+        col("__pfx_all"), ord, v, tie, parts)
       val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
       df.crossJoin(broadcast(bnds))
         .withColumn("__pfx_pid",

@@ -16,22 +16,24 @@ object KernelPropSpec extends Properties("Kernels") {
 
   // ---- QuantileBucket ----------------------------------------------------
 
-  private val genKey: Gen[(Double, Long)] = for {
+  private val genKey: Gen[(Double, Long, Long)] = for {
     o <- Gen.frequency(8 -> Gen.choose(-1000.0, 1000.0),
       2 -> Gen.oneOf(0.0, 1.0, -1.0)) // force order-value ties
+    v <- Gen.frequency(7 -> Gen.const(0L), // the common constant surrogate
+      3 -> Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
     t <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
-  } yield (o, t)
+  } yield (o, v, t)
 
-  private def sampleArr(keys: Seq[(Double, Long)]): GenericArrayData =
-    new GenericArrayData(keys.sorted.map { case (o, t) =>
-      InternalRow(o, t) }.toArray[Any])
+  private def sampleArr(keys: Seq[(Double, Long, Long)]): GenericArrayData =
+    new GenericArrayData(keys.sorted.map { case (o, v, t) =>
+      InternalRow(o, v, t) }.toArray[Any])
 
   property("bucket is monotone in the composite key and within [0, parts)") =
     Prop.forAll(Gen.listOfN(50, genKey), Gen.listOfN(30, genKey),
       Gen.choose(2, 64)) { (sample, probes, parts) =>
       val arr = sampleArr(sample)
-      val buckets = probes.sorted.map { case (o, t) =>
-        GraftVec.quantileBucket(arr, o, t, parts)
+      val buckets = probes.sorted.map { case (o, v, t) =>
+        GraftVec.quantileBucket(arr, o, v, t, parts)
       }
       buckets == buckets.sorted &&
         buckets.forall(b => b >= 0 && b < parts)
@@ -42,16 +44,17 @@ object KernelPropSpec extends Properties("Kernels") {
       val sample = sample0.distinct
       val parts = 8
       val arr = sampleArr(sample)
-      val counts = sample.groupBy { case (o, t) =>
-        GraftVec.quantileBucket(arr, o, t, parts) }.view.mapValues(_.size)
+      val counts = sample.groupBy { case (o, v, t) =>
+        GraftVec.quantileBucket(arr, o, v, t, parts) }.view.mapValues(_.size)
       // with n distinct sample points over 8 buckets, no bucket may hold
       // more than ceil(n/8) + 1 of the sample's own points
       counts.values.forall(_ <= sample.size / parts + 2)
     }
 
   property("empty sample is always bucket 0") =
-    Prop.forAll(genKey) { case (o, t) =>
-      GraftVec.quantileBucket(new GenericArrayData(Array.empty[Any]), o, t, 32) == 0
+    Prop.forAll(genKey) { case (o, v, t) =>
+      GraftVec.quantileBucket(new GenericArrayData(Array.empty[Any]), o, v, t,
+        32) == 0
     }
 
   // ---- SpanRefStats ------------------------------------------------------

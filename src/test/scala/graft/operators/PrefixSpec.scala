@@ -252,23 +252,71 @@ class PrefixSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("BIGINT order values beyond 2^53 keep the native order (r9)") {
+    // ADVICE r8: the slice bucket key casts the order column to double,
+    // but within-slice sorts use the NATIVE type — 2^53+i longs collide
+    // pairwise in double, and the old (double, hash) composite could split
+    // a collision pair across slices in hash order, silently producing a
+    // running sum that is not a valid ORDER BY of the column. The native
+    // surrogate (v) now orders collision groups exactly.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val base = 1L << 53
+      val n = 2000
+      // deterministic shuffle of 2^53 + 0..n-1 (unique, pairwise-colliding)
+      val ords = (0 until n).map(i => base + ((i * 977) % n))
+      val schema = StructType(Seq(
+        StructField("ord", LongType, nullable = false),
+        StructField("one", DoubleType, nullable = false)))
+      val rows = ords.map(o => Row(o, 1.0))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema).repartition(16)
+      val out = Prefix.runningAgg(df, col("ord"), Seq("one"), Seq("sum"),
+          Seq("run"))
+        .orderBy(col("ord")).select(col("run")).collect()
+        .map(_.getDouble(0)).toSeq
+      // running count over a unique order domain == the native rank 1..n
+      assert(out == (1 to n).map(_.toDouble),
+        s"running sum must follow the native long order; head=${out.take(8)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("QuantileBucket kernel: empty, tiny and boundary-tie cases") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.catalyst.InternalRow
-    def arr(elems: (Double, Long)*): ArrayData =
+    def arr(elems: (Double, Long, Long)*): ArrayData =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        elems.map { case (o, t) => InternalRow(o, t) }.toArray[Any])
+        elems.map { case (o, v, t) => InternalRow(o, v, t) }.toArray[Any])
     import graft.functions.GraftVec.quantileBucket
-    assert(quantileBucket(arr(), 5.0, 0L, 32) == 0, "empty sample → slice 0")
-    val s = arr((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
-    assert(quantileBucket(s, 0.5, 0L, 4) == 0)   // below all
-    assert(quantileBucket(s, 9.0, 0L, 4) == 3)   // above all → clamp
-    assert(quantileBucket(s, 2.0, 20L, 4) == 2)  // ≤ ties count inclusively
-    assert(quantileBucket(s, 2.0, 19L, 4) == 1)  // tie hash below element
-    // monotone in (o, t)
-    val keys = Seq((0.0, 0L), (1.0, 9L), (1.0, 10L), (2.5, 0L), (4.0, 40L), (9.9, 1L))
-    val buckets = keys.map { case (o, t) => quantileBucket(s, o, t, 4) }
+    assert(quantileBucket(arr(), 5.0, 0L, 0L, 32) == 0, "empty sample → slice 0")
+    val s = arr((1.0, 0L, 10L), (2.0, 0L, 20L), (3.0, 0L, 30L), (4.0, 0L, 40L))
+    assert(quantileBucket(s, 0.5, 0L, 0L, 4) == 0)   // below all
+    assert(quantileBucket(s, 9.0, 0L, 0L, 4) == 3)   // above all → clamp
+    assert(quantileBucket(s, 2.0, 0L, 20L, 4) == 2)  // ≤ ties count inclusively
+    assert(quantileBucket(s, 2.0, 0L, 19L, 4) == 1)  // tie hash below element
+    // monotone in (o, v, t)
+    val keys = Seq((0.0, 0L, 0L), (1.0, 0L, 9L), (1.0, 0L, 10L),
+      (2.5, 0L, 0L), (4.0, 0L, 40L), (9.9, 0L, 1L))
+    val buckets = keys.map { case (o, v, t) => quantileBucket(s, o, v, t, 4) }
     assert(buckets == buckets.sorted, s"must be monotone: $buckets")
+    // r9: the native surrogate outranks the tie hash — BIGINTs beyond 2^53
+    // collide in double, and the bucket order must follow v, not the hash
+    val big = (1L << 53) // 2^53: 2^53 and 2^53+1 cast to the SAME double
+    val d = big.toDouble
+    val s2 = arr((d, big, 99L), (d, big + 1, 1L), (d, big + 2, 50L),
+      (d, big + 3, 7L))
+    val vKeys = Seq((d, big, 99L), (d, big + 1, 1L), (d, big + 2, 50L),
+      (d, big + 3, 7L))
+    val vb = vKeys.map { case (o, v, t) => quantileBucket(s2, o, v, t, 4) }
+    // count-≤ of the i-th smallest element is i+1 → buckets (1, 2, 3, 3);
+    // the point: they follow v, NOT the tie hashes (99, 1, 50, 7)
+    assert(vb == Seq(1, 2, 3, 3),
+      s"native-order surrogate must order a double-collision group: $vb")
+    // ...and a probe below the whole group (smaller v, any hash) buckets 0
+    assert(quantileBucket(s2, d, big - 2, 999L, 4) == 0)
   }
 
   test("slice ids agree across plan branches at high partition counts") {
