@@ -3713,20 +3713,38 @@ object SparkEntry {
         (s"$W SELECT * FROM (SELECT 'count' AS __row_id__, round(CAST(count(q1) AS DOUBLE), 6) AS c1, round(CAST(count(q2) AS DOUBLE), 6) AS c2, round(CAST(count(q3) AS DOUBLE), 6) AS c3, round(CAST(count(q4) AS DOUBLE), 6) AS c4 FROM w UNION ALL SELECT 'mean' AS __row_id__, round(avg(q1), 6) AS c1, round(avg(q2), 6) AS c2, round(avg(q3), 6) AS c3, round(avg(q4), 6) AS c4 FROM w UNION ALL SELECT 'std' AS __row_id__, round(stddev_samp(q1), 6) AS c1, round(stddev_samp(q2), 6) AS c2, round(stddev_samp(q3), 6) AS c3, round(stddev_samp(q4), 6) AS c4 FROM w UNION ALL SELECT 'min' AS __row_id__, round(CAST(min(q1) AS DOUBLE), 6) AS c1, round(CAST(min(q2) AS DOUBLE), 6) AS c2, round(CAST(min(q3) AS DOUBLE), 6) AS c3, round(CAST(min(q4) AS DOUBLE), 6) AS c4 FROM w UNION ALL SELECT '25%' AS __row_id__, round(quantile_cont(q1, 0.25), 6) AS c1, round(quantile_cont(q2, 0.25), 6) AS c2, round(quantile_cont(q3, 0.25), 6) AS c3, round(quantile_cont(q4, 0.25), 6) AS c4 FROM w UNION ALL SELECT '50%' AS __row_id__, round(quantile_cont(q1, 0.5), 6) AS c1, round(quantile_cont(q2, 0.5), 6) AS c2, round(quantile_cont(q3, 0.5), 6) AS c3, round(quantile_cont(q4, 0.5), 6) AS c4 FROM w UNION ALL SELECT '75%' AS __row_id__, round(quantile_cont(q1, 0.75), 6) AS c1, round(quantile_cont(q2, 0.75), 6) AS c2, round(quantile_cont(q3, 0.75), 6) AS c3, round(quantile_cont(q4, 0.75), 6) AS c4 FROM w UNION ALL SELECT 'max' AS __row_id__, round(CAST(max(q1) AS DOUBLE), 6) AS c1, round(CAST(max(q2) AS DOUBLE), 6) AS c2, round(CAST(max(q3) AS DOUBLE), 6) AS c3, round(CAST(max(q4) AS DOUBLE), 6) AS c4 FROM w) ORDER BY __row_id__"),
       "e11_sem" ->
         s"$W SELECT ${J.map(j => s"round(stddev_samp(q$j) / sqrt(count(q$j)), 6) AS c$j").mkString(", ")} FROM w",
-      "e11_skew" -> (s"$W SELECT " + J.map { j =>
-        val n = s"CAST(count(q$j) AS DOUBLE)"
-        val m = s"(sum(q$j) / $n)"
-        val m2 = s"(sum(q$j*q$j) / $n - $m * $m)"
-        val m3 = s"(sum(q$j*q$j*q$j) / $n - 3.0 * $m * (sum(q$j*q$j) / $n) + 2.0 * $m * $m * $m)"
+      // r9: CENTERED moments (pandas-stable when |mean| >> spread), the
+      // engine's two-pass shape mirrored: pass-1 mean (exact integer sum,
+      // one double division), pass-2 Σdᵏ with each term rounded 9dp and
+      // folded through DECIMAL — order-independent in both engines
+      "e11_skew" -> (s"$W, mm AS (SELECT " + J.map { j =>
+        s"sum(q$j) / CAST(count(q$j) AS DOUBLE) AS m$j, " +
+          s"CAST(count(q$j) AS DOUBLE) AS n$j"
+      }.mkString(", ") + " FROM w), ss AS (SELECT " + J.map { j =>
+        val d = s"(q$j - m$j)"
+        s"max(n$j) AS n$j, " +
+          s"sum(CAST(round($d*$d, 9) AS DECIMAL(38,12))) AS s2_$j, " +
+          s"sum(CAST(round($d*$d*$d, 9) AS DECIMAL(38,12))) AS s3_$j"
+      }.mkString(", ") + " FROM w, mm) SELECT " + J.map { j =>
+        val n = s"n$j"
+        val m2 = s"(CAST(s2_$j AS DOUBLE) / $n)"
+        val m3 = s"(CAST(s3_$j AS DOUBLE) / $n)"
         s"round(CASE WHEN $n >= 3 AND $m2 > 0 THEN sqrt($n * ($n - 1.0)) / ($n - 2.0) * ($m3 / pow($m2, 1.5)) END, 6) AS c$j"
-      }.mkString(", ") + " FROM w"),
-      "e11_kurt" -> (s"$W SELECT " + J.map { j =>
-        val n = s"CAST(count(q$j) AS DOUBLE)"
-        val m = s"(sum(q$j) / $n)"
-        val m2 = s"(sum(q$j*q$j) / $n - $m * $m)"
-        val m4 = s"(sum(q$j*q$j*q$j*q$j) / $n - 4.0 * $m * (sum(q$j*q$j*q$j) / $n) + 6.0 * $m * $m * (sum(q$j*q$j) / $n) - 3.0 * $m * $m * $m * $m)"
+      }.mkString(", ") + " FROM ss"),
+      "e11_kurt" -> (s"$W, mm AS (SELECT " + J.map { j =>
+        s"sum(q$j) / CAST(count(q$j) AS DOUBLE) AS m$j, " +
+          s"CAST(count(q$j) AS DOUBLE) AS n$j"
+      }.mkString(", ") + " FROM w), ss AS (SELECT " + J.map { j =>
+        val d = s"(q$j - m$j)"
+        s"max(n$j) AS n$j, " +
+          s"sum(CAST(round($d*$d, 9) AS DECIMAL(38,12))) AS s2_$j, " +
+          s"sum(CAST(round($d*$d*$d*$d, 9) AS DECIMAL(38,12))) AS s4_$j"
+      }.mkString(", ") + " FROM w, mm) SELECT " + J.map { j =>
+        val n = s"n$j"
+        val m2 = s"(CAST(s2_$j AS DOUBLE) / $n)"
+        val m4 = s"(CAST(s4_$j AS DOUBLE) / $n)"
         s"round(CASE WHEN $n >= 4 AND $m2 > 0 THEN (($n * $n - 1.0) * ($m4 / ($m2 * $m2)) - 3.0 * ($n - 1.0) * ($n - 1.0)) / (($n - 2.0) * ($n - 3.0)) END, 6) AS c$j"
-      }.mkString(", ") + " FROM w"),
+      }.mkString(", ") + " FROM ss"),
       // arg-reductions: value first, then the smallest row id (native
       // numeric order) — both engines break max/min ties identically
       "e11_idxmax" ->

@@ -1093,7 +1093,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       val rid = col(ctx.rowIdOut)
       val parts = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
         val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
-        val key = if (kind == "idxmax") -nonNan else nonNan
+        // r9 (ADVICE): normalize −0.0 → +0.0 BEFORE the ± key — struct
+        // ordering uses Double.compare (−0.0 < +0.0), so negating a +0.0
+        // cell to −0.0 would let a LATER +0.0 row beat an earlier −0.0
+        // row, where pandas treats them as equal-value ties broken by
+        // first occurrence
+        val zn = if (std) when(nonNan === 0.0, lit(0.0)).otherwise(nonNan)
+                 else nonNan
+        val key = if (kind == "idxmax") -zn else zn
         min(when(nonNan.isNull, lit(null))
           .otherwise(struct(key.as("k"), rid.as("r")))).as(alias)
       }
@@ -1103,30 +1110,39 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     }
     if (kind == "skew" || kind == "kurt") {
       // pandas bias-corrected sample skewness / Fisher excess kurtosis
-      // from RAW power sums (one aggregate pass; the sums are
-      // integer-exact on integer-valued cells, and the closing float
-      // arithmetic is mirrored op-for-op in the oracle SQL):
-      //   m_k = central moments from Σv, Σv², Σv³, Σv⁴
+      // from CENTERED power sums (r9 — ADVICE: the raw Σv..Σv⁴
+      // formulation cancels catastrophically when |mean| ≫ spread, where
+      // pandas' centered moments stay accurate). Two passes:
+      //   pass 1: n and the mean (Σv exact on integer-valued cells,
+      //           one double division — engine-identical both sides);
+      //   pass 2: d = v − mean; Σd², Σd³, Σd⁴ with each term rounded to
+      //           9 dp and folded through DECIMAL (the prof_psi
+      //           discipline: order-independent and engine-exact).
       //   skew = √(n(n−1))/(n−2) · m₃/m₂^1.5           (n ≥ 3)
       //   kurt = [ (n²−1)·m₄/m₂² − 3(n−1)² ] / ((n−2)(n−3))   (n ≥ 4)
       // m₂ ≤ 0 (constant column) → NaN on both sides by construction.
-      val parts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val meanParts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
         val v = when(isnan(c), lit(null)).otherwise(c)
         Seq(count(v).cast("double").as(s"${alias}_n"),
-          sum(v).as(s"${alias}_s1"), sum(v * v).as(s"${alias}_s2"),
-          sum(v * v * v).as(s"${alias}_s3"),
-          sum(v * v * v * v).as(s"${alias}_s4"))
+          (sum(v) / count(v).cast("double")).as(s"${alias}_m"))
       }
-      ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
+      val means = base.agg(meanParts.head, meanParts.tail: _*)
+      val withM = base.crossJoin(broadcast(means))
+      val sumParts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
+        val v = when(isnan(c), lit(null)).otherwise(c)
+        val d = v - col(s"${alias}_m")
+        Seq(max(col(s"${alias}_n")).as(s"${alias}_n"),
+          sum(round(d * d, 9).cast(dec)).as(s"${alias}_s2"),
+          sum(round(d * d * d, 9).cast(dec)).as(s"${alias}_s3"),
+          sum(round(d * d * d * d, 9).cast(dec)).as(s"${alias}_s4"))
+      }
+      ctx.aggDfs += withM.agg(sumParts.head, sumParts.tail: _*)
       val outCols = aliases.map { case (lbl, alias) =>
         val n = col(s"${alias}_n")
-        val m = col(s"${alias}_s1") / n
-        val m2 = col(s"${alias}_s2") / n - m * m
-        val m3 = col(s"${alias}_s3") / n - lit(3.0) * m *
-          (col(s"${alias}_s2") / n) + lit(2.0) * m * m * m
-        val m4 = col(s"${alias}_s4") / n - lit(4.0) * m *
-          (col(s"${alias}_s3") / n) + lit(6.0) * m * m *
-          (col(s"${alias}_s2") / n) - lit(3.0) * m * m * m * m
+        val m2 = col(s"${alias}_s2").cast("double") / n
+        val m3 = col(s"${alias}_s3").cast("double") / n
+        val m4 = col(s"${alias}_s4").cast("double") / n
         val cell =
           if (kind == "skew")
             when(n >= 3.0 && m2 > 0.0,

@@ -1221,7 +1221,20 @@ object MediaCodec {
     while (scanStart < 0) {
       if (u8(pos) != 0xFF)
         throw new IllegalArgumentException("jpeg: expected marker")
-      val marker = u8(pos + 1); pos += 2
+      // r9 (ADVICE): legal FILL BYTES — any run of extra 0xFF before the
+      // marker id (B.1.1.2) — must be skipped, and the standalone markers
+      // TEM (0x01) / RST0–7 (0xD0–D7) carry NO length segment: treating
+      // either as length-bearing misparses conforming foreign baseline
+      // files (the in-repo encoder emits neither)
+      var mpos = pos + 1
+      while (u8(mpos) == 0xFF) mpos += 1
+      val marker = u8(mpos); pos = mpos + 1
+      if (marker == 0x00)
+        throw new IllegalArgumentException(
+          "jpeg: 0xFF00 in the marker stream (stuffing outside entropy data)")
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        // standalone: nothing to skip
+      } else {
       // every marker handled below carries a 2-byte length; a corrupt
       // length < 2 would stall the walk forever
       if (marker != 0xD9)
@@ -1290,6 +1303,7 @@ object MediaCodec {
           scanStart = pos + u16(pos)
         case _ => // APPn / COM / others: length-skip
           pos += u16(pos)
+      }
       }
     }
     require(w > 0 && h > 0, "jpeg: SOS before SOF0")

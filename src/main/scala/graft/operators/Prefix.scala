@@ -343,7 +343,17 @@ object Prefix {
                     outNames: Seq[String]): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    if (math.abs(n) <= 256)
+    // r9 (ADVICE): the streaming path's driver edge-collect is parts·|n|
+    // ROWS but each row carries every shifted value column — |n| ≤ 256
+    // bounds only the row count. Gate on the CELL volume too
+    // (parts·|n|·width ≤ graft.lag.maxEdgeCells, default 4M ≈ tens of MB
+    // on the driver), falling back to the positional join whose edge
+    // state never leaves the executors.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxCells = df.sparkSession.conf
+      .getOption("graft.lag.maxEdgeCells").map(_.toLong).getOrElse(4000000L)
+    val cells = parts.toLong * math.abs(n) * inNames.length
+    if (math.abs(n) <= 256 && cells <= maxCells)
       positionalLagStream(df, keyCol, orderCol, inNames, n, outNames)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames)

@@ -150,6 +150,41 @@ class ReductionFamilySpec extends SparkSpec {
     assertCell(sv, 0.0, tol = 1e-12) // symmetric
   }
 
+  test(".skew/.kurt stay accurate when |mean| >> spread (r9 centering)") {
+    // 1e9 + (10,20,30,40): the raw Σv..Σv⁴ formulation cancels
+    // catastrophically (Σv² ≈ 4e18 needs 19 digits to recover m2 ≈ 125 —
+    // doubles carry ~15.9), while pandas' centered moments are exact:
+    // skew = 0 (symmetric), kurt = −1.2
+    val ev = new FormulaEvaluator(reg("a" -> fixA,
+      "big" -> mat3(Seq(Seq(1.0e9 + 10), Seq(1.0e9 + 20), Seq(1.0e9 + 30)),
+        Seq("c0")).asInstanceOf[graft.model.NamedData],
+      "b4" -> Vec(IndexedSeq(1.0e9 + 10, 1.0e9 + 20, 1.0e9 + 30, 1.0e9 + 40),
+        IndexedSeq("a", "b", "c", "d"))), fillInvalid = false)
+    val RowResult(df, labels) = ev.evaluateFormula("big.skew()"): @unchecked
+    val sk = df.collect().head.getDouble(df.schema.fieldIndex(labels.head))
+    assertCell(sk, 0.0, tol = 1e-6)
+    val ScalarResult(kv) = ev.evaluateFormula("b4.kurt()"): @unchecked
+    assertCell(kv, -1.2, tol = 1e-9)
+  }
+
+  test(".idxmax/.idxmin treat -0.0 and +0.0 as equal-value ties (r9)") {
+    // pandas: -0.0 == 0.0, ties broken by FIRST occurrence. The ±struct
+    // key trick must normalize zeros, or negation turns +0.0 into -0.0
+    // and Double.compare prefers the wrong row.
+    val m = mat3(Seq(Seq(-0.0), Seq(0.0), Seq(-1.0)), Seq("c0"))
+    val ev = new FormulaEvaluator(reg("z" -> m.asInstanceOf[graft.model.NamedData]),
+      fillInvalid = false)
+    val RowResult(dmax, _) = ev.evaluateFormula("z.idxmax()"): @unchecked
+    assert(dmax.collect().head.getString(0) == "0",
+      "idxmax: first of the equal-zero rows, not the +0.0 one")
+    val m2 = mat3(Seq(Seq(0.0), Seq(-0.0), Seq(5.0)), Seq("c0"))
+    val ev2 = new FormulaEvaluator(reg("z" -> m2.asInstanceOf[graft.model.NamedData]),
+      fillInvalid = false)
+    val RowResult(dmin, _) = ev2.evaluateFormula("z.idxmin()"): @unchecked
+    assert(dmin.collect().head.getString(0) == "0",
+      "idxmin: first of the equal-zero rows, not the -0.0 one")
+  }
+
   test(".describe(): pandas' 8-stat summary frame; terminal; vector path") {
     val ev = new FormulaEvaluator(reg("a" -> fixA,
       "v4" -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0),

@@ -271,6 +271,22 @@ class MediaCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.parseUlawWav(bytes))
   }
 
+  test("JPEG marker walk: fill bytes and standalone TEM/RST markers (r9)") {
+    // conforming foreign encoders may pad with 0xFF fill bytes before a
+    // marker id and emit standalone TEM (FF01) — neither carries a length
+    // segment, and the old walk misparsed both as length-bearing
+    val bytes = MediaCodec.jpegBytes(16, 8,
+      (bx, by) => ((bx * 50 + by * 9 + 1) % 256, 0, 0), gray = true)
+    val clean = MediaCodec.parseJpeg(bytes)
+    // inject after SOI (FF D8): two fill bytes + a TEM + a RST3 marker
+    val inject = Array(0xFF, 0xFF, 0xFF, 0x01, 0xFF, 0xD3).map(_.toByte)
+    val padded = bytes.take(2) ++ inject ++ bytes.drop(2)
+    val info = MediaCodec.parseJpeg(padded)
+    assert(info.width == clean.width && info.height == clean.height &&
+      info.meanR == clean.meanR,
+      "fill bytes / standalone markers must not change the decode")
+  }
+
   test("JPEG roundtrip: Huffman DC diffs, IDCT and fixed-point color are exact") {
     // blockwise-constant color image: decoded pixels must be the exact
     // fixed-point transform of the synthesized (Y, Cb, Cr)

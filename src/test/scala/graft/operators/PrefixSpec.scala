@@ -239,6 +239,30 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("positionalLag: cell budget routes wide frames to the join path (r9)") {
+    // ADVICE: |n| ≤ 256 bounds only the edge-collect ROW count — a wide
+    // value list multiplies the driver bytes. With a tiny cell budget the
+    // same small offset must take the join fallback, same semantics.
+    val n = 400
+    val (rows, df) = lagFrame(n, i => i.toLong)
+    val saved = spark.conf.getOption("graft.lag.maxEdgeCells")
+    try {
+      spark.conf.set("graft.lag.maxEdgeCells", "1")
+      val out = Prefix.positionalLag(df, "k", col("o"), Seq("b"), 3, Seq("lb"))
+        .orderBy(col("o")).select(col("k"), col("lb")).collect()
+      rows.indices.foreach { i =>
+        if (i < 3) assert(out(i).isNullAt(1), s"edge row $i")
+        else assert(out(i).getDouble(1) == rows(i - 3).getDouble(3),
+          s"donor mismatch at $i")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.lag.maxEdgeCells", v)
+        case None => spark.conf.unset("graft.lag.maxEdgeCells")
+      }
+    }
+  }
+
   test("positionalLag: offset beyond the data length yields all NULL donors") {
     val schema = StructType(Seq(
       StructField("k", LongType, nullable = false),
