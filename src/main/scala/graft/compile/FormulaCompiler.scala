@@ -665,16 +665,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val valNames = cols.indices.map(i => s"__sh${tag}_v_$i")
           val materialized = ctx.base.get.select(col("*") +:
             cols.zip(valNames).map { case ((_, c), vn) => c.as(vn) }: _*)
+          // r9: std-mode diff fuses the subtraction into the lag's
+          // streaming emit (the donor is already in hand in the ring
+          // buffer) — one wide projection pass saved over the frame
+          val fuse = std && m == "diff"
           ctx.base = Some(graft.operators.Prefix.positionalLag(
             materialized, ctx.rowIdOut, col(ctx.rowIdOut), valNames, n,
-            valNames.map(vn => s"${vn}_sh")))
+            valNames.map(vn => s"${vn}_sh"), fuseDiff = fuse))
           val out = cols.zip(valNames).map { case ((lbl, _), vn) =>
             val sh = col(s"${vn}_sh")
             // beyond-the-edge rows: NaN in std (the pandas fill), NULL
             // (the invalid marker) in the decimal/unbounded modes
-            val shifted = if (std) coalesce(sh, litOf(Double.NaN)) else sh
             val cell =
-              if (m == "shift") shifted else col(vn) - shifted
+              if (fuse) sh // already value − donor with the NaN edge fill
+              else {
+                val shifted =
+                  if (std) coalesce(sh, litOf(Double.NaN)) else sh
+                if (m == "shift") shifted else col(vn) - shifted
+              }
             (lbl, cell)
           }
           CMatrix(out, isBool = false)

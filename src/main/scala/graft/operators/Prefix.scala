@@ -340,9 +340,31 @@ object Prefix {
     */
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
-                    outNames: Seq[String]): DataFrame = {
+                    outNames: Seq[String]): DataFrame =
+    positionalLag(df, keyCol, orderCol, inNames, n, outNames,
+      fuseDiff = false)
+
+  /** As [[positionalLag]], but with `fuseDiff = true` each output column
+    * is the DIFFERENCE `value − donor` instead of the donor itself (the
+    * pandas `.diff()` cell, std-mode semantics: a missing donor — edge
+    * row or NULL lagged value — subtracts as NaN; a NULL current value
+    * stays NULL). r9: fusing the subtraction into the streaming emit
+    * saves a full wide projection pass over the frame — the donor values
+    * are already in hand in the ring buffer. DoubleType columns only. */
+  def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
+                    inNames: Seq[String], n: Int,
+                    outNames: Seq[String], fuseDiff: Boolean): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
+    if (fuseDiff) {
+      val sch = df.schema
+      inNames.foreach { nm =>
+        require(sch(nm).dataType ==
+          org.apache.spark.sql.types.DoubleType,
+          s"fuseDiff requires DoubleType columns, got ${sch(nm).dataType} " +
+            s"for $nm")
+      }
+    }
     // r9 (ADVICE): the streaming path's driver edge-collect is parts·|n|
     // ROWS but each row carries every shifted value column — |n| ≤ 256
     // bounds only the row count. Gate on the CELL volume too
@@ -354,14 +376,16 @@ object Prefix {
       .getOption("graft.lag.maxEdgeCells").map(_.toLong).getOrElse(4000000L)
     val cells = parts.toLong * math.abs(n) * inNames.length
     if (math.abs(n) <= 256 && cells <= maxCells)
-      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames)
+      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames,
+        fuseDiff)
     else
-      positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames)
+      positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuseDiff)
   }
 
   private def positionalLagStream(df: DataFrame, keyCol: String,
                                   orderCol: Column, inNames: Seq[String],
-                                  n: Int, outNames: Seq[String]): DataFrame = {
+                                  n: Int, outNames: Seq[String],
+                                  fuseDiff: Boolean): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -444,7 +468,17 @@ object Prefix {
           while (i < r.length) { outVals(i) = r.get(i); i += 1 }
           var j = 0
           while (j < inIdx.length) {
-            outVals(r.length + j) = if (donor == null) null else donor(j)
+            outVals(r.length + j) =
+              if (!fuseDiff) { if (donor == null) null else donor(j) }
+              else if (cur(j) == null) null
+              else {
+                // missing donor (edge row or NULL lagged value) = NaN —
+                // the std-mode `.diff()` edge fill, fused into the emit
+                val dv =
+                  if (donor == null || donor(j) == null) Double.NaN
+                  else donor(j).asInstanceOf[Double]
+                java.lang.Double.valueOf(cur(j).asInstanceOf[Double] - dv)
+              }
             j += 1
           }
           buf.append(cur)
@@ -462,7 +496,8 @@ object Prefix {
     * `keyCol`. */
   private def positionalLagJoin(df: DataFrame, keyCol: String,
                                 orderCol: Column, inNames: Seq[String],
-                                n: Int, outNames: Seq[String]): DataFrame = {
+                                n: Int, outNames: Seq[String],
+                                fuseDiff: Boolean = false): DataFrame = {
     val okey = "__lag_ord"
     val narrow = df.select(
       col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)
@@ -479,6 +514,16 @@ object Prefix {
     val shifted = posed.select(col(keyCol), col("__lag_p"))
       .join(donor, Seq("__lag_p"), "left")
       .drop("__lag_p")
-    df.join(shifted, Seq(keyCol), "left")
+    val joined = df.join(shifted, Seq(keyCol), "left")
+    if (!fuseDiff) joined
+    else {
+      // same fused-diff contract as the streaming path: out = v − donor,
+      // missing donor subtracts as NaN, NULL current value stays NULL
+      val keep = df.columns.map(col).toSeq
+      val diffs = inNames.zip(outNames).map { case (i, o) =>
+        (col(i) - coalesce(col(o), lit(Double.NaN))).as(o)
+      }
+      joined.select(keep ++ diffs: _*)
+    }
   }
 }

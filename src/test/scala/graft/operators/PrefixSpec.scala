@@ -263,6 +263,52 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("positionalLag fuseDiff = value - donor on both paths (r9)") {
+    // fused emit must equal the two-step donor + subtraction with the
+    // std NaN edge fill, NULL current values preserved, on BOTH the
+    // streaming and the join fallback path
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val vals: Seq[java.lang.Double] =
+      Seq[java.lang.Double](3.0, 1.0, null, 7.0, 2.0, Double.NaN, 9.0, 4.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    def expected(i: Int): java.lang.Double = {
+      val cur = vals(i)
+      if (cur == null) null
+      else {
+        val d = if (i < 2 || vals(i - 2) == null) Double.NaN
+                else vals(i - 2).doubleValue()
+        Double.box(cur.doubleValue() - d)
+      }
+    }
+    def run(): Seq[java.lang.Double] =
+      Prefix.positionalLag(df, "k", col("k"), Seq("v"), 2, Seq("d"),
+          fuseDiff = true)
+        .orderBy(col("k")).select(col("d")).collect()
+        .map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0)))
+        .toSeq
+    def same(a: java.lang.Double, b: java.lang.Double): Boolean =
+      (a == null && b == null) ||
+        (a != null && b != null &&
+          (a.isNaN && b.isNaN || a.doubleValue() == b.doubleValue()))
+    val exp = vals.indices.map(expected)
+    assert(run().zip(exp).forall((same _).tupled), s"stream path: ${run()}")
+    val saved = spark.conf.getOption("graft.lag.maxEdgeCells")
+    try {
+      spark.conf.set("graft.lag.maxEdgeCells", "1") // force the join path
+      assert(run().zip(exp).forall((same _).tupled), s"join path: ${run()}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.lag.maxEdgeCells", v)
+        case None => spark.conf.unset("graft.lag.maxEdgeCells")
+      }
+    }
+  }
+
   test("positionalLag: offset beyond the data length yields all NULL donors") {
     val schema = StructType(Seq(
       StructField("k", LongType, nullable = false),
