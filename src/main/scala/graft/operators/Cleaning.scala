@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -87,6 +87,49 @@ object Cleaning {
       .drop("__n")
   }
 
+  /** Per-group INTERPOLATED percentile by rank selection over grouped
+    * VALUE counts — numerically identical to Spark's exact `percentile`
+    * (pos = q·(n−1); v = v_lo + frac·(v_hi − v_lo), the same IEEE chain)
+    * but with FIXED-SIZE aggregation state (r9): Spark's Percentile is an
+    * object aggregate whose per-group buffer grows with distinct values —
+    * the one aggregate family whose memory was not bounded at 100 TB with
+    * adversarial value domains. Here the only data-scaled operator is a
+    * hash groupBy on (group, value) (map-side-combined, fixed-width
+    * buffers); the running-count window walks distinct (group, value)
+    * PAIRS, never raw rows. NULL values are excluded like `percentile`.
+    * Returns (groupCol, `as`). */
+  def groupedPercentile(df: DataFrame, groupCol: String, valCol: Column,
+                        q: Double, as: String): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val counts = df.where(valCol.isNotNull)
+      .groupBy(col(groupCol), valCol.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    val ranked = counts.select(col(groupCol), col("__v"),
+      sum(col("__c")).over(cum).as("__cum"),
+      sum(col("__c")).over(tot).as("__n"))
+    // Spark Percentile's interpolation, op for op: pos = q(n−1) as a
+    // double, lower rank ⌊pos⌋+1, upper rank ⌈pos⌉+1 (1-based),
+    // result = v_lo + (pos − ⌊pos⌋)·(v_hi − v_lo)
+    val pos = lit(q) * (col("__n") - 1).cast("double")
+    val frac = pos - floor(pos)
+    ranked
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") >= floor(pos) + 1, col("__v"))).as("__vlo"),
+        min(when(col("__cum") >= ceil(pos) + 1, col("__v"))).as("__vhi"),
+        max(frac).as("__frac"))
+      .select(col(groupCol),
+        // convert to double BEFORE the interpolation arithmetic — exactly
+        // where Percentile converts, so decimal inputs produce the same
+        // IEEE chain (decimal-exact subtraction would differ in ulps)
+        (col("__vlo").cast("double") + col("__frac") *
+          (col("__vhi").cast("double") - col("__vlo").cast("double")))
+          .as(as))
+  }
+
   /** Robust (median/MAD) outlier flags per group — the heavy-tail-safe
     * sibling of [[zscoreAnomalies]]: ordinary z-scores drown in the very
     * outliers they hunt, while the median and the median absolute
@@ -96,18 +139,18 @@ object Cleaning {
     * Iglewicz–Hoaglin cut). Constant-valued groups (MAD = 0) produce no
     * flags (guarded BEFORE the division — never an Inf/NaN cell).
     *
-    * Shape: two grouped medians (group-cardinality-bounded aggregates —
-    * percentile folds with map-side partials, never a rows-level window)
-    * joined back; both engines interpolate the even-count middle
-    * identically and the closing float chain is rounded at 6dp. */
+    * Shape (r9): two grouped INTERPOLATED medians by rank selection over
+    * grouped value counts ([[groupedPercentile]] — fixed-size aggregation
+    * state at any value cardinality, where the previous exact
+    * `percentile` buffered every distinct value per group) joined back;
+    * both engines interpolate the even-count middle identically and the
+    * closing float chain is rounded at 6dp. */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   threshold: Double = 3.5): DataFrame = {
-    val med = df.groupBy(col(keyCol))
-      .agg(percentile(col(valCol), lit(0.5)).as("key_median"))
+    val med = groupedPercentile(df, keyCol, col(valCol), 0.5, "key_median")
     val j1 = df.join(med, Seq(keyCol))
-    val mad = j1.groupBy(col(keyCol))
-      .agg(percentile(abs(col(valCol) - col("key_median")), lit(0.5))
-        .as("key_mad"))
+    val mad = groupedPercentile(j1, keyCol,
+      abs(col(valCol) - col("key_median")), 0.5, "key_mad")
     j1.join(mad, Seq(keyCol))
       .filter(col("key_mad") > 0)
       .withColumn("robust_z",

@@ -87,6 +87,40 @@ class CleaningGraphSpec extends SparkSpec {
     assert(plain.isEmpty, s"plain z-score should drown, got ${plain.length}")
   }
 
+  test("groupedPercentile equals exact percentile, without its growing buffer (r9)") {
+    // rank-selection over grouped value counts must reproduce Spark's
+    // Percentile bit-for-bit (same pos = q(n-1) interpolation, doubles
+    // converted at the same point) across odd/even counts, duplicates,
+    // NULLs and decimal inputs — while aggregating with fixed-size state
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val rows = (1 to 23).map(i => Row("a", (i * 37 % 11) + i / 7.0)) ++
+      (1 to 10).map(i => Row("b", i.toDouble)) ++
+      Seq(Row("b", null), Row("c", 5.0))
+    val d = df(schema, rows)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.73, 1.0)) {
+      val exact = d.groupBy(col("k"))
+        .agg(percentile(col("v"), lit(q)).as("p")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val mine = Cleaning.groupedPercentile(d, "k", col("v"), q, "p")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(mine == exact, s"q=$q: $mine vs $exact")
+    }
+    // decimal input: conversion to double at the interpolation point
+    val dd = d.select(col("k"), col("v").cast(DecimalType(10, 2)).as("v"))
+    val exactD = dd.groupBy(col("k"))
+      .agg(percentile(col("v"), lit(0.5)).as("p")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mineD = Cleaning.groupedPercentile(dd, "k", col("v"), 0.5, "p")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mineD == exactD, s"decimal: $mineD vs $exactD")
+    // and the madOutliers plan must carry NO object-aggregate percentile
+    val plan = Cleaning.madOutliers(d, "k", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"),
+      s"madOutliers must not plan the growing-buffer Percentile:\n$plan")
+  }
+
   test("entity resolution: distance-1 variants match their master, the 4-edit class is rejected") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val dirty = EntityResolution.dirtyCustomers(cust)
