@@ -245,6 +245,41 @@ object QueryCatalog {
       Similarity.blockedAllPairs(embs(spark, sfDir), "label", 0.25)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The 1-bit binary-quantization frames shared by sim_binq / sim_rerank
+    * / sim_brecall (r9): (probes, pairs) — probe codes+embeddings
+    * broadcast against the corpus codes+embeddings, with the per-pair
+    * Hamming distance. The pair frame is a scan-stage projection of the
+    * corpus (the broadcast is ~25 rows); every consumer ranks it on the
+    * bounded-heap TopKPerKey operator. */
+  def binqPairs(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.ArrayOps
+    val coded = embs(spark, sfDir).select(col("vec_id"), col("embedding"),
+      ArrayOps.sign_pack32(col("embedding"), 0).as("lo"),
+      ArrayOps.sign_pack32(col("embedding"), 1).as("hi"))
+    val probes = coded.where(col("vec_id") % 199 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val pairs = coded.where(col("vec_id") % 199 =!= 0)
+      .crossJoin(broadcast(probes))
+      .withColumn("ham",
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
+    (probes, pairs)
+  }
+
+  /** Exact decimal-scored cosine of (embedding, qemb), rounded 6dp — the
+    * scoring chain shared by sim_rerank's rerank stage and sim_brecall's
+    * exact reference list. */
+  def binqCosine: Column = {
+    import graft.functions.ArrayOps
+    round(
+      ArrayOps.dot_product_exact(col("embedding"), col("qemb")) /
+        (sqrt(ArrayOps.dot_product_exact(col("qemb"), col("qemb"))) *
+          sqrt(ArrayOps.dot_product_exact(col("embedding"),
+            col("embedding")))), 6)
+  }
+
   /** kNN graph (k=3, threshold 0.25) over the shared 0.25 pair set —
     * shared by sim_knn / gr_pagerank / gr_tri, which all rank the same
     * neighbors; the per-query work on top is a sort, the PageRank

@@ -399,19 +399,11 @@ object SparkEntry {
     // per probe BEFORE the exchange) — the r8 row_number window carried
     // the ENTIRE candidate corpus through one window task per probe
     "sim_binq" -> ((s, d) => {
-      import graft.functions.ArrayOps
-      val coded = embs(s, d).select(col("vec_id"),
-        ArrayOps.sign_pack32(col("embedding"), 0).as("lo"),
-        ArrayOps.sign_pack32(col("embedding"), 1).as("hi"))
-      val probes = coded.where(col("vec_id") % 199 === 0)
-        .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
-          col("hi").as("qhi"))
-      val pairs = coded.where(col("vec_id") % 199 =!= 0)
-        .crossJoin(broadcast(probes))
-        .withColumn("ham",
-          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
-      graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
+      val (_, pairs) = binqPairs(s, d)
+      // codes only through the heaps — the embeddings ride the shared
+      // pair frame for the rerank consumers, not this one
+      val narrow = pairs.select(col("q_id"), col("vec_id"), col("ham"))
+      graft.plans.TopKPerKey(narrow, Seq(col("q_id")),
           Seq(col("ham").asc, col("vec_id").asc), k = 5, rankCol = "rk")
         .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
           col("rk").cast("int").as("rk"))
@@ -426,31 +418,43 @@ object SparkEntry {
     // coarse stage no longer moves the whole corpus into one window
     // partition per probe, and the rerank top-5 heaps over ≤20-row lists
     "sim_rerank" -> ((s, d) => {
-      import graft.functions.ArrayOps
-      val coded = embs(s, d).select(col("vec_id"), col("embedding"),
-        ArrayOps.sign_pack32(col("embedding"), 0).as("lo"),
-        ArrayOps.sign_pack32(col("embedding"), 1).as("hi"))
-      val probes = coded.where(col("vec_id") % 199 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
-          col("lo").as("qlo"), col("hi").as("qhi"))
-      val pairs = coded.where(col("vec_id") % 199 =!= 0)
-        .crossJoin(broadcast(probes))
-        .withColumn("ham",
-          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-            bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int"))
+      val (_, pairs) = binqPairs(s, d)
       val coarse = graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
           Seq(col("ham").asc, col("vec_id").asc), k = 20, rankCol = "crk")
         .drop("crk")
-      val scored = coarse.withColumn("sim", round(
-        ArrayOps.dot_product_exact(col("embedding"), col("qemb")) /
-          (sqrt(ArrayOps.dot_product_exact(col("qemb"), col("qemb"))) *
-            sqrt(ArrayOps.dot_product_exact(col("embedding"),
-              col("embedding")))), 6))
+      val scored = coarse.withColumn("sim", binqCosine)
       graft.plans.TopKPerKey(scored, Seq(col("q_id")),
           Seq(col("sim").desc, col("vec_id").asc), k = 5, rankCol = "rk")
         .select(col("q_id"), col("vec_id").as("cand_id"), col("ham"),
           col("sim"), col("rk").cast("int").as("rk"))
         .orderBy(col("q_id"), col("rk"))
+    }),
+    // r9: the quality row that makes the 1-bit speed/recall trade visible
+    // and CI-pinned (the sim_recall discipline, per probe): recall@5 of
+    // sim_rerank's final list against the EXACT cosine top-5 — the exact
+    // reference scores every pair scan-stage and ranks on the bounded
+    // heaps, so even the certification query is 100 TB-shaped
+    "sim_brecall" -> ((s, d) => {
+      val (probes, pairs) = binqPairs(s, d)
+      val coarse = graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
+          Seq(col("ham").asc, col("vec_id").asc), k = 20, rankCol = "crk")
+        .drop("crk")
+      val finalTop = graft.plans.TopKPerKey(
+          coarse.withColumn("sim", binqCosine), Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id").asc), k = 5, rankCol = "rk")
+        .select(col("q_id"), col("vec_id").as("cand_id"))
+      val exactTop = graft.plans.TopKPerKey(
+          pairs.withColumn("sim", binqCosine), Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id").asc), k = 5, rankCol = "erk")
+        .select(col("q_id"), col("vec_id").as("cand_id"))
+      val hits = finalTop.join(exactTop, Seq("q_id", "cand_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5, 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
     }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
@@ -3986,6 +3990,59 @@ object SparkEntry {
            |SELECT q_id, cand_id, CAST(ham AS INT) AS ham, sim,
            |       CAST(rk AS INT) AS rk
            |FROM r2 WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "sim_brecall" ->
+        (s"""WITH u AS (SELECT vec_id, unnest(embedding) AS e,
+           |                  generate_subscripts(embedding, 1) AS i
+           |           FROM read_parquet('$sfDir/embeddings.parquet')),
+           |b AS (SELECT vec_id,
+           |        CAST(sum(CASE WHEN e > 0 AND i <= 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           |          AS BIGINT) AS lo,
+           |        CAST(sum(CASE WHEN e > 0 AND i > 32
+           |              THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+           |          AS BIGINT) AS hi
+           |      FROM u GROUP BY 1),
+           |p AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM b
+           |      WHERE vec_id % 199 = 0),
+           |pr AS (SELECT q_id, c.vec_id AS cand_id,
+           |              bit_count(xor(c.lo, qlo)) +
+           |                bit_count(xor(c.hi, qhi)) AS ham
+           |       FROM b c, p WHERE c.vec_id % 199 <> 0),
+           |norms AS (SELECT vec_id,
+           |            sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+           |                AS DECIMAL(38,30))) AS nn
+           |          FROM u GROUP BY 1),
+           |co AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |         PARTITION BY q_id ORDER BY ham, cand_id) AS crk FROM pr)
+           |       WHERE crk <= 20),
+           |edots AS (SELECT pr.q_id, pr.cand_id,
+           |           sum(CAST(CAST(eq.e AS DOUBLE) * CAST(ec.e AS DOUBLE)
+           |               AS DECIMAL(38,30))) AS dt
+           |         FROM pr JOIN u eq ON eq.vec_id = pr.q_id
+           |                 JOIN u ec ON ec.vec_id = pr.cand_id
+           |                          AND ec.i = eq.i
+           |         GROUP BY 1, 2),
+           |escored AS (SELECT q_id, cand_id,
+           |             round(CAST(dt AS DOUBLE) /
+           |               (sqrt(CAST(nq.nn AS DOUBLE)) *
+           |                sqrt(CAST(nc.nn AS DOUBLE))), 6) AS sim
+           |           FROM edots JOIN norms nq ON nq.vec_id = edots.q_id
+           |                      JOIN norms nc ON nc.vec_id = edots.cand_id),
+           |ftop AS (SELECT q_id, cand_id FROM (SELECT es.*,
+           |           row_number() OVER (PARTITION BY es.q_id
+           |             ORDER BY es.sim DESC, es.cand_id) AS rk
+           |         FROM escored es JOIN co USING (q_id, cand_id))
+           |         WHERE rk <= 5),
+           |etop AS (SELECT q_id, cand_id FROM (SELECT *,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY sim DESC, cand_id) AS rk FROM escored)
+           |         WHERE rk <= 5),
+           |hits AS (SELECT q_id, count(*) AS n_hit
+           |         FROM ftop JOIN etop USING (q_id, cand_id) GROUP BY 1)
+           |SELECT p.q_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           |       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 5, 6) AS recall
+           |FROM p LEFT JOIN hits ON hits.q_id = p.q_id
+           |ORDER BY p.q_id""".stripMargin),
       "sim_quant" ->
         ("""WITH z AS (SELECT vec_id, embedding,
            |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
