@@ -74,6 +74,10 @@ object QueryCatalog {
     val w = wide(spark, sfDir)
     Map(
       "qty"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"q$j"))),
+      // single-column view of q1 — the Series-shaped operand the r9
+      // nlargest/nsmallest/value_counts methods need (pandas' DataFrame
+      // forms require a columns= argument the formula language can't say)
+      "qone"  -> Matrix(w, "__row_id__", Seq("c1").zip(Seq("q1"))),
       "price" -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"e$j"))),
       "pos"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"p$j"))),
       "zro"   -> Matrix(w, "__row_id__", labels.zip(J.map(j => s"z$j"))),

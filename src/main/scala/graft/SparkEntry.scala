@@ -162,6 +162,13 @@ object SparkEntry {
     "e11_skew" -> ((s, d) => formulaQuery("qty.skew()", roundTo = Some(6))(s, d)),
     "e11_kurt" -> ((s, d) => formulaQuery("qty.kurt()", roundTo = Some(6))(s, d)),
     "e11_idxmin" -> ((s, d) => formulaQuery("qty.idxmin()")(s, d)),
+    // r9: the Series-shaped top-n / histogram methods (terminal frames
+    // like describe): nlargest/nsmallest = filter + TakeOrdered (bounded
+    // heap, never a frame sort); value_counts = one map-side-combined
+    // hash groupBy on the value
+    "e11_nlarge" -> ((s, d) => formulaQuery("qone.nlargest(7)")(s, d)),
+    "e11_nsmall" -> ((s, d) => formulaQuery("qone.nsmallest(7)")(s, d)),
+    "e11_vcounts" -> ((s, d) => formulaQuery("qone.value_counts()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -3757,6 +3764,24 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"CAST(min(CASE WHEN q$j = (SELECT min(q$j) FROM w) THEN __row_id__ END) AS VARCHAR) AS c$j").mkString(", ")} FROM w",
       "e11_nunique" ->
         s"$W SELECT ${J.map(j => s"CAST(count(DISTINCT q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      // r9 terminal frames: top-n keeps the ORIGINAL row ids (value desc/
+      // asc, row id as the first-occurrence tie-break, NaN-free column);
+      // value_counts ranks (count desc, value asc) with a rank row id
+      "e11_nlarge" ->
+        (s"$W SELECT __row_id__, CAST(q1 AS DOUBLE) AS c1 FROM " +
+          "(SELECT __row_id__, q1 FROM w WHERE q1 IS NOT NULL " +
+          "ORDER BY q1 DESC, __row_id__ LIMIT 7) ORDER BY __row_id__"),
+      "e11_nsmall" ->
+        (s"$W SELECT __row_id__, CAST(q1 AS DOUBLE) AS c1 FROM " +
+          "(SELECT __row_id__, q1 FROM w WHERE q1 IS NOT NULL " +
+          "ORDER BY q1 ASC, __row_id__ LIMIT 7) ORDER BY __row_id__"),
+      "e11_vcounts" ->
+        (s"$W, vc AS (SELECT CAST(q1 AS DOUBLE) AS c1, " +
+          "CAST(count(*) AS DOUBLE) AS \"count\" FROM w " +
+          "WHERE q1 IS NOT NULL GROUP BY 1) " +
+          "SELECT CAST(row_number() OVER (ORDER BY \"count\" DESC, c1) " +
+          "AS VARCHAR) AS __row_id__, c1, \"count\" FROM vc " +
+          "ORDER BY __row_id__"),
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges
       "e11_any" ->

@@ -1027,10 +1027,86 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           if (n == 0) Double.NaN else ok.min, pct(0.25), pct(0.5), pct(0.75),
           if (n == 0) Double.NaN else ok.max),
           IndexedSeq("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+      // `.nlargest(n)` / `.nsmallest(n)` (r9): pandas Series top-n by
+      // value, original index preserved, ties kept first-occurrence, NaN
+      // dropped. Distributed: filter + TakeOrderedAndProject — a bounded
+      // heap, never a sort of the frame. Single-column matrices only
+      // (pandas DataFrame.nlargest needs a columns= argument the formula
+      // language cannot express). TERMINAL: the result's row domain is a
+      // value-ordered subset, not the engine's row universe.
+      case (m @ ("nlargest" | "nsmallest"), CMatrix(cols, false), args)
+          if args.length <= 1 =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.$m()' is not supported in ADP mode")
+        if (cols.length != 1) throw new FormulaTypeException(
+          s"'.$m(n)' needs a single-column matrix (pandas DataFrame.$m " +
+            "requires a columns= argument, which the formula language " +
+            "cannot express — register the column as its own matrix)")
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(5)
+        if (n <= 0) throw new FormulaTypeException(
+          s"'.$m(n)' needs n > 0, got $n")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException(s"$m requires a matrix operand"))
+        val (lbl, c) = cols.head
+        val rid = col(ctx.rowIdOut)
+        val ord =
+          if (m == "nlargest") col(lbl).desc else col(lbl).asc
+        val framed = base.where(c.isNotNull && !isnan(c))
+          .select(rid, c.as(lbl))
+          .orderBy(ord, rid.asc)
+          .limit(n)
+        CFrame(framed, ctx.rowIdOut, Seq(lbl))
+      case (m @ ("nlargest" | "nsmallest"), CVecD(vs, ls), args)
+          if args.length <= 1 =>
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(5)
+        if (n <= 0) throw new FormulaTypeException(
+          s"'.$m(n)' needs n > 0, got $n")
+        val pairs = vs.zip(ls).filter(!_._1.isNaN)
+        val sorted = // stable sort: equal values keep occurrence order
+          if (m == "nlargest") pairs.sortBy(-_._1) else pairs.sortBy(_._1)
+        val top = sorted.take(n)
+        CVecD(top.map(_._1).toIndexedSeq, top.map(_._2).toIndexedSeq)
+
+      // `.value_counts()` (r9): grouped count per distinct value, ordered
+      // by count desc (pandas), value asc as the deterministic tie-break
+      // (pandas keeps occurrence order — a documented divergence). NaN
+      // dropped (dropna=True). Distributed: ONE map-side-combined hash
+      // groupBy on the value; the ordering window walks the AGGREGATED
+      // frame, bounded by the distinct-value cardinality — the result
+      // itself is that size. TERMINAL like describe: the row domain is a
+      // rank, the columns are (value, count).
+      case ("value_counts", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.value_counts()' is not supported in ADP mode")
+        if (cols.length != 1) throw new FormulaTypeException(
+          "'.value_counts()' needs a single-column matrix (pandas " +
+            "DataFrame.value_counts counts distinct ROWS — register the " +
+            "column as its own matrix)")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException(
+            "value_counts requires a matrix operand"))
+        val (lbl, c) = cols.head
+        val counts = base.where(c.isNotNull && !isnan(c))
+          .groupBy(c.cast("double").as(lbl))
+          .agg(count(lit(1)).cast("double").as("count"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("count").desc, col(lbl).asc)
+        val framed = counts.select(
+          row_number().over(w).cast("string").as("__row_id__"),
+          col(lbl), col("count"))
+        CFrame(framed, "__row_id__", Seq(lbl, "count"))
+      case ("value_counts", CVecD(vs, _), Nil) =>
+        val grouped = vs.filter(!_.isNaN).groupBy(identity).view
+          .mapValues(_.length.toDouble).toSeq
+          .sortBy { case (v, n) => (-n, v) }
+        CVecD(grouped.map(_._2).toIndexedSeq,
+          grouped.map(_._1.toString).toIndexedSeq)
+
       case (_, _: CFrame, _) =>
         throw new FormulaTypeException(
-          "'.describe()' results are terminal: the frame's rows are stat " +
-            "names, not the engine's row ids — evaluate it as its own formula")
+          "frame results (describe/nlargest/nsmallest/value_counts) are " +
+            "terminal: their rows are not the engine's row ids — " +
+            "evaluate them as their own formula")
 
       // pandas method-form arithmetic (pd.eval's python engine dispatches
       // the real pandas methods): df.add(other) ≡ df + other, etc. —
@@ -1062,6 +1138,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
             "idxmax, idxmin, sem, skew, kurt, describe, " +
+            "nlargest, nsmallest, value_counts, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

@@ -185,6 +185,50 @@ class ReductionFamilySpec extends SparkSpec {
       "idxmin: first of the equal-zero rows, not the -0.0 one")
   }
 
+  test(".nlargest/.nsmallest/.value_counts: pandas Series semantics (r9)") {
+    // single-column matrix: (5, 2, 5, NaN, 1) under row ids 0..4
+    val m = mat3(Seq(Seq(5.0), Seq(2.0), Seq(5.0), Seq(Double.NaN), Seq(1.0)),
+      Seq("c0"))
+    val ev = new FormulaEvaluator(reg("s" -> m), fillInvalid = false)
+    // nlargest(2): both 5.0 rows, FIRST occurrence order (ids 0, 2)
+    val MatrixResult(nl, rid, lbls, _) =
+      ev.evaluateFormula("s.nlargest(2)"): @unchecked
+    assert(lbls == Seq("c0"))
+    val nlRows = nl.orderBy(org.apache.spark.sql.functions.col(rid))
+      .collect().map(r => (r.get(0).toString, r.getDouble(1))).toSeq
+    assert(nlRows == Seq(("0", 5.0), ("2", 5.0)), s"got $nlRows")
+    // nsmallest default n=5 drops the NaN: 4 rows
+    val MatrixResult(ns, _, _, _) =
+      ev.evaluateFormula("s.nsmallest()"): @unchecked
+    assert(ns.count() == 4)
+    // value_counts: count desc, value asc tie-break; NaN dropped
+    val MatrixResult(vc, vrid, vl, _) =
+      ev.evaluateFormula("s.value_counts()"): @unchecked
+    assert(vl == Seq("c0", "count"))
+    val vcRows = vc.collect().map(r =>
+      (r.getString(r.fieldIndex(vrid)), r.getDouble(r.fieldIndex("c0")),
+        r.getDouble(r.fieldIndex("count")))).sortBy(_._1).toSeq
+    assert(vcRows == Seq(("1", 5.0, 2.0), ("2", 1.0, 1.0), ("3", 2.0, 1.0)),
+      s"got $vcRows")
+    // vector path: Series.nlargest keeps labels, stable ties
+    val ev2 = new FormulaEvaluator(reg("v" -> Vec(
+      IndexedSeq(3.0, 9.0, 3.0, 1.0), IndexedSeq("a", "b", "c", "d"))),
+      fillInvalid = false)
+    val VecResult(tv) = ev2.evaluateFormula("v.nlargest(3)"): @unchecked
+    assert(tv.labels == Seq("b", "a", "c") && tv.values == Seq(9.0, 3.0, 3.0))
+    val VecResult(cv) = ev2.evaluateFormula("v.value_counts()"): @unchecked
+    assert(cv.values == Seq(2.0, 1.0, 1.0) &&
+      cv.labels == Seq("3.0", "1.0", "9.0"))
+    // multi-column matrix rejected with the pandas columns= explanation
+    val ev3 = new FormulaEvaluator(reg("a" -> fixA), fillInvalid = false)
+    val e = intercept[FormulaTypeException](ev3.evaluateFormula("a.nlargest(2)"))
+    assert(e.getMessage.contains("columns="))
+    // terminal: composing past the frame is a clear error
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.nlargest(2).sum()"))
+    assert(e2.getMessage.contains("terminal"))
+  }
+
   test(".describe(): pandas' 8-stat summary frame; terminal; vector path") {
     val ev = new FormulaEvaluator(reg("a" -> fixA,
       "v4" -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0),
