@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale probes:
+  *  - `r9ops`: 1× vs 10× walls for the round's touched/new query shapes —
+  *    the TopKPerKey-re-planned ANN pair (sim_binq / sim_rerank), the new
+  *    recall gate (sim_brecall), and the r8 shapes the r8 probe did not
+  *    cover (cln_mad, prof_mi, e11_desc).
+  *  - `diffdecomp`: e11_diff build-vs-exec decomposition at 1×/10× — where
+  *    the 10× "ratio" actually lives (the eager sample + edge-collect jobs
+  *    and plan/codegen are a fixed floor; only the exchange+sort+emit is
+  *    data-scaled).
+  *  - `madcard`: madOutliers on a HIGH-CARDINALITY value domain (every
+  *    value distinct) — the r9 bounded rank-selection quantile vs the
+  *    exact `percentile` object aggregate whose buffer grows with distinct
+  *    values per group.
+  *  - `zipfbal`: slice balance of the sampled-quantile prefix on a skewed
+  *    Zipf LONG order column AFTER the r9 3-component bucket key (the
+  *    native-order surrogate must not regress the r8 equi-height win).
+  *
+  * 10× tables come from ScaleGen at /tmp/graft_sf1. Gate sections with
+  * SPARK_GRAFT_PROBE_ONLY=r9ops,diffdecomp,madcard,zipfbal.
+  */
+object ProbeR9 {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def best(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("PROBE_r9.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(section: String): Boolean = only.forall(_.contains(section))
+    val sf1x = "/root/testdata/sf0.1"; val sf10 = "/tmp/graft_sf1"
+
+    if (want("r9ops")) {
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf10).count()
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val names = Seq("sim_binq", "sim_rerank", "sim_brecall", "cln_mad",
+        "prof_mi", "e11_desc")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] r9ops $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "r9ops" -> r
+    }
+
+    if (want("diffdecomp")) {
+      def decomp(dir: String): Map[String, Any] = {
+        QueryCatalog.wide(spark, dir).count()
+        var df: org.apache.spark.sql.DataFrame = null
+        // build = formula compile + the EAGER slice-sample and
+        // edge-collect driver jobs inside positionalLag
+        val tBuild = (1 to 3).map(_ =>
+          time { df = SparkEntry.queries("e11_diff")(spark, dir) }).min
+        // exec = the one hash exchange + within-partition sort + fused
+        // ring-buffer emit (the only data-scaled phase)
+        val tExec = best { df.count() }
+        System.err.println(s"[probe] diffdecomp $dir build=$tBuild exec=$tExec")
+        Map("build_s" -> tBuild, "exec_s" -> tExec)
+      }
+      val d1 = decomp(sf1x); val d10 = decomp(sf10)
+      out += "diff_decomp" -> Map("sf1x" -> d1, "sf10x" -> d10,
+        "exec_ratio" ->
+          d10("exec_s").asInstanceOf[Double] / d1("exec_s").asInstanceOf[Double])
+    }
+
+    if (want("madcard")) {
+      // every value distinct: 3 groups over n rows — the adversarial
+      // domain where exact percentile's per-group buffer grows with the
+      // data and the r9 rank-selection aggregate stays fixed-width
+      def mk(n: Long) = spark.range(n).select(
+        (col("id") % 3).cast("string").as("k"),
+        (col("id").cast("double") +
+          (xxhash64(col("id")).cast("double") / lit(1e19))).as("v"))
+      def bounded(n: Long): Double = best {
+        operators.Cleaning.madOutliers(mk(n), "k", "v").count()
+      }
+      def exact(n: Long): Double = best {
+        // the pre-r9 formulation, inline: two exact percentile aggregates
+        val df = mk(n)
+        val med = df.groupBy(col("k"))
+          .agg(percentile(col("v"), lit(0.5)).as("key_median"))
+        val j1 = df.join(med, Seq("k"))
+        val mad = j1.groupBy(col("k"))
+          .agg(percentile(abs(col("v") - col("key_median")), lit(0.5))
+            .as("key_mad"))
+        j1.join(mad, Seq("k")).filter(col("key_mad") > 0)
+          .withColumn("robust_z", round(lit(0.6745) *
+            (col("v") - col("key_median")) / col("key_mad"), 6))
+          .filter(abs(col("robust_z")) > 3.5).count()
+      }
+      val b1 = bounded(2000000L); val b10 = bounded(20000000L)
+      val e1 = exact(2000000L); val e10 = exact(20000000L)
+      System.err.println(
+        f"[probe] madcard bounded $b1%.2f->$b10%.2f exact $e1%.2f->$e10%.2f")
+      out += "madcard_distinct_values" -> Map(
+        "bounded_2m_s" -> b1, "bounded_20m_s" -> b10,
+        "bounded_ratio" -> b10 / b1,
+        "exact_percentile_2m_s" -> e1, "exact_percentile_20m_s" -> e10,
+        "exact_ratio" -> e10 / e1)
+    }
+
+    if (want("seqshift")) {
+      // identical methodology to PROBE_r7/r8's seqshift rows (full-query
+      // wall, best of 3) so the r9 fused-diff-emit ratio is comparable
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val s1 = q("e11_shift", sf1x); val s10 = q("e11_shift", sf10)
+      val d1 = q("e11_diff", sf1x); val d10 = q("e11_diff", sf10)
+      out += "seqshift_fused" -> Map(
+        "shift_1x" -> s1, "shift_10x" -> s10, "shift_ratio" -> s10 / s1,
+        "diff_1x" -> d1, "diff_10x" -> d10, "diff_ratio" -> d10 / d1)
+      System.err.println(s"[probe] shift $s1->$s10 diff $d1->$d10")
+    }
+
+    if (want("zipfbal")) {
+      // Zipf-skewed LONG order column through the r9 (o, v, t) bucket key:
+      // balance must match the r8 equi-height result (max/mean ~1.1)
+      val n = 2000000L
+      val zipf = spark.range(n).select(col("id"),
+        (lit(1.0) / pow(rand(42) + lit(1e-9), lit(1.2))).cast("long")
+          .as("z"), lit(1.0).as("one"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      zipf.count()
+      val sliced = operators.Prefix.withSliceId(zipf, col("z"), Seq("one"),
+        Nil, descending = false, nullsLast = false,
+        tieCols = Seq(col("id")), 32)
+      val hist = sliced.groupBy(col("__pfx_pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val used = hist.size
+      val mx = hist.values.max.toDouble
+      val mean = n.toDouble / 32
+      out += "zipfbal_r9" -> Map("slices_used" -> used,
+        "max_rows" -> hist.values.max.toInt,
+        "max_over_mean" -> mx / mean)
+      System.err.println(s"[probe] zipfbal_r9 used=$used max/mean=${mx / mean}")
+      zipf.unpersist()
+    }
+
+    def js(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
+      case d: Double => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+      case i: Int => i.toString
+      case s => "\"" + s + "\""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (js(out) + "\n").getBytes("UTF-8"))
+    System.err.println(s"[probe] written to $outPath")
+    spark.stop()
+  }
+}

@@ -404,14 +404,16 @@ object Prefix {
 
     // per-slice edge rows: the k rows a NEIGHBOURING slice needs as its
     // incoming buffer — the LAST k of each slice for a lag, the FIRST k
-    // for a lead. row_number's running frame streams (never buffers).
+    // for a lead. r9: ranked on the bounded-heap TopKPerKey (partial
+    // heaps cut every input partition to ≤ k rows per slice BEFORE any
+    // exchange) — the prior per-slice row_number window exchanged AND
+    // sorted the whole frame a second time just to keep parts·k rows,
+    // doubling the data motion of what is sold as a single-pass operator.
     val edgeOrd = if (rev) ordAsc else ordDesc
-    val edgeW = Window.partitionBy(col("__pfx_pid")).orderBy(edgeOrd: _*)
-    val edges = sliced
-      .select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
-        inNames.map(col): _*)
-      .withColumn("__lag_rn", row_number().over(edgeW))
-      .where(col("__lag_rn") <= k)
+    val edges = graft.plans.TopKPerKey(
+        sliced.select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
+          inNames.map(col): _*),
+        Seq(col("__pfx_pid")), edgeOrd, k)
       // collect in GLOBAL ascending order so the driver never re-implements
       // the engine's NULL/NaN sort semantics
       .orderBy((col("__pfx_pid").asc +: ordAsc): _*)
