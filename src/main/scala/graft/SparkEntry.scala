@@ -2441,6 +2441,17 @@ object SparkEntry {
           round(col("mean_g"), 9).as("mean_g"),
           round(col("mean_b"), 9).as("mean_b"))
         .orderBy(col("media_id"))),
+    // r9: FLAC — the ninth real format and the last pure-JVM-achievable
+    // audio codec. LOSSLESS: the Rice/fixed-predictor decode must return
+    // the synth PCM bit-exactly (both CRCs verified on the way), so the
+    // oracle predicts the decoded CONTENT from the synthesis formula —
+    // the G.711 discipline on a genuinely compressed stream.
+    "mm_flac" -> ((s, d) =>
+      Multimodal.decodeFlac(Multimodal.asFlacTable(docs(s, d)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"),
+          round(col("mean_abs"), 6).as("mean_abs"), col("peak"))
+        .orderBy(col("media_id"))),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -4236,6 +4247,25 @@ object SparkEntry {
            |       round(avg(r), 9) AS mean_r, round(avg(g), 9) AS mean_g,
            |       round(avg(b), 9) AS mean_b
            |FROM rgb GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin),
+      // FLAC is lossless, so the oracle rebuilds the synth PCM directly
+      // (constant signal for every fifth doc, sawtooth otherwise) — the
+      // decode must recover it bit-exactly through the Rice/fixed-
+      // predictor machinery for the content stats to hash-match
+      "mm_flac" ->
+        (s"""WITH d AS (SELECT doc_id AS id,
+           |              least(2048, greatest(16, $tokSql * 4)) AS n
+           |            FROM documents),
+           |s AS (SELECT id, n,
+           |        CASE WHEN id % 5 = 0 THEN ((id % 100) - 50) * 100
+           |             ELSE (((x.range * 7 + id) % 256) - 128) * 64
+           |        END AS v
+           |      FROM d, range(0, 2048) x WHERE x.range < n)
+           |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+           |       CAST(n AS INT) AS n_samples,
+           |       round(avg(abs(v)), 6) AS mean_abs,
+           |       CAST(max(abs(v)) AS INT) AS peak
+           |FROM s GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin),
       // gap sessionization over events: lag/sum windows then per-session agg
       // in epoch-microsecond BIGINTs (mirrors Sessionize.batch; 30-min gap).
       // read_parquet by interpolated path: an `events` view may not be

@@ -1409,6 +1409,475 @@ object MediaCodec {
     out
   }
 
+  // ---- FLAC (r9): lossless Rice-coded audio — the ninth real format ----
+  //
+  // The one remaining pure-JVM-achievable audio codec. FLAC is LOSSLESS,
+  // so — like G.711 but unlike JPEG — the decode must recover the PCM
+  // samples bit-exactly, and the corpus oracle can predict the decoded
+  // CONTENT (mean |pcm|, peak) from the synthesis formula alone. The
+  // encoder emits the real coding machinery (UTF-8 frame numbers, CRC-8
+  // frame headers, CRC-16 frame footers, CONSTANT and FIXED-predictor
+  // subframes with zigzag Rice-coded residuals incl. the 5-bit raw
+  // escape); the decoder additionally handles VERBATIM and LPC subframes,
+  // all fixed orders 0-4, any Rice partition order, and wasted bits —
+  // the full mono/independent-channel subset of the format.
+
+  final case class FlacInfo(sampleRate: Int, channels: Int,
+                            bitsPerSample: Int, nSamples: Int,
+                            meanAbs: Double, peak: Int)
+
+  /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
+  private def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xFF
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF
+              else (crc << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — the FLAC whole-frame checksum. */
+  private def flacCrc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private final class FlacBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(v: Long, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1L).toInt; n += 1
+        if (n == 8) { out.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    /** q zero bits then a one — FLAC unary. */
+    def unary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def align(): Unit = while (n != 0) put(0, 1)
+  }
+
+  private final class FlacBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def aligned: Boolean = n == 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length)
+          throw new IllegalArgumentException("flac: truncated bitstream")
+        acc = b(pos) & 0xFF; pos += 1; n = 8
+      }
+      n -= 1; (acc >> n) & 1
+    }
+    def bits(len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def sbits(len: Int): Int = { // signed two's-complement
+      val v = bits(len)
+      if (len > 0 && (v & (1L << (len - 1))) != 0) (v - (1L << len)).toInt
+      else v.toInt
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) {
+        q += 1
+        if (q > (1 << 24)) throw new IllegalArgumentException(
+          "flac: runaway unary code")
+      }
+      q
+    }
+    def align(): Unit = { n = 0 }
+  }
+
+  /** UTF-8-style coded number (the frame-number coding, RFC-2279 pattern
+    * extended to 36 bits). */
+  private def flacUtf8(w: FlacBitWriter, v: Long): Unit = {
+    require(v >= 0, "frame number must be non-negative")
+    if (v < 0x80) w.put(v, 8)
+    else {
+      // with c continuation bytes the lead byte holds 6 − c value bits,
+      // total capacity 6c + (6 − c) = 5c + 6 bits
+      var cont = 1
+      while (cont < 6 && v >= (1L << (5 * cont + 6))) cont += 1
+      val leadBits = 6 - cont
+      w.put((0xFF << (leadBits + 1)) & 0xFF | (v >>> (6 * cont)).toInt, 8)
+      var i = cont - 1
+      while (i >= 0) { w.put(0x80 | ((v >>> (6 * i)) & 0x3F).toInt, 8); i -= 1 }
+    }
+  }
+
+  private def flacReadUtf8(r: FlacBitReader): Long = {
+    val lead = r.bits(8).toInt
+    if ((lead & 0x80) == 0) lead.toLong
+    else {
+      var cont = 0; var mask = 0x40
+      while ((lead & mask) != 0) { cont += 1; mask >>= 1 }
+      require(cont >= 1 && cont <= 6, s"flac: bad utf8 lead byte $lead")
+      var v = (lead & (mask - 1)).toLong
+      var i = 0
+      while (i < cont) {
+        val c = r.bits(8).toInt
+        require((c & 0xC0) == 0x80, s"flac: bad utf8 continuation $c")
+        v = (v << 6) | (c & 0x3F)
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Residuals for fixed predictor order `o` (0-4, the FLAC polynomial
+    * family) over `s`, starting at index `o`. */
+  private def fixedResiduals(s: Array[Int], o: Int): Array[Long] = {
+    val out = new Array[Long](s.length - o)
+    var i = o
+    while (i < s.length) {
+      out(i - o) = o match {
+        case 0 => s(i).toLong
+        case 1 => s(i).toLong - s(i - 1)
+        case 2 => s(i).toLong - 2L * s(i - 1) + s(i - 2)
+        case 3 => s(i).toLong - 3L * s(i - 1) + 3L * s(i - 2) - s(i - 3)
+        case _ => s(i).toLong - 4L * s(i - 1) + 6L * s(i - 2) -
+          4L * s(i - 3) + s(i - 4)
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  /** Encode mono PCM as a real FLAC stream: fLaC magic + STREAMINFO, then
+    * fixed-blocksize frames. Per block the cheapest of CONSTANT /
+    * FIXED(0..2) by exact bit cost; residuals zigzag-Rice-coded in one
+    * partition (partition order 0) with the parameter chosen by exact
+    * cost, escaping to raw n-bit storage when Rice loses. */
+  def flacBytes(samples: Array[Int], sampleRate: Int,
+                blockSize: Int = 1024, bits: Int = 16): Array[Byte] = {
+    require(bits == 16, "encoder emits 16-bit streams")
+    require(blockSize >= 16, "flac minimum block size is 16")
+    samples.foreach(s => require(s >= -32768 && s <= 32767,
+      s"sample $s out of 16-bit range"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO: last-metadata flag + type 0, 24-bit length 34
+    val si = new FlacBitWriter(out)
+    si.put(1, 1); si.put(0, 7); si.put(34, 24)
+    si.put(blockSize, 16); si.put(blockSize, 16) // min/max blocksize
+    si.put(0, 24); si.put(0, 24) // min/max framesize unknown
+    si.put(sampleRate, 20)
+    si.put(0, 3) // channels - 1 (mono)
+    si.put(bits - 1, 5)
+    si.put(samples.length.toLong, 36)
+    si.put(0L, 64); si.put(0L, 64) // MD5 unset (16 zero bytes)
+
+    var frameNo = 0L
+    var off = 0
+    while (off < samples.length || (samples.isEmpty && frameNo == 0L)) {
+      val n = math.min(blockSize, samples.length - off)
+      if (n > 0) {
+        val block = java.util.Arrays.copyOfRange(samples, off, off + n)
+        val frame = new java.io.ByteArrayOutputStream()
+        val w = new FlacBitWriter(frame)
+        w.put(0x3FFE, 14) // sync
+        w.put(0, 1) // reserved
+        w.put(0, 1) // fixed-blocksize stream
+        w.put(7, 4) // blocksize: 16-bit value - 1 at header end
+        w.put(0, 4) // sample rate: from STREAMINFO
+        w.put(0, 4) // channel assignment: mono
+        w.put(4, 3) // sample size: 16 bits
+        w.put(0, 1) // reserved
+        flacUtf8(w, frameNo)
+        w.put(n - 1L, 16)
+        w.align()
+        val headerBytes = frame.toByteArray
+        w.put(flacCrc8(headerBytes, 0, headerBytes.length), 8)
+
+        // choose the subframe: CONSTANT if the block is flat, else the
+        // fixed order 0..2 with the smallest exact residual bit cost
+        val allEqual = block.forall(_ == block(0))
+        if (allEqual) {
+          w.put(0, 1); w.put(0, 6); w.put(0, 1) // CONSTANT, no wasted bits
+          w.put(block(0).toLong & 0xFFFFL, 16)
+        } else {
+          def riceCost(res: Array[Long]): (Int, Long) = { // (param, bits)
+            var bestP = 0; var bestBits = Long.MaxValue
+            var p = 0
+            while (p <= 14) {
+              var total = 0L; var i = 0
+              while (i < res.length) {
+                total += (zigzag(res(i)) >>> p) + 1 + p; i += 1
+              }
+              if (total < bestBits) { bestBits = total; bestP = p }
+              p += 1
+            }
+            (bestP, bestBits)
+          }
+          def rawBitsNeeded(res: Array[Long]): Int = {
+            var m = 1L // at least 1 bit
+            res.foreach { r => val u = if (r < 0) -(r + 1) else r
+              var b = 1; while (u >= (1L << (b - 1)) && b < 32) b += 1
+              if (b > m) m = b }
+            m.toInt
+          }
+          val costs = (0 to 2).map { o =>
+            val res = fixedResiduals(block, o)
+            val (p, rb) = riceCost(res)
+            val raw = rawBitsNeeded(res)
+            val rawB = res.length.toLong * raw
+            val useEsc = rawB < rb
+            (o, res, p, useEsc, raw, 16L * o + math.min(rb, rawB))
+          }
+          val (o, res, p, useEsc, raw, _) = costs.minBy(_._6)
+          w.put(0, 1); w.put(8 + o, 6); w.put(0, 1) // FIXED(o), no wasted
+          var i = 0
+          while (i < o) { w.put(block(i).toLong & 0xFFFFL, 16); i += 1 }
+          w.put(0, 2) // residual method: 4-bit Rice
+          w.put(0, 4) // partition order 0
+          if (useEsc) {
+            w.put(0xF, 4); w.put(raw, 5)
+            res.foreach(r => w.put(r & ((1L << raw) - 1), raw))
+          } else {
+            w.put(p, 4)
+            res.foreach { r =>
+              val u = zigzag(r)
+              w.unary((u >>> p).toInt)
+              w.put(u & ((1L << p) - 1), p)
+            }
+          }
+        }
+        w.align()
+        val body = frame.toByteArray
+        w.put(flacCrc16(body, 0, body.length), 16)
+        frame.writeTo(out)
+      }
+      off += math.max(n, 1)
+      frameNo += 1
+      if (n <= 0) off = samples.length + 1 // defensive: exit on empty tail
+    }
+    out.toByteArray
+  }
+
+  private val FlacBlockSizes =
+    Array(-1, 192, 576, 1152, 2304, 4608, -6, -7, 256, 512, 1024, 2048,
+      4096, 8192, 16384, 32768)
+  private val FlacSampleRates =
+    Array(-1, 88200, 176400, 192000, 8000, 16000, 22050, 24000, 32000,
+      44100, 48000, 96000, -12, -13, -14, 0)
+  private val FlacSampleSizes = Array(-1, 8, 12, 0, 16, 20, 24, 32)
+
+  /** Decode a FLAC stream (mono; CONSTANT, VERBATIM, FIXED 0-4 and LPC
+    * subframes; any Rice partition order; wasted bits; both CRCs
+    * verified) and fold the content features. */
+  def parseFlac(bytes: Array[Byte]): FlacInfo = {
+    val (sampleRate, channels, bits, s) = flacDecode(bytes)
+    var sumAbs = 0L; var peak = 0; var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i)); sumAbs += a; if (a > peak) peak = a
+      i += 1
+    }
+    FlacInfo(sampleRate, channels, bits, s.length,
+      if (s.isEmpty) 0.0 else sumAbs.toDouble / s.length, peak)
+  }
+
+  /** Full decode returning the PCM samples — FLAC is lossless, so these
+    * must equal the encoder's input bit-for-bit (spec-pinned). */
+  private[operators] def flacDecode(
+      bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    require(bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC stream")
+    var pos = 4
+    // metadata block walk
+    var last = false
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var totalSamples = -1L
+    while (!last) {
+      require(pos + 4 <= bytes.length, "flac: truncated metadata header")
+      val h = bytes(pos) & 0xFF
+      last = (h & 0x80) != 0
+      val typ = h & 0x7F
+      val len = ((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      pos += 4
+      require(pos + len <= bytes.length, "flac: truncated metadata block")
+      if (typ == 0) {
+        require(len == 34, s"flac: STREAMINFO must be 34 bytes, got $len")
+        val r = new FlacBitReader(bytes, pos)
+        r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+        sampleRate = r.bits(20).toInt
+        channels = r.bits(3).toInt + 1
+        bits = r.bits(5).toInt + 1
+        totalSamples = r.bits(36)
+      }
+      pos += len
+    }
+    require(sampleRate > 0, "flac: missing STREAMINFO")
+    require(channels == 1, s"flac: only mono decode supported, " +
+      s"got $channels channels")
+
+    val outBuf = new scala.collection.mutable.ArrayBuffer[Int](
+      if (totalSamples >= 0 && totalSamples <= Int.MaxValue)
+        totalSamples.toInt else 16)
+    while (pos < bytes.length) {
+      val frameStart = pos
+      val r = new FlacBitReader(bytes, pos)
+      require(r.bits(14) == 0x3FFE, "flac: lost frame sync")
+      r.bits(1) // reserved
+      r.bits(1) // blocking strategy
+      val bsCode = r.bits(4).toInt
+      val srCode = r.bits(4).toInt
+      val chanAsg = r.bits(4).toInt
+      val ssCode = r.bits(3).toInt
+      r.bits(1) // reserved
+      require(chanAsg < 8, "flac: stereo decorrelation modes unsupported")
+      require(chanAsg + 1 == channels, "flac: channel count mismatch")
+      flacReadUtf8(r)
+      val blockSize = bsCode match {
+        case 0 => throw new IllegalArgumentException("flac: reserved blocksize")
+        case 6 => r.bits(8).toInt + 1
+        case 7 => r.bits(16).toInt + 1
+        case c => FlacBlockSizes(c)
+      }
+      srCode match { // trailing sample-rate forms, value unused (STREAMINFO)
+        case 12 => r.bits(8)
+        case 13 | 14 => r.bits(16)
+        case 15 => throw new IllegalArgumentException("flac: invalid sr code")
+        case _ => ()
+      }
+      val sampleBits = if (ssCode == 0) bits else FlacSampleSizes(ssCode)
+      require(sampleBits > 0, "flac: reserved sample size code")
+      r.align() // header is byte-aligned before the CRC by construction
+      val headerEnd = r.pos
+      val crc8 = r.bits(8).toInt
+      require(crc8 == flacCrc8(bytes, frameStart, headerEnd),
+        "flac: frame header CRC-8 mismatch")
+
+      // one subframe per channel (mono: one)
+      val s = new Array[Int](blockSize)
+      require(r.bits(1) == 0, "flac: subframe padding bit must be 0")
+      val sfType = r.bits(6).toInt
+      val wasted =
+        if (r.bits(1) == 1) { var k = 1; while (r.bit() == 0) k += 1; k }
+        else 0
+      val effBits = sampleBits - wasted
+      if (sfType == 0) { // CONSTANT
+        val v = r.sbits(effBits)
+        java.util.Arrays.fill(s, v)
+      } else if (sfType == 1) { // VERBATIM
+        var i = 0
+        while (i < blockSize) { s(i) = r.sbits(effBits); i += 1 }
+      } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
+        val o = sfType - 8
+        var i = 0
+        while (i < o) { s(i) = r.sbits(effBits); i += 1 }
+        val res = flacReadResiduals(r, blockSize, o)
+        i = o
+        while (i < blockSize) {
+          val pred = o match {
+            case 0 => 0L
+            case 1 => s(i - 1).toLong
+            case 2 => 2L * s(i - 1) - s(i - 2)
+            case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+            case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) -
+              s(i - 4)
+          }
+          s(i) = (pred + res(i - o)).toInt
+          i += 1
+        }
+      } else if (sfType >= 32) { // LPC, order (type & 31) + 1
+        val o = (sfType & 31) + 1
+        var i = 0
+        while (i < o) { s(i) = r.sbits(effBits); i += 1 }
+        val precision = r.bits(4).toInt + 1
+        require(precision <= 15, "flac: invalid LPC precision")
+        val shift = r.sbits(5)
+        require(shift >= 0, "flac: negative LPC shift")
+        val coefs = Array.fill(o)(r.sbits(precision))
+        val res = flacReadResiduals(r, blockSize, o)
+        i = o
+        while (i < blockSize) {
+          var acc = 0L; var j = 0
+          while (j < o) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+          s(i) = ((acc >> shift) + res(i - o)).toInt
+          i += 1
+        }
+      } else throw new IllegalArgumentException(
+        s"flac: reserved subframe type $sfType")
+      if (wasted > 0) { var i = 0; while (i < blockSize) { s(i) <<= wasted; i += 1 } }
+
+      r.align()
+      val bodyEnd = r.pos
+      val crc16 = r.bits(16).toInt
+      require(crc16 == flacCrc16(bytes, frameStart, bodyEnd),
+        "flac: frame CRC-16 mismatch")
+      pos = r.pos
+      outBuf ++= s
+    }
+    require(totalSamples < 0 || outBuf.length == totalSamples,
+      s"flac: STREAMINFO promises $totalSamples samples, " +
+        s"decoded ${outBuf.length}")
+    (sampleRate, channels, bits, outBuf.toArray)
+  }
+
+  /** Rice-coded residual section: 2-bit method, 4-bit partition order,
+    * 2^order partitions with per-partition parameter (5-bit escape to raw
+    * storage). Returns blockSize − predictorOrder residuals. */
+  private def flacReadResiduals(r: FlacBitReader, blockSize: Int,
+                                predOrder: Int): Array[Long] = {
+    val method = r.bits(2).toInt
+    require(method <= 1, s"flac: reserved residual method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xF else 0x1F
+    val partOrder = r.bits(4).toInt
+    val nParts = 1 << partOrder
+    require(blockSize % nParts == 0,
+      "flac: block size not divisible by partition count")
+    require((blockSize >> partOrder) >= predOrder,
+      "flac: first partition smaller than the predictor order")
+    val out = new Array[Long](blockSize - predOrder)
+    var idx = 0
+    var part = 0
+    while (part < nParts) {
+      val count = (blockSize >> partOrder) -
+        (if (part == 0) predOrder else 0)
+      val p = r.bits(pBits).toInt
+      if (p == escape) {
+        val raw = r.bits(5).toInt
+        var i = 0
+        while (i < count) {
+          out(idx) = if (raw == 0) 0L else r.sbits(raw).toLong
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.unary().toLong
+          val u = (q << p) | r.bits(p)
+          out(idx) = (u >>> 1) ^ -(u & 1L) // un-zigzag
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor grayscale thumbnail from the decoded indices. */
   def gifResizeGray(bytes: Array[Byte], ow: Int, oh: Int): Array[Float] = {
     val (w, h, _, palette, px) = gifDecode(bytes)

@@ -417,6 +417,66 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Synthesize a VALID FLAC stream per document (r9): mono 16-bit
+    * 8 kHz, PCM samples a deterministic integer function of (i, id) —
+    * every fifth document a CONSTANT signal (exercising CONSTANT
+    * subframes), the rest a sawtooth whose fixed-predictor residuals
+    * Rice-code (FIXED subframes). FLAC is LOSSLESS, so the decode must
+    * return these samples bit-exactly and the oracle predicts the decoded
+    * CONTENT (mean |pcm|, peak) from the formula alone. */
+  def asFlacTable(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("n_bytes", LongType))))))
+    val rdd = docs.select(col(idCol).cast("long"),
+        TextAnalysis.tokenCount(col(textCol))).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val nTok = r.getLong(1)
+          val n = math.min(2048L, math.max(16L, nTok * 4)).toInt
+          val pcm = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            pcm(i) =
+              if (id % 5 == 0) (((id % 100) - 50) * 100).toInt
+              else ((((i * 7 + id) % 256) - 128) * 64).toInt
+            i += 1
+          }
+          val bytes = MediaCodec.flacBytes(pcm, 8000)
+          Row(id, bytes, Row("audio/flac", bytes.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL FLAC decode: metadata walk, frame/subframe parse, Rice residual
+    * decode, fixed-predictor reconstruction, both CRCs verified — decoded
+    * content features. */
+  def decodeFlac(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("mean_abs", DoubleType),
+      StructField("peak", IntegerType)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val info = MediaCodec.parseFlac(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), info.sampleRate, info.channels,
+          info.bitsPerSample, info.nSamples, info.meanAbs, info.peak)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** A-law sibling of [[asUlawTable]] (format code 6; same deterministic
     * byte synth, shifted so the two signals differ). */
   def asAlawTable(docs: DataFrame, idCol: String = "doc_id",

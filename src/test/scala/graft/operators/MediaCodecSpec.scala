@@ -408,6 +408,64 @@ class MediaCodecSpec extends SparkSpec {
     assert(info.meanR == 127.5, s"${info.meanR}") // 2 black + 2 white blocks
   }
 
+  test("FLAC roundtrip is LOSSLESS: every subframe/residual shape bit-exact") {
+    val shapes = Seq[Array[Int]](
+      Array.fill(100)(1234),                    // CONSTANT subframe
+      Array.fill(64)(-32768),                   // constant at the range edge
+      Array.tabulate(1024)(i => ((i * 7) % 256 - 128) * 64), // order-1 friendly
+      Array.tabulate(2500)(i => (i % 300) - 150), // multi-frame + short tail
+      Array.tabulate(40)(i => if (i % 2 == 0) 32767 else -32768), // escape-ish
+      Array.tabulate(333)(i => (i * i) % 20000 - 10000), // order-2 friendly
+      Array[Int](0),                            // single sample (< min block
+                                                // is legal in the LAST frame)
+      Array.tabulate(1024)(_ => 0))             // all-zero block
+    for (s <- shapes) {
+      val bytes = MediaCodec.flacBytes(s, 8000)
+      val (sr, ch, bits, got) = MediaCodec.flacDecode(bytes)
+      assert(sr == 8000 && ch == 1 && bits == 16)
+      assert(got.toSeq == s.toSeq,
+        s"lossless violated for shape of length ${s.length}")
+    }
+    // content features match a driver-side fold exactly
+    val s = Array.tabulate(777)(i => ((i * 13) % 512) - 256)
+    val info = MediaCodec.parseFlac(MediaCodec.flacBytes(s, 16000))
+    assert(info.nSamples == 777 && info.sampleRate == 16000)
+    assert(info.peak == s.map(math.abs).max)
+    assert(math.abs(info.meanAbs -
+      s.map(v => math.abs(v).toLong).sum.toDouble / 777) < 1e-12)
+  }
+
+  test("FLAC decoder fails CLEANLY on truncation and CRC corruption") {
+    val good = MediaCodec.flacBytes(
+      Array.tabulate(600)(i => ((i * 7) % 256 - 128) * 64), 8000)
+    for (len <- 1 until good.length) {
+      val e = intercept[Exception](MediaCodec.parseFlac(good.take(len)))
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"truncation at $len threw ${e.getClass}: ${e.getMessage}")
+    }
+    // flip one bit in the subframe payload: the frame CRC-16 must catch it
+    val corrupt = good.clone()
+    corrupt(good.length - 10) = (corrupt(good.length - 10) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.parseFlac(corrupt))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // flip a frame-header bit: the header CRC-8 must catch it (the header
+    // starts right after fLaC + 4-byte block header + 34-byte STREAMINFO)
+    val hdr = good.clone()
+    hdr(4 + 4 + 34 + 2) = (hdr(4 + 4 + 34 + 2) ^ 0x01).toByte
+    val e2 = intercept[IllegalArgumentException](MediaCodec.parseFlac(hdr))
+    assert(e2.getMessage.contains("CRC") || e2.getMessage.contains("sync") ||
+      e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("FLAC frame numbering: multi-byte UTF-8 frame numbers decode") {
+    // 200 frames of the minimum block size 16 → frame numbers past 127
+    // exercise the 2-byte UTF-8 form
+    val s = Array.tabulate(200 * 16)(i => (i % 100) - 50)
+    val bytes = MediaCodec.flacBytes(s, 8000, blockSize = 16)
+    val (_, _, _, got) = MediaCodec.flacDecode(bytes)
+    assert(got.toSeq == s.toSeq)
+  }
+
   test("Spark stages: synth tables decode end-to-end on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nDocs = docs.count()
