@@ -116,6 +116,15 @@ object ProbeR9 {
         "exact_ratio" -> e10 / e1)
     }
 
+    if (want("flac10x")) {
+      def q(dir: String): Double =
+        best { SparkEntry.queries("mm_flac")(spark, dir).count() }
+      val a = q(sf1x); val b = q(sf10)
+      out += "mm_flac_10x" -> Map("flac_1x" -> a, "flac_10x" -> b,
+        "flac_ratio" -> b / a)
+      System.err.println(f"[probe] mm_flac $a%.3f -> $b%.3f (${b / a}%.2f)")
+    }
+
     if (want("seqshift")) {
       // identical methodology to PROBE_r7/r8's seqshift rows (full-query
       // wall, best of 3) so the r9 fused-diff-emit ratio is comparable
