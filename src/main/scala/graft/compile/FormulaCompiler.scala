@@ -1102,11 +1102,97 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CVecD(grouped.map(_._2).toIndexedSeq,
           grouped.map(_._1.toString).toIndexedSeq)
 
+      // `.corr()` (r9): pandas' pairwise Pearson correlation frame —
+      // PAIRWISE-COMPLETE observations (each pair drops only rows where
+      // that pair has a hole, exactly pandas), every pair's six moments
+      // (n, Σx, Σy, Σx², Σy², Σxy) in ONE partial-agg tree-reduce, the
+      // agg row exploded into one row per column. Moments are exact on
+      // integer-valued cells (sums ≪ 2^53), the closing double formula
+      // is fixed-order and mirrored op-for-op in the oracle. TERMINAL
+      // like describe: the row domain is column labels. Width is capped
+      // at 16 columns (p(p+1)/2 · 6 agg expressions — the wide-rank
+      // threshold precedent); wider frames belong on
+      // Profiling.correlationMatrix.
+      case ("corr", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.corr()' is not supported in ADP mode")
+        if (cols.length < 2) throw new FormulaTypeException(
+          "'.corr()' needs at least two columns")
+        if (cols.length > 16) throw new FormulaTypeException(
+          s"'.corr()' supports up to 16 columns (got ${cols.length}): " +
+            "p*(p+1)/2 moment aggregates per pair stop compiling well " +
+            "past that — use graft.operators.Profiling.correlationMatrix " +
+            "for wide frames")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("corr requires a matrix operand"))
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        def ok(c: Column) = c.isNotNull && !isnan(c)
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i <= j
+        } yield (i, j)
+        val aggExprs = pairs.flatMap { case (i, j) =>
+          val (ci, cj) = (cols(i)._2, cols(j)._2)
+          val both = ok(ci) && ok(cj)
+          val x = when(both, ci); val y = when(both, cj)
+          Seq(count(x).cast("double").as(s"__cr${tag}_n_${i}_$j"),
+            sum(x).as(s"__cr${tag}_sx_${i}_$j"),
+            sum(y).as(s"__cr${tag}_sy_${i}_$j"),
+            sum(x * x).as(s"__cr${tag}_sxx_${i}_$j"),
+            sum(y * y).as(s"__cr${tag}_syy_${i}_$j"),
+            sum(x * y).as(s"__cr${tag}_sxy_${i}_$j"))
+        }
+        val agg1 = base.agg(aggExprs.head, aggExprs.tail: _*)
+        def r(i: Int, j: Int): Column = {
+          val (a, b) = if (i <= j) (i, j) else (j, i)
+          def m(s: String) = col(s"__cr${tag}_${s}_${a}_$b")
+            .cast("double")
+          val n = m("n"); val sx = m("sx"); val sy = m("sy")
+          val num = n * m("sxy") - sx * sy
+          val den = sqrt(n * m("sxx") - sx * sx) *
+            sqrt(n * m("syy") - sy * sy)
+          round(num / den, 9)
+        }
+        val rows = cols.zipWithIndex.map { case ((lbl, _), i) =>
+          struct((lit(lbl).as("__row_id__") +:
+            cols.zipWithIndex.map { case ((l2, _), j) =>
+              r(i, j).as(l2)
+            }): _*)
+        }
+        val framed = agg1.select(explode(array(rows: _*)).as("__r"))
+          .select(col("__r.*"))
+        CFrame(framed, "__row_id__", cols.map(_._1))
+      case ("corr", _: CVecD, _) =>
+        throw new FormulaTypeException(
+          "Series '.corr(other)' is not supported — register both " +
+            "columns in one matrix and call '.corr()' on it")
+
+      // `.dropna()` (r9): pandas' drop-rows-with-any-hole (how='any',
+      // NaN/null cells; ±Inf is NOT a hole to pandas and is kept). A
+      // stateless scan-stage filter over the aligned base — row ids
+      // survive, so the result frame is the engine's own row universe
+      // minus the dropped rows. TERMINAL as a frame (the filtered row
+      // set no longer aligns positionally with registry operands).
+      case ("dropna", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.dropna()' is not supported in ADP mode")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("dropna requires a matrix operand"))
+        val keep = cols.map { case (_, c) => c.isNotNull && !isnan(c) }
+          .reduce(_ && _)
+        val rid = col(ctx.rowIdOut)
+        val framed = base.where(keep)
+          .select(rid +: cols.map { case (l, c) => c.as(l) }: _*)
+        CFrame(framed, ctx.rowIdOut, cols.map(_._1))
+      case ("dropna", CVecD(vs, ls), Nil) =>
+        val kept = vs.zip(ls).filter(!_._1.isNaN)
+        CVecD(kept.map(_._1).toIndexedSeq, kept.map(_._2).toIndexedSeq)
+
       case (_, _: CFrame, _) =>
         throw new FormulaTypeException(
-          "frame results (describe/nlargest/nsmallest/value_counts) are " +
-            "terminal: their rows are not the engine's row ids — " +
-            "evaluate them as their own formula")
+          "frame results (describe/nlargest/nsmallest/value_counts/corr/" +
+            "dropna) are terminal: their rows are not the engine's row " +
+            "universe — evaluate them as their own formula")
 
       // pandas method-form arithmetic (pd.eval's python engine dispatches
       // the real pandas methods): df.add(other) ≡ df + other, etc. —
@@ -1138,7 +1224,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
             "idxmax, idxmin, sem, skew, kurt, describe, " +
-            "nlargest, nsmallest, value_counts, " +
+            "nlargest, nsmallest, value_counts, corr, dropna, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

@@ -229,6 +229,54 @@ class ReductionFamilySpec extends SparkSpec {
     assert(e2.getMessage.contains("terminal"))
   }
 
+  test(".corr()/.dropna(): pairwise-complete Pearson; any-hole filter (r9)") {
+    val nan = Double.NaN
+    // rows (x, y): holes in DIFFERENT rows, so pairwise-complete differs
+    // from listwise-complete (pandas corr is pairwise)
+    val m = mat3(Seq(Seq(1.0, 2.0), Seq(2.0, nan), Seq(3.0, 6.0),
+      Seq(4.0, 8.0), Seq(nan, 10.0), Seq(5.0, 11.0)), Seq("x", "y"))
+    val ev = new FormulaEvaluator(reg("s" -> m), fillInvalid = false)
+    val MatrixResult(df, rid, lbls, _) = ev.evaluateFormula("s.corr()"): @unchecked
+    assert(lbls == Seq("x", "y"))
+    val got = df.collect().map(r => r.getString(r.fieldIndex(rid)) ->
+      (r.getDouble(r.fieldIndex("x")), r.getDouble(r.fieldIndex("y")))).toMap
+    // pairwise (x,y) over rows 0,2,3,5: n=4 sx=13 sy=27 sxx=51 syy=225
+    // sxy=107 → r = 77 / (sqrt(35)·sqrt(171)); pandas: 0.995333772
+    val expected = BigDecimal(
+      (4.0 * 107 - 13.0 * 27) /
+        (math.sqrt(4.0 * 51 - 13.0 * 13) * math.sqrt(4.0 * 225 - 27.0 * 27)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("x")._2 == expected && got("y")._1 == expected, s"got $got")
+    assert(got("x")._1 == 1.0 && got("y")._2 == 1.0) // diagonals exact
+    // single column / Series / terminal composition all reject clearly
+    val one = mat3(Seq(Seq(1.0), Seq(2.0)), Seq("x"))
+    val e1 = intercept[FormulaTypeException](
+      new FormulaEvaluator(reg("o" -> one), fillInvalid = false)
+        .evaluateFormula("o.corr()"))
+    assert(e1.getMessage.contains("two columns"))
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.corr().sum()"))
+    assert(e2.getMessage.contains("terminal"))
+
+    // dropna: rows 1 (y hole) and 4 (x hole) drop; values + ids survive
+    val MatrixResult(dn, drid, dl, _) = ev.evaluateFormula("s.dropna()"): @unchecked
+    assert(dl == Seq("x", "y"))
+    val rows = dn.collect().map(r => (r.get(r.fieldIndex(drid)).toString,
+      r.getDouble(r.fieldIndex("x")), r.getDouble(r.fieldIndex("y"))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("0", 1.0, 2.0), ("2", 3.0, 6.0), ("3", 4.0, 8.0),
+      ("5", 5.0, 11.0)), s"got $rows")
+    // vector path keeps labels; terminal past the frame
+    val ev2 = new FormulaEvaluator(reg("v" -> Vec(
+      IndexedSeq(3.0, Double.NaN, 1.0), IndexedSeq("a", "b", "c"))),
+      fillInvalid = false)
+    val VecResult(dv) = ev2.evaluateFormula("v.dropna()"): @unchecked
+    assert(dv.values == Seq(3.0, 1.0) && dv.labels == Seq("a", "c"))
+    val e3 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.dropna().sum()"))
+    assert(e3.getMessage.contains("terminal"))
+  }
+
   test(".describe(): pandas' 8-stat summary frame; terminal; vector path") {
     val ev = new FormulaEvaluator(reg("a" -> fixA,
       "v4" -> Vec(IndexedSeq(10.0, 20.0, 30.0, 40.0),
