@@ -169,8 +169,9 @@ object SparkEntry {
     "e11_nlarge" -> ((s, d) => formulaQuery("qone.nlargest(7)")(s, d)),
     "e11_nsmall" -> ((s, d) => formulaQuery("qone.nsmallest(7)")(s, d)),
     "e11_vcounts" -> ((s, d) => formulaQuery("qone.value_counts()")(s, d)),
-    // r9: pairwise-complete Pearson frame + any-hole row filter
+    // r9: pairwise-complete Pearson/covariance frames + any-hole row filter
     "e11_corr" -> ((s, d) => formulaQuery("qty.corr()")(s, d)),
+    "e11_cov" -> ((s, d) => formulaQuery("qty.cov()")(s, d)),
     "e11_dropna" -> ((s, d) => formulaQuery("qty.dropna()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
@@ -3818,6 +3819,31 @@ object SparkEntry {
             s"sy_${a}_$b", s"sxx_${a}_$b", s"syy_${a}_$b", s"sxy_${a}_$b")
           s"round(($n*$sxy - $sx*$sy) / " +
             s"(sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy)), 9)"
+        }
+        val rows = J.map { i =>
+          s"SELECT 'c$i' AS __row_id__, " +
+            J.map(j => s"${r(i, j)} AS c$j").mkString(", ") + " FROM m"
+        }.mkString(" UNION ALL ")
+        s"$W, m AS (SELECT $moments FROM w) " +
+          s"SELECT * FROM ($rows) ORDER BY __row_id__"
+      },
+      // same pairwise moments, the pandas ddof-1 covariance closing form
+      "e11_cov" -> {
+        val pairs = for { i <- J; j <- J if i <= j } yield (i, j)
+        val moments = pairs.flatMap { case (i, j) =>
+          val both = s"q$i IS NOT NULL AND q$j IS NOT NULL"
+          def d(c: String) = s"CAST($c AS DOUBLE)"
+          Seq(
+            s"CAST(count(CASE WHEN $both THEN 1 END) AS DOUBLE) AS n_${i}_$j",
+            s"sum(CASE WHEN $both THEN ${d(s"q$i")} END) AS sx_${i}_$j",
+            s"sum(CASE WHEN $both THEN ${d(s"q$j")} END) AS sy_${i}_$j",
+            s"sum(CASE WHEN $both THEN ${d(s"q$i")}*${d(s"q$j")} END) AS sxy_${i}_$j")
+        }.mkString(", ")
+        def r(i: Int, j: Int): String = {
+          val (a, b) = if (i <= j) (i, j) else (j, i)
+          val (n, sx, sy, sxy) = (s"n_${a}_$b", s"sx_${a}_$b",
+            s"sy_${a}_$b", s"sxy_${a}_$b")
+          s"round(($sxy - $sx*$sy/$n) / ($n - 1.0), 9)"
         }
         val rows = J.map { i =>
           s"SELECT 'c$i' AS __row_id__, " +

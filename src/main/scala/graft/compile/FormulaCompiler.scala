@@ -1102,7 +1102,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CVecD(grouped.map(_._2).toIndexedSeq,
           grouped.map(_._1.toString).toIndexedSeq)
 
-      // `.corr()` (r9): pandas' pairwise Pearson correlation frame —
+      // `.corr()`/`.cov()` (r9): pandas' pairwise Pearson correlation /
+      // ddof-1 covariance frames —
       // PAIRWISE-COMPLETE observations (each pair drops only rows where
       // that pair has a hole, exactly pandas), every pair's six moments
       // (n, Σx, Σy, Σx², Σy², Σxy) in ONE partial-agg tree-reduce, the
@@ -1113,13 +1114,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // at 16 columns (p(p+1)/2 · 6 agg expressions — the wide-rank
       // threshold precedent); wider frames belong on
       // Profiling.correlationMatrix.
-      case ("corr", CMatrix(cols, false), Nil) =>
+      case (m @ ("corr" | "cov"), CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
-          "'.corr()' is not supported in ADP mode")
+          s"'.$m()' is not supported in ADP mode")
         if (cols.length < 2) throw new FormulaTypeException(
-          "'.corr()' needs at least two columns")
+          s"'.$m()' needs at least two columns")
         if (cols.length > 16) throw new FormulaTypeException(
-          s"'.corr()' supports up to 16 columns (got ${cols.length}): " +
+          s"'.$m()' supports up to 16 columns (got ${cols.length}): " +
             "p*(p+1)/2 moment aggregates per pair stop compiling well " +
             "past that — use graft.operators.Profiling.correlationMatrix " +
             "for wide frames")
@@ -1145,13 +1146,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val agg1 = base.agg(aggExprs.head, aggExprs.tail: _*)
         def r(i: Int, j: Int): Column = {
           val (a, b) = if (i <= j) (i, j) else (j, i)
-          def m(s: String) = col(s"__cr${tag}_${s}_${a}_$b")
+          def c0(s: String) = col(s"__cr${tag}_${s}_${a}_$b")
             .cast("double")
-          val n = m("n"); val sx = m("sx"); val sy = m("sy")
-          val num = n * m("sxy") - sx * sy
-          val den = sqrt(n * m("sxx") - sx * sx) *
-            sqrt(n * m("syy") - sy * sy)
-          round(num / den, 9)
+          val n = c0("n"); val sx = c0("sx"); val sy = c0("sy")
+          if (m == "corr") {
+            val num = n * c0("sxy") - sx * sy
+            val den = sqrt(n * c0("sxx") - sx * sx) *
+              sqrt(n * c0("syy") - sy * sy)
+            round(num / den, 9)
+          } else // cov, pandas ddof=1: (Σxy − Σx·Σy/n) / (n−1)
+            round((c0("sxy") - sx * sy / n) / (n - lit(1.0)), 9)
         }
         val rows = cols.zipWithIndex.map { case ((lbl, _), i) =>
           struct((lit(lbl).as("__row_id__") +:
@@ -1162,10 +1166,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val framed = agg1.select(explode(array(rows: _*)).as("__r"))
           .select(col("__r.*"))
         CFrame(framed, "__row_id__", cols.map(_._1))
-      case ("corr", _: CVecD, _) =>
+      case (m @ ("corr" | "cov"), _: CVecD, _) =>
         throw new FormulaTypeException(
-          "Series '.corr(other)' is not supported — register both " +
-            "columns in one matrix and call '.corr()' on it")
+          s"Series '.$m(other)' is not supported — register both " +
+            s"columns in one matrix and call '.$m()' on it")
 
       // `.dropna()` (r9): pandas' drop-rows-with-any-hole (how='any',
       // NaN/null cells; ±Inf is NOT a hole to pandas and is kept). A
@@ -1190,7 +1194,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
 
       case (_, _: CFrame, _) =>
         throw new FormulaTypeException(
-          "frame results (describe/nlargest/nsmallest/value_counts/corr/" +
+          "frame results (describe/nlargest/nsmallest/value_counts/corr/cov/" +
             "dropna) are terminal: their rows are not the engine's row " +
             "universe — evaluate them as their own formula")
 
@@ -1224,7 +1228,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
             "std, var, median, quantile, prod, nunique, any, all, " +
             "idxmax, idxmin, sem, skew, kurt, describe, " +
-            "nlargest, nsmallest, value_counts, corr, dropna, " +
+            "nlargest, nsmallest, value_counts, corr, cov, dropna, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

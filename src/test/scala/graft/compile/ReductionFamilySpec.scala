@@ -248,6 +248,16 @@ class ReductionFamilySpec extends SparkSpec {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got("x")._2 == expected && got("y")._1 == expected, s"got $got")
     assert(got("x")._1 == 1.0 && got("y")._2 == 1.0) // diagonals exact
+    // .cov(): same pairwise moments, ddof-1 closing form
+    val MatrixResult(cdf, crid, _, _) = ev.evaluateFormula("s.cov()"): @unchecked
+    val cgot = cdf.collect().map(r => r.getString(r.fieldIndex(crid)) ->
+      (r.getDouble(r.fieldIndex("x")), r.getDouble(r.fieldIndex("y")))).toMap
+    // cov(x,y) = (107 − 13·27/4) / 3 = 6.416666667 (pandas, pairwise)
+    assert(cgot("x")._2 == 6.416666667 && cgot("y")._1 == 6.416666667,
+      s"got $cgot")
+    // diagonal = ddof-1 variance over that column's present rows:
+    // x over rows 0,1,2,3,5 → var([1,2,3,4,5]) = 2.5
+    assert(cgot("x")._1 == 2.5, s"got $cgot")
     // single column / Series / terminal composition all reject clearly
     val one = mat3(Seq(Seq(1.0), Seq(2.0)), Seq("x"))
     val e1 = intercept[FormulaTypeException](
