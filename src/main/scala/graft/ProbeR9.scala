@@ -116,6 +116,27 @@ object ProbeR9 {
         "exact_ratio" -> e10 / e1)
     }
 
+    if (want("scale30")) {
+      // 30× replica corpus (ScaleGen 30 → /tmp/graft_sf3): the headline
+      // r9 shapes plus the structural stalwarts. Sub-linear ratios mean
+      // fixed floors still dominate; ≈30× would be pure data-scaling.
+      val sf30 = "/tmp/graft_sf3"
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf30).count()
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf30).count()
+      val names = Seq("sim_binq", "sim_rerank", "e11_cumsum", "e11_shift",
+        "e11_diff", "cln_mad", "smp_shuffle", "dd_exact", "h_q1")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf30)
+        System.err.println(f"[probe] scale30 $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_30x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "scale30" -> r
+    }
+
     if (want("flac10x")) {
       def q(dir: String): Double =
         best { SparkEntry.queries("mm_flac")(spark, dir).count() }

@@ -147,11 +147,14 @@ object Cleaning {
     * closing float chain is rounded at 6dp. */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   threshold: Double = 3.5): DataFrame = {
+    // both stats tables are bounded by group cardinality — broadcast
+    // explicitly so the fact side never shuffles for these joins even
+    // where AQE is off or misestimates
     val med = groupedPercentile(df, keyCol, col(valCol), 0.5, "key_median")
-    val j1 = df.join(med, Seq(keyCol))
+    val j1 = df.join(broadcast(med), Seq(keyCol))
     val mad = groupedPercentile(j1, keyCol,
       abs(col(valCol) - col("key_median")), 0.5, "key_mad")
-    j1.join(mad, Seq(keyCol))
+    j1.join(broadcast(mad), Seq(keyCol))
       .filter(col("key_mad") > 0)
       .withColumn("robust_z",
         round(lit(0.6745) * (col(valCol) - col("key_median")) /
