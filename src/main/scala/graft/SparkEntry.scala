@@ -475,17 +475,12 @@ object SparkEntry {
     // among the LSH near-dup candidates, globally top-50 by similarity —
     // candidates come bucketed (never all-pairs) and the global top-k is
     // a TakeOrderedAndProject, so no stage materializes the full ranking
-    "sim_hardneg" -> ((s, d) => {
-      val e = embs(s, d)
-      val lb = e.select(col("vec_id"), col("label"))
-      Similarity.lshNearDup(e, nPlanes = 6, threshold = 0.1, exact = true)
-        .join(lb.toDF("id1", "label1"), "id1")
-        .join(lb.toDF("id2", "label2"), "id2")
-        .filter(col("label1") =!= col("label2"))
+    "sim_hardneg" -> ((s, d) =>
+      Similarity.lshHardNegatives(embs(s, d), "label", k = 50,
+          nPlanes = 6, threshold = 0.1)
         .select(col("id1"), col("id2"), col("sim"),
           col("label1"), col("label2"))
-        .orderBy(col("sim").desc, col("id1"), col("id2")).limit(50)
-    }),
+        .orderBy(col("sim").desc, col("id1"), col("id2"))),
     // int8 quantization (compiled expression): scale is bit-deterministic
     // (float→double exact, abs/max exact, one IEEE divide), q digested to
     // a sum + md5 fingerprint so the oracle compares scalars, not arrays
@@ -2670,7 +2665,16 @@ object SparkEntry {
       val vals = planes.zipWithIndex.flatMap { case (p, pi) =>
         p.zipWithIndex.map { case (v, i) => s"($pi, ${i + 1}, $v)" }
       }.mkString(", ")
+      // r9: the oversize-bucket sub-split planes (seed + 1) and the
+      // conditional sub id (bucket size > 1024) — mirrors lshNearDup's
+      // bounded-fanout pairing; inactive at test scales where no bucket
+      // exceeds the cap, bit-identical either way
+      val planes2 = Similarity.hyperplanes(64, 8, 43L)
+      val vals2 = planes2.zipWithIndex.flatMap { case (p, pi) =>
+        p.zipWithIndex.map { case (v, i) => s"($pi, ${i + 1}, $v)" }
+      }.mkString(", ")
       s"""planes(pi, i, pv) AS (SELECT * FROM (VALUES $vals)),
+         |planes2(pi, i, pv) AS (SELECT * FROM (VALUES $vals2)),
          |e AS (SELECT vec_id, unnest(embedding) AS v,
          |             generate_subscripts(embedding,1) AS i FROM embeddings),
          |pd AS (SELECT e.vec_id, p.pi,
@@ -2679,14 +2683,26 @@ object SparkEntry {
          |bkt AS (SELECT vec_id,
          |               sum(CASE WHEN dt > 0 THEN 1::BIGINT << pi ELSE 0 END) AS bucket
          |        FROM pd GROUP BY 1),
+         |sizes AS (SELECT bucket, count(*) AS bn FROM bkt GROUP BY 1),
+         |pd2 AS (SELECT e.vec_id, p.pi,
+         |              CAST(sum(CAST(CAST(e.v AS DOUBLE) * p.pv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |       FROM e JOIN planes2 p ON e.i = p.i GROUP BY 1, 2),
+         |sub0 AS (SELECT vec_id,
+         |               sum(CASE WHEN dt > 0 THEN 1::BIGINT << pi ELSE 0 END) AS sub
+         |        FROM pd2 GROUP BY 1),
+         |bkt2 AS (SELECT b.vec_id, b.bucket,
+         |               CASE WHEN s.bn > 1024 THEN sub0.sub ELSE 0 END AS sub
+         |         FROM bkt b JOIN sizes s USING (bucket)
+         |                    JOIN sub0 USING (vec_id)),
          |nrm AS (SELECT vec_id,
          |               sqrt(CAST(sum(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)) AS nrm
          |        FROM e GROUP BY 1),
-         |eb AS (SELECT e.*, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |eb AS (SELECT e.*, bkt2.bucket, bkt2.sub FROM e JOIN bkt2 USING (vec_id)),
          |d AS (SELECT l.vec_id AS id1, r.vec_id AS id2,
          |             CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dt
          |      FROM eb l JOIN eb r
-         |        ON l.bucket = r.bucket AND l.i = r.i AND l.vec_id < r.vec_id
+         |        ON l.bucket = r.bucket AND l.sub = r.sub AND l.i = r.i
+         |           AND l.vec_id < r.vec_id
          |      GROUP BY 1, 2),
          |pr AS (SELECT id1, id2, round(dt/(n1.nrm*n2.nrm),6) AS sim
          |       FROM d JOIN nrm n1 ON d.id1 = n1.vec_id

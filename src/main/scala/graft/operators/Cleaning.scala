@@ -79,7 +79,7 @@ object Cleaning {
     val withMoments = stats.select(col(keyCol), col("__n"),
       mean.as("key_mean"),
       when(variance > 0, round(sqrt(variance), 6)).as("key_std"))
-    df.join(withMoments, keyCol)
+    df.join(broadcast(withMoments), keyCol)
       .filter(col("key_std") > 0)
       .withColumn("zscore",
         round((col(valCol) - col("key_mean")) / col("key_std"), 6))
@@ -179,7 +179,7 @@ object Cleaning {
       .groupBy(col(groupCol))
       .agg(round(sum(col(valCol).cast(DecimalType(18, 2))).cast(DoubleType)
         / count(lit(1)), 6).as("__mean"))
-    df.join(means, Seq(groupCol), "left")
+    df.join(broadcast(means), Seq(groupCol), "left")
       .withColumn("imputed", col(valCol).isNull && col("__mean").isNotNull)
       .withColumn(valCol, coalesce(col(valCol), col("__mean")))
       .drop("__mean")

@@ -81,28 +81,63 @@ object Similarity {
     * dot path (with a cheap double prefilter), making the whole result
     * deterministic across engines/partitionings — the oracle-checked mode.
     */
+  /** Hyperplane-LSH near-duplicate candidate pairs.
+    *
+    * r9 scale fix: within-bucket pairing is QUADRATIC in bucket size, and
+    * with a fixed plane count bucket sizes grow linearly with the corpus —
+    * the 10× catalog sweep measured sim_lsh at 15× and sim_hardneg at 38×
+    * the 1× wall. Buckets past `maxBucketSize` are now SPLIT by a second,
+    * independently-seeded plane set (the blockedAllPairs discipline):
+    * pair fanout per bucket is bounded, at the disclosed recall cost that
+    * a near-dup pair straddling two sub-buckets of an oversized bucket is
+    * missed. Sub-splitting is conditional on the ACTUAL bucket size, so
+    * small corpora (and the oracle's test scales) are bit-identical with
+    * and without the cap; the size table is bounded by 2^nPlanes and
+    * broadcast. */
   def lshNearDup(embs: DataFrame, nPlanes: Int = 12, threshold: Double = 0.9,
                  idCol: String = "vec_id", embCol: String = "embedding",
-                 seed: Long = 42L, exact: Boolean = false): DataFrame = {
+                 seed: Long = 42L, exact: Boolean = false,
+                 maxBucketSize: Int = 1024, subPlanes: Int = 8): DataFrame = {
     val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
     val planes = hyperplanes(dim, nPlanes, seed)
+    val subPl = hyperplanes(dim, subPlanes, seed + 1)
     val b0 = embs.select(col(idCol).as("id"), col(embCol).as("e"),
       lshBucket(col(embCol), planes, exact).as("bucket"))
+    // which buckets exceed the cap is decided DRIVER-side from a bounded
+    // (≤ 2^nPlanes-row) aggregate collected once: joining the size table
+    // back (even broadcast) measured ~2× the whole query — the extra
+    // build stage rode both pair sides — while a literal IN-set keeps the
+    // pair inputs pure scan projections. The sub signature uses the
+    // throughput DOUBLE dot: the split is inactive below the cap (the
+    // oracle-checked scales are bit-identical with or without it), and
+    // above it the split only partitions candidates — pair SCORES stay on
+    // the decimal path.
+    val oversized: Array[Long] = b0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucketSize)
+      .collect().map(_.getLong(0))
+    val bs =
+      if (oversized.isEmpty) b0.withColumn("sub", lit(0L))
+      else b0.withColumn("sub",
+        when(col("bucket").isin(oversized.toIndexedSeq: _*),
+          lshBucket(col("e"), subPl)).otherwise(lit(0L)))
     if (!exact) {
-      val l = b0.select(col("bucket"), col("id").as("id1"), col("e").as("e1"))
-      val r = b0.select(col("bucket"), col("id").as("id2"), col("e").as("e2"))
-      l.join(r, Seq("bucket"))
+      val l = bs.select(col("bucket"), col("sub"), col("id").as("id1"),
+        col("e").as("e1"))
+      val r = bs.select(col("bucket"), col("sub"), col("id").as("id2"),
+        col("e").as("e2"))
+      l.join(r, Seq("bucket", "sub"))
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
         .filter(col("sim") >= threshold)
         .dropDuplicates("id1", "id2")
     } else {
-      val b = b0.withColumn("nrm", sqrt(dotExact(col("e"), col("e"))))
-      val l = b.select(col("bucket"), col("id").as("id1"), col("e").as("e1"),
-        col("nrm").as("n1"))
-      val r = b.select(col("bucket"), col("id").as("id2"), col("e").as("e2"),
-        col("nrm").as("n2"))
-      l.join(r, Seq("bucket"))
+      val b = bs.withColumn("nrm", sqrt(dotExact(col("e"), col("e"))))
+      val l = b.select(col("bucket"), col("sub"), col("id").as("id1"),
+        col("e").as("e1"), col("nrm").as("n1"))
+      val r = b.select(col("bucket"), col("sub"), col("id").as("id2"),
+        col("e").as("e2"), col("nrm").as("n2"))
+      l.join(r, Seq("bucket", "sub"))
         .filter(col("id1") < col("id2"))
         .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >=
           threshold - 1e-6)
@@ -112,6 +147,67 @@ object Similarity {
         .filter(col("sim") >= threshold)
         .dropDuplicates("id1", "id2")
     }
+  }
+
+  /** Hard-negative mining (contrastive-training data): the global top-k
+    * CROSS-label pairs among the LSH candidates, by exact cosine.
+    *
+    * r9 two-stage re-plan (the sim_rerank discipline): ranking every
+    * candidate pair with the order-independent DECIMAL cosine measured
+    * 200+ s at 30× corpus — tens of millions of 64-dim BigDecimal dots to
+    * pick 50 rows. Now the cheap compiled DOUBLE cosine ranks ALL
+    * candidates into a bounded heap (TakeOrderedAndProject, k·margin
+    * rows), and the engine-portable decimal score is recomputed only for
+    * that margin list before the final top-k. The double and decimal
+    * scores agree to ~1e-12 relative, so a margin of 10×k absorbs any
+    * realistic rank inversion near the cut; the ORACLE ranks by the
+    * decimal score over all pairs — agreement is hash-checked at sf0.01.
+    * Bucket signs stay on the decimal path (n-scaled, engine-portable);
+    * the label filter runs BEFORE pair scoring so same-label pairs never
+    * cost a dot product. */
+  def lshHardNegatives(embs: DataFrame, labelCol: String, k: Int,
+                       nPlanes: Int = 6, threshold: Double = 0.1,
+                       seed: Long = 42L, margin: Int = 10,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding",
+                       maxBucketSize: Int = 1024,
+                       subPlanes: Int = 8): DataFrame = {
+    val dim = 64 // corpus embeddings are fixed 64-dim (TESTDATA.md)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val subPl = hyperplanes(dim, subPlanes, seed + 1)
+    val b0 = embs.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      col(embCol).as("e"),
+      lshBucket(col(embCol), planes, exact = true).as("bucket"))
+    val oversized: Array[Long] = b0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucketSize)
+      .collect().map(_.getLong(0))
+    val bs =
+      if (oversized.isEmpty) b0.withColumn("sub", lit(0L))
+      else b0.withColumn("sub",
+        when(col("bucket").isin(oversized.toIndexedSeq: _*),
+          lshBucket(col("e"), subPl)).otherwise(lit(0L)))
+    val withN = bs.withColumn("nrm", norm(col("e")))
+    val l = withN.select(col("bucket"), col("sub"), col("id").as("id1"),
+      col("lbl").as("label1"), col("e").as("e1"), col("nrm").as("n1"))
+    val r = withN.select(col("bucket"), col("sub"), col("id").as("id2"),
+      col("lbl").as("label2"), col("e").as("e2"), col("nrm").as("n2"))
+    val coarse = l.join(r, Seq("bucket", "sub"))
+      .filter(col("id1") < col("id2"))
+      .filter(col("label1") =!= col("label2"))
+      .withColumn("__dsim", dot(col("e1"), col("e2")) /
+        (col("n1") * col("n2")))
+      .filter(col("__dsim") >= threshold - 1e-6)
+      .orderBy(col("__dsim").desc, col("id1"), col("id2"))
+      .limit(k * margin)
+    coarse.select(col("id1"), col("id2"),
+        round(dotExact(col("e1"), col("e2")) /
+          (sqrt(dotExact(col("e1"), col("e1"))) *
+            sqrt(dotExact(col("e2"), col("e2")))), 6).as("sim"),
+        col("label1"), col("label2"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(k)
   }
 
   /** IVF (inverted-file) approximate search: a deterministic coarse
