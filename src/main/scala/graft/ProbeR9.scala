@@ -137,6 +137,20 @@ object ProbeR9 {
       out += "scale30" -> r
     }
 
+    if (want("e11new")) {
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val names = Seq("e11_nlarge", "e11_vcounts", "e11_corr", "e11_dropna")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] e11new $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "e11new" -> r
+    }
+
     if (want("flac10x")) {
       def q(dir: String): Double =
         best { SparkEntry.queries("mm_flac")(spark, dir).count() }
