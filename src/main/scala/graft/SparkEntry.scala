@@ -173,6 +173,32 @@ object SparkEntry {
     "e11_corr" -> ((s, d) => formulaQuery("qty.corr()")(s, d)),
     "e11_cov" -> ((s, d) => formulaQuery("qty.cov()")(s, d)),
     "e11_dropna" -> ((s, d) => formulaQuery("qty.dropna()")(s, d)),
+    // r9 session 2 — the E11 long tail continued. pct_change composes the
+    // single-pass positional lag with the binop machinery; ffill/bfill run
+    // the nearest-valid fill as a running struct(rid, value) extreme
+    // through the distributed prefix (one exchange, slice-bounded state)
+    "e11_pct" -> ((s, d) => formulaQuery("qty.pct_change()")(s, d)),
+    "e11_ffill" -> ((s, d) => formulaQuery("qty.ffill()")(s, d)),
+    "e11_bfill" -> ((s, d) => formulaQuery("qty.bfill()")(s, d)),
+    // hole mask / conditional replacement / scalar replace — all
+    // scan-stage projections (where/mask piggyback on the comparison's
+    // NULL-cond-is-False rule; bool results skip fill like e7)
+    "e11_isna" -> ((s, d) => formulaQuery("qty.isna()", fill = false)(s, d)),
+    "e11_where" -> ((s, d) => formulaQuery("qty.where(qty > 7, 0)")(s, d)),
+    "e11_mask" -> ((s, d) => formulaQuery("qty.mask(qty > 7, 0)")(s, d)),
+    "e11_repl" -> ((s, d) => formulaQuery("qty.replace(7, 700)")(s, d)),
+    // duplicated: groupBy(min rid) + equi-join back — no duplicate-class
+    // window partitions; NULL keys normalized to NaN so holes compare
+    // equal (pandas' NaN-equality rule for duplicated)
+    "e11_dup" -> ((s, d) => formulaQuery("qty.duplicated()", fill = false)(s, d)),
+    // head/tail: bounded heap (TakeOrderedAndProject) on the row-id order
+    "e11_head" -> ((s, d) => formulaQuery("qty.head(7)")(s, d)),
+    "e11_tail" -> ((s, d) => formulaQuery("qty.tail(7)")(s, d)),
+    // mode: value_counts shape — groupBy bounded by distinct values, max
+    // count broadcast back, position window over the mode set only
+    "e11_mode" -> ((s, d) => formulaQuery("qone.mode()")(s, d)),
+    // method-form comparisons: same binop dispatch as the `<=` operator
+    "e11_mcmp" -> ((s, d) => formulaQuery("qty.le(price * 10)", fill = false)(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -3873,6 +3899,57 @@ object SparkEntry {
           J.map(j => s"CAST(q$j AS DOUBLE) AS c$j").mkString(", ") +
           s" FROM w WHERE ${J.map(j => s"q$j IS NOT NULL").mkString(" AND ")}" +
           " ORDER BY __row_id__"),
+      // pct_change: v / lag(v) − 1, fill_method=None (pandas ≥ 2.2) — one
+      // IEEE division + one exact subtraction per cell, both engines
+      // identical; holes and edges map to NULL and fill 0
+      "e11_pct" -> matSql(j =>
+        F(s"q$j / lag(q$j, 1) OVER (ORDER BY __row_id__) - 1")),
+      // ffill/bfill: nearest valid value before/after in row-id order —
+      // values MOVE (no arithmetic), leading/trailing runs stay NULL → 0
+      "e11_ffill" -> matSql(j =>
+        F(s"last_value(q$j IGNORE NULLS) OVER (ORDER BY __row_id__ " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")),
+      "e11_bfill" -> matSql(j =>
+        F(s"first_value(q$j IGNORE NULLS) OVER (ORDER BY __row_id__ " +
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")),
+      // isna: the hole mask; boolean result (no fill, the e7 discipline)
+      "e11_isna" -> (s"$W SELECT __row_id__, " +
+        J.map(j => s"(q$j IS NULL) AS c$j").mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      // where/mask: NULL cond counts as False (the engine's comparison
+      // normalizes NULL → False; SQL CASE falls through to ELSE — same
+      // cell either way)
+      "e11_where" -> matSql(j =>
+        F(s"CASE WHEN q$j > 7 THEN q$j ELSE 0 END")),
+      "e11_mask" -> matSql(j =>
+        F(s"CASE WHEN q$j > 7 THEN 0 ELSE q$j END")),
+      "e11_repl" -> matSql(j =>
+        F(s"CASE WHEN q$j = 7 THEN 700 ELSE q$j END")),
+      // duplicated: first-occurrence rule on the row-id order; the window
+      // here partitions the ORACLE by the tuple (fine at oracle scale) —
+      // the engine runs the aggregate-join-back shape instead. NULL cells
+      // group as equal in both engines (DuckDB window partitions group
+      // NULLs; the engine normalizes NULL keys to NaN, which Spark groups
+      // and joins as equal values)
+      "e11_dup" -> (s"$W SELECT __row_id__, " +
+        "(__row_id__ <> min(__row_id__) OVER " +
+        s"(PARTITION BY ${J.map(j => s"q$j").mkString(", ")})) AS dup " +
+        "FROM w ORDER BY __row_id__"),
+      // head/tail: first/last n rows of the row-id order
+      "e11_head" -> (s"$W SELECT __row_id__, " +
+        J.map(j => s"${F(s"q$j")} AS c$j").mkString(", ") +
+        " FROM w ORDER BY __row_id__ LIMIT 7"),
+      "e11_tail" -> (s"$W SELECT * FROM (SELECT __row_id__, " +
+        J.map(j => s"${F(s"q$j")} AS c$j").mkString(", ") +
+        " FROM w ORDER BY __row_id__ DESC LIMIT 7) t ORDER BY __row_id__"),
+      // mode: most-frequent values ascending, 0-based rank as the row id
+      "e11_mode" -> (s"$W, c AS (SELECT q1 AS c1, count(*) AS n FROM w " +
+        "WHERE q1 IS NOT NULL GROUP BY 1) " +
+        "SELECT CAST(row_number() OVER (ORDER BY c1) - 1 AS VARCHAR) " +
+        "AS __row_id__, c1 FROM c WHERE n = (SELECT max(n) FROM c) " +
+        "ORDER BY c1"),
+      // method-form <=: identical to the operator spelling, bool result
+      "e11_mcmp" -> matSql(j => s"coalesce(q$j <= e$j * 10, FALSE)"),
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges
       "e11_any" ->

@@ -462,6 +462,97 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
         CVecD(vs.map(x => if (x.isNaN) x else math.min(math.max(x, l), h)), ls)
 
+      // `.isna()`/`.isnull()` and `.notna()`/`.notnull()` (r9): the hole
+      // mask as a boolean frame. Std holes are NULL/NaN; decimal and
+      // unbounded cells (and boolean frames, where isnan would not even
+      // type-check) only NULL. Boolean results skip validation/fill like
+      // every comparison (reference behavior, coeff_maker.py:183-185).
+      case (m @ ("isna" | "isnull" | "notna" | "notnull"),
+            CMatrix(cols, b), Nil) =>
+        val neg = m.startsWith("not")
+        val out = mapCols(cols) { c =>
+          val miss = if (std && !b) c.isNull || isnan(c) else c.isNull
+          if (neg) !miss else miss
+        }
+        CMatrix(out, isBool = true)
+      case (m @ ("isna" | "isnull" | "notna" | "notnull"), CVecD(vs, ls), Nil) =>
+        val neg = m.startsWith("not")
+        CVecD(vs.map(x => if (x.isNaN != neg) 1.0 else 0.0), ls)
+
+      // `.where(cond[, other])` / `.mask(cond[, other])` (r9): pandas
+      // conditional replacement — `where` keeps cells where cond is True
+      // (NULL cond counts as False, exactly pandas' NaN-comparison rule),
+      // `mask` replaces them; `other` defaults to the invalid cell. The
+      // condition aligns to the target BY LABEL (pandas alignment); both
+      // operands live on the same aligned base, so the whole method is one
+      // scan-stage projection — zero extra movement.
+      case (m @ ("where" | "mask"), CMatrix(cols, false), condArg :: rest)
+          if rest.length <= 1 =>
+        val cond = condArg match {
+          case CMatrix(cc, true) => cc.toMap
+          case _ => throw new FormulaTypeException(
+            s"'.$m(cond[, other])' needs a boolean-matrix condition " +
+              "(e.g. a comparison result)")
+        }
+        val otherOf: String => Column = rest.headOption match {
+          case None            => _ => litOf(Double.NaN)
+          case Some(CScalar(v)) => _ => litOf(v)
+          case Some(CMatrix(oc, false)) =>
+            val om = oc.toMap
+            lbl => om.getOrElse(lbl, litOf(Double.NaN))
+          case Some(_) => throw new FormulaTypeException(
+            s"'.$m(cond, other)' needs a scalar or matrix replacement")
+        }
+        val out = cols.map { case (lbl, c) =>
+          val cc = cond.getOrElse(lbl, throw new FormulaTypeException(
+            s"'.$m': the condition has no column '$lbl'"))
+          val condTrue = cc.isNotNull && cc
+          val keep = if (m == "where") condTrue else !condTrue
+          (lbl, when(keep, c).otherwise(otherOf(lbl)))
+        }
+        CMatrix(out, isBool = false)
+
+      // `.replace(a, b)` (r9): pandas scalar value replacement by exact
+      // equality; holes are untouched (NULL/NaN never equals a finite
+      // scalar). Unbounded cells compare numerically (string equality
+      // would miss scale variants like "7" vs "7.0").
+      case ("replace", CMatrix(cols, false), List(a, b)) =>
+        val (x, y) = (asScalar(a, "replace"), asScalar(b, "replace"))
+        val out =
+          if (ubp) mapCols(cols)(c =>
+            when(BigDec.cmp(c, litOf(x)) === 0, litOf(y)).otherwise(c))
+          else mapCols(cols)(c => when(c === litOf(x), litOf(y)).otherwise(c))
+        CMatrix(out, isBool = false)
+      case ("replace", CVecD(vs, ls), List(a, b)) =>
+        val (x, y) = (asScalar(a, "replace"), asScalar(b, "replace"))
+        CVecD(vs.map(v => if (v == x) y else v), ls)
+
+      // `.duplicated()` (r9): pandas keep='first' — True for every row
+      // whose full cell tuple already appeared at a SMALLER row id (the
+      // engine's first-occurrence order). Distributed as ONE map-side-
+      // combined groupBy over the value tuple (min(rid) per tuple) plus an
+      // equi-join back — the aggregate-join-back shape, no window whose
+      // partition is a duplicate class (a constant frame would put every
+      // row in one partition). NULL holes are normalized to NaN for the
+      // key so they group and join as equal values, pandas' NaN-equality
+      // rule for duplicated; Spark groups and joins NaN keys as equal.
+      case ("duplicated", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.duplicated()' is not supported in ADP mode")
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        val keyNames = cols.indices.map(i => s"__dp${tag}_k_$i")
+        val firstName = s"__dp${tag}_first"
+        val materialized = ctx.base.get.select(col("*") +:
+          cols.zip(keyNames).map { case ((_, c), kn) =>
+            coalesce(c, litOf(Double.NaN)).as(kn)
+          }: _*)
+        val firsts = materialized.groupBy(keyNames.map(col): _*)
+          .agg(min(rid).as(firstName))
+        ctx.base = Some(materialized.join(firsts, keyNames, "left"))
+        CMatrix(Seq("dup" -> (rid =!= col(firstName))), isBool = true)
+
       // `.round(n)` (E11 long tail): pandas/numpy half-even rounding to n
       // decimals — Spark's bround IS HALF_EVEN, and the driver-side paths
       // use java BigDecimal.valueOf(x).setScale(n, HALF_EVEN), the same
@@ -695,6 +786,70 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         if (m == "shift") CVecD(shifted.toIndexedSeq, ls)
         else CVecD(vs.indices.map(i => vs(i) - shifted(i)).toIndexedSeq, ls)
+
+      // `.pct_change()` (r9): pandas fractional change v / v.shift(n) − 1
+      // with fill_method=None (the pandas ≥ 2.2 semantics — no implicit
+      // pad; pandas 3 removed the fill_method argument entirely).
+      // Compiled BY COMPOSITION: the shift runs on the same single-pass
+      // positional-lag plan as `.shift()`, and the divide/subtract reuse
+      // the binop machinery, so every mode rule (decimal division,
+      // NaN propagation, edge fill) is inherited rather than re-stated.
+      case ("pct_change", t @ (_: CMatrix | _: CVecD), args)
+          if args.length <= 1 =>
+        if (ubp) throw new AdpUnsupportedException(
+          "'.pct_change()' is not supported in unbounded ADP mode")
+        val n = args.headOption.map(a => asScalar(a, "pct_change").toInt)
+          .getOrElse(1)
+        if (n == 0) throw new FormulaTypeException(
+          "'.pct_change(n)' needs a non-zero period")
+        val shifted = method(t, "shift", List(CScalar(n)), ctx)
+        binop("-", binop("/", t, shifted, ctx), CScalar(1.0), ctx)
+
+      // `.ffill()` / `.bfill()` (r9): pandas positional fill — each hole
+      // takes the nearest valid value before (ffill) / after (bfill) it in
+      // the row-id order; a leading (trailing) run of holes stays invalid.
+      // Distributed as a running max (min) over `struct(row id, value)`
+      // through [[graft.operators.Prefix.runningAgg]] — valid cells carry
+      // their (rid, value) pair, holes carry NULL, and the struct's
+      // lexicographic order makes the running extreme exactly "the pair of
+      // the nearest valid row seen so far": bfill runs the same prefix in
+      // DESCENDING row order with `min`, so "seen so far" is the rows
+      // after the current one and the minimum rid among them is the
+      // nearest. One exchange, slice-count-bounded state — the cumsum
+      // scale shape, nothing resembling an unbounded window. All modes
+      // (the fill MOVES cells, no arithmetic): std holes are NULL/NaN,
+      // decimal/unbounded holes are NULL.
+      case (m @ ("ffill" | "bfill"), CMatrix(cols, false), Nil) =>
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        val inNames = cols.indices.map(i => s"__ff${tag}_s_$i")
+        val outNames = cols.indices.map(i => s"__ff${tag}_r_$i")
+        val marked = ctx.base.get.select(col("*") +:
+          cols.zipWithIndex.map { case ((_, c), i) =>
+            val valid = if (std) c.isNotNull && !isnan(c) else c.isNotNull
+            when(valid, struct(rid.as("o"), c.as("v")))
+              .as(s"__ff${tag}_s_$i")
+          }: _*)
+        val back = m == "bfill"
+        ctx.base = Some(graft.operators.Prefix.runningAgg(
+          marked, rid,
+          inNames, Seq.fill(cols.size)(if (back) "min" else "max"),
+          outNames, descending = back))
+        val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
+          val f = col(s"__ff${tag}_r_$i").getField("v")
+          (lbl, if (std) coalesce(f, litOf(Double.NaN)) else f)
+        }
+        CMatrix(out, isBool = false)
+      case (m @ ("ffill" | "bfill"), CVecD(vs, ls), Nil) =>
+        val out = new Array[Double](vs.length)
+        var acc = Double.NaN
+        val order = if (m == "ffill") vs.indices else vs.indices.reverse
+        order.foreach { i =>
+          if (!vs(i).isNaN) acc = vs(i)
+          out(i) = if (vs(i).isNaN) acc else vs(i)
+        }
+        CVecD(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), ls)
 
       case (cm @ ("cumsum" | "cummax" | "cummin" | "cumprod"), CVecD(vs, ls), Nil) =>
         val combine: (Double, Double) => Double = cm match {
@@ -1067,6 +1222,74 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val top = sorted.take(n)
         CVecD(top.map(_._1).toIndexedSeq, top.map(_._2).toIndexedSeq)
 
+      // `.head(n)` / `.tail(n)` (r9): the first/last n rows in the row-id
+      // order (the engine's positional order contract). Distributed as a
+      // bounded heap — orderBy(limit) plans TakeOrderedAndProject, so no
+      // partition ever holds more than n rows and the frame is never
+      // globally sorted. TERMINAL like dropna: the row subset no longer
+      // aligns positionally with registry operands.
+      case (m @ ("head" | "tail"), CMatrix(cols, false), args)
+          if args.length <= 1 =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.$m()' is not supported in ADP mode")
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(5)
+        if (n < 0) throw new FormulaTypeException(
+          s"'.$m(n)' needs n >= 0, got $n")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException(s"$m requires a matrix operand"))
+        val rid = col(ctx.rowIdOut)
+        val framed = base
+          .select(rid +: cols.map { case (l, c) => c.as(l) }: _*)
+          .orderBy(if (m == "head") rid.asc else rid.desc)
+          .limit(n)
+        CFrame(framed, ctx.rowIdOut, cols.map(_._1))
+      case (m @ ("head" | "tail"), CVecD(vs, ls), args) if args.length <= 1 =>
+        val n = args.headOption.map(a => asScalar(a, m).toInt).getOrElse(5)
+        if (n < 0) throw new FormulaTypeException(
+          s"'.$m(n)' needs n >= 0, got $n")
+        val (v2, l2) =
+          if (m == "head") (vs.take(n), ls.take(n))
+          else (vs.takeRight(n), ls.takeRight(n))
+        CVecD(v2, l2)
+
+      // `.mode()` (r9): pandas' most-frequent values, ascending, indexed
+      // 0..k−1. Single-column matrices only (pandas DataFrame.mode is
+      // per-column with NaN padding — register the column as its own
+      // matrix). Distributed on the value_counts shape: ONE map-side-
+      // combined groupBy bounded by the distinct-value cardinality, the
+      // max count broadcast back as a 1-row frame, and the position
+      // window walking only the (usually tiny) mode set. TERMINAL: the
+      // row domain is a rank.
+      case ("mode", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.mode()' is not supported in ADP mode")
+        if (cols.length != 1) throw new FormulaTypeException(
+          "'.mode()' needs a single-column matrix (pandas DataFrame.mode " +
+            "is per-column — register the column as its own matrix)")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("mode requires a matrix operand"))
+        val (lbl, c) = cols.head
+        val counts = base.where(c.isNotNull && !isnan(c))
+          .groupBy(c.cast("double").as(lbl))
+          .agg(count(lit(1)).as("__n"))
+        val maxn = counts.agg(max(col("__n")).as("__mx"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(lbl).asc)
+        val framed = counts.crossJoin(broadcast(maxn))
+          .where(col("__n") === col("__mx"))
+          .select((row_number().over(w) - 1).cast("string").as("__row_id__"),
+            col(lbl))
+        CFrame(framed, "__row_id__", Seq(lbl))
+      case ("mode", CVecD(vs, _), Nil) =>
+        val grouped = vs.filter(!_.isNaN).groupBy(identity).view
+          .mapValues(_.length).toSeq
+        if (grouped.isEmpty) CVecD(IndexedSeq.empty, IndexedSeq.empty)
+        else {
+          val mx = grouped.map(_._2).max
+          val modes = grouped.filter(_._2 == mx).map(_._1).sorted
+          CVecD(modes.toIndexedSeq,
+            modes.indices.map(_.toString).toIndexedSeq)
+        }
+
       // `.value_counts()` (r9): grouped count per distinct value, ordered
       // by count desc (pandas), value asc as the deterministic tie-break
       // (pandas keeps occurrence order — a documented divergence). NaN
@@ -1221,6 +1444,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "rfloordiv" => "//"
         }
         binop(op, a, t, ctx)
+      // pandas method-form comparisons (r9): df.le(other) ≡ df <= other
+      // etc. — the same binop delegation as the arithmetic method forms,
+      // so boolean-result marking and every operand-shape rule match the
+      // operator spelling exactly.
+      case (m @ ("eq" | "ne" | "le" | "lt" | "ge" | "gt"), t, List(a)) =>
+        val op = m match {
+          case "eq" => "=="; case "ne" => "!="; case "le" => "<="
+          case "lt" => "<"; case "ge" => ">="; case "gt" => ">"
+        }
+        binop(op, t, a, ctx)
 
       case (other, _, _) =>
         throw new FormulaTypeException(
@@ -1229,8 +1462,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "std, var, median, quantile, prod, nunique, any, all, " +
             "idxmax, idxmin, sem, skew, kurt, describe, " +
             "nlargest, nsmallest, value_counts, corr, cov, dropna, " +
+            "mode, head, tail, isna, isnull, notna, notnull, " +
+            "where, mask, replace, duplicated, " +
+            "ffill, bfill, pct_change, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
-            "r-forms, cumsum, " +
+            "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
             "SURVEY §2.2 E11/E12)")
     }
