@@ -199,6 +199,53 @@ object ProbeR9 {
       zipf.unpersist()
     }
 
+    if (want("e11tail")) {
+      // the session-2 E11 additions, 1× vs 10× (the new-op probe
+      // discipline): pct_change/ffill/bfill ride the positional-lag /
+      // distributed-prefix plans, duplicated is the groupBy+join-back,
+      // mode the value-bounded groupBy
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val names = Seq("e11_pct", "e11_ffill", "e11_bfill", "e11_dup",
+        "e11_mode", "e11_head")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] e11tail $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "e11tail" -> r
+    }
+
+    if (want("scale100")) {
+      // 100× replica corpus (ScaleGen 100 → /tmp/graft_sf10, ≈60M
+      // lineitem / 5M documents / 200k embeddings): the direct answer to
+      // "would this plan survive a 100× scale-up" for the headline
+      // shapes — the prefix family, the ANN two-stage, the r9-bounded
+      // LSH pair plans, dedup, and the TPC-H pricing summary. Ratios are
+      // vs the sf0.1 canonical walls; ≈100 would be pure data scaling,
+      // well below it means the fixed floors still amortize and nothing
+      // superlinear is hiding in the plan.
+      val sf100 = "/tmp/graft_sf10"
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf100).count()
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf100).count()
+      val names = Seq("dd_exact", "smp_shuffle", "h_q1", "e11_cumsum",
+        "e11_shift", "e11_diff", "e11_ffill", "cln_mad", "sim_binq",
+        "sim_rerank", "sim_lsh", "sim_hardneg")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf100)
+        System.err.println(
+          f"[probe] scale100 $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_100x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "scale100" -> r
+    }
+
     def js(v: Any): String = v match {
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")

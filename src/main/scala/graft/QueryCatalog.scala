@@ -284,6 +284,25 @@ object QueryCatalog {
             col("embedding")))), 6)
   }
 
+  /** Product-quantization codes + codebooks (m = 2 subspaces over the
+    * 64-dim embeddings, k = 4 cells, 2 Lloyd iterations — the
+    * [[graft.operators.Similarity.kmeans]] determinism discipline per
+    * subspace), shared by sim_pq / sim_adc: training is the dominant
+    * cost, both queries consume the SAME model (the kmeansAsg pattern).
+    * The code frame is persisted — it is the PQ value proposition
+    * (m small ints per vector instead of d floats). */
+  private val pqCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String),
+    (DataFrame, IndexedSeq[Map[Int, Seq[Double]]])]()
+  def pqModel(spark: SparkSession, sfDir: String)
+      : (DataFrame, IndexedSeq[Map[Int, Seq[Double]]]) =
+    pqCache.getOrElseUpdate((spark, sfDir), {
+      val (codes, books) =
+        Similarity.productQuantize(embs(spark, sfDir), m = 2, k = 4, iters = 2)
+      (codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        books)
+    })
+
   /** kNN graph (k=3, threshold 0.25) over the shared 0.25 pair set —
     * shared by sim_knn / gr_pagerank / gr_tri, which all rank the same
     * neighbors; the per-query work on top is a sort, the PageRank

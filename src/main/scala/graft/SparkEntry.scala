@@ -493,6 +493,23 @@ object SparkEntry {
             .as("recall"))
         .orderBy(col("q_id"))
     }),
+    // r9 session 2 — product quantization (Jégou et al., TPAMI 2011), the
+    // third production ANN compression beside IVF and 1-bit codes:
+    // per-subspace deterministic kmeans codebooks, each vector encoded to
+    // m=2 small ints in ONE projection (no join). sim_adc is the matching
+    // asymmetric-distance search: probes precompute an m·k LUT, so the
+    // corpus side never touches its embeddings — per-candidate cost is m
+    // lookups, ranked on the bounded-heap TopKPerKey
+    "sim_pq" -> ((s, d) =>
+      pqModel(s, d)._1.orderBy(col("vec_id"))),
+    "sim_adc" -> ((s, d) => {
+      val (codes, books) = pqModel(s, d)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      Similarity.adcTopK(codes.where(col("vec_id") % 199 =!= 0), probes,
+          books, kTrain = 4, topK = 5)
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -2776,39 +2793,44 @@ object SparkEntry {
     // Similarity.kmeans in any engine
     val kmeansK = 4
     val kmeansIters = 3
-    val kmeansCtes: String = {
-      val k = kmeansK
-      val iters = kmeansIters
+    // parametric form (r9 session 2): `pfx` prefixes every CTE name and
+    // `embExpr` replaces the embedding expression (a DuckDB list slice
+    // like embedding[1:32] for the PQ subspaces); pfx="" /
+    // embExpr="embedding" reproduces the original clu_kmeans chain
+    // byte-for-byte
+    def kmeansCtesFor(pfx: String, embExpr: String,
+                      k: Int, iters: Int): String = {
       def roundCtes(r: Int): String = {
-        val cp = s"c${r - 1}"
+        val cp = s"${pfx}c${r - 1}"
         s"""${cp}f AS (SELECT cell, unnest(c) AS cv, generate_subscripts(c,1) AS i FROM $cp),
            |${cp}n AS (SELECT cell, CAST(sum(CAST(cv*cv AS DECIMAL(38,30))) AS DOUBLE) AS n2
            |           FROM ${cp}f GROUP BY cell),
-           |a${r}d AS (SELECT e.vec_id, c.cell,
+           |${pfx}a${r}d AS (SELECT e.vec_id, c.cell,
            |           CAST(sum(CAST(CAST(e.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
-           |           FROM e JOIN ${cp}f c USING (i) GROUP BY e.vec_id, c.cell),
-           |a$r AS (SELECT vec_id, cell FROM (
+           |           FROM ${pfx}e e JOIN ${cp}f c USING (i) GROUP BY e.vec_id, c.cell),
+           |${pfx}a$r AS (SELECT vec_id, cell FROM (
            |           SELECT d.vec_id, d.cell,
            |                  row_number() OVER (PARTITION BY d.vec_id
            |                    ORDER BY round(n.n2 - 2*d.dt, 9), d.cell) AS rn
-           |           FROM a${r}d d JOIN ${cp}n n USING (cell)) WHERE rn = 1)""".stripMargin
+           |           FROM ${pfx}a${r}d d JOIN ${cp}n n USING (cell)) WHERE rn = 1)""".stripMargin
       }
       def updateCte(r: Int): String =
-        s"""c$r AS (SELECT cell, list(m ORDER BY i) AS c FROM (
+        s"""${pfx}c$r AS (SELECT cell, list(m ORDER BY i) AS c FROM (
            |           SELECT a.cell, e.i,
            |                  round(CAST(sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
            |                        / count(*), 9) AS m
-           |           FROM a$r a JOIN e USING (vec_id) GROUP BY a.cell, e.i) GROUP BY cell)""".stripMargin
+           |           FROM ${pfx}a$r a JOIN ${pfx}e e USING (vec_id) GROUP BY a.cell, e.i) GROUP BY cell)""".stripMargin
       val rounds = (1 to iters).map(r => roundCtes(r) + ",\n" + updateCte(r))
         .mkString(",\n")
-      s"""e AS (SELECT vec_id, unnest(embedding) AS v,
-         |           generate_subscripts(embedding,1) AS i FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      s"""${pfx}e AS (SELECT vec_id, unnest($embExpr) AS v,
+         |           generate_subscripts($embExpr,1) AS i FROM embeddings),
+         |${pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |              list_transform($embExpr, x -> CAST(x AS DOUBLE)) AS c
          |       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
          |$rounds,
          |${roundCtes(iters + 1)}""".stripMargin
     }
+    val kmeansCtes: String = kmeansCtesFor("", "embedding", kmeansK, kmeansIters)
     // final assignment CTE produced by the chain above
     val kmeansAsgCte = s"a${kmeansIters + 1}"
     val cluKmeans =
@@ -2839,6 +2861,55 @@ object SparkEntry {
          |SELECT id, min(l) AS group_id FROM sreach GROUP BY id ORDER BY id""".stripMargin
     // 16-bin byte histogram over ASCII text: per-bin char count / length in
     // FLOAT arithmetic (mirrors the stub's float accumulation exactly)
+    // Product-quantization mirror (r9 session 2): the SAME Lloyd CTE
+    // chain, instantiated once per subspace on a DuckDB list slice of the
+    // embedding (m = 2 halves of the 64-dim vectors, k = 4, 2 iterations
+    // + final assignment). codes = the two per-subspace assignments
+    // joined; the ADC query rebuilds each probe's per-(subspace, cell)
+    // distance table with the chain's own n2/dot CTE patterns and ranks
+    // lookup-summed scores — bit-identical to the engine's LUT because
+    // every term goes through the identical decimal-sum + round(…, 9)
+    // convention.
+    val pqIters = 2
+    val pqCtes = kmeansCtesFor("p0", "embedding[1:32]", kmeansK, pqIters) +
+      ",\n" + kmeansCtesFor("p1", "embedding[33:64]", kmeansK, pqIters)
+    val pqCodesCte =
+      s"""codes AS (SELECT a.vec_id, a.cell AS code_0, b.cell AS code_1
+         |          FROM p0a${pqIters + 1} a JOIN p1a${pqIters + 1} b USING (vec_id))""".stripMargin
+    val simPq =
+      s"""WITH $pqCtes,
+         |$pqCodesCte
+         |SELECT vec_id, code_0, code_1 FROM codes ORDER BY vec_id""".stripMargin
+    val simAdc = {
+      def distCtes(s: Int): String = {
+        val lo = s * 32 + 1; val hi = (s + 1) * 32
+        s"""qe$s AS (SELECT q_id, unnest(embedding[$lo:$hi]) AS v,
+           |        generate_subscripts(embedding[$lo:$hi],1) AS i FROM q),
+           |d${s}d AS (SELECT e.q_id, c.cell,
+           |        CAST(sum(CAST(CAST(e.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+           |        FROM qe$s e JOIN p${s}c${pqIters}f c USING (i)
+           |        GROUP BY e.q_id, c.cell),
+           |d$s AS (SELECT q_id, d.cell, round(n.n2 - 2*d.dt, 9) AS dist
+           |       FROM d${s}d d JOIN p${s}c${pqIters}n n USING (cell))""".stripMargin
+      }
+      s"""WITH $pqCtes,
+         |$pqCodesCte,
+         |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |      WHERE vec_id % 199 = 0),
+         |${distCtes(0)},
+         |${distCtes(1)},
+         |sc AS (SELECT d0.q_id, codes.vec_id, d0.dist + d1.dist AS adc_score
+         |       FROM codes
+         |       JOIN d0 ON d0.cell = codes.code_0
+         |       JOIN d1 ON d1.q_id = d0.q_id AND d1.cell = codes.code_1
+         |       WHERE codes.vec_id % 199 <> 0)
+         |SELECT q_id, vec_id, adc_score, rank FROM (
+         |  SELECT q_id, vec_id, adc_score,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY adc_score, vec_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY q_id, vec_id""".stripMargin
+    }
     val mmFeatures = {
       val bins = (0 until 16).map { b =>
         val cnt = s"len(list_filter(regexp_split_to_array(text,''), c -> ascii(c) >= ${b * 16} AND ascii(c) < ${(b + 1) * 16}))"
@@ -4259,6 +4330,8 @@ object SparkEntry {
            |       round(CAST(count(*) AS DOUBLE) / 25, 6) AS recall
            |FROM ivf JOIN ex USING (vec_id)""".stripMargin,
       "clu_kmeans" -> cluKmeans,
+      "sim_pq" -> simPq,
+      "sim_adc" -> simAdc,
       "dd_semantic" -> ddSemantic,
       "clu_sample" ->
         (s"""WITH $kmeansCtes,

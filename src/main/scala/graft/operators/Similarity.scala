@@ -310,6 +310,24 @@ object Similarity {
     *    [[ivfCentroids]]).
     *
     * @return (assignments (id, cell), final centroids by cell) */
+  /** The nearest-centroid expression shared by [[kmeans]]' assignment and
+    * [[productQuantize]]'s encoding: argmin over `round(|c|² − 2·v·c, 9)`
+    * structs (|v|² is row-constant and cancels in the argmin), |c|² via
+    * the same driver-side decimal-exact sum the oracle uses, ties to the
+    * lower cell id. */
+  private def argminCell(cents: Map[Int, Seq[Double]], vcol: Column): Column = {
+    val scored = cents.toSeq.sortBy(_._1).map { case (cell, c) =>
+      val cc = array(c.map(lit): _*)
+      // |c|² via the same decimal-exact sum the oracle uses, driver-side
+      // (a literal, not a per-row constant subtree)
+      var acc = java.math.BigDecimal.ZERO
+      c.foreach(x => acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
+      struct(round(lit(acc.doubleValue()) - lit(2.0) * dotExact(vcol, cc), 9)
+        .as("score"), lit(cell).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
   def kmeans(embs: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", embCol: String = "embedding"):
       (DataFrame, Map[Int, Seq[Double]]) = {
@@ -323,19 +341,9 @@ object Similarity {
       if (ownCache)
         embs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else embs
-    def assign(cents: Map[Int, Seq[Double]]): DataFrame = {
-      val scored = cents.toSeq.sortBy(_._1).map { case (cell, c) =>
-        val cc = array(c.map(lit): _*)
-        // |c|² via the same decimal-exact sum the oracle uses, driver-side
-        // (a literal, not a per-row constant subtree)
-        var acc = java.math.BigDecimal.ZERO
-        c.foreach(x => acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
-        struct(round(lit(acc.doubleValue()) - lit(2.0) * dotExact(col(embCol), cc), 9)
-          .as("score"), lit(cell).as("cell"))
-      }
+    def assign(cents: Map[Int, Seq[Double]]): DataFrame =
       data.select(col(idCol), col(embCol),
-        array_min(array(scored: _*)).getField("cell").as("cell"))
-    }
+        argminCell(cents, col(embCol)).as("cell"))
     def update(assigned: DataFrame): Map[Int, Seq[Double]] =
       assigned
         .select(col("cell"), posexplode(col(embCol)).as(Seq("i", "v")))
@@ -357,6 +365,97 @@ object Similarity {
     // evaluated (one scan — the caller no longer has to cache upstream)
     if (ownCache) data.unpersist(blocking = false)
     (out, finalCents)
+  }
+
+  /** Product quantization (Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011): split the d-dim embedding
+    * into `m` contiguous sub-vectors and learn an independent
+    * deterministic [[kmeans]] codebook per subspace (first-k-ids init,
+    * decimal-exact scoring rounded 9dp, ties to the lower cell) — the
+    * classic d·4-byte → m-small-ints vector compression behind
+    * billion-scale ANN indexes (FAISS IVFPQ).
+    *
+    * Scale shape: training is m independent bounded-iteration kmeans runs
+    * (per-iteration shuffles carry ≤ k·(d/m) rows); ENCODING is one
+    * narrow projection over the corpus — m compiled argmin expressions in
+    * a single select, no join (the per-subspace assignments are
+    * recomputed from the final broadcast codebooks rather than joined
+    * from m assignment frames).
+    *
+    * @return (codes (idCol, code_0..code_{m−1} BIGINT), per-subspace
+    *         codebooks) */
+  def productQuantize(embs: DataFrame, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, IndexedSeq[Map[Int, Seq[Double]]]) = {
+    val dim = embs.select(size(col(embCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"subspace count m=$m must divide the dimension $dim")
+    val sub = dim / m
+    val books = (0 until m).map { s =>
+      kmeans(embs.select(col(idCol),
+        slice(col(embCol), s * sub + 1, sub).as(embCol)), k, iters,
+        idCol, embCol)._2
+    }
+    val codeCols = books.zipWithIndex.map { case (cents, s) =>
+      argminCell(cents, slice(col(embCol), s * sub + 1, sub))
+        .cast("long").as(s"code_$s")
+    }
+    (embs.select(col(idCol) +: codeCols: _*), books.toIndexedSeq)
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes: each probe
+    * precomputes an m·k lookup table of per-subspace scores to every
+    * codebook centroid (m·k compiled decimal dots on the BOUNDED probe
+    * frame, before the broadcast), so the per-candidate cost is m array
+    * lookups + (m−1) adds over the m-int code row — the PQ search shape
+    * that makes billion-vector scans feasible: candidates never touch
+    * their full embeddings.
+    *
+    * The score is the [[kmeans]] scoring quantity Σ_s (|c_s|² − 2·q_s·c_s)
+    * (the probe-side |q_s|² is constant per probe and cancels in ranking);
+    * per-subspace terms are rounded 9dp like every similarity score and
+    * summed with one IEEE add per extra subspace — engine-portable.
+    * Ranking runs on the bounded-heap [[graft.plans.TopKPerKey]] (partial
+    * heaps cut every partition to ≤ topK rows per probe BEFORE the
+    * exchange), ties to the lower candidate id.
+    *
+    * @param probes bounded frame (probeIdCol, probeEmbCol) — broadcast
+    * @param kTrain the `k` the codebooks were trained with (fixes the LUT
+    *               layout even when empty cells dropped from a codebook)
+    */
+  def adcTopK(codes: DataFrame, probes: DataFrame,
+      books: Seq[Map[Int, Seq[Double]]], kTrain: Int, topK: Int,
+      idCol: String = "vec_id", probeIdCol: String = "q_id",
+      probeEmbCol: String = "qemb"): DataFrame = {
+    val m = books.length
+    require(m > 0, "need at least one codebook")
+    val sub = books.head.valuesIterator.next().length
+    val lutEntries: Seq[Column] = (0 until m).flatMap { s =>
+      val qs = slice(col(probeEmbCol), s * sub + 1, sub)
+      (0 until kTrain).map { cell =>
+        books(s).get(cell) match {
+          case Some(c) =>
+            val cc = array(c.map(lit): _*)
+            var acc = java.math.BigDecimal.ZERO
+            c.foreach(x =>
+              acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
+            round(lit(acc.doubleValue()) - lit(2.0) * dotExact(qs, cc), 9)
+          // a dropped (empty) cell can never be a code — the slot only
+          // pads the layout
+          case None => lit(Double.MaxValue)
+        }
+      }
+    }
+    val pl = probes.select(col(probeIdCol), array(lutEntries: _*).as("__lut"))
+    val score = (0 until m).map(s =>
+        element_at(col("__lut"),
+          (col(s"code_$s") + lit(s.toLong * kTrain) + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val pairs = codes.crossJoin(broadcast(pl)).withColumn("__adc", score)
+    graft.plans.TopKPerKey(pairs, Seq(col(probeIdCol)),
+        Seq(col("__adc").asc, col(idCol).asc), topK)
+      .select(col(probeIdCol), col(idCol), col("__adc").as("adc_score"),
+        col("__rank__").as("rank"))
   }
 
   /** kNN-graph construction: each vector's k most-similar neighbors above

@@ -126,6 +126,86 @@ class OperatorsSpec extends SparkSpec {
       .forall(p => p.length < 2 || p(0) >= p(1)), es.mkString(",")))
   }
 
+  test("product quantization: per-subspace codes cluster independently; " +
+      "deterministic under repartition") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(23)
+    def near(c: Float) = Seq.fill(4)(c + 0.05f * (rng.nextFloat() - 0.5f))
+    // subspace 0 groups by the FIRST half sign, subspace 1 by the second —
+    // and the two groupings disagree on ids 2/3, so codes must be
+    // independent per subspace; ids 0/1 seed both subspace codebooks with
+    // one centroid from each group
+    val rows = Seq(
+      Row(0L, (near(1f) ++ near(2f))),   // (+, +)
+      Row(1L, (near(-1f) ++ near(-2f))), // (−, −)
+      Row(2L, (near(1f) ++ near(-2f))),  // (+, −)
+      Row(3L, (near(-1f) ++ near(2f))),  // (−, +)
+      Row(4L, (near(1f) ++ near(2f))),   // (+, +)
+      Row(5L, (near(-1f) ++ near(-2f)))) // (−, −)
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val (codes, books) = Similarity.productQuantize(embs, m = 2, k = 2,
+      iters = 2)
+    assert(books.length == 2 && books.forall(_.values.forall(_.length == 4)))
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // subspace-0 groups: {0,2,4} vs {1,3,5}; subspace-1: {0,3,4} vs {1,2,5}
+    assert(byId(0L)._1 == byId(2L)._1 && byId(2L)._1 == byId(4L)._1)
+    assert(byId(1L)._1 == byId(3L)._1 && byId(3L)._1 == byId(5L)._1)
+    assert(byId(0L)._1 != byId(1L)._1)
+    assert(byId(0L)._2 == byId(3L)._2 && byId(3L)._2 == byId(4L)._2)
+    assert(byId(1L)._2 == byId(2L)._2 && byId(2L)._2 == byId(5L)._2)
+    assert(byId(0L)._2 != byId(1L)._2)
+    // codes disagree across subspaces where the fixture says they must
+    assert(byId(2L)._1 == byId(0L)._1 && byId(2L)._2 == byId(1L)._2)
+    // deterministic under repartition (decimal sums are order-free)
+    val (codes2, _) = Similarity.productQuantize(embs.repartition(5),
+      m = 2, k = 2, iters = 2)
+    assert(codes2.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == byId)
+    // m must divide the dimension
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.productQuantize(embs, m = 3, k = 2, iters = 1)
+    }
+    assert(bad.getMessage.contains("divide"))
+  }
+
+  test("ADC top-k: probes rank candidates by summed code-cell distances") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(29)
+    def near(c: Float) = Seq.fill(4)(c + 0.05f * (rng.nextFloat() - 0.5f))
+    val rows = Seq(
+      Row(0L, (near(1f) ++ near(2f))), Row(1L, (near(-1f) ++ near(-2f))),
+      Row(2L, (near(1f) ++ near(-2f))), Row(3L, (near(-1f) ++ near(2f))),
+      Row(4L, (near(1f) ++ near(2f))), Row(5L, (near(-1f) ++ near(-2f))))
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val (codes, books) = Similarity.productQuantize(embs, m = 2, k = 2,
+      iters = 2)
+    // probe sits in the (+, +) corner: candidates sharing BOTH nearest
+    // cells (0, 4) must rank above single-subspace matches (2, 3), which
+    // beat the double mismatches (1, 5)
+    val probes = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(100L, (near(1f) ++ near(2f))))).asJava),
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("qemb", ArrayType(FloatType)))))
+    val got = Similarity.adcTopK(codes, probes, books, kTrain = 2, topK = 6)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._3)
+    assert(got.length == 6)
+    val ranked = got.map(_._1)
+    assert(ranked.take(2).toSet == Set(0L, 4L), ranked.mkString(","))
+    assert(ranked.slice(2, 4).toSet == Set(2L, 3L), ranked.mkString(","))
+    assert(ranked.drop(4).toSet == Set(1L, 5L), ranked.mkString(","))
+    // candidates with the same code pair tie on score and break by id
+    assert(got(0)._2 == got(1)._2 && got(0)._1 < got(1)._1)
+    // scores are non-decreasing down the rank
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("new-operator input contracts reject bad arguments cleanly") {
     val e = intercept[IllegalArgumentException] {
       Sampling.mixture(docs, "lang", "doc_id", Map("en" -> -0.1))

@@ -49,6 +49,10 @@ class AnnPlanSpec extends SparkSpec {
     assertHeapTopK("sim_rerank", minTopK = 2)
   }
 
+  test("sim_adc ranks the LUT-scored PQ code pairs on TopKPerKey, no window") {
+    assertHeapTopK("sim_adc", minTopK = 1)
+  }
+
   test("ensureRules re-plans the window top-k idiom on a plain session") {
     // a fresh child session: shares the context and nothing else — no
     // extensions, fresh experimental hooks (the gate session's shape)
