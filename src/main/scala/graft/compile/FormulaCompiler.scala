@@ -802,8 +802,28 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           .getOrElse(1)
         if (n == 0) throw new FormulaTypeException(
           "'.pct_change(n)' needs a non-zero period")
-        val shifted = method(t, "shift", List(CScalar(n)), ctx)
-        binop("-", binop("/", t, shifted, ctx), CScalar(1.0), ctx)
+        t match {
+          // std matrices ride the diff discipline: the ratio is fused
+          // into the positional lag's streaming emit (the donor is
+          // already in hand in the ring buffer), saving the wide
+          // divide-projection pass the composition paid
+          case CMatrix(cols, false) if std =>
+            ctx.seqCounter += 1
+            val tag = ctx.seqCounter
+            val valNames = cols.indices.map(i => s"__pc${tag}_v_$i")
+            val materialized = ctx.base.get.select(col("*") +:
+              cols.zip(valNames).map { case ((_, c), vn) =>
+                c.cast("double").as(vn) }: _*)
+            ctx.base = Some(graft.operators.Prefix.positionalLag(
+              materialized, ctx.rowIdOut, col(ctx.rowIdOut), valNames, n,
+              valNames.map(vn => s"${vn}_sh"), fuse = "pct"))
+            CMatrix(cols.zip(valNames).map { case ((lbl, _), vn) =>
+              (lbl, col(s"${vn}_sh"))
+            }, isBool = false)
+          case _ =>
+            val shifted = method(t, "shift", List(CScalar(n)), ctx)
+            binop("-", binop("/", t, shifted, ctx), CScalar(1.0), ctx)
+        }
 
       // `.ffill()` / `.bfill()` (r9): pandas positional fill — each hole
       // takes the nearest valid value before (ffill) / after (bfill) it in

@@ -342,27 +342,37 @@ object Prefix {
                     inNames: Seq[String], n: Int,
                     outNames: Seq[String]): DataFrame =
     positionalLag(df, keyCol, orderCol, inNames, n, outNames,
-      fuseDiff = false)
+      fuse = "none")
 
-  /** As [[positionalLag]], but with `fuseDiff = true` each output column
-    * is the DIFFERENCE `value − donor` instead of the donor itself (the
-    * pandas `.diff()` cell, std-mode semantics: a missing donor — edge
-    * row or NULL lagged value — subtracts as NaN; a NULL current value
-    * stays NULL). r9: fusing the subtraction into the streaming emit
-    * saves a full wide projection pass over the frame — the donor values
-    * are already in hand in the ring buffer. DoubleType columns only. */
+  /** Boolean-flag form kept for callers of the r9 fused-diff API. */
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
-                    outNames: Seq[String], fuseDiff: Boolean): DataFrame = {
+                    outNames: Seq[String], fuseDiff: Boolean): DataFrame =
+    positionalLag(df, keyCol, orderCol, inNames, n, outNames,
+      fuse = if (fuseDiff) "diff" else "none")
+
+  /** As [[positionalLag]], but with a fused per-cell combine: `fuse =
+    * "diff"` emits the DIFFERENCE `value − donor` (the pandas `.diff()`
+    * cell), `"pct"` the RATIO `value / donor − 1` (the pandas
+    * `.pct_change()` cell) instead of the donor itself — std-mode
+    * semantics: a missing donor (edge row or NULL lagged value) combines
+    * as NaN; a NULL current value stays NULL. r9: fusing the combine into
+    * the streaming emit saves a full wide projection pass over the frame
+    * — the donor values are already in hand in the ring buffer.
+    * DoubleType columns only when fused. */
+  def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
+                    inNames: Seq[String], n: Int,
+                    outNames: Seq[String], fuse: String): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    if (fuseDiff) {
+    require(Set("none", "diff", "pct")(fuse), s"unknown fuse mode '$fuse'")
+    if (fuse != "none") {
       val sch = df.schema
       inNames.foreach { nm =>
         require(sch(nm).dataType ==
           org.apache.spark.sql.types.DoubleType,
-          s"fuseDiff requires DoubleType columns, got ${sch(nm).dataType} " +
-            s"for $nm")
+          s"fuse='$fuse' requires DoubleType columns, got " +
+            s"${sch(nm).dataType} for $nm")
       }
     }
     // r9 (ADVICE): the streaming path's driver edge-collect is parts·|n|
@@ -376,16 +386,15 @@ object Prefix {
       .getOption("graft.lag.maxEdgeCells").map(_.toLong).getOrElse(4000000L)
     val cells = parts.toLong * math.abs(n) * inNames.length
     if (math.abs(n) <= 256 && cells <= maxCells)
-      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames,
-        fuseDiff)
+      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse)
     else
-      positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuseDiff)
+      positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
   }
 
   private def positionalLagStream(df: DataFrame, keyCol: String,
                                   orderCol: Column, inNames: Seq[String],
                                   n: Int, outNames: Seq[String],
-                                  fuseDiff: Boolean): DataFrame = {
+                                  fuse: String): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -471,15 +480,19 @@ object Prefix {
           var j = 0
           while (j < inIdx.length) {
             outVals(r.length + j) =
-              if (!fuseDiff) { if (donor == null) null else donor(j) }
-              else if (cur(j) == null) null
+              if (fuse == "none") {
+                if (donor == null) null else donor(j)
+              } else if (cur(j) == null) null
               else {
                 // missing donor (edge row or NULL lagged value) = NaN —
-                // the std-mode `.diff()` edge fill, fused into the emit
+                // the std-mode `.diff()`/`.pct_change()` edge fill,
+                // fused into the emit
                 val dv =
                   if (donor == null || donor(j) == null) Double.NaN
                   else donor(j).asInstanceOf[Double]
-                java.lang.Double.valueOf(cur(j).asInstanceOf[Double] - dv)
+                val cv = cur(j).asInstanceOf[Double]
+                java.lang.Double.valueOf(
+                  if (fuse == "diff") cv - dv else cv / dv - 1.0)
               }
             j += 1
           }
@@ -499,7 +512,7 @@ object Prefix {
   private def positionalLagJoin(df: DataFrame, keyCol: String,
                                 orderCol: Column, inNames: Seq[String],
                                 n: Int, outNames: Seq[String],
-                                fuseDiff: Boolean = false): DataFrame = {
+                                fuse: String = "none"): DataFrame = {
     val okey = "__lag_ord"
     val narrow = df.select(
       col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)
@@ -517,15 +530,24 @@ object Prefix {
       .join(donor, Seq("__lag_p"), "left")
       .drop("__lag_p")
     val joined = df.join(shifted, Seq(keyCol), "left")
-    if (!fuseDiff) joined
+    if (fuse == "none") joined
     else {
-      // same fused-diff contract as the streaming path: out = v − donor,
-      // missing donor subtracts as NaN, NULL current value stays NULL
+      // same fused contract as the streaming path: out = v ∘ donor,
+      // missing donor combines as NaN, NULL current value stays NULL
       val keep = df.columns.map(col).toSeq
-      val diffs = inNames.zip(outNames).map { case (i, o) =>
-        (col(i) - coalesce(col(o), lit(Double.NaN))).as(o)
+      val combined = inNames.zip(outNames).map { case (i, o) =>
+        val dv = coalesce(col(o), lit(Double.NaN))
+        val l = col(i)
+        // the pct division must be IEEE like the streaming emit's JVM
+        // `/` (Spark's Divide yields NULL on a zero denominator)
+        val ratio = when(dv === 0.0,
+            when(isnan(l) || l === 0.0, lit(Double.NaN))
+              .when(l > 0.0, lit(Double.PositiveInfinity))
+              .otherwise(lit(Double.NegativeInfinity)))
+          .otherwise(l / dv)
+        (if (fuse == "diff") l - dv else ratio - lit(1.0)).as(o)
       }
-      joined.select(keep ++ diffs: _*)
+      joined.select(keep ++ combined: _*)
     }
   }
 }

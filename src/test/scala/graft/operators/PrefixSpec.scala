@@ -410,4 +410,54 @@ class PrefixSpec extends SparkSpec {
       assert(out == sequential(values, _ + _))
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  test("positionalLag fuse=pct = value / donor - 1 on both paths, IEEE " +
+      "zero-denominator (r9 session 2)") {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    // includes a ZERO donor (index 2 donates to 4: 2.0/0.0 = +Inf) and a
+    // negative-over-zero pair (index 3 donates to 5: -5.0/0.0 = -Inf)...
+    // laid out so every IEEE edge of the fused division is exercised
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      3.0, null, 0.0, 0.0, 2.0, -5.0, Double.NaN, 4.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    def expected(i: Int): java.lang.Double = {
+      val cur = vals(i)
+      if (cur == null) null
+      else {
+        val d = if (i < 2 || vals(i - 2) == null) Double.NaN
+                else vals(i - 2).doubleValue()
+        Double.box(cur.doubleValue() / d - 1.0)
+      }
+    }
+    def run(): Seq[java.lang.Double] =
+      Prefix.positionalLag(df, "k", col("k"), Seq("v"), 2, Seq("p"),
+          fuse = "pct")
+        .orderBy(col("k")).select(col("p")).collect()
+        .map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0)))
+        .toSeq
+    def same(a: java.lang.Double, b: java.lang.Double): Boolean =
+      (a == null && b == null) ||
+        (a != null && b != null &&
+          (a.isNaN && b.isNaN || a.doubleValue() == b.doubleValue()))
+    val exp = vals.indices.map(expected)
+    // sanity on the fixture: the IEEE edges are present
+    assert(exp(4).isInfinite && exp(4) > 0)
+    assert(exp(5).isInfinite && exp(5) < 0)
+    assert(run().zip(exp).forall((same _).tupled), s"stream path: ${run()}")
+    val saved = spark.conf.getOption("graft.lag.maxEdgeCells")
+    try {
+      spark.conf.set("graft.lag.maxEdgeCells", "1") // force the join path
+      assert(run().zip(exp).forall((same _).tupled), s"join path: ${run()}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.lag.maxEdgeCells", v)
+        case None => spark.conf.unset("graft.lag.maxEdgeCells")
+      }
+    }
+  }
 }
