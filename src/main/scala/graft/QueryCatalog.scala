@@ -284,8 +284,8 @@ object QueryCatalog {
             col("embedding")))), 6)
   }
 
-  /** Product-quantization codes + codebooks (m = 2 subspaces over the
-    * 64-dim embeddings, k = 4 cells, 2 Lloyd iterations — the
+  /** Product-quantization codes + codebooks (m = 4 subspaces over the
+    * 64-dim embeddings, k = 16 cells, 2 Lloyd iterations — the
     * [[graft.operators.Similarity.kmeans]] determinism discipline per
     * subspace), shared by sim_pq / sim_adc: training is the dominant
     * cost, both queries consume the SAME model (the kmeansAsg pattern).
@@ -298,7 +298,7 @@ object QueryCatalog {
       : (DataFrame, IndexedSeq[Map[Int, Seq[Double]]]) =
     pqCache.getOrElseUpdate((spark, sfDir), {
       val (codes, books) =
-        Similarity.productQuantize(embs(spark, sfDir), m = 2, k = 4, iters = 2)
+        Similarity.productQuantize(embs(spark, sfDir), m = 4, k = 16, iters = 2)
       (codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         books)
     })

@@ -507,8 +507,43 @@ object SparkEntry {
       val probes = embs(s, d).where(col("vec_id") % 199 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
       Similarity.adcTopK(codes.where(col("vec_id") % 199 =!= 0), probes,
-          books, kTrain = 4, topK = 5)
+          books, kTrain = 16, topK = 5)
         .orderBy(col("q_id"), col("vec_id"))
+    }),
+    // the PQ quality gate (the sim_brecall discipline): recall@R — how
+    // much of the EXACT top-5 the ADC top-50 coarse list captures, under
+    // the SAME metric ADC approximates (squared Euclidean |x|² − 2q·x;
+    // |q|² is probe-constant and cancels in ranking). The FAISS
+    // evaluation of PQ in its production role: the coarse candidate
+    // generator of a PQ → exact-rerank pipeline (the sim_rerank shape).
+    // Makes the m=4/k=16 quantization loss visible and CI-pinned; both
+    // sides rank on the bounded heap
+    "sim_pqrecall" -> ((s, d) => {
+      import graft.functions.ArrayOps
+      val (codes, books) = pqModel(s, d)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      val adcTop = Similarity.adcTopK(
+          codes.where(col("vec_id") % 199 =!= 0), probes, books,
+          kTrain = 16, topK = 50)
+        .select(col("q_id"), col("vec_id").as("cand_id"))
+      val pairs = embs(s, d).where(col("vec_id") % 199 =!= 0)
+        .crossJoin(broadcast(probes))
+        .withColumn("l2", round(
+          ArrayOps.dot_product_exact(col("embedding"), col("embedding")) -
+            lit(2.0) *
+            ArrayOps.dot_product_exact(col("embedding"), col("qemb")), 9))
+      val exactTop = graft.plans.TopKPerKey(pairs, Seq(col("q_id")),
+          Seq(col("l2").asc, col("vec_id").asc), k = 5, rankCol = "erk")
+        .select(col("q_id"), col("vec_id").as("cand_id"))
+      val hits = adcTop.join(exactTop, Seq("q_id", "cand_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5, 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
     }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
@@ -2871,44 +2906,105 @@ object SparkEntry {
     // every term goes through the identical decimal-sum + round(…, 9)
     // convention.
     val pqIters = 2
-    val pqCtes = kmeansCtesFor("p0", "embedding[1:32]", kmeansK, pqIters) +
-      ",\n" + kmeansCtesFor("p1", "embedding[33:64]", kmeansK, pqIters)
-    val pqCodesCte =
-      s"""codes AS (SELECT a.vec_id, a.cell AS code_0, b.cell AS code_1
-         |          FROM p0a${pqIters + 1} a JOIN p1a${pqIters + 1} b USING (vec_id))""".stripMargin
+    // k = 16 / m = 4 subspaces of 16 dims (not kmeansK = 4 / halves):
+    // with m·k code cells the ADC ranking must actually discriminate
+    // among the candidates — at m = 2, k = 4 the 16 code combos tie so
+    // heavily that any top-k is a vec_id lottery, and near-uniform
+    // synthetic embeddings are PQ's worst case (distance concentration),
+    // so the subspace count carries the signal
+    val pqK = 16
+    val pqM = 4
+    val pqSub = 64 / pqM
+    val pqCtes = (0 until pqM).map(m =>
+      kmeansCtesFor(s"p$m", s"embedding[${m * pqSub + 1}:${(m + 1) * pqSub}]",
+        pqK, pqIters)).mkString(",\n")
+    val pqCodesCte = {
+      val joins = (1 until pqM)
+        .map(m => s"JOIN p${m}a${pqIters + 1} a$m USING (vec_id)")
+        .mkString(" ")
+      val cols = (0 until pqM).map(m => s"a$m.cell AS code_$m").mkString(", ")
+      s"codes AS (SELECT a0.vec_id, $cols FROM p0a${pqIters + 1} a0 $joins)"
+    }
     val simPq =
       s"""WITH $pqCtes,
          |$pqCodesCte
-         |SELECT vec_id, code_0, code_1 FROM codes ORDER BY vec_id""".stripMargin
-    val simAdc = {
-      def distCtes(s: Int): String = {
-        val lo = s * 32 + 1; val hi = (s + 1) * 32
-        s"""qe$s AS (SELECT q_id, unnest(embedding[$lo:$hi]) AS v,
-           |        generate_subscripts(embedding[$lo:$hi],1) AS i FROM q),
-           |d${s}d AS (SELECT e.q_id, c.cell,
-           |        CAST(sum(CAST(CAST(e.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
-           |        FROM qe$s e JOIN p${s}c${pqIters}f c USING (i)
-           |        GROUP BY e.q_id, c.cell),
-           |d$s AS (SELECT q_id, d.cell, round(n.n2 - 2*d.dt, 9) AS dist
-           |       FROM d${s}d d JOIN p${s}c${pqIters}n n USING (cell))""".stripMargin
-      }
+         |SELECT vec_id, ${(0 until pqM).map(m => s"code_$m").mkString(", ")}
+         |FROM codes ORDER BY vec_id""".stripMargin
+    def pqDistCtes(s: Int): String = {
+      val lo = s * pqSub + 1; val hi = (s + 1) * pqSub
+      s"""qe$s AS (SELECT q_id, unnest(embedding[$lo:$hi]) AS v,
+         |        generate_subscripts(embedding[$lo:$hi],1) AS i FROM q),
+         |d${s}d AS (SELECT e.q_id, c.cell,
+         |        CAST(sum(CAST(CAST(e.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |        FROM qe$s e JOIN p${s}c${pqIters}f c USING (i)
+         |        GROUP BY e.q_id, c.cell),
+         |d$s AS (SELECT q_id, d.cell, round(n.n2 - 2*d.dt, 9) AS dist
+         |       FROM d${s}d d JOIN p${s}c${pqIters}n n USING (cell))""".stripMargin
+    }
+    val pqAdcScoreCtes: String = {
+      val dists = (0 until pqM).map(pqDistCtes).mkString(",\n")
+      val joins = (1 until pqM)
+        .map(m => s"JOIN d$m ON d$m.q_id = d0.q_id AND d$m.cell = codes.code_$m")
+        .mkString(" ")
+      val score = (0 until pqM).map(m => s"d$m.dist").mkString(" + ")
+      s"""$dists,
+         |sc AS (SELECT d0.q_id, codes.vec_id, $score AS adc_score
+         |       FROM codes
+         |       JOIN d0 ON d0.cell = codes.code_0 $joins
+         |       WHERE codes.vec_id % 199 <> 0)""".stripMargin
+    }
+    val simAdc =
       s"""WITH $pqCtes,
          |$pqCodesCte,
          |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
          |      WHERE vec_id % 199 = 0),
-         |${distCtes(0)},
-         |${distCtes(1)},
-         |sc AS (SELECT d0.q_id, codes.vec_id, d0.dist + d1.dist AS adc_score
-         |       FROM codes
-         |       JOIN d0 ON d0.cell = codes.code_0
-         |       JOIN d1 ON d1.q_id = d0.q_id AND d1.cell = codes.code_1
-         |       WHERE codes.vec_id % 199 <> 0)
+         |$pqAdcScoreCtes
          |SELECT q_id, vec_id, adc_score, rank FROM (
          |  SELECT q_id, vec_id, adc_score,
          |         row_number() OVER (PARTITION BY q_id
          |           ORDER BY adc_score, vec_id) AS rank
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY q_id, vec_id""".stripMargin
+    // recall@5 of the ADC ranking vs the exact decimal cosine — the pq
+    // CTE chain for the code side, the sim_brecall unnest/norms/dots
+    // discipline for the exact side
+    val simPqRecall = {
+      s"""WITH $pqCtes,
+         |$pqCodesCte,
+         |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |      WHERE vec_id % 199 = 0),
+         |$pqAdcScoreCtes,
+         |asc_ AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, vec_id AS cand_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY adc_score, vec_id) AS rank
+         |  FROM sc) WHERE rank <= 50),
+         |uu AS (SELECT vec_id, unnest(embedding) AS e,
+         |              generate_subscripts(embedding, 1) AS i
+         |       FROM embeddings),
+         |nrm AS (SELECT vec_id,
+         |          CAST(sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+         |              AS DECIMAL(38,30))) AS DOUBLE) AS nn
+         |        FROM uu GROUP BY 1),
+         |edots AS (SELECT eq.vec_id AS q_id, ec.vec_id AS cand_id,
+         |           CAST(sum(CAST(CAST(eq.e AS DOUBLE) * CAST(ec.e AS DOUBLE)
+         |               AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |         FROM uu eq JOIN uu ec ON ec.i = eq.i
+         |         WHERE eq.vec_id % 199 = 0 AND ec.vec_id % 199 <> 0
+         |         GROUP BY 1, 2),
+         |escored AS (SELECT q_id, cand_id,
+         |             round(nc.nn - 2 * dt, 9) AS l2
+         |           FROM edots JOIN nrm nc ON nc.vec_id = edots.cand_id),
+         |etop AS (SELECT q_id, cand_id FROM (SELECT *,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY l2, cand_id) AS rk FROM escored)
+         |         WHERE rk <= 5),
+         |hits AS (SELECT q_id, count(*) AS n_hit
+         |         FROM asc_ JOIN etop USING (q_id, cand_id) GROUP BY 1)
+         |SELECT q.q_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM q LEFT JOIN hits ON hits.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin
     }
     val mmFeatures = {
       val bins = (0 until 16).map { b =>
@@ -4332,6 +4428,7 @@ object SparkEntry {
       "clu_kmeans" -> cluKmeans,
       "sim_pq" -> simPq,
       "sim_adc" -> simAdc,
+      "sim_pqrecall" -> simPqRecall,
       "dd_semantic" -> ddSemantic,
       "clu_sample" ->
         (s"""WITH $kmeansCtes,

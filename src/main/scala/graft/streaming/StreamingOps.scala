@@ -331,6 +331,46 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class GfRow(key: Long, id: Long, value: Option[Double])
+  case class GfState(last: Double, has: Boolean)
+
+  /** Streaming forward fill — the
+    * [[graft.compile.FormulaCompiler]] `.ffill()` twin (r9 session 2):
+    * each key carries ONLY its last valid value as state (O(keys),
+    * fixed-size — the smallest state any streaming operator can hold), a
+    * hole (None/NaN) emits that carried value, a valid value updates the
+    * state and passes through; a leading run of holes before any valid
+    * value stays empty. The gap-fill every telemetry/feature pipeline
+    * runs at ingest. Within a micro-batch rows fold in input order
+    * (per-batch deterministic; cross-batch ordering is the source's —
+    * the positional contract batch ffill derives from the row-id
+    * order). */
+  def gapFillStream(rows: Dataset[GfRow])
+      : Dataset[(Long, Long, Option[Double])] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def fn(key: Long, in: Iterator[GfRow], state: GroupState[GfState])
+        : Iterator[(Long, Long, Option[Double])] = {
+      var st = state.getOption.getOrElse(GfState(0.0, has = false))
+      val out =
+        scala.collection.mutable.ListBuffer[(Long, Long, Option[Double])]()
+      in.foreach { r =>
+        r.value.filter(v => !v.isNaN) match {
+          case Some(v) =>
+            st = GfState(v, has = true)
+            out += ((key, r.id, Some(v)))
+          case None =>
+            out += ((key, r.id, if (st.has) Some(st.last) else None))
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within
     * `joinWindow` AFTER the event. Both sides carry watermarks so the

@@ -235,6 +235,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap fill carries the last valid value per key across " +
+      "micro-batches; batch-equivalent to a sequential ffill") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.GfRow
+    val in = MemoryStream[GfRow]
+    val q = StreamingOps.gapFillStream(in.toDS())
+      .toDF("key", "id", "value")
+      .writeStream.format("memory").queryName("gf_out")
+      .outputMode("append").start()
+    try {
+      // key 1: leading hole, then 5.0, hole, NaN-hole; key 2: valid only
+      in.addData(GfRow(1L, 0L, None), GfRow(1L, 1L, Some(5.0)),
+        GfRow(1L, 2L, None), GfRow(2L, 0L, Some(9.0)))
+      q.processAllAvailable()
+      // batch 2: the fill must survive the batch boundary via state
+      in.addData(GfRow(1L, 3L, Some(Double.NaN)), GfRow(1L, 4L, Some(7.0)),
+        GfRow(2L, 1L, None))
+      q.processAllAvailable()
+      val got = spark.table("gf_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // the sequential per-key ffill of the same arrival order
+      val expect = Set(
+        (1L, 0L, None), (1L, 1L, Some(5.0)), (1L, 2L, Some(5.0)),
+        (1L, 3L, Some(5.0)), (1L, 4L, Some(7.0)),
+        (2L, 0L, Some(9.0)), (2L, 1L, Some(9.0)))
+      assert(got == expect, got.toSeq.sortBy(r => (r._1, r._2)).mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches labels only inside the window") {
     val spark2 = spark
     import spark2.implicits._
