@@ -199,6 +199,12 @@ object SparkEntry {
     "e11_mode" -> ((s, d) => formulaQuery("qone.mode()")(s, d)),
     // method-form comparisons: same binop dispatch as the `<=` operator
     "e11_mcmp" -> ((s, d) => formulaQuery("qty.le(price * 10)", fill = false)(s, d)),
+    // positional window aggregates: rolling = prefix sums + ONE lag
+    // (window sum = S_i − S_{i−n}), expanding = the skipna prefix alone —
+    // no global window operator anywhere
+    "e11_rmean" -> ((s, d) => formulaQuery("qty.rolling(3).mean()")(s, d)),
+    "e11_rsum" -> ((s, d) => formulaQuery("qty.rolling(4).sum()")(s, d)),
+    "e11_emean" -> ((s, d) => formulaQuery("qty.expanding().mean()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4117,6 +4123,25 @@ object SparkEntry {
         "ORDER BY c1"),
       // method-form <=: identical to the operator spelling, bool result
       "e11_mcmp" -> matSql(j => s"coalesce(q$j <= e$j * 10, FALSE)"),
+      // rolling/expanding: pandas default min_periods — the window must
+      // hold n (resp. 1) NON-NULL values; integer window sums are exact
+      // in both engines, the closing division is one IEEE op
+      "e11_rmean" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w = 3 THEN sum(q$j) $w / 3 END")
+      },
+      "e11_rsum" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w = 4 THEN sum(q$j) $w END")
+      },
+      "e11_emean" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w >= 1 " +
+          s"THEN sum(q$j) $w / count(q$j) $w END")
+      },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges
       "e11_any" ->

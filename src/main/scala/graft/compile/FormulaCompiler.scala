@@ -81,6 +81,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * the base's row ids, so it cannot compose further. */
   private case class CFrame(df: org.apache.spark.sql.DataFrame,
                             rowId: String, labels: Seq[String]) extends CValue
+  /** `.rolling(n)` / `.expanding()` marker values (r9 session 2): the
+    * window spec waiting for its aggregation method — pandas' Rolling /
+    * Expanding intermediate objects. Escaping to the top level is a
+    * compile error. */
+  private case class CRoll(cols: Seq[(String, Column)], n: Int) extends CValue
+  private case class CExpand(cols: Seq[(String, Column)]) extends CValue
+  private case class CRollD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
+                            n: Int) extends CValue
+  private case class CExpandD(vs: IndexedSeq[Double],
+                              ls: IndexedSeq[String]) extends CValue
 
   // ---- compile context ----------------------------------------------------
 
@@ -135,6 +145,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         // operand and consumed inside the same method() dispatch
         throw new FormulaTypeException(
           "internal: collected matmul operand escaped to the top level")
+      case _: CRoll | _: CExpand | _: CRollD | _: CExpandD =>
+        throw new FormulaTypeException(
+          "'.rolling(n)'/'.expanding()' must be aggregated — append " +
+            "'.mean()' or '.sum()'")
     }
   }
 
@@ -1464,6 +1478,112 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "rfloordiv" => "//"
         }
         binop(op, a, t, ctx)
+      // `.rolling(n).mean()/.sum()` and `.expanding().mean()/.sum()` (r9
+      // session 2): pandas positional window aggregates down the row-id
+      // order, DEFAULT min_periods — rolling requires n non-NaN values in
+      // the n-position window (any hole → NaN), expanding requires 1.
+      // Distributed WITHOUT any global window: three running sums through
+      // the distributed prefix (value with holes as 0, hole flag, row
+      // position) + ONE positional lag of the first two by n — window sum
+      // = S_i − S_{i−n}, holes-in-window = B_i − B_{i−n}; expanding is the
+      // prefix alone (skipna running sum + valid count). Exact on
+      // integer-valued cells (the e11_cumsum argument: prefix-and-
+      // subtract associates differently from a sequential window sum but
+      // integer sums are exact in double).
+      case ("rolling", CMatrix(cols, false), List(a)) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.rolling()' is not supported in ADP mode")
+        val n = asScalar(a, "rolling").toInt
+        if (n <= 0) throw new FormulaTypeException(
+          s"'.rolling(n)' needs n > 0, got $n")
+        CRoll(cols, n)
+      case ("rolling", CVecD(vs, ls), List(a)) =>
+        val n = asScalar(a, "rolling").toInt
+        if (n <= 0) throw new FormulaTypeException(
+          s"'.rolling(n)' needs n > 0, got $n")
+        CRollD(vs, ls, n)
+      case ("expanding", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.expanding()' is not supported in ADP mode")
+        CExpand(cols)
+      case ("expanding", CVecD(vs, ls), Nil) => CExpandD(vs, ls)
+
+      case (m @ ("mean" | "sum"), CRoll(cols, n), Nil) =>
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        val valIn = cols.indices.map(i => s"__rl${tag}_v_$i")
+        val invIn = cols.indices.map(i => s"__rl${tag}_b_$i")
+        val posIn = s"__rl${tag}_one"
+        val marked = ctx.base.get.select(col("*") +:
+          (cols.zipWithIndex.flatMap { case ((_, c), i) =>
+            val invalid = c.isNull || isnan(c)
+            Seq(when(invalid, lit(0.0)).otherwise(c).as(valIn(i)),
+              invalid.cast("double").as(invIn(i)))
+          } :+ lit(1.0).as(posIn)): _*)
+        val inNames = (valIn ++ invIn) :+ posIn
+        val runNames = inNames.map(_ + "_s")
+        val run1 = graft.operators.Prefix.runningAgg(marked, rid,
+          inNames, Seq.fill(inNames.size)("sum"), runNames)
+        val lagIn = (valIn ++ invIn).map(_ + "_s")
+        ctx.base = Some(graft.operators.Prefix.positionalLag(run1,
+          ctx.rowIdOut, col(ctx.rowIdOut), lagIn, n, lagIn.map(_ + "_l")))
+        val pos = col(posIn + "_s")
+        val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
+          val winSum = col(valIn(i) + "_s") -
+            coalesce(col(valIn(i) + "_s_l"), lit(0.0))
+          val winInv = col(invIn(i) + "_s") -
+            coalesce(col(invIn(i) + "_s_l"), lit(0.0))
+          val cell = when(pos < n || winInv > 0, litOf(Double.NaN))
+            .otherwise(if (m == "sum") winSum else winSum / n)
+          (lbl, cell)
+        }
+        CMatrix(out, isBool = false)
+      case (m @ ("mean" | "sum"), CExpand(cols), Nil) =>
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        val valIn = cols.indices.map(i => s"__ex${tag}_v_$i")
+        val cntIn = cols.indices.map(i => s"__ex${tag}_c_$i")
+        val marked = ctx.base.get.select(col("*") +:
+          cols.zipWithIndex.flatMap { case ((_, c), i) =>
+            val valid = c.isNotNull && !isnan(c)
+            // NULL cells fall out of the skipna running sum/count
+            Seq(when(valid, c).as(valIn(i)),
+              when(valid, lit(1.0)).as(cntIn(i)))
+          }: _*)
+        val inNames = valIn ++ cntIn
+        ctx.base = Some(graft.operators.Prefix.runningAgg(marked, rid,
+          inNames, Seq.fill(inNames.size)("sum"), inNames.map(_ + "_s")))
+        val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
+          val s = col(valIn(i) + "_s")
+          val ccnt = coalesce(col(cntIn(i) + "_s"), lit(0.0))
+          val cell = when(ccnt < 1, litOf(Double.NaN))
+            .otherwise(if (m == "sum") s else s / ccnt)
+          (lbl, cell)
+        }
+        CMatrix(out, isBool = false)
+      case (m @ ("mean" | "sum"), CRollD(vs, ls, n), Nil) =>
+        CVecD(vs.indices.map { i =>
+          if (i < n - 1) Double.NaN
+          else {
+            val w = vs.slice(i - n + 1, i + 1)
+            if (w.exists(_.isNaN)) Double.NaN
+            else if (m == "sum") w.sum else w.sum / n
+          }
+        }, ls)
+      case (m @ ("mean" | "sum"), CExpandD(vs, ls), Nil) => {
+        var s = 0.0; var c = 0
+        CVecD(vs.map { v =>
+          if (!v.isNaN) { s += v; c += 1 }
+          if (c < 1) Double.NaN else if (m == "sum") s else s / c
+        }, ls)
+      }
+      case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
+        throw new FormulaTypeException(
+          s"'.rolling()/.expanding()' windows support '.mean()' and " +
+            s"'.sum()' — got '.$other'")
+
       // pandas method-form comparisons (r9): df.le(other) ≡ df <= other
       // etc. — the same binop delegation as the arithmetic method forms,
       // so boolean-result marking and every operand-shape rule match the
@@ -1484,7 +1604,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "nlargest, nsmallest, value_counts, corr, cov, dropna, " +
             "mode, head, tail, isna, isnull, notna, notnull, " +
             "where, mask, replace, duplicated, " +
-            "ffill, bfill, pct_change, " +
+            "ffill, bfill, pct_change, rolling(n).mean/sum, " +
+            "expanding().mean/sum, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

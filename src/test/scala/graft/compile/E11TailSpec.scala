@@ -193,6 +193,56 @@ class E11TailSpec extends SparkSpec {
     assert(ne == matCells("a != b"))
   }
 
+  // ---- rolling / expanding ------------------------------------------------
+
+  test("rolling(n).mean/.sum: default min_periods — a hole anywhere in " +
+      "the window yields NaN") {
+    // fixI columns: c0=(7,9,7) c1=(NaN,5,8) c2=(1,9,NaN)
+    val rm = matCells("i.rolling(2).mean()")
+    assertCell(rm(0)("c0"), Double.NaN) // window not yet full
+    assertCell(rm(1)("c0"), 8.0)
+    assertCell(rm(2)("c0"), 8.0)
+    assertCell(rm(1)("c1"), Double.NaN) // NaN inside the window
+    assertCell(rm(2)("c1"), 6.5)
+    assertCell(rm(2)("c2"), Double.NaN)
+    val rs = matCells("a.rolling(2).sum()")
+    assertCell(rs(0)("c0"), Double.NaN)
+    assertCell(rs(1)("c0"), 5.0)
+    assertCell(rs(2)("c0"), 5.0)
+  }
+
+  test("expanding().mean/.sum: skipna with min_periods=1") {
+    val em = matCells("i.expanding().mean()")
+    assertCell(em(0)("c1"), Double.NaN) // nothing seen yet
+    assertCell(em(1)("c1"), 5.0)
+    assertCell(em(2)("c1"), 6.5)
+    assertCell(em(2)("c2"), 5.0) // (1+9)/2, hole skipped
+    val es = matCells("i.expanding().sum()")
+    assertCell(es(2)("c1"), 13.0)
+    assertCell(es(2)("c2"), 10.0)
+  }
+
+  test("rolling/expanding vector paths and error surface") {
+    val v = Vec(IndexedSeq(1.0, Double.NaN, 3.0, 5.0),
+      IndexedSeq("a", "b", "c", "d"))
+    val rm = vecOf("v.rolling(2).mean()", v)
+    assert(rm(0).isNaN && rm(1).isNaN && rm(2).isNaN && rm(3) == 4.0)
+    val es = vecOf("v.expanding().sum()", v)
+    assert(es == Seq(1.0, 1.0, 4.0, 9.0))
+    val ev = new FormulaEvaluator(reg("a" -> fixA))
+    // unaggregated window marker escaping to the top level
+    val e1 = intercept[FormulaTypeException](ev.evaluateFormula("a.rolling(2)"))
+    assert(e1.getMessage.contains("must be aggregated"))
+    // unsupported window aggregation
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("a.rolling(2).std()"))
+    assert(e2.getMessage.contains("mean"))
+    assertThrows[FormulaTypeException](ev.evaluateFormula("a.rolling(0).mean()"))
+    val adp = new FormulaEvaluator(reg("a" -> fixA), adpEnabled = true)
+    assertThrows[AdpUnsupportedException](
+      adp.evaluateFormula("a.rolling(2).mean()"))
+  }
+
   // ---- ADP restrictions ---------------------------------------------------
 
   test("ADP mode rejects the float-semantics members cleanly") {
