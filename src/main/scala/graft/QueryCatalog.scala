@@ -320,12 +320,19 @@ object QueryCatalog {
     * clu_kmeans / dd_semantic / clu_sample (the clustering is the dominant
     * cost — 4 corpus passes — and all three consume the SAME model; the
     * per-query work on top is a sort, a pair join, or a top-k). */
-  private val kmeansCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val kmeansCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, Map[Int, Seq[Double]])]()
+  /** Assignments AND final centroids (r9 session 2: sim_ivfpq needs the
+    * centroids to route probes to their nProbe nearest cells). */
+  def kmeansModel(spark: SparkSession, sfDir: String)
+      : (DataFrame, Map[Int, Seq[Double]]) =
+    kmeansCache.getOrElseUpdate((spark, sfDir), {
+      val (asg, cents) = Similarity.kmeans(embs(spark, sfDir), k = 4, iters = 3)
+      (asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        cents)
+    })
   def kmeansAsg(spark: SparkSession, sfDir: String): DataFrame =
-    kmeansCache.getOrElseUpdate((spark, sfDir),
-      Similarity.kmeans(embs(spark, sfDir), k = 4, iters = 3)._1
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    kmeansModel(spark, sfDir)._1
 
   /** orders + customer written ONCE per session as 8-bucket catalog tables
     * on the customer key (graft.sources.Bucketing): the pay-the-shuffle-at-

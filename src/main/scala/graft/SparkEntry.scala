@@ -551,6 +551,20 @@ object SparkEntry {
             .as("recall"))
         .orderBy(col("q_id"))
     }),
+    // the full FAISS-IVFPQ composition: the IVF coarse quantizer (the
+    // shared clu_kmeans model) prunes the corpus to the probe's nProbe=2
+    // nearest cells BEFORE any scoring; the PQ codes make the
+    // per-surviving-candidate cost m LUT lookups. Routing + LUT both
+    // computed on the bounded probe frame before the broadcast
+    "sim_ivfpq" -> ((s, d) => {
+      val (codes, books) = pqModel(s, d)
+      val (asg, cents) = kmeansModel(s, d)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      Similarity.ivfpqTopK(codes.where(col("vec_id") % 199 =!= 0), asg,
+          probes, books, cents, kTrain = 16, nProbe = 2, topK = 5)
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
     "sim_lsh" -> ((s, d) =>
       Similarity.lshNearDup(embs(s, d), nPlanes = 6, threshold = 0.25,
           exact = true)
@@ -3012,6 +3026,38 @@ object SparkEntry {
          |FROM q LEFT JOIN hits ON hits.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin
     }
+    // IVFPQ mirror: the clu_kmeans Lloyd chain (unprefixed) routes each
+    // probe to its 2 nearest coarse cells with the same n2/dot CTE
+    // patterns; the ADC pair scores (sc, from the pq chains) are then
+    // filtered to candidates whose IVF assignment is probed
+    val simIvfPq =
+      s"""WITH $kmeansCtes,
+         |$pqCtes,
+         |$pqCodesCte,
+         |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+         |      WHERE vec_id % 199 = 0),
+         |qu AS (SELECT q_id, unnest(embedding) AS v,
+         |       generate_subscripts(embedding,1) AS i FROM q),
+         |pcd0 AS (SELECT u.q_id, c.cell,
+         |       CAST(sum(CAST(CAST(u.v AS DOUBLE)*c.cv AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |       FROM qu u JOIN c${kmeansIters}f c USING (i) GROUP BY 1, 2),
+         |pcd AS (SELECT q_id, d.cell, round(n.n2 - 2*d.dt, 9) AS dist
+         |        FROM pcd0 d JOIN c${kmeansIters}n n USING (cell)),
+         |pcells AS (SELECT q_id, cell FROM (SELECT *,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY dist, cell) AS r
+         |           FROM pcd) WHERE r <= 2),
+         |$pqAdcScoreCtes,
+         |scf AS (SELECT sc.q_id, sc.vec_id, sc.adc_score
+         |        FROM sc JOIN $kmeansAsgCte ivf ON ivf.vec_id = sc.vec_id
+         |                JOIN pcells pc ON pc.q_id = sc.q_id
+         |                              AND pc.cell = ivf.cell)
+         |SELECT q_id, vec_id, adc_score, rank FROM (
+         |  SELECT q_id, vec_id, adc_score,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY adc_score, vec_id) AS rank
+         |  FROM scf)
+         |WHERE rank <= 5 ORDER BY q_id, vec_id""".stripMargin
     val mmFeatures = {
       val bins = (0 until 16).map { b =>
         val cnt = s"len(list_filter(regexp_split_to_array(text,''), c -> ascii(c) >= ${b * 16} AND ascii(c) < ${(b + 1) * 16}))"
@@ -4454,6 +4500,7 @@ object SparkEntry {
       "sim_pq" -> simPq,
       "sim_adc" -> simAdc,
       "sim_pqrecall" -> simPqRecall,
+      "sim_ivfpq" -> simIvfPq,
       "dd_semantic" -> ddSemantic,
       "clu_sample" ->
         (s"""WITH $kmeansCtes,

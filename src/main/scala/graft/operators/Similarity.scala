@@ -427,6 +427,24 @@ object Similarity {
       books: Seq[Map[Int, Seq[Double]]], kTrain: Int, topK: Int,
       idCol: String = "vec_id", probeIdCol: String = "q_id",
       probeEmbCol: String = "qemb"): DataFrame = {
+    val pl = pqLutFrame(probes, books, kTrain, probeEmbCol)
+      .select(col(probeIdCol), col("__lut"))
+    val pairs = codes.crossJoin(broadcast(pl))
+      .withColumn("__adc", adcScore(books.length, kTrain))
+    graft.plans.TopKPerKey(pairs, Seq(col(probeIdCol)),
+        Seq(col("__adc").asc, col(idCol).asc), topK)
+      .select(col(probeIdCol), col(idCol), col("__adc").as("adc_score"),
+        col("__rank__").as("rank"))
+  }
+
+  /** Probe-side LUT projection shared by [[adcTopK]] / [[ivfpqTopK]]:
+    * appends `__lut`, the m·kTrain array of per-(subspace, cell) scores
+    * round(|c|² − 2·q_s·c, 9) — m·kTrain compiled decimal dots on the
+    * BOUNDED probe frame, computed once before any broadcast. A dropped
+    * (empty) codebook cell can never be a code, so its slot only pads
+    * the layout. */
+  def pqLutFrame(probes: DataFrame, books: Seq[Map[Int, Seq[Double]]],
+      kTrain: Int, probeEmbCol: String = "qemb"): DataFrame = {
     val m = books.length
     require(m > 0, "need at least one codebook")
     val sub = books.head.valuesIterator.next().length
@@ -440,18 +458,56 @@ object Similarity {
             c.foreach(x =>
               acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
             round(lit(acc.doubleValue()) - lit(2.0) * dotExact(qs, cc), 9)
-          // a dropped (empty) cell can never be a code — the slot only
-          // pads the layout
           case None => lit(Double.MaxValue)
         }
       }
     }
-    val pl = probes.select(col(probeIdCol), array(lutEntries: _*).as("__lut"))
-    val score = (0 until m).map(s =>
+    probes.withColumn("__lut", array(lutEntries: _*))
+  }
+
+  /** The ADC score over a `__lut`-bearing pair row: m array lookups +
+    * (m−1) IEEE adds over the m-int code columns. */
+  def adcScore(m: Int, kTrain: Int): Column =
+    (0 until m).map(s =>
         element_at(col("__lut"),
           (col(s"code_$s") + lit(s.toLong * kTrain) + lit(1L)).cast("int")))
       .reduce(_ + _)
-    val pairs = codes.crossJoin(broadcast(pl)).withColumn("__adc", score)
+
+  /** IVF+PQ search — the FAISS IVFPQ shape, composed from the engine's
+    * own parts: probes route to their `nProbe` nearest COARSE (IVF)
+    * cells by exact centroid distance (the same round(|c|² − 2·q·c, 9)
+    * scoring as [[kmeans]] assignment, ranked by an array_sort over the
+    * k-bounded cell structs — all on the bounded probe frame), then the
+    * ADC ranking runs ONLY over candidates whose IVF cell is probed.
+    * This is the index shape that makes billion-vector search tractable:
+    * the coarse quantizer prunes the corpus to ~nProbe/k of its cells
+    * BEFORE any scoring, and the per-surviving-candidate cost is m LUT
+    * lookups over the m-int code row. Ranking on the bounded-heap
+    * [[graft.plans.TopKPerKey]], ties to the lower candidate id. */
+  def ivfpqTopK(codes: DataFrame, ivfAsg: DataFrame, probes: DataFrame,
+      books: Seq[Map[Int, Seq[Double]]], cents: Map[Int, Seq[Double]],
+      kTrain: Int, nProbe: Int, topK: Int,
+      idCol: String = "vec_id", probeIdCol: String = "q_id",
+      probeEmbCol: String = "qemb"): DataFrame = {
+    require(nProbe > 0 && nProbe <= cents.size,
+      s"nProbe=$nProbe must be in [1, ${cents.size}]")
+    val cellStructs = cents.toSeq.sortBy(_._1).map { case (cell, c) =>
+      val cc = array(c.map(lit): _*)
+      var acc = java.math.BigDecimal.ZERO
+      c.foreach(x => acc = acc.add(java.math.BigDecimal.valueOf(x * x)))
+      struct(round(lit(acc.doubleValue()) -
+          lit(2.0) * dotExact(col(probeEmbCol), cc), 9).as("d"),
+        lit(cell).as("cell"))
+    }
+    val routed = pqLutFrame(probes, books, kTrain, probeEmbCol)
+      .withColumn("__cells",
+        slice(array_sort(array(cellStructs: _*)), 1, nProbe)
+          .getField("cell"))
+      .select(col(probeIdCol), col("__lut"), col("__cells"))
+    val pairs = codes.join(ivfAsg, idCol)
+      .crossJoin(broadcast(routed))
+      .where(array_contains(col("__cells"), col("cell")))
+      .withColumn("__adc", adcScore(books.length, kTrain))
     graft.plans.TopKPerKey(pairs, Seq(col(probeIdCol)),
         Seq(col("__adc").asc, col(idCol).asc), topK)
       .select(col(probeIdCol), col(idCol), col("__adc").as("adc_score"),

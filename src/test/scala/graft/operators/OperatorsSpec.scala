@@ -206,6 +206,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("IVFPQ: probes search only their routed coarse cells; " +
+      "nProbe = all cells recovers plain ADC") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rng = new scala.util.Random(31)
+    def near(c: Float) = Seq.fill(4)(c + 0.05f * (rng.nextFloat() - 0.5f))
+    val rows = Seq(
+      Row(0L, (near(1f) ++ near(2f))), Row(1L, (near(-1f) ++ near(-2f))),
+      Row(2L, (near(1f) ++ near(-2f))), Row(3L, (near(-1f) ++ near(2f))),
+      Row(4L, (near(1f) ++ near(2f))), Row(5L, (near(-1f) ++ near(-2f))))
+    val embs = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val (codes, books) = Similarity.productQuantize(embs, m = 2, k = 2,
+      iters = 2)
+    val (asg, cents) = Similarity.kmeans(embs, k = 2, iters = 2)
+    // the full-vector coarse cells: second-half distance dominates, so
+    // ids {0,3,4} share the (+second-half) cell of id 0
+    val byCell = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cell0 = byCell(0L)
+    val mates = byCell.filter(_._2 == cell0).keySet
+    val probes = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(100L, (near(1f) ++ near(2f))))).asJava),
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("qemb", ArrayType(FloatType)))))
+    // nProbe = 1: only id 0's cell is searched
+    val pruned = Similarity.ivfpqTopK(codes, asg, probes, books, cents,
+        kTrain = 2, nProbe = 1, topK = 6)
+      .collect().map(_.getLong(1)).toSet
+    assert(pruned == mates, s"pruned=$pruned mates=$mates")
+    // nProbe = every cell: identical ranking to the unpruned ADC search
+    val full = Similarity.ivfpqTopK(codes, asg, probes, books, cents,
+        kTrain = 2, nProbe = 2, topK = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val adc = Similarity.adcTopK(codes, probes, books, kTrain = 2, topK = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(full.toSeq.sorted == adc.toSeq.sorted)
+  }
+
   test("new-operator input contracts reject bad arguments cleanly") {
     val e = intercept[IllegalArgumentException] {
       Sampling.mixture(docs, "lang", "doc_id", Map("en" -> -0.1))

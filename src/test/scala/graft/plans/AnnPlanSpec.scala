@@ -53,6 +53,10 @@ class AnnPlanSpec extends SparkSpec {
     assertHeapTopK("sim_adc", minTopK = 1)
   }
 
+  test("sim_ivfpq ranks the cell-pruned ADC pairs on TopKPerKey, no window") {
+    assertHeapTopK("sim_ivfpq", minTopK = 1)
+  }
+
   test("ensureRules re-plans the window top-k idiom on a plain session") {
     // a fresh child session: shares the context and nothing else — no
     // extensions, fresh experimental hooks (the gate session's shape)
