@@ -218,6 +218,25 @@ object ProbeR9 {
       out += "e11tail" -> r
     }
 
+    if (want("pqscale")) {
+      // the session-2 PQ family at 1× vs 10× embeddings (500 → 20k at
+      // sf0.1 → /tmp/graft_sf1): training (4 subspace kmeans runs) is
+      // the dominant cost and shared across the four queries via
+      // QueryCatalog.pqModel — measure the first query WITH training and
+      // the rest over the shared model, the batch-user shape
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf10).count()
+      val names = Seq("sim_pq", "sim_adc", "sim_ivfpq", "sim_pqrecall")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] pqscale $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "pqscale" -> r
+    }
+
     if (want("scale100")) {
       // 100× replica corpus (ScaleGen 100 → /tmp/graft_sf10, ≈60M
       // lineitem / 5M documents / 200k embeddings): the direct answer to
