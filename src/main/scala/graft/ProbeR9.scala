@@ -60,6 +60,25 @@ object ProbeR9 {
       out += "r9ops" -> r
     }
 
+    if (want("rollfam")) {
+      // r9 session 3: the fused single-pass rolling family at 10× data —
+      // one slice pass per query (ring-buffer window emit), so the
+      // ratios should track the e11_shift band, not the old
+      // prefix+lag+projection plan's
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf10).count()
+      val names = Seq("e11_rmean", "e11_rcount", "e11_rmin", "e11_rvar",
+        "e11_estd", "e11_emax")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] rollfam $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "rollfam" -> r
+    }
+
     if (want("diffdecomp")) {
       def decomp(dir: String): Map[String, Any] = {
         QueryCatalog.wide(spark, dir).count()

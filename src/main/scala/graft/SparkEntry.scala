@@ -205,6 +205,20 @@ object SparkEntry {
     "e11_rmean" -> ((s, d) => formulaQuery("qty.rolling(3).mean()")(s, d)),
     "e11_rsum" -> ((s, d) => formulaQuery("qty.rolling(4).sum()")(s, d)),
     "e11_emean" -> ((s, d) => formulaQuery("qty.expanding().mean()")(s, d)),
+    // r9 session 3: the rest of the rolling/expanding family — count is
+    // NaN only while the window is unformed; min/max/var/std are
+    // hole-poisoned full-window (pandas default min_periods); var/std on
+    // CENTERED moment sums (frame-global mean broadcast)
+    "e11_rcount" -> ((s, d) => formulaQuery("qty.rolling(3).count()")(s, d)),
+    "e11_rmin" -> ((s, d) => formulaQuery("qty.rolling(3).min()")(s, d)),
+    "e11_rmax" -> ((s, d) => formulaQuery("qty.rolling(4).max()")(s, d)),
+    "e11_rvar" -> ((s, d) =>
+      formulaQuery("qty.rolling(3).var()", roundTo = Some(6))(s, d)),
+    "e11_rstd" -> ((s, d) =>
+      formulaQuery("qty.rolling(3).std()", roundTo = Some(6))(s, d)),
+    "e11_estd" -> ((s, d) =>
+      formulaQuery("qty.expanding().std()", roundTo = Some(6))(s, d)),
+    "e11_emax" -> ((s, d) => formulaQuery("qty.expanding().max()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4187,6 +4201,49 @@ object SparkEntry {
           "PRECEDING AND CURRENT ROW)"
         F(s"CASE WHEN count(q$j) $w >= 1 " +
           s"THEN sum(q$j) $w / count(q$j) $w END")
+      },
+      // r9 session 3, rest of the rolling family. count: the window must
+      // be FORMED (row_number ≥ n) but holes inside it are counted out,
+      // not poisoning; min/max/var/std: full-window all-valid only
+      // (count(q)=n), var/std rounded to 6 on both sides (libm-class)
+      "e11_rcount" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F("CASE WHEN row_number() OVER (ORDER BY __row_id__) >= 3 " +
+          s"THEN CAST(count(q$j) $w AS DOUBLE) END")
+      },
+      "e11_rmin" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w = 3 THEN min(q$j) $w END")
+      },
+      "e11_rmax" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w = 4 THEN max(q$j) $w END")
+      },
+      "e11_rvar" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w = 3 " +
+          s"THEN var_samp(q$j) $w END, 6)")
+      },
+      "e11_rstd" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w = 3 " +
+          s"THEN stddev_samp(q$j) $w END, 6)")
+      },
+      "e11_estd" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 " +
+          s"THEN stddev_samp(q$j) $w END, 6)")
+      },
+      "e11_emax" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w >= 1 THEN max(q$j) $w END")
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

@@ -1508,81 +1508,266 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpand(cols)
       case ("expanding", CVecD(vs, ls), Nil) => CExpandD(vs, ls)
 
-      case (m @ ("mean" | "sum"), CRoll(cols, n), Nil) =>
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+            CRoll(cols, n), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
-        val valIn = cols.indices.map(i => s"__rl${tag}_v_$i")
-        val invIn = cols.indices.map(i => s"__rl${tag}_b_$i")
-        val posIn = s"__rl${tag}_one"
-        val marked = ctx.base.get.select(col("*") +:
-          (cols.zipWithIndex.flatMap { case ((_, c), i) =>
-            val invalid = c.isNull || isnan(c)
-            Seq(when(invalid, lit(0.0)).otherwise(c).as(valIn(i)),
-              invalid.cast("double").as(invIn(i)))
-          } :+ lit(1.0).as(posIn)): _*)
-        val inNames = (valIn ++ invIn) :+ posIn
-        val runNames = inNames.map(_ + "_s")
-        val run1 = graft.operators.Prefix.runningAgg(marked, rid,
-          inNames, Seq.fill(inNames.size)("sum"), runNames)
-        val lagIn = (valIn ++ invIn).map(_ + "_s")
-        ctx.base = Some(graft.operators.Prefix.positionalLag(run1,
-          ctx.rowIdOut, col(ctx.rowIdOut), lagIn, n, lagIn.map(_ + "_l")))
-        val pos = col(posIn + "_s")
-        val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
-          val winSum = col(valIn(i) + "_s") -
-            coalesce(col(valIn(i) + "_s_l"), lit(0.0))
-          val winInv = col(invIn(i) + "_s") -
-            coalesce(col(invIn(i) + "_s_l"), lit(0.0))
-          val cell = when(pos < n || winInv > 0, litOf(Double.NaN))
-            .otherwise(if (m == "sum") winSum else winSum / n)
-          (lbl, cell)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val needsSq = m == "std" || m == "var"
+        // std/var center on the frame-global column means (broadcast
+        // 1-row aggregate) before forming moment sums: raw power sums
+        // cancel catastrophically when |mean| >> spread — the skew/kurt
+        // ADVICE lesson applied at design time; variance is
+        // shift-invariant so centering never changes the result.
+        def centered(base0: DataFrame): DataFrame =
+          if (!needsSq) base0
+          else {
+            val mus = cols.zipWithIndex.map { case ((_, c), i) =>
+              coalesce(avg(when(!invalidOf(c), c)), lit(0.0))
+                .as(s"__rw${tag}_mu_$i")
+            }
+            base0.crossJoin(broadcast(base0.agg(mus.head, mus.tail: _*)))
+          }
+        def ccOf(c: Column, i: Int): Column =
+          if (needsSq) c.cast("double") - col(s"__rw${tag}_mu_$i")
+          else c.cast("double")
+        // window sizes past the streaming-lag ring bound — or edge-cell
+        // volumes past the driver budget — fall back to the prefix-sum
+        // formulation; the conf exists so specs can force the fallback
+        val conf = ctx.base.get.sparkSession.conf
+        val fuseMax = conf.getOption("graft.rolling.fuseMaxWindow")
+          .map(_.toInt).getOrElse(257)
+        val lagParts = conf.get("spark.sql.shuffle.partitions").toInt
+        val maxCells = conf.getOption("graft.lag.maxEdgeCells")
+          .map(_.toLong).getOrElse(4000000L)
+        val lagWidth = cols.size * (if (needsSq) 2 else 1)
+        val fusedOk = n <= math.min(fuseMax, 257) &&
+          lagParts.toLong * (n - 1) * lagWidth <= maxCells
+        if (n == 1) {
+          // a 1-position window is the cell itself; var/std divide by
+          // ddof n−1 = 0 → NaN everywhere (pandas)
+          CMatrix(cols.map { case (lbl, c) =>
+            (lbl, m match {
+              case "count" =>
+                when(invalidOf(c), lit(0.0)).otherwise(lit(1.0))
+              case "std" | "var" => litOf(Double.NaN)
+              case _ => when(invalidOf(c), litOf(Double.NaN))
+                .otherwise(c.cast("double"))
+            })
+          }, isBool = false)
+        } else if (fusedOk) {
+          // ---- fused single-pass window (r9): the rolling aggregate IS
+          // the ring buffer the positional lag already streams — ONE
+          // slice pass emits the window aggregate directly; no
+          // running-prefix stage, no post-lag projection. NaN poisoning
+          // (min_periods = n) and the unformed-window gate live in the
+          // emit itself.
+          val valIn = cols.indices.map(i => s"__rw${tag}_v_$i")
+          val sqIn = cols.indices.map(i => s"__rw${tag}_q_$i")
+          val marked = centered(ctx.base.get).select(col("*") +:
+            cols.zipWithIndex.flatMap { case ((_, c), i) =>
+              val cc = ccOf(c, i)
+              val v = when(invalidOf(c), litOf(Double.NaN)).otherwise(cc)
+                .as(valIn(i))
+              if (needsSq)
+                Seq(v, when(invalidOf(c), litOf(Double.NaN))
+                  .otherwise(cc * cc).as(sqIn(i)))
+              else Seq(v)
+            }: _*)
+          val inNames = if (needsSq) valIn ++ sqIn else valIn
+          val fuseMode = m match {
+            case "min"   => "winmin"
+            case "max"   => "winmax"
+            case "count" => "wincount"
+            case _       => "winsum"
+          }
+          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
+            ctx.rowIdOut, rid, inNames, n - 1,
+            inNames.map(_ + "_w"), fuse = fuseMode))
+          val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
+            val s = col(valIn(i) + "_w")
+            val cell = m match {
+              case "sum" | "min" | "max" | "count" => s
+              case "mean" => s / n
+              case _ =>
+                // poisoned windows carry NaN through greatest/sqrt
+                val q = col(sqIn(i) + "_w")
+                val v = greatest((q - s * s / n) / (n - 1), lit(0.0))
+                if (m == "var") v else sqrt(v)
+            }
+            (lbl, cell)
+          }
+          CMatrix(out, isBool = false)
+        } else {
+          // ---- prefix-sum fallback for very large windows: running sums
+          // of (value, value², hole flag, position) + ONE positional lag
+          // by n, window aggregate = prefix difference. Window extremes
+          // are not prefix-invertible, so min/max stay on the fused path.
+          if (m == "min" || m == "max") throw new FormulaTypeException(
+            s"'.rolling(n).$m()' supports window sizes up to $fuseMax " +
+              s"(window extremes are not prefix-invertible), got $n")
+          val valIn = cols.indices.map(i => s"__rl${tag}_v_$i")
+          val invIn = cols.indices.map(i => s"__rl${tag}_b_$i")
+          val sqIn = cols.indices.map(i => s"__rl${tag}_q_$i")
+          val posIn = s"__rl${tag}_one"
+          val marked = centered(ctx.base.get).select(col("*") +:
+            (cols.zipWithIndex.flatMap { case ((_, c), i) =>
+              val invalid = invalidOf(c)
+              val cc = ccOf(c, i)
+              Seq(when(invalid, lit(0.0)).otherwise(cc).as(valIn(i)),
+                invalid.cast("double").as(invIn(i))) ++
+                (if (needsSq)
+                   Seq(when(invalid, lit(0.0)).otherwise(cc * cc)
+                     .as(sqIn(i)))
+                 else Nil)
+            } :+ lit(1.0).as(posIn)): _*)
+          val lagBase = valIn ++ invIn ++ (if (needsSq) sqIn else Nil)
+          val inNames = lagBase :+ posIn
+          val runNames = inNames.map(_ + "_s")
+          val run1 = graft.operators.Prefix.runningAgg(marked, rid,
+            inNames, Seq.fill(inNames.size)("sum"), runNames)
+          val lagIn = lagBase.map(_ + "_s")
+          ctx.base = Some(graft.operators.Prefix.positionalLag(run1,
+            ctx.rowIdOut, col(ctx.rowIdOut), lagIn, n, lagIn.map(_ + "_l")))
+          val pos = col(posIn + "_s")
+          val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
+            def win(nm: String) =
+              col(nm + "_s") - coalesce(col(nm + "_s_l"), lit(0.0))
+            val winSum = win(valIn(i))
+            val winInv = win(invIn(i))
+            def gated(x: Column) =
+              when(pos < n || winInv > 0, litOf(Double.NaN)).otherwise(x)
+            val cell = m match {
+              case "count" => when(pos < n, litOf(Double.NaN))
+                .otherwise(lit(n.toDouble) - winInv)
+              case "sum"  => gated(winSum)
+              case "mean" => gated(winSum / n)
+              case _ =>
+                val winQ = win(sqIn(i))
+                val v = greatest((winQ - winSum * winSum / n) / (n - 1),
+                  lit(0.0))
+                gated(if (m == "var") v else sqrt(v))
+            }
+            (lbl, cell)
+          }
+          CMatrix(out, isBool = false)
         }
-        CMatrix(out, isBool = false)
-      case (m @ ("mean" | "sum"), CExpand(cols), Nil) =>
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+            CExpand(cols), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val needsSq = m == "std" || m == "var"
+        // the expanding aggregate IS the skipna distributed prefix — one
+        // runningAgg pass; min/max ride the prefix extreme kinds, std/var
+        // center on the frame-global means first (see the rolling case)
+        val based =
+          if (!needsSq) ctx.base.get
+          else {
+            val mus = cols.zipWithIndex.map { case ((_, c), i) =>
+              coalesce(avg(when(!invalidOf(c), c)), lit(0.0))
+                .as(s"__ex${tag}_mu_$i")
+            }
+            ctx.base.get.crossJoin(
+              broadcast(ctx.base.get.agg(mus.head, mus.tail: _*)))
+          }
         val valIn = cols.indices.map(i => s"__ex${tag}_v_$i")
         val cntIn = cols.indices.map(i => s"__ex${tag}_c_$i")
-        val marked = ctx.base.get.select(col("*") +:
+        val sqIn = cols.indices.map(i => s"__ex${tag}_q_$i")
+        val marked = based.select(col("*") +:
           cols.zipWithIndex.flatMap { case ((_, c), i) =>
-            val valid = c.isNotNull && !isnan(c)
-            // NULL cells fall out of the skipna running sum/count
-            Seq(when(valid, c).as(valIn(i)),
-              when(valid, lit(1.0)).as(cntIn(i)))
+            val valid = !invalidOf(c)
+            val cc = if (needsSq) c.cast("double") - col(s"__ex${tag}_mu_$i")
+                     else c.cast("double")
+            // NULL cells fall out of the skipna running aggregates
+            Seq(when(valid, cc).as(valIn(i)),
+              when(valid, lit(1.0)).as(cntIn(i))) ++
+              (if (needsSq) Seq(when(valid, cc * cc).as(sqIn(i))) else Nil)
           }: _*)
-        val inNames = valIn ++ cntIn
+        val inNames = valIn ++ cntIn ++ (if (needsSq) sqIn else Nil)
+        val kinds = (m match {
+          case "min" => valIn.map(_ => "min")
+          case "max" => valIn.map(_ => "max")
+          case _     => valIn.map(_ => "sum")
+        }) ++ cntIn.map(_ => "sum") ++ (if (needsSq) sqIn.map(_ => "sum")
+                                        else Nil)
         ctx.base = Some(graft.operators.Prefix.runningAgg(marked, rid,
-          inNames, Seq.fill(inNames.size)("sum"), inNames.map(_ + "_s")))
+          inNames, kinds, inNames.map(_ + "_s")))
         val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
           val s = col(valIn(i) + "_s")
           val ccnt = coalesce(col(cntIn(i) + "_s"), lit(0.0))
-          val cell = when(ccnt < 1, litOf(Double.NaN))
-            .otherwise(if (m == "sum") s else s / ccnt)
+          val cell = m match {
+            case "count" => ccnt
+            case "sum"   => when(ccnt < 1, litOf(Double.NaN)).otherwise(s)
+            case "mean"  => when(ccnt < 1, litOf(Double.NaN))
+              .otherwise(s / ccnt)
+            case "min" | "max" =>
+              when(s.isNull, litOf(Double.NaN)).otherwise(s)
+            case _ =>
+              val q = col(sqIn(i) + "_s")
+              val v = greatest((q - s * s / ccnt) / (ccnt - 1), lit(0.0))
+              when(ccnt < 2, litOf(Double.NaN))
+                .otherwise(if (m == "var") v else sqrt(v))
+          }
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
-      case (m @ ("mean" | "sum"), CRollD(vs, ls, n), Nil) =>
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+            CRollD(vs, ls, n), Nil) =>
         CVecD(vs.indices.map { i =>
           if (i < n - 1) Double.NaN
           else {
             val w = vs.slice(i - n + 1, i + 1)
-            if (w.exists(_.isNaN)) Double.NaN
-            else if (m == "sum") w.sum else w.sum / n
+            m match {
+              case "count" => w.count(v => !v.isNaN).toDouble
+              case _ if w.exists(_.isNaN) => Double.NaN
+              case "sum"  => w.sum
+              case "mean" => w.sum / n
+              case "min"  => w.min
+              case "max"  => w.max
+              case _ =>
+                if (n < 2) Double.NaN
+                else {
+                  val mu = w.sum / n
+                  val v2 = w.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+                  if (m == "var") v2 else math.sqrt(v2)
+                }
+            }
           }
         }, ls)
-      case (m @ ("mean" | "sum"), CExpandD(vs, ls), Nil) => {
-        var s = 0.0; var c = 0
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+            CExpandD(vs, ls), Nil) => {
+        var s = 0.0; var q = 0.0; var c = 0
+        var mn = Double.NaN; var mx = Double.NaN
         CVecD(vs.map { v =>
-          if (!v.isNaN) { s += v; c += 1 }
-          if (c < 1) Double.NaN else if (m == "sum") s else s / c
+          if (!v.isNaN) {
+            c += 1; s += v; q += v * v
+            mn = if (c == 1) v else math.min(mn, v)
+            mx = if (c == 1) v else math.max(mx, v)
+          }
+          m match {
+            case "count"     => c.toDouble
+            case _ if c < 1  => Double.NaN
+            case "sum"       => s
+            case "mean"      => s / c
+            case "min"       => mn
+            case "max"       => mx
+            case _ =>
+              if (c < 2) Double.NaN
+              else {
+                val v2 = math.max(0.0, (q - s * s / c) / (c - 1))
+                if (m == "var") v2 else math.sqrt(v2)
+              }
+          }
         }, ls)
       }
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
-          s"'.rolling()/.expanding()' windows support '.mean()' and " +
-            s"'.sum()' — got '.$other'")
+          "'.rolling()/.expanding()' windows support " +
+            "'.sum/.mean/.count/.min/.max/.std/.var' — got " +
+            s"'.$other'")
 
       // pandas method-form comparisons (r9): df.le(other) ≡ df <= other
       // etc. — the same binop delegation as the arithmetic method forms,
@@ -1604,8 +1789,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "nlargest, nsmallest, value_counts, corr, cov, dropna, " +
             "mode, head, tail, isna, isnull, notna, notnull, " +
             "where, mask, replace, duplicated, " +
-            "ffill, bfill, pct_change, rolling(n).mean/sum, " +
-            "expanding().mean/sum, " +
+            "ffill, bfill, pct_change, " +
+            "rolling(n).sum/mean/count/min/max/std/var, " +
+            "expanding().sum/mean/count/min/max/std/var, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

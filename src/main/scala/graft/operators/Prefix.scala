@@ -359,13 +359,26 @@ object Prefix {
     * as NaN; a NULL current value stays NULL. r9: fusing the combine into
     * the streaming emit saves a full wide projection pass over the frame
     * — the donor values are already in hand in the ring buffer.
+    *
+    * Window-aggregate fuses (r9 session 3): `"winsum" | "winmin" |
+    * "winmax" | "wincount"` emit the aggregate of the (n+1)-position
+    * window ending at the current row — the ring already buffers exactly
+    * the n predecessors, so a pandas `.rolling(n+1)` aggregate is ONE
+    * slice pass instead of running-prefix + lag + projection. Unformed
+    * windows (fewer than n predecessors) emit NaN; NULL/NaN cells poison
+    * sum/min/max (pandas default min_periods = window size) and are
+    * skipped by count. Window fuses require the streaming path (n > 0,
+    * n ≤ 256, edge cells within budget) — there is no one-donor join
+    * equivalent of a window aggregate.
     * DoubleType columns only when fused. */
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
                     outNames: Seq[String], fuse: String): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    require(Set("none", "diff", "pct")(fuse), s"unknown fuse mode '$fuse'")
+    require(Set("none", "diff", "pct",
+      "winsum", "winmin", "winmax", "wincount")(fuse),
+      s"unknown fuse mode '$fuse'")
     if (fuse != "none") {
       val sch = df.schema
       inNames.foreach { nm =>
@@ -385,10 +398,50 @@ object Prefix {
     val maxCells = df.sparkSession.conf
       .getOption("graft.lag.maxEdgeCells").map(_.toLong).getOrElse(4000000L)
     val cells = parts.toLong * math.abs(n) * inNames.length
+    if (fuse.startsWith("win"))
+      require(n > 0 && n <= 256 && cells <= maxCells,
+        s"fuse='$fuse' requires the streaming lag path (0 < n <= 256 and " +
+          s"parts*n*width <= $maxCells edge cells); got n=$n, " +
+          s"cells=$cells — use the prefix-sum rolling formulation for " +
+          "larger windows")
     if (math.abs(n) <= 256 && cells <= maxCells)
       positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
+  }
+
+  /** The fused window-aggregate cell: the k ring-buffered predecessors
+    * plus the current row form the (k+1)-position window. Unformed window
+    * (fewer than k predecessors seen) → NaN; a NULL/NaN cell poisons
+    * sum/min/max and is skipped by count — pandas rolling semantics with
+    * the default min_periods. Sum accumulates in STREAM order (oldest
+    * first), the same association as a sequential pandas scan. */
+  private def winEmit(fuse: String,
+                      buf: scala.collection.mutable.ArrayDeque[Array[Any]],
+                      cur: Array[Any], j: Int, k: Int): java.lang.Double = {
+    if (buf.length < k) return java.lang.Double.valueOf(Double.NaN)
+    var cnt = 0; var acc = 0.0; var poisoned = false
+    val m = buf.length
+    var b = 0
+    while (b <= m) {
+      val v = if (b < m) buf(b)(j) else cur(j)
+      if (v == null) poisoned = true
+      else {
+        val dv = v.asInstanceOf[Double]
+        if (java.lang.Double.isNaN(dv)) poisoned = true
+        else {
+          cnt += 1
+          if (fuse == "winsum") acc += dv
+          else if (fuse == "winmin") acc = if (cnt == 1) dv else math.min(acc, dv)
+          else if (fuse == "winmax") acc = if (cnt == 1) dv else math.max(acc, dv)
+        }
+      }
+      b += 1
+    }
+    java.lang.Double.valueOf(
+      if (fuse == "wincount") cnt.toDouble
+      else if (poisoned || cnt == 0) Double.NaN
+      else acc)
   }
 
   private def positionalLagStream(df: DataFrame, keyCol: String,
@@ -482,6 +535,8 @@ object Prefix {
             outVals(r.length + j) =
               if (fuse == "none") {
                 if (donor == null) null else donor(j)
+              } else if (fuse.startsWith("win")) {
+                winEmit(fuse, buf, cur, j, k)
               } else if (cur(j) == null) null
               else {
                 // missing donor (edge row or NULL lagged value) = NaN —
@@ -513,6 +568,8 @@ object Prefix {
                                 orderCol: Column, inNames: Seq[String],
                                 n: Int, outNames: Seq[String],
                                 fuse: String = "none"): DataFrame = {
+    require(!fuse.startsWith("win"),
+      "window-aggregate fuses have no one-donor join formulation")
     val okey = "__lag_ord"
     val narrow = df.select(
       col(keyCol) +: (orderCol.as(okey) +: inNames.map(col)): _*)

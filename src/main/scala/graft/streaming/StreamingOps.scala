@@ -371,6 +371,53 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class RwRow(key: Long, id: Long, value: Double)
+  case class RwState(ring: Seq[Double])
+  case class RwOut(key: Long, id: Long, sum: Option[Double],
+                   mean: Option[Double], min: Option[Double],
+                   max: Option[Double], count: Option[Double])
+
+  /** Streaming positional rolling-window aggregates — the
+    * [[graft.compile.FormulaCompiler]] `.rolling(n)` twin (r9 session 3):
+    * each key carries ONLY its last n−1 values as state (O(n) per key,
+    * fixed-size) — exactly the ring buffer the batch fused window streams
+    * per slice, keyed instead of sliced. Pandas gates: all aggregates are
+    * None while the window is unformed (fewer than n values seen); a
+    * NaN hole poisons sum/mean/min/max (default min_periods = n) and is
+    * skipped by count. Within a micro-batch rows fold in input order
+    * (per-batch deterministic; cross-batch ordering is the source's —
+    * the positional contract batch rolling derives from row-id order). */
+  def rollingStream(rows: Dataset[RwRow], n: Int): Dataset[RwOut] = {
+    require(n > 0, s"rollingStream needs n > 0, got $n")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def fn(key: Long, in: Iterator[RwRow],
+           state: GroupState[RwState]): Iterator[RwOut] = {
+      var ring = state.getOption.map(_.ring.toVector)
+        .getOrElse(Vector.empty[Double])
+      val out = scala.collection.mutable.ListBuffer[RwOut]()
+      in.foreach { r =>
+        if (ring.length < n - 1) out += RwOut(key, r.id, None, None, None,
+          None, None)
+        else {
+          val w = ring :+ r.value
+          val valid = w.filter(v => !v.isNaN)
+          val poisoned = valid.length < w.length
+          def agg(f: Vector[Double] => Double): Option[Double] =
+            Some(if (poisoned) Double.NaN else f(w))
+          out += RwOut(key, r.id, agg(_.sum), agg(_.sum / n), agg(_.min),
+            agg(_.max), Some(valid.length.toDouble))
+        }
+        ring = (ring :+ r.value).takeRight(n - 1)
+      }
+      state.update(RwState(ring))
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within
     * `joinWindow` AFTER the event. Both sides carry watermarks so the

@@ -63,6 +63,26 @@ class SequentialPlanSpec extends SparkSpec {
     assertNoGlobalWindow("e11_diff")
   }
 
+  /** r9 session 3: the fused rolling family (count/min/max/var/std plus
+    * the re-planned mean/sum) emits the window aggregate from the
+    * positional-lag ring buffer — ONE slice pass, no WindowExec over any
+    * data-scaled frame and no buffering offset frame anywhere. */
+  test("rolling-family queries plan with no data-scaled window at all") {
+    for (name <- Seq("e11_rmean", "e11_rcount", "e11_rmin", "e11_rvar")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach(w => assert(isBoundedOffsetsWindow(w),
+        s"$name: non-partials window in the fused rolling plan:\n$w"))
+      windows.foreach { w =>
+        val s = w.windowExpression.mkString(";")
+        assert(!s.contains("lag(") && !s.contains("lead("),
+          s"$name: buffering offset window frame survived:\n$w")
+      }
+    }
+  }
+
   /** shift/diff must never plan a window `lag`/`lead`: offset window
     * frames make WindowExec buffer whole partitions
     * (ExternalAppendOnlyUnsafeRowArray) instead of streaming — measured

@@ -233,9 +233,10 @@ class E11TailSpec extends SparkSpec {
     // unaggregated window marker escaping to the top level
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula("a.rolling(2)"))
     assert(e1.getMessage.contains("must be aggregated"))
-    // unsupported window aggregation
+    // unsupported window aggregation (std/var/count/min/max joined the
+    // family in r9 session 3 — median stays out)
     val e2 = intercept[FormulaTypeException](
-      ev.evaluateFormula("a.rolling(2).std()"))
+      ev.evaluateFormula("a.rolling(2).median()"))
     assert(e2.getMessage.contains("mean"))
     assertThrows[FormulaTypeException](ev.evaluateFormula("a.rolling(0).mean()"))
     val adp = new FormulaEvaluator(reg("a" -> fixA), adpEnabled = true)

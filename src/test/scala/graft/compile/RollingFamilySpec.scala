@@ -1,0 +1,157 @@
+package graft.compile
+
+import graft.SparkSpec
+import graft.api.FormulaEvaluator
+import graft.model.{Matrix, Vec}
+
+/** r9 session-3 rolling/expanding family completion: count/min/max/std/var
+  * alongside the r9-session-2 mean/sum, all pinned against pandas 2.2
+  * goldens (the exact lists in the comments were produced by pandas on the
+  * same series). Covers the fused single-pass ring-buffer window, the
+  * prefix-sum fallback for windows past the ring bound (forced via
+  * `graft.rolling.fuseMaxWindow`), the n=1 degenerate window, the
+  * big-mean numerical-stability contract (centered moments), and the
+  * driver vector paths. */
+class RollingFamilySpec extends SparkSpec {
+
+  /** Single-column matrix with the given cells (NaN = hole). */
+  private def series(vs: Double*): Matrix =
+    mat3(vs.map(v => Seq(v)), labels = Seq("c0"))
+
+  private def colOf(f: String, m: Matrix): Seq[Double] = {
+    val ev = new FormulaEvaluator(reg("s" -> m))
+    ev.evaluateFormula(f) match {
+      case MatrixResult(df, rowId, labels, _) =>
+        val byId = cells(df, rowId, labels)
+        byId.keys.toSeq.sorted.map(i => byId(i)("c0"))
+      case other => fail(s"expected matrix result, got $other")
+    }
+  }
+
+  private def assertSeq(actual: Seq[Double], expected: Seq[Double],
+                        tol: Double = 1e-9): Unit = {
+    assert(actual.length == expected.length,
+      s"length ${actual.length} vs ${expected.length}")
+    actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+      if (e.isNaN) assert(a.isNaN, s"row $i: expected NaN, got $a")
+      else assert(math.abs(a - e) <= tol, s"row $i: expected $e, got $a")
+    }
+  }
+
+  // pandas: s = Series([1, 2, NaN, 4, 5, 6])
+  private lazy val s6 = series(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0)
+  // pandas: s = Series([NaN, 1, 2, 3, NaN, NaN, 4])
+  private lazy val s7 = series(Double.NaN, 1.0, 2.0, 3.0, Double.NaN,
+    Double.NaN, 4.0)
+
+  test("rolling(3).count: NaN while the window is unformed, then the " +
+      "non-NaN count (which may be 0)") {
+    // pandas: [nan, nan, 2, 2, 2, 3]
+    assertSeq(colOf("s.rolling(3).count()", s6),
+      Seq(Double.NaN, Double.NaN, 2, 2, 2, 3))
+    // pandas: [nan, 1, 2, 2, 1, 0, 1] — a fully-hole window counts 0
+    assertSeq(colOf("s.rolling(2).count()", s7),
+      Seq(Double.NaN, 1, 2, 2, 1, 0, 1))
+  }
+
+  test("rolling(3).min/.max: any hole in the window poisons it") {
+    // pandas: [nan, nan, nan, nan, nan, 4]
+    assertSeq(colOf("s.rolling(3).min()", s6),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 4))
+    // pandas: [nan, nan, nan, 3, nan, nan, nan]
+    assertSeq(colOf("s.rolling(3).max()", s7),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 3, Double.NaN, Double.NaN,
+        Double.NaN))
+  }
+
+  test("rolling(3).var/.std: ddof=1, hole-poisoned, full-window only") {
+    // pandas: var = [nan, nan, nan, nan, nan, 1.0]
+    assertSeq(colOf("s.rolling(3).var()", s6),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 1.0))
+    assertSeq(colOf("s.rolling(3).std()", s6),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 1.0))
+  }
+
+  test("rolling var at |mean| >> spread: centered moments stay exact " +
+      "where raw power sums lose every significant digit") {
+    // pandas: Series([1e9+1 .. 1e9+4]).rolling(3).var() = [nan,nan,1,1];
+    // (1e9)² = 1e18 eats all 15–16 double digits, so the uncentered
+    // (ΣQ − ΣS²/n) formulation returns garbage — this pin is the reason
+    // the implementation centers on the frame-global mean first
+    val big = series(1e9 + 1, 1e9 + 2, 1e9 + 3, 1e9 + 4)
+    assertSeq(colOf("s.rolling(3).var()", big),
+      Seq(Double.NaN, Double.NaN, 1.0, 1.0), tol = 1e-6)
+    assertSeq(colOf("s.expanding().var()", big),
+      Seq(Double.NaN, 0.5, 1.0, 5.0 / 3.0), tol = 1e-6)
+  }
+
+  test("rolling(1): the cell itself for sum/mean/min/max, valid-indicator " +
+      "for count, NaN for var/std (ddof division by zero)") {
+    assertSeq(colOf("s.rolling(1).min()", s6),
+      Seq(1, 2, Double.NaN, 4, 5, 6))
+    assertSeq(colOf("s.rolling(1).count()", s6), Seq(1, 1, 0, 1, 1, 1))
+    // the all-NaN var/std frame (pandas semantics) trips the engine's V5
+    // all-invalid validation, which is the correct surface for it
+    val ev = new FormulaEvaluator(reg("s" -> s6))
+    assertThrows[graft.validate.AllInvalidResultException](
+      ev.evaluateFormula("s.rolling(1).var()"))
+  }
+
+  test("prefix-sum fallback (window past the ring bound) matches the " +
+      "fused path for sum/mean/count/var; min/max error cleanly") {
+    val conf = spark.conf
+    conf.set("graft.rolling.fuseMaxWindow", "2")
+    try {
+      assertSeq(colOf("s.rolling(3).count()", s7),
+        Seq(Double.NaN, Double.NaN, 2, 3, 2, 1, 1))
+      assertSeq(colOf("s.rolling(3).var()", s6),
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          1.0))
+      assertSeq(colOf("s.rolling(3).mean()", s6),
+        Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          5.0))
+      val ev = new FormulaEvaluator(reg("s" -> s6))
+      val e = intercept[FormulaTypeException](
+        ev.evaluateFormula("s.rolling(3).min()"))
+      assert(e.getMessage.contains("window sizes up to"))
+    } finally conf.unset("graft.rolling.fuseMaxWindow")
+  }
+
+  test("expanding(): count from zero, skipna min/max, ddof-1 var/std") {
+    // pandas on [NaN,1,2,3,NaN,NaN,4]:
+    assertSeq(colOf("s.expanding().count()", s7), Seq(0, 1, 2, 3, 3, 3, 4))
+    assertSeq(colOf("s.expanding().max()", s7),
+      Seq(Double.NaN, 1, 2, 3, 3, 3, 4))
+    assertSeq(colOf("s.expanding().min()", s7),
+      Seq(Double.NaN, 1, 1, 1, 1, 1, 1))
+    // pandas expanding().std(): [nan, nan, 0.70710678…, 1.0, 1.0, 1.0, …]
+    val st = colOf("s.expanding().std()", s7)
+    assert(st(0).isNaN && st(1).isNaN)
+    assertCell(st(2), 0.7071067811865476, 1e-9)
+    assertCell(st(3), 1.0, 1e-9)
+    assertCell(st(6), 1.2909944487358056, 1e-9)
+  }
+
+  test("vector paths: the same semantics sequentially") {
+    val v = Vec(IndexedSeq(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0),
+      IndexedSeq("a", "b", "c", "d", "e", "f"))
+    def vec(f: String): Seq[Double] = {
+      val ev = new FormulaEvaluator(reg("v" -> v))
+      ev.evaluateFormula(f) match {
+        case VecResult(out) => out.values
+        case other => fail(s"expected vector result, got $other")
+      }
+    }
+    assertSeq(vec("v.rolling(3).count()"), Seq(Double.NaN, Double.NaN, 2,
+      2, 2, 3))
+    assertSeq(vec("v.rolling(3).max()"), Seq(Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, 6))
+    assertSeq(vec("v.rolling(3).std()"), Seq(Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, 1.0))
+    assertSeq(vec("v.expanding().count()"), Seq(1, 2, 2, 3, 4, 5))
+    assertSeq(vec("v.expanding().min()"), Seq(1, 1, 1, 1, 1, 1))
+    assertSeq(vec("v.expanding().var()"),
+      Seq(Double.NaN, 0.5, 0.5, 2.333333333333333, 3.3333333333333335,
+        4.3))
+  }
+}

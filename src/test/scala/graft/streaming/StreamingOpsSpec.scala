@@ -267,6 +267,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling window aggregates match the batch pandas gates " +
+      "across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.RwRow
+    val in = MemoryStream[RwRow]
+    val q = StreamingOps.rollingStream(in.toDS(), n = 3)
+      .toDF("key", "id", "sum", "mean", "min", "max", "count")
+      .writeStream.format("memory").queryName("rw_out")
+      .outputMode("append").start()
+    try {
+      // key 1 arrival order: 1, 2, NaN — same series as the batch
+      // RollingFamilySpec goldens (pandas [1, 2, NaN, 4, 5, 6])
+      in.addData(RwRow(1L, 0L, 1.0), RwRow(1L, 1L, 2.0),
+        RwRow(1L, 2L, Double.NaN))
+      q.processAllAvailable()
+      // batch 2: the ring must survive the micro-batch boundary as state
+      in.addData(RwRow(1L, 3L, 4.0), RwRow(1L, 4L, 5.0), RwRow(1L, 5L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("rw_out").collect().map { r =>
+        def f(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(1) -> ((f(2), f(4), f(6))) // id -> (sum, min, count)
+      }.toMap
+      assert(got(0L) == ((None, None, None))) // unformed
+      assert(got(1L) == ((None, None, None)))
+      assert(got(2L)._1.exists(_.isNaN) && got(2L)._3 == Some(2.0))
+      assert(got(3L)._1.exists(_.isNaN) && got(3L)._3 == Some(2.0))
+      assert(got(4L)._1.exists(_.isNaN) && got(4L)._3 == Some(2.0))
+      assert(got(5L) == ((Some(15.0), Some(4.0), Some(3.0))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches labels only inside the window") {
     val spark2 = spark
     import spark2.implicits._
