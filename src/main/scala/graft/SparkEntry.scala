@@ -2250,6 +2250,30 @@ object SparkEntry {
       Profiling.mutualInformation(s.read.parquet(s"$d/lineitem.parquet"),
         "l_returnflag", "l_linestatus")),
 
+    // Deequ-style constraint suite (r9 session 3): the unit-tests-for-
+    // data gate a pipeline runs before curation — completeness, value
+    // bounds (qty<=40 fails by construction, and the synthetic
+    // lineitem's (orderkey, linenumber) is genuinely NOT a key — both
+    // exercise the fail surface), set membership, key uniqueness,
+    // referential integrity. One scan
+    // for all scalar checks; uniqueness = one exact distinct aggregate;
+    // RI = one equi-join against distinct orderkeys
+    "prof_checks" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      Profiling.constraintSuite(li, Seq(
+        Profiling.Complete("c1_shipdate_complete", "l_shipdate"),
+        Profiling.Satisfies("c2_qty_bounds",
+          col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        Profiling.Satisfies("c3_qty_le_40", col("l_quantity") <= 40),
+        Profiling.Satisfies("c4_flag_domain",
+          col("l_returnflag").isin("A", "N", "R")),
+        Profiling.Unique("c5_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Profiling.RefIn("c6_orderkey_ri", "l_orderkey", ord,
+          "o_orderkey")))
+    }),
+
     "cln_mad" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_returnflag"),
@@ -2374,6 +2398,17 @@ object SparkEntry {
     "gr_lpa" -> ((s, d) =>
       Graph.labelPropagation(knnEdges(s, d)
           .select(col("id").as("src"), col("nbr").as("dst")), iters = 2)
+        .orderBy(col("id"))),
+    // k-core by synchronous peeling (k=2, 10 rounds — converged at
+    // sf0.001/0.01/0.1: the fixpoint needs 10/8/4 peels respectively, so
+    // every output degree ≥ k at all test scales): the dense-subgraph
+    // extraction of a curation pipeline; per round two semi-joins
+    // against the shrinking survivor set + one map-side-combined degree
+    // aggregate
+    "gr_kcore" -> ((s, d) =>
+      Graph.kCore(knnEdges(s, d)
+          .select(col("id").as("src"), col("nbr").as("dst")),
+          k = 2, rounds = 10)
         .orderBy(col("id"))),
 
     // changelog upsert (CDC latest-wins with delete tombstones): final
@@ -5461,6 +5496,35 @@ object SparkEntry {
           |       CASE WHEN h_a > 0 AND h_b > 0
           |            THEN round(mi / round(sqrt(h_a * h_b), 6), 6) END AS nmi
           |FROM ha, hb, mi""".stripMargin,
+      // constraint-suite mirror: indicator means are exact integer
+      // sums / count in both engines; distinct tuple count via a
+      // subquery; RI via the same left join on distinct orderkeys
+      "prof_checks" ->
+        """WITH s AS (SELECT
+          |    avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m1,
+          |    avg(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1.0 ELSE 0.0 END) AS m2,
+          |    avg(CASE WHEN l_quantity <= 40 THEN 1.0 ELSE 0.0 END) AS m3,
+          |    avg(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END) AS m4,
+          |    count(*) AS cnt
+          |  FROM lineitem),
+          |u AS (SELECT CAST((SELECT count(*) FROM
+          |        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+          |        AS DOUBLE) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+          |        AS m),
+          |r AS (SELECT avg(CASE WHEN o.o_orderkey IS NOT NULL
+          |                 THEN 1.0 ELSE 0.0 END) AS m
+          |      FROM lineitem l LEFT JOIN
+          |        (SELECT DISTINCT o_orderkey FROM orders) o
+          |        ON l.l_orderkey = o.o_orderkey)
+          |SELECT "check", round(metric, 6) AS metric, passed FROM (
+          |  SELECT 'c1_shipdate_complete' AS "check", m1 AS metric,
+          |         m1 >= 1.0 - 1e-9 AS passed FROM s
+          |  UNION ALL SELECT 'c2_qty_bounds', m2, m2 >= 1.0 - 1e-9 FROM s
+          |  UNION ALL SELECT 'c3_qty_le_40', m3, m3 >= 1.0 - 1e-9 FROM s
+          |  UNION ALL SELECT 'c4_flag_domain', m4, m4 >= 1.0 - 1e-9 FROM s
+          |  UNION ALL SELECT 'c5_pk_unique', m, m >= 1.0 - 1e-9 FROM u
+          |  UNION ALL SELECT 'c6_orderkey_ri', m, m >= 1.0 - 1e-9 FROM r
+          |) ORDER BY "check"""".stripMargin,
       "cln_mad" ->
         """WITH src AS (SELECT l_returnflag,
           |        l_quantity * (1 + 99 * (CASE WHEN l_orderkey % 97 = 0
@@ -5632,6 +5696,33 @@ object SparkEntry {
            |${round(1)},
            |${round(2)}
            |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin
+      },
+      // k-core mirror: same kNN edges, peels unrolled as CTEs (the
+      // pageRank/LPA/kmeans fixed-iterate discipline) — degree against
+      // the previous survivor set, filter deg >= k
+      "gr_kcore" -> {
+        // every a_i is read TWICE by the next peel and d_i once by its
+        // own filter — without MATERIALIZED DuckDB inlines the chain and
+        // re-evaluates the knn prelude 2^rounds times
+        def peel(i: Int, k: Int): String =
+          s"""d$i AS MATERIALIZED (SELECT s.v, count(*) AS deg
+             |        FROM se s JOIN a${i - 1} a ON s.v = a.v
+             |                  JOIN a${i - 1} b ON s.nbr = b.v GROUP BY 1),
+             |a$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k)""".stripMargin
+        s"""WITH ${blockedCtes(0.25)},
+           |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+           |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+           |rk AS (SELECT id, nbr,
+           |         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+           |       FROM sym),
+           |knn AS (SELECT id AS src, nbr AS dst FROM rk WHERE rn <= 3),
+           |se AS MATERIALIZED (SELECT DISTINCT v, nbr FROM (
+           |         SELECT src AS v, dst AS nbr FROM knn
+           |         UNION ALL SELECT dst, src FROM knn) WHERE v <> nbr),
+           |a0 AS MATERIALIZED (SELECT DISTINCT v FROM se),
+           |${(1 to 10).map(i => peel(i, 2)).mkString(",\n")}
+           |SELECT v AS id, CAST(deg AS BIGINT) AS deg FROM d10
+           |WHERE deg >= 2 ORDER BY id""".stripMargin
       },
       // upsert mirror: latest row per key via window rank (the result —
       // not the plan — is what must match the struct-max aggregate)

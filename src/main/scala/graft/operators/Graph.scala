@@ -170,6 +170,48 @@ object Graph {
     lbl.select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core decomposition by synchronous peeling (r9 session 3): after
+    * `rounds` peels, the vertices still alive with their degree counted
+    * against the PREVIOUS round's survivor set — the textbook iterate
+    * (repeatedly drop vertices of degree < k) made deterministic for an
+    * oracle by pinning the round count, exactly the pageRank/LPA/kmeans
+    * discipline (a fixed iterate is portable to any engine; DuckDB
+    * unrolls the same rounds as CTEs, `kcoreCtesFor`). Convergence is
+    * OBSERVABLE in the result: a converged peel has every output degree
+    * ≥ k (the spec and the catalog row both run to convergence).
+    *
+    * Scale shape per round: the symmetric edge list (read-once
+    * localCheckpoint) is filtered by TWO semi-joins against the shrinking
+    * survivor set (keyed shuffles, no broadcast assumption — the survivor
+    * table is data-scaled on adversarial graphs) and one map-side-
+    * combined degree aggregate; survivor tables pin per round (each read
+    * twice by the next round). Never an all-pairs anything; O(rounds)
+    * linear passes. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1,16]")
+    val sym = edges
+      .select(col("src").as("v"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("v"), col("src").as("nbr")))
+      .filter(col("v") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint()
+    var alive = sym.select(col("v")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = sym
+        .join(alive, "v")
+        .join(alive.withColumnRenamed("v", "nbr"), "nbr")
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select(col("v"))
+        .localCheckpoint()
+    }
+    // the final survivors with their last-round degree (counted against
+    // the previous survivor set — equal to the in-core degree once
+    // converged)
+    deg.filter(col("deg") >= k).select(col("v").as("id"), col("deg"))
+  }
+
   /** Connected components of an undirected edge list (`src`, `dst`).
     * Returns (id, group_id) for every vertex that appears as an endpoint,
     * where group_id is the component's MINIMUM vertex id — the same label

@@ -27,6 +27,79 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Profiling {
 
+  /** A data-quality constraint for [[constraintSuite]] (r9 session 3).
+    * The taxonomy follows the unit-tests-for-data shape of Amazon Deequ
+    * (Schelter et al., VLDB 2018): each constraint measures a METRIC in
+    * [0,1] and passes when the metric reaches its threshold. */
+  sealed trait Check { def name: String; def threshold: Double }
+  /** Fraction of rows whose `col` is non-null. */
+  final case class Complete(name: String, col: String,
+                            threshold: Double = 1.0) extends Check
+  /** Fraction of rows satisfying an arbitrary boolean predicate —
+    * bounds, set membership, regex shape, cross-column invariants. A
+    * NULL predicate counts as a violation (three-valued logic made
+    * strict, the conservative reading for data quality). */
+  final case class Satisfies(name: String, predicate: Column,
+                             threshold: Double = 1.0) extends Check
+  /** Distinct (cols)-tuples / rows — 1.0 iff the tuple is a key. */
+  final case class Unique(name: String, cols: Seq[String],
+                          threshold: Double = 1.0) extends Check
+  /** Fraction of rows whose `col` appears in `ref.refCol` — referential
+    * integrity measured, not assumed. */
+  final case class RefIn(name: String, col: String, ref: DataFrame,
+                         refCol: String, threshold: Double = 1.0)
+      extends Check
+
+  /** Deequ-style constraint verification: one output row per check —
+    * (check, metric, passed) ordered by check name, metric rounded to 6.
+    *
+    * Scale shape: ALL scalar checks (completeness + predicate fractions)
+    * fold into ONE aggregate pass over the frame (tree-reduced indicator
+    * means — adding a check adds a column to the projection, never a
+    * pass); each Unique adds one exact distinct aggregate (Expand +
+    * partial agg, the [[profile]] discipline); each RefIn one
+    * equi-join against the DISTINCT reference keys + an indicator mean
+    * (shuffle-keyed both sides, no driver collection). The per-check
+    * 1-row frames union into a ≤ |checks|-row result — driver-size by
+    * construction. */
+  def constraintSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "constraintSuite needs at least one check")
+    val scalars = checks.collect {
+      case c: Complete => (c.name, col(c.col).isNotNull, c.threshold)
+      case s: Satisfies => (s.name, s.predicate, s.threshold)
+    }
+    val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    if (scalars.nonEmpty) {
+      val aggs = scalars.map { case (n, pred, _) =>
+        avg(when(pred, 1.0).otherwise(0.0)).as(s"__m_$n")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      frames += one.select(explode(array(scalars.map { case (n, _, th) =>
+        struct(lit(n).as("check"),
+          round(col(s"__m_$n"), 6).as("metric"),
+          (col(s"__m_$n") >= th - 1e-9).as("passed"))
+      }: _*)).as("r")).select(col("r.*"))
+    }
+    checks.foreach {
+      case u: Unique =>
+        frames += df.agg(
+          (count_distinct(struct(u.cols.map(col): _*)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("m"))
+          .select(lit(u.name).as("check"), round(col("m"), 6).as("metric"),
+            (col("m") >= u.threshold - 1e-9).as("passed"))
+      case r: RefIn =>
+        val refKeys = r.ref.select(col(r.refCol).as("__ref_key")).distinct()
+        frames += df.select(col(r.col).as("__k"))
+          .join(refKeys, col("__k") === col("__ref_key"), "left")
+          .agg(avg(when(col("__ref_key").isNotNull, 1.0).otherwise(0.0))
+            .as("m"))
+          .select(lit(r.name).as("check"), round(col("m"), 6).as("metric"),
+            (col("m") >= r.threshold - 1e-9).as("passed"))
+      case _ => ()
+    }
+    frames.reduce(_ unionByName _).orderBy(col("check"))
+  }
+
   /** Profile `cols` (numeric) of `df`: one row per column with
     * (column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v).
     * Sums go through DECIMAL(18,2) so the mean is exact and

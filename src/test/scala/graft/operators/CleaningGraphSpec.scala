@@ -121,6 +121,21 @@ class CleaningGraphSpec extends SparkSpec {
       s"madOutliers must not plan the growing-buffer Percentile:\n$plan")
   }
 
+  test("kCore: peels the tail, keeps the cycle; converged output degrees " +
+      "all >= k") {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    // triangle {1,2,3} with a 2-hop tail 3-4-5: the 2-core is exactly
+    // the triangle (peel 5 with deg 1, then 4 with deg 1)
+    val edges = df(schema, Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 1L),
+      Row(3L, 4L), Row(4L, 5L)))
+    val core = graft.operators.Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // k above the max degree empties the graph
+    assert(graft.operators.Graph.kCore(edges, k = 4, rounds = 2).count() == 0)
+  }
+
   test("entity resolution: distance-1 variants match their master, the 4-edit class is rejected") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val dirty = EntityResolution.dirtyCustomers(cust)

@@ -820,6 +820,37 @@ class OperatorsSpec extends SparkSpec {
       s"independent columns must have MI ~0, got $r")
   }
 
+  test("constraintSuite: metrics, thresholds and the fail surface " +
+      "(Deequ-style checks in one scalar pass)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(
+          Row(1L, "A", 10.0), Row(2L, "B", 20.0), Row(3L, "A", null),
+          Row(3L, "C", 30.0))).asJava),
+      StructType(Seq(StructField("id", LongType),
+        StructField("flag", StringType), StructField("v", DoubleType))))
+    val ref = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(Row(1L), Row(2L))).asJava),
+      StructType(Seq(StructField("k", LongType))))
+    val out = Profiling.constraintSuite(df, Seq(
+      Profiling.Complete("complete_v", "v"),            // 3/4 -> fail
+      Profiling.Satisfies("v_bounds", col("v") >= 10 && col("v") <= 30,
+        threshold = 0.75),                              // NULL counts out
+      Profiling.Satisfies("flag_set", col("flag").isin("A", "B")),
+      Profiling.Unique("id_unique", Seq("id")),         // 3 distinct / 4
+      Profiling.RefIn("id_in_ref", "id", ref, "k")      // ids 3,3 miss
+    )).collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out("complete_v") == ((0.75, false)))
+    assert(out("v_bounds") == ((0.75, true))) // threshold met exactly
+    assert(out("flag_set") == ((0.75, false)))
+    assert(out("id_unique") == ((0.75, false)))
+    assert(out("id_in_ref") == ((0.5, false)))
+  }
+
   test("psiDrift: identical samples score ~0, disjoint samples score high") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
