@@ -79,6 +79,23 @@ object ProbeR9 {
       out += "rollfam" -> r
     }
 
+    if (want("r9s3ops")) {
+      // session-3 additions at 10×: the constraint suite (one scalar
+      // scan + distinct agg + RI join over 6M lineitem) and k-core
+      // (10 peel rounds over the kNN graph)
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf10).count()
+      val names = Seq("prof_checks", "gr_kcore")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf10)
+        System.err.println(f"[probe] r9s3ops $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_10x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "r9s3ops" -> r
+    }
+
     if (want("diffdecomp")) {
       def decomp(dir: String): Map[String, Any] = {
         QueryCatalog.wide(spark, dir).count()
