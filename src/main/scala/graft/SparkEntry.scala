@@ -219,6 +219,9 @@ object SparkEntry {
     "e11_estd" -> ((s, d) =>
       formulaQuery("qty.expanding().std()", roundTo = Some(6))(s, d)),
     "e11_emax" -> ((s, d) => formulaQuery("qty.expanding().max()")(s, d)),
+    // rolling median: the sorted-ring order statistic (odd window over
+    // integer-valued cells -> exact, no rounding needed)
+    "e11_rmed" -> ((s, d) => formulaQuery("qty.rolling(3).median()")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4279,6 +4282,12 @@ object SparkEntry {
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
           "PRECEDING AND CURRENT ROW)"
         F(s"CASE WHEN count(q$j) $w >= 1 THEN max(q$j) $w END")
+      },
+      "e11_rmed" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w = 3 " +
+          s"THEN CAST(median(q$j) $w AS DOUBLE) END")
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

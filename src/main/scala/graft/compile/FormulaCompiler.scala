@@ -1508,8 +1508,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpand(cols)
       case ("expanding", CVecD(vs, ls), Nil) => CExpandD(vs, ls)
 
-      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
-            CRoll(cols, n), Nil) =>
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
+            "median"), CRoll(cols, n), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
@@ -1577,10 +1577,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }: _*)
           val inNames = if (needsSq) valIn ++ sqIn else valIn
           val fuseMode = m match {
-            case "min"   => "winmin"
-            case "max"   => "winmax"
-            case "count" => "wincount"
-            case _       => "winsum"
+            case "min"    => "winmin"
+            case "max"    => "winmax"
+            case "count"  => "wincount"
+            case "median" => "winmed"
+            case _        => "winsum"
           }
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
             ctx.rowIdOut, rid, inNames, n - 1,
@@ -1588,7 +1589,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
-              case "sum" | "min" | "max" | "count" => s
+              case "sum" | "min" | "max" | "count" | "median" => s
               case "mean" => s / n
               case _ =>
                 // poisoned windows carry NaN through greatest/sqrt
@@ -1604,9 +1605,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // of (value, value², hole flag, position) + ONE positional lag
           // by n, window aggregate = prefix difference. Window extremes
           // are not prefix-invertible, so min/max stay on the fused path.
-          if (m == "min" || m == "max") throw new FormulaTypeException(
-            s"'.rolling(n).$m()' supports window sizes up to $fuseMax " +
-              s"(window extremes are not prefix-invertible), got $n")
+          if (m == "min" || m == "max" || m == "median")
+            throw new FormulaTypeException(
+              s"'.rolling(n).$m()' supports window sizes up to $fuseMax " +
+                "(window order statistics are not prefix-invertible), " +
+                s"got $n")
           val valIn = cols.indices.map(i => s"__rl${tag}_v_$i")
           val invIn = cols.indices.map(i => s"__rl${tag}_b_$i")
           val sqIn = cols.indices.map(i => s"__rl${tag}_q_$i")
@@ -1714,8 +1717,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
-      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
-            CRollD(vs, ls, n), Nil) =>
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
+            "median"), CRollD(vs, ls, n), Nil) =>
         CVecD(vs.indices.map { i =>
           if (i < n - 1) Double.NaN
           else {
@@ -1727,6 +1730,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               case "mean" => w.sum / n
               case "min"  => w.min
               case "max"  => w.max
+              case "median" =>
+                val sw = w.sorted
+                if (n % 2 == 1) sw(n / 2)
+                else (sw(n / 2 - 1) + sw(n / 2)) / 2.0
               case _ =>
                 if (n < 2) Double.NaN
                 else {
@@ -1766,7 +1773,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
           "'.rolling()/.expanding()' windows support " +
-            "'.sum/.mean/.count/.min/.max/.std/.var' — got " +
+            "'.sum/.mean/.count/.min/.max/.std/.var' " +
+            "(plus '.median()' on rolling) — got " +
             s"'.$other'")
 
       // pandas method-form comparisons (r9): df.le(other) ≡ df <= other
@@ -1790,7 +1798,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "mode, head, tail, isna, isnull, notna, notnull, " +
             "where, mask, replace, duplicated, " +
             "ffill, bfill, pct_change, " +
-            "rolling(n).sum/mean/count/min/max/std/var, " +
+            "rolling(n).sum/mean/count/min/max/std/var/median, " +
             "expanding().sum/mean/count/min/max/std/var, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +

@@ -361,7 +361,7 @@ object Prefix {
     * — the donor values are already in hand in the ring buffer.
     *
     * Window-aggregate fuses (r9 session 3): `"winsum" | "winmin" |
-    * "winmax" | "wincount"` emit the aggregate of the (n+1)-position
+    * "winmax" | "wincount" | "winmed"` emit the aggregate of the (n+1)-position
     * window ending at the current row — the ring already buffers exactly
     * the n predecessors, so a pandas `.rolling(n+1)` aggregate is ONE
     * slice pass instead of running-prefix + lag + projection. Unformed
@@ -377,7 +377,7 @@ object Prefix {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("none", "diff", "pct",
-      "winsum", "winmin", "winmax", "wincount")(fuse),
+      "winsum", "winmin", "winmax", "wincount", "winmed")(fuse),
       s"unknown fuse mode '$fuse'")
     if (fuse != "none") {
       val sch = df.schema
@@ -422,6 +422,9 @@ object Prefix {
     if (buf.length < k) return java.lang.Double.valueOf(Double.NaN)
     var cnt = 0; var acc = 0.0; var poisoned = false
     val m = buf.length
+    // the median needs the whole window at once (an order statistic, not
+    // a fold): O((k+1) log(k+1)) per row, bounded by the ring gate
+    val med = if (fuse == "winmed") new Array[Double](m + 1) else null
     var b = 0
     while (b <= m) {
       val v = if (b < m) buf(b)(j) else cur(j)
@@ -434,6 +437,7 @@ object Prefix {
           if (fuse == "winsum") acc += dv
           else if (fuse == "winmin") acc = if (cnt == 1) dv else math.min(acc, dv)
           else if (fuse == "winmax") acc = if (cnt == 1) dv else math.max(acc, dv)
+          else if (fuse == "winmed") med(b) = dv
         }
       }
       b += 1
@@ -441,7 +445,11 @@ object Prefix {
     java.lang.Double.valueOf(
       if (fuse == "wincount") cnt.toDouble
       else if (poisoned || cnt == 0) Double.NaN
-      else acc)
+      else if (fuse == "winmed") {
+        java.util.Arrays.sort(med)
+        val n = med.length
+        if (n % 2 == 1) med(n / 2) else (med(n / 2 - 1) + med(n / 2)) / 2.0
+      } else acc)
   }
 
   private def positionalLagStream(df: DataFrame, keyCol: String,

@@ -233,10 +233,11 @@ class E11TailSpec extends SparkSpec {
     // unaggregated window marker escaping to the top level
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula("a.rolling(2)"))
     assert(e1.getMessage.contains("must be aggregated"))
-    // unsupported window aggregation (std/var/count/min/max joined the
-    // family in r9 session 3 — median stays out)
+    // unsupported window aggregation (std/var/count/min/max + rolling
+    // median joined the family in r9 session 3 — the EXPANDING median, a
+    // running order statistic with no prefix shape, stays out)
     val e2 = intercept[FormulaTypeException](
-      ev.evaluateFormula("a.rolling(2).median()"))
+      ev.evaluateFormula("a.expanding().median()"))
     assert(e2.getMessage.contains("mean"))
     assertThrows[FormulaTypeException](ev.evaluateFormula("a.rolling(0).mean()"))
     val adp = new FormulaEvaluator(reg("a" -> fixA), adpEnabled = true)

@@ -64,6 +64,28 @@ class RollingFamilySpec extends SparkSpec {
         Double.NaN))
   }
 
+  test("rolling median: sorted-window order statistic, even windows " +
+      "interpolate, hole-poisoned") {
+    // pandas: [nan, nan, nan, nan, nan, 5.0]
+    assertSeq(colOf("s.rolling(3).median()", s6),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 5.0))
+    // pandas Series([3, 1, 4, 1.5]): r2 = [nan, 2.0, 2.5, 2.75],
+    // r4 = [nan, nan, nan, 2.25]
+    val s4 = series(3.0, 1.0, 4.0, 1.5)
+    assertSeq(colOf("s.rolling(2).median()", s4),
+      Seq(Double.NaN, 2.0, 2.5, 2.75))
+    assertSeq(colOf("s.rolling(4).median()", s4),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 2.25))
+    // big windows reject (order statistics are not prefix-invertible)
+    spark.conf.set("graft.rolling.fuseMaxWindow", "2")
+    try {
+      val ev = new FormulaEvaluator(reg("s" -> s4))
+      val e = intercept[FormulaTypeException](
+        ev.evaluateFormula("s.rolling(3).median()"))
+      assert(e.getMessage.contains("window sizes up to"))
+    } finally spark.conf.unset("graft.rolling.fuseMaxWindow")
+  }
+
   test("rolling(3).var/.std: ddof=1, hole-poisoned, full-window only") {
     // pandas: var = [nan, nan, nan, nan, nan, 1.0]
     assertSeq(colOf("s.rolling(3).var()", s6),
