@@ -96,6 +96,50 @@ object ProbeR9 {
       out += "r9s3ops" -> r
     }
 
+    if (want("s3scale30")) {
+      // session-3 families at 30× (/tmp/graft_sf3): the fused rolling
+      // window, the constraint suite, k-core
+      val sf30 = "/tmp/graft_sf3"
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf30).count()
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf30).count()
+      val names = Seq("e11_rmean", "e11_rvar", "e11_rmed", "prof_checks",
+        "gr_kcore")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf30)
+        System.err.println(f"[probe] s3scale30 $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_30x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "s3scale30" -> r
+    }
+
+    if (want("rollab")) {
+      // A/B: the fused single-pass window vs the centered prefix-sum
+      // fallback (forced via graft.rolling.fuseMaxWindow) on the same
+      // rolling(3).mean — the measured justification for the fuse
+      def run(dir: String): (Double, Double) = {
+        QueryCatalog.wide(spark, dir).count()
+        val fused = best {
+          SparkEntry.queries("e11_rmean")(spark, dir).count() }
+        spark.conf.set("graft.rolling.fuseMaxWindow", "2")
+        val fallback =
+          try best { SparkEntry.queries("e11_rmean")(spark, dir).count() }
+          finally spark.conf.unset("graft.rolling.fuseMaxWindow")
+        (fused, fallback)
+      }
+      val (f1, p1) = run(sf1x)
+      val (f10, p10) = run(sf10)
+      System.err.println(f"[probe] rollab 1x fused=$f1%.3f prefix=$p1%.3f; " +
+        f"10x fused=$f10%.3f prefix=$p10%.3f")
+      out += "rollab_fused_vs_prefix" -> Map(
+        "fused_1x_s" -> f1, "prefix_1x_s" -> p1,
+        "fused_10x_s" -> f10, "prefix_10x_s" -> p10,
+        "speedup_1x" -> p1 / f1, "speedup_10x" -> p10 / f10)
+    }
+
     if (want("diffdecomp")) {
       def decomp(dir: String): Map[String, Any] = {
         QueryCatalog.wide(spark, dir).count()
