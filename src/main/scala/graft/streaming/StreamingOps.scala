@@ -371,6 +371,32 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming data-quality metrics — the
+    * [[graft.operators.Profiling.constraintSuite]] twin (r9 session 3):
+    * the CUMULATIVE metric per scalar constraint over everything ingested
+    * so far, as one running (check, metric, passed) row each in update
+    * mode. State is one (satisfied, total) counter pair per constraint —
+    * fixed-size regardless of volume — via an ordinary streaming global
+    * aggregate (indicator sums are the same tree-reduced shape as batch;
+    * Complete/Satisfies only: Unique and RefIn need distinct/join state
+    * the streaming planner correctly refuses unbounded, so they stay
+    * batch or windowed). The monitoring face of the ingest gate:
+    * completeness/validity dashboards over a live feed. */
+  def constraintStream(rows: DataFrame,
+                       checks: Seq[(String, Column, Double)]): DataFrame = {
+    require(checks.nonEmpty, "constraintStream needs at least one check")
+    val aggs = checks.flatMap { case (n, pred, _) =>
+      Seq(sum(when(pred, 1L).otherwise(0L)).as(s"__s_$n"),
+        count(lit(1)).as(s"__n_$n"))
+    }
+    rows.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map { case (n, _, th) =>
+        val m = col(s"__s_$n").cast("double") / col(s"__n_$n").cast("double")
+        struct(lit(n).as("check"), round(m, 6).as("metric"),
+          (m >= th - 1e-9).as("passed"))
+      }: _*)).as("r")).select(col("r.*"))
+  }
+
   case class RwRow(key: Long, id: Long, value: Double)
   case class RwState(ring: Seq[Double])
   case class RwOut(key: Long, id: Long, sum: Option[Double],

@@ -267,6 +267,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming constraint metrics accumulate across micro-batches " +
+      "(cumulative completeness/validity in update mode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Option[Double], String)]
+    val q = StreamingOps.constraintStream(
+      in.toDS().toDF("v", "flag"),
+      Seq(("complete_v", col("v").isNotNull, 1.0),
+        ("flag_ok", col("flag").isin("A", "B"), 0.75)))
+      .writeStream.format("memory").queryName("cs_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((Some(1.0), "A"), (Some(2.0), "B"))
+      q.processAllAvailable()
+      def snap(): Map[String, (Double, Boolean)] =
+        spark.table("cs_out").collect()
+          .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+          .toMap
+      assert(snap() == Map("complete_v" -> ((1.0, true)),
+        "flag_ok" -> ((1.0, true))))
+      // batch 2 degrades both metrics; the counters must be CUMULATIVE
+      in.addData((None, "A"), (Some(3.0), "C"))
+      q.processAllAvailable()
+      assert(snap() == Map("complete_v" -> ((0.75, false)),
+        "flag_ok" -> ((0.75, true)))) // exactly at its 0.75 threshold
+    } finally q.stop()
+  }
+
   test("streaming rolling window aggregates match the batch pandas gates " +
       "across micro-batches") {
     val spark2 = spark
