@@ -1541,7 +1541,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val lagParts = conf.get("spark.sql.shuffle.partitions").toInt
         val maxCells = conf.getOption("graft.lag.maxEdgeCells")
           .map(_.toLong).getOrElse(4000000L)
-        val lagWidth = cols.size * (if (needsSq) 2 else 1)
+        val lagWidth = cols.size
         val fusedOk = n <= math.min(fuseMax, 257) &&
           lagParts.toLong * (n - 1) * lagWidth <= maxCells
         if (n == 1) {
@@ -1563,39 +1563,34 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // running-prefix stage, no post-lag projection. NaN poisoning
           // (min_periods = n) and the unformed-window gate live in the
           // emit itself.
+          // std/var: the emit two-passes the ring window on ITS OWN mean
+          // (winvar) — exact under any trend or global offset, no
+          // centering stage, no broadcast job (the global-mean centering
+          // below survives only in the prefix-sum fallback, whose sums
+          // cannot see individual windows)
           val valIn = cols.indices.map(i => s"__rw${tag}_v_$i")
-          val sqIn = cols.indices.map(i => s"__rw${tag}_q_$i")
-          val marked = centered(ctx.base.get).select(col("*") +:
-            cols.zipWithIndex.flatMap { case ((_, c), i) =>
-              val cc = ccOf(c, i)
-              val v = when(invalidOf(c), litOf(Double.NaN)).otherwise(cc)
-                .as(valIn(i))
-              if (needsSq)
-                Seq(v, when(invalidOf(c), litOf(Double.NaN))
-                  .otherwise(cc * cc).as(sqIn(i)))
-              else Seq(v)
+          val marked = ctx.base.get.select(col("*") +:
+            cols.zipWithIndex.map { case ((_, c), i) =>
+              when(invalidOf(c), litOf(Double.NaN))
+                .otherwise(c.cast("double")).as(valIn(i))
             }: _*)
-          val inNames = if (needsSq) valIn ++ sqIn else valIn
           val fuseMode = m match {
-            case "min"    => "winmin"
-            case "max"    => "winmax"
-            case "count"  => "wincount"
-            case "median" => "winmed"
-            case _        => "winsum"
+            case "min"          => "winmin"
+            case "max"          => "winmax"
+            case "count"        => "wincount"
+            case "median"       => "winmed"
+            case "std" | "var"  => "winvar"
+            case _              => "winsum"
           }
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
-            ctx.rowIdOut, rid, inNames, n - 1,
-            inNames.map(_ + "_w"), fuse = fuseMode))
+            ctx.rowIdOut, rid, valIn, n - 1,
+            valIn.map(_ + "_w"), fuse = fuseMode))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
-              case "sum" | "min" | "max" | "count" | "median" => s
               case "mean" => s / n
-              case _ =>
-                // poisoned windows carry NaN through greatest/sqrt
-                val q = col(sqIn(i) + "_w")
-                val v = greatest((q - s * s / n) / (n - 1), lit(0.0))
-                if (m == "var") v else sqrt(v)
+              case "std"  => sqrt(s)
+              case _      => s
             }
             (lbl, cell)
           }

@@ -377,7 +377,7 @@ object Prefix {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("none", "diff", "pct",
-      "winsum", "winmin", "winmax", "wincount", "winmed")(fuse),
+      "winsum", "winmin", "winmax", "wincount", "winmed", "winvar")(fuse),
       s"unknown fuse mode '$fuse'")
     if (fuse != "none") {
       val sch = df.schema
@@ -422,9 +422,14 @@ object Prefix {
     if (buf.length < k) return java.lang.Double.valueOf(Double.NaN)
     var cnt = 0; var acc = 0.0; var poisoned = false
     val m = buf.length
-    // the median needs the whole window at once (an order statistic, not
-    // a fold): O((k+1) log(k+1)) per row, bounded by the ring gate
-    val med = if (fuse == "winmed") new Array[Double](m + 1) else null
+    // median and variance need the whole window at once (an order
+    // statistic / an exact two-pass): O(k+1) to O((k+1) log(k+1)) per
+    // row, bounded by the ring gate. The two-pass variance centers on
+    // the WINDOW's own mean — exact under any trend or offset, where
+    // both raw power sums and global-mean centering cancel (pandas is
+    // windowed-online and matches).
+    val med = if (fuse == "winmed" || fuse == "winvar")
+      new Array[Double](m + 1) else null
     var b = 0
     while (b <= m) {
       val v = if (b < m) buf(b)(j) else cur(j)
@@ -437,7 +442,7 @@ object Prefix {
           if (fuse == "winsum") acc += dv
           else if (fuse == "winmin") acc = if (cnt == 1) dv else math.min(acc, dv)
           else if (fuse == "winmax") acc = if (cnt == 1) dv else math.max(acc, dv)
-          else if (fuse == "winmed") med(b) = dv
+          else if (med != null) med(b) = dv
         }
       }
       b += 1
@@ -449,6 +454,14 @@ object Prefix {
         java.util.Arrays.sort(med)
         val n = med.length
         if (n % 2 == 1) med(n / 2) else (med(n / 2 - 1) + med(n / 2)) / 2.0
+      } else if (fuse == "winvar") {
+        val n = med.length
+        var s = 0.0; var i = 0
+        while (i < n) { s += med(i); i += 1 }
+        val mu = s / n
+        var q = 0.0; i = 0
+        while (i < n) { val d = med(i) - mu; q += d * d; i += 1 }
+        q / (n - 1)
       } else acc)
   }
 

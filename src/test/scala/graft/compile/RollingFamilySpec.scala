@@ -105,6 +105,16 @@ class RollingFamilySpec extends SparkSpec {
       Seq(Double.NaN, Double.NaN, 1.0, 1.0), tol = 1e-6)
     assertSeq(colOf("s.expanding().var()", big),
       Seq(Double.NaN, 0.5, 1.0, 5.0 / 3.0), tol = 1e-6)
+    // the TREND case that also defeats global-mean centering: the last
+    // window sits 1e12 away from the frame mean with unit local spread —
+    // (1e12)² swamps double precision unless the window centers on its
+    // OWN mean (the winvar two-pass; pandas reads exactly 1.0)
+    val trend = series(0.0, 0.0, 0.0, 1e12, 1e12, 1e12,
+      2e12 + 1, 2e12 + 2, 2e12 + 3)
+    val tv = colOf("s.rolling(3).var()", trend)
+    assertCell(tv(2), 0.0, 1e-6)
+    assertCell(tv(5), 0.0, 1e-6)
+    assertCell(tv(8), 1.0, 1e-6)
   }
 
   test("rolling(1): the cell itself for sum/mean/min/max, valid-indicator " +
