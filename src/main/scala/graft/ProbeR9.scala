@@ -96,6 +96,27 @@ object ProbeR9 {
       out += "r9s3ops" -> r
     }
 
+    if (want("s3scale100")) {
+      // session-3 families at 100× (/tmp/graft_sf10, 60M lineitem): the
+      // fused rolling window, the constraint suite, k-core
+      val sf100 = "/tmp/graft_sf10"
+      def q(name: String, dir: String): Double =
+        best { SparkEntry.queries(name)(spark, dir).count() }
+      QueryCatalog.wide(spark, sf1x).count()
+      QueryCatalog.wide(spark, sf100).count()
+      QueryCatalog.embs(spark, sf1x).count()
+      QueryCatalog.embs(spark, sf100).count()
+      val names = Seq("e11_rmean", "e11_rvar", "e11_rmed", "prof_checks",
+        "gr_kcore")
+      val r = scala.collection.immutable.ListMap(names.flatMap { n =>
+        val a = q(n, sf1x); val b = q(n, sf100)
+        System.err.println(
+          f"[probe] s3scale100 $n $a%.3f -> $b%.3f (${b / a}%.2f)")
+        Seq(s"${n}_1x" -> a, s"${n}_100x" -> b, s"${n}_ratio" -> b / a)
+      }: _*)
+      out += "s3scale100" -> r
+    }
+
     if (want("s3scale30")) {
       // session-3 families at 30× (/tmp/graft_sf3): the fused rolling
       // window, the constraint suite, k-core
