@@ -96,6 +96,21 @@ object ProbeR9 {
       out += "r9s3ops" -> r
     }
 
+    if (want("rollreps")) {
+      // rep-by-rep decomposition of the rolling 10× wall: the canonical
+      // bench is single-shot (rep 1), the probes report best-of-3 —
+      // this section prints all three so the cold-vs-warm split is
+      // explicit
+      QueryCatalog.wide(spark, sf10).count()
+      for (n <- Seq("e11_rmean", "e11_shift")) {
+        val reps = (1 to 3).map(_ =>
+          time { SparkEntry.queries(n)(spark, sf10).count() })
+        System.err.println(f"[probe] rollreps $n " +
+          reps.map(r => f"$r%.2f").mkString(" "))
+        out += s"rollreps_$n" -> reps.toList
+      }
+    }
+
     if (want("s3scale100")) {
       // session-3 families at 100× (/tmp/graft_sf10, 60M lineitem): the
       // fused rolling window, the constraint suite, k-core
