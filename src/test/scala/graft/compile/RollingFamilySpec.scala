@@ -164,6 +164,84 @@ class RollingFamilySpec extends SparkSpec {
     assertCell(st(6), 1.2909944487358056, 1e-9)
   }
 
+  test("fuzz: distributed rolling/expanding equals the sequential " +
+      "reference across random series, windows and aggregates") {
+    val rnd = new scala.util.Random(20260815L)
+    def seqRoll(vs: IndexedSeq[Double], n: Int, m: String): Seq[Double] =
+      vs.indices.map { i =>
+        if (i < n - 1) Double.NaN
+        else {
+          val w = vs.slice(i - n + 1, i + 1)
+          m match {
+            case "count" => w.count(v => !v.isNaN).toDouble
+            case _ if w.exists(_.isNaN) => Double.NaN
+            case "sum"    => w.sum
+            case "mean"   => w.sum / n
+            case "min"    => w.min
+            case "max"    => w.max
+            case "median" =>
+              val sw = w.sorted
+              if (n % 2 == 1) sw(n / 2) else (sw(n / 2 - 1) + sw(n / 2)) / 2
+            case _ =>
+              if (n < 2) Double.NaN
+              else {
+                val mu = w.sum / n
+                val v2 = w.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+                if (m == "var") v2 else math.sqrt(v2)
+              }
+          }
+        }
+      }
+    def seqExpand(vs: IndexedSeq[Double], m: String): Seq[Double] = {
+      var c = 0; var s = 0.0; var q = 0.0
+      var mn = Double.NaN; var mx = Double.NaN
+      vs.map { v =>
+        if (!v.isNaN) {
+          c += 1; s += v; q += v * v
+          mn = if (c == 1) v else math.min(mn, v)
+          mx = if (c == 1) v else math.max(mx, v)
+        }
+        m match {
+          case "count"    => c.toDouble
+          case _ if c < 1 => Double.NaN
+          case "sum"      => s
+          case "mean"     => s / c
+          case "min"      => mn
+          case "max"      => mx
+          case _ =>
+            if (c < 2) Double.NaN
+            else {
+              val v2 = math.max(0.0, (q - s * s / c) / (c - 1))
+              if (m == "var") v2 else math.sqrt(v2)
+            }
+        }
+      }
+    }
+    val rollAggs = Seq("sum", "mean", "count", "min", "max", "std", "var",
+      "median")
+    val expAggs = Seq("sum", "mean", "count", "min", "max", "std", "var")
+    for (caseNo <- 1 to 18) {
+      val len = 5 + rnd.nextInt(25)
+      val vs = IndexedSeq.fill(len)(
+        if (rnd.nextDouble() < 0.25) Double.NaN
+        else (rnd.nextInt(19) - 9).toDouble)
+      val mtx = series(vs: _*)
+      val n = 1 + rnd.nextInt(6)
+      val rm = rollAggs(rnd.nextInt(rollAggs.length))
+      val em = expAggs(rnd.nextInt(expAggs.length))
+      // all-NaN outputs legitimately trip V5 validation — only compare
+      // when the reference has at least one finite cell
+      val rollRef = seqRoll(vs, n, rm)
+      if (rollRef.exists(v => !v.isNaN)) {
+        assertSeq(colOf(s"s.rolling($n).$rm()", mtx), rollRef, tol = 1e-8)
+      }
+      val expRef = seqExpand(vs, em)
+      if (expRef.exists(v => !v.isNaN)) {
+        assertSeq(colOf(s"s.expanding().$em()", mtx), expRef, tol = 1e-8)
+      }
+    }
+  }
+
   test("vector paths: the same semantics sequentially") {
     val v = Vec(IndexedSeq(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0),
       IndexedSeq("a", "b", "c", "d", "e", "f"))
