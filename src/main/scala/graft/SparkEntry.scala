@@ -222,6 +222,11 @@ object SparkEntry {
     // rolling median: the sorted-ring order statistic (odd window over
     // integer-valued cells -> exact, no rounding needed)
     "e11_rmed" -> ((s, d) => formulaQuery("qty.rolling(3).median()")(s, d)),
+    // exponentially weighted mean (pandas adjust=True / ignore_na=False;
+    // positional arg = com, pandas' first keyword) — the third member of
+    // the pandas window trio, finite-horizon at the 1e-12 weight tail
+    "e11_ewm" -> ((s, d) =>
+      formulaQuery("qty.ewm(0.3).mean()", roundTo = Some(6))(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4288,6 +4293,25 @@ object SparkEntry {
           "AND CURRENT ROW)"
         F(s"CASE WHEN count(q$j) $w = 3 " +
           s"THEN CAST(median(q$j) $w AS DOUBLE) END")
+      },
+      // ewm mirror: the same finite-horizon weighted sums as a bounded
+      // self-join on row_number distance (hk = 19 positions for
+      // com = 0.3 — the exact horizon the compiler derives from the
+      // 1e-12 tail bound); both engines build the weight base from the
+      // identical shortest-roundtrip double literal
+      "e11_ewm" -> {
+        val oneMinusA = (1.0 - 1.0 / 1.3).toString
+        val hk = 19
+        def cell(j: Int) = F("round(CASE WHEN count(b.q" + j +
+          s") >= 1 THEN sum(CASE WHEN b.q$j IS NOT NULL THEN " +
+          s"pow($oneMinusA, a.rn - b.rn) * b.q$j END) / " +
+          s"sum(CASE WHEN b.q$j IS NOT NULL THEN " +
+          s"pow($oneMinusA, a.rn - b.rn) END) END, 6)") + s" AS c$j"
+        s"""$W, p AS (SELECT *,
+           |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w)
+           |SELECT a.__row_id__, ${J.map(cell).mkString(", ")}
+           |FROM p a JOIN p b ON b.rn BETWEEN a.rn - ${hk - 1} AND a.rn
+           |GROUP BY a.__row_id__ ORDER BY a.__row_id__""".stripMargin
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

@@ -91,6 +91,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                             n: Int) extends CValue
   private case class CExpandD(vs: IndexedSeq[Double],
                               ls: IndexedSeq[String]) extends CValue
+  /** `.ewm(com)` marker (r9 session 3): pandas' ExponentialMovingWindow
+    * intermediate, waiting for `.mean()`. */
+  private case class CEwm(cols: Seq[(String, Column)],
+                          com: Double) extends CValue
+  private case class CEwmD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
+                           com: Double) extends CValue
 
   // ---- compile context ----------------------------------------------------
 
@@ -145,10 +151,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         // operand and consumed inside the same method() dispatch
         throw new FormulaTypeException(
           "internal: collected matmul operand escaped to the top level")
-      case _: CRoll | _: CExpand | _: CRollD | _: CExpandD =>
+      case _: CRoll | _: CExpand | _: CRollD | _: CExpandD | _: CEwm |
+           _: CEwmD =>
         throw new FormulaTypeException(
-          "'.rolling(n)'/'.expanding()' must be aggregated — append " +
-            "'.mean()' or '.sum()'")
+          "'.rolling(n)'/'.expanding()'/'.ewm(com)' must be aggregated — " +
+            "append '.mean()' or '.sum()'")
     }
   }
 
@@ -1502,6 +1509,28 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
         CRollD(vs, ls, n)
+      // `.ewm(com).mean()` (r9 session 3): pandas' exponentially weighted
+      // mean, adjust=True / ignore_na=False / min_periods=0 — weights
+      // (1−α)^d by POSITION distance (α = 1/(1+com)), invalid cells decay
+      // the weights but feed neither sum, output NaN only before the
+      // first valid cell. Distributed as a winewm fused window over the
+      // positional-lag ring at the finite horizon where the dropped
+      // weight mass is < 1e-12 of the kept (invisible at the 6-dp oracle
+      // discipline) — the w_ewma truncation convention. com = 0 (α = 1)
+      // degenerates to carry-last-valid, which IS `.ffill()`.
+      case ("ewm", CMatrix(cols, false), List(a)) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.ewm()' is not supported in ADP mode")
+        val com = asScalar(a, "ewm")
+        if (com < 0 || com.isNaN) throw new FormulaTypeException(
+          s"'.ewm(com)' needs com >= 0, got $com")
+        CEwm(cols, com)
+      case ("ewm", CVecD(vs, ls), List(a)) =>
+        val com = asScalar(a, "ewm")
+        if (com < 0 || com.isNaN) throw new FormulaTypeException(
+          s"'.ewm(com)' needs com >= 0, got $com")
+        CEwmD(vs, ls, com)
+
       case ("expanding", CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
           "'.expanding()' is not supported in ADP mode")
@@ -1765,6 +1794,53 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
       }
+      case ("mean", CEwm(cols, com), Nil) =>
+        if (com == 0.0) {
+          // α = 1: every weight but the current cell's is zero and pandas
+          // carries the last valid value across holes — exactly `.ffill()`
+          method(CMatrix(cols, isBool = false), "ffill", Nil, ctx)
+        } else {
+          val alpha = 1.0 / (1.0 + com)
+          // smallest horizon whose dropped weight tail is < 1e-12 of the
+          // kept mass — invisible at the 6-dp rounding discipline
+          val hk = math.ceil(math.log(1e-12) / math.log1p(-alpha)).toInt
+          if (hk - 1 > 256) throw new FormulaTypeException(
+            s"'.ewm(com)' supports com <= ~8.8 (the 1e-12 weight horizon " +
+              s"must fit the 257-position streaming window; com=$com " +
+              s"needs $hk)")
+          ctx.seqCounter += 1
+          val tag = ctx.seqCounter
+          val rid = col(ctx.rowIdOut)
+          val valIn = cols.indices.map(i => s"__ew${tag}_v_$i")
+          val marked = ctx.base.get.select(col("*") +:
+            cols.zipWithIndex.map { case ((_, c), i) =>
+              when(c.isNull || isnan(c), litOf(Double.NaN))
+                .otherwise(c.cast("double")).as(valIn(i))
+            }: _*)
+          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
+            ctx.rowIdOut, rid, valIn, hk - 1, valIn.map(_ + "_w"),
+            fuse = "winewm", fuseArg = alpha))
+          CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
+            (lbl, col(valIn(i) + "_w"))
+          }, isBool = false)
+        }
+      case ("mean", CEwmD(vs, ls, com), Nil) => {
+        val alpha = if (com == 0.0) 1.0 else 1.0 / (1.0 + com)
+        var num = 0.0; var den = 0.0; var seen = false
+        var last = Double.NaN
+        CVecD(vs.map { v =>
+          num *= (1.0 - alpha); den *= (1.0 - alpha)
+          if (!v.isNaN) { num += v; den += 1.0; seen = true }
+          // α = 1 zeroes the history, and pandas then CARRIES the last
+          // output across holes (den = 0 only in that degenerate case)
+          if (seen && den > 0.0) last = num / den
+          if (!seen) Double.NaN else last
+        }, ls)
+      }
+      case (other, _: CEwm | _: CEwmD, _) =>
+        throw new FormulaTypeException(
+          s"'.ewm(com)' windows support '.mean()' — got '.$other'")
+
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
           "'.rolling()/.expanding()' windows support " +
@@ -1794,7 +1870,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "where, mask, replace, duplicated, " +
             "ffill, bfill, pct_change, " +
             "rolling(n).sum/mean/count/min/max/std/var/median, " +
-            "expanding().sum/mean/count/min/max/std/var, " +
+            "expanding().sum/mean/count/min/max/std/var, ewm(com).mean, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +

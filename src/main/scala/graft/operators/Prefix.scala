@@ -373,11 +373,12 @@ object Prefix {
     * DoubleType columns only when fused. */
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
-                    outNames: Seq[String], fuse: String): DataFrame = {
+                    outNames: Seq[String], fuse: String,
+                    fuseArg: Double = 0.0): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    require(Set("none", "diff", "pct",
-      "winsum", "winmin", "winmax", "wincount", "winmed", "winvar")(fuse),
+    require(Set("none", "diff", "pct", "winsum", "winmin", "winmax",
+      "wincount", "winmed", "winvar", "winewm")(fuse),
       s"unknown fuse mode '$fuse'")
     if (fuse != "none") {
       val sch = df.schema
@@ -405,7 +406,8 @@ object Prefix {
           s"cells=$cells — use the prefix-sum rolling formulation for " +
           "larger windows")
     if (math.abs(n) <= 256 && cells <= maxCells)
-      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse)
+      positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse,
+        fuseArg)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
   }
@@ -418,9 +420,13 @@ object Prefix {
     * first), the same association as a sequential pandas scan. */
   private def winEmit(fuse: String,
                       buf: scala.collection.mutable.ArrayDeque[Array[Any]],
-                      cur: Array[Any], j: Int, k: Int): java.lang.Double = {
-    if (buf.length < k) return java.lang.Double.valueOf(Double.NaN)
-    var cnt = 0; var acc = 0.0; var poisoned = false
+                      cur: Array[Any], j: Int, k: Int,
+                      fuseArg: Double = 0.0): java.lang.Double = {
+    // winewm has NO unformed-window gate: pandas ewm emits from the
+    // first valid row, a shorter ring just means fewer (tiny) weights
+    if (fuse != "winewm" && buf.length < k)
+      return java.lang.Double.valueOf(Double.NaN)
+    var cnt = 0; var acc = 0.0; var poisoned = false; var ewmDen = 0.0
     val m = buf.length
     // median and variance need the whole window at once (an order
     // statistic / an exact two-pass): O(k+1) to O((k+1) log(k+1)) per
@@ -442,14 +448,21 @@ object Prefix {
           if (fuse == "winsum") acc += dv
           else if (fuse == "winmin") acc = if (cnt == 1) dv else math.min(acc, dv)
           else if (fuse == "winmax") acc = if (cnt == 1) dv else math.max(acc, dv)
-          else if (med != null) med(b) = dv
+          else if (fuse == "winewm") {
+            // adjust=True, ignore_na=False: weight by POSITION distance
+            // (NaN positions decay the weights but feed neither sum)
+            val w = math.pow(1.0 - fuseArg, (m - b).toDouble)
+            acc += w * dv; ewmDen += w
+          } else if (med != null) med(b) = dv
         }
       }
       b += 1
     }
     java.lang.Double.valueOf(
       if (fuse == "wincount") cnt.toDouble
-      else if (poisoned || cnt == 0) Double.NaN
+      else if (fuse == "winewm") {
+        if (cnt == 0) Double.NaN else acc / ewmDen
+      } else if (poisoned || cnt == 0) Double.NaN
       else if (fuse == "winmed") {
         java.util.Arrays.sort(med)
         val n = med.length
@@ -468,7 +481,8 @@ object Prefix {
   private def positionalLagStream(df: DataFrame, keyCol: String,
                                   orderCol: Column, inNames: Seq[String],
                                   n: Int, outNames: Seq[String],
-                                  fuse: String): DataFrame = {
+                                  fuse: String,
+                                  fuseArg: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -557,7 +571,7 @@ object Prefix {
               if (fuse == "none") {
                 if (donor == null) null else donor(j)
               } else if (fuse.startsWith("win")) {
-                winEmit(fuse, buf, cur, j, k)
+                winEmit(fuse, buf, cur, j, k, fuseArg)
               } else if (cur(j) == null) null
               else {
                 // missing donor (edge row or NULL lagged value) = NaN —

@@ -242,6 +242,45 @@ class RollingFamilySpec extends SparkSpec {
     }
   }
 
+  test("ewm(com).mean: pandas adjust=True / ignore_na=False weights, " +
+      "holes decay but carry the running mean") {
+    // pandas Series([1, 2, NaN, 4]).ewm(com=0.3).mean()
+    //   = [1.0, 1.8125, 1.8125, 3.8654421187526693] — the NaN cell emits
+    // the mean of what's been seen (weights decayed), NOT NaN
+    val s4 = series(1.0, 2.0, Double.NaN, 4.0)
+    assertSeq(colOf("s.ewm(0.3).mean()", s4),
+      Seq(1.0, 1.8125, 1.8125, 3.8654421187526693), tol = 1e-9)
+    // com=0 (α=1) carries the last valid value — pandas [1, 2, 2, 4]
+    assertSeq(colOf("s.ewm(0).mean()", s4), Seq(1.0, 2.0, 2.0, 4.0))
+    // leading hole: NaN until the first valid cell
+    assertSeq(colOf("s.ewm(0.3).mean()", series(Double.NaN, 3.0, 1.0)),
+      Seq(Double.NaN, 3.0, 1.375), tol = 1e-9)
+    // distributed equals the sequential recursion on a longer series
+    // (slice edges exercised; the 1e-12-tail truncation is invisible)
+    val rnd = new scala.util.Random(7L)
+    val long = IndexedSeq.fill(40)(
+      if (rnd.nextDouble() < 0.2) Double.NaN else rnd.nextInt(20).toDouble)
+    val alpha = 1.0 / 1.5
+    var num = 0.0; var den = 0.0; var seen = false
+    val ref = long.map { v =>
+      num *= (1 - alpha); den *= (1 - alpha)
+      if (!v.isNaN) { num += v; den += 1; seen = true }
+      if (!seen) Double.NaN else num / den
+    }
+    assertSeq(colOf("s.ewm(0.5).mean()", series(long: _*)), ref,
+      tol = 1e-8)
+    // errors: negative com, com past the streaming horizon, non-mean agg
+    val ev = new FormulaEvaluator(reg("s" -> s4))
+    assertThrows[FormulaTypeException](
+      ev.evaluateFormula("s.ewm(0 - 1).mean()"))
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.ewm(50).mean()"))
+    assert(e.getMessage.contains("horizon"))
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.ewm(0.3).sum()"))
+    assert(e2.getMessage.contains("mean"))
+  }
+
   test("vector paths: the same semantics sequentially") {
     val v = Vec(IndexedSeq(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0),
       IndexedSeq("a", "b", "c", "d", "e", "f"))
