@@ -70,7 +70,7 @@ object ProbeR9 {
       QueryCatalog.wide(spark, sf1x).count()
       QueryCatalog.wide(spark, sf10).count()
       val names = Seq("e11_rmean", "e11_rcount", "e11_rmin", "e11_rvar",
-        "e11_estd", "e11_emax")
+        "e11_estd", "e11_emax", "e11_rmed", "e11_ewm")
       val r = scala.collection.immutable.ListMap(names.flatMap { n =>
         val a = q(n, sf1x); val b = q(n, sf10)
         System.err.println(f"[probe] rollfam $n $a%.3f -> $b%.3f (${b / a}%.2f)")
