@@ -114,6 +114,62 @@ object QueryCatalog {
     s"$W SELECT __row_id__, ${J.map(j => s"${cell(j)} AS c$j").mkString(", ")} " +
       "FROM w ORDER BY __row_id__"
 
+  /** ewm oracle scaffolding (r10): the engine's ewm family is EXACT
+    * (unbounded history + pandas carry), so the mirror computes the
+    * finite-horizon weighted stat only at VALID target cells — where the
+    * dropped tail is < 1e-12 of the kept mass — and carries it across
+    * holes with last_value(IGNORE NULLS). `beta` is the 1−α base as a
+    * SQL expression evaluating to the identical IEEE double; `h` the
+    * horizon in positions, which must exceed the data's longest
+    * per-column hole run by the tail margin. */
+  private def ewmOracle(h: Int, cellOf: Int => String,
+                        fin: String => String, dp: Int = 6): String = {
+    val cells = J.map(j => s"${cellOf(j)} AS m$j").mkString(", ")
+    val outs = J.map { j =>
+      val carried = s"last_value(m$j IGNORE NULLS) OVER (ORDER BY e.rn)"
+      F(s"round(${fin(carried)}, $dp)") + s" AS c$j"
+    }.mkString(", ")
+    s"""$W, p AS (SELECT *,
+       |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w),
+       |e AS (SELECT a.rn, $cells
+       |  FROM p a JOIN p b ON b.rn BETWEEN a.rn - ${h - 1} AND a.rn
+       |  GROUP BY a.rn, ${J.map(j => s"a.q$j").mkString(", ")})
+       |SELECT p.__row_id__, $outs
+       |FROM e JOIN p ON e.rn = p.rn ORDER BY p.__row_id__""".stripMargin
+  }
+
+  private def ewmWsum(beta: String, j: Int, expr: String) =
+    s"sum(CASE WHEN b.q$j IS NOT NULL THEN pow(($beta), a.rn - b.rn)" +
+      s"$expr END)"
+
+  /** `dp`: deep-history decays (large com) accumulate ~1e-12 relative
+    * multiply-chain-vs-pow noise between the exact engine and the
+    * truncated mirror — at 6 dp a 60k-cell frame has even odds of one
+    * cell straddling a rounding quantum, so large-com queries round to
+    * 5 on both sides. */
+  def ewmMeanOracle(beta: String, h: Int, dp: Int = 6): String =
+    ewmOracle(h, j =>
+      s"CASE WHEN a.q$j IS NOT NULL THEN " +
+        s"${ewmWsum(beta, j, s" * b.q$j")} / ${ewmWsum(beta, j, "")} END",
+      identity, dp)
+
+  /** pandas bias=False weighted variance over the horizon window: biased
+    * moment form (safe here — cell magnitudes are O(100), and every
+    * surviving pairwise weight product exceeds the fp noise because the
+    * horizon covers the longest hole run with margin), corrected by
+    * W1²/(W1²−ΣW²); ≥ 2 valid cells or NULL → carried. */
+  def ewmVarOracle(beta: String, h: Int, std: Boolean): String =
+    ewmOracle(h, { j =>
+      val w1 = ewmWsum(beta, j, "")
+      val s1 = ewmWsum(beta, j, s" * b.q$j")
+      val s2 = ewmWsum(beta, j, s" * b.q$j * b.q$j")
+      val w2 = ewmWsum(beta, j, s" * pow(($beta), a.rn - b.rn)")
+      s"CASE WHEN a.q$j IS NOT NULL AND count(b.q$j) >= 2 " +
+        s"AND ($w1)*($w1) - ($w2) > 0 THEN " +
+        s"greatest(($s2)/($w1) - (($s1)/($w1))*(($s1)/($w1)), 0) " +
+        s"* ($w1)*($w1) / (($w1)*($w1) - ($w2)) END"
+    }, carried => if (std) s"sqrt($carried)" else carried)
+
   // ---- query runner helpers ----------------------------------------------
 
   /** Evaluate a formula over the shared registry; matrix results are ordered

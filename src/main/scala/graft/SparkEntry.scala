@@ -222,11 +222,29 @@ object SparkEntry {
     // rolling median: the sorted-ring order statistic (odd window over
     // integer-valued cells -> exact, no rounding needed)
     "e11_rmed" -> ((s, d) => formulaQuery("qty.rolling(3).median()")(s, d)),
-    // exponentially weighted mean (pandas adjust=True / ignore_na=False;
-    // positional arg = com, pandas' first keyword) — the third member of
-    // the pandas window trio, finite-horizon at the 1e-12 weight tail
+    // exponentially weighted family (pandas adjust=True / ignore_na=False
+    // / bias=False; positional arg = com) — r10: the EXACT decayed
+    // normalized-Welford scan (Prefix.ewmScan), no horizon truncation,
+    // no com bound, pandas carry across hole runs; var/std ride the same
+    // scan with the add-only DEN = W1²−ΣW² recurrence
     "e11_ewm" -> ((s, d) =>
       formulaQuery("qty.ewm(0.3).mean()", roundTo = Some(6))(s, d)),
+    "e11_ewmbig" -> ((s, d) =>
+      formulaQuery("qty.ewm(12).mean()", roundTo = Some(5))(s, d)),
+    "e11_ewvar" -> ((s, d) =>
+      formulaQuery("qty.ewm(1).var()", roundTo = Some(6))(s, d)),
+    "e11_ewstd" -> ((s, d) =>
+      formulaQuery("qty.ewm(1).std()", roundTo = Some(6))(s, d)),
+    // rolling min_periods (r10 kwarg): valid-count-gated skipna windows
+    // with partial leading edges; count gates on positions (pandas 2.2)
+    "e11_rmp" -> ((s, d) =>
+      formulaQuery("qty.rolling(5, min_periods=2).mean()",
+        roundTo = Some(6))(s, d)),
+    "e11_rmpc" -> ((s, d) =>
+      formulaQuery("qty.rolling(3, min_periods=1).count()")(s, d)),
+    "e11_rmpv" -> ((s, d) =>
+      formulaQuery("qty.rolling(4, min_periods=2).var()",
+        roundTo = Some(6))(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4294,24 +4312,38 @@ object SparkEntry {
         F(s"CASE WHEN count(q$j) $w = 3 " +
           s"THEN CAST(median(q$j) $w AS DOUBLE) END")
       },
-      // ewm mirror: the same finite-horizon weighted sums as a bounded
-      // self-join on row_number distance (hk = 19 positions for
-      // com = 0.3 — the exact horizon the compiler derives from the
-      // 1e-12 tail bound); both engines build the weight base from the
-      // identical shortest-roundtrip double literal
-      "e11_ewm" -> {
-        val oneMinusA = (1.0 - 1.0 / 1.3).toString
-        val hk = 19
-        def cell(j: Int) = F("round(CASE WHEN count(b.q" + j +
-          s") >= 1 THEN sum(CASE WHEN b.q$j IS NOT NULL THEN " +
-          s"pow($oneMinusA, a.rn - b.rn) * b.q$j END) / " +
-          s"sum(CASE WHEN b.q$j IS NOT NULL THEN " +
-          s"pow($oneMinusA, a.rn - b.rn) END) END, 6)") + s" AS c$j"
-        s"""$W, p AS (SELECT *,
-           |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w)
-           |SELECT a.__row_id__, ${J.map(cell).mkString(", ")}
-           |FROM p a JOIN p b ON b.rn BETWEEN a.rn - ${hk - 1} AND a.rn
-           |GROUP BY a.__row_id__ ORDER BY a.__row_id__""".stripMargin
+      // ewm mirrors (r10): the engine is EXACT (ewmScan carries the
+      // pandas value across any hole run), so the oracle computes the
+      // finite-horizon weighted stat ONLY AT VALID target cells — where
+      // the dropped tail is provably < 1e-12 of the kept mass (the
+      // current cell's weight is 1) — and CARRIES it across holes with
+      // last_value(... IGNORE NULLS), exactly the pandas/engine carry.
+      // The horizon must also exceed the data's longest per-column hole
+      // run (measured ≤ 18 at sf0.01, ≤ 22 at sf0.1) by the tail margin,
+      // so every surviving weight dominates the dropped mass. Both
+      // engines build the weight base from the identical IEEE double.
+      "e11_ewm" -> ewmMeanOracle("1.0 - 1.0/1.3", 40),
+      "e11_ewmbig" -> ewmMeanOracle("1.0 - 1.0/13.0", 320, dp = 5),
+      "e11_ewvar" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = false),
+      "e11_ewstd" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = true),
+      // rolling min_periods mirrors: DuckDB window aggregates skip NULLs
+      // natively, partial leading frames come free with ROWS BETWEEN
+      "e11_rmp" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 " +
+          s"THEN sum(q$j) $w / count(q$j) $w END, 6)")
+      },
+      "e11_rmpc" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"CAST(count(q$j) $w AS DOUBLE)")
+      },
+      "e11_rmpv" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 " +
+          s"THEN var_samp(q$j) $w END, 6)")
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

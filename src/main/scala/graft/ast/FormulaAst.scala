@@ -18,6 +18,7 @@ sealed trait FormulaAst {
     case Bin(_, l, r)        => l.freeVariables ++ r.freeVariables
     case Call(_, args)       => args.flatMap(_.freeVariables).toSet
     case Method(t, _, args)  => t.freeVariables ++ args.flatMap(_.freeVariables)
+    case Kw(_, v)            => v.freeVariables
   }
 
   /** True if the tree contains the given binary operator (e.g. "/", "**"). */
@@ -29,6 +30,7 @@ sealed trait FormulaAst {
     case Call(_, args)      => args.exists(_.containsOp(op))
     case Method(t, m, args) =>
       (op == "**" && m == "pow") || t.containsOp(op) || args.exists(_.containsOp(op))
+    case Kw(_, v)           => v.containsOp(op)
   }
 }
 
@@ -43,6 +45,10 @@ final case class Call(fn: String, args: List[FormulaAst]) extends FormulaAst
 /** whitelisted method call, e.g. a.fillna(0), a.clip(1, 2), a.sum() (E10/E11) */
 final case class Method(target: FormulaAst, name: String, args: List[FormulaAst])
     extends FormulaAst
+/** keyword argument inside a call's arg list, e.g. min_periods=2 in
+  * a.rolling(5, min_periods=2) (r10; python call syntax — only ever a
+  * child of Method/Call args, never a standalone expression) */
+final case class Kw(name: String, value: FormulaAst) extends FormulaAst
 
 /** Raised on malformed formulas; mirrors the reference's decorated
   * SyntaxError path (coeff_maker.py:784-788). */
@@ -100,7 +106,12 @@ object FormulaParser {
             out += Tok("op", two, i); i += 2
           case _ =>
             c match {
-              case '+' | '-' | '*' | '/' | '%' | '>' | '<' | '&' | '|' | '~' =>
+              case '+' | '-' | '*' | '/' | '%' | '>' | '<' | '&' | '|' | '~' |
+                   '=' =>
+                // bare '=' never parses as an operator — it only ever
+                // forms a keyword argument (ident '=' expr) inside a
+                // call's arg list (r10); anywhere else it surfaces as a
+                // clean "Unexpected token '='"
                 out += Tok("op", c.toString, i); i += 1
               case '(' => out += Tok("lparen", "(", i); i += 1
               case ')' => out += Tok("rparen", ")", i); i += 1
@@ -199,12 +210,26 @@ object FormulaParser {
       }
       e
     }
+    private def peekAt(off: Int): Option[Tok] =
+      if (i + off < toks.length) Some(toks(i + off)) else None
+
+    /** One call argument: `ident = expr` is a keyword argument (python
+      * call syntax, r10 — e.g. rolling(5, min_periods=2)), anything else
+      * a positional expression. */
+    private def parseArg(): FormulaAst =
+      (peek, peekAt(1)) match {
+        case (Some(Tok("ident", kw, _)), Some(Tok("op", "=", _))) =>
+          advance(); advance()
+          Kw(kw, parseOr())
+        case _ => parseOr()
+      }
+
     private def parseArgs(): List[FormulaAst] = {
       advance() // '('
       if (peek.exists(_.kind == "rparen")) { advance(); return Nil }
       val args = scala.collection.mutable.ListBuffer[FormulaAst]()
-      args += parseOr()
-      while (peek.exists(_.kind == "comma")) { advance(); args += parseOr() }
+      args += parseArg()
+      while (peek.exists(_.kind == "comma")) { advance(); args += parseArg() }
       peek match {
         case Some(Tok("rparen", _, _)) => advance()
         case other => throw new FormulaSyntaxException(

@@ -85,18 +85,22 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * window spec waiting for its aggregation method — pandas' Rolling /
     * Expanding intermediate objects. Escaping to the top level is a
     * compile error. */
-  private case class CRoll(cols: Seq[(String, Column)], n: Int) extends CValue
+  private case class CRoll(cols: Seq[(String, Column)], n: Int,
+                           minp: Int) extends CValue
   private case class CExpand(cols: Seq[(String, Column)]) extends CValue
   private case class CRollD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
-                            n: Int) extends CValue
+                            n: Int, minp: Int) extends CValue
   private case class CExpandD(vs: IndexedSeq[Double],
                               ls: IndexedSeq[String]) extends CValue
   /** `.ewm(com)` marker (r9 session 3): pandas' ExponentialMovingWindow
-    * intermediate, waiting for `.mean()`. */
+    * intermediate, waiting for `.mean()/.var()/.std()`. */
   private case class CEwm(cols: Seq[(String, Column)],
                           com: Double) extends CValue
   private case class CEwmD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
                            com: Double) extends CValue
+  /** compiled keyword argument (r10): only ever an element of a method's
+    * arg list — e.g. min_periods=2 in `.rolling(5, min_periods=2)`. */
+  private case class CKw(kwName: String, v: CValue) extends CValue
 
   // ---- compile context ----------------------------------------------------
 
@@ -156,6 +160,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           "'.rolling(n)'/'.expanding()'/'.ewm(com)' must be aggregated — " +
             "append '.mean()' or '.sum()'")
+      case _: CKw =>
+        throw new FormulaTypeException(
+          "a keyword argument is not an expression — it can only appear " +
+            "inside a method call's argument list")
     }
   }
 
@@ -168,6 +176,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case Bin(_, l, r) => go(l); go(r)
       case Call(_, as) => as.foreach(go)
       case Method(t, _, as) => go(t); as.foreach(go)
+      case Kw(_, v) => go(v)
     }
     go(ast)
     seen.toSeq
@@ -280,6 +289,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       method(tgt, "matmul", List(collectMatD(registry(n).asInstanceOf[Matrix], cap)), ctx)
 
     case Method(t, name, args) => method(eval(t, ctx), name, args.map(eval(_, ctx)), ctx)
+
+    // keyword argument (r10): compiled in place, consumed by method()
+    case Kw(kn, v) => CKw(kn, eval(v, ctx))
   }
 
   /** Var names appearing as the RIGHT operand of `.matmul(...)` vs anywhere
@@ -294,6 +306,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case Call(_, as)  => as.foreach(go)
       case Method(t, "matmul", List(Var(n))) => go(t); arg += n
       case Method(t, _, as) => go(t); as.foreach(go)
+      case Kw(_, v)     => go(v)
     }
     go(ast)
     (arg.result(), other.result())
@@ -322,6 +335,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private def asScalar(v: CValue, what: String): Double = v match {
     case CScalar(x) => x
     case _ => throw new FormulaTypeException(s"$what expects a scalar literal argument")
+  }
+
+  /** min_periods from `.rolling(n, ...)`'s remaining args (r10): one
+    * optional value, keyword or second positional, validated to pandas'
+    * 1 <= m <= n (pandas raises on m > n; m = 0 is rejected — emitting
+    * over empty windows is not supported). Default = n (hole-poisoning,
+    * the pandas default). */
+  private def rollingMinPeriods(n: Int, rest: List[CValue]): Int = {
+    val m = rest match {
+      case Nil                              => n
+      case List(CKw("min_periods", v))      => asScalar(v, "min_periods").toInt
+      case List(v) if !v.isInstanceOf[CKw]  => asScalar(v, "min_periods").toInt
+      case _ => throw new FormulaTypeException(
+        "'.rolling(n)' takes at most one extra argument (min_periods)")
+    }
+    if (m < 1 || m > n) throw new FormulaTypeException(
+      s"min_periods $m must be in [1, window size $n]")
+    m
   }
 
   // ---- binary dispatch over all operand-kind pairs ------------------------
@@ -455,7 +486,18 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
 
   // ---- method whitelist (E10/E11) ----------------------------------------
 
-  private def method(target: CValue, name: String, args: List[CValue], ctx: Ctx): CValue =
+  /** Keyword arguments each method accepts (r10); every other (method,
+    * keyword) pair is a clean python-style TypeError. */
+  private val methodKwargs: Map[String, Set[String]] =
+    Map("rolling" -> Set("min_periods"))
+
+  private def method(target: CValue, name: String, args: List[CValue], ctx: Ctx): CValue = {
+    args.foreach {
+      case CKw(kn, _) if !methodKwargs.getOrElse(name, Set.empty)(kn) =>
+        throw new FormulaTypeException(
+          s"'.$name()' got an unexpected keyword argument '$kn'")
+      case _ =>
+    }
     (name, target, args) match {
       case ("fillna", CMatrix(cols, false), List(a)) =>
         val v = asScalar(a, "fillna")
@@ -1417,7 +1459,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             val num = n * c0("sxy") - sx * sy
             val den = sqrt(n * c0("sxx") - sx * sx) *
               sqrt(n * c0("syy") - sy * sy)
-            round(num / den, 9)
+            // a constant (zero-variance) column → den = 0: Spark's Divide
+            // yields NULL there, pandas NaN — emit the pandas NaN (r10
+            // ADVICE; the oracle mirrors with a CASE WHEN den = 0)
+            round(when(den === 0.0, litOf(Double.NaN)).otherwise(num / den),
+              9)
           } else // cov, pandas ddof=1: (Σxy − Σx·Σy/n) / (n−1)
             round((c0("sxy") - sx * sy / n) / (n - lit(1.0)), 9)
         }
@@ -1497,18 +1543,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // integer-valued cells (the e11_cumsum argument: prefix-and-
       // subtract associates differently from a sequential window sum but
       // integer sums are exact in double).
-      case ("rolling", CMatrix(cols, false), List(a)) =>
+      // `.rolling(n[, min_periods=m])` (r10 kwarg): pandas accepts
+      // min_periods keyword or second positional; default = the window
+      // size (hole-poisoning). m must satisfy 1 <= m <= n (pandas raises
+      // on m > n; m = 0 — emit over empty windows — is not supported).
+      case ("rolling", CMatrix(cols, false), a :: rest)
+          if !a.isInstanceOf[CKw] =>
         if (!std) throw new AdpUnsupportedException(
           "'.rolling()' is not supported in ADP mode")
         val n = asScalar(a, "rolling").toInt
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
-        CRoll(cols, n)
-      case ("rolling", CVecD(vs, ls), List(a)) =>
+        CRoll(cols, n, rollingMinPeriods(n, rest))
+      case ("rolling", CVecD(vs, ls), a :: rest)
+          if !a.isInstanceOf[CKw] =>
         val n = asScalar(a, "rolling").toInt
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
-        CRollD(vs, ls, n)
+        CRollD(vs, ls, n, rollingMinPeriods(n, rest))
       // `.ewm(com).mean()` (r9 session 3): pandas' exponentially weighted
       // mean, adjust=True / ignore_na=False / min_periods=0 — weights
       // (1−α)^d by POSITION distance (α = 1/(1+com)), invalid cells decay
@@ -1538,7 +1590,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ("expanding", CVecD(vs, ls), Nil) => CExpandD(vs, ls)
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRoll(cols, n), Nil) =>
+            "median"), CRoll(cols, n, minp), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
@@ -1574,8 +1626,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val fusedOk = n <= math.min(fuseMax, 257) &&
           lagParts.toLong * (n - 1) * lagWidth <= maxCells
         if (n == 1) {
-          // a 1-position window is the cell itself; var/std divide by
-          // ddof n−1 = 0 → NaN everywhere (pandas)
+          // a 1-position window is the cell itself (minp is forced to 1);
+          // var/std divide by ddof n−1 = 0 → NaN everywhere (pandas)
           CMatrix(cols.map { case (lbl, c) =>
             (lbl, m match {
               case "count" =>
@@ -1589,9 +1641,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // ---- fused single-pass window (r9): the rolling aggregate IS
           // the ring buffer the positional lag already streams — ONE
           // slice pass emits the window aggregate directly; no
-          // running-prefix stage, no post-lag projection. NaN poisoning
-          // (min_periods = n) and the unformed-window gate live in the
-          // emit itself.
+          // running-prefix stage, no post-lag projection. The
+          // min_periods valid-count gate (default n = hole-poisoning)
+          // lives in the emit itself (r10: any 1 <= minp <= n).
           // std/var: the emit two-passes the ring window on ITS OWN mean
           // (winvar) — exact under any trend or global offset, no
           // centering stage, no broadcast job (the global-mean centering
@@ -1609,15 +1661,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case "count"        => "wincount"
             case "median"       => "winmed"
             case "std" | "var"  => "winvar"
+            case "mean"         => "winmean"
             case _              => "winsum"
           }
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
             ctx.rowIdOut, rid, valIn, n - 1,
-            valIn.map(_ + "_w"), fuse = fuseMode))
+            valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
-              case "mean" => s / n
               case "std"  => sqrt(s)
               case _      => s
             }
@@ -1663,18 +1715,27 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               col(nm + "_s") - coalesce(col(nm + "_s_l"), lit(0.0))
             val winSum = win(valIn(i))
             val winInv = win(invIn(i))
+            // positions actually in the window (partial at the leading
+            // edge when minp < n — the prefix differences already cover
+            // exactly the first `pos` rows there) and the valid count
+            // gating every aggregate (r10 min_periods; minp = n
+            // reproduces the pos/hole gate exactly)
+            val positions = least(pos, lit(n.toDouble))
+            val validCnt = positions - winInv
             def gated(x: Column) =
-              when(pos < n || winInv > 0, litOf(Double.NaN)).otherwise(x)
+              when(validCnt < minp, litOf(Double.NaN)).otherwise(x)
             val cell = m match {
-              case "count" => when(pos < n, litOf(Double.NaN))
-                .otherwise(lit(n.toDouble) - winInv)
+              case "count" => when(positions < minp, litOf(Double.NaN))
+                .otherwise(validCnt)
               case "sum"  => gated(winSum)
-              case "mean" => gated(winSum / n)
+              case "mean" => gated(winSum / validCnt)
               case _ =>
                 val winQ = win(sqIn(i))
-                val v = greatest((winQ - winSum * winSum / n) / (n - 1),
+                val v = greatest(
+                  (winQ - winSum * winSum / validCnt) / (validCnt - 1),
                   lit(0.0))
-                gated(if (m == "var") v else sqrt(v))
+                when(validCnt < minp || validCnt < 2, litOf(Double.NaN))
+                  .otherwise(if (m == "var") v else sqrt(v))
             }
             (lbl, cell)
           }
@@ -1726,6 +1787,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val s = col(valIn(i) + "_s")
           val ccnt = coalesce(col(cntIn(i) + "_s"), lit(0.0))
           val cell = m match {
+            // a leading all-hole prefix counts 0, not NaN — pandas 2.2
+            // pinned empirically (r10, answering the r9 ADVICE query):
+            // Series([nan, nan, 1]).expanding().count() = [0, 0, 1]
             case "count" => ccnt
             case "sum"   => when(ccnt < 1, litOf(Double.NaN)).otherwise(s)
             case "mean"  => when(ccnt < 1, litOf(Double.NaN))
@@ -1742,27 +1806,32 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CMatrix(out, isBool = false)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRollD(vs, ls, n), Nil) =>
+            "median"), CRollD(vs, ls, n, minp), Nil) =>
+        // sequential twin of the fused emit: the aggregate runs over the
+        // window's VALID cells, gated on valid count >= minp (positions
+        // for count — the pandas 2.2 rule); minp = n is hole-poisoning
         CVecD(vs.indices.map { i =>
-          if (i < n - 1) Double.NaN
+          val positions = math.min(i + 1, n)
+          if (positions < minp) Double.NaN
           else {
-            val w = vs.slice(i - n + 1, i + 1)
+            val w = vs.slice(i + 1 - positions, i + 1).filter(!_.isNaN)
+            val cnt = w.length
             m match {
-              case "count" => w.count(v => !v.isNaN).toDouble
-              case _ if w.exists(_.isNaN) => Double.NaN
+              case "count" => cnt.toDouble
+              case _ if cnt < minp => Double.NaN
               case "sum"  => w.sum
-              case "mean" => w.sum / n
+              case "mean" => w.sum / cnt
               case "min"  => w.min
               case "max"  => w.max
               case "median" =>
                 val sw = w.sorted
-                if (n % 2 == 1) sw(n / 2)
-                else (sw(n / 2 - 1) + sw(n / 2)) / 2.0
+                if (cnt % 2 == 1) sw(cnt / 2)
+                else (sw(cnt / 2 - 1) + sw(cnt / 2)) / 2.0
               case _ =>
-                if (n < 2) Double.NaN
+                if (cnt < 2) Double.NaN
                 else {
-                  val mu = w.sum / n
-                  val v2 = w.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+                  val mu = w.sum / cnt
+                  val v2 = w.map(x => (x - mu) * (x - mu)).sum / (cnt - 1)
                   if (m == "var") v2 else math.sqrt(v2)
                 }
             }
@@ -1794,52 +1863,81 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
       }
-      case ("mean", CEwm(cols, com), Nil) =>
-        if (com == 0.0) {
+      // `.ewm(com).mean()/.var()/.std()` (r10): pandas adjust=True /
+      // ignore_na=False / bias=False, EXACT — the r9 truncated-horizon
+      // ring (com <= ~8.8, NaN past hk-long hole runs where pandas
+      // carries) is replaced by [[Prefix.ewmScan]]'s decayed
+      // weighted-Welford distributed scan: any com >= 0, O(1) per-row
+      // state, the pandas carry across hole runs falls out of the
+      // decay-invariant state, and the Welford products need no
+      // centering stage (translation-robust by construction — unlike
+      // the closed moment forms).
+      case (m @ ("mean" | "var" | "std"), CEwm(cols, com), Nil) =>
+        if (m == "mean" && com == 0.0) {
           // α = 1: every weight but the current cell's is zero and pandas
           // carries the last valid value across holes — exactly `.ffill()`
           method(CMatrix(cols, isBool = false), "ffill", Nil, ctx)
         } else {
           val alpha = 1.0 / (1.0 + com)
-          // smallest horizon whose dropped weight tail is < 1e-12 of the
-          // kept mass — invisible at the 6-dp rounding discipline
-          val hk = math.ceil(math.log(1e-12) / math.log1p(-alpha)).toInt
-          if (hk - 1 > 256) throw new FormulaTypeException(
-            s"'.ewm(com)' supports com <= ~8.8 (the 1e-12 weight horizon " +
-              s"must fit the 257-position streaming window; com=$com " +
-              s"needs $hk)")
           ctx.seqCounter += 1
           val tag = ctx.seqCounter
           val rid = col(ctx.rowIdOut)
+          def invalidOf(c: Column) = c.isNull || isnan(c)
           val valIn = cols.indices.map(i => s"__ew${tag}_v_$i")
           val marked = ctx.base.get.select(col("*") +:
             cols.zipWithIndex.map { case ((_, c), i) =>
-              when(c.isNull || isnan(c), litOf(Double.NaN))
+              when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double")).as(valIn(i))
             }: _*)
-          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
-            ctx.rowIdOut, rid, valIn, hk - 1, valIn.map(_ + "_w"),
-            fuse = "winewm", fuseArg = alpha))
+          ctx.base = Some(graft.operators.Prefix.ewmScan(marked,
+            ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
+            if (m == "mean") "mean" else "var"))
           CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
-            (lbl, col(valIn(i) + "_w"))
+            val c = col(valIn(i) + "_w")
+            (lbl, if (m == "std") sqrt(c) else c)
           }, isBool = false)
         }
-      case ("mean", CEwmD(vs, ls, com), Nil) => {
+      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, com), Nil) => {
+        // sequential twin of [[Prefix.ewmScan]], recurrence for
+        // recurrence (decayed weighted-Welford, the DEN = W1² − ΣW²
+        // direct tracking, the underflow rescale), so matrix and vector
+        // paths agree
         val alpha = if (com == 0.0) 1.0 else 1.0 / (1.0 + com)
-        var num = 0.0; var den = 0.0; var seen = false
-        var last = Double.NaN
+        val f = 1.0 - alpha
+        val f2 = f * f
+        var mu = Double.NaN; var w1 = 0.0; var covB = 0.0; var dn = 0.0
+        var lastV = Double.NaN
         CVecD(vs.map { v =>
-          num *= (1.0 - alpha); den *= (1.0 - alpha)
-          if (!v.isNaN) { num += v; den += 1.0; seen = true }
-          // α = 1 zeroes the history, and pandas then CARRIES the last
-          // output across holes (den = 0 only in that degenerate case)
-          if (seen && den > 0.0) last = num / den
-          if (!seen) Double.NaN else last
+          w1 *= f; dn *= f2
+          val out =
+            if (!v.isNaN) {
+              val oldWt = w1
+              dn += 2.0 * w1
+              w1 += 1.0
+              if (mu.isNaN) { mu = v; covB = 0.0 }
+              else {
+                val oldMean = mu
+                mu = (oldWt * oldMean + v) / w1
+                val dm = oldMean - mu; val dv = v - mu
+                covB = (oldWt * (covB + dm * dm) + dv * dv) / w1
+              }
+              if (m == "mean") mu
+              else {
+                val fv = graft.operators.Prefix.ewmVarOf(w1, covB, dn)
+                if (!fv.isNaN) lastV = fv
+                fv
+              }
+            } else {
+              if (w1 > 0 && w1 < 1e-150) { w1 *= 1e150; dn *= 1e300 }
+              if (m == "mean") mu else lastV
+            }
+          if (m == "std") math.sqrt(out) else out
         }, ls)
       }
       case (other, _: CEwm | _: CEwmD, _) =>
         throw new FormulaTypeException(
-          s"'.ewm(com)' windows support '.mean()' — got '.$other'")
+          s"'.ewm(com)' windows support '.mean()/.var()/.std()' — got " +
+            s"'.$other'")
 
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
@@ -1869,13 +1967,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "mode, head, tail, isna, isnull, notna, notnull, " +
             "where, mask, replace, duplicated, " +
             "ffill, bfill, pct_change, " +
-            "rolling(n).sum/mean/count/min/max/std/var/median, " +
-            "expanding().sum/mean/count/min/max/std/var, ewm(com).mean, " +
+            "rolling(n[, min_periods]).sum/mean/count/min/max/std/var/" +
+            "median, expanding().sum/mean/count/min/max/std/var, " +
+            "ewm(com).mean/var/std, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +
             "cummax, cummin, cumprod, rank, shift, diff, matmul, T — " +
             "SURVEY §2.2 E11/E12)")
     }
+  }
 
   /** Whole-frame column reductions (pandas skipna semantics): one
     * partial-agg tree-reduce, 1-row result. `kind` ∈ sum, mean (all

