@@ -64,7 +64,8 @@ object ProbeR10 {
           .agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_cell"),
             sum(when(col("n") > 1024, 1L).otherwise(0L)).as("over_cap"),
-            sum(col("n") * (col("n") - 1) / 2).as("cand_pairs"))
+            sum((col("n") * (col("n") - 1) / 2).cast("long"))
+              .as("cand_pairs"))
           .head()
         val outRows = SparkEntry.queries("sim_lsh")(spark, dir).count()
         val wall = best { SparkEntry.queries("sim_lsh")(spark, dir).count() }

@@ -472,6 +472,46 @@ object SparkEntry {
     // under graph-based dedup / NN-Descent-style index builds)
     "sim_knn" -> ((s, d) =>
       knnEdges(s, d).orderBy(col("id"), col("sim").desc, col("nbr"))),
+    // NN-Descent (r10): 6 pinned rounds of neighbor-of-neighbor descent
+    // (+ fresh hash-rank exploration strides per round) refining the
+    // block-local seed into k=5 lists — the graph-based ANN construction
+    // family (HNSW/NND class); every round is bounded-fanout joins + the
+    // bounded-heap top-k re-rank, linear in the corpus at fixed k
+    "sim_nnd" -> ((s, d) =>
+      Similarity.nnDescent(embs(s, d), "label", k = 5, rounds = 6,
+          seedThreshold = 0.25, precomputedSeed = Some(knnEdges(s, d)))
+        .orderBy(col("id"), col("sim").desc, col("nbr"))),
+    // NN-Descent quality gate: recall@3 on the probe nodes against the
+    // exact top-3 — refined lists must beat the block-local seed's
+    // recall (descent finds the cross-block neighbors blocking hides)
+    "sim_nndrecall" -> ((s, d) => {
+      val e = embs(s, d)
+      val probes = e.where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("qe"))
+      val pairs = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("id"))
+        .select(col("id"), col("vec_id").as("nbr"),
+          round(Similarity.dotExact(col("embedding"), col("qe")) /
+            (sqrt(Similarity.dotExact(col("embedding"), col("embedding"))) *
+              sqrt(Similarity.dotExact(col("qe"), col("qe")))), 6).as("sim"))
+      val exact = graft.plans.TopKPerKey(pairs, Seq(col("id")),
+        Seq(col("sim").desc, col("nbr")), 3).select(col("id"), col("nbr"))
+      val seed = knnEdges(s, d).select(col("id"), col("nbr"))
+      val nnd = Similarity.nnDescent(e, "label", k = 5, rounds = 6,
+          seedThreshold = 0.25, precomputedSeed = Some(knnEdges(s, d)))
+        .select(col("id"), col("nbr"))
+      val tot = exact.agg(count(lit(1)).as("k_total"))
+      val sHit = seed.join(exact, Seq("id", "nbr"))
+        .agg(count(lit(1)).as("seed_hits"))
+      val nHit = nnd.join(exact, Seq("id", "nbr"))
+        .agg(count(lit(1)).as("nnd_hits"))
+      tot.crossJoin(sHit).crossJoin(nHit)
+        .select(col("k_total"), col("seed_hits"), col("nnd_hits"),
+          round(col("seed_hits").cast("double") / col("k_total"), 6)
+            .as("seed_recall"),
+          round(col("nnd_hits").cast("double") / col("k_total"), 6)
+            .as("nnd_recall"))
+    }),
     // r8: 1-bit binary quantization + Hamming scan — the modern
     // first-pass ANN (64x smaller than float32, distance = popcount of
     // XOR). Sign bits pack scan-stage into two 32-bit halves (compiled
@@ -2687,6 +2727,99 @@ object SparkEntry {
          |       WHERE round(dt/(n1.nrm*n2.nrm),6) >= $threshold)""".stripMargin
     val blockedPairs =
       s"WITH ${blockedCtes(0.25)} SELECT id1, id2, sim FROM bp ORDER BY id1, id2"
+    // NN-Descent trajectory mirror (r10): pinned rounds as MATERIALIZED
+    // per-round CTEs (the gr_kcore lesson — each round's graph is read
+    // several times by the next). Round r: fresh exploration strides f{r}
+    // (hash-rank strides 1/3 + 17·(r−1) over the portable md5
+    // hashUniform(42) order — mirrors nnDescent's randomStrides; without
+    // them the blocked seed is block-closed and descent can never reach
+    // a cross-block neighbor) → undirected exploration edges u{r} →
+    // candidates c{r} (neighbor-of-neighbor ∪ the exploration edges
+    // themselves) → exact-decimal rescore s{r} → merged m{r} → top-k per
+    // node g{r}. Seed g0 = the block-local top-3 (sym); rounds keep k=5.
+    val nndRounds = 6
+    val nndK = 5
+    def nndCtes: String = {
+      def strideEdges(s: Int) =
+        s"""SELECT a.id, b.id AS nbr FROM rk a, cnt, rk b
+           |WHERE b.r = ((a.r + ${s - 1}) % cnt.n) + 1 AND a.id <> b.id"""
+          .stripMargin
+      def round(r: Int): String = {
+        val p = s"g${r - 1}"
+        s"""f$r AS (${strideEdges(1 + 17 * (r - 1))}
+           |       UNION ALL
+           |       ${strideEdges(3 + 17 * (r - 1))}),
+           |x$r AS (SELECT id, nbr FROM $p
+           |        UNION ALL SELECT id, nbr FROM f$r),
+           |u$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+           |  SELECT id, nbr FROM x$r UNION ALL SELECT nbr, id FROM x$r)),
+           |c$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+           |  SELECT a.id, b.nbr FROM u$r a JOIN u$r b ON a.nbr = b.id
+           |  WHERE a.id <> b.nbr
+           |  UNION ALL SELECT id, nbr FROM u$r)),
+           |s$r AS MATERIALIZED (SELECT c.id, c.nbr,
+           |    round(CAST(sum(CAST(CAST(l.v AS DOUBLE)*CAST(r.v AS DOUBLE)
+           |      AS DECIMAL(38,30))) AS DOUBLE)/(n1.nrm*n2.nrm), 6) AS sim
+           |  FROM c$r c JOIN e l ON l.vec_id = c.id
+           |             JOIN e r ON r.vec_id = c.nbr AND r.i = l.i
+           |             JOIN nrm n1 ON n1.vec_id = c.id
+           |             JOIN nrm n2 ON n2.vec_id = c.nbr
+           |  GROUP BY c.id, c.nbr, n1.nrm, n2.nrm),
+           |m$r AS MATERIALIZED (SELECT id, nbr, max(sim) AS sim FROM (
+           |  SELECT * FROM $p UNION ALL SELECT * FROM s$r) GROUP BY 1, 2),
+           |g$r AS MATERIALIZED (SELECT id, nbr, sim FROM (
+           |  SELECT id, nbr, sim, row_number() OVER (PARTITION BY id
+           |    ORDER BY sim DESC, nbr) AS rn FROM m$r) WHERE rn <= $nndK)"""
+          .stripMargin
+      }
+      // rank order = the 60-bit portable md5 alone (no tiebreak): the
+      // engine's GlobalRowNumberRule re-plan requires a single sort key
+      val hu = "(('0x' || substr(md5('42:' || vec_id),1,15))::BIGINT)"
+      s"""${blockedCtes(0.25)},
+         |sym AS (SELECT id1 AS id, id2 AS nbr, sim FROM bp
+         |        UNION ALL SELECT id2 AS id, id1 AS nbr, sim FROM bp),
+         |rk AS MATERIALIZED (SELECT vec_id AS id,
+         |  row_number() OVER (ORDER BY $hu) AS r FROM embeddings),
+         |cnt AS (SELECT count(*) AS n FROM embeddings),
+         |g0 AS MATERIALIZED (SELECT id, nbr, sim FROM (
+         |  SELECT id, nbr, sim, row_number() OVER (PARTITION BY id
+         |    ORDER BY sim DESC, nbr) AS rn FROM sym) WHERE rn <= 3),
+         |${(1 to nndRounds).map(round).mkString(",\n")}""".stripMargin
+    }
+    val simNnd =
+      s"""WITH $nndCtes
+         |SELECT id, nbr, sim FROM g$nndRounds
+         |ORDER BY id, sim DESC, nbr""".stripMargin
+    // recall mirror: exact top-3 per probe node (vec_id % 199 = 0) over
+    // the whole corpus, intersected with the seed (g0) and refined
+    // (g{rounds}) lists
+    val simNndRecall =
+      s"""WITH $nndCtes,
+         |xd AS (SELECT a.vec_id AS id, b.vec_id AS nbr,
+         |    CAST(sum(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)
+         |      AS DECIMAL(38,30))) AS DOUBLE) AS dt
+         |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 199 = 0 GROUP BY 1, 2),
+         |xs AS (SELECT id, nbr, round(dt/(n1.nrm*n2.nrm), 6) AS sim
+         |  FROM xd JOIN nrm n1 ON xd.id = n1.vec_id
+         |          JOIN nrm n2 ON xd.nbr = n2.vec_id),
+         |xt AS MATERIALIZED (SELECT id, nbr FROM (
+         |  SELECT id, nbr, row_number() OVER (PARTITION BY id
+         |    ORDER BY sim DESC, nbr) AS rn FROM xs) WHERE rn <= 3),
+         |gs AS (SELECT id, nbr FROM (
+         |  SELECT id, nbr, row_number() OVER (PARTITION BY id
+         |    ORDER BY sim DESC, nbr) AS rn FROM sym) WHERE rn <= 3),
+         |f AS (SELECT
+         |  (SELECT count(*) FROM xt) AS k_total,
+         |  (SELECT count(*) FROM gs JOIN xt USING (id, nbr)) AS seed_hits,
+         |  (SELECT count(*) FROM g$nndRounds JOIN xt USING (id, nbr))
+         |    AS nnd_hits)
+         |SELECT CAST(k_total AS BIGINT) AS k_total,
+         |       CAST(seed_hits AS BIGINT) AS seed_hits,
+         |       CAST(nnd_hits AS BIGINT) AS nnd_hits,
+         |       round(CAST(seed_hits AS DOUBLE)/k_total, 6) AS seed_recall,
+         |       round(CAST(nnd_hits AS DOUBLE)/k_total, 6) AS nnd_recall
+         |FROM f""".stripMargin
     // embedding near-dup groups: recursive min-label closure over the
     // blocked pairs (mirrors Dedup.duplicateGroups over vec_ids)
     val ddEmbed =
@@ -4464,6 +4597,8 @@ object SparkEntry {
             |          ORDER BY sim DESC, nbr) AS rn FROM sym)
             |SELECT id, nbr, sim FROM r WHERE rn <= 3
             |ORDER BY id, sim DESC, nbr""".stripMargin),
+      "sim_nnd" -> simNnd,
+      "sim_nndrecall" -> simNndRecall,
       "sim_lsh" -> simLsh,
       // hard-negative mirror: same LSH candidates at threshold 0.1, same
       // cross-label filter, same total (sim DESC, id1, id2) order

@@ -774,6 +774,120 @@ object Similarity {
     * Shape: both inputs are already k-bounded (top-k outputs), so the
     * intersection join and the 1-row count are driver-trivial at any
     * corpus scale — the cost lives in producing the inputs, not here. */
+  /** NN-Descent kNN-graph refinement (Dong, Charikar, Li — WWW 2011):
+    * the graph-based ANN construction family (the HNSW/NND class, the
+    * one production index family not yet represented). Starts from a
+    * cheap blocked kNN seed and iteratively scores each node's
+    * NEIGHBORS-OF-NEIGHBORS — the paper's observation that a neighbor of
+    * a neighbor is likely a neighbor — re-ranking every node's list to
+    * the best k after each round.
+    *
+    * Spark-first, round for round: the undirected edge set is a
+    * projection + union + distinct of the current graph (≤ 2kn rows);
+    * candidates are ONE self-equi-join on the middle node (fanout per
+    * middle node ≤ (2k)², candidates ≤ 4k²n — linear in the corpus,
+    * never all-pairs); scoring is a scan-stage exact-decimal cosine per
+    * candidate (rounded to 6, the engine-portable score); the re-rank
+    * runs on the bounded-heap [[graft.plans.TopKPerKey]] operator
+    * (partial heaps cut every partition to ≤ k rows per node BEFORE any
+    * exchange — the AnnPlanSpec discipline, no WindowExec). Rounds are
+    * PINNED (the kCore/kmeans oracle discipline): each round is a
+    * deterministic function of the embeddings, so a SQL engine
+    * reproduces the trajectory with materialized per-round CTEs.
+    * Candidates are rescored each round (idempotent — equal scores dedup
+    * through max), trading a k²n rescore for never carrying scored-pair
+    * state between rounds. Unlike the seed, refined lists are NOT
+    * threshold-bound: descent exists precisely to find better neighbors
+    * than the seed's blocking admits. */
+  def nnDescent(embs: DataFrame, blockCol: String, k: Int, rounds: Int,
+                seedThreshold: Double, idCol: String = "vec_id",
+                embCol: String = "embedding",
+                precomputedSeed: Option[DataFrame] = None,
+                randomStrides: Seq[Int] = Seq(1, 3)): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val vecs = embs.select(col(idCol).as("__nid"), col(embCol).as("__ne"),
+      sqrt(dotExact(col(embCol), col(embCol))).as("__nn"))
+    def scorePairs(p: DataFrame): DataFrame = p
+      .join(vecs, p("id") === vecs("__nid"))
+      .select(col("id"), col("nbr"), col("__ne").as("__e1"),
+        col("__nn").as("__n1"))
+      .join(vecs, col("nbr") === col("__nid"))
+      .select(col("id"), col("nbr"),
+        round(dotExact(col("__e1"), col("__ne")) /
+          (col("__n1") * col("__nn")), 6).as("sim"))
+    def topK(p: DataFrame): DataFrame = graft.plans.TopKPerKey(
+        p.groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim")),
+        Seq(col("id")), Seq(col("sim").desc, col("nbr")), k)
+      .select(col("id"), col("nbr"), col("sim"))
+    var g = precomputedSeed
+      .getOrElse(knnGraph(embs, blockCol, k, seedThreshold, idCol, embCol))
+      .select(col("id"), col("nbr"), col("sim"))
+    // deterministic pseudo-random exploration edges: a BLOCKED seed
+    // graph is block-CLOSED — neighbor-of-neighbor never escapes a
+    // block, and descent stalls at the blocking's own recall (measured:
+    // recall 0 on near-random corpora whose true neighbors are
+    // cross-block). The NN-Descent paper seeds with a random graph and
+    // keeps SAMPLING for the same reason; here the "random" edges are
+    // hash-rank strides — node at rank r (by the portable md5
+    // hashUniform order the sampling family already mirrors in SQL)
+    // links to rank (r + s) mod n — deterministic, engine-portable, one
+    // edge per node per stride, and each round uses a FRESH stride set
+    // (offset 17·(round−1)) so converged lists keep receiving unseen
+    // candidates instead of re-walking the same 2-hop set. The global
+    // row_number is rewritten to the distributed prefix by
+    // GlobalRowNumberRule; the count is a 1-row driver aggregate.
+    val rankedOpt = if (randomStrides.isEmpty) None else {
+      // ONE deterministic numeric sort key (the 60-bit portable md5 —
+      // collision odds ~1e-7 at a 1M corpus), so GlobalRowNumberRule
+      // re-plans the global numbering onto the distributed prefix; a
+      // second tiebreak column would leave the single-partition window
+      // in place (the rule's conservative single-sort precondition).
+      // ensureRules makes the re-plan hold on extensions-less sessions.
+      graft.plans.GraftExtensions.ensureRules(embs.sparkSession)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        graft.functions.ArrayOps.md5_long60(
+          concat(lit("42:"), col("__nid").cast("string"))))
+      Some((vecs.select(col("__nid"))
+        .withColumn("__rk", row_number().over(w)).localCheckpoint(),
+        embs.count()))
+    }
+    def strideEdges(strides: Seq[Int]): Option[DataFrame] =
+      rankedOpt.map { case (ranked, n) =>
+        strides.map { s =>
+          ranked.select(col("__nid").as("id"),
+              (((col("__rk") + lit(s) - 1) % n) + 1).as("__rk2"))
+            .join(ranked.select(col("__nid").as("nbr"),
+              col("__rk").cast("long").as("__rk2")), Seq("__rk2"))
+            .select(col("id"), col("nbr"))
+            .where(col("id") =!= col("nbr"))
+        }.reduce(_.union(_))
+      }
+    for (r <- 1 to rounds) {
+      // each round references the previous graph ~6 times (both union
+      // directions, both join sides, the merge) — without lineage
+      // truncation the lazy plan grows ~6^rounds and the ANALYZER
+      // becomes the bottleneck; the per-round graph is k-bounded
+      // (≤ kn rows), so an eager localCheckpoint is cheap (the gr_kcore
+      // per-round survivor-table discipline)
+      g = g.localCheckpoint()
+      val fresh = strideEdges(randomStrides.map(_ + 17 * (r - 1)))
+      val explore = fresh.fold(g.select(col("id"), col("nbr")))(f =>
+        g.select(col("id"), col("nbr")).union(f))
+      val und = explore
+        .union(explore.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct()
+      val cand = und.as("a")
+        .join(und.as("b"), col("a.nbr") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.nbr").as("nbr"))
+        .where(col("id") =!= col("nbr"))
+        .union(und)
+        .distinct()
+      g = topK(g.union(scorePairs(cand)))
+    }
+    g
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
                 idCol: String = "vec_id"): DataFrame = {
     require(k > 0, "k must be positive")
