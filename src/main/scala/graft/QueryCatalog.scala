@@ -372,6 +372,20 @@ object QueryCatalog {
           precomputedPairs = Some(blockPairs025(spark, sfDir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The NN-Descent refined graph (k=5, 6 rounds over the knnEdges seed),
+    * shared by sim_nnd / sim_nndrecall — the 6-round iteration dominates
+    * both, and a batch user builds the index once (the
+    * blockPairs025/knnEdges discipline). nnDescent already ends in a
+    * localCheckpoint, so no extra persist is needed. */
+  private val nndCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def nndGraph(spark: SparkSession, sfDir: String): DataFrame =
+    nndCache.getOrElseUpdate((spark, sfDir),
+      Similarity.nnDescent(embs(spark, sfDir), "label", k = 5, rounds = 6,
+          seedThreshold = 0.25,
+          precomputedSeed = Some(knnEdges(spark, sfDir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** k-means(4, 3) assignments over the embeddings, shared by
     * clu_kmeans / dd_semantic / clu_sample (the clustering is the dominant
     * cost — 4 corpus passes — and all three consume the SAME model; the

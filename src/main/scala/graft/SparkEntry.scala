@@ -235,6 +235,18 @@ object SparkEntry {
       formulaQuery("qty.ewm(1).var()", roundTo = Some(6))(s, d)),
     "e11_ewstd" -> ((s, d) =>
       formulaQuery("qty.ewm(1).std()", roundTo = Some(6))(s, d)),
+    // the other pandas decay spellings (r10 kwargs): span (THE finance
+    // idiom), halflife; all resolve to α and ride the same exact scan
+    "e11_ewspan" -> ((s, d) =>
+      formulaQuery("qty.ewm(span=20).mean()", roundTo = Some(5))(s, d)),
+    "e11_ewhl" -> ((s, d) =>
+      formulaQuery("qty.ewm(halflife=8).mean()", roundTo = Some(5))(s, d)),
+    // expanding min_periods (r10): valid-count gate; count gates on
+    // positions (pandas 2.2, pinned)
+    "e11_emp" -> ((s, d) =>
+      formulaQuery("qty.expanding(min_periods=3).mean()")(s, d)),
+    "e11_empc" -> ((s, d) =>
+      formulaQuery("qty.expanding(min_periods=2).count()")(s, d)),
     // rolling min_periods (r10 kwarg): valid-count-gated skipna windows
     // with partial leading edges; count gates on positions (pandas 2.2)
     "e11_rmp" -> ((s, d) =>
@@ -478,9 +490,7 @@ object SparkEntry {
     // family (HNSW/NND class); every round is bounded-fanout joins + the
     // bounded-heap top-k re-rank, linear in the corpus at fixed k
     "sim_nnd" -> ((s, d) =>
-      Similarity.nnDescent(embs(s, d), "label", k = 5, rounds = 6,
-          seedThreshold = 0.25, precomputedSeed = Some(knnEdges(s, d)))
-        .orderBy(col("id"), col("sim").desc, col("nbr"))),
+      nndGraph(s, d).orderBy(col("id"), col("sim").desc, col("nbr"))),
     // NN-Descent quality gate: recall@3 on the probe nodes against the
     // exact top-3 — refined lists must beat the block-local seed's
     // recall (descent finds the cross-block neighbors blocking hides)
@@ -497,9 +507,7 @@ object SparkEntry {
       val exact = graft.plans.TopKPerKey(pairs, Seq(col("id")),
         Seq(col("sim").desc, col("nbr")), 3).select(col("id"), col("nbr"))
       val seed = knnEdges(s, d).select(col("id"), col("nbr"))
-      val nnd = Similarity.nnDescent(e, "label", k = 5, rounds = 6,
-          seedThreshold = 0.25, precomputedSeed = Some(knnEdges(s, d)))
-        .select(col("id"), col("nbr"))
+      val nnd = nndGraph(s, d).select(col("id"), col("nbr"))
       val tot = exact.agg(count(lit(1)).as("k_total"))
       val sHit = seed.join(exact, Seq("id", "nbr"))
         .agg(count(lit(1)).as("seed_hits"))
@@ -4459,6 +4467,25 @@ object SparkEntry {
       "e11_ewmbig" -> ewmMeanOracle("1.0 - 1.0/13.0", 320, dp = 5),
       "e11_ewvar" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = false),
       "e11_ewstd" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = true),
+      // span/halflife mirrors: the weight base is the IDENTICAL double
+      // expression the compiler evaluates (α = 2/(span+1), resp.
+      // 1 − exp(ln½/halflife) — exp/ln may differ from the JVM by an
+      // ulp, absorbed by the 5-dp quantum like the other deep decays)
+      "e11_ewspan" -> ewmMeanOracle("1.0 - 2.0/(20.0 + 1.0)", 280, dp = 5),
+      "e11_ewhl" ->
+        ewmMeanOracle("1.0 - (1.0 - exp(ln(0.5)/8.0))", 320, dp = 5),
+      "e11_emp" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"CASE WHEN count(q$j) $w >= 3 " +
+          s"THEN sum(q$j) $w / count(q$j) $w END")
+      },
+      "e11_empc" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"CASE WHEN row_number() OVER (ORDER BY __row_id__) >= 2 " +
+          s"THEN CAST(count(q$j) $w AS DOUBLE) END")
+      },
       // rolling min_periods mirrors: DuckDB window aggregates skip NULLs
       // natively, partial leading frames come free with ROWS BETWEEN
       "e11_rmp" -> matSql { j =>

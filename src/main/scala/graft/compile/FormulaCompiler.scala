@@ -87,17 +87,20 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * compile error. */
   private case class CRoll(cols: Seq[(String, Column)], n: Int,
                            minp: Int) extends CValue
-  private case class CExpand(cols: Seq[(String, Column)]) extends CValue
+  private case class CExpand(cols: Seq[(String, Column)],
+                             minp: Int) extends CValue
   private case class CRollD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
                             n: Int, minp: Int) extends CValue
   private case class CExpandD(vs: IndexedSeq[Double],
-                              ls: IndexedSeq[String]) extends CValue
-  /** `.ewm(com)` marker (r9 session 3): pandas' ExponentialMovingWindow
-    * intermediate, waiting for `.mean()/.var()/.std()`. */
+                              ls: IndexedSeq[String],
+                              minp: Int) extends CValue
+  /** `.ewm(...)` marker (r9 session 3): pandas' ExponentialMovingWindow
+    * intermediate, waiting for `.mean()/.var()/.std()` — r10: resolved to
+    * the decay α at construction (com/span/halflife/alpha accepted). */
   private case class CEwm(cols: Seq[(String, Column)],
-                          com: Double) extends CValue
+                          alpha: Double) extends CValue
   private case class CEwmD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
-                           com: Double) extends CValue
+                           alpha: Double) extends CValue
   /** compiled keyword argument (r10): only ever an element of a method's
     * arg list — e.g. min_periods=2 in `.rolling(5, min_periods=2)`. */
   private case class CKw(kwName: String, v: CValue) extends CValue
@@ -355,6 +358,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     m
   }
 
+  /** min_periods from `.expanding(...)`'s args (r10): one optional value,
+    * keyword or positional, m >= 1 (pandas default 1). */
+  private def expandingMinPeriods(args: List[CValue]): Int = {
+    val m = args match {
+      case Nil                             => 1
+      case List(CKw("min_periods", v))     => asScalar(v, "min_periods").toInt
+      case List(v) if !v.isInstanceOf[CKw] => asScalar(v, "min_periods").toInt
+      case _ => throw new FormulaTypeException(
+        "'.expanding()' takes at most one argument (min_periods)")
+    }
+    if (m < 1) throw new FormulaTypeException(
+      s"min_periods must be >= 1, got $m")
+    m
+  }
+
   // ---- binary dispatch over all operand-kind pairs ------------------------
 
   private def colOp(op: String): (Column, Column) => Column =
@@ -489,7 +507,41 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   /** Keyword arguments each method accepts (r10); every other (method,
     * keyword) pair is a clean python-style TypeError. */
   private val methodKwargs: Map[String, Set[String]] =
-    Map("rolling" -> Set("min_periods"))
+    Map("rolling" -> Set("min_periods"),
+      "expanding" -> Set("min_periods"),
+      "ewm" -> Set("com", "span", "halflife", "alpha"))
+
+  /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
+    * exclusive spellings (com positional or keyword; span/halflife/alpha
+    * keyword-only), with pandas' own domain checks:
+    * α = 1/(1+com) = 2/(span+1) = 1 − exp(ln½/halflife). */
+  private def ewmAlpha(args: List[CValue]): Double = {
+    val params = args.map {
+      case CKw(n, v) => (n, asScalar(v, s"ewm $n"))
+      case v         => ("com", asScalar(v, "ewm"))
+    }
+    if (params.length != 1) throw new FormulaTypeException(
+      "'.ewm()' takes exactly one of com, span, halflife, alpha " +
+        "(mutually exclusive)")
+    params.head match {
+      case ("com", x) =>
+        if (x < 0 || x.isNaN) throw new FormulaTypeException(
+          s"'.ewm(com)' needs com >= 0, got $x")
+        1.0 / (1.0 + x)
+      case ("span", x) =>
+        if (!(x >= 1)) throw new FormulaTypeException(
+          s"'.ewm(span)' must satisfy span >= 1, got $x")
+        2.0 / (x + 1.0)
+      case ("halflife", x) =>
+        if (!(x > 0)) throw new FormulaTypeException(
+          s"'.ewm(halflife)' must be positive, got $x")
+        1.0 - math.exp(math.log(0.5) / x)
+      case (_, x) => // alpha
+        if (!(x > 0 && x <= 1)) throw new FormulaTypeException(
+          s"'.ewm(alpha)' must satisfy 0 < alpha <= 1, got $x")
+        x
+    }
+  }
 
   private def method(target: CValue, name: String, args: List[CValue], ctx: Ctx): CValue = {
     args.foreach {
@@ -1561,33 +1613,32 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
         CRollD(vs, ls, n, rollingMinPeriods(n, rest))
-      // `.ewm(com).mean()` (r9 session 3): pandas' exponentially weighted
-      // mean, adjust=True / ignore_na=False / min_periods=0 — weights
-      // (1−α)^d by POSITION distance (α = 1/(1+com)), invalid cells decay
-      // the weights but feed neither sum, output NaN only before the
-      // first valid cell. Distributed as a winewm fused window over the
-      // positional-lag ring at the finite horizon where the dropped
-      // weight mass is < 1e-12 of the kept (invisible at the 6-dp oracle
-      // discipline) — the w_ewma truncation convention. com = 0 (α = 1)
-      // degenerates to carry-last-valid, which IS `.ffill()`.
-      case ("ewm", CMatrix(cols, false), List(a)) =>
+      // `.ewm(...)` (r9 session 3, exact scan + full parameter surface
+      // r10): pandas' exponentially weighted windows, adjust=True /
+      // ignore_na=False / min_periods=0 — weights (1−α)^d by POSITION
+      // distance, invalid cells decay the weights but feed neither sum,
+      // output NaN only before the first valid cell, with the pandas
+      // carry across hole runs of any length. The decay accepts all four
+      // pandas spellings (com positional/keyword, span/halflife/alpha
+      // keyword). α = 1 (com = 0) degenerates the mean to
+      // carry-last-valid, which IS `.ffill()`.
+      case ("ewm", CMatrix(cols, false), args) if args.nonEmpty =>
         if (!std) throw new AdpUnsupportedException(
           "'.ewm()' is not supported in ADP mode")
-        val com = asScalar(a, "ewm")
-        if (com < 0 || com.isNaN) throw new FormulaTypeException(
-          s"'.ewm(com)' needs com >= 0, got $com")
-        CEwm(cols, com)
-      case ("ewm", CVecD(vs, ls), List(a)) =>
-        val com = asScalar(a, "ewm")
-        if (com < 0 || com.isNaN) throw new FormulaTypeException(
-          s"'.ewm(com)' needs com >= 0, got $com")
-        CEwmD(vs, ls, com)
+        CEwm(cols, ewmAlpha(args))
+      case ("ewm", CVecD(vs, ls), args) if args.nonEmpty =>
+        CEwmD(vs, ls, ewmAlpha(args))
 
-      case ("expanding", CMatrix(cols, false), Nil) =>
+      // `.expanding([min_periods=m])` (r10 kwarg, default 1): aggregates
+      // gate on valid count >= m — count on POSITIONS >= m (pandas 2.2,
+      // pinned: expanding(min_periods=3).count() on [1,nan,2,...] emits
+      // 2.0 at the third position)
+      case ("expanding", CMatrix(cols, false), args) =>
         if (!std) throw new AdpUnsupportedException(
           "'.expanding()' is not supported in ADP mode")
-        CExpand(cols)
-      case ("expanding", CVecD(vs, ls), Nil) => CExpandD(vs, ls)
+        CExpand(cols, expandingMinPeriods(args))
+      case ("expanding", CVecD(vs, ls), args) =>
+        CExpandD(vs, ls, expandingMinPeriods(args))
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
             "median"), CRoll(cols, n, minp), Nil) =>
@@ -1742,7 +1793,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           CMatrix(out, isBool = false)
         }
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
-            CExpand(cols), Nil) =>
+            CExpand(cols, minp), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
@@ -1764,8 +1815,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val valIn = cols.indices.map(i => s"__ex${tag}_v_$i")
         val cntIn = cols.indices.map(i => s"__ex${tag}_c_$i")
         val sqIn = cols.indices.map(i => s"__ex${tag}_q_$i")
+        // count with min_periods > 1 gates on POSITIONS (pandas 2.2) —
+        // one extra running sum of ones, only when actually needed
+        val needPos = m == "count" && minp > 1
+        val posIn = s"__ex${tag}_one"
         val marked = based.select(col("*") +:
-          cols.zipWithIndex.flatMap { case ((_, c), i) =>
+          (cols.zipWithIndex.flatMap { case ((_, c), i) =>
             val valid = !invalidOf(c)
             val cc = if (needsSq) c.cast("double") - col(s"__ex${tag}_mu_$i")
                      else c.cast("double")
@@ -1773,14 +1828,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             Seq(when(valid, cc).as(valIn(i)),
               when(valid, lit(1.0)).as(cntIn(i))) ++
               (if (needsSq) Seq(when(valid, cc * cc).as(sqIn(i))) else Nil)
-          }: _*)
-        val inNames = valIn ++ cntIn ++ (if (needsSq) sqIn else Nil)
+          } ++ (if (needPos) Seq(lit(1.0).as(posIn)) else Nil)): _*)
+        val inNames = valIn ++ cntIn ++
+          (if (needsSq) sqIn else Nil) ++ (if (needPos) Seq(posIn) else Nil)
         val kinds = (m match {
           case "min" => valIn.map(_ => "min")
           case "max" => valIn.map(_ => "max")
           case _     => valIn.map(_ => "sum")
-        }) ++ cntIn.map(_ => "sum") ++ (if (needsSq) sqIn.map(_ => "sum")
-                                        else Nil)
+        }) ++ cntIn.map(_ => "sum") ++
+          (if (needsSq) sqIn.map(_ => "sum") else Nil) ++
+          (if (needPos) Seq("sum") else Nil)
         ctx.base = Some(graft.operators.Prefix.runningAgg(marked, rid,
           inNames, kinds, inNames.map(_ + "_s")))
         val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
@@ -1789,17 +1846,23 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val cell = m match {
             // a leading all-hole prefix counts 0, not NaN — pandas 2.2
             // pinned empirically (r10, answering the r9 ADVICE query):
-            // Series([nan, nan, 1]).expanding().count() = [0, 0, 1]
-            case "count" => ccnt
-            case "sum"   => when(ccnt < 1, litOf(Double.NaN)).otherwise(s)
-            case "mean"  => when(ccnt < 1, litOf(Double.NaN))
+            // Series([nan, nan, 1]).expanding().count() = [0, 0, 1] —
+            // but with explicit min_periods > 1 the POSITION gate
+            // applies (expanding(min_periods=3).count() starts NaN, NaN)
+            case "count" =>
+              if (!needPos) ccnt
+              else when(col(posIn + "_s") < minp, litOf(Double.NaN))
+                .otherwise(ccnt)
+            case "sum"   => when(ccnt < minp.max(1), litOf(Double.NaN))
+              .otherwise(s)
+            case "mean"  => when(ccnt < minp.max(1), litOf(Double.NaN))
               .otherwise(s / ccnt)
             case "min" | "max" =>
-              when(s.isNull, litOf(Double.NaN)).otherwise(s)
+              when(s.isNull || ccnt < minp, litOf(Double.NaN)).otherwise(s)
             case _ =>
               val q = col(sqIn(i) + "_s")
               val v = greatest((q - s * s / ccnt) / (ccnt - 1), lit(0.0))
-              when(ccnt < 2, litOf(Double.NaN))
+              when(ccnt < minp.max(2), litOf(Double.NaN))
                 .otherwise(if (m == "var") v else sqrt(v))
           }
           (lbl, cell)
@@ -1838,24 +1901,26 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
-            CExpandD(vs, ls), Nil) => {
-        var s = 0.0; var q = 0.0; var c = 0
+            CExpandD(vs, ls, minp), Nil) => {
+        var s = 0.0; var q = 0.0; var c = 0; var pos = 0
         var mn = Double.NaN; var mx = Double.NaN
         CVecD(vs.map { v =>
+          pos += 1
           if (!v.isNaN) {
             c += 1; s += v; q += v * v
             mn = if (c == 1) v else math.min(mn, v)
             mx = if (c == 1) v else math.max(mx, v)
           }
           m match {
-            case "count"     => c.toDouble
-            case _ if c < 1  => Double.NaN
-            case "sum"       => s
-            case "mean"      => s / c
-            case "min"       => mn
-            case "max"       => mx
+            case "count"            => if (pos < minp) Double.NaN
+                                       else c.toDouble
+            case _ if c < minp.max(1) => Double.NaN
+            case "sum"              => s
+            case "mean"             => s / c
+            case "min"              => mn
+            case "max"              => mx
             case _ =>
-              if (c < 2) Double.NaN
+              if (c < minp.max(2)) Double.NaN
               else {
                 val v2 = math.max(0.0, (q - s * s / c) / (c - 1))
                 if (m == "var") v2 else math.sqrt(v2)
@@ -1863,22 +1928,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
       }
-      // `.ewm(com).mean()/.var()/.std()` (r10): pandas adjust=True /
+      // `.ewm(...).mean()/.var()/.std()` (r10): pandas adjust=True /
       // ignore_na=False / bias=False, EXACT — the r9 truncated-horizon
       // ring (com <= ~8.8, NaN past hk-long hole runs where pandas
       // carries) is replaced by [[Prefix.ewmScan]]'s decayed
-      // weighted-Welford distributed scan: any com >= 0, O(1) per-row
+      // weighted-Welford distributed scan: any decay, O(1) per-row
       // state, the pandas carry across hole runs falls out of the
       // decay-invariant state, and the Welford products need no
       // centering stage (translation-robust by construction — unlike
       // the closed moment forms).
-      case (m @ ("mean" | "var" | "std"), CEwm(cols, com), Nil) =>
-        if (m == "mean" && com == 0.0) {
+      case (m @ ("mean" | "var" | "std"), CEwm(cols, alpha), Nil) =>
+        if (m == "mean" && alpha == 1.0) {
           // α = 1: every weight but the current cell's is zero and pandas
           // carries the last valid value across holes — exactly `.ffill()`
           method(CMatrix(cols, isBool = false), "ffill", Nil, ctx)
         } else {
-          val alpha = 1.0 / (1.0 + com)
           ctx.seqCounter += 1
           val tag = ctx.seqCounter
           val rid = col(ctx.rowIdOut)
@@ -1897,12 +1961,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             (lbl, if (m == "std") sqrt(c) else c)
           }, isBool = false)
         }
-      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, com), Nil) => {
+      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, alpha), Nil) => {
         // sequential twin of [[Prefix.ewmScan]], recurrence for
         // recurrence (decayed weighted-Welford, the DEN = W1² − ΣW²
         // direct tracking, the underflow rescale), so matrix and vector
         // paths agree
-        val alpha = if (com == 0.0) 1.0 else 1.0 / (1.0 + com)
         val f = 1.0 - alpha
         val f2 = f * f
         var mu = Double.NaN; var w1 = 0.0; var covB = 0.0; var dn = 0.0

@@ -463,6 +463,53 @@ class RollingFamilySpec extends SparkSpec {
     assert(e2.getMessage.contains("unexpected keyword"))
   }
 
+  test("ewm decay spellings (r10 kwargs): span/halflife/alpha resolve to " +
+      "the same scan; mutually exclusive; pandas domain checks") {
+    val s4 = series(1.0, 2.0, Double.NaN, 4.0)
+    // pandas: ewm(span=3) ≡ ewm(com=1) = [1, 1.6667, 1.6667, 3.3636]
+    val pinned = Seq(1.0, 1.6666666666666667, 1.6666666666666667,
+      3.3636363636363638)
+    assertSeq(colOf("s.ewm(span=3).mean()", s4), pinned, tol = 1e-9)
+    assertSeq(colOf("s.ewm(1).mean()", s4), pinned, tol = 1e-9)
+    // pandas ewm(alpha=0.4).mean() = [1, 1.625, 1.625, 3.131979695431472]
+    assertSeq(colOf("s.ewm(alpha=0.4).mean()", s4),
+      Seq(1.0, 1.625, 1.625, 3.131979695431472), tol = 1e-9)
+    // pandas ewm(halflife=2).mean() = [1, 1.585786437626905, …]
+    assertSeq(colOf("s.ewm(halflife=2).mean()", s4),
+      Seq(1.0, 1.585786437626905, 1.585786437626905, 2.888265003728726),
+      tol = 1e-9)
+    val ev = new FormulaEvaluator(reg("s" -> s4))
+    assertThrows[FormulaTypeException]( // mutually exclusive (pandas)
+      ev.evaluateFormula("s.ewm(1, span=3).mean()"))
+    assertThrows[FormulaTypeException]( // span >= 1 (pandas)
+      ev.evaluateFormula("s.ewm(span=0.5).mean()"))
+    assertThrows[FormulaTypeException]( // alpha in (0, 1]
+      ev.evaluateFormula("s.ewm(alpha=1.5).mean()"))
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.ewm(beta=1).mean()"))
+    assert(e.getMessage.contains("unexpected keyword"))
+  }
+
+  test("expanding min_periods (r10 kwarg): valid-count gate, positions " +
+      "gate for count (pandas 2.2, pinned)") {
+    // pandas s = Series([1, NaN, 2, 3, NaN, 4])
+    val sp = series(1.0, Double.NaN, 2.0, 3.0, Double.NaN, 4.0)
+    assertSeq(colOf("s.expanding(min_periods=3).mean()", sp),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 2, 2, 2.5))
+    // count gates on POSITIONS: the third row has 3 positions but only
+    // 2 valid cells — and still emits 2.0
+    assertSeq(colOf("s.expanding(min_periods=3).count()", sp),
+      Seq(Double.NaN, Double.NaN, 2, 3, 3, 4))
+    assertSeq(colOf("s.expanding(min_periods=2).var()", sp),
+      Seq(Double.NaN, Double.NaN, 0.5, 1, 1, 1.6666666666666667),
+      tol = 1e-9)
+    assertSeq(colOf("s.expanding(min_periods=1).min()", sp),
+      Seq(1, 1, 1, 1, 1, 1))
+    val ev = new FormulaEvaluator(reg("s" -> sp))
+    assertThrows[FormulaTypeException](
+      ev.evaluateFormula("s.expanding(min_periods=0).mean()"))
+  }
+
   test("vector paths: the same semantics sequentially") {
     val v = Vec(IndexedSeq(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0),
       IndexedSeq("a", "b", "c", "d", "e", "f"))
@@ -480,6 +527,11 @@ class RollingFamilySpec extends SparkSpec {
     assertSeq(vec("v.rolling(3).std()"), Seq(Double.NaN, Double.NaN,
       Double.NaN, Double.NaN, Double.NaN, 1.0))
     assertSeq(vec("v.expanding().count()"), Seq(1, 2, 2, 3, 4, 5))
+    // r10 kwargs on the vector paths: positions-gated count, span decay
+    assertSeq(vec("v.expanding(min_periods=3).count()"),
+      Seq(Double.NaN, Double.NaN, 2, 3, 4, 5))
+    assertSeq(vec("v.ewm(span=3).mean()"),
+      vec("v.ewm(1).mean()"))
     assertSeq(vec("v.expanding().min()"), Seq(1, 1, 1, 1, 1, 1))
     assertSeq(vec("v.expanding().var()"),
       Seq(Double.NaN, 0.5, 0.5, 2.333333333333333, 3.3333333333333335,
