@@ -120,6 +120,32 @@ object ProbeR10 {
       }
     }
 
+    if (want("r10scale")) {
+      // the round's new surface at 30×/100× lineitem (exact ewm scan,
+      // min_periods windows) and the NN-Descent build at 10×/30×
+      // embeddings (single-shot — the 6-round index build IS the query)
+      val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+      for ((tag, dir) <- Seq("1x" -> sf1x, "30x" -> "/tmp/graft_sf3",
+             "100x" -> "/tmp/graft_sf10")
+           if new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        QueryCatalog.wide(spark, dir).count()
+        for (n <- Seq("e11_ewm", "e11_ewvar", "e11_rmp")) {
+          val t = best { SparkEntry.queries(n)(spark, dir).count() }
+          r += s"${n}_$tag" -> t
+          System.err.println(f"[probe] r10scale $n $tag $t%.2f")
+        }
+      }
+      for ((tag, dir) <- Seq("1x" -> sf1x, "10x" -> "/tmp/graft_sf1",
+             "30x" -> "/tmp/graft_sf3")
+           if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        QueryCatalog.embs(spark, dir).count()
+        val t = time { SparkEntry.queries("sim_nnd")(spark, dir).count() }
+        r += s"sim_nnd_$tag" -> t
+        System.err.println(f"[probe] r10scale sim_nnd $tag $t%.2f")
+      }
+      out += "r10scale" -> r
+    }
+
     if (want("madkll")) {
       // all-distinct value domain: every row its own value, 3 groups —
       // the exact rank selection walks n distinct (group, value) pairs;

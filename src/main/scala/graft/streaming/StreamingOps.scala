@@ -444,6 +444,65 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class EwRow(key: Long, id: Long, value: Double)
+  case class EwState(mu: Double, w1: Double, covB: Double, den: Double,
+                     lastVar: Double)
+  case class EwOut(key: Long, id: Long, mean: Double, variance: Double)
+
+  /** Streaming twin of the exact ewm scan (r10): per-key exponentially
+    * weighted mean + bias-corrected variance as O(1) keyed state — the
+    * canonical streaming statistic. The state is EXACTLY
+    * [[graft.operators.Prefix.ewmScan]]'s decayed normalized-Welford
+    * tuple (μ, covB, W1, DEN = W1² − ΣW² by its own add-only recurrence,
+    * plus the carried variance), recurrence for recurrence, so a keyed
+    * stream replayed as a batch frame produces the identical values
+    * (StreamingOpsSpec pins the pandas goldens across micro-batch
+    * boundaries). No ring, no window, no horizon: each event decays the
+    * masses and absorbs itself; invalid (NaN) values decay the weights
+    * and carry the last outputs, with the same 1e-150 underflow rescale.
+    * Events are processed in `id` order within each micro-batch. */
+  def ewmStream(rows: Dataset[EwRow], alpha: Double): Dataset[EwOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val f = 1.0 - alpha
+    val f2 = f * f
+    def fn(key: Long, in: Iterator[EwRow],
+           state: GroupState[EwState]): Iterator[EwOut] = {
+      var st = state.getOption.getOrElse(
+        EwState(Double.NaN, 0.0, 0.0, 0.0, Double.NaN))
+      val out = scala.collection.mutable.ListBuffer[EwOut]()
+      in.toSeq.sortBy(_.id).foreach { r =>
+        var mu = st.mu; var cb = st.covB; var lastV = st.lastVar
+        var w1 = st.w1 * f; var dn = st.den * f2
+        if (!r.value.isNaN) {
+          val oldWt = w1
+          dn += 2.0 * oldWt
+          w1 += 1.0
+          if (mu.isNaN) { mu = r.value; cb = 0.0 }
+          else {
+            val oldMean = mu
+            mu = (oldWt * oldMean + r.value) / w1
+            val dm = oldMean - mu; val dv = r.value - mu
+            cb = (oldWt * (cb + dm * dm) + dv * dv) / w1
+          }
+          val fv = graft.operators.Prefix.ewmVarOf(w1, cb, dn)
+          if (!fv.isNaN) lastV = fv
+          out += EwOut(key, r.id, mu, fv)
+        } else {
+          if (w1 > 0 && w1 < 1e-150) { w1 *= 1e150; dn *= 1e300 }
+          out += EwOut(key, r.id, mu, lastV)
+        }
+        st = EwState(mu, w1, cb, dn, lastV)
+      }
+      state.update(st)
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Stream-stream interval join: enrich an event stream with a label
     * stream on the same key, accepting labels that arrive within
     * `joinWindow` AFTER the event. Both sides carry watermarks so the

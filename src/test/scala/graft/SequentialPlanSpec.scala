@@ -83,6 +83,25 @@ class SequentialPlanSpec extends SparkSpec {
     }
   }
 
+  /** r10: the exact ewm scan (mean/var/std at any decay) and the
+    * min_periods rolling variants are mapPartitions recurrences over the
+    * distributed slices — a WindowExec may appear ONLY as the bounded
+    * partials-offset window; in particular no window may order the
+    * corpus-scaled row stream. */
+  test("ewm-family and min_periods queries plan with no data-scaled " +
+      "window (r10)") {
+    for (name <- Seq("e11_ewm", "e11_ewvar", "e11_ewmbig", "e11_rmp",
+        "e11_empc")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach(w => assert(
+        w.partitionSpec.nonEmpty || isBoundedOffsetsWindow(w),
+        s"$name: data-scaled single-partition window survived:\n$w"))
+    }
+  }
+
   /** shift/diff must never plan a window `lag`/`lead`: offset window
     * frames make WindowExec buffer whole partitions
     * (ExternalAppendOnlyUnsafeRowArray) instead of streaming — measured

@@ -57,6 +57,22 @@ class AnnPlanSpec extends SparkSpec {
     assertHeapTopK("sim_ivfpq", minTopK = 1)
   }
 
+  test("nnDescent's final re-rank runs on TopKPerKey partial heaps, " +
+      "no window (r10; earlier rounds sit behind lineage checkpoints " +
+      "with the same shape)") {
+    val df = graft.operators.Similarity.nnDescent(
+      graft.QueryCatalog.embs(spark, sf), "label", k = 3, rounds = 1,
+      seedThreshold = 0.25)
+    df.count()
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    val partials = plan.collect { case t: TopKPartialExec => t }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(partials.nonEmpty,
+      s"nnDescent: expected TopKPartialExec in the re-rank:\n$plan")
+    assert(windows.isEmpty,
+      s"nnDescent: a window survived in the re-rank round:\n$plan")
+  }
+
   test("ensureRules re-plans the window top-k idiom on a plain session") {
     // a fresh child session: shares the context and nothing else — no
     // extensions, fresh experimental hooks (the gate session's shape)

@@ -330,6 +330,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewm mean/var carries O(1) keyed state across " +
+      "micro-batches and matches the pandas goldens (r10)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EwRow
+    val in = MemoryStream[EwRow]
+    // com = 2 → α = 1/3; pandas Series([1, 2, NaN, 4, 5]).ewm(com=2):
+    //   mean = [1, 1.6, 1.6, 2.9787234042553195, 3.914285714285714]
+    //   var  = [nan, 0.5, 0.5, 2.622641509433962, 2.7539870053160067]
+    val q = StreamingOps.ewmStream(in.toDS(), alpha = 1.0 / 3.0)
+      .toDF("key", "id", "mean", "variance")
+      .writeStream.format("memory").queryName("ew_out")
+      .outputMode("append").start()
+    try {
+      in.addData(EwRow(1L, 0L, 1.0), EwRow(1L, 1L, 2.0))
+      q.processAllAvailable()
+      // batch 2: the Welford tuple must survive the micro-batch boundary
+      in.addData(EwRow(1L, 2L, Double.NaN), EwRow(1L, 3L, 4.0),
+        EwRow(1L, 4L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("ew_out").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3))))
+        .toMap
+      def close(a: Double, e: Double) =
+        if (e.isNaN) a.isNaN else math.abs(a - e) < 1e-9
+      val mean = Seq(1.0, 1.6, 1.6, 2.9787234042553195, 3.914285714285714)
+      val vr = Seq(Double.NaN, 0.5, 0.5, 2.622641509433962,
+        2.7539870053160067)
+      (0 to 4).foreach { i =>
+        assert(close(got(i.toLong)._1, mean(i)),
+          s"mean id=$i: got ${got(i.toLong)._1}, want ${mean(i)}")
+        assert(close(got(i.toLong)._2, vr(i)),
+          s"var id=$i: got ${got(i.toLong)._2}, want ${vr(i)}")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches labels only inside the window") {
     val spark2 = spark
     import spark2.implicits._
