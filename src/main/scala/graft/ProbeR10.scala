@@ -146,6 +146,55 @@ object ProbeR10 {
       out += "r10scale" -> r
     }
 
+    if (want("nndsample")) {
+      // the ρ-sampling knob at the superlinear corner: unsampled 100×
+      // reads 793 s (candidates are LINEAR — 39M pairs/round at 200k
+      // nodes — but the vector-carrying candidate exchange outgrows
+      // executor memory and spills ~2× superlinearly); sampleDeg = 8
+      // caps the 2-hop expansion at 64 candidates/node
+      val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+      for ((tag, dir) <- Seq("30x" -> "/tmp/graft_sf3",
+             "100x" -> "/tmp/graft_sf10")
+           if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val e = QueryCatalog.embs(spark, dir); e.count()
+        QueryCatalog.knnEdges(spark, dir).count()
+        val t = time {
+          operators.Similarity.nnDescent(e, "label", k = 5, rounds = 6,
+            seedThreshold = 0.25,
+            precomputedSeed = Some(QueryCatalog.knnEdges(spark, dir)),
+            sampleDeg = 8).count()
+        }
+        r += s"sampled8_$tag" -> t
+        System.err.println(f"[probe] nndsample $tag $t%.2f")
+      }
+      // quality under sampling at 1×: recall@3 on the probe nodes
+      val e1 = QueryCatalog.embs(spark, sf1x)
+      val probes = e1.where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("qe"))
+      val pairs = e1.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("id"))
+        .select(col("id"), col("vec_id").as("nbr"),
+          round(operators.Similarity.dotExact(col("embedding"), col("qe")) /
+            (sqrt(operators.Similarity.dotExact(col("embedding"),
+              col("embedding"))) *
+              sqrt(operators.Similarity.dotExact(col("qe"), col("qe")))), 6)
+            .as("sim"))
+      val exact = graft.plans.TopKPerKey(pairs, Seq(col("id")),
+        Seq(col("sim").desc, col("nbr")), 3).select(col("id"), col("nbr"))
+      for (sd <- Seq(0, 8)) {
+        val nnd = operators.Similarity.nnDescent(e1, "label", k = 5,
+            rounds = 6, seedThreshold = 0.25,
+            precomputedSeed = Some(QueryCatalog.knnEdges(spark, sf1x)),
+            sampleDeg = sd)
+          .select(col("id"), col("nbr"))
+        val hits = nnd.join(exact, Seq("id", "nbr")).count()
+        val tot = exact.count()
+        r += s"recall_sd$sd" -> (hits.toDouble / tot)
+        System.err.println(s"[probe] nndsample recall sd=$sd $hits/$tot")
+      }
+      out += "nndsample" -> r
+    }
+
     if (want("madkll")) {
       // all-distinct value domain: every row its own value, 3 groups —
       // the exact rank selection walks n distinct (group, value) pairs;

@@ -4294,8 +4294,13 @@ object SparkEntry {
           val (a, b) = if (i <= j) (i, j) else (j, i)
           val (n, sx, sy, sxx, syy, sxy) = (s"n_${a}_$b", s"sx_${a}_$b",
             s"sy_${a}_$b", s"sxx_${a}_$b", s"syy_${a}_$b", s"sxy_${a}_$b")
-          s"round(($n*$sxy - $sx*$sy) / " +
-            s"(sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy)), 9)"
+          // a constant (zero-variance) column → den = 0: mirror the
+          // engine's pandas NaN (r10; latent — no constant column in the
+          // qty frame — but the two sides must agree on the degenerate
+          // case by construction, not by luck)
+          val den = s"(sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy))"
+          s"round(CASE WHEN $den = 0 THEN 'NaN'::DOUBLE " +
+            s"ELSE ($n*$sxy - $sx*$sy) / $den END, 9)"
         }
         val rows = J.map { i =>
           s"SELECT 'c$i' AS __row_id__, " +

@@ -265,6 +265,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       if (!std)
         throw new AdpUnsupportedException(
           s"Math function '$fn' is not supported in decimal (ADP) mode.")
+      // math functions are positional-only (r10: reject keyword args
+      // cleanly before they reach the column machinery)
+      args.collectFirst { case Kw(kn, _) => kn }.foreach(kn =>
+        throw new FormulaTypeException(
+          s"'$fn()' got an unexpected keyword argument '$kn' " +
+            "(math functions take positional arguments only)"))
       args.map(eval(_, ctx)) match {
         case List(a) if Ops.functions.contains(fn) => applyFn(Ops.functions(fn), fn, a)
         case List(a, b) if Ops.functions2.contains(fn) =>

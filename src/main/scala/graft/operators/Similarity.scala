@@ -803,7 +803,8 @@ object Similarity {
                 seedThreshold: Double, idCol: String = "vec_id",
                 embCol: String = "embedding",
                 precomputedSeed: Option[DataFrame] = None,
-                randomStrides: Seq[Int] = Seq(1, 3)): DataFrame = {
+                randomStrides: Seq[Int] = Seq(1, 3),
+                sampleDeg: Int = 0): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
     val vecs = embs.select(col(idCol).as("__nid"), col(embCol).as("__ne"),
@@ -895,8 +896,21 @@ object Similarity {
       val und = explore
         .union(explore.select(col("nbr").as("id"), col("id").as("nbr")))
         .distinct()
-      val cand = und.as("a")
-        .join(und.as("b"), col("a.nbr") === col("b.id"))
+      // ρ-sampling (the NN-Descent paper's candidate-volume knob,
+      // sampleDeg > 0): the 2-hop join expands through only a
+      // DETERMINISTIC hash-sampled subset of each node's undirected
+      // edges (≤ sampleDeg per node, smallest portable-hash first), so
+      // candidates per round drop from deg² to sampleDeg² per node —
+      // the lever when the pair volume outgrows executor memory. The
+      // direct und edges are always scored regardless.
+      val undS =
+        if (sampleDeg <= 0) und
+        else graft.plans.TopKPerKey(
+            und.withColumn("__h", Sampling.hashUniform(col("nbr"), 77)),
+            Seq(col("id")), Seq(col("__h"), col("nbr")), sampleDeg)
+          .select(col("id"), col("nbr"))
+      val cand = undS.as("a")
+        .join(undS.as("b"), col("a.nbr") === col("b.id"))
         .select(col("a.id").as("id"), col("b.nbr").as("nbr"))
         .where(col("id") =!= col("nbr"))
         .union(und)

@@ -51,6 +51,23 @@ class NnDescentSpec extends SparkSpec {
       s"descent must recover the full true top-3 of node 0, got $ref0")
   }
 
+  test("ρ-sampling (sampleDeg) still recovers the cross-block cluster " +
+      "and stays deterministic") {
+    val e = corpus()
+    def run() = Similarity.nnDescent(e, "label", k = 3, rounds = 4,
+        seedThreshold = 0.25, sampleDeg = 4)
+      .orderBy(col("id"), col("sim").desc, col("nbr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val a = run()
+    assert(a.sameElements(run()), "sampled runs must be identical")
+    // sampling is a disclosed candidate-volume/recall trade: it must
+    // still ESCAPE the block (find cross-block cluster mates the seed
+    // cannot) even if the full top-3 takes more rounds than unsampled
+    val ref0 = a.filter(_._1 == 0L).map(_._2).toSet
+    assert((ref0 & Set(1L, 3L)).nonEmpty && ref0.contains(2L),
+      s"sampled descent must reach cross-block cluster mates, got $ref0")
+  }
+
   test("the trajectory is deterministic and k-bounded") {
     val e = corpus()
     def run() = Similarity.nnDescent(e, "label", k = 3, rounds = 2,
