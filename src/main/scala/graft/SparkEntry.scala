@@ -496,14 +496,25 @@ object SparkEntry {
     // recall (descent finds the cross-block neighbors blocking hides)
     "sim_nndrecall" -> ((s, d) => {
       val e = embs(s, d)
-      val probes = e.where(col("vec_id") % 199 === 0)
-        .select(col("vec_id").as("id"), col("embedding").as("qe"))
-      val pairs = e.crossJoin(broadcast(probes))
+      // FIXED probe set (≤ 25 at any corpus scale — the sim_recall
+      // k-bounded-gate discipline; the r10 catalog-wide 10× sweep caught
+      // the unbounded `% 199` form growing the exact side O(n²/199)),
+      // and per-SIDE norms hoisted out of the pair projection (the
+      // inline form recomputed three decimal dots per pair)
+      val probes = e.where(col("vec_id") % 199 === 0 &&
+          col("vec_id") < lit(199L * 25))
+        .select(col("vec_id").as("id"), col("embedding").as("qe"),
+          sqrt(Similarity.dotExact(col("embedding"), col("embedding")))
+            .as("qn"))
+      val pairs = e
+        .select(col("vec_id"), col("embedding"),
+          sqrt(Similarity.dotExact(col("embedding"), col("embedding")))
+            .as("en"))
+        .crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("id"))
         .select(col("id"), col("vec_id").as("nbr"),
           round(Similarity.dotExact(col("embedding"), col("qe")) /
-            (sqrt(Similarity.dotExact(col("embedding"), col("embedding"))) *
-              sqrt(Similarity.dotExact(col("qe"), col("qe")))), 6).as("sim"))
+            (col("en") * col("qn")), 6).as("sim"))
       val exact = graft.plans.TopKPerKey(pairs, Seq(col("id")),
         Seq(col("sim").desc, col("nbr")), 3).select(col("id"), col("nbr"))
       val seed = knnEdges(s, d).select(col("id"), col("nbr"))
@@ -2807,7 +2818,8 @@ object SparkEntry {
          |    CAST(sum(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)
          |      AS DECIMAL(38,30))) AS DOUBLE) AS dt
          |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id % 199 = 0 GROUP BY 1, 2),
+         |  WHERE a.vec_id % 199 = 0 AND a.vec_id < ${199L * 25}
+         |  GROUP BY 1, 2),
          |xs AS (SELECT id, nbr, round(dt/(n1.nrm*n2.nrm), 6) AS sim
          |  FROM xd JOIN nrm n1 ON xd.id = n1.vec_id
          |          JOIN nrm n2 ON xd.nbr = n2.vec_id),
