@@ -257,6 +257,12 @@ object SparkEntry {
     "e11_rmpv" -> ((s, d) =>
       formulaQuery("qty.rolling(4, min_periods=2).var()",
         roundTo = Some(6))(s, d)),
+    // center=1 (r10): the centered smoothing window — the trailing
+    // aggregate led by (n-1)/2, full windows only (pandas center=True
+    // with the default min_periods)
+    "e11_rctr" -> ((s, d) =>
+      formulaQuery("qty.rolling(7, center=1).mean()",
+        roundTo = Some(6))(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4521,6 +4527,15 @@ object SparkEntry {
           "AND CURRENT ROW)"
         F(s"round(CASE WHEN count(q$j) $w >= 2 " +
           s"THEN var_samp(q$j) $w END, 6)")
+      },
+      // centered window mirror: n = 7, lead = 3 → 3 PRECEDING..3
+      // FOLLOWING; count(qj) = 7 enforces both in-bounds AND all-valid
+      // (the default-min_periods full-window gate)
+      "e11_rctr" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND 3 FOLLOWING)"
+        F(s"round(CASE WHEN count(q$j) $w = 7 " +
+          s"THEN sum(q$j) $w / count(q$j) $w END, 6)")
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

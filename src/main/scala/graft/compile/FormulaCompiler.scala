@@ -86,11 +86,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * Expanding intermediate objects. Escaping to the top level is a
     * compile error. */
   private case class CRoll(cols: Seq[(String, Column)], n: Int,
-                           minp: Int) extends CValue
+                           minp: Int, center: Boolean) extends CValue
   private case class CExpand(cols: Seq[(String, Column)],
                              minp: Int) extends CValue
   private case class CRollD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
-                            n: Int, minp: Int) extends CValue
+                            n: Int, minp: Int,
+                            center: Boolean) extends CValue
   private case class CExpandD(vs: IndexedSeq[Double],
                               ls: IndexedSeq[String],
                               minp: Int) extends CValue
@@ -346,22 +347,35 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     case _ => throw new FormulaTypeException(s"$what expects a scalar literal argument")
   }
 
-  /** min_periods from `.rolling(n, ...)`'s remaining args (r10): one
-    * optional value, keyword or second positional, validated to pandas'
-    * 1 <= m <= n (pandas raises on m > n; m = 0 is rejected — emitting
-    * over empty windows is not supported). Default = n (hole-poisoning,
-    * the pandas default). */
-  private def rollingMinPeriods(n: Int, rest: List[CValue]): Int = {
-    val m = rest match {
-      case Nil                              => n
-      case List(CKw("min_periods", v))      => asScalar(v, "min_periods").toInt
-      case List(v) if !v.isInstanceOf[CKw]  => asScalar(v, "min_periods").toInt
+  /** (min_periods, center) from `.rolling(n, ...)`'s remaining args
+    * (r10): min_periods keyword or second positional, validated to
+    * pandas' 1 <= m <= n (m = 0 rejected — emitting over empty windows
+    * is not supported; default = n, hole-poisoning); center as the
+    * truthy keyword `center=1` (the DSL has numeric literals only),
+    * supported with the DEFAULT min_periods — partial CENTERED edge
+    * windows (center + explicit min_periods < n) change the positions
+    * semantics at both edges and are rejected cleanly. */
+  private def rollingArgs(n: Int, rest: List[CValue]): (Int, Boolean) = {
+    var m = n
+    var mGiven = false
+    var center = false
+    rest.zipWithIndex.foreach {
+      case (CKw("min_periods", v), _) =>
+        m = asScalar(v, "min_periods").toInt; mGiven = true
+      case (CKw("center", v), _) =>
+        center = asScalar(v, "center") != 0.0
+      case (v, 0) if !v.isInstanceOf[CKw] =>
+        m = asScalar(v, "min_periods").toInt; mGiven = true
       case _ => throw new FormulaTypeException(
-        "'.rolling(n)' takes at most one extra argument (min_periods)")
+        "'.rolling(n)' takes min_periods (keyword or second positional) " +
+          "and center=1")
     }
     if (m < 1 || m > n) throw new FormulaTypeException(
       s"min_periods $m must be in [1, window size $n]")
-    m
+    if (center && mGiven && m != n) throw new FormulaTypeException(
+      "'.rolling(n, center=1)' supports the default min_periods only " +
+        "(partial centered edge windows are not supported)")
+    (m, center)
   }
 
   /** min_periods from `.expanding(...)`'s args (r10): one optional value,
@@ -513,7 +527,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   /** Keyword arguments each method accepts (r10); every other (method,
     * keyword) pair is a clean python-style TypeError. */
   private val methodKwargs: Map[String, Set[String]] =
-    Map("rolling" -> Set("min_periods"),
+    Map("rolling" -> Set("min_periods", "center"),
       "expanding" -> Set("min_periods"),
       "ewm" -> Set("com", "span", "halflife", "alpha"))
 
@@ -1612,13 +1626,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val n = asScalar(a, "rolling").toInt
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
-        CRoll(cols, n, rollingMinPeriods(n, rest))
+        val (minp, center) = rollingArgs(n, rest)
+        CRoll(cols, n, minp, center)
       case ("rolling", CVecD(vs, ls), a :: rest)
           if !a.isInstanceOf[CKw] =>
         val n = asScalar(a, "rolling").toInt
         if (n <= 0) throw new FormulaTypeException(
           s"'.rolling(n)' needs n > 0, got $n")
-        CRollD(vs, ls, n, rollingMinPeriods(n, rest))
+        val (minp, center) = rollingArgs(n, rest)
+        CRollD(vs, ls, n, minp, center)
       // `.ewm(...)` (r9 session 3, exact scan + full parameter surface
       // r10): pandas' exponentially weighted windows, adjust=True /
       // ignore_na=False / min_periods=0 — weights (1−α)^d by POSITION
@@ -1647,10 +1663,28 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpandD(vs, ls, expandingMinPeriods(args))
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRoll(cols, n, minp), Nil) =>
+            "median"), CRoll(cols, n, minp, center), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
+        // center=True (r10, default min_periods): centered(i) is EXACTLY
+        // the trailing aggregate at position i + (n−1)/2 — one positional
+        // LEAD of the finished trailing columns; the missing donor past
+        // the tail edge is the pandas NaN (full windows only, both edges)
+        def finish(out: Seq[(String, Column)]): CValue =
+          if (!center || n == 1) CMatrix(out, isBool = false)
+          else {
+            val lead = (n - 1) / 2
+            val tmpIn = cols.indices.map(i => s"__rc${tag}_$i")
+            val based2 = ctx.base.get.select(col("*") +:
+              out.zipWithIndex.map { case ((_, c), i) =>
+                c.as(tmpIn(i)) }: _*)
+            ctx.base = Some(graft.operators.Prefix.positionalLag(based2,
+              ctx.rowIdOut, rid, tmpIn, -lead, tmpIn.map(_ + "_c")))
+            CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
+              (lbl, coalesce(col(tmpIn(i) + "_c"), litOf(Double.NaN)))
+            }, isBool = false)
+          }
         def invalidOf(c: Column) = c.isNull || isnan(c)
         val needsSq = m == "std" || m == "var"
         // std/var center on the frame-global column means (broadcast
@@ -1732,7 +1766,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }
             (lbl, cell)
           }
-          CMatrix(out, isBool = false)
+          finish(out)
         } else {
           // ---- prefix-sum fallback for very large windows: running sums
           // of (value, value², hole flag, position) + ONE positional lag
@@ -1796,7 +1830,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }
             (lbl, cell)
           }
-          CMatrix(out, isBool = false)
+          finish(out)
         }
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
             CExpand(cols, minp), Nil) =>
@@ -1875,11 +1909,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CMatrix(out, isBool = false)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRollD(vs, ls, n, minp), Nil) =>
+            "median"), CRollD(vs, ls, n, minp, center), Nil) =>
         // sequential twin of the fused emit: the aggregate runs over the
         // window's VALID cells, gated on valid count >= minp (positions
-        // for count — the pandas 2.2 rule); minp = n is hole-poisoning
-        CVecD(vs.indices.map { i =>
+        // for count — the pandas 2.2 rule); minp = n is hole-poisoning;
+        // center shifts the trailing result by (n−1)/2, NaN past the tail
+        val trail = vs.indices.map { i =>
           val positions = math.min(i + 1, n)
           if (positions < minp) Double.NaN
           else {
@@ -1905,7 +1940,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 }
             }
           }
-        }, ls)
+        }
+        val lead = if (center) (n - 1) / 2 else 0
+        CVecD(vs.indices.map(i =>
+          if (i + lead < trail.length) trail(i + lead) else Double.NaN), ls)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
             CExpandD(vs, ls, minp), Nil) => {
         var s = 0.0; var q = 0.0; var c = 0; var pos = 0

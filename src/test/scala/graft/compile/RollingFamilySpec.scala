@@ -456,7 +456,7 @@ class RollingFamilySpec extends SparkSpec {
     assertThrows[FormulaTypeException](
       ev.evaluateFormula("s.rolling(2, min_periods=0).mean()"))
     val e = intercept[FormulaTypeException](
-      ev.evaluateFormula("s.rolling(3, center=1).mean()"))
+      ev.evaluateFormula("s.rolling(3, win_type=1).mean()"))
     assert(e.getMessage.contains("unexpected keyword"))
     val e2 = intercept[FormulaTypeException](
       ev.evaluateFormula("s.fillna(0, min_periods=1)"))
@@ -508,6 +508,39 @@ class RollingFamilySpec extends SparkSpec {
     val ev = new FormulaEvaluator(reg("s" -> sp))
     assertThrows[FormulaTypeException](
       ev.evaluateFormula("s.expanding(min_periods=0).mean()"))
+  }
+
+  test("rolling center=1 (r10): the trailing aggregate led by (n-1)/2, " +
+      "full windows only, NaN at both edges (pandas center=True with " +
+      "the default min_periods)") {
+    // pandas [1,2,NaN,4,5,6].rolling(3, center=True).mean()
+    //   = [nan, nan, nan, nan, 5, nan]
+    assertSeq(colOf("s.rolling(3, center=1).mean()", s6),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, 5.0, Double.NaN))
+    // clean series pins the even/odd window anchors: pandas
+    // [1..7].rolling(3, center=True).mean() = [nan,2,3,4,5,6,nan];
+    // rolling(4, center=True) = [nan,nan,2.5,3.5,4.5,5.5,nan]
+    val clean = series(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    assertSeq(colOf("s.rolling(3, center=1).mean()", clean),
+      Seq(Double.NaN, 2, 3, 4, 5, 6, Double.NaN))
+    assertSeq(colOf("s.rolling(4, center=1).mean()", clean),
+      Seq(Double.NaN, Double.NaN, 2.5, 3.5, 4.5, 5.5, Double.NaN))
+    assertSeq(colOf("s.rolling(3, center=1).max()", clean),
+      Seq(Double.NaN, 3, 4, 5, 6, 7, Double.NaN))
+    // vector path
+    val v = graft.model.Vec(IndexedSeq(1.0, 2.0, 3.0, 4.0, 5.0),
+      IndexedSeq("a", "b", "c", "d", "e"))
+    val evv = new FormulaEvaluator(reg("v" -> v))
+    evv.evaluateFormula("v.rolling(3, center=1).sum()") match {
+      case VecResult(out) =>
+        assertSeq(out.values, Seq(Double.NaN, 6, 9, 12, Double.NaN))
+      case other => fail(s"expected vector result, got $other")
+    }
+    // center with explicit min_periods < n is a clean rejection
+    val ev = new FormulaEvaluator(reg("s" -> clean))
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(3, min_periods=1, center=1).mean()"))
+    assert(e.getMessage.contains("center"))
   }
 
   test("vector paths: the same semantics sequentially") {
