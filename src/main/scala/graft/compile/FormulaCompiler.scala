@@ -359,13 +359,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     var m = n
     var mGiven = false
     var center = false
+    // pandas raises TypeError when the same argument arrives twice
+    // (positionally AND as a keyword, or a repeated keyword) — mirror it
+    // instead of letting the later value silently win (r10 ADVICE)
+    def setM(v: CValue): Unit = {
+      if (mGiven) throw new FormulaTypeException(
+        "'.rolling()' got multiple values for argument 'min_periods'")
+      m = asScalar(v, "min_periods").toInt; mGiven = true
+    }
     rest.zipWithIndex.foreach {
-      case (CKw("min_periods", v), _) =>
-        m = asScalar(v, "min_periods").toInt; mGiven = true
+      case (CKw("min_periods", v), _) => setM(v)
       case (CKw("center", v), _) =>
         center = asScalar(v, "center") != 0.0
-      case (v, 0) if !v.isInstanceOf[CKw] =>
-        m = asScalar(v, "min_periods").toInt; mGiven = true
+      case (v, 0) if !v.isInstanceOf[CKw] => setM(v)
       case _ => throw new FormulaTypeException(
         "'.rolling(n)' takes min_periods (keyword or second positional) " +
           "and center=1")
@@ -1671,8 +1677,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         // the trailing aggregate at position i + (n−1)/2 — one positional
         // LEAD of the finished trailing columns; the missing donor past
         // the tail edge is the pandas NaN (full windows only, both edges)
+        // lead == 0 (n <= 2): the centered window IS the trailing window
+        // (pandas-pinned) — skip the lead pass instead of handing
+        // positionalLag a zero offset (r10 ADVICE crash)
         def finish(out: Seq[(String, Column)]): CValue =
-          if (!center || n == 1) CMatrix(out, isBool = false)
+          if (!center || n <= 2) CMatrix(out, isBool = false)
           else {
             val lead = (n - 1) / 2
             val tmpIn = cols.indices.map(i => s"__rc${tag}_$i")
@@ -2019,6 +2028,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val out =
             if (!v.isNaN) {
               val oldWt = w1
+              // resurrect from a collapsed state: the ε → 0 limit of the
+              // var at this cell is (covB + (μ − v)²)/2 — see
+              // [[graft.operators.Prefix.ewmScan]]
+              val resurrect = f > 0.0 && oldWt == 0.0 && !mu.isNaN
+              val lim = if (resurrect)
+                (math.max(0.0, covB) + (mu - v) * (mu - v)) / 2.0
+              else Double.NaN
               dn += 2.0 * w1
               w1 += 1.0
               if (mu.isNaN) { mu = v; covB = 0.0 }
@@ -2030,12 +2046,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               }
               if (m == "mean") mu
               else {
-                val fv = graft.operators.Prefix.ewmVarOf(w1, covB, dn)
+                val fv =
+                  if (resurrect) lim
+                  else graft.operators.Prefix.ewmVarOf(w1, covB, dn)
                 if (!fv.isNaN) lastV = fv
                 fv
               }
             } else {
-              if (w1 > 0 && w1 < 1e-150) { w1 *= 1e150; dn *= 1e300 }
+              // collapse sub-1e-150 mass instead of rescaling it back to
+              // O(1) (r10 ADVICE) — μ/covB stay for carries + the limit
+              if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
               if (m == "mean") mu else lastV
             }
           if (m == "std") math.sqrt(out) else out

@@ -115,8 +115,13 @@ object Cleaning {
     // (fixed O(capacity·log n) state per group at ANY cardinality). The
     // budget decision is one approx_count_distinct scan → a 1-row
     // collect — bounded by contract.
+    // q = 0 stays on the exact path regardless of the budget: the sketch
+    // sibling's rank selection requires q > 0 (ceil(0·W) has no rank), so
+    // delegating would turn a data-cardinality property into a crash
+    // (r10 ADVICE) — and q = 0 is the group MIN, cheap exactly.
     val budget = df.sparkSession.conf
       .getOption("graft.percentile.approxAboveDistinct").map(_.toLong)
+      .filter(_ => q > 0.0)
     budget.foreach { b =>
       val nd = df.select(approx_count_distinct(valCol, 0.05)).head.getLong(0)
       if (nd > b) return groupedPercentileApprox(df, groupCol, valCol, q, as)

@@ -781,11 +781,16 @@ object Prefix {
     * the weights but feeds neither sum; the mean carry is automatic (μ
     * is decay-invariant), the variance carries its last computed value,
     * and the output is NaN only before the first valid cell (var:
-    * before the second). Mass state is rescaled by 1e150 whenever W1
-    * decays below 1e-150, so the carried values survive hole runs far
-    * beyond double underflow — where pandas' closed form noise-collapses
-    * past ~52/α hole positions, this recurrence keeps the mathematically
-    * exact value (a disclosed strict improvement, CI-pinned).
+    * before the second). Mass state COLLAPSES to zero once W1 decays
+    * below 1e-150 (r11, replacing the r10 rescale that silently
+    * re-inflated stale mass to O(1) at the next valid cell — the r10
+    * ADVICE medium): the carried values survive hole runs of any length,
+    * the next valid cell restarts the blend at μ = v exactly, and its
+    * var emits the exact ε → 0 limit (covB + (μ − v)²)/2 — where pandas'
+    * closed form noise-collapses past ~52/α hole positions, this
+    * recurrence keeps the mathematically exact value to double
+    * precision for values within 1e150× of each other (a disclosed
+    * strict improvement, CI-pinned).
     *
     * `keyCol` must be a non-null UNIQUE key (total-order tiebreak),
     * `inNames` DoubleType with invalid cells as NULL or NaN. */
@@ -809,11 +814,15 @@ object Prefix {
     val width = inNames.length
     // per-column segment payload layout (snapshot fields frozen at the
     // segment's LAST VALID cell; `c` = the decay product, kept per column
-    // because the underflow rescale is per column; μ = NaN until the
-    // segment's first valid cell):
+    // because the underflow collapse is per column; μ = NaN until the
+    // segment's first valid cell; `lv` = the resurrect-limit var when the
+    // segment's last valid cell restarted from a WITHIN-segment collapse,
+    // NaN otherwise — the driver's carry refresh needs it because the
+    // collapsed pre-history never reaches the snapshot state):
     //   mean: [μe, w1e, ce, μv, w1v, cv, hasV]
-    //   var : [μe, w1e, cbe, dene, ce, c2e, μv, w1v, cbv, denv, cv, c2v, hasV]
-    val stride = if (needVar) 13 else 7
+    //   var : [μe, w1e, cbe, dene, ce, c2e, μv, w1v, cbv, denv, cv, c2v,
+    //          hasV, lv]
+    val stride = if (needVar) 14 else 7
 
     val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
       inNames, Nil, descending = false, nullsLast = false,
@@ -893,6 +902,18 @@ object Prefix {
               lastM(j) = mul
               val v = ewmVarOf(w1l, sl, denl)
               if (!v.isNaN) lastV(j) = v
+              else if (p(o + 7) == 1.0 && f > 0.0) {
+                // single-obs snapshot (w1v exactly 1): a resurrect from a
+                // collapse — within-segment (the partials recorded the
+                // limit var) or cross-segment (incoming collapsed before
+                // this segment's only valid cell: compute the limit from
+                // the incoming values) — or a genuine first-ever obs
+                // (neither fires; holes stay NaN, the pandas rule)
+                if (!p(o + 13).isNaN) lastV(j) = p(o + 13)
+                else if (w1A == 0.0 && !muA.isNaN)
+                  lastV(j) = (math.max(0.0, sA) +
+                    (muA - p(o + 6)) * (muA - p(o + 6))) / 2.0
+              }
             }
             val (mu2, w12, s2, den2) = ewmMerge(muA, w1A, sA, denA,
               p(o), p(o + 1), p(o + 2), p(o + 3), p(o + 4), p(o + 5))
@@ -969,6 +990,21 @@ object Prefix {
             if (valid) {
               val v = r.getDouble(raw)
               val oldWt = st(o + 1)
+              // resurrect from a COLLAPSED state (r10 ADVICE): once a
+              // hole run decayed the mass below 1e-150 the state dropped
+              // it (below), so the natural update restarts at μ = v,
+              // covB = 0 — exact to double precision. The var at this
+              // one cell has a non-trivial ε → 0 limit, though: with
+              // stale mass ε vs the new unit weight, covB′ → ε·(covB +
+              // d²), DEN′ → 2ε, so var = covB′·W1′²/DEN′ → (covB + d²)/2
+              // where d = μ − v — ε cancels instead of vanishing. Emit
+              // that limit (the mathematically exact value; pandas'
+              // closed form noise-collapsed ~1100 holes earlier).
+              val resurrect = needVar && f > 0.0 && oldWt == 0.0 &&
+                !st(o).isNaN
+              val limVar = if (resurrect)
+                (math.max(0.0, st(o + 2)) + (st(o) - v) * (st(o) - v)) / 2.0
+              else Double.NaN
               if (needVar) st(o + 3) += 2.0 * oldWt
               st(o + 1) += 1.0
               if (st(o).isNaN) { st(o) = v; st(o + 2) = 0.0 }
@@ -983,7 +1019,8 @@ object Prefix {
               }
               carryM(j) = st(o)
               if (needVar) {
-                val fv = ewmVarOf(st(o + 1), st(o + 2), st(o + 3))
+                val fv = if (resurrect) limVar
+                         else ewmVarOf(st(o + 1), st(o + 2), st(o + 3))
                 if (!fv.isNaN) carryV(j) = fv
                 outVals(r.length + j) = java.lang.Double.valueOf(fv)
               } else
@@ -994,12 +1031,18 @@ object Prefix {
               outVals(r.length + j) = java.lang.Double.valueOf(
                 if (needVar) carryV(j)
                 else if (st(o).isNaN) carryM(j) else st(o))
-              // rescale long-decayed masses so the state survives
-              // arbitrary hole runs (DEN scales as weight², hence r²;
-              // μ and covB are values, never scaled)
+              // COLLAPSE long-decayed masses (r10 ADVICE — the previous
+              // 1e150 rescale silently re-inflated the stale history to
+              // O(1) weight at the next valid cell): mass below 1e-150
+              // of the next observation's unit weight is dropped
+              // entirely; μ and covB stay for the hole carries and the
+              // resurrect limit var above. Contract note: history whose
+              // VALUES are within 1e150× of the incoming value loses
+              // < 1 ulp of influence; only pathological magnitude ratios
+              // (|μ| > 1e150·|v|) can tell the difference.
               if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
-                st(o + 1) *= 1e150
-                if (needVar) st(o + 3) *= 1e300
+                st(o + 1) = 0.0
+                if (needVar) st(o + 3) = 0.0
               }
             }
             j += 1
@@ -1014,7 +1057,7 @@ object Prefix {
   /** Fresh per-column ewm segment state (see [[ewmScan]]'s layout):
     * μ fields start NaN, decay products at 1, everything else 0. */
   private def ewmInit(width: Int, needVar: Boolean): Array[Double] = {
-    val stride = if (needVar) 13 else 7
+    val stride = if (needVar) 14 else 7
     val st = new Array[Double](width * stride)
     var i = 0
     while (i < width) {
@@ -1022,6 +1065,7 @@ object Prefix {
       if (needVar) {
         st(i * stride + 4) = 1.0; st(i * stride + 5) = 1.0 // ce, c2e
         st(i * stride + 6) = Double.NaN                    // μv
+        st(i * stride + 13) = Double.NaN                   // lv
       } else {
         st(i * stride + 2) = 1.0          // ce
         st(i * stride + 3) = Double.NaN   // μv
@@ -1041,6 +1085,12 @@ object Prefix {
       st(o + 4) *= f; st(o + 5) *= f2
       if (valid) {
         val oldWt = st(o + 1)
+        // within-segment resurrect from a collapse: record the limit var
+        // (see the emit pass) so the driver's carry refresh can place it
+        // — the collapsed pre-history never reaches the snapshot state
+        st(o + 13) = if (f > 0.0 && oldWt == 0.0 && !st(o).isNaN)
+          (math.max(0.0, st(o + 2)) + (st(o) - v) * (st(o) - v)) / 2.0
+        else Double.NaN
         st(o + 3) += 2.0 * oldWt
         st(o + 1) += 1.0
         if (st(o).isNaN) { st(o) = v; st(o + 2) = 0.0 }
@@ -1054,12 +1104,17 @@ object Prefix {
         st(o + 9) = st(o + 3); st(o + 10) = st(o + 4); st(o + 11) = st(o + 5)
         st(o + 12) = 1.0
       } else if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
-        // rescale the masses (snapshot fields stay at their own frozen
-        // scale — every consumer combines them only with each other and
-        // the incoming state, where a uniform scale cancels in the
-        // closing ratios); μ and covB are values, never scaled
-        st(o + 1) *= 1e150; st(o + 3) *= 1e300
-        st(o + 4) *= 1e150; st(o + 5) *= 1e300
+        // collapse (r10 ADVICE): drop the sub-1e-150 mass AND the
+        // incoming-decay product (any incoming history decayed through
+        // this segment is at most as heavy) — μ and covB stay for the
+        // carries and the resurrect limit. Snapshot fields are frozen at
+        // the last valid cell and never collapse.
+        st(o + 1) = 0.0; st(o + 3) = 0.0
+        st(o + 4) = 0.0; st(o + 5) = 0.0
+      } else if (st(o + 1) == 0.0 && st(o + 4) > 0 && st(o + 4) < 1e-150) {
+        // a segment with no valid cell yet: the incoming-decay product
+        // collapses alone at the same threshold
+        st(o + 4) = 0.0; st(o + 5) = 0.0
       }
     } else {
       st(o + 1) *= f; st(o + 2) *= f
@@ -1071,7 +1126,9 @@ object Prefix {
         st(o + 3) = st(o); st(o + 4) = st(o + 1); st(o + 5) = st(o + 2)
         st(o + 6) = 1.0
       } else if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
-        st(o + 1) *= 1e150; st(o + 2) *= 1e150
+        st(o + 1) = 0.0; st(o + 2) = 0.0
+      } else if (st(o + 1) == 0.0 && st(o + 2) > 0 && st(o + 2) < 1e-150) {
+        st(o + 2) = 0.0
       }
     }
 

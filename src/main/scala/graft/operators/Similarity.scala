@@ -162,13 +162,28 @@ object Similarity {
     val maxDepth = 6
     var depth = 0
     var open = true
+    // the oversized-id collect is <= rows/maxBucketSize ids BY
+    // CONSTRUCTION, and measured tiny (<= 1,826 at 100x) — but the
+    // construction bound is data-scaled, so enforce an explicit driver
+    // budget (r10 VERDICT ask, the matmul-cap idiom): a corpus whose
+    // oversized-cell count exceeds it raises cleanly instead of
+    // accumulating an unbounded driver array
+    val cellBudget = b0.sparkSession.conf
+      .getOption("graft.lsh.maxOversizedCells").map(_.toInt)
+      .getOrElse(1000000)
     while (open && depth < maxDepth) {
       val oversized: Array[Long] = cur
         .where(col("__kd") === depth)
         .groupBy(col("__kb"))
         .agg(count(lit(1)).as("__bn"))
         .where(col("__bn") > maxBucketSize)
+        .limit(cellBudget + 1)
         .collect().map(_.getLong(0))
+      if (oversized.length > cellBudget) throw new IllegalStateException(
+        s"LSH cell split: more than $cellBudget cells exceed " +
+          s"maxBucketSize=$maxBucketSize at depth $depth — raise " +
+          "graft.lsh.maxOversizedCells (driver memory permitting) or " +
+          "use more planes so cells start smaller")
       if (oversized.isEmpty) open = false
       else {
         val pl = hyperplanes(dim, subPlanes, seed + 1 + depth)
@@ -807,6 +822,27 @@ object Similarity {
                 sampleDeg: Int = 0): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val conf = embs.sparkSession.conf
+    // r11 (the r10 VERDICT weak): `sampleDeg = 0` now means AUTO, not
+    // off — the unsampled 2-hop join exchanges vector-carrying
+    // candidates ~(2k + strides)² per node per round, measured
+    // superlinear (spill) between 30× and 100× embeddings, while
+    // ρ-sampling at 8 stayed linear (PROBE_r10 r10scale/nndsample).
+    // Auto enables ρ-sampling above a corpus-size threshold (one 1-row
+    // count the stride ranking already pays — the
+    // `graft.percentile.approxAboveDistinct` precedent), so the DEFAULT
+    // config is the scale-safe one and oracle-scale corpora keep the
+    // exact full 2-hop expansion. Explicit sampleDeg > 0 always
+    // samples at that degree; sampleDeg < 0 forces the full expansion.
+    val autoAbove = conf.getOption("graft.nnd.sampleAboveCorpus")
+      .map(_.toLong).getOrElse(1000000L)
+    val autoDeg = conf.getOption("graft.nnd.autoSampleDeg")
+      .map(_.toInt).getOrElse(8)
+    lazy val corpusN = embs.count()
+    val effSampleDeg =
+      if (sampleDeg != 0) sampleDeg
+      else if (corpusN > autoAbove) autoDeg
+      else -1
     val vecs = embs.select(col(idCol).as("__nid"), col(embCol).as("__ne"),
       sqrt(dotExact(col(embCol), col(embCol))).as("__nn"))
     // two-stage scoring (the sim_rerank/hardneg discipline): the cheap
@@ -869,7 +905,7 @@ object Similarity {
           concat(lit("42:"), col("__nid").cast("string"))))
       Some((vecs.select(col("__nid"))
         .withColumn("__rk", row_number().over(w)).localCheckpoint(),
-        embs.count()))
+        corpusN))
     }
     def strideEdges(strides: Seq[Int]): Option[DataFrame] =
       rankedOpt.map { case (ranked, n) =>
@@ -904,10 +940,10 @@ object Similarity {
       // the lever when the pair volume outgrows executor memory. The
       // direct und edges are always scored regardless.
       val undS =
-        if (sampleDeg <= 0) und
+        if (effSampleDeg <= 0) und
         else graft.plans.TopKPerKey(
             und.withColumn("__h", Sampling.hashUniform(col("nbr"), 77)),
-            Seq(col("id")), Seq(col("__h"), col("nbr")), sampleDeg)
+            Seq(col("id")), Seq(col("__h"), col("nbr")), effSampleDeg)
           .select(col("id"), col("nbr"))
       val cand = undS.as("a")
         .join(undS.as("b"), col("a.nbr") === col("b.id"))

@@ -459,7 +459,7 @@ object StreamingOps {
     * (StreamingOpsSpec pins the pandas goldens across micro-batch
     * boundaries). No ring, no window, no horizon: each event decays the
     * masses and absorbs itself; invalid (NaN) values decay the weights
-    * and carry the last outputs, with the same 1e-150 underflow rescale.
+    * and carry the last outputs, with the same 1e-150 underflow collapse.
     * Events are processed in `id` order within each micro-batch. */
   def ewmStream(rows: Dataset[EwRow], alpha: Double): Dataset[EwOut] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
@@ -477,6 +477,12 @@ object StreamingOps {
         var w1 = st.w1 * f; var dn = st.den * f2
         if (!r.value.isNaN) {
           val oldWt = w1
+          // resurrect from a collapsed state: the ε → 0 limit of the var
+          // at this cell — see [[graft.operators.Prefix.ewmScan]]
+          val resurrect = f > 0.0 && oldWt == 0.0 && !mu.isNaN
+          val lim = if (resurrect)
+            (math.max(0.0, cb) + (mu - r.value) * (mu - r.value)) / 2.0
+          else Double.NaN
           dn += 2.0 * oldWt
           w1 += 1.0
           if (mu.isNaN) { mu = r.value; cb = 0.0 }
@@ -486,11 +492,14 @@ object StreamingOps {
             val dm = oldMean - mu; val dv = r.value - mu
             cb = (oldWt * (cb + dm * dm) + dv * dv) / w1
           }
-          val fv = graft.operators.Prefix.ewmVarOf(w1, cb, dn)
+          val fv = if (resurrect) lim
+                   else graft.operators.Prefix.ewmVarOf(w1, cb, dn)
           if (!fv.isNaN) lastV = fv
           out += EwOut(key, r.id, mu, fv)
         } else {
-          if (w1 > 0 && w1 < 1e-150) { w1 *= 1e150; dn *= 1e300 }
+          // collapse sub-1e-150 mass instead of rescaling it to O(1)
+          // (r10 ADVICE); μ/covB stay for the carried outputs
+          if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
           out += EwOut(key, r.id, mu, lastV)
         }
         st = EwState(mu, w1, cb, dn, lastV)

@@ -541,6 +541,18 @@ class RollingFamilySpec extends SparkSpec {
     val e = intercept[FormulaTypeException](
       ev.evaluateFormula("s.rolling(3, min_periods=1, center=1).mean()"))
     assert(e.getMessage.contains("center"))
+    // n = 2: lead = 0, so the centered window IS the trailing window
+    // (pandas-pinned; the r10 lead pass crashed on the zero offset —
+    // r10 ADVICE medium)
+    assertSeq(colOf("s.rolling(2, center=1).mean()", clean),
+      Seq(Double.NaN, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5))
+    assertSeq(colOf("s.rolling(2, center=1).mean()", s6),
+      colOf("s.rolling(2).mean()", s6))
+    // min_periods given twice (positional + keyword) is the pandas
+    // multiple-values TypeError, not a silent overwrite (r10 ADVICE)
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(5, 2, min_periods=3).mean()"))
+    assert(e2.getMessage.contains("multiple values"))
   }
 
   test("vector paths: the same semantics sequentially") {
@@ -569,5 +581,65 @@ class RollingFamilySpec extends SparkSpec {
     assertSeq(vec("v.expanding().var()"),
       Seq(Double.NaN, 0.5, 0.5, 2.333333333333333, 3.3333333333333335,
         4.3))
+  }
+
+  test("ewm mass collapse past 1e-150 (r11, the r10 ADVICE medium): the " +
+      "next valid cell restarts at exactly v — stale history never " +
+      "re-inflates — and its var is the exact (covB + d²)/2 limit") {
+    // com = 1 (f = 0.5): W1 = 1.5·0.5^h crosses 1e-150 at h ≈ 499; 505
+    // holes put the r10 rescale bug at its worst (rescaled mass ≈ 0.014
+    // re-entered the blend → mean ≈ 4.95 instead of 5). Exact math:
+    // [1, 2] gives μ = 5/3, covB = 2/9; holes carry mean 5/3 / var 0.5;
+    // the resurrect cell 5 reads mean 5.0 (stale weight < 1e-150) and
+    // var (2/9 + (5/3 − 5)²)/2 = 51/9 — the SAME value the no-collapse
+    // exact path converges to (the 50-hole pin above reads 51/9 too,
+    // confirming the limit is the correct continuation); the next cell 6
+    // then behaves fresh: mean 17/3, var 0.5, both carried by the tail
+    val s = (IndexedSeq(1.0, 2.0) ++ IndexedSeq.fill(505)(Double.NaN) ++
+      IndexedSeq(5.0, 6.0) ++ IndexedSeq.fill(3)(Double.NaN))
+    val mean = colOf("s.ewm(1).mean()", series(s: _*))
+    val vr = colOf("s.ewm(1).var()", series(s: _*))
+    (2 to 506).foreach { i =>
+      assertCell(mean(i), 5.0 / 3.0, 1e-9); assertCell(vr(i), 0.5, 1e-9)
+    }
+    assertCell(mean(507), 5.0, 1e-9)
+    assertCell(vr(507), 51.0 / 9.0, 1e-9)
+    assertCell(mean(508), 17.0 / 3.0, 1e-9)
+    assertCell(vr(508), 0.5, 1e-9)
+    (509 to 511).foreach { i =>
+      assertCell(mean(i), 17.0 / 3.0, 1e-9); assertCell(vr(i), 0.5, 1e-9)
+    }
+    // heavier decay (com = 0.3, collapse at ~236 holes), mean-mode state:
+    // pandas [1, 2].ewm(com=0.3) reads 1.8125; after 240 holes the r10
+    // rescale re-weighted it at ~10% of the next cell — now exactly 9.0
+    val s2 = (IndexedSeq(1.0, 2.0) ++ IndexedSeq.fill(240)(Double.NaN) ++
+      IndexedSeq(9.0))
+    val m2 = colOf("s.ewm(0.3).mean()", series(s2: _*))
+    (2 to 241).foreach(i => assertCell(m2(i), 1.8125, 1e-9))
+    assertCell(m2(242), 9.0, 1e-9)
+    // within-slice collapse (2 slices force the whole hole run into one
+    // segment: the partials-pass collapse + the recorded limit var)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val mean1 = colOf("s.ewm(1).mean()", series(s: _*))
+      val vr1 = colOf("s.ewm(1).var()", series(s: _*))
+      assertCell(mean1(507), 5.0, 1e-9)
+      assertCell(vr1(507), 51.0 / 9.0, 1e-9)
+      assertCell(vr1(506), 0.5, 1e-9)
+      assertCell(vr1(511), 0.5, 1e-9)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // vector path: the sequential twin collapses identically
+    val v = Vec(s, s.indices.map(i => f"r$i%04d"))
+    val ev = new FormulaEvaluator(reg("v" -> v))
+    ev.evaluateFormula("v.ewm(1).var()") match {
+      case VecResult(out) =>
+        assertCell(out.values(507), 51.0 / 9.0, 1e-9)
+        assertCell(out.values(508), 0.5, 1e-9)
+      case other => fail(s"expected vector result, got $other")
+    }
+    ev.evaluateFormula("v.ewm(1).mean()") match {
+      case VecResult(out) => assertCell(out.values(507), 5.0, 1e-9)
+      case other => fail(s"expected vector result, got $other")
+    }
   }
 }

@@ -119,6 +119,18 @@ class CleaningGraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("percentile"),
       s"madOutliers must not plan the growing-buffer Percentile:\n$plan")
+    // q = 0 must stay on the exact path even when the distinct budget
+    // would delegate to the sketch (whose rank selection needs q > 0) —
+    // r10 ADVICE: the same query must not crash by data cardinality
+    spark.conf.set("graft.percentile.approxAboveDistinct", "1")
+    try {
+      val q0 = Cleaning.groupedPercentile(d, "k", col("v"), 0.0, "p")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact0 = d.groupBy(col("k"))
+        .agg(min(col("v")).as("p")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(q0 == exact0, s"q=0 under budget: $q0 vs $exact0")
+    } finally spark.conf.unset("graft.percentile.approxAboveDistinct")
   }
 
   test("kCore: peels the tail, keeps the cycle; converged output degrees " +

@@ -68,6 +68,29 @@ class NnDescentSpec extends SparkSpec {
       s"sampled descent must reach cross-block cluster mates, got $ref0")
   }
 
+  test("auto ρ-sampling (r11): the default enables sampling above the " +
+      "corpus threshold, stays exact below it, and sampleDeg = -1 " +
+      "forces the full expansion") {
+    val e = corpus()
+    def run(deg: Int) = Similarity.nnDescent(e, "label", k = 3, rounds = 3,
+        seedThreshold = 0.25, sampleDeg = deg)
+      .orderBy(col("id"), col("sim").desc, col("nbr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 20-vector corpus, threshold default 1M: auto (0) == full (-1)
+    assert(run(0).sameElements(run(-1)),
+      "below the threshold the auto default must be the exact expansion")
+    // force the threshold below the corpus: auto must now equal the
+    // explicit autoSampleDeg run (the scale-safe path is the default)
+    spark.conf.set("graft.nnd.sampleAboveCorpus", "10")
+    spark.conf.set("graft.nnd.autoSampleDeg", "4")
+    try assert(run(0).sameElements(run(4)),
+      "above the threshold the auto default must ρ-sample at autoSampleDeg")
+    finally {
+      spark.conf.unset("graft.nnd.sampleAboveCorpus")
+      spark.conf.unset("graft.nnd.autoSampleDeg")
+    }
+  }
+
   test("the trajectory is deterministic and k-bounded") {
     val e = corpus()
     def run() = Similarity.nnDescent(e, "label", k = 3, rounds = 2,
