@@ -263,6 +263,23 @@ object SparkEntry {
     "e11_rctr" -> ((s, d) =>
       formulaQuery("qty.rolling(7, center=1).mean()",
         roundTo = Some(6))(s, d)),
+    // r11: arbitrary-q order statistic (pandas linear interpolation on
+    // the winmed sorted ring) + standardized third/fourth moments (the
+    // winvar two-pass on the window's own mean, pandas 2.x constant and
+    // near-constant guards) — the last of the pandas rolling surface
+    "e11_rq" -> ((s, d) =>
+      formulaQuery("qty.rolling(4, min_periods=2).quantile(0.25)",
+        roundTo = Some(6))(s, d)),
+    // skew/kurt round at 5 dp (the ewmbig precedent): integer cells
+    // make rational mid-quantum values structural — one sf0.01 cell
+    // reads exactly 2.0109375, which 1e-16 cross-engine noise rounds
+    // to either 6-dp side
+    "e11_rskew" -> ((s, d) =>
+      formulaQuery("qty.rolling(5, min_periods=3).skew()",
+        roundTo = Some(5))(s, d)),
+    "e11_rkurt" -> ((s, d) =>
+      formulaQuery("qty.rolling(6, min_periods=4).kurt()",
+        roundTo = Some(5))(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4536,6 +4553,34 @@ object SparkEntry {
           "AND 3 FOLLOWING)"
         F(s"round(CASE WHEN count(q$j) $w = 7 " +
           s"THEN sum(q$j) $w / count(q$j) $w END, 6)")
+      },
+      // r11 mirrors: quantile_cont IS pandas' linear interpolation;
+      // skewness/kurtosis match pandas' G1/G2 sample estimators, with
+      // the pandas 2.x degenerate windows CASE'd explicitly (DuckDB
+      // yields NULL on constant windows where pandas reads 0 / −3, and
+      // computes through near-constant ones where pandas NaNs at
+      // var_pop ≤ 1e-14)
+      "e11_rq" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 " +
+          s"THEN quantile_cont(q$j, 0.25) $w END, 6)")
+      },
+      "e11_rskew" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 3 THEN " +
+          s"CASE WHEN min(q$j) $w = max(q$j) $w THEN 0.0 " +
+          s"WHEN var_pop(q$j) $w <= 1e-14 THEN NULL " +
+          s"ELSE skewness(q$j) $w END END, 5)")
+      },
+      "e11_rkurt" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 5 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 4 THEN " +
+          s"CASE WHEN min(q$j) $w = max(q$j) $w THEN -3.0 " +
+          s"WHEN var_pop(q$j) $w <= 1e-14 THEN NULL " +
+          s"ELSE kurtosis(q$j) $w END END, 5)")
       },
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges

@@ -1669,7 +1669,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpandD(vs, ls, expandingMinPeriods(args))
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRoll(cols, n, minp, center), Nil) =>
+            "median" | "skew" | "kurt" | "quantile"),
+            CRoll(cols, n, minp, center), rollArgs)
+          if (m == "quantile" && rollArgs.length == 1 &&
+              !rollArgs.head.isInstanceOf[CKw]) ||
+             (m != "quantile" && rollArgs.isEmpty) =>
+        // r11: quantile(q) — pandas linear interpolation at arbitrary q
+        // on the winmed sorted ring; skew/kurt — standardized moments on
+        // the winvar two-pass (window-local mean; exact under trends
+        // where pandas' power-sum kernel loses digits)
+        val rq = if (m != "quantile") Double.NaN else {
+          val x = asScalar(rollArgs.head, "quantile")
+          if (!(x >= 0.0 && x <= 1.0)) throw new FormulaTypeException(
+            s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $x")
+          x
+        }
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
@@ -1732,7 +1746,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             (lbl, m match {
               case "count" =>
                 when(invalidOf(c), lit(0.0)).otherwise(lit(1.0))
-              case "std" | "var" => litOf(Double.NaN)
+              case "std" | "var" | "skew" | "kurt" => litOf(Double.NaN)
               case _ => when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double"))
             })
@@ -1762,11 +1776,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case "median"       => "winmed"
             case "std" | "var"  => "winvar"
             case "mean"         => "winmean"
+            case "skew"         => "winskew"
+            case "kurt"         => "winkurt"
+            case "quantile"     => "winquant"
             case _              => "winsum"
           }
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
             ctx.rowIdOut, rid, valIn, n - 1,
-            valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp))
+            valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp,
+            winQ = rq))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
@@ -1781,11 +1799,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // of (value, value², hole flag, position) + ONE positional lag
           // by n, window aggregate = prefix difference. Window extremes
           // are not prefix-invertible, so min/max stay on the fused path.
-          if (m == "min" || m == "max" || m == "median")
+          if (m == "min" || m == "max" || m == "median" ||
+              m == "quantile" || m == "skew" || m == "kurt")
             throw new FormulaTypeException(
               s"'.rolling(n).$m()' supports window sizes up to $fuseMax " +
-                "(window order statistics are not prefix-invertible), " +
-                s"got $n")
+                "(window order statistics and standardized moments are " +
+                s"not prefix-invertible), got $n")
           val valIn = cols.indices.map(i => s"__rl${tag}_v_$i")
           val invIn = cols.indices.map(i => s"__rl${tag}_b_$i")
           val sqIn = cols.indices.map(i => s"__rl${tag}_q_$i")
@@ -1918,11 +1937,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CMatrix(out, isBool = false)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median"), CRollD(vs, ls, n, minp, center), Nil) =>
+            "median" | "skew" | "kurt" | "quantile"),
+            CRollD(vs, ls, n, minp, center), rollArgs)
+          if (m == "quantile" && rollArgs.length == 1 &&
+              !rollArgs.head.isInstanceOf[CKw]) ||
+             (m != "quantile" && rollArgs.isEmpty) =>
         // sequential twin of the fused emit: the aggregate runs over the
         // window's VALID cells, gated on valid count >= minp (positions
         // for count — the pandas 2.2 rule); minp = n is hole-poisoning;
         // center shifts the trailing result by (n−1)/2, NaN past the tail
+        val rq = if (m != "quantile") Double.NaN else {
+          val x = asScalar(rollArgs.head, "quantile")
+          if (!(x >= 0.0 && x <= 1.0)) throw new FormulaTypeException(
+            s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $x")
+          x
+        }
         val trail = vs.indices.map { i =>
           val positions = math.min(i + 1, n)
           if (positions < minp) Double.NaN
@@ -1940,6 +1969,41 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 val sw = w.sorted
                 if (cnt % 2 == 1) sw(cnt / 2)
                 else (sw(cnt / 2 - 1) + sw(cnt / 2)) / 2.0
+              case "quantile" =>
+                val sw = w.sorted
+                val h = (cnt - 1) * rq
+                val lo = h.toInt
+                val frac = h - lo
+                if (frac == 0.0 || lo + 1 >= cnt) sw(lo)
+                else sw(lo) + frac * (sw(lo + 1) - sw(lo))
+              case "skew" | "kurt" =>
+                // pandas 2.x guards: cnt floor, exactly-constant → 0/−3,
+                // near-constant (biased var ≤ 1e-14) → NaN
+                val need = if (m == "skew") 3 else 4
+                if (cnt < need) Double.NaN
+                else if (w.forall(_ == w.head)) {
+                  if (m == "skew") 0.0 else -3.0
+                } else {
+                  val mu = w.sum / cnt
+                  val m2 = w.map(x => (x - mu) * (x - mu)).sum / cnt
+                  if (m2 <= 1e-14) Double.NaN
+                  else if (m == "skew") {
+                    // the same multiply chain as the fused emit, so the
+                    // two paths agree bit for bit
+                    val m3 = w.map { x =>
+                      val d = x - mu; d * d * d
+                    }.sum / cnt
+                    math.sqrt(cnt.toDouble * (cnt - 1)) / (cnt - 2) *
+                      (m3 / (m2 * math.sqrt(m2)))
+                  } else {
+                    val m4 = w.map { x =>
+                      val d = x - mu; val d2 = d * d; d2 * d2
+                    }.sum / cnt
+                    val g2 = m4 / (m2 * m2) - 3.0
+                    ((cnt + 1) * g2 + 6.0) * (cnt - 1.0) /
+                      ((cnt - 2.0) * (cnt - 3.0))
+                  }
+                }
               case _ =>
                 if (cnt < 2) Double.NaN
                 else {
@@ -2070,7 +2134,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           "'.rolling()/.expanding()' windows support " +
             "'.sum/.mean/.count/.min/.max/.std/.var' " +
-            "(plus '.median()' on rolling) — got " +
+            "(plus '.median/.quantile(q)/.skew/.kurt' on rolling) — got " +
             s"'.$other'")
 
       // pandas method-form comparisons (r9): df.le(other) ≡ df <= other
@@ -2095,7 +2159,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "where, mask, replace, duplicated, " +
             "ffill, bfill, pct_change, " +
             "rolling(n[, min_periods]).sum/mean/count/min/max/std/var/" +
-            "median, expanding().sum/mean/count/min/max/std/var, " +
+            "median/quantile/skew/kurt, " +
+            "expanding().sum/mean/count/min/max/std/var, " +
             "ewm(com).mean/var/std, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +
             "r-forms, eq, ne, le, lt, ge, gt, cumsum, " +

@@ -361,7 +361,11 @@ object Prefix {
     * — the donor values are already in hand in the ring buffer.
     *
     * Window-aggregate fuses (r9 session 3): `"winsum" | "winmean" |
-    * "winmin" | "winmax" | "wincount" | "winmed" | "winvar"` emit the
+    * "winmin" | "winmax" | "wincount" | "winmed" | "winvar"` — plus
+    * r11's `"winquant"` (pandas linear-interpolated order statistic at
+    * `winQ`) and `"winskew" | "winkurt"` (two-pass standardized third /
+    * fourth moments with the pandas constant-window and near-constant
+    * guards) — emit the
     * aggregate of the (n+1)-position window ending at the current row —
     * the ring already buffers exactly the n predecessors, so a pandas
     * `.rolling(n+1)` aggregate is ONE slice pass instead of
@@ -378,12 +382,16 @@ object Prefix {
   def positionalLag(df: DataFrame, keyCol: String, orderCol: Column,
                     inNames: Seq[String], n: Int,
                     outNames: Seq[String], fuse: String,
-                    winMinPeriods: Int = 0): DataFrame = {
+                    winMinPeriods: Int = 0,
+                    winQ: Double = Double.NaN): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("none", "diff", "pct", "winsum", "winmean", "winmin",
-      "winmax", "wincount", "winmed", "winvar")(fuse),
+      "winmax", "wincount", "winmed", "winvar", "winquant", "winskew",
+      "winkurt")(fuse),
       s"unknown fuse mode '$fuse'")
+    require(fuse != "winquant" || (winQ >= 0.0 && winQ <= 1.0),
+      s"fuse='winquant' needs a quantile in [0,1], got $winQ")
     require(winMinPeriods >= 0 && winMinPeriods <= n.max(0) + 1,
       s"winMinPeriods must be in [0, window size], got $winMinPeriods")
     if (fuse != "none") {
@@ -413,7 +421,7 @@ object Prefix {
           "larger windows")
     if (math.abs(n) <= 256 && cells <= maxCells)
       positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse,
-        winMinPeriods)
+        winMinPeriods, winQ)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
   }
@@ -444,7 +452,8 @@ object Prefix {
     * hole-poisoning contract: any invalid cell drops the valid count
     * below the window size. Sums accumulate in STREAM order (oldest
     * first), the same association as a sequential pandas scan. */
-  private def winEmitter(fuse: String, k: Int, minp: Int)
+  private def winEmitter(fuse: String, k: Int, minp: Int,
+                         winQ: Double = Double.NaN)
       : (Ring, Array[Any], Int) => java.lang.Double = {
     @inline def cellAt(buf: Ring, cur: Array[Any], b: Int, m: Int,
                        j: Int): Double = {
@@ -565,6 +574,118 @@ object Prefix {
           }
         }
       }
+      // arbitrary-q order statistic (r11): the winmed sorted ring
+      // generalized to pandas' linear interpolation — h = (cnt−1)·q,
+      // v = s(⌊h⌋) + (h−⌊h⌋)·(s(⌊h⌋+1) − s(⌊h⌋))
+      case "winquant" => (buf, cur, j) => {
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val vals = new Array[Double](m + 1)
+          var b = 0; var cnt = 0
+          while (b <= m) {
+            val dv = cellAt(buf, cur, b, m, j)
+            if (!java.lang.Double.isNaN(dv)) { vals(cnt) = dv; cnt += 1 }
+            b += 1
+          }
+          if (cnt < minp) dNaN
+          else {
+            java.util.Arrays.sort(vals, 0, cnt)
+            val h = (cnt - 1) * winQ
+            val lo = h.toInt
+            val frac = h - lo
+            java.lang.Double.valueOf(
+              if (frac == 0.0 || lo + 1 >= cnt) vals(lo)
+              else vals(lo) + frac * (vals(lo + 1) - vals(lo)))
+          }
+        }
+      }
+      // third/fourth standardized moments (r11): the winvar two-pass on
+      // the window's OWN mean (exact under any trend/offset — pandas'
+      // power-sum kernel visibly loses digits at |mean| >> spread), with
+      // the pandas 2.x guards mirrored: an exactly-constant window reads
+      // 0 (skew) / −3 (kurt); a near-constant window (biased variance
+      // ≤ 1e-14, pandas' absolute threshold) reads NaN; cnt ≥ 3 / 4.
+      case "winskew" => (buf, cur, j) => {
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val vals = new Array[Double](m + 1)
+          var b = 0; var cnt = 0
+          while (b <= m) {
+            val dv = cellAt(buf, cur, b, m, j)
+            if (!java.lang.Double.isNaN(dv)) { vals(cnt) = dv; cnt += 1 }
+            b += 1
+          }
+          if (cnt < minp || cnt < 3) dNaN
+          else {
+            var s = 0.0; var i = 0; var allEq = true
+            while (i < cnt) {
+              s += vals(i)
+              if (vals(i) != vals(0)) allEq = false
+              i += 1
+            }
+            if (allEq) java.lang.Double.valueOf(0.0)
+            else {
+              val mu = s / cnt
+              var q2 = 0.0; var q3 = 0.0; i = 0
+              while (i < cnt) {
+                val d = vals(i) - mu
+                q2 += d * d; q3 += d * d * d
+                i += 1
+              }
+              val m2 = q2 / cnt
+              if (m2 <= 1e-14) dNaN
+              else {
+                val g1 = (q3 / cnt) / (m2 * math.sqrt(m2))
+                java.lang.Double.valueOf(
+                  math.sqrt(cnt.toDouble * (cnt - 1)) / (cnt - 2) * g1)
+              }
+            }
+          }
+        }
+      }
+      case "winkurt" => (buf, cur, j) => {
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val vals = new Array[Double](m + 1)
+          var b = 0; var cnt = 0
+          while (b <= m) {
+            val dv = cellAt(buf, cur, b, m, j)
+            if (!java.lang.Double.isNaN(dv)) { vals(cnt) = dv; cnt += 1 }
+            b += 1
+          }
+          if (cnt < minp || cnt < 4) dNaN
+          else {
+            var s = 0.0; var i = 0; var allEq = true
+            while (i < cnt) {
+              s += vals(i)
+              if (vals(i) != vals(0)) allEq = false
+              i += 1
+            }
+            if (allEq) java.lang.Double.valueOf(-3.0)
+            else {
+              val mu = s / cnt
+              var q2 = 0.0; var q4 = 0.0; i = 0
+              while (i < cnt) {
+                val d = vals(i) - mu
+                val d2 = d * d
+                q2 += d2; q4 += d2 * d2
+                i += 1
+              }
+              val m2 = q2 / cnt
+              if (m2 <= 1e-14) dNaN
+              else {
+                val g2 = (q4 / cnt) / (m2 * m2) - 3.0
+                java.lang.Double.valueOf(
+                  ((cnt + 1) * g2 + 6.0) * (cnt - 1.0) /
+                    ((cnt - 2.0) * (cnt - 3.0)))
+              }
+            }
+          }
+        }
+      }
     }
   }
 
@@ -572,7 +693,8 @@ object Prefix {
                                   orderCol: Column, inNames: Seq[String],
                                   n: Int, outNames: Seq[String],
                                   fuse: String,
-                                  winMinPeriods: Int = 0): DataFrame = {
+                                  winMinPeriods: Int = 0,
+                                  winQ: Double = Double.NaN): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -649,7 +771,8 @@ object Prefix {
       .mapPartitions { it =>
         var curPid = Int.MinValue
         val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
-        val emit = if (mode == 3) winEmitter(fuse, k, effMinp) else null
+        val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ)
+                   else null
         it.map { r =>
           val pid = r.getInt(pidIdx)
           if (pid != curPid) { // new contiguous slice run

@@ -583,6 +583,87 @@ class RollingFamilySpec extends SparkSpec {
         4.3))
   }
 
+  test("rolling quantile/skew/kurt (r11): pandas linear-interpolated " +
+      "order statistic, standardized two-pass moments with the pandas " +
+      "2.x constant/near-constant guards — all lists pandas-pinned") {
+    // pandas s = Series([1, 3, 2, 8, NaN, 4, 5, 5, 5])
+    val s = series(1.0, 3.0, 2.0, 8.0, Double.NaN, 4.0, 5.0, 5.0, 5.0)
+    assertSeq(colOf("s.rolling(4, min_periods=2).quantile(0.25)", s),
+      Seq(Double.NaN, 1.5, 1.5, 1.75, 2.5, 3.0, 4.5, 4.5, 4.75))
+    assertSeq(colOf("s.rolling(3).quantile(0.7)", s),
+      Seq(Double.NaN, Double.NaN, 2.4, 5.0, Double.NaN, Double.NaN,
+        Double.NaN, 5.0, 5.0))
+    // q = 0.5 is exactly median; q = 0 / 1 are min / max of the valids
+    assertSeq(colOf("s.rolling(3).quantile(0.5)", s),
+      colOf("s.rolling(3).median()", s))
+    assertSeq(colOf("s.rolling(3).quantile(1.0)", s),
+      Seq(Double.NaN, Double.NaN, 3, 8, Double.NaN, Double.NaN,
+        Double.NaN, 5, 5))
+    // skew: cnt >= 3 (kurt: 4) regardless of min_periods; holes skipped
+    assertSeq(colOf("s.rolling(4, min_periods=3).skew()", s),
+      Seq(Double.NaN, Double.NaN, 0.0, 1.597077982930784,
+        1.5453925256950205, 0.9352195295828245, 1.2933427807333961,
+        -1.732050807568877, -2.0000000000000004), tol = 1e-9)
+    assertSeq(colOf("s.rolling(5, min_periods=4).kurt()", s),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 2.7039239001189053,
+        2.7039239001189053, 2.23486717956162, 0.9280000000000008,
+        2.8888888888888893, 4.0), tol = 1e-9)
+    // default min_periods hole-poisons like every other rolling agg —
+    // here EVERY window holds the hole or is unformed, so the all-NaN
+    // result surfaces as the V5 all-invalid validation
+    assertThrows[graft.validate.AllInvalidResultException] {
+      val evAll = new FormulaEvaluator(reg("s" -> s))
+      evAll.evaluateFormula("s.rolling(5).skew()")
+    }
+    // pandas 2.x guards: exactly-constant window → 0 / −3; near-constant
+    // (biased variance ≤ 1e-14, pandas' absolute threshold) → NaN
+    val const = series(2.0, 2.0, 2.0, 2.0, 2.0)
+    assertSeq(colOf("s.rolling(3).skew()", const),
+      Seq(Double.NaN, Double.NaN, 0.0, 0.0, 0.0))
+    assertSeq(colOf("s.rolling(4).kurt()", const),
+      Seq(Double.NaN, Double.NaN, Double.NaN, -3.0, -3.0))
+    // near-constant: every formed window trips the 1e-14 guard → all
+    // NaN → the V5 all-invalid validation (pandas emits NaN rows)
+    assertThrows[graft.validate.AllInvalidResultException] {
+      val evN = new FormulaEvaluator(
+        reg("s" -> series(1.0, 1.0 + 1e-7, 1.0)))
+      evN.evaluateFormula("s.rolling(3).skew()")
+    }
+    // center composes (the same trailing-lead machinery)
+    val c7 = series(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    assertSeq(colOf("s.rolling(3, center=1).quantile(1.0)", c7),
+      Seq(Double.NaN, 3, 4, 5, 6, 7, Double.NaN))
+    assertSeq(colOf("s.rolling(5, center=1).skew()", c7),
+      Seq(Double.NaN, Double.NaN, 0.0, 0.0, 0.0, Double.NaN, Double.NaN),
+      tol = 1e-9)
+    // vector paths: the same semantics sequentially, same bit chains
+    val v = Vec(IndexedSeq(1.0, 3.0, 2.0, 8.0, 4.0),
+      IndexedSeq("a", "b", "c", "d", "e"))
+    val ev = new FormulaEvaluator(reg("v" -> v))
+    def vec(f: String): Seq[Double] = ev.evaluateFormula(f) match {
+      case VecResult(out) => out.values
+      case other => fail(s"expected vector result, got $other")
+    }
+    assertSeq(vec("v.rolling(3).quantile(0.6)"),
+      Seq(Double.NaN, Double.NaN, 2.2, 4.0, 4.8))
+    assertSeq(vec("v.rolling(4).skew()"),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 1.597077982930784,
+        1.4430588355316425), tol = 1e-12)
+    assertSeq(vec("v.rolling(5).kurt()"),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        2.0210170763745565), tol = 1e-12)
+    // errors: q out of range; big windows reject (not prefix-invertible)
+    assertThrows[FormulaTypeException](
+      ev.evaluateFormula("v.rolling(3).quantile(1.5)"))
+    spark.conf.set("graft.rolling.fuseMaxWindow", "2")
+    try {
+      val evm = new FormulaEvaluator(reg("s" -> s))
+      val e = intercept[FormulaTypeException](
+        evm.evaluateFormula("s.rolling(3).skew()"))
+      assert(e.getMessage.contains("window sizes up to"))
+    } finally spark.conf.unset("graft.rolling.fuseMaxWindow")
+  }
+
   test("ewm mass collapse past 1e-150 (r11, the r10 ADVICE medium): the " +
       "next valid cell restarts at exactly v — stale history never " +
       "re-inflates — and its var is the exact (covB + d²)/2 limit") {
