@@ -123,11 +123,11 @@ object QueryCatalog {
     * horizon in positions, which must exceed the data's longest
     * per-column hole run by the tail margin. */
   private def ewmOracle(h: Int, cellOf: Int => String,
-                        fin: String => String, dp: Int = 6): String = {
+                        fin: (String, Int) => String, dp: Int = 6): String = {
     val cells = J.map(j => s"${cellOf(j)} AS m$j").mkString(", ")
     val outs = J.map { j =>
       val carried = s"last_value(m$j IGNORE NULLS) OVER (ORDER BY e.rn)"
-      F(s"round(${fin(carried)}, $dp)") + s" AS c$j"
+      F(s"round(${fin(carried, j)}, $dp)") + s" AS c$j"
     }.mkString(", ")
     s"""$W, p AS (SELECT *,
        |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w),
@@ -147,11 +147,18 @@ object QueryCatalog {
     * truncated mirror — at 6 dp a 60k-cell frame has even odds of one
     * cell straddling a rounding quantum, so large-com queries round to
     * 5 on both sides. */
-  def ewmMeanOracle(beta: String, h: Int, dp: Int = 6): String =
+  def ewmMeanOracle(beta: String, h: Int, dp: Int = 6,
+                    minp: Int = 0): String =
     ewmOracle(h, j =>
       s"CASE WHEN a.q$j IS NOT NULL THEN " +
         s"${ewmWsum(beta, j, s" * b.q$j")} / ${ewmWsum(beta, j, "")} END",
-      identity, dp)
+      (carried, j) =>
+        if (minp <= 0) carried
+        // the pandas min_periods gate: valid observations so far >= m
+        else s"CASE WHEN count(p.q$j) OVER (ORDER BY p.rn ROWS BETWEEN " +
+          s"UNBOUNDED PRECEDING AND CURRENT ROW) >= $minp " +
+          s"THEN $carried END",
+      dp)
 
   /** pandas bias=False weighted variance over the horizon window: biased
     * moment form (safe here — cell magnitudes are O(100), and every
@@ -168,7 +175,7 @@ object QueryCatalog {
         s"AND ($w1)*($w1) - ($w2) > 0 THEN " +
         s"greatest(($s2)/($w1) - (($s1)/($w1))*(($s1)/($w1)), 0) " +
         s"* ($w1)*($w1) / (($w1)*($w1) - ($w2)) END"
-    }, carried => if (std) s"sqrt($carried)" else carried)
+    }, (carried, _) => if (std) s"sqrt($carried)" else carried)
 
   // ---- query runner helpers ----------------------------------------------
 

@@ -241,6 +241,12 @@ object SparkEntry {
       formulaQuery("qty.ewm(span=20).mean()", roundTo = Some(5))(s, d)),
     "e11_ewhl" -> ((s, d) =>
       formulaQuery("qty.ewm(halflife=8).mean()", roundTo = Some(5))(s, d)),
+    // ewm min_periods (r11): NaN until the running valid-observation
+    // count reaches m — the scan threads the count through the same
+    // partials/driver/emit monoid
+    "e11_ewmp" -> ((s, d) =>
+      formulaQuery("qty.ewm(0.3, min_periods=6).mean()",
+        roundTo = Some(6))(s, d)),
     // expanding min_periods (r10): valid-count gate; count gates on
     // positions (pandas 2.2, pinned)
     "e11_emp" -> ((s, d) =>
@@ -4514,6 +4520,7 @@ object SparkEntry {
       "e11_ewspan" -> ewmMeanOracle("1.0 - 2.0/(20.0 + 1.0)", 280, dp = 5),
       "e11_ewhl" ->
         ewmMeanOracle("1.0 - (1.0 - exp(ln(0.5)/8.0))", 320, dp = 5),
+      "e11_ewmp" -> ewmMeanOracle("1.0 - 1.0/1.3", 40, minp = 6),
       "e11_emp" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
           "PRECEDING AND CURRENT ROW)"

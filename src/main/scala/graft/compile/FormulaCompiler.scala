@@ -99,9 +99,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * intermediate, waiting for `.mean()/.var()/.std()` — r10: resolved to
     * the decay α at construction (com/span/halflife/alpha accepted). */
   private case class CEwm(cols: Seq[(String, Column)],
-                          alpha: Double) extends CValue
+                          alpha: Double, minp: Int) extends CValue
   private case class CEwmD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
-                           alpha: Double) extends CValue
+                           alpha: Double, minp: Int) extends CValue
   /** compiled keyword argument (r10): only ever an element of a method's
     * arg list — e.g. min_periods=2 in `.rolling(5, min_periods=2)`. */
   private case class CKw(kwName: String, v: CValue) extends CValue
@@ -535,12 +535,33 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private val methodKwargs: Map[String, Set[String]] =
     Map("rolling" -> Set("min_periods", "center"),
       "expanding" -> Set("min_periods"),
-      "ewm" -> Set("com", "span", "halflife", "alpha"))
+      "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods"))
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
     * keyword-only), with pandas' own domain checks:
     * α = 1/(1+com) = 2/(span+1) = 1 − exp(ln½/halflife). */
+  /** `.ewm(...)`'s full parameter split (r11): min_periods (pandas
+    * default 0 — emit as soon as a value exists) peeled off, the rest
+    * resolved to the decay α by [[ewmAlpha]]. */
+  private def ewmParams(args: List[CValue]): (Double, Int) = {
+    val (mps, decay) = args.partition {
+      case CKw("min_periods", _) => true
+      case _ => false
+    }
+    val minp = mps match {
+      case Nil => 0
+      case List(CKw(_, v)) =>
+        val m = asScalar(v, "min_periods").toInt
+        if (m < 0) throw new FormulaTypeException(
+          s"'.ewm(min_periods=m)' needs m >= 0, got $m")
+        m
+      case _ => throw new FormulaTypeException(
+        "'.ewm()' got multiple values for argument 'min_periods'")
+    }
+    (ewmAlpha(decay), minp)
+  }
+
   private def ewmAlpha(args: List[CValue]): Double = {
     val params = args.map {
       case CKw(n, v) => (n, asScalar(v, s"ewm $n"))
@@ -1653,9 +1674,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ("ewm", CMatrix(cols, false), args) if args.nonEmpty =>
         if (!std) throw new AdpUnsupportedException(
           "'.ewm()' is not supported in ADP mode")
-        CEwm(cols, ewmAlpha(args))
+        val (al, mp) = ewmParams(args)
+        CEwm(cols, al, mp)
       case ("ewm", CVecD(vs, ls), args) if args.nonEmpty =>
-        CEwmD(vs, ls, ewmAlpha(args))
+        val (al, mp) = ewmParams(args)
+        CEwmD(vs, ls, al, mp)
 
       // `.expanding([min_periods=m])` (r10 kwarg, default 1): aggregates
       // gate on valid count >= m — count on POSITIONS >= m (pandas 2.2,
@@ -2054,8 +2077,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // decay-invariant state, and the Welford products need no
       // centering stage (translation-robust by construction — unlike
       // the closed moment forms).
-      case (m @ ("mean" | "var" | "std"), CEwm(cols, alpha), Nil) =>
-        if (m == "mean" && alpha == 1.0) {
+      case (m @ ("mean" | "var" | "std"), CEwm(cols, alpha, minp), Nil) =>
+        if (m == "mean" && alpha == 1.0 && minp <= 1) {
           // α = 1: every weight but the current cell's is zero and pandas
           // carries the last valid value across holes — exactly `.ffill()`
           method(CMatrix(cols, isBool = false), "ffill", Nil, ctx)
@@ -2072,13 +2095,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }: _*)
           ctx.base = Some(graft.operators.Prefix.ewmScan(marked,
             ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
-            if (m == "mean") "mean" else "var"))
+            if (m == "mean") "mean" else "var", minPeriods = minp))
           CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
             val c = col(valIn(i) + "_w")
             (lbl, if (m == "std") sqrt(c) else c)
           }, isBool = false)
         }
-      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, alpha), Nil) => {
+      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, alpha, minp), Nil) => {
         // sequential twin of [[Prefix.ewmScan]], recurrence for
         // recurrence (decayed weighted-Welford, the DEN = W1² − ΣW²
         // direct tracking, the underflow rescale), so matrix and vector
@@ -2087,9 +2110,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val f2 = f * f
         var mu = Double.NaN; var w1 = 0.0; var covB = 0.0; var dn = 0.0
         var lastV = Double.NaN
+        var nobs = 0L
         CVecD(vs.map { v =>
           w1 *= f; dn *= f2
-          val out =
+          if (!v.isNaN) nobs += 1
+          val out0 =
             if (!v.isNaN) {
               val oldWt = w1
               // resurrect from a collapsed state: the ε → 0 limit of the
@@ -2122,6 +2147,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
               if (m == "mean") mu else lastV
             }
+          // the pandas min_periods gate: NaN until nobs >= minp
+          val out = if (minp > 0 && nobs < minp) Double.NaN else out0
           if (m == "std") math.sqrt(out) else out
         }, ls)
       }

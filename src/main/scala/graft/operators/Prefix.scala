@@ -919,8 +919,10 @@ object Prefix {
     * `inNames` DoubleType with invalid cells as NULL or NaN. */
   def ewmScan(df: DataFrame, keyCol: String, orderCol: Column,
               inNames: Seq[String], alpha: Double,
-              outNames: Seq[String], stat: String): DataFrame = {
+              outNames: Seq[String], stat: String,
+              minPeriods: Int = 0): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("mean", "var")(stat), s"unknown ewm stat '$stat'")
     val sch = df.schema
@@ -942,10 +944,14 @@ object Prefix {
     // segment's last valid cell restarted from a WITHIN-segment collapse,
     // NaN otherwise — the driver's carry refresh needs it because the
     // collapsed pre-history never reaches the snapshot state):
-    //   mean: [μe, w1e, ce, μv, w1v, cv, hasV]
+    // r11: `cnt` = the segment's VALID-cell count — the pandas
+    // min_periods gate needs the running observation count, an additive
+    // monoid the driver prefix-sums into each slice's incoming state:
+    //   mean: [μe, w1e, ce, μv, w1v, cv, hasV, cnt]
     //   var : [μe, w1e, cbe, dene, ce, c2e, μv, w1v, cbv, denv, cv, c2v,
-    //          hasV, lv]
-    val stride = if (needVar) 14 else 7
+    //          hasV, lv, cnt]
+    val stride = if (needVar) 15 else 8
+    val cntSlot = if (needVar) 14 else 7
 
     val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
       inNames, Nil, descending = false, nullsLast = false,
@@ -992,14 +998,16 @@ object Prefix {
       .collect()
 
     // ---- driver combine: sequential over slice ids — O(parts·width) ----
-    // incoming(pid) = per column [μ, W1, S, DEN, lastMean, lastVar]
-    // BEFORE the slice's first row (μ = NaN until a valid cell exists)
-    val istride = 6
+    // incoming(pid) = per column [μ, W1, S, DEN, lastMean, lastVar, cnt]
+    // BEFORE the slice's first row (μ = NaN until a valid cell exists;
+    // cnt = valid cells seen in earlier slices, the min_periods gate)
+    val istride = 7
     val glob = new Array[Double](width * 4) // μ, W1, S, DEN
     var gi = 0
     while (gi < width) { glob(gi * 4) = Double.NaN; gi += 1 }
     val lastM = Array.fill(width)(Double.NaN)
     val lastV = Array.fill(width)(Double.NaN)
+    val cumCnt = new Array[Double](width)
     val byPid = partialRows.map(r =>
       r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val incoming: Map[Int, Array[Double]] = (0 until parts).map { s =>
@@ -1009,6 +1017,7 @@ object Prefix {
         in(i * istride) = glob(i * 4); in(i * istride + 1) = glob(i * 4 + 1)
         in(i * istride + 2) = glob(i * 4 + 2); in(i * istride + 3) = glob(i * 4 + 3)
         in(i * istride + 4) = lastM(i); in(i * istride + 5) = lastV(i)
+        in(i * istride + 6) = cumCnt(i)
         i += 1
       }
       byPid.get(s).foreach { p =>
@@ -1052,6 +1061,7 @@ object Prefix {
               p(o), p(o + 1), 0.0, 0.0, p(o + 2), 0.0)
             glob(j * 4) = mu2; glob(j * 4 + 1) = w12
           }
+          cumCnt(j) += p(o + cntSlot)
           j += 1
         }
       }
@@ -1076,6 +1086,7 @@ object Prefix {
         var st: Array[Double] = null        // per column: μ, W1, S, DEN
         var carryM: Array[Double] = null
         var carryV: Array[Double] = null
+        var cnts: Array[Long] = null        // valid obs so far (minp gate)
         it.map { r =>
           val pid = r.getInt(pidIdx)
           if (pid != curPid) {
@@ -1083,6 +1094,7 @@ object Prefix {
             st = new Array[Double](width * 4)
             carryM = new Array[Double](width)
             carryV = new Array[Double](width)
+            cnts = new Array[Long](width)
             val in = incoming.getOrElse(pid, null)
             var i = 0
             while (i < width) {
@@ -1090,6 +1102,7 @@ object Prefix {
                 st(i * 4) = in(i * istride); st(i * 4 + 1) = in(i * istride + 1)
                 st(i * 4 + 2) = in(i * istride + 2); st(i * 4 + 3) = in(i * istride + 3)
                 carryM(i) = in(i * istride + 4); carryV(i) = in(i * istride + 5)
+                cnts(i) = in(i * istride + 6).toLong
               } else {
                 st(i * 4) = Double.NaN
                 carryM(i) = Double.NaN; carryV(i) = Double.NaN
@@ -1141,18 +1154,26 @@ object Prefix {
                 }
               }
               carryM(j) = st(o)
+              cnts(j) += 1
+              // the pandas min_periods gate: NaN until the running valid
+              // observation count reaches minPeriods (state still updates)
+              val gated = minPeriods > 0 && cnts(j) < minPeriods
               if (needVar) {
                 val fv = if (resurrect) limVar
                          else ewmVarOf(st(o + 1), st(o + 2), st(o + 3))
                 if (!fv.isNaN) carryV(j) = fv
-                outVals(r.length + j) = java.lang.Double.valueOf(fv)
+                outVals(r.length + j) = java.lang.Double.valueOf(
+                  if (gated) Double.NaN else fv)
               } else
-                outVals(r.length + j) = java.lang.Double.valueOf(st(o))
+                outVals(r.length + j) = java.lang.Double.valueOf(
+                  if (gated) Double.NaN else st(o))
             } else {
               // hole: μ and the var value are decay-invariant — emit the
-              // carried values exactly (pandas recomputes and matches)
+              // carried values exactly (pandas recomputes and matches);
+              // NaN while the valid count sits below min_periods
               outVals(r.length + j) = java.lang.Double.valueOf(
-                if (needVar) carryV(j)
+                if (minPeriods > 0 && cnts(j) < minPeriods) Double.NaN
+                else if (needVar) carryV(j)
                 else if (st(o).isNaN) carryM(j) else st(o))
               // COLLAPSE long-decayed masses (r10 ADVICE — the previous
               // 1e150 rescale silently re-inflated the stale history to
@@ -1180,7 +1201,7 @@ object Prefix {
   /** Fresh per-column ewm segment state (see [[ewmScan]]'s layout):
     * μ fields start NaN, decay products at 1, everything else 0. */
   private def ewmInit(width: Int, needVar: Boolean): Array[Double] = {
-    val stride = if (needVar) 14 else 7
+    val stride = if (needVar) 15 else 8
     val st = new Array[Double](width * stride)
     var i = 0
     while (i < width) {
@@ -1226,6 +1247,7 @@ object Prefix {
         st(o + 6) = st(o); st(o + 7) = st(o + 1); st(o + 8) = st(o + 2)
         st(o + 9) = st(o + 3); st(o + 10) = st(o + 4); st(o + 11) = st(o + 5)
         st(o + 12) = 1.0
+        st(o + 14) += 1.0
       } else if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
         // collapse (r10 ADVICE): drop the sub-1e-150 mass AND the
         // incoming-decay product (any incoming history decayed through
@@ -1248,6 +1270,7 @@ object Prefix {
         else st(o) = (oldWt * st(o) + v) / st(o + 1)
         st(o + 3) = st(o); st(o + 4) = st(o + 1); st(o + 5) = st(o + 2)
         st(o + 6) = 1.0
+        st(o + 7) += 1.0
       } else if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
         st(o + 1) = 0.0; st(o + 2) = 0.0
       } else if (st(o + 1) == 0.0 && st(o + 2) > 0 && st(o + 2) < 1e-150) {

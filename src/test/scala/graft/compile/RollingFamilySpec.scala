@@ -664,6 +664,44 @@ class RollingFamilySpec extends SparkSpec {
     } finally spark.conf.unset("graft.rolling.fuseMaxWindow")
   }
 
+  test("ewm min_periods (r11): NaN until the running valid-observation " +
+      "count reaches m — the state still updates underneath; all lists " +
+      "pandas-pinned") {
+    // pandas s = Series([1, NaN, 2, 3, NaN, 4, 5])
+    val s = series(1.0, Double.NaN, 2.0, 3.0, Double.NaN, 4.0, 5.0)
+    assertSeq(colOf("s.ewm(1, min_periods=3).mean()", s),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 2.5384615384615383,
+        2.5384615384615383, 3.577777777777778, 4.412844036697248),
+      tol = 1e-12)
+    assertSeq(colOf("s.ewm(1, min_periods=4).var()", s),
+      Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        1.2217391304347829, 1.2796407185628742), tol = 1e-12)
+    assertSeq(colOf("s.ewm(1, min_periods=2).std()", s),
+      Seq(Double.NaN, Double.NaN, 0.7071067811865476, 0.8790490729915326,
+        0.8790490729915326, 1.1053230887097143, 1.1312120572920332),
+      tol = 1e-12)
+    // α = 1 with min_periods routes through the scan (the ffill
+    // delegation is minp <= 1 only): the count still gates
+    assertSeq(colOf("s.ewm(alpha=1, min_periods=3).mean()", s),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 3.0, 3.0, 4.0, 5.0))
+    // vector twin
+    val v = Vec(IndexedSeq(1.0, Double.NaN, 2.0, 3.0, Double.NaN, 4.0, 5.0),
+      IndexedSeq("a", "b", "c", "d", "e", "f", "g"))
+    val ev = new FormulaEvaluator(reg("v" -> v))
+    ev.evaluateFormula("v.ewm(1, min_periods=3).mean()") match {
+      case VecResult(out) =>
+        assertSeq(out.values, Seq(Double.NaN, Double.NaN, Double.NaN,
+          2.5384615384615383, 2.5384615384615383, 3.577777777777778,
+          4.412844036697248), tol = 1e-12)
+      case other => fail(s"expected vector result, got $other")
+    }
+    // duplicate min_periods and negative values are clean errors
+    assertThrows[FormulaTypeException](ev.evaluateFormula(
+      "v.ewm(1, min_periods=2, min_periods=3).mean()"))
+    assertThrows[FormulaTypeException](ev.evaluateFormula(
+      "v.ewm(1, min_periods=0-2).mean()"))
+  }
+
   test("ewm mass collapse past 1e-150 (r11, the r10 ADVICE medium): the " +
       "next valid cell restarts at exactly v — stale history never " +
       "re-inflates — and its var is the exact (covB + d²)/2 limit") {
