@@ -177,6 +177,60 @@ object QueryCatalog {
         s"* ($w1)*($w1) / (($w1)*($w1) - ($w2)) END"
     }, (carried, _) => if (std) s"sqrt($carried)" else carried)
 
+  /** adjust=False mirror (r11): the recursion y = (1−α)y + αx unrolls to
+    * weights coef_b·∏_{b<c≤a} κ_c over VALID cells, κ_c = f^gap/(f^gap+α)
+    * (the per-valid-step contraction, ≤ f) and coef_b = 1−κ_b (the global
+    * first obs keeps coef 1). The product telescopes through a running
+    * log-sum S, so the horizon join needs only exp(S_a − S_b) — truncated
+    * at `vh` VALID steps (tail ≤ f^vh), normalized by the kept mass d1.
+    * bias=False var corrects by d1²/(d1² − d2), exactly pandas'
+    * sum_wt²/(sum_wt² − sum_wt2); singleton anchors read NULL (d1² = d2)
+    * and the hole carry is the same last_value(IGNORE NULLS) as the
+    * adjust=True mirrors. Deep chains round at 5 dp (the ewmbig
+    * precedent). */
+  def ewmAdjOracle(alpha: Double, vh: Int, stat: String,
+                   dp: Int = 5): String = {
+    val f = s"(1.0 - $alpha)"
+    val mexpr =
+      if (stat == "mean") "n1/d1"
+      else "CASE WHEN d1*d1 - d2 > 1e-12 THEN " +
+        "greatest(n2/d1 - (n1/d1)*(n1/d1), 0) * d1*d1 / (d1*d1 - d2) END"
+    val cells = J.map { j =>
+      s"""v$j AS (SELECT rn, q$j AS x,
+         |    row_number() OVER (ORDER BY rn) AS vi,
+         |    rn - lag(rn) OVER (ORDER BY rn) AS gap
+         |  FROM p WHERE q$j IS NOT NULL),
+         |s$j AS (SELECT rn, x, vi,
+         |    CASE WHEN vi = 1 THEN 1.0
+         |         ELSE 1.0 - pow($f, gap)/(pow($f, gap) + $alpha) END
+         |      AS coef,
+         |    sum(CASE WHEN vi = 1 THEN 0.0
+         |        ELSE ln(pow($f, gap)/(pow($f, gap) + $alpha)) END)
+         |      OVER (ORDER BY vi) AS S FROM v$j),
+         |e$j AS (SELECT a.rn, $mexpr AS m$j FROM (
+         |  SELECT a0.rn,
+         |    sum(b.coef * exp(a0.S - b.S) * b.x) AS n1,
+         |    sum(b.coef * exp(a0.S - b.S)) AS d1,
+         |    sum(b.coef * exp(a0.S - b.S) * b.x * b.x) AS n2,
+         |    sum(b.coef * b.coef * exp(2.0*(a0.S - b.S))) AS d2
+         |  FROM s$j a0 JOIN s$j b ON b.vi BETWEEN a0.vi - ${vh - 1} AND a0.vi
+         |  GROUP BY a0.rn) a)""".stripMargin
+    }.mkString(",\n")
+    val outs = J.map { j =>
+      val carried = s"last_value(t$j.m$j IGNORE NULLS) OVER (ORDER BY p.rn)"
+      val fin = if (stat == "std") s"sqrt($carried)" else carried
+      F(s"round($fin, $dp)") + s" AS c$j"
+    }.mkString(", ")
+    val joins = J.map(j => s"LEFT JOIN e$j t$j ON t$j.rn = p.rn")
+      .mkString(" ")
+    s"""$W, p AS (SELECT *,
+       |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w),
+       |$cells
+       |SELECT p.__row_id__, $outs
+       |FROM p $joins
+       |ORDER BY p.__row_id__""".stripMargin
+  }
+
   // ---- query runner helpers ----------------------------------------------
 
   /** Evaluate a formula over the shared registry; matrix results are ordered

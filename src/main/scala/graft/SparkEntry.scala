@@ -247,6 +247,15 @@ object SparkEntry {
     "e11_ewmp" -> ((s, d) =>
       formulaQuery("qty.ewm(0.3, min_periods=6).mean()",
         roundTo = Some(6))(s, d)),
+    // adjust=0 (r11): the recursive form y = (1−α)y + αx as the
+    // generalized-weight scan (Prefix.ewmScanRecursive) — the other half
+    // of the pandas ewm parameter surface
+    "e11_ewadj" -> ((s, d) =>
+      formulaQuery("qty.ewm(1, adjust=0).mean()",
+        roundTo = Some(5))(s, d)),
+    "e11_ewadjv" -> ((s, d) =>
+      formulaQuery("qty.ewm(1, adjust=0).var()",
+        roundTo = Some(5))(s, d)),
     // expanding min_periods (r10): valid-count gate; count gates on
     // positions (pandas 2.2, pinned)
     "e11_emp" -> ((s, d) =>
@@ -4521,6 +4530,8 @@ object SparkEntry {
       "e11_ewhl" ->
         ewmMeanOracle("1.0 - (1.0 - exp(ln(0.5)/8.0))", 320, dp = 5),
       "e11_ewmp" -> ewmMeanOracle("1.0 - 1.0/1.3", 40, minp = 6),
+      "e11_ewadj" -> ewmAdjOracle(0.5, 40, "mean"),
+      "e11_ewadjv" -> ewmAdjOracle(0.5, 40, "var"),
       "e11_emp" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
           "PRECEDING AND CURRENT ROW)"

@@ -99,9 +99,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * intermediate, waiting for `.mean()/.var()/.std()` — r10: resolved to
     * the decay α at construction (com/span/halflife/alpha accepted). */
   private case class CEwm(cols: Seq[(String, Column)],
-                          alpha: Double, minp: Int) extends CValue
+                          alpha: Double, minp: Int,
+                          adjust: Boolean) extends CValue
   private case class CEwmD(vs: IndexedSeq[Double], ls: IndexedSeq[String],
-                           alpha: Double, minp: Int) extends CValue
+                           alpha: Double, minp: Int,
+                           adjust: Boolean) extends CValue
   /** compiled keyword argument (r10): only ever an element of a method's
     * arg list — e.g. min_periods=2 in `.rolling(5, min_periods=2)`. */
   private case class CKw(kwName: String, v: CValue) extends CValue
@@ -535,31 +537,42 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private val methodKwargs: Map[String, Set[String]] =
     Map("rolling" -> Set("min_periods", "center"),
       "expanding" -> Set("min_periods"),
-      "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods"))
+      "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
+        "adjust"))
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
     * keyword-only), with pandas' own domain checks:
     * α = 1/(1+com) = 2/(span+1) = 1 − exp(ln½/halflife). */
   /** `.ewm(...)`'s full parameter split (r11): min_periods (pandas
-    * default 0 — emit as soon as a value exists) peeled off, the rest
-    * resolved to the decay α by [[ewmAlpha]]. */
-  private def ewmParams(args: List[CValue]): (Double, Int) = {
-    val (mps, decay) = args.partition {
-      case CKw("min_periods", _) => true
+    * default 0 — emit as soon as a value exists) and adjust (pandas
+    * default True; the DSL's numeric literals spell False as adjust=0)
+    * peeled off, the rest resolved to the decay α by [[ewmAlpha]]. */
+  private def ewmParams(args: List[CValue]): (Double, Int, Boolean) = {
+    val (kws, decay) = args.partition {
+      case CKw("min_periods" | "adjust", _) => true
       case _ => false
     }
-    val minp = mps match {
-      case Nil => 0
-      case List(CKw(_, v)) =>
-        val m = asScalar(v, "min_periods").toInt
-        if (m < 0) throw new FormulaTypeException(
-          s"'.ewm(min_periods=m)' needs m >= 0, got $m")
-        m
-      case _ => throw new FormulaTypeException(
-        "'.ewm()' got multiple values for argument 'min_periods'")
+    var minp = 0
+    var minpGiven = false
+    var adjust = true
+    var adjGiven = false
+    kws.foreach {
+      case CKw("min_periods", v) =>
+        if (minpGiven) throw new FormulaTypeException(
+          "'.ewm()' got multiple values for argument 'min_periods'")
+        minp = asScalar(v, "min_periods").toInt
+        if (minp < 0) throw new FormulaTypeException(
+          s"'.ewm(min_periods=m)' needs m >= 0, got $minp")
+        minpGiven = true
+      case CKw(_, v) =>
+        if (adjGiven) throw new FormulaTypeException(
+          "'.ewm()' got multiple values for argument 'adjust'")
+        adjust = asScalar(v, "adjust") != 0.0
+        adjGiven = true
+      case _ => ()
     }
-    (ewmAlpha(decay), minp)
+    (ewmAlpha(decay), minp, adjust)
   }
 
   private def ewmAlpha(args: List[CValue]): Double = {
@@ -1674,11 +1687,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case ("ewm", CMatrix(cols, false), args) if args.nonEmpty =>
         if (!std) throw new AdpUnsupportedException(
           "'.ewm()' is not supported in ADP mode")
-        val (al, mp) = ewmParams(args)
-        CEwm(cols, al, mp)
+        val (al, mp, adj) = ewmParams(args)
+        CEwm(cols, al, mp, adj)
       case ("ewm", CVecD(vs, ls), args) if args.nonEmpty =>
-        val (al, mp) = ewmParams(args)
-        CEwmD(vs, ls, al, mp)
+        val (al, mp, adj) = ewmParams(args)
+        CEwmD(vs, ls, al, mp, adj)
 
       // `.expanding([min_periods=m])` (r10 kwarg, default 1): aggregates
       // gate on valid count >= m — count on POSITIONS >= m (pandas 2.2,
@@ -2077,7 +2090,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // decay-invariant state, and the Welford products need no
       // centering stage (translation-robust by construction — unlike
       // the closed moment forms).
-      case (m @ ("mean" | "var" | "std"), CEwm(cols, alpha, minp), Nil) =>
+      case (m @ ("mean" | "var" | "std"),
+            CEwm(cols, alpha, minp, adjust), Nil) =>
         if (m == "mean" && alpha == 1.0 && minp <= 1) {
           // α = 1: every weight but the current cell's is zero and pandas
           // carries the last valid value across holes — exactly `.ffill()`
@@ -2093,15 +2107,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double")).as(valIn(i))
             }: _*)
-          ctx.base = Some(graft.operators.Prefix.ewmScan(marked,
+          val scan =
+            if (adjust) graft.operators.Prefix.ewmScan _
+            else graft.operators.Prefix.ewmScanRecursive _
+          ctx.base = Some(scan(marked,
             ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
-            if (m == "mean") "mean" else "var", minPeriods = minp))
+            if (m == "mean") "mean" else "var", minp))
           CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
             val c = col(valIn(i) + "_w")
             (lbl, if (m == "std") sqrt(c) else c)
           }, isBool = false)
         }
-      case (m @ ("mean" | "var" | "std"), CEwmD(vs, ls, alpha, minp), Nil) => {
+      case (m @ ("mean" | "var" | "std"),
+            CEwmD(vs, ls, alpha, minp, adjust), Nil) => {
         // sequential twin of [[Prefix.ewmScan]], recurrence for
         // recurrence (decayed weighted-Welford, the DEN = W1² − ΣW²
         // direct tracking, the underflow rescale), so matrix and vector
@@ -2111,12 +2129,18 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         var mu = Double.NaN; var w1 = 0.0; var covB = 0.0; var dn = 0.0
         var lastV = Double.NaN
         var nobs = 0L
+        // adjust=False (r11): the same recurrence under the generalized
+        // observation weight w = α·T_prev (pendW, refreshed after each
+        // absorb, never decayed; first obs enters at weight 1) — see
+        // [[graft.operators.Prefix.ewmScanRecursive]]
+        var pendW = 1.0
         CVecD(vs.map { v =>
           w1 *= f; dn *= f2
           if (!v.isNaN) nobs += 1
           val out0 =
             if (!v.isNaN) {
               val oldWt = w1
+              val w = if (adjust) 1.0 else pendW
               // resurrect from a collapsed state: the ε → 0 limit of the
               // var at this cell is (covB + (μ − v)²)/2 — see
               // [[graft.operators.Prefix.ewmScan]]
@@ -2124,15 +2148,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               val lim = if (resurrect)
                 (math.max(0.0, covB) + (mu - v) * (mu - v)) / 2.0
               else Double.NaN
-              dn += 2.0 * w1
-              w1 += 1.0
+              dn += 2.0 * w * w1
+              w1 += w
               if (mu.isNaN) { mu = v; covB = 0.0 }
               else {
                 val oldMean = mu
-                mu = (oldWt * oldMean + v) / w1
+                mu = (oldWt * oldMean + w * v) / w1
                 val dm = oldMean - mu; val dv = v - mu
-                covB = (oldWt * (covB + dm * dm) + dv * dv) / w1
+                covB = (oldWt * (covB + dm * dm) + w * dv * dv) / w1
               }
+              pendW = alpha * w1
               if (m == "mean") mu
               else {
                 val fv =

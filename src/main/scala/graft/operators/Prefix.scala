@@ -946,12 +946,23 @@ object Prefix {
     // collapsed pre-history never reaches the snapshot state):
     // r11: `cnt` = the segment's VALID-cell count — the pandas
     // min_periods gate needs the running observation count, an additive
-    // monoid the driver prefix-sums into each slice's incoming state:
+    // monoid the driver prefix-sums into each slice's incoming state.
+    // [μp, w1p, cbp, denp, cp] = the segment-local state (and its
+    // incoming-decay product) FROZEN AT THE COLLAPSE that the segment's
+    // last valid cell resurrected from (NaN-μp when none): the driver
+    // merges the incoming history into it to reproduce the emit pass's
+    // exact pre-resurrect blend — a segment-local limit value alone
+    // would mis-weight whenever the incoming mass was a non-trivial
+    // fraction of the collapsed total.
     //   mean: [μe, w1e, ce, μv, w1v, cv, hasV, cnt]
     //   var : [μe, w1e, cbe, dene, ce, c2e, μv, w1v, cbv, denv, cv, c2v,
-    //          hasV, lv, cnt]
-    val stride = if (needVar) 15 else 8
-    val cntSlot = if (needVar) 14 else 7
+    //          hasV, cnt, μp, w1p, cbp, denp, cp, pstate]
+    // pstate: 0 = no collapse, 1 = collapsed with no valid cell since
+    // (the frozen state awaits its resurrect), 2 = the segment's most
+    // recent valid RUN started as a resurrect from the frozen state —
+    // only state 2 is consult-able for the carry refresh.
+    val stride = if (needVar) 20 else 8
+    val cntSlot = if (needVar) 13 else 7
 
     val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
       inNames, Nil, descending = false, nullsLast = false,
@@ -1036,13 +1047,20 @@ object Prefix {
               if (!v.isNaN) lastV(j) = v
               else if (p(o + 7) == 1.0 && f > 0.0) {
                 // single-obs snapshot (w1v exactly 1): a resurrect from a
-                // collapse — within-segment (the partials recorded the
-                // limit var) or cross-segment (incoming collapsed before
-                // this segment's only valid cell: compute the limit from
-                // the incoming values) — or a genuine first-ever obs
-                // (neither fires; holes stay NaN, the pandas rule)
-                if (!p(o + 13).isNaN) lastV(j) = p(o + 13)
-                else if (w1A == 0.0 && !muA.isNaN)
+                // collapse — within-segment (merge the incoming history
+                // into the frozen pre-collapse record, reproducing the
+                // emit pass's exact blend) or cross-segment (the incoming
+                // itself collapsed before this segment's only valid
+                // cell) — or a genuine first-ever obs (neither fires;
+                // holes stay NaN, the pandas single-obs rule)
+                if (p(o + 19) == 2.0) {
+                  val (mup, _, cbp, _) = ewmMerge(muA, w1A, sA, denA,
+                    p(o + 14), p(o + 15), p(o + 16), p(o + 17),
+                    p(o + 18), p(o + 18) * p(o + 18))
+                  if (!mup.isNaN)
+                    lastV(j) = (math.max(0.0, cbp) +
+                      (mup - p(o + 6)) * (mup - p(o + 6))) / 2.0
+                } else if (w1A == 0.0 && !muA.isNaN)
                   lastV(j) = (math.max(0.0, sA) +
                     (muA - p(o + 6)) * (muA - p(o + 6))) / 2.0
               }
@@ -1198,10 +1216,474 @@ object Prefix {
     emitted.drop("__pfx_pid", okey)
   }
 
+  /** Exact distributed ewm scan for pandas' `adjust=False` (r11): the
+    * RECURSIVE form y_t = (1−α)·y_{t−1} + α·x_t (ignore_na=False,
+    * bias=False), over the global `orderCol` order.
+    *
+    * The recursion is the [[ewmScan]] machinery under a GENERALIZED
+    * per-observation weight: writing the normalized recursion in
+    * unnormalized masses, observation j enters with weight
+    * w_j = α·T_{j−1} (the total mass AT the previous observation, NOT
+    * decayed since — pandas' old_wt-reset-to-1 is exactly this after
+    * normalization; the first observation ever enters at weight 1).
+    * The state carries that pending weight (`pendW = α·W1` refreshed
+    * after each absorb, never decayed) next to the usual
+    * (μ, covB, W1, DEN) — all other updates (per-row decay, Welford
+    * blend, the add-only DEN = W1² − ΣW² recurrence, the bias
+    * correction var = covB·W1²/DEN) are shared with adjust=True, just
+    * with `w` in place of the unit weight. Matches pandas adjust=False
+    * ≤ 1e-12 relative on fuzzed hole-bearing series (RollingFamilySpec).
+    *
+    * NUMERICS: T is monotone non-increasing (T_j = T_{j−1}·(f^d + α),
+    * factor ≤ 1, < 1 across any gap), so unlike adjust=True the mass
+    * scale DRIFTS DOWN geometrically over gapped observations and
+    * would underflow over ~thousands of rows. The state is fully
+    * HOMOGENEOUS in the mass scale (no fixed unit weight), so the scan
+    * renormalizes freely: the emit pass rescales by 1e50 whenever
+    * pendW < 1e-50, the partials keep the interior block at the
+    * T_lastObs = 1 convention (renormalized at every observation, all
+    * exported fields in [0, ~1]) with the cross-segment scale ratio
+    * carried in LOG space, and the driver renormalizes its global
+    * state after each segment. A hole run long enough to decay W1
+    * below 1e-150 RELATIVE to pendW collapses it exactly like
+    * [[ewmScan]] (same (covB + d²)/2 resurrect limit — the ε → 0
+    * algebra is identical under the generalized weight).
+    *
+    * Distribution: a segment's interior weights all scale with the
+    * total mass at its first observation, so a segment computed
+    * standalone exports a 3-part decomposition — the decay c1 to its
+    * first obs, the first obs (x1, whose weight is the incoming
+    * pendW, unknowable locally), and the interior BLOCK (obs 2..k at
+    * the T_lastObs = 1 scale, trailing decay held separately) — which
+    * the driver combine merges exactly: absorb x1 into the decayed
+    * incoming at weight pendW, scale the block by T₁·exp(logTrel),
+    * Chan-merge, decay by the trail (the merge identity is validated
+    * against the sequential recurrence over random splits AND
+    * cell-for-cell on multi-slice fuzz in RollingFamilySpec). Same
+    * two-pass + O(parts·width) driver shape as [[ewmScan]]; same
+    * min_periods count monoid. */
+  def ewmScanRecursive(df: DataFrame, keyCol: String, orderCol: Column,
+                       inNames: Seq[String], alpha: Double,
+                       outNames: Seq[String], stat: String,
+                       minPeriods: Int = 0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
+    require(inNames.length == outNames.length, "inNames/outNames must align")
+    require(Set("mean", "var")(stat), s"unknown ewm stat '$stat'")
+    val sch = df.schema
+    inNames.foreach { nm =>
+      require(sch(nm).dataType == org.apache.spark.sql.types.DoubleType,
+        s"ewmScanRecursive requires DoubleType columns, got " +
+          s"${sch(nm).dataType} for $nm")
+    }
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val okey = "__ewr_ord"
+    val needVar = stat == "var"
+    val f = 1.0 - alpha
+    val f2 = f * f
+    val width = inNames.length
+    // per-column segment payload (block fields at the T_lastObs = 1
+    // scale — renormalized at every obs; trailing decay in cTrail; the
+    // cross-segment mass ratio T_lastObs/T₁ as logTrel):
+    //   mean: [hasObs, c1, x1, μB, w1B, cRv, cTrail, logTrel, cnt]
+    //   var : [hasObs, c1, x1, μB, cbB, w1B, denB, cRv, cTrail, logTrel,
+    //          cnt, μbp, cbbp, w1bp, denbp, cRp, pstate]
+    // [μbp..cRp, pstate] = the block state (and A-side decay) FROZEN at
+    // a within-segment collapse, consult-able (pstate 2) once the next
+    // valid cell resurrected from it — the carry-refresh record, at the
+    // pre-resurrect T_lastObs scale (recovered as logTrel − ln α).
+    val stride = if (needVar) 17 else 9
+
+    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
+      inNames, Nil, descending = false, nullsLast = false,
+      tieCols = Seq(col(keyCol)), parts)
+    val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
+
+    // ---- pass 1: per-slice segment payloads from a narrow projection --
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val pEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(pSchema)
+    val partialRows = sliced
+      .select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
+        inNames.map(col): _*)
+      .repartition(parts, col("__pfx_pid"))
+      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+      .mapPartitions { it =>
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var curPid = Int.MinValue
+        var st: Array[Double] = null
+        var cSince: Array[Double] = null // decay since last obs
+        def fresh(): Unit = {
+          st = new Array[Double](width * stride)
+          cSince = Array.fill(width)(1.0)
+          var i = 0
+          while (i < width) {
+            val o = i * stride
+            st(o + 1) = 1.0               // c1
+            st(o + 3) = Double.NaN        // μB
+            if (needVar) st(o + 11) = Double.NaN // μbp
+            i += 1
+          }
+        }
+        def flush(): Unit =
+          if (st != null) {
+            var i = 0
+            while (i < width) { // cTrail = cSince at segment end
+              val o = i * stride
+              if (st(o) > 0) st(o + (if (needVar) 8 else 6)) = cSince(i)
+              i += 1
+            }
+            runs += org.apache.spark.sql.Row(curPid, st.toSeq)
+          }
+        it.foreach { r =>
+          val pid = r.getInt(0)
+          if (pid != curPid) { flush(); curPid = pid; fresh() }
+          var i = 0
+          while (i < width) {
+            val o = i * stride
+            val valid = !r.isNullAt(3 + i) && !r.getDouble(3 + i).isNaN
+            val v = if (valid) r.getDouble(3 + i) else Double.NaN
+            if (st(o) == 0.0) {
+              // before the first obs: decay c1; collapse it at 1e-150
+              st(o + 1) *= f
+              if (st(o + 1) > 0 && st(o + 1) < 1e-150) st(o + 1) = 0.0
+              if (valid) {
+                st(o) = 1.0; st(o + 2) = v
+                st(o + (if (needVar) 10 else 8)) = 1.0  // cnt
+                st(o + (if (needVar) 7 else 5)) = 1.0   // cRv
+                cSince(i) = 1.0
+              }
+            } else {
+              cSince(i) *= f
+              if (valid) {
+                val (w1Slot, cbSlot, denSlot, cRvSlot, logSlot, cntSlot) =
+                  if (needVar) (5, 4, 6, 7, 9, 10) else (4, -1, -1, 5, 7, 8)
+                val cs = cSince(i)
+                // T_prev normalized to 1 ⇒ the obs weight is exactly α
+                // and the decayed total is cs; renormalize to the new
+                // total tNew = cs + α after absorbing
+                val w1dec = st(o + w1Slot) * cs
+                val resurrect = needVar && f > 0.0 && cs == 0.0
+                val w1n = w1dec + alpha
+                val tNew = cs + alpha
+                if (needVar) {
+                  val dendec = st(o + denSlot) * cs * cs
+                  st(o + denSlot) =
+                    (dendec + 2.0 * alpha * w1dec) / (tNew * tNew)
+                }
+                if (st(o + 3).isNaN || w1dec == 0.0) {
+                  st(o + 3) = v
+                  if (needVar) st(o + cbSlot) = 0.0
+                } else {
+                  val muB = st(o + 3)
+                  val mun = (w1dec * muB + alpha * v) / w1n
+                  if (needVar) {
+                    val dm = muB - mun; val dv = v - mun
+                    st(o + cbSlot) =
+                      (w1dec * (st(o + cbSlot) + dm * dm) +
+                        alpha * dv * dv) / w1n
+                  }
+                  st(o + 3) = mun
+                }
+                st(o + w1Slot) = w1n / tNew
+                st(o + logSlot) += math.log(tNew)
+                st(o + cRvSlot) *= cs
+                if (st(o + cRvSlot) > 0 && st(o + cRvSlot) < 1e-150)
+                  st(o + cRvSlot) = 0.0
+                st(o + cntSlot) += 1.0
+                if (needVar && resurrect && st(o + 16) == 1.0)
+                  st(o + 16) = 2.0
+                else if (needVar && !resurrect && st(o + 16) == 1.0)
+                  st(o + 16) = 0.0
+                cSince(i) = 1.0
+              } else if (cSince(i) > 0 && cSince(i) < 1e-150) {
+                // within-segment collapse: freeze the block state (and
+                // the A-side decay so far) as the pre-collapse record,
+                // then drop the decayed mass entirely
+                if (needVar) {
+                  st(o + 11) = st(o + 3); st(o + 12) = st(o + 4)
+                  st(o + 13) = st(o + 5) * cSince(i)
+                  st(o + 14) = st(o + 6) * cSince(i) * cSince(i)
+                  st(o + 15) = st(o + 7) * cSince(i)
+                  st(o + 16) = 1.0
+                }
+                cSince(i) = 0.0
+              }
+            }
+            i += 1
+          }
+        }
+        flush()
+        runs.iterator
+      }(pEnc)
+      .collect()
+
+    // ---- driver combine: the validated 3-part merge, sequential over
+    // slice ids — O(parts·width); glob renormalized after each segment
+    // so pendW stays in [1e-50·α, 1] ----
+    // glob per column: [μ, covB, W1, DEN, pendW]; incoming adds
+    // [lastM, lastV, cnt] → istride 8
+    val istride = 8
+    val glob = new Array[Double](width * 5)
+    var gi = 0
+    while (gi < width) {
+      glob(gi * 5) = Double.NaN; glob(gi * 5 + 4) = 1.0 // pendW init 1
+      gi += 1
+    }
+    val lastM = Array.fill(width)(Double.NaN)
+    val lastV = Array.fill(width)(Double.NaN)
+    val cumCnt = new Array[Double](width)
+    val byPid = partialRows.map(r =>
+      r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val incoming: Map[Int, Array[Double]] = (0 until parts).map { s =>
+      val in = new Array[Double](width * istride)
+      var i = 0
+      while (i < width) {
+        var k = 0
+        while (k < 5) { in(i * istride + k) = glob(i * 5 + k); k += 1 }
+        in(i * istride + 5) = lastM(i); in(i * istride + 6) = lastV(i)
+        in(i * istride + 7) = cumCnt(i)
+        i += 1
+      }
+      byPid.get(s).foreach { p =>
+        var j = 0
+        while (j < width) {
+          val o = j * stride
+          val g = j * 5
+          if (p(o) == 0.0) {
+            // no obs in segment: pure decay of the incoming masses
+            glob(g + 2) *= p(o + 1); glob(g + 3) *= p(o + 1) * p(o + 1)
+          } else {
+            val (w1Slot, cbSlot, denSlot, cRvSlot, cTrSlot, logSlot,
+                 cntSlot) =
+              if (needVar) (5, 4, 6, 7, 8, 9, 10)
+              else (4, -1, -1, 5, 6, 7, 8)
+            val m0 = glob(g + 2) * p(o + 1)
+            val den0 =
+              if (needVar) glob(g + 3) * p(o + 1) * p(o + 1) else 0.0
+            val w1 = glob(g + 4)
+            val t1 = m0 + w1
+            val den1 = den0 + 2.0 * w1 * m0
+            var mu1 = 0.0; var cov1 = 0.0
+            if (glob(g).isNaN || m0 == 0.0) { mu1 = p(o + 2); cov1 = 0.0 }
+            else {
+              mu1 = (m0 * glob(g) + w1 * p(o + 2)) / t1
+              if (needVar) {
+                val dm = glob(g) - mu1; val dv = p(o + 2) - mu1
+                cov1 = (m0 * (glob(g + 1) + dm * dm) + w1 * dv * dv) / t1
+              }
+            }
+            // merge with the interior block (at scale tLast), A-side
+            // decayed by cRv
+            def mergeBlock(muBv: Double, cbBv: Double, w1Bv: Double,
+                           denBv: Double, cRv: Double, tLast: Double)
+                : (Double, Double, Double, Double) = {
+              val wA = t1 * cRv
+              val denA = den1 * cRv * cRv
+              val wB = tLast * w1Bv
+              if (wB == 0.0) (mu1, cov1, wA, denA)
+              else if (wA == 0.0)
+                (muBv, cbBv, wB, tLast * tLast * denBv)
+              else {
+                val denBs = tLast * tLast * denBv
+                val w = wA + wB
+                val d = mu1 - muBv
+                (muBv + d * wA / w,
+                  if (needVar)
+                    (wB * cbBv + wA * cov1 + d * d * wA * wB / w) / w
+                  else 0.0,
+                  w, denBs + denA + 2.0 * wA * wB)
+              }
+            }
+            val blockEmpty = p(o + w1Slot) == 0.0
+            val cRv = p(o + cRvSlot)
+            // when the A-side fully decayed away (cRv collapsed), the
+            // block is the whole state and its scale is FREE — pin
+            // tLast = 1 instead of risking exp underflow
+            val tLast =
+              if (blockEmpty) t1
+              else if (cRv == 0.0) 1.0
+              else t1 * math.exp(p(o + logSlot))
+            val (muL, covL, wL, denL) =
+              if (blockEmpty) (mu1, cov1, t1 * cRv max 0.0, den1 * cRv * cRv)
+              else mergeBlock(p(o + 3),
+                if (needVar) p(o + cbSlot) else 0.0, p(o + w1Slot),
+                if (needVar) p(o + denSlot) else 0.0,
+                if (cRv == 0.0) 0.0 else cRv, tLast)
+            // a block-empty segment's own obs IS the last obs: its mass
+            // never decays away relative to itself
+            val (muF, covF, wF, denF) =
+              if (blockEmpty) (mu1, cov1, t1, den1) else (muL, covL, wL, denL)
+            lastM(j) = muF
+            if (needVar) {
+              val vL = ewmVarOf(wF, covF, denF)
+              if (!vL.isNaN) lastV(j) = vL
+              else if (f > 0.0) {
+                // resurrect-at-last-obs corners (DEN exactly 0):
+                // within-segment record (merge incoming into the frozen
+                // block at its pre-resurrect scale = logTrel − ln α) or
+                // incoming-collapsed-before-the-only-obs
+                if (p(o + 16) == 2.0) {
+                  val tFreeze =
+                    if (p(o + 15) == 0.0) 1.0
+                    else t1 * math.exp(p(o + logSlot)) / alpha
+                  val (mup, covp, _, _) = mergeBlock(p(o + 11), p(o + 12),
+                    p(o + 13), p(o + 14), p(o + 15), tFreeze)
+                  lastV(j) = (math.max(0.0, covp) +
+                    (mup - muF) * (mup - muF)) / 2.0
+                } else if (m0 == 0.0 && !glob(g).isNaN && blockEmpty)
+                  lastV(j) = (math.max(0.0, glob(g + 1)) +
+                    (glob(g) - p(o + 2)) * (glob(g) - p(o + 2))) / 2.0
+              }
+            }
+            val cTr = p(o + cTrSlot)
+            glob(g) = muF
+            if (needVar) glob(g + 1) = covF
+            glob(g + 2) = wF * cTr
+            glob(g + 3) = if (needVar) denF * cTr * cTr else 0.0
+            glob(g + 4) = alpha * tLast
+            cumCnt(j) += p(o + cntSlot)
+            // renormalize: the state is homogeneous in the mass scale
+            if (glob(g + 4) > 0 && glob(g + 4) < 1e-50) {
+              glob(g + 2) *= 1e50; glob(g + 3) *= 1e100; glob(g + 4) *= 1e50
+            }
+            // relative collapse: trailing holes may have decayed W1
+            // below the next obs weight's resolution
+            if (glob(g + 2) > 0 && glob(g + 2) < glob(g + 4) * 1e-150) {
+              glob(g + 2) = 0.0; glob(g + 3) = 0.0
+            }
+          }
+          j += 1
+        }
+      }
+      s -> in
+    }.toMap
+
+    // ---- pass 2: fully parallel emit with the combined incoming state --
+    val inSchema = sliced.schema
+    val inIdx = inNames.map(inSchema.fieldIndex)
+    val pidIdx = inSchema.fieldIndex("__pfx_pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields ++ outNames.map(o =>
+        org.apache.spark.sql.types.StructField(o,
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val emitted = sliced
+      .repartition(parts, col("__pfx_pid"))
+      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+      .mapPartitions { it =>
+        var curPid = Int.MinValue
+        var st: Array[Double] = null  // per column: μ, covB, W1, DEN, pendW
+        var carryM: Array[Double] = null
+        var carryV: Array[Double] = null
+        var cnts: Array[Long] = null
+        it.map { r =>
+          val pid = r.getInt(pidIdx)
+          if (pid != curPid) {
+            curPid = pid
+            st = new Array[Double](width * 5)
+            carryM = new Array[Double](width)
+            carryV = new Array[Double](width)
+            cnts = new Array[Long](width)
+            val in = incoming.getOrElse(pid, null)
+            var i = 0
+            while (i < width) {
+              if (in != null) {
+                var k = 0
+                while (k < 5) { st(i * 5 + k) = in(i * istride + k); k += 1 }
+                carryM(i) = in(i * istride + 5)
+                carryV(i) = in(i * istride + 6)
+                cnts(i) = in(i * istride + 7).toLong
+              } else {
+                st(i * 5) = Double.NaN; st(i * 5 + 4) = 1.0
+                carryM(i) = Double.NaN; carryV(i) = Double.NaN
+              }
+              i += 1
+            }
+          }
+          val outVals = new Array[Any](r.length + width)
+          var i = 0
+          while (i < r.length) { outVals(i) = r.get(i); i += 1 }
+          var j = 0
+          while (j < width) {
+            val o = j * 5
+            val raw = inIdx(j)
+            val valid = !r.isNullAt(raw) && !r.getDouble(raw).isNaN
+            st(o + 2) *= f
+            if (needVar) st(o + 3) *= f2
+            if (valid) {
+              val v = r.getDouble(raw)
+              val oldWt = st(o + 2)
+              val w = st(o + 4)
+              val resurrect = needVar && f > 0.0 && oldWt == 0.0 &&
+                !st(o).isNaN
+              val limVar = if (resurrect)
+                (math.max(0.0, st(o + 1)) + (st(o) - v) * (st(o) - v)) / 2.0
+              else Double.NaN
+              if (needVar) st(o + 3) += 2.0 * w * oldWt
+              st(o + 2) += w
+              if (st(o).isNaN) { st(o) = v; st(o + 1) = 0.0 }
+              else {
+                val oldMean = st(o)
+                val mun = (oldWt * oldMean + w * v) / st(o + 2)
+                if (needVar) {
+                  val dm = oldMean - mun; val dv = v - mun
+                  st(o + 1) =
+                    (oldWt * (st(o + 1) + dm * dm) + w * dv * dv) / st(o + 2)
+                }
+                st(o) = mun
+              }
+              st(o + 4) = alpha * st(o + 2)
+              // renormalize: T is monotone non-increasing under
+              // adjust=False, and the state is homogeneous in its scale
+              if (st(o + 4) > 0 && st(o + 4) < 1e-50) {
+                st(o + 2) *= 1e50; st(o + 3) *= 1e100; st(o + 4) *= 1e50
+              }
+              carryM(j) = st(o)
+              cnts(j) += 1
+              val gated = minPeriods > 0 && cnts(j) < minPeriods
+              if (needVar) {
+                val fv = if (resurrect) limVar
+                         else ewmVarOf(st(o + 2), st(o + 1), st(o + 3))
+                if (!fv.isNaN) carryV(j) = fv
+                outVals(r.length + j) = java.lang.Double.valueOf(
+                  if (gated) Double.NaN else fv)
+              } else
+                outVals(r.length + j) = java.lang.Double.valueOf(
+                  if (gated) Double.NaN else st(o))
+            } else {
+              outVals(r.length + j) = java.lang.Double.valueOf(
+                if (minPeriods > 0 && cnts(j) < minPeriods) Double.NaN
+                else if (needVar) carryV(j)
+                else if (st(o).isNaN) carryM(j) else st(o))
+              // collapse relative to the (non-decaying) next obs weight
+              if (st(o + 2) > 0 && st(o + 2) < st(o + 4) * 1e-150) {
+                st(o + 2) = 0.0
+                if (needVar) st(o + 3) = 0.0
+              }
+            }
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            outVals, outSchema): org.apache.spark.sql.Row
+        }
+      }
+    emitted.drop("__pfx_pid", okey)
+  }
+
   /** Fresh per-column ewm segment state (see [[ewmScan]]'s layout):
     * μ fields start NaN, decay products at 1, everything else 0. */
   private def ewmInit(width: Int, needVar: Boolean): Array[Double] = {
-    val stride = if (needVar) 15 else 8
+    val stride = if (needVar) 20 else 8
     val st = new Array[Double](width * stride)
     var i = 0
     while (i < width) {
@@ -1209,7 +1691,7 @@ object Prefix {
       if (needVar) {
         st(i * stride + 4) = 1.0; st(i * stride + 5) = 1.0 // ce, c2e
         st(i * stride + 6) = Double.NaN                    // μv
-        st(i * stride + 13) = Double.NaN                   // lv
+        st(i * stride + 14) = Double.NaN                   // μp
       } else {
         st(i * stride + 2) = 1.0          // ce
         st(i * stride + 3) = Double.NaN   // μv
@@ -1229,12 +1711,13 @@ object Prefix {
       st(o + 4) *= f; st(o + 5) *= f2
       if (valid) {
         val oldWt = st(o + 1)
-        // within-segment resurrect from a collapse: record the limit var
-        // (see the emit pass) so the driver's carry refresh can place it
-        // — the collapsed pre-history never reaches the snapshot state
-        st(o + 13) = if (f > 0.0 && oldWt == 0.0 && !st(o).isNaN)
-          (math.max(0.0, st(o + 2)) + (st(o) - v) * (st(o) - v)) / 2.0
-        else Double.NaN
+        // resurrect from a within-segment collapse: the frozen
+        // pre-collapse state becomes consult-able (state 2) — the
+        // driver's carry refresh merges the incoming history into it;
+        // any later valid run start resets the record
+        if (f > 0.0 && oldWt == 0.0 && !st(o).isNaN && st(o + 19) == 1.0)
+          st(o + 19) = 2.0
+        else if (oldWt > 0.0 && st(o + 19) == 1.0) st(o + 19) = 0.0
         st(o + 3) += 2.0 * oldWt
         st(o + 1) += 1.0
         if (st(o).isNaN) { st(o) = v; st(o + 2) = 0.0 }
@@ -1247,13 +1730,18 @@ object Prefix {
         st(o + 6) = st(o); st(o + 7) = st(o + 1); st(o + 8) = st(o + 2)
         st(o + 9) = st(o + 3); st(o + 10) = st(o + 4); st(o + 11) = st(o + 5)
         st(o + 12) = 1.0
-        st(o + 14) += 1.0
+        st(o + 13) += 1.0
       } else if (st(o + 1) > 0 && st(o + 1) < 1e-150) {
         // collapse (r10 ADVICE): drop the sub-1e-150 mass AND the
         // incoming-decay product (any incoming history decayed through
         // this segment is at most as heavy) — μ and covB stay for the
-        // carries and the resurrect limit. Snapshot fields are frozen at
-        // the last valid cell and never collapse.
+        // carries, and the full local state freezes into the
+        // pre-collapse record (pending) for the resurrect's carry
+        // refresh. Snapshot fields are frozen at the last valid cell
+        // and never collapse.
+        st(o + 14) = st(o); st(o + 15) = st(o + 1)
+        st(o + 16) = st(o + 2); st(o + 17) = st(o + 3)
+        st(o + 18) = st(o + 4); st(o + 19) = 1.0
         st(o + 1) = 0.0; st(o + 3) = 0.0
         st(o + 4) = 0.0; st(o + 5) = 0.0
       } else if (st(o + 1) == 0.0 && st(o + 4) > 0 && st(o + 4) < 1e-150) {

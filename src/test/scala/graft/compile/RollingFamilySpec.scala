@@ -702,6 +702,75 @@ class RollingFamilySpec extends SparkSpec {
       "v.ewm(1, min_periods=0-2).mean()"))
   }
 
+  test("ewm adjust=0 (r11): the recursive form y = (1-a)y + ax as the " +
+      "generalized-weight scan — pandas-pinned, distributed matrix " +
+      "path equals the sequential twin on a multi-slice series") {
+    // pandas s = Series([1, NaN, 2, 3, NaN, 4, 5]), com=1, adjust=False
+    val s = series(1.0, Double.NaN, 2.0, 3.0, Double.NaN, 4.0, 5.0)
+    assertSeq(colOf("s.ewm(1, adjust=0).mean()", s),
+      Seq(1.0, 1.0, 1.6666666666666667, 2.3333333333333335,
+        2.3333333333333335, 3.4444444444444446, 4.222222222222222),
+      tol = 1e-12)
+    assertSeq(colOf("s.ewm(1, adjust=0).var()", s),
+      Seq(Double.NaN, Double.NaN, 0.5, 0.9090909090909088,
+        0.9090909090909088, 1.5662650602409638, 1.6019656019656014),
+      tol = 1e-12)
+    assertSeq(colOf("s.ewm(1, adjust=0).std()", s),
+      Seq(Double.NaN, Double.NaN, 0.7071067811865476, 0.9534625892455921,
+        0.9534625892455921, 1.251505117944375, 1.2656877979840058),
+      tol = 1e-12)
+    // min_periods composes; span spelling resolves to the same α
+    assertSeq(colOf("s.ewm(1, adjust=0, min_periods=3).mean()", s),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 2.3333333333333335,
+        2.3333333333333335, 3.4444444444444446, 4.222222222222222),
+      tol = 1e-12)
+    assertSeq(colOf("s.ewm(span=3, adjust=0).mean()", s),
+      colOf("s.ewm(1, adjust=0).mean()", s))
+    // adjust=1 is the default surface, unchanged
+    assertSeq(colOf("s.ewm(1, adjust=1).mean()", s),
+      colOf("s.ewm(1).mean()", s))
+    // the distributed partials/driver/emit decomposition must equal the
+    // sequential twin CELL FOR CELL on a series long enough to span all
+    // 32 slices, with hole runs crossing slice boundaries
+    val rnd = new scala.util.Random(42)
+    val long = IndexedSeq.tabulate(400)(i =>
+      if (rnd.nextDouble() < 0.3) Double.NaN
+      else math.rint((rnd.nextDouble() * 200 - 50) * 100) / 100)
+    for (formula <- Seq("ewm(0.7, adjust=0).mean()",
+        "ewm(0.7, adjust=0).var()", "ewm(4, adjust=0).std()",
+        "ewm(0.7, adjust=0, min_periods=7).var()")) {
+      val distributed = colOf(s"s.$formula", series(long: _*))
+      val v = Vec(long, long.indices.map(i => f"r$i%04d"))
+      val ev = new FormulaEvaluator(reg("v" -> v))
+      val sequential = ev.evaluateFormula(s"v.$formula") match {
+        case VecResult(out) => out.values
+        case other => fail(s"expected vector result, got $other")
+      }
+      distributed.zip(sequential).zipWithIndex.foreach {
+        case ((d, q), i) =>
+          if (q.isNaN) assert(d.isNaN, s"$formula row $i: $d vs NaN")
+          else assert(math.abs(d - q) <= 1e-10 * (1 + math.abs(q)),
+            s"$formula row $i: $d vs $q")
+      }
+    }
+    // the adjust=0 collapse/resurrect: same exact-limit semantics
+    val cs = (IndexedSeq(1.0, 2.0) ++ IndexedSeq.fill(505)(Double.NaN) ++
+      IndexedSeq(5.0, 6.0))
+    val cm = colOf("s.ewm(1, adjust=0).mean()", series(cs: _*))
+    val cv = colOf("s.ewm(1, adjust=0).var()", series(cs: _*))
+    // [1, 2] adjust=0: μ = 1.5, covB = 0.25, var = 0.25/0.5 = 0.5
+    // (pandas); carried through all 505 holes; the resurrect at 5 reads
+    // mean exactly 5 and var the limit (covB + (μ−5)²)/2 = 6.25; the
+    // next cell behaves fresh: (1−α)·5 + α·6 = 5.5
+    assertCell(cm(1), 1.5, 1e-12)
+    (2 to 506).foreach(i => assertCell(cm(i), 1.5, 1e-12))
+    (2 to 506).foreach(i => assertCell(cv(i), 0.5, 1e-12))
+    assertCell(cm(507), 5.0, 1e-12)
+    assertCell(cv(507), (0.25 + 3.5 * 3.5) / 2.0, 1e-9)
+    assertCell(cm(508), 5.5, 1e-9)
+    assertCell(cv(508), 0.5, 1e-9)
+  }
+
   test("ewm mass collapse past 1e-150 (r11, the r10 ADVICE medium): the " +
       "next valid cell restarts at exactly v — stale history never " +
       "re-inflates — and its var is the exact (covB + d²)/2 limit") {
