@@ -1817,10 +1817,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case "quantile"     => "winquant"
             case _              => "winsum"
           }
+          // center=1 (r11): the lead is FUSED into the same slice pass
+          // (the emit attaches each finished trailing aggregate to the
+          // row (n−1)/2 back via a pending queue + bounded lookahead) —
+          // the r10 shape paid a second positionalLag pass for it
+          val lead = if (center) (n - 1) / 2 else 0
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
             ctx.rowIdOut, rid, valIn, n - 1,
             valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp,
-            winQ = rq))
+            winQ = rq, centerLead = lead))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
@@ -1829,7 +1834,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }
             (lbl, cell)
           }
-          finish(out)
+          CMatrix(out, isBool = false)
         } else {
           // ---- prefix-sum fallback for very large windows: running sums
           // of (value, value², hole flag, position) + ONE positional lag

@@ -383,8 +383,18 @@ object Prefix {
                     inNames: Seq[String], n: Int,
                     outNames: Seq[String], fuse: String,
                     winMinPeriods: Int = 0,
-                    winQ: Double = Double.NaN): DataFrame = {
+                    winQ: Double = Double.NaN,
+                    centerLead: Int = 0): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
+    // centered window fuse (r11): emit the finished trailing aggregate
+    // at position i − centerLead INSIDE the same slice pass (a pending
+    // queue of `centerLead` rows + a bounded lookahead edge set) — the
+    // r10 shape paid a second positionalLag lead pass (two slice
+    // exchanges + two edge collects) for the same result
+    require(centerLead >= 0 && (centerLead == 0 ||
+      (fuse.startsWith("win") && centerLead <= n)),
+      s"centerLead must sit in [0, window ring n] on a window fuse, " +
+        s"got $centerLead")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("none", "diff", "pct", "winsum", "winmean", "winmin",
       "winmax", "wincount", "winmed", "winvar", "winquant", "winskew",
@@ -421,7 +431,7 @@ object Prefix {
           "larger windows")
     if (math.abs(n) <= 256 && cells <= maxCells)
       positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse,
-        winMinPeriods, winQ)
+        winMinPeriods, winQ, centerLead)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
   }
@@ -694,7 +704,8 @@ object Prefix {
                                   n: Int, outNames: Seq[String],
                                   fuse: String,
                                   winMinPeriods: Int = 0,
-                                  winQ: Double = Double.NaN): DataFrame = {
+                                  winQ: Double = Double.NaN,
+                                  centerLead: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -748,6 +759,30 @@ object Prefix {
         s -> vals.map(r => inNames.indices.map(i => r.get(i + 1)).toArray)
       }.toMap
 
+    // centered window fuse (r11): each slice also needs the FIRST
+    // `centerLead` rows of the slices after it (value columns only) —
+    // the lookahead that finishes its last `centerLead` pending rows.
+    // Bounded exactly like the incoming edges (parts·lead rows).
+    val lookahead: Map[Int, Array[Array[Any]]] =
+      if (centerLead == 0) Map.empty
+      else {
+        val first = graft.plans.TopKPerKey(
+            sliced.select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
+              inNames.map(col): _*),
+            Seq(col("__pfx_pid")), ordAsc, centerLead)
+          .orderBy((col("__pfx_pid").asc +: ordAsc): _*)
+          .select(col("__pfx_pid") +: inNames.map(col): _*)
+          .collect()
+        val byP = first.groupBy(_.getInt(0))
+        (0 until parts).map { s =>
+          val vals = (s + 1 until parts).iterator
+            .flatMap(p =>
+              byP.getOrElse(p, Array.empty[org.apache.spark.sql.Row]))
+            .take(centerLead).toArray
+          s -> vals.map(r => inNames.indices.map(i => r.get(i + 1)).toArray)
+        }.toMap
+      }
+
     val inSchema = sliced.schema
     val inIdx = inNames.map(inSchema.fieldIndex)
     val pidIdx = inSchema.fieldIndex("__pfx_pid")
@@ -773,7 +808,95 @@ object Prefix {
         val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
         val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ)
                    else null
-        it.map { r =>
+        if (centerLead > 0) {
+          // centered emission: compute the trailing aggregate at every
+          // window end, but emit it attached to the row `centerLead`
+          // positions BACK (a pending queue); a slice's last pending
+          // rows finish against the lookahead rows, and whatever the
+          // global tail cannot finish emits the pandas edge NaN
+          val pending = scala.collection.mutable.ArrayDeque
+            .empty[(Array[Any], Long)]
+          var e = 0L
+          def mkRow(fields: Array[Any],
+                    outs: Array[java.lang.Double]): org.apache.spark.sql.Row = {
+            val outVals = new Array[Any](fields.length + inIdx.length)
+            var i = 0
+            while (i < fields.length) { outVals(i) = fields(i); i += 1 }
+            var j = 0
+            while (j < inIdx.length) {
+              outVals(fields.length + j) =
+                if (outs == null) dNaN else outs(j)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericRowWithSchema(outVals, outSchema)
+          }
+          def outsOf(cur: Array[Any]): Array[java.lang.Double] = {
+            val o = new Array[java.lang.Double](inIdx.length)
+            var j = 0
+            while (j < inIdx.length) { o(j) = emit(buf, cur, j); j += 1 }
+            o
+          }
+          def ringPush(cur: Array[Any]): Unit = {
+            buf.append(cur)
+            if (buf.length > k) buf.removeHead()
+          }
+          // drain the finished slice: advance through its lookahead
+          // rows (popping due pending rows), then NaN-flush the rest
+          def drain(): Iterator[org.apache.spark.sql.Row] =
+            if (curPid == Int.MinValue) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              val la = lookahead.getOrElse(curPid, Array.empty)
+              var li = 0
+              while (li < la.length && pending.nonEmpty) {
+                val cur = la(li)
+                val outs = outsOf(cur)
+                if (pending.nonEmpty && e - pending.head._2 == centerLead) {
+                  val (fields, _) = pending.removeHead()
+                  out += mkRow(fields, outs)
+                }
+                ringPush(cur)
+                e += 1
+                li += 1
+              }
+              while (pending.nonEmpty) {
+                val (fields, _) = pending.removeHead()
+                out += mkRow(fields, null)
+              }
+              out.iterator
+            }
+          (it.map(Option(_)) ++ Iterator.single(
+            None: Option[org.apache.spark.sql.Row])).flatMap {
+            case None => drain()
+            case Some(r) =>
+              val pid = r.getInt(pidIdx)
+              val pre: Iterator[org.apache.spark.sql.Row] =
+                if (pid != curPid) {
+                  val d = drain()
+                  buf.clear()
+                  incoming.getOrElse(pid, Array.empty).foreach(buf.append)
+                  curPid = pid
+                  d
+                } else Iterator.empty
+              val cur = inIdx.map(r.get).toArray
+              val outs = outsOf(cur)
+              val popped: Iterator[org.apache.spark.sql.Row] =
+                if (pending.nonEmpty &&
+                    e - pending.head._2 == centerLead) {
+                  val (fields, _) = pending.removeHead()
+                  Iterator.single(mkRow(fields, outs))
+                } else Iterator.empty
+              val fields = new Array[Any](r.length)
+              var i = 0
+              while (i < r.length) { fields(i) = r.get(i); i += 1 }
+              pending.append((fields, e))
+              ringPush(cur)
+              e += 1
+              pre ++ popped
+          }
+        } else it.map { r =>
           val pid = r.getInt(pidIdx)
           if (pid != curPid) { // new contiguous slice run
             buf.clear()

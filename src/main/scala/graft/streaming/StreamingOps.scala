@@ -398,45 +398,74 @@ object StreamingOps {
   }
 
   case class RwRow(key: Long, id: Long, value: Double)
-  case class RwState(ring: Seq[Double])
+  case class RwState(ring: Seq[Double], pending: Seq[Long] = Nil,
+                     pos: Long = 0L)
   case class RwOut(key: Long, id: Long, sum: Option[Double],
                    mean: Option[Double], min: Option[Double],
                    max: Option[Double], count: Option[Double])
 
   /** Streaming positional rolling-window aggregates — the
-    * [[graft.compile.FormulaCompiler]] `.rolling(n)` twin (r9 session 3):
-    * each key carries ONLY its last n−1 values as state (O(n) per key,
-    * fixed-size) — exactly the ring buffer the batch fused window streams
-    * per slice, keyed instead of sliced. Pandas gates: all aggregates are
-    * None while the window is unformed (fewer than n values seen); a
-    * NaN hole poisons sum/mean/min/max (default min_periods = n) and is
-    * skipped by count. Within a micro-batch rows fold in input order
-    * (per-batch deterministic; cross-batch ordering is the source's —
-    * the positional contract batch rolling derives from row-id order). */
-  def rollingStream(rows: Dataset[RwRow], n: Int): Dataset[RwOut] = {
+    * [[graft.compile.FormulaCompiler]] `.rolling(n)` twin (r9 session 3;
+    * r11 adds min_periods and center): each key carries ONLY its last
+    * n−1 values, the pending centered ids and a position counter as
+    * state (O(n) per key, fixed-size) — exactly the ring buffer the
+    * batch fused window streams per slice, keyed instead of sliced.
+    * Pandas gates mirror the batch emitter: aggregates are None until
+    * `min_periods` positions exist (default n), run skipna over the
+    * window's valid cells, and read NaN when the valid count sits below
+    * min_periods (count gates on POSITIONS — pandas 2.2); center=true
+    * delays each emission by (n−1)/2 rows (the batch pending-queue
+    * fused lead, keyed): the output for row i appears in the
+    * micro-batch that delivers row i+lead — the unbounded-stream
+    * analogue of the batch tail NaN is simply that the last `lead`
+    * rows stay pending until more data arrives. Within a micro-batch
+    * rows fold in input order (per-batch deterministic; cross-batch
+    * ordering is the source's — the positional contract batch rolling
+    * derives from row-id order). */
+  def rollingStream(rows: Dataset[RwRow], n: Int,
+                    minPeriods: Int = 0,
+                    center: Boolean = false): Dataset[RwOut] = {
     require(n > 0, s"rollingStream needs n > 0, got $n")
+    require(minPeriods >= 0 && minPeriods <= n,
+      s"min_periods must sit in [0, n], got $minPeriods")
+    require(!center || minPeriods == 0,
+      "center=true supports the default min_periods only (the batch " +
+        "contract)")
+    val effMinp = if (minPeriods <= 0) n else minPeriods
+    val lead = if (center) (n - 1) / 2 else 0
     val spark = rows.sparkSession
     import spark.implicits._
     def fn(key: Long, in: Iterator[RwRow],
            state: GroupState[RwState]): Iterator[RwOut] = {
-      var ring = state.getOption.map(_.ring.toVector)
-        .getOrElse(Vector.empty[Double])
+      val st0 = state.getOption.getOrElse(RwState(Vector.empty))
+      var ring = st0.ring.toVector
+      var pending = st0.pending.toVector
+      var pos = st0.pos
       val out = scala.collection.mutable.ListBuffer[RwOut]()
       in.foreach { r =>
-        if (ring.length < n - 1) out += RwOut(key, r.id, None, None, None,
-          None, None)
+        pos += 1
+        val w = (ring :+ r.value).takeRight(n)
+        val positions = w.length
+        val valid = w.filter(v => !v.isNaN)
+        def agg(f: Vector[Double] => Double): Option[Double] =
+          if (positions < effMinp) None
+          else Some(if (valid.length < effMinp) Double.NaN else f(valid))
+        val cnt: Option[Double] =
+          if (positions < effMinp) None else Some(valid.length.toDouble)
+        def emit(id: Long): Unit =
+          out += RwOut(key, id, agg(_.sum), agg(v => v.sum / v.length),
+            agg(_.min), agg(_.max), cnt)
+        if (lead == 0) emit(r.id)
         else {
-          val w = ring :+ r.value
-          val valid = w.filter(v => !v.isNaN)
-          val poisoned = valid.length < w.length
-          def agg(f: Vector[Double] => Double): Option[Double] =
-            Some(if (poisoned) Double.NaN else f(w))
-          out += RwOut(key, r.id, agg(_.sum), agg(_.sum / n), agg(_.min),
-            agg(_.max), Some(valid.length.toDouble))
+          pending = pending :+ r.id
+          if (pending.length > lead) {
+            emit(pending.head)
+            pending = pending.tail
+          }
         }
         ring = (ring :+ r.value).takeRight(n - 1)
       }
-      state.update(RwState(ring))
+      state.update(RwState(ring, pending, pos))
       out.iterator
     }
     rows.groupByKey(_.key)
@@ -446,7 +475,7 @@ object StreamingOps {
 
   case class EwRow(key: Long, id: Long, value: Double)
   case class EwState(mu: Double, w1: Double, covB: Double, den: Double,
-                     lastVar: Double)
+                     lastVar: Double, nobs: Long = 0L)
   case class EwOut(key: Long, id: Long, mean: Double, variance: Double)
 
   /** Streaming twin of the exact ewm scan (r10): per-key exponentially
@@ -461,8 +490,10 @@ object StreamingOps {
     * masses and absorbs itself; invalid (NaN) values decay the weights
     * and carry the last outputs, with the same 1e-150 underflow collapse.
     * Events are processed in `id` order within each micro-batch. */
-  def ewmStream(rows: Dataset[EwRow], alpha: Double): Dataset[EwOut] = {
+  def ewmStream(rows: Dataset[EwRow], alpha: Double,
+                minPeriods: Int = 0): Dataset[EwOut] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(minPeriods >= 0, s"min_periods must be >= 0, got $minPeriods")
     val spark = rows.sparkSession
     import spark.implicits._
     val f = 1.0 - alpha
@@ -471,6 +502,7 @@ object StreamingOps {
            state: GroupState[EwState]): Iterator[EwOut] = {
       var st = state.getOption.getOrElse(
         EwState(Double.NaN, 0.0, 0.0, 0.0, Double.NaN))
+      var nobs = st.nobs
       val out = scala.collection.mutable.ListBuffer[EwOut]()
       in.toSeq.sortBy(_.id).foreach { r =>
         var mu = st.mu; var cb = st.covB; var lastV = st.lastVar
@@ -495,14 +527,21 @@ object StreamingOps {
           val fv = if (resurrect) lim
                    else graft.operators.Prefix.ewmVarOf(w1, cb, dn)
           if (!fv.isNaN) lastV = fv
-          out += EwOut(key, r.id, mu, fv)
+          nobs += 1
+          // the pandas min_periods gate (r11): NaN until the running
+          // valid observation count reaches minPeriods
+          val g = minPeriods > 0 && nobs < minPeriods
+          out += EwOut(key, r.id, if (g) Double.NaN else mu,
+            if (g) Double.NaN else fv)
         } else {
           // collapse sub-1e-150 mass instead of rescaling it to O(1)
           // (r10 ADVICE); μ/covB stay for the carried outputs
           if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
-          out += EwOut(key, r.id, mu, lastV)
+          val g = minPeriods > 0 && nobs < minPeriods
+          out += EwOut(key, r.id, if (g) Double.NaN else mu,
+            if (g) Double.NaN else lastV)
         }
-        st = EwState(mu, w1, cb, dn, lastV)
+        st = EwState(mu, w1, cb, dn, lastV, nobs)
       }
       state.update(st)
       out.iterator

@@ -102,6 +102,33 @@ class SequentialPlanSpec extends SparkSpec {
     }
   }
 
+  /** r11: center=1 is FUSED into the trailing slice pass (a pending
+    * queue + bounded lookahead inside the same mapPartitions emit) —
+    * the plan must carry exactly ONE exchange of the wide frame
+    * (the slice-id repartition), not the two the r10 second-lead-pass
+    * shape paid; the r11 quantile/skew/kurt rows ride the identical
+    * single-pass plan. */
+  test("centered/quantile/skew rolling queries move the wide frame " +
+      "through ONE slice exchange (r11)") {
+    for (name <- Seq("e11_rctr", "e11_rq", "e11_rskew", "e11_rkurt")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      // count exchanges that move the WIDE frame (hash on the slice id);
+      // the bounded edge/lookahead collects run as separate tiny jobs
+      val slices = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__pfx_pid") => e
+      }
+      assert(slices.length <= 1,
+        s"$name: the wide frame must move through at most one slice " +
+          s"exchange, found ${slices.length}:\n$plan")
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach(w => assert(isBoundedOffsetsWindow(w),
+        s"$name: non-partials window in the fused plan:\n$w"))
+    }
+  }
+
   /** shift/diff must never plan a window `lag`/`lead`: offset window
     * frames make WindowExec buffer whole partitions
     * (ExternalAppendOnlyUnsafeRowArray) instead of streaming — measured

@@ -706,4 +706,94 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed == batch && streamed.count(_._1 == 1L) == 3)
     } finally q.stop()
   }
+
+  test("streaming rolling min_periods and center match the batch gates " +
+      "across micro-batch boundaries (r11)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.RwRow
+    // pandas Series([1, 2, NaN, 4, 5, 6]).rolling(3, min_periods=2):
+    //   mean = [nan, 1.5, 1.5, 3, 4.5, 5]; count = [nan, 2, 2, 2, 2, 3]
+    val in = MemoryStream[RwRow]
+    val q = StreamingOps.rollingStream(in.toDS(), n = 3, minPeriods = 2)
+      .toDF("key", "id", "sum", "mean", "min", "max", "count")
+      .writeStream.format("memory").queryName("rwmp_out")
+      .outputMode("append").start()
+    try {
+      in.addData(RwRow(1L, 0L, 1.0), RwRow(1L, 1L, 2.0),
+        RwRow(1L, 2L, Double.NaN))
+      q.processAllAvailable()
+      in.addData(RwRow(1L, 3L, 4.0), RwRow(1L, 4L, 5.0), RwRow(1L, 5L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("rwmp_out").collect().map { r =>
+        def f(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(1) -> ((f(3), f(6)))
+      }.toMap
+      assert(got(0L) == ((None, None)))
+      assert(got(1L) == ((Some(1.5), Some(2.0))))
+      assert(got(2L) == ((Some(1.5), Some(2.0))))
+      assert(got(3L) == ((Some(3.0), Some(2.0))))
+      assert(got(4L) == ((Some(4.5), Some(2.0))))
+      assert(got(5L) == ((Some(5.0), Some(3.0))))
+    } finally q.stop()
+
+    // center=1: the output for row i arrives with row i+lead — pandas
+    // centered [nan, nan, nan, nan, 5, nan]; ids 0..4 emit (id 5's
+    // centered window never completes on an unbounded stream)
+    val in2 = MemoryStream[RwRow]
+    val q2 = StreamingOps.rollingStream(in2.toDS(), n = 3, center = true)
+      .toDF("key", "id", "sum", "mean", "min", "max", "count")
+      .writeStream.format("memory").queryName("rwc_out")
+      .outputMode("append").start()
+    try {
+      in2.addData(RwRow(1L, 0L, 1.0), RwRow(1L, 1L, 2.0),
+        RwRow(1L, 2L, Double.NaN))
+      q2.processAllAvailable()
+      in2.addData(RwRow(1L, 3L, 4.0), RwRow(1L, 4L, 5.0),
+        RwRow(1L, 5L, 6.0))
+      q2.processAllAvailable()
+      val got = spark.table("rwc_out").collect().map { r =>
+        def f(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(1) -> f(3)
+      }.toMap
+      assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L),
+        s"pending tail must stay unemitted, got ${got.keySet}")
+      assert(got(0L) == None)
+      assert(got(1L).exists(_.isNaN) && got(2L).exists(_.isNaN) &&
+        got(3L).exists(_.isNaN))
+      assert(got(4L) == Some(5.0))
+    } finally q2.stop()
+  }
+
+  test("streaming ewm min_periods gates on the running valid count (r11)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EwRow
+    // pandas Series([1, 2, NaN, 4, 5, 6]).ewm(com=2, min_periods=3):
+    //   mean = [nan, nan, nan, 2.9787234042553195, 3.914285714285714,
+    //           4.768971332209106]
+    val in = MemoryStream[EwRow]
+    val q = StreamingOps.ewmStream(in.toDS(), alpha = 1.0 / 3.0,
+        minPeriods = 3)
+      .toDF("key", "id", "mean", "variance")
+      .writeStream.format("memory").queryName("ewmp_out")
+      .outputMode("append").start()
+    try {
+      in.addData(EwRow(1L, 0L, 1.0), EwRow(1L, 1L, 2.0),
+        EwRow(1L, 2L, Double.NaN))
+      q.processAllAvailable()
+      in.addData(EwRow(1L, 3L, 4.0), EwRow(1L, 4L, 5.0), EwRow(1L, 5L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("ewmp_out").collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(got(0L).isNaN && got(1L).isNaN && got(2L).isNaN)
+      assert(math.abs(got(3L) - 2.9787234042553195) < 1e-12)
+      assert(math.abs(got(4L) - 3.914285714285714) < 1e-12)
+      assert(math.abs(got(5L) - 4.768971332209106) < 1e-12)
+    } finally q.stop()
+  }
 }
