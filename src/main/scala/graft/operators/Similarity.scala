@@ -834,8 +834,14 @@ object Similarity {
     // config is the scale-safe one and oracle-scale corpora keep the
     // exact full 2-hop expansion. Explicit sampleDeg > 0 always
     // samples at that degree; sampleDeg < 0 forces the full expansion.
+    // The default threshold is MEASURED, not round: unsampled is linear
+    // through 60k nodes (30×: 103.5 s) and spill-superlinear by 200k
+    // (100×: 792.8 s vs sampled 278 s — PROBE_r10 r10scale/nndsample),
+    // so the cutover sits at the top of the proven-linear band. A real
+    // cluster with more aggregate memory can raise it; the default must
+    // be the config under which the operator never falls over.
     val autoAbove = conf.getOption("graft.nnd.sampleAboveCorpus")
-      .map(_.toLong).getOrElse(1000000L)
+      .map(_.toLong).getOrElse(100000L)
     val autoDeg = conf.getOption("graft.nnd.autoSampleDeg")
       .map(_.toInt).getOrElse(8)
     lazy val corpusN = embs.count()

@@ -76,7 +76,8 @@ class NnDescentSpec extends SparkSpec {
         seedThreshold = 0.25, sampleDeg = deg)
       .orderBy(col("id"), col("sim").desc, col("nbr"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // 20-vector corpus, threshold default 1M: auto (0) == full (-1)
+    // 20-vector corpus, threshold default 100k (the measured top of the
+    // unsampled-linear band, PROBE_r10): auto (0) == full (-1)
     assert(run(0).sameElements(run(-1)),
       "below the threshold the auto default must be the exact expansion")
     // force the threshold below the corpus: auto must now equal the
