@@ -123,6 +123,15 @@ object SparkEntry {
     "e11_cumsum" -> ((s, d) => formulaQuery("qty.cumsum()")(s, d)),
     "e11_cummax" -> ((s, d) => formulaQuery("qty.cummax()")(s, d)),
     "e11_rank" -> ((s, d) => formulaQuery("qty.rank()")(s, d)),
+    // r11 rank keyword surface: min/max/dense are closed forms of the
+    // same value-count prefix; 'first' is the positional tie-break path;
+    // descending ranks the negated key; pct normalizes by the valid
+    // (dense: distinct) count
+    "e11_rankmin" -> ((s, d) => formulaQuery("qty.rank(method='min')")(s, d)),
+    "e11_rankdense" -> ((s, d) =>
+      formulaQuery("qty.rank(method='dense', ascending=0)")(s, d)),
+    "e11_rankfirst" -> ((s, d) => formulaQuery("qty.rank(method='first')")(s, d)),
+    "e11_rankpct" -> ((s, d) => formulaQuery("qty.rank(pct=1)")(s, d)),
     // tie-free by construction: q integer ⇒ q/7 is never a scale-2 decimal
     // tie (1000q = 7m with m ≡ 5 (mod 10) has no solution), and the true
     // value stays ≥ 1/7000 from every tie point — 10 orders beyond double
@@ -4218,6 +4227,34 @@ object SparkEntry {
         J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
           "rank() OVER (ORDER BY q$j NULLS LAST) + " +
           "(count(q$j) OVER (PARTITION BY q$j) - 1) / 2.0 END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      // r11 rank variants: min = SQL rank(); dense desc = dense_rank over
+      // the reversed order; first = row_number with the row id breaking
+      // ties (pandas order of appearance IS the row order); pct divides
+      // the average rank by the column's valid count
+      "e11_rankmin" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
+          "CAST(rank() OVER (ORDER BY q$j NULLS LAST) AS DOUBLE) END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      "e11_rankdense" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
+          "CAST(dense_rank() OVER (ORDER BY q$j DESC NULLS LAST) AS DOUBLE) " +
+          "END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      "e11_rankfirst" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
+          "CAST(row_number() OVER (ORDER BY q$j NULLS LAST, __row_id__) " +
+          "AS DOUBLE) END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      "e11_rankpct" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN 0.0 ELSE " +
+          "(rank() OVER (ORDER BY q$j NULLS LAST) + " +
+          "(count(q$j) OVER (PARTITION BY q$j) - 1) / 2.0) / " +
+          "count(q$j) OVER () END AS c$j")
           .replace("$j", j.toString)).mkString(", ") +
         " FROM w ORDER BY __row_id__"),
       // q/7 never lands on (or within double-repr distance of) a scale-2

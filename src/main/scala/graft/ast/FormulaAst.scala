@@ -13,6 +13,7 @@ sealed trait FormulaAst {
   /** Free variable names referenced by this expression (SURVEY §2.5 F2). */
   def freeVariables: Set[String] = this match {
     case Num(_)              => Set.empty
+    case Str(_)              => Set.empty
     case Var(n)              => Set(n)
     case Unary(_, e)         => e.freeVariables
     case Bin(_, l, r)        => l.freeVariables ++ r.freeVariables
@@ -24,6 +25,7 @@ sealed trait FormulaAst {
   /** True if the tree contains the given binary operator (e.g. "/", "**"). */
   def containsOp(op: String): Boolean = this match {
     case Num(_)             => false
+    case Str(_)             => false
     case Var(_)             => false
     case Unary(_, e)        => e.containsOp(op)
     case Bin(o, l, r)       => o == op || l.containsOp(op) || r.containsOp(op)
@@ -35,6 +37,10 @@ sealed trait FormulaAst {
 }
 
 final case class Num(v: Double) extends FormulaAst
+/** python string literal ('...' or "..."), r11 — only meaningful as a
+  * method argument (e.g. rank(method='min')); any arithmetic use is a
+  * clean compile-time TypeError, matching pd.eval */
+final case class Str(v: String) extends FormulaAst
 final case class Var(name: String) extends FormulaAst
 /** op ∈ {"-", "+", "~"} */
 final case class Unary(op: String, e: FormulaAst) extends FormulaAst
@@ -95,6 +101,19 @@ object FormulaParser {
           if (j < n && s(j).isDigit) { i = j; while (i < n && s(i).isDigit) i += 1 }
         }
         out += Tok("num", s.substring(start, i), start)
+      } else if (c == '\'' || c == '"') {
+        // python string literal: same-quote terminated, no escape
+        // sequences (formula strings are identifiers like 'min' /
+        // 'dense'; an embedded quote has no use case and would silently
+        // change meaning — reject unterminated cleanly instead)
+        val q = c
+        val start = i
+        i += 1
+        while (i < n && s(i) != q) i += 1
+        if (i >= n) throw new FormulaSyntaxException(
+          s"Unterminated string literal starting at position $start in formula: $s")
+        out += Tok("str", s.substring(start + 1, i), start)
+        i += 1
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
@@ -240,6 +259,7 @@ object FormulaParser {
     private def parseAtom(): FormulaAst =
       peek match {
         case Some(Tok("num", t, _))   => advance(); Num(t.toDouble)
+        case Some(Tok("str", t, _))   => advance(); Str(t)
         case Some(Tok("ident", t, _)) =>
           advance()
           if (peek.exists(_.kind == "lparen")) Call(t, parseArgs()) else Var(t)

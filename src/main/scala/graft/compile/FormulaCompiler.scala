@@ -71,6 +71,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * DataFrames its columns reference */
   private case class CVecC(cols: Seq[(String, Column)], aggIds: Set[Int]) extends CValue
   private case class CScalar(v: Double) extends CValue
+  /** python string literal (r11): only meaningful as a method argument
+    * (e.g. rank(method='min')); arithmetic use is a clean TypeError. */
+  private case class CStr(s: String) extends CValue
   /** driver-collected matrix: a matmul RIGHT operand. Its row count equals
     * the left operand's column count by pandas' dot-alignment rule, so it
     * is schema-small by construction (`rows` is (rowId → cell values) in
@@ -170,6 +173,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           "a keyword argument is not an expression — it can only appear " +
             "inside a method call's argument list")
+      case CStr(s) =>
+        throw new FormulaTypeException(
+          s"a string literal ('$s') is not a formula result — strings " +
+            "are method arguments only (e.g. rank(method='min'))")
     }
   }
 
@@ -177,7 +184,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private def collectVarsInOrder(ast: FormulaAst): Seq[String] = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     def go(a: FormulaAst): Unit = a match {
-      case Num(_) => (); case Var(n) => seen += n
+      case Num(_) | Str(_) => (); case Var(n) => seen += n
       case Unary(_, e) => go(e)
       case Bin(_, l, r) => go(l); go(r)
       case Call(_, as) => as.foreach(go)
@@ -229,6 +236,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
 
   private def eval(ast: FormulaAst, ctx: Ctx): CValue = ast match {
     case Num(v) => CScalar(v)
+    case Str(s) => CStr(s)
 
     case Var(name) => registry(name) match {
       case m: Matrix =>
@@ -311,7 +319,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private def matmulUsage(ast: FormulaAst): (Set[String], Set[String]) = {
     val arg = Set.newBuilder[String]; val other = Set.newBuilder[String]
     def go(a: FormulaAst): Unit = a match {
-      case Num(_)       => ()
+      case Num(_) | Str(_) => ()
       case Var(n)       => other += n
       case Unary(_, e)  => go(e)
       case Bin(_, l, r) => go(l); go(r)
@@ -384,6 +392,41 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "'.rolling(n, center=1)' supports the default min_periods only " +
         "(partial centered edge windows are not supported)")
     (m, center)
+  }
+
+  /** (method, ascending, pct) from `.rank(...)`'s args (r11): pandas'
+    * keyword surface — method ∈ {'average','min','max','first','dense'}
+    * (string literal, the r11 tokenizer addition), ascending (numeric
+    * truthy; the DSL spells False as 0, the adjust=0 convention), pct
+    * (numeric truthy), na_option='keep' only (pandas' 'top'/'bottom'
+    * rewrite NaN ranks — rejected cleanly, the quirk-parity discipline).
+    * pandas' first positional is `axis`, so positional args are rejected
+    * rather than guessed at. */
+  private def rankArgs(args: List[CValue]): (String, Boolean, Boolean) = {
+    var meth = "average"; var asc = true; var pct = false
+    val methods = Set("average", "min", "max", "first", "dense")
+    args.foreach {
+      case CKw("method", CStr(s)) =>
+        if (!methods(s)) throw new FormulaTypeException(
+          s"method must be one of 'average', 'min', 'max', 'first', " +
+            s"'dense', got '$s'")
+        meth = s
+      case CKw("method", _) => throw new FormulaTypeException(
+        "'.rank(method=)' expects a string literal, e.g. method='min'")
+      case CKw("ascending", v) => asc = asScalar(v, "ascending") != 0.0
+      case CKw("pct", v)       => pct = asScalar(v, "pct") != 0.0
+      case CKw("na_option", CStr(s)) =>
+        if (s != "keep") throw new FormulaTypeException(
+          s"'.rank(na_option='$s')' is not supported — only the pandas " +
+            "default 'keep' (NaN stays NaN)")
+      case CKw("na_option", _) => throw new FormulaTypeException(
+        "'.rank(na_option=)' expects a string literal")
+      case _ => throw new FormulaTypeException(
+        "'.rank()' takes keyword arguments only (method=, ascending=, " +
+          "pct=, na_option=; pandas' first positional is axis, which is " +
+          "not supported)")
+    }
+    (meth, asc, pct)
   }
 
   /** min_periods from `.expanding(...)`'s args (r10): one optional value,
@@ -514,6 +557,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     case (CScalar(v), CVecC(a, ids))  => CVecC(mapCols(a)(c => f(litOf(v), c)), ids)
     case (CScalar(a), CScalar(b))     => CScalar(fs(a, b))
 
+    // string literals are method arguments only (r11) — arithmetic use
+    // mirrors pd.eval's TypeError for str operands
+    case (CStr(s), _) => throw new FormulaTypeException(
+      s"unsupported operand: string literal '$s' (strings are method " +
+        "arguments only, e.g. rank(method='min'))")
+    case (_, CStr(s)) => throw new FormulaTypeException(
+      s"unsupported operand: string literal '$s' (strings are method " +
+        "arguments only, e.g. rank(method='min'))")
+
     case other => throw new FormulaTypeException(s"cannot combine operands: $other")
   }
 
@@ -538,7 +590,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     Map("rolling" -> Set("min_periods", "center"),
       "expanding" -> Set("min_periods"),
       "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
-        "adjust"))
+        "adjust"),
+      "rank" -> Set("method", "ascending", "pct", "na_option"))
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
@@ -1112,41 +1165,108 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CMatrix(out, isBool = false)
 
-      // `.rank()` (E11 long tail): pandas column-wise average rank
-      // (method='average', ascending, NaN excluded and returned as NaN).
+      // `.rank(...)` (E11 long tail): pandas column-wise rank — r11 adds
+      // the full keyword surface (method='average'/'min'/'max'/'first'/
+      // 'dense', ascending=0, pct=1; NaN excluded and returned as NaN).
       // Value-based, so it compiles to grouped VALUE counts instead of a
       // value-ordered global window (the txt_quantile/cln_winsor pattern):
       // per column, distinct (value, count) pairs — bounded by the distinct
       // cell values, never the row count — get their exclusive
       // smaller-value totals from the distributed prefix
-      // ([[graft.operators.Prefix.runningAgg]]), and
-      // avg_rank(v) = #smaller + (count(v)+1)/2 joins back on value
-      // equality (AQE broadcasts the small side). Deterministic: no
-      // arbitrary-order dependence, no single-partition window anywhere.
-      case ("rank", CMatrix(cols, false), Nil) =>
+      // ([[graft.operators.Prefix.runningAgg]]); every method except
+      // 'first' is a closed form of that same scan state
+      // (avg = #smaller + (n+1)/2, min = #smaller + 1, max = inclusive
+      // cum, dense = running distinct index), joined back on value
+      // equality (AQE broadcasts the small side). method='first' is the
+      // one POSITIONAL variant: rank = #smaller + tie position by
+      // original row order, where the tie position is a grouped
+      // distributed prefix of 1s over the row id within each
+      // (column, value) group — per-group equi-width slices over the
+      // row-id domain, so even an all-equal column parallelizes — and
+      // the row-keyed result joins back ONCE on the row id via the
+      // literal pivot (the wide-path shape). descending ranks are the
+      // ascending ranks of the NEGATED key (groupBy/join normalize −0.0
+      // to 0.0, so the key stays exact). Deterministic: no arbitrary-
+      // order dependence, no single-partition window anywhere.
+      case ("rank", CMatrix(cols, false), rargs) =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank()' is not supported in ADP mode")
+        val (meth, asc, pct) = rankArgs(rargs)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
+        def keyOf(c: Column): Column = {
+          val cNull = when(isnan(c), lit(null)).otherwise(c)
+          if (asc) cNull else -cNull
+        }
         // ONE stacked pass over all matrix columns: (column-index, value)
         // pairs → grouped value counts → grouped distributed prefix
         // (partitioned by column index) → per-column rank tables carved
         // out of the SAME subtree, which AQE stage reuse executes once
         val base0 = ctx.base.get
-        val stacked = base0.select(posexplode(array(cols.map { case (_, c) =>
-            when(isnan(c), lit(null)).otherwise(c)
-          }: _*)).as(Seq("__ci", "__v")))
+        val ridName = s"__rk${tag}_rid"
+        val stacked = base0.select(col(ctx.rowIdOut).as(ridName),
+            posexplode(array(cols.map { case (_, c) => keyOf(c) }: _*))
+              .as(Seq("__ci", "__v")))
           .where(col("__v").isNotNull)
         val counts = stacked.groupBy(col("__ci"), col("__v"))
           .agg(count(lit(1)).as("__n"))
+          .withColumn("__one", lit(1L))
         val withCum = graft.operators.Prefix.runningAgg(
-          counts, col("__v"), Seq("__n"), Seq("sum"), Seq("__cum"),
-          partitionCols = Seq("__ci"))
-        val ranked = withCum.select(col("__ci"),
-          col("__v"),
-          // inclusive running count − own count = #smaller values
-          ((col("__cum") - col("__n")).cast("double") +
-            (col("__n").cast("double") + 1.0) / 2.0).as("__avg"))
+          counts, col("__v"), Seq("__n", "__one"), Seq("sum", "sum"),
+          Seq("__cum", "__dcum"), partitionCols = Seq("__ci"))
+        // per-column valid totals for pct — one row per column, broadcast;
+        // pandas normalizes 'dense' by the DISTINCT count, the rest by the
+        // valid-row count
+        lazy val totals = counts.groupBy(col("__ci"))
+          .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__dtot"))
+        def withPct(df: DataFrame): DataFrame =
+          if (!pct) df
+          else {
+            val denom = if (meth == "dense") col("__dtot") else col("__tot")
+            df.join(broadcast(totals.withColumnRenamed("__ci", "__tci")),
+                col("__ci") === col("__tci"))
+              .withColumn("__avg", col("__avg") / denom.cast("double"))
+              .drop("__tci", "__tot", "__dtot")
+          }
+        if (meth == "first") {
+          // positional tiebreak; the result is row-keyed, so it pivots
+          // and joins back once on the row id at ANY width
+          val smaller = withCum.select(col("__ci").as("__sci"),
+            col("__v").as("__sv"), (col("__cum") - col("__n")).as("__sm"))
+          val tiePos = graft.operators.Prefix.runningAgg(
+            stacked.withColumn("__one1", lit(1L)), col(ridName),
+            Seq("__one1"), Seq("sum"), Seq("__tp"),
+            partitionCols = Seq("__ci", "__v"))
+          val ranked = withPct(tiePos
+            .join(smaller,
+              col("__ci") === col("__sci") && col("__v") === col("__sv"))
+            .select(col(ridName), col("__ci"),
+              (col("__sm") + col("__tp")).cast("double").as("__avg")))
+          val aNames = cols.indices.map(i => s"__rk${tag}_a_$i")
+          val pivoted = ranked.groupBy(col(ridName))
+            .pivot("__ci", cols.indices.map(Int.box))
+            .agg(first(col("__avg")))
+            .select(col(ridName) +: cols.indices.map(i =>
+              col(s"`$i`").as(aNames(i))): _*)
+          val b = ctx.base.get
+          ctx.base = Some(b.join(pivoted,
+              b(ctx.rowIdOut) === pivoted(ridName), "left")
+            .drop(ridName))
+          val out = cols.zip(aNames).map { case ((lbl, c), a) =>
+            (lbl, when(isnan(c), c).otherwise(col(a)))
+          }
+          CMatrix(out, isBool = false)
+        } else {
+        val rawRank: Column = meth match {
+          case "min"   => (col("__cum") - col("__n") + 1L).cast("double")
+          case "max"   => col("__cum").cast("double")
+          case "dense" => col("__dcum").cast("double")
+          case _       => // average: inclusive cum − own count = #smaller
+            (col("__cum") - col("__n")).cast("double") +
+              (col("__n").cast("double") + 1.0) / 2.0
+        }
+        val ranked = withPct(withCum.select(col("__ci"),
+          col("__v"), rawRank.as("__avg")))
         if (cols.size <= WideRankThreshold) {
           // narrow matrices: one value-equality left join per column onto
           // the base; each rank table is a filter over the SAME ranked
@@ -1154,10 +1274,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // broadcast (bounded by distinct values, never rows)
           val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
             val (vName, aName) = (s"__rk${tag}_v_$i", s"__rk${tag}_a_$i")
-            val cNull = when(isnan(c), lit(null)).otherwise(c)
             val rankedI = ranked.where(col("__ci") === i)
               .select(col("__v").as(vName), col("__avg").as(aName))
-            ctx.base = Some(ctx.base.get.join(rankedI, cNull === col(vName), "left"))
+            ctx.base = Some(ctx.base.get.join(rankedI, keyOf(c) === col(vName), "left"))
             (lbl, when(isnan(c), c).otherwise(col(aName)))
           }
           CMatrix(out, isBool = false)
@@ -1177,36 +1296,54 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // forces object/sort aggregation — measured slower still at
           // w50) and joined onto the base ONCE on the row id — 3 fixed
           // plan nodes and one linear aggregate at ANY width.
-          val (rid, aNames) = (s"__rk${tag}_rid",
-            cols.indices.map(i => s"__rk${tag}_a_$i"))
-          val look = base0.select(col(ctx.rowIdOut).as(rid),
-              posexplode(array(cols.map { case (_, c) =>
-                when(isnan(c), lit(null)).otherwise(c)
-              }: _*)).as(Seq("__ci", "__v")))
-            .where(col("__v").isNotNull)
-          val pivoted = look.join(ranked, Seq("__ci", "__v"), "left")
-            .groupBy(col(rid))
+          val aNames = cols.indices.map(i => s"__rk${tag}_a_$i")
+          // `stacked` already carries the row id — it IS the look frame
+          val pivoted = stacked.join(ranked, Seq("__ci", "__v"), "left")
+            .groupBy(col(ridName))
             .pivot("__ci", cols.indices.map(Int.box))
             .agg(first(col("__avg")))
             // pivot names columns by value ("0".."p−1") — rename before
             // they can collide with matrix labels on the base join
-            .select(col(rid) +: cols.indices.map(i =>
+            .select(col(ridName) +: cols.indices.map(i =>
               col(s"`$i`").as(aNames(i))): _*)
           val b = ctx.base.get
-          ctx.base = Some(b.join(pivoted, b(ctx.rowIdOut) === pivoted(rid), "left")
-            .drop(rid))
+          ctx.base = Some(b.join(pivoted,
+              b(ctx.rowIdOut) === pivoted(ridName), "left")
+            .drop(ridName))
           val out = cols.zip(aNames).map { case ((lbl, c), a) =>
             (lbl, when(isnan(c), c).otherwise(col(a)))
           }
           CMatrix(out, isBool = false)
         }
-      case ("rank", CVecD(vs, ls), Nil) =>
-        val ok = vs.filter(!_.isNaN).sorted
-        CVecD(vs.map { x =>
+        }
+      case ("rank", CVecD(vs, ls), rargs) =>
+        val (meth, asc, pct) = rankArgs(rargs)
+        val key: Double => Double = if (asc) identity else (x => -x)
+        val ok = vs.collect { case x if !x.isNaN => key(x) }.sorted
+        val distinctSorted = ok.distinct
+        // 'first': rank = position in the stable sort by (key, original
+        // index) — order of appearance breaks ties
+        lazy val firstRank: Map[Int, Int] = vs.zipWithIndex
+          .filter(!_._1.isNaN)
+          .sortBy { case (x, i) => (key(x), i) }
+          .zipWithIndex.map { case ((_, i), r) => i -> (r + 1) }.toMap
+        val denom =
+          (if (meth == "dense") distinctSorted.length else ok.length).toDouble
+        CVecD(vs.zipWithIndex.map { case (x, i) =>
           if (x.isNaN) Double.NaN
           else {
-            val first = ok.indexWhere(_ == x); val last = ok.lastIndexWhere(_ == x)
-            (first + last) / 2.0 + 1.0
+            val kx = key(x)
+            val raw = meth match {
+              case "min"   => ok.indexWhere(_ == kx) + 1.0
+              case "max"   => ok.lastIndexWhere(_ == kx) + 1.0
+              case "dense" => distinctSorted.indexWhere(_ == kx) + 1.0
+              case "first" => firstRank(i).toDouble
+              case _ => // average
+                val f = ok.indexWhere(_ == kx)
+                val l = ok.lastIndexWhere(_ == kx)
+                (f + l) / 2.0 + 1.0
+            }
+            if (pct) raw / denom else raw
           }
         }, ls)
 
