@@ -294,6 +294,19 @@ object SparkEntry {
     "e11_rq" -> ((s, d) =>
       formulaQuery("qty.rolling(4, min_periods=2).quantile(0.25)",
         roundTo = Some(6))(s, d)),
+    // r11: the order-statistic interpolations on the same sorted ring
+    // (q=0.6 keeps h = (cnt−1)·0.6 off the .5 tie line at every cnt, so
+    // the DuckDB round() (half-away) and the engine rint (half-even)
+    // cannot disagree; the tie rule itself is pandas-pinned in
+    // QuantileInterpSpec)
+    "e11_rqmid" -> ((s, d) =>
+      formulaQuery(
+        "qty.rolling(5, min_periods=2).quantile(0.6, interpolation='midpoint')",
+        roundTo = Some(6))(s, d)),
+    "e11_rqnear" -> ((s, d) =>
+      formulaQuery(
+        "qty.rolling(5, min_periods=2).quantile(0.6, interpolation='nearest')",
+        roundTo = Some(6))(s, d)),
     // skew/kurt round at 5 dp (the ewmbig precedent): integer cells
     // make rational mid-quantum values structural — one sf0.01 cell
     // reads exactly 2.0109375, which 1e-16 cross-engine noise rounds
@@ -4620,6 +4633,26 @@ object SparkEntry {
           "AND CURRENT ROW)"
         F(s"round(CASE WHEN count(q$j) $w >= 2 " +
           s"THEN quantile_cont(q$j, 0.25) $w END, 6)")
+      },
+      // r11 interpolation mirrors: list(x) OVER w skips NULLs like the
+      // engine's valid-cell window; the sorted list indexed at
+      // floor/ceil/round of h = (cnt−1)·q is the order statistic itself
+      "e11_rqmid" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +
+          "AND CURRENT ROW)"
+        val ls = s"list_sort(list(q$j) $w)"
+        val cnt = s"count(q$j) $w"
+        val lo = s"$ls[CAST(floor(($cnt - 1) * 0.6) AS INT) + 1]"
+        val hi = s"$ls[CAST(ceil(($cnt - 1) * 0.6) AS INT) + 1]"
+        F(s"round(CASE WHEN $cnt >= 2 THEN ($lo + $hi) / 2.0 END, 6)")
+      },
+      "e11_rqnear" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +
+          "AND CURRENT ROW)"
+        val ls = s"list_sort(list(q$j) $w)"
+        val cnt = s"count(q$j) $w"
+        val nr = s"$ls[CAST(round(($cnt - 1) * 0.6) AS INT) + 1]"
+        F(s"round(CASE WHEN $cnt >= 2 THEN $nr END, 6)")
       },
       "e11_rskew" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +

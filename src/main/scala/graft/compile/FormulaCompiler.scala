@@ -429,6 +429,37 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     (meth, asc, pct)
   }
 
+  /** (q, interpolation code) from `.rolling(n).quantile(q, ...)`'s args
+    * (r11): q positional in [0,1]; interpolation ∈ {'linear','lower',
+    * 'higher','nearest','midpoint'} (pandas' five), encoded 0–4 for the
+    * emit hot path. */
+  private val interpCodes = Map("linear" -> 0, "lower" -> 1, "higher" -> 2,
+    "nearest" -> 3, "midpoint" -> 4)
+
+  /** The interpolation code from a quantile arg list's keyword tail. */
+  private def interpOf(rest: List[CValue], what: String): Int = rest match {
+    case Nil => 0
+    case List(CKw("interpolation", CStr(s))) =>
+      interpCodes.getOrElse(s, throw new FormulaTypeException(
+        s"Interpolation '$s' is not supported — use one of 'linear', " +
+          "'lower', 'higher', 'nearest', 'midpoint'"))
+    case _ => throw new FormulaTypeException(
+      s"'$what' takes interpolation= as its only keyword argument")
+  }
+
+  private def rollingQuantileArgs(args: List[CValue]): (Double, Int) = {
+    args match {
+      case (qv :: rest) if !qv.isInstanceOf[CKw] && rest.length <= 1 =>
+        val q = asScalar(qv, "quantile")
+        if (!(q >= 0.0 && q <= 1.0)) throw new FormulaTypeException(
+          s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $q")
+        (q, interpOf(rest, ".rolling(n).quantile(q)"))
+      case _ => throw new FormulaTypeException(
+        "'.rolling(n).quantile(q)' needs the quantile as its first " +
+          "positional argument")
+    }
+  }
+
   /** min_periods from `.expanding(...)`'s args (r10): one optional value,
     * keyword or positional, m >= 1 (pandas default 1). */
   private def expandingMinPeriods(args: List[CValue]): Int = {
@@ -591,7 +622,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "expanding" -> Set("min_periods"),
       "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
         "adjust"),
-      "rank" -> Set("method", "ascending", "pct", "na_option"))
+      "rank" -> Set("method", "ascending", "pct", "na_option"),
+      "quantile" -> Set("interpolation"))
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
@@ -834,21 +866,42 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           "idxmax/idxmin on a driver vector returns a LABEL, not a " +
             "number — read the vector's labels directly instead")
       // `.quantile(q)`: the parameterized median — pandas linear
-      // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont
-      case ("quantile", CMatrix(cols, false), args) if args.length <= 1 =>
-        val q = args.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
+      // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont.
+      // r11: the interpolation keyword parses on both targets; the
+      // driver vector computes all five, the distributed reduction keeps
+      // 'linear' (Spark percentile's own definition) and points the
+      // caller at the rolling surface for the order-statistic modes
+      // (disclosed divergence — the modes need a rank-selection plan,
+      // not a foldable percentage).
+      case ("quantile", CMatrix(cols, false), args) if args.length <= 2 =>
+        val (qArgs, rest) = args.span(!_.isInstanceOf[CKw])
+        val q = qArgs.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
         if (q < 0.0 || q > 1.0)
           throw new FormulaTypeException(s"quantile $q outside [0, 1]")
+        if (interpOf(rest, ".quantile(q)") != 0)
+          throw new FormulaTypeException(
+            "DataFrame '.quantile(q, interpolation=)' supports 'linear' " +
+              "only; the order-statistic interpolations are available on " +
+              "'.rolling(n).quantile(q, interpolation=)'")
         reduce(cols, ctx, s"quantile:$q")
-      case ("quantile", CVecD(vs, _), args) if args.length <= 1 =>
-        val q = args.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
+      case ("quantile", CVecD(vs, _), args) if args.length <= 2 =>
+        val (qArgs, rest) = args.span(!_.isInstanceOf[CKw])
+        val q = qArgs.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
         if (q < 0.0 || q > 1.0)
           throw new FormulaTypeException(s"quantile $q outside [0, 1]")
+        val interp = interpOf(rest, ".quantile(q)")
         val ok = vs.filter(!_.isNaN).sorted
         CScalar(if (ok.isEmpty) Double.NaN else {
           val pos = q * (ok.length - 1)
           val lo = pos.toInt; val hi = math.min(ok.length - 1, lo + 1)
-          ok(lo) + (pos - lo) * (ok(hi) - ok(lo))
+          val frac = pos - lo
+          interp match {
+            case 1 => ok(lo)
+            case 2 => if (frac == 0.0) ok(lo) else ok(hi)
+            case 3 => ok(math.rint(pos).toInt.min(ok.length - 1))
+            case 4 => if (frac == 0.0) ok(lo) else (ok(lo) + ok(hi)) / 2.0
+            case _ => ok(lo) + frac * (ok(hi) - ok(lo))
+          }
         })
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod" | "nunique" | "any" | "all" |
@@ -1844,19 +1897,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
             "median" | "skew" | "kurt" | "quantile"),
             CRoll(cols, n, minp, center), rollArgs)
-          if (m == "quantile" && rollArgs.length == 1 &&
-              !rollArgs.head.isInstanceOf[CKw]) ||
+          if (m == "quantile" && rollArgs.nonEmpty &&
+              !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
              (m != "quantile" && rollArgs.isEmpty) =>
-        // r11: quantile(q) — pandas linear interpolation at arbitrary q
-        // on the winmed sorted ring; skew/kurt — standardized moments on
-        // the winvar two-pass (window-local mean; exact under trends
-        // where pandas' power-sum kernel loses digits)
-        val rq = if (m != "quantile") Double.NaN else {
-          val x = asScalar(rollArgs.head, "quantile")
-          if (!(x >= 0.0 && x <= 1.0)) throw new FormulaTypeException(
-            s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $x")
-          x
-        }
+        // r11: quantile(q, interpolation=) — pandas' five order-statistic
+        // interpolations at arbitrary q on the winmed sorted ring;
+        // skew/kurt — standardized moments on the winvar two-pass
+        // (window-local mean; exact under trends where pandas'
+        // power-sum kernel loses digits)
+        val (rq, rInterp) =
+          if (m != "quantile") (Double.NaN, 0)
+          else rollingQuantileArgs(rollArgs)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
@@ -1962,7 +2013,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
             ctx.rowIdOut, rid, valIn, n - 1,
             valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp,
-            winQ = rq, centerLead = lead))
+            winQ = rq, centerLead = lead, winInterp = rInterp))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
             val s = col(valIn(i) + "_w")
             val cell = m match {
@@ -2117,19 +2168,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
             "median" | "skew" | "kurt" | "quantile"),
             CRollD(vs, ls, n, minp, center), rollArgs)
-          if (m == "quantile" && rollArgs.length == 1 &&
-              !rollArgs.head.isInstanceOf[CKw]) ||
+          if (m == "quantile" && rollArgs.nonEmpty &&
+              !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
              (m != "quantile" && rollArgs.isEmpty) =>
         // sequential twin of the fused emit: the aggregate runs over the
         // window's VALID cells, gated on valid count >= minp (positions
         // for count — the pandas 2.2 rule); minp = n is hole-poisoning;
         // center shifts the trailing result by (n−1)/2, NaN past the tail
-        val rq = if (m != "quantile") Double.NaN else {
-          val x = asScalar(rollArgs.head, "quantile")
-          if (!(x >= 0.0 && x <= 1.0)) throw new FormulaTypeException(
-            s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $x")
-          x
-        }
+        val (rq, rInterp) =
+          if (m != "quantile") (Double.NaN, 0)
+          else rollingQuantileArgs(rollArgs)
         val trail = vs.indices.map { i =>
           val positions = math.min(i + 1, n)
           if (positions < minp) Double.NaN
@@ -2151,9 +2199,18 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 val sw = w.sorted
                 val h = (cnt - 1) * rq
                 val lo = h.toInt
+                val hi = if (lo + 1 >= cnt) lo else lo + 1
                 val frac = h - lo
-                if (frac == 0.0 || lo + 1 >= cnt) sw(lo)
-                else sw(lo) + frac * (sw(lo + 1) - sw(lo))
+                rInterp match {
+                  case 1 => sw(lo)                                // lower
+                  case 2 => if (frac == 0.0) sw(lo) else sw(hi)   // higher
+                  case 3 => sw(math.rint(h).toInt.min(cnt - 1))   // nearest
+                  case 4 =>                                    // midpoint
+                    if (frac == 0.0) sw(lo) else (sw(lo) + sw(hi)) / 2.0
+                  case _ =>                                      // linear
+                    if (frac == 0.0 || lo + 1 >= cnt) sw(lo)
+                    else sw(lo) + frac * (sw(hi) - sw(lo))
+                }
               case "skew" | "kurt" =>
                 // pandas 2.x guards: cnt floor, exactly-constant → 0/−3,
                 // near-constant (biased var ≤ 1e-14) → NaN

@@ -384,8 +384,12 @@ object Prefix {
                     outNames: Seq[String], fuse: String,
                     winMinPeriods: Int = 0,
                     winQ: Double = Double.NaN,
-                    centerLead: Int = 0): DataFrame = {
+                    centerLead: Int = 0,
+                    winInterp: Int = 0): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
+    require(winInterp >= 0 && winInterp <= 4,
+      s"winInterp must be one of 0=linear 1=lower 2=higher 3=nearest " +
+        s"4=midpoint, got $winInterp")
     // centered window fuse (r11): emit the finished trailing aggregate
     // at position i − centerLead INSIDE the same slice pass (a pending
     // queue of `centerLead` rows + a bounded lookahead edge set) — the
@@ -431,7 +435,7 @@ object Prefix {
           "larger windows")
     if (math.abs(n) <= 256 && cells <= maxCells)
       positionalLagStream(df, keyCol, orderCol, inNames, n, outNames, fuse,
-        winMinPeriods, winQ, centerLead)
+        winMinPeriods, winQ, centerLead, winInterp)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
   }
@@ -463,7 +467,8 @@ object Prefix {
     * below the window size. Sums accumulate in STREAM order (oldest
     * first), the same association as a sequential pandas scan. */
   private def winEmitter(fuse: String, k: Int, minp: Int,
-                         winQ: Double = Double.NaN)
+                         winQ: Double = Double.NaN,
+                         winInterp: Int = 0)
       : (Ring, Array[Any], Int) => java.lang.Double = {
     @inline def cellAt(buf: Ring, cur: Array[Any], b: Int, m: Int,
                        j: Int): Double = {
@@ -585,8 +590,11 @@ object Prefix {
         }
       }
       // arbitrary-q order statistic (r11): the winmed sorted ring
-      // generalized to pandas' linear interpolation — h = (cnt−1)·q,
-      // v = s(⌊h⌋) + (h−⌊h⌋)·(s(⌊h⌋+1) − s(⌊h⌋))
+      // generalized to pandas' five interpolations at h = (cnt−1)·q —
+      // linear: s(⌊h⌋) + (h−⌊h⌋)·(s(⌊h⌋+1) − s(⌊h⌋)); lower/higher:
+      // s(⌊h⌋)/s(⌈h⌉); nearest: s(rint(h)) (pandas rounds a .5 fraction
+      // to the EVEN index — measured on 2.2: h=0.5 → idx 0, h=1.5 →
+      // idx 2 — which is exactly IEEE rint); midpoint: their average
       case "winquant" => (buf, cur, j) => {
         val m = buf.length
         if (m + 1 < minp) dNaN
@@ -603,10 +611,18 @@ object Prefix {
             java.util.Arrays.sort(vals, 0, cnt)
             val h = (cnt - 1) * winQ
             val lo = h.toInt
+            val hi = if (lo + 1 >= cnt) lo else lo + 1
             val frac = h - lo
-            java.lang.Double.valueOf(
-              if (frac == 0.0 || lo + 1 >= cnt) vals(lo)
-              else vals(lo) + frac * (vals(lo + 1) - vals(lo)))
+            java.lang.Double.valueOf(winInterp match {
+              case 1 => vals(lo)                       // lower
+              case 2 => if (frac == 0.0) vals(lo) else vals(hi) // higher
+              case 3 => vals(math.rint(h).toInt.min(cnt - 1))   // nearest
+              case 4 =>                                // midpoint
+                if (frac == 0.0) vals(lo) else (vals(lo) + vals(hi)) / 2.0
+              case _ =>                                // linear
+                if (frac == 0.0 || lo + 1 >= cnt) vals(lo)
+                else vals(lo) + frac * (vals(hi) - vals(lo))
+            })
           }
         }
       }
@@ -705,7 +721,8 @@ object Prefix {
                                   fuse: String,
                                   winMinPeriods: Int = 0,
                                   winQ: Double = Double.NaN,
-                                  centerLead: Int = 0): DataFrame = {
+                                  centerLead: Int = 0,
+                                  winInterp: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
@@ -806,7 +823,7 @@ object Prefix {
       .mapPartitions { it =>
         var curPid = Int.MinValue
         val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
-        val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ)
+        val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ, winInterp)
                    else null
         if (centerLead > 0) {
           // centered emission: compute the trailing aggregate at every
