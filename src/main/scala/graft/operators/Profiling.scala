@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Dataset profiling: per-column statistics in ONE pass over the data.
   *
@@ -130,11 +130,27 @@ object Profiling {
 
   /** Pairwise Pearson correlation (and population covariance) of every
     * column pair in ONE pass: a single aggregate computes all sums,
-    * square-sums and cross-sums as exact decimals (inputs are 2-decimal
+    * square-sums and cross-sums EXACTLY (inputs are 2-decimal
     * money/quantity columns, so products have exactly 4 decimals — no
     * float accumulation anywhere), then the 1-row result explodes into one
     * row per pair and the corr/cov formulas run in double arithmetic with
     * a FIXED operation order any engine reproduces bit-identically.
+    *
+    * r11 hot-path replan (the SCALE30X_r11 #1 absolute tail: 27.3 s at
+    * 30× for 10 decimal products per row): cells quantize ONCE to
+    * integer cents (the same decimal(18,2) HALF_UP the r8 version
+    * applied, shifted ×100 — an exact long), and every product is a
+    * primitive LONG multiply whose sum accumulates as THREE 20-bit
+    * digit sums (p = (p>>40)·2^40 + ((p>>20)&M)·2^20 + (p&M), exact for
+    * signed p — arithmetic shift + mask) — pure codegen'd long
+    * arithmetic in the agg buffer, no BigDecimal anywhere in the scan.
+    * The 1-row recombination rebuilds the exact decimal sum and divides
+    * the scale shift back out in decimal (exact, single final rounding
+    * to double — bit-identical to the r8 decimal sums). Digit sums stay
+    * inside a long up to ~8e12 rows (ANSI sum would raise, not corrupt,
+    * past it); |cents| must fit ~2^23 digits-wise (decimal(18,2) inputs
+    * ≤ 1e7 by the catalog's money/quantity domain — products ≤ 1.25e14
+    * < 2^47, whose top digit fits 2^7).
     *
     * Same scale shape as [[profile]]: one scan, map-side partials, a 1-row
     * final aggregate; the pair count is quadratic in #columns (driver-side
@@ -145,15 +161,42 @@ object Profiling {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    val cents = df.select(cols.map(c =>
+      (col(c).cast(dec) * 100).cast(LongType).as(c)): _*)
+    // two's-complement 20-bit digit split (NOT `/`, which is Spark's
+    // fractional Divide): e == (e>>40)·2^40 + ((e>>20)&M)·2^20 + (e&M)
+    // holds exactly for SIGNED e because shiftright is arithmetic and
+    // the masked digits are non-negative < 2^20 — three primitive
+    // codegen ops per digit, cheaper than div/mod
+    val M = (1L << 20) - 1
+    val B0 = 1L << 20; val B1 = 1L << 40
+    def digitSums(e: Column, tag: String): Seq[Column] = Seq(
+      sum(e.bitwiseAND(lit(M))).as(s"${tag}_d0"),
+      sum(shiftright(e, 20).bitwiseAND(lit(M))).as(s"${tag}_d1"),
+      sum(shiftright(e, 40)).as(s"${tag}_d2"))
     val aggs: Seq[Column] =
       (count(lit(1)).cast(DoubleType).as("__n") +:
-        cols.map(c => sum(col(c).cast(dec)).cast(DoubleType).as(s"__s_$c"))) ++
-        cols.map(c =>
-          sum(col(c).cast(dec) * col(c).cast(dec)).cast(DoubleType).as(s"__q_$c")) ++
-        pairs.map { case (a, b) =>
-          sum(col(a).cast(dec) * col(b).cast(dec)).cast(DoubleType).as(s"__p_${a}_$b")
+        cols.flatMap(c => digitSums(col(c), s"__s_$c"))) ++
+        cols.flatMap(c => digitSums(col(c) * col(c), s"__q_$c")) ++
+        pairs.flatMap { case (a, b) =>
+          digitSums(col(a) * col(b), s"__p_${a}_$b")
         }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one0 = cents.agg(aggs.head, aggs.tail: _*)
+    // recombine each digit triple into the exact decimal sum, shift the
+    // cents scale back out (decimal division by the literal — exact at
+    // these scales), and round to double ONCE (= the r8 sums bit for bit)
+    val big = DecimalType(38, 0)
+    def comb(tag: String, shift: Long): Column =
+      ((col(s"${tag}_d0").cast(big) +
+        col(s"${tag}_d1").cast(big) * lit(B0) +
+        col(s"${tag}_d2").cast(big) * lit(B1)) / lit(shift))
+        .cast(DoubleType)
+    val one = one0.select(col("__n") +: (
+      cols.map(c => comb(s"__s_$c", 100L).as(s"__s_$c")) ++
+        cols.map(c => comb(s"__q_$c", 10000L).as(s"__q_$c")) ++
+        pairs.map { case (a, b) =>
+          comb(s"__p_${a}_$b", 10000L).as(s"__p_${a}_$b")
+        }): _*)
     val rows = pairs.map { case (a, b) =>
       val (n, sa, sb) = (col("__n"), col(s"__s_$a"), col(s"__s_$b"))
       val (qa, qb, p) = (col(s"__q_$a"), col(s"__q_$b"), col(s"__p_${a}_$b"))
