@@ -669,7 +669,11 @@ object SparkEntry {
       pqModel(s, d)._1.orderBy(col("vec_id"))),
     "sim_adc" -> ((s, d) => {
       val (codes, books) = pqModel(s, d)
-      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0 &&
+          col("vec_id") < lit(199L * 25)) // bounded probe set (r11 — the
+        // sim_nndrecall r10 fix applied here too: %199 alone grows the
+        // probe count with the corpus, making candidates O(n^2/199);
+        // identical probes at the sf0.01 gate, where only 11 exist)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
       Similarity.adcTopK(codes.where(col("vec_id") % 199 =!= 0), probes,
           books, kTrain = 16, topK = 5)
@@ -686,7 +690,11 @@ object SparkEntry {
     "sim_pqrecall" -> ((s, d) => {
       import graft.functions.ArrayOps
       val (codes, books) = pqModel(s, d)
-      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0 &&
+          col("vec_id") < lit(199L * 25)) // bounded probe set (r11 — the
+        // sim_nndrecall r10 fix applied here too: %199 alone grows the
+        // probe count with the corpus, making candidates O(n^2/199);
+        // identical probes at the sf0.01 gate, where only 11 exist)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
       val adcTop = Similarity.adcTopK(
           codes.where(col("vec_id") % 199 =!= 0), probes, books,
@@ -718,7 +726,11 @@ object SparkEntry {
     "sim_ivfpq" -> ((s, d) => {
       val (codes, books) = pqModel(s, d)
       val (asg, cents) = kmeansModel(s, d)
-      val probes = embs(s, d).where(col("vec_id") % 199 === 0)
+      val probes = embs(s, d).where(col("vec_id") % 199 === 0 &&
+          col("vec_id") < lit(199L * 25)) // bounded probe set (r11 — the
+        // sim_nndrecall r10 fix applied here too: %199 alone grows the
+        // probe count with the corpus, making candidates O(n^2/199);
+        // identical probes at the sf0.01 gate, where only 11 exist)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
       Similarity.ivfpqTopK(codes.where(col("vec_id") % 199 =!= 0), asg,
           probes, books, cents, kTrain = 16, nProbe = 2, topK = 5)
@@ -3265,7 +3277,7 @@ object SparkEntry {
       s"""WITH $pqCtes,
          |$pqCodesCte,
          |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
-         |      WHERE vec_id % 199 = 0),
+         |      WHERE vec_id % 199 = 0 AND vec_id < 4975),
          |$pqAdcScoreCtes
          |SELECT q_id, vec_id, adc_score, rank FROM (
          |  SELECT q_id, vec_id, adc_score,
@@ -3280,7 +3292,7 @@ object SparkEntry {
       s"""WITH $pqCtes,
          |$pqCodesCte,
          |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
-         |      WHERE vec_id % 199 = 0),
+         |      WHERE vec_id % 199 = 0 AND vec_id < 4975),
          |$pqAdcScoreCtes,
          |asc_ AS (SELECT q_id, cand_id FROM (
          |  SELECT q_id, vec_id AS cand_id,
@@ -3298,7 +3310,7 @@ object SparkEntry {
          |           CAST(sum(CAST(CAST(eq.e AS DOUBLE) * CAST(ec.e AS DOUBLE)
          |               AS DECIMAL(38,30))) AS DOUBLE) AS dt
          |         FROM uu eq JOIN uu ec ON ec.i = eq.i
-         |         WHERE eq.vec_id % 199 = 0 AND ec.vec_id % 199 <> 0
+         |         WHERE eq.vec_id % 199 = 0 AND eq.vec_id < 4975 AND ec.vec_id % 199 <> 0
          |         GROUP BY 1, 2),
          |escored AS (SELECT q_id, cand_id,
          |             round(nc.nn - 2 * dt, 9) AS l2
@@ -3323,7 +3335,7 @@ object SparkEntry {
          |$pqCtes,
          |$pqCodesCte,
          |q AS (SELECT vec_id AS q_id, embedding FROM embeddings
-         |      WHERE vec_id % 199 = 0),
+         |      WHERE vec_id % 199 = 0 AND vec_id < 4975),
          |qu AS (SELECT q_id, unnest(embedding) AS v,
          |       generate_subscripts(embedding,1) AS i FROM q),
          |pcd0 AS (SELECT u.q_id, c.cell,
