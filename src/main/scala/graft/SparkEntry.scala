@@ -104,6 +104,9 @@ object SparkEntry {
     "e6_mod" -> ((s, d) => formulaQuery("qty % 7 + qty // 7")(s, d)),
     // E7: comparisons → boolean frame (bypasses validation)
     "e7_cmp" -> ((s, d) => formulaQuery("qty > price * 10", fill = false)(s, d)),
+    // r11 list literals: membership test as a compiled In() per cell
+    "e11_isin" -> ((s, d) =>
+      formulaQuery("qty.isin([1, 5, 25])", fill = false)(s, d)),
     // E8: boolean algebra
     "e8_bool" -> ((s, d) =>
       formulaQuery("(qty > 1) & (price > 1) | (qty == 1)", fill = false)(s, d)),
@@ -4220,6 +4223,7 @@ object SparkEntry {
       "e5_scalar" -> matSql(j => F(s"q$j * 2.5 + 100")),
       "e6_mod" -> matSql(j => F(s"(q$j % 7) + floor(q$j / 7)")),
       "e7_cmp" -> matSql(j => s"coalesce(q$j > e$j * 10, FALSE)"),
+      "e11_isin" -> matSql(j => s"coalesce(q$j IN (1, 5, 25), FALSE)"),
       "e8_bool" -> matSql(j =>
         s"coalesce((q$j > 1) AND (e$j > 1) OR (q$j = 1), FALSE)"),
       "e9_math" -> matSql(j => F(s"sqrt(p$j) + abs(q$j - e$j) + floor(e$j)")),

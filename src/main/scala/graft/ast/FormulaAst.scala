@@ -14,6 +14,7 @@ sealed trait FormulaAst {
   def freeVariables: Set[String] = this match {
     case Num(_)              => Set.empty
     case Str(_)              => Set.empty
+    case ListLit(items)      => items.flatMap(_.freeVariables).toSet
     case Var(n)              => Set(n)
     case Unary(_, e)         => e.freeVariables
     case Bin(_, l, r)        => l.freeVariables ++ r.freeVariables
@@ -26,6 +27,7 @@ sealed trait FormulaAst {
   def containsOp(op: String): Boolean = this match {
     case Num(_)             => false
     case Str(_)             => false
+    case ListLit(items)     => items.exists(_.containsOp(op))
     case Var(_)             => false
     case Unary(_, e)        => e.containsOp(op)
     case Bin(o, l, r)       => o == op || l.containsOp(op) || r.containsOp(op)
@@ -41,6 +43,9 @@ final case class Num(v: Double) extends FormulaAst
   * method argument (e.g. rank(method='min')); any arithmetic use is a
   * clean compile-time TypeError, matching pd.eval */
 final case class Str(v: String) extends FormulaAst
+/** python list literal [a, b, ...] (r11) — only meaningful as a method
+  * argument (e.g. isin([1, 2])); elements must compile to scalars */
+final case class ListLit(items: List[FormulaAst]) extends FormulaAst
 final case class Var(name: String) extends FormulaAst
 /** op ∈ {"-", "+", "~"} */
 final case class Unary(op: String, e: FormulaAst) extends FormulaAst
@@ -134,6 +139,8 @@ object FormulaParser {
                 out += Tok("op", c.toString, i); i += 1
               case '(' => out += Tok("lparen", "(", i); i += 1
               case ')' => out += Tok("rparen", ")", i); i += 1
+              case '[' => out += Tok("lbracket", "[", i); i += 1
+              case ']' => out += Tok("rbracket", "]", i); i += 1
               case ',' => out += Tok("comma", ",", i); i += 1
               case '.' => out += Tok("dot", ".", i); i += 1
               case other =>
@@ -260,6 +267,18 @@ object FormulaParser {
       peek match {
         case Some(Tok("num", t, _))   => advance(); Num(t.toDouble)
         case Some(Tok("str", t, _))   => advance(); Str(t)
+        case Some(Tok("lbracket", _, _)) =>
+          advance()
+          val items = scala.collection.mutable.ListBuffer[FormulaAst]()
+          if (!peek.exists(_.kind == "rbracket")) {
+            items += parseOr()
+            while (peek.exists(_.kind == "comma")) { advance(); items += parseOr() }
+          }
+          peek match {
+            case Some(Tok("rbracket", _, _)) => advance(); ListLit(items.toList)
+            case other => throw new FormulaSyntaxException(
+              s"Expected ']', got ${other.map(_.text).getOrElse("<end>")} in: $src")
+          }
         case Some(Tok("ident", t, _)) =>
           advance()
           if (peek.exists(_.kind == "lparen")) Call(t, parseArgs()) else Var(t)

@@ -74,6 +74,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   /** python string literal (r11): only meaningful as a method argument
     * (e.g. rank(method='min')); arithmetic use is a clean TypeError. */
   private case class CStr(s: String) extends CValue
+  /** python list literal of scalars (r11): only meaningful as a method
+    * argument (e.g. isin([1, 2])). */
+  private case class CListD(vs: IndexedSeq[Double]) extends CValue
   /** driver-collected matrix: a matmul RIGHT operand. Its row count equals
     * the left operand's column count by pandas' dot-alignment rule, so it
     * is schema-small by construction (`rows` is (rowId → cell values) in
@@ -177,6 +180,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"a string literal ('$s') is not a formula result — strings " +
             "are method arguments only (e.g. rank(method='min'))")
+      case _: CListD =>
+        throw new FormulaTypeException(
+          "a list literal is not a formula result — lists are method " +
+            "arguments only (e.g. isin([1, 2]))")
     }
   }
 
@@ -185,6 +192,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     def go(a: FormulaAst): Unit = a match {
       case Num(_) | Str(_) => (); case Var(n) => seen += n
+      case ListLit(items) => items.foreach(go)
       case Unary(_, e) => go(e)
       case Bin(_, l, r) => go(l); go(r)
       case Call(_, as) => as.foreach(go)
@@ -237,6 +245,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private def eval(ast: FormulaAst, ctx: Ctx): CValue = ast match {
     case Num(v) => CScalar(v)
     case Str(s) => CStr(s)
+    case ListLit(items) => CListD(items.map(i => eval(i, ctx) match {
+      case CScalar(v) => v
+      case _ => throw new FormulaTypeException(
+        "list literals hold scalar values only (e.g. isin([1, 2.5]))")
+    }).toIndexedSeq)
 
     case Var(name) => registry(name) match {
       case m: Matrix =>
@@ -320,6 +333,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     val arg = Set.newBuilder[String]; val other = Set.newBuilder[String]
     def go(a: FormulaAst): Unit = a match {
       case Num(_) | Str(_) => ()
+      case ListLit(items)  => items.foreach(go)
       case Var(n)       => other += n
       case Unary(_, e)  => go(e)
       case Bin(_, l, r) => go(l); go(r)
@@ -704,6 +718,27 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CMatrix(filled, isBool = false)
       case ("fillna", CVecD(vs, ls), List(a)) =>
         val v = asScalar(a, "fillna"); CVecD(vs.map(x => if (x.isNaN) v else x), ls)
+
+      // `.isin([...])` (r11, with the list-literal tokenizer): the pandas
+      // membership test — a boolean frame under the comparison encoding
+      // (NaN and alignment-hole cells are False; the DSL has no NaN
+      // literal, so NaN can never be IN the set). Compiles to one
+      // codegen'd In() per cell — zero joins, zero shuffles.
+      case ("isin", CMatrix(cols, _), List(CListD(vs))) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.isin()' is not supported in ADP mode")
+        CMatrix(cols.map { case (lbl, c) =>
+          (lbl, if (vs.isEmpty) lit(false)
+                else when(isnan(c), lit(false))
+                  .otherwise(coalesce(c.isin(vs: _*), lit(false))))
+        }, isBool = true)
+      case ("isin", CVecD(vals, ls), List(CListD(vs))) =>
+        // bool vectors encode 1/0 (the scalar comparison convention)
+        CVecD(vals.map(x =>
+          if (!x.isNaN && vs.contains(x)) 1.0 else 0.0), ls)
+      case ("isin", _, args) if !args.exists(_.isInstanceOf[CListD]) =>
+        throw new FormulaTypeException(
+          "'.isin()' expects a list literal, e.g. isin([1, 2.5])")
 
       case ("clip", CMatrix(cols, false), List(lo, hi)) =>
         val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))

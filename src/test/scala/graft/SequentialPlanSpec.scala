@@ -55,6 +55,13 @@ class SequentialPlanSpec extends SparkSpec {
   test("e11_rank plans with no single-partition window") {
     assertNoGlobalWindow("e11_rank")
   }
+  test("r11 rank variants plan with no single-partition window " +
+      "(min/dense/pct on the value prefix; first on the grouped " +
+      "tie-position prefix + row-id pivot)") {
+    for (name <- Seq("e11_rankmin", "e11_rankdense", "e11_rankfirst",
+        "e11_rankpct"))
+      assertNoGlobalWindow(name)
+  }
   test("e11_cumprod plans with no single-partition window") {
     assertNoGlobalWindow("e11_cumprod")
   }
