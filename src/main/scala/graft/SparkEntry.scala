@@ -331,6 +331,19 @@ object SparkEntry {
     // quantile interpolation positions are quarters of integer gaps →
     // exact in double on both sides
     "e11_quantile" -> ((s, d) => formulaQuery("qty.quantile(0.75)")(s, d)),
+    // r11 session 4: the order-statistic interpolations on the
+    // distributed reduction — exact rank selection over grouped value
+    // counts (the groupedPercentile plan at the formula surface). q=0.6
+    // keeps h = 0.6·(n−1) off the .5 tie line (DuckDB round() is
+    // half-away, the engine's nearest is IEEE rint half-even); the picks
+    // are integer cells (and the midpoint an integer-or-half) → exact in
+    // double, no rounding needed
+    "e11_qlow" -> ((s, d) =>
+      formulaQuery("qty.quantile(0.6, interpolation='lower')")(s, d)),
+    "e11_qnear" -> ((s, d) =>
+      formulaQuery("qty.quantile(0.6, interpolation='nearest')")(s, d)),
+    "e11_qmidp" -> ((s, d) =>
+      formulaQuery("qty.quantile(0.6, interpolation='midpoint')")(s, d)),
     // E12: explicit matmul (pandas DataFrame.dot; `@` stays rejected like
     // pd.eval). matrix⊗vector is a positional linear combination of the
     // columns; matrix⊗matrix a literal-coefficient column-space transform
@@ -4704,6 +4717,26 @@ object SparkEntry {
         s"$W SELECT ${J.map(j => s"round(var_samp(q$j), 6) AS c$j").mkString(", ")} FROM w",
       "e11_quantile" ->
         s"$W SELECT ${J.map(j => s"CAST(quantile_cont(q$j, 0.75) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      // r11 order-statistic interpolations: the sorted valid-cell list
+      // indexed at floor/round/ceil of h = (count−1)·0.6 IS the order
+      // statistic (list() FILTERed to non-NULL; count() skips them too,
+      // so index and length agree)
+      "e11_qlow" -> (s"$W SELECT " + J.map { j =>
+        val ls = s"list_sort(list(q$j) FILTER (q$j IS NOT NULL))"
+        s"CAST($ls[CAST(floor((count(q$j) - 1) * 0.6) AS INT) + 1] " +
+          s"AS DOUBLE) AS c$j"
+      }.mkString(", ") + " FROM w"),
+      "e11_qnear" -> (s"$W SELECT " + J.map { j =>
+        val ls = s"list_sort(list(q$j) FILTER (q$j IS NOT NULL))"
+        s"CAST($ls[CAST(round((count(q$j) - 1) * 0.6) AS INT) + 1] " +
+          s"AS DOUBLE) AS c$j"
+      }.mkString(", ") + " FROM w"),
+      "e11_qmidp" -> (s"$W SELECT " + J.map { j =>
+        val ls = s"list_sort(list(q$j) FILTER (q$j IS NOT NULL))"
+        val lo = s"$ls[CAST(floor((count(q$j) - 1) * 0.6) AS INT) + 1]"
+        val hi = s"$ls[CAST(ceil((count(q$j) - 1) * 0.6) AS INT) + 1]"
+        s"CAST(($lo + $hi) / 2.0 AS DOUBLE) AS c$j"
+      }.mkString(", ") + " FROM w"),
       // prod over factors 2*(q%2)−1 ∈ {−1,1}: the sign is the parity of
       // the −1 count (rows with even q), NULL holes skipped (pandas
       // skipna) — integer-exact on both sides

@@ -902,23 +902,20 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "number — read the vector's labels directly instead")
       // `.quantile(q)`: the parameterized median — pandas linear
       // interpolation ≡ Spark `percentile` ≡ DuckDB quantile_cont.
-      // r11: the interpolation keyword parses on both targets; the
-      // driver vector computes all five, the distributed reduction keeps
-      // 'linear' (Spark percentile's own definition) and points the
-      // caller at the rolling surface for the order-statistic modes
-      // (disclosed divergence — the modes need a rank-selection plan,
-      // not a foldable percentage).
+      // r11: all five interpolation modes on both targets. 'linear' is
+      // the one-pass foldable `percentile` aggregate; the order-statistic
+      // modes (lower/higher/nearest/midpoint) can't ride a foldable
+      // percentage, so they take the exact rank-selection plan over
+      // grouped value counts (the Cleaning.groupedPercentile shape) —
+      // see the quantileos branch in `reduce`.
       case ("quantile", CMatrix(cols, false), args) if args.length <= 2 =>
         val (qArgs, rest) = args.span(!_.isInstanceOf[CKw])
         val q = qArgs.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
         if (q < 0.0 || q > 1.0)
           throw new FormulaTypeException(s"quantile $q outside [0, 1]")
-        if (interpOf(rest, ".quantile(q)") != 0)
-          throw new FormulaTypeException(
-            "DataFrame '.quantile(q, interpolation=)' supports 'linear' " +
-              "only; the order-statistic interpolations are available on " +
-              "'.rolling(n).quantile(q, interpolation=)'")
-        reduce(cols, ctx, s"quantile:$q")
+        val interp = interpOf(rest, ".quantile(q)")
+        if (interp == 0) reduce(cols, ctx, s"quantile:$q")
+        else reduce(cols, ctx, s"quantileos:$q:$interp")
       case ("quantile", CVecD(vs, _), args) if args.length <= 2 =>
         val (qArgs, rest) = args.span(!_.isInstanceOf[CKw])
         val q = qArgs.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)
@@ -2473,7 +2470,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     if (!std && (Set("std", "var", "median", "prod", "sem", "skew",
         "kurt")(kind) || kind.startsWith("quantile")))
       throw new AdpUnsupportedException(
-        s"'.${kind.takeWhile(_ != ':')}()' is not supported in ADP mode")
+        s"'.${kind.takeWhile(_ != ':').stripSuffix("os")}()' is not " +
+          "supported in ADP mode")
     val id = ctx.aggDfs.length
     val aliases = cols.map { case (lbl, _) =>
       ctx.aggCounter += 1; (lbl, s"__agg${ctx.aggCounter}_$lbl")
@@ -2569,6 +2567,64 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           .otherwise(sign * exp(coalesce(col(s"${alias}_ln"), lit(0.0)))))
       }
       return CVecC(outCols, Set(id))
+    }
+    if (kind.startsWith("quantileos:")) {
+      // r11 session 4: the order-statistic interpolations
+      // (lower/higher/nearest/midpoint) on the DISTRIBUTED reduction —
+      // exact rank selection over grouped value counts, the
+      // Cleaning.groupedPercentile plan shape reused at the formula
+      // surface. Unpivot the cells to (column, value), count duplicates,
+      // walk each column's cumulative count to the two bracketing order
+      // statistics v_lo = sorted[⌊h⌋] / v_hi = sorted[⌈h⌉] at
+      // h = q·(n−1), close with the pandas mode arithmetic (nearest is
+      // IEEE rint — half to even, QuantileInterpSpec), and pivot the
+      // per-column picks back to the 1-row reduction contract.
+      // Scale: the only cardinality-scaled stage is the per-column
+      // cumulative window over DISTINCT values (state follows value
+      // cardinality, not row count — the groupedPercentile posture; its
+      // KLL fallback precedent applies above that if ever needed).
+      val Array(_, qs, is) = kind.split(":")
+      val q = qs.toDouble; val interp = is.toInt
+      val cells = cols.zipWithIndex.map { case ((_, c), i) =>
+        struct(lit(i).as("cid"), c.as("v")) }
+      val long = base
+        .select(explode(array(cells: _*)).as("__cell"))
+        .select(col("__cell.cid").as("__cid"), col("__cell.v").as("__v"))
+        .where(col("__v").isNotNull && !isnan(col("__v")))
+      val counts = long.groupBy(col("__cid"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val W = org.apache.spark.sql.expressions.Window
+      val cum = W.partitionBy(col("__cid")).orderBy(col("__v"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val ranked = counts.select(col("__cid"), col("__v"),
+        sum(col("__c")).over(cum).as("__cum"),
+        sum(col("__c")).over(W.partitionBy(col("__cid"))).as("__n"))
+      val pos = lit(q) * (col("__n") - 1).cast("double")
+      val sel = ranked.groupBy(col("__cid")).agg(
+        min(when(col("__cum") >= floor(pos) + 1, col("__v"))).as("__vlo"),
+        min(when(col("__cum") >= ceil(pos) + 1, col("__v"))).as("__vhi"),
+        max(pos).as("__pos"))
+      val frac = col("__pos") - floor(col("__pos"))
+      val vlo = col("__vlo"); val vhi = col("__vhi")
+      // mode arithmetic mirrors the driver-vector path cell for cell
+      // (frac == 0 short-circuits to v_lo BEFORE any blend — pandas
+      // returns the element itself, never (v+v)/2)
+      val pick = interp match {
+        case 1 => vlo
+        case 2 => when(frac === 0.0, vlo).otherwise(vhi)
+        case 3 => when(rint(col("__pos")) === floor(col("__pos")), vlo)
+          .otherwise(vhi)
+        case _ => when(frac === 0.0, vlo).otherwise((vlo + vhi) / 2.0)
+      }
+      val picked = sel.select(col("__cid"), pick.as("__q"))
+      // tiny pivot: numCols rows → the 1-row aggDf contract; a column
+      // with zero valid cells never appears → NaN (pandas)
+      val oneRow = aliases.zipWithIndex.map { case ((_, alias), i) =>
+        coalesce(max(when(col("__cid") === i, col("__q"))),
+          lit(Double.NaN)).as(alias) }
+      ctx.aggDfs += picked.agg(oneRow.head, oneRow.tail: _*)
+      return CVecC(aliases.map { case (lbl, alias) =>
+        (lbl, col(alias)) }, Set(id))
     }
     val aggExprs = cols.zip(aliases).map { case ((_, c), (_, alias)) =>
       if (ubp) {

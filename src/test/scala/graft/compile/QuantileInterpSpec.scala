@@ -87,17 +87,45 @@ class QuantileInterpSpec extends SparkSpec {
     assert(run("midpoint") == 2.5)
   }
 
-  test("clean errors: unknown interpolation, distributed-reduction " +
-      "non-linear, bad kwarg shape") {
+  test("distributed reduction .quantile(q, interpolation=) computes all " +
+      "five modes via the rank-selection plan (r11 session 4)") {
+    // pandas Series([1,2,NaN,4,5,6]).quantile(0.6, it): valid sorted
+    // [1,2,4,5,6], h = 0.6·4 = 2.4 → lo=4, hi=5, frac=0.4
+    val ev = new FormulaEvaluator(reg("s" -> s6))
+    def run(it: String): Double =
+      ev.evaluateFormula(s"s.quantile(0.6, interpolation='$it')") match {
+        case RowResult(df, labels) =>
+          val r = df.collect().head; r.getDouble(r.fieldIndex(labels.head))
+        case other => fail(s"expected row result, got $other")
+      }
+    assert(math.abs(run("linear") - 4.4) < 1e-12)
+    assert(run("lower") == 4.0)
+    assert(run("higher") == 5.0)
+    assert(run("nearest") == 4.0) // rint(2.4) = 2 → the lower statistic
+    assert(run("midpoint") == 4.5)
+    // frac == 0 lands on the element itself in every mode (h = 2.0)
+    assert(run("higher") == 5.0 && {
+      val at = ev.evaluateFormula("s.quantile(0.5, interpolation='higher')")
+      val RowResult(df, labels) = at: @unchecked
+      val r = df.collect().head
+      r.getDouble(r.fieldIndex(labels.head)) == 4.0
+    })
+    // duplicate-heavy column: counts collapse to one (value, count) row
+    // per distinct value; pandas Series([1,1,1,2,2]).quantile(0.6,
+    // 'nearest'): h = 2.4 → rint 2 → 1
+    val dup = series(1.0, 1.0, 1.0, 2.0, 2.0)
+    val ev2 = new FormulaEvaluator(reg("s" -> dup))
+    val RowResult(df2, l2) =
+      ev2.evaluateFormula("s.quantile(0.6, interpolation='nearest')"): @unchecked
+    val r2 = df2.collect().head
+    assert(r2.getDouble(r2.fieldIndex(l2.head)) == 1.0)
+  }
+
+  test("clean errors: unknown interpolation, bad kwarg shape") {
     val ev = new FormulaEvaluator(reg("s" -> s6))
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula(
       "s.rolling(3).quantile(0.5, interpolation='cubic')"))
     assert(e1.getMessage.contains("Interpolation 'cubic'"))
-    // the distributed frame reduction keeps Spark percentile's linear
-    // definition; the order-statistic modes point at the rolling surface
-    val e2 = intercept[FormulaTypeException](ev.evaluateFormula(
-      "s.quantile(0.5, interpolation='lower')"))
-    assert(e2.getMessage.contains("'linear'"))
     // explicit linear is accepted on the reduction (no throw, same shape)
     assert(ev.evaluateFormula("s.quantile(0.5, interpolation='linear')")
       .getClass == ev.evaluateFormula("s.quantile(0.5)").getClass)
