@@ -344,6 +344,14 @@ object SparkEntry {
       formulaQuery("qty.quantile(0.6, interpolation='nearest')")(s, d)),
     "e11_qmidp" -> ((s, d) =>
       formulaQuery("qty.quantile(0.6, interpolation='midpoint')")(s, d)),
+    // r11 session 4: pandas .agg dispatch — a single name delegates to
+    // the method (1-row Series reduction); a list builds the stat frame
+    // (one row per function, the describe shape), each row riding its
+    // method's own reduce plan as a crossJoin-broadcast 1-row aggregate
+    "e11_aggstr" -> ((s, d) => formulaQuery("qty.agg('median')")(s, d)),
+    "e11_agglist" -> ((s, d) =>
+      formulaQuery("qty.agg(['max', 'mean', 'sum'])",
+        roundTo = Some(6))(s, d)),
     // E12: explicit matmul (pandas DataFrame.dot; `@` stays rejected like
     // pd.eval). matrix⊗vector is a positional linear combination of the
     // columns; matrix⊗matrix a literal-coefficient column-space transform
@@ -4737,6 +4745,18 @@ object SparkEntry {
         val hi = s"$ls[CAST(ceil((count(q$j) - 1) * 0.6) AS INT) + 1]"
         s"CAST(($lo + $hi) / 2.0 AS DOUBLE) AS c$j"
       }.mkString(", ") + " FROM w"),
+      // .agg mirrors: the single name is the method's own oracle; the
+      // list form unions the per-function 1-row reductions with the
+      // function name as the row id (the describe pattern)
+      "e11_aggstr" ->
+        s"$W SELECT ${J.map(j => s"CAST(median(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
+      "e11_agglist" -> (s"$W SELECT * FROM (" +
+        s"SELECT 'max' AS __row_id__, ${J.map(j => s"round(CAST(max(q$j) AS DOUBLE), 6) AS c$j").mkString(", ")} FROM w " +
+        "UNION ALL " +
+        s"SELECT 'mean' AS __row_id__, ${J.map(j => s"round(avg(q$j), 6) AS c$j").mkString(", ")} FROM w " +
+        "UNION ALL " +
+        s"SELECT 'sum' AS __row_id__, ${J.map(j => s"round(coalesce(sum(q$j), 0.0), 6) AS c$j").mkString(", ")} FROM w" +
+        ") ORDER BY __row_id__"),
       // prod over factors 2*(q%2)−1 ∈ {−1,1}: the sign is the parity of
       // the −1 count (rows with even q), NULL holes skipped (pandas
       // skipna) — integer-exact on both sides

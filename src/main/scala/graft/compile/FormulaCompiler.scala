@@ -74,9 +74,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   /** python string literal (r11): only meaningful as a method argument
     * (e.g. rank(method='min')); arithmetic use is a clean TypeError. */
   private case class CStr(s: String) extends CValue
-  /** python list literal of scalars (r11): only meaningful as a method
-    * argument (e.g. isin([1, 2])). */
-  private case class CListD(vs: IndexedSeq[Double]) extends CValue
+  /** python list literal (r11): only meaningful as a method argument —
+    * scalars for isin([1, 2]), strings for agg(['sum', 'mean']). Each use
+    * site extracts the element type it needs and rejects the rest. */
+  private case class CList(items: IndexedSeq[CValue]) extends CValue
   /** driver-collected matrix: a matmul RIGHT operand. Its row count equals
     * the left operand's column count by pandas' dot-alignment rule, so it
     * is schema-small by construction (`rows` is (rowId → cell values) in
@@ -180,7 +181,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         throw new FormulaTypeException(
           s"a string literal ('$s') is not a formula result — strings " +
             "are method arguments only (e.g. rank(method='min'))")
-      case _: CListD =>
+      case _: CList =>
         throw new FormulaTypeException(
           "a list literal is not a formula result — lists are method " +
             "arguments only (e.g. isin([1, 2]))")
@@ -245,11 +246,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private def eval(ast: FormulaAst, ctx: Ctx): CValue = ast match {
     case Num(v) => CScalar(v)
     case Str(s) => CStr(s)
-    case ListLit(items) => CListD(items.map(i => eval(i, ctx) match {
-      case CScalar(v) => v
-      case _ => throw new FormulaTypeException(
-        "list literals hold scalar values only (e.g. isin([1, 2.5]))")
-    }).toIndexedSeq)
+    case ListLit(items) => CList(items.map(i => eval(i, ctx)).toIndexedSeq)
 
     case Var(name) => registry(name) match {
       case m: Matrix =>
@@ -370,6 +367,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     case CScalar(x) => x
     case _ => throw new FormulaTypeException(s"$what expects a scalar literal argument")
   }
+
+  /** Every element of a list literal as a scalar (r11) — the isin shape;
+    * strings or nested lists reject with the example spelling. */
+  private def scalarList(l: CList, what: String, ex: String): IndexedSeq[Double] =
+    l.items.map {
+      case CScalar(x) => x
+      case _ => throw new FormulaTypeException(
+        s"'$what' list literals hold scalar values only (e.g. $ex)")
+    }
 
   /** (min_periods, center) from `.rolling(n, ...)`'s remaining args
     * (r10): min_periods keyword or second positional, validated to
@@ -724,21 +730,91 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // (NaN and alignment-hole cells are False; the DSL has no NaN
       // literal, so NaN can never be IN the set). Compiles to one
       // codegen'd In() per cell — zero joins, zero shuffles.
-      case ("isin", CMatrix(cols, _), List(CListD(vs))) =>
+      case ("isin", CMatrix(cols, _), List(lst: CList)) =>
         if (!std) throw new AdpUnsupportedException(
           "'.isin()' is not supported in ADP mode")
+        val vs = scalarList(lst, "isin", "isin([1, 2.5])")
         CMatrix(cols.map { case (lbl, c) =>
           (lbl, if (vs.isEmpty) lit(false)
                 else when(isnan(c), lit(false))
                   .otherwise(coalesce(c.isin(vs: _*), lit(false))))
         }, isBool = true)
-      case ("isin", CVecD(vals, ls), List(CListD(vs))) =>
+      case ("isin", CVecD(vals, ls), List(lst: CList)) =>
         // bool vectors encode 1/0 (the scalar comparison convention)
+        val vs = scalarList(lst, "isin", "isin([1, 2.5])")
         CVecD(vals.map(x =>
           if (!x.isNaN && vs.contains(x)) 1.0 else 0.0), ls)
-      case ("isin", _, args) if !args.exists(_.isInstanceOf[CListD]) =>
+      case ("isin", _, args) if !args.exists(_.isInstanceOf[CList]) =>
         throw new FormulaTypeException(
           "'.isin()' expects a list literal, e.g. isin([1, 2.5])")
+
+      // `.agg('fn')` / `.agg(['fn1', 'fn2'])` (r11 session 4, unlocked by
+      // the string/list literals): pandas' named-aggregation dispatch. A
+      // single name delegates to the method itself (the 1-row Series
+      // reduction); a list builds the stat frame — one row per function
+      // name, the describe shape — with each row riding the SAME reduce
+      // plan its method uses: one 1-row tree-reduce per function,
+      // crossJoin-broadcast, zero extra shuffles, never a collect.
+      // idxmax/idxmin (string cells) and any/all (boolean cells) are
+      // excluded from the LIST form only — the stat frame is a double
+      // matrix; pandas' object-dtype mixed frame has no analogue here.
+      case ("agg", tgt, List(arg)) if (tgt match {
+          case CMatrix(_, false) | _: CVecD => true; case _ => false
+        }) && (arg.isInstanceOf[CStr] || arg.isInstanceOf[CList]) =>
+        val single = Set("sum", "mean", "min", "max", "count", "std",
+          "var", "median", "prod", "nunique", "sem", "skew", "kurt",
+          "quantile", "any", "all", "idxmax", "idxmin")
+        val listable = single -- Set("any", "all", "idxmax", "idxmin")
+        def named(k: String, allowed: Set[String]): String = {
+          if (!allowed(k)) throw new FormulaTypeException(
+            s"'.agg()' supports ${allowed.toSeq.sorted.mkString("/")}; " +
+              s"got '$k'")
+          k
+        }
+        arg match {
+          case CStr(k) => method(tgt, named(k, single), Nil, ctx)
+          case lst: CList =>
+            val names = lst.items.map {
+              case CStr(k) => named(k, listable)
+              case _ => throw new FormulaTypeException(
+                "'.agg([...])' takes a list of function-name strings, " +
+                  "e.g. agg(['sum', 'mean'])")
+            }
+            if (names.isEmpty) throw new FormulaTypeException(
+              "'.agg([...])' needs at least one function name")
+            tgt match {
+              case m: CMatrix =>
+                val frames = names.map { k =>
+                  method(m, k, Nil, ctx) match {
+                    case v: CVecC =>
+                      val joined = v.aggIds.toSeq.sorted.map(ctx.aggDfs)
+                        .reduceLeft(_.crossJoin(_))
+                      joined.select((lit(k).as("__row_id__") +:
+                        v.cols.map { case (l, c) =>
+                          c.cast("double").as(l) }): _*)
+                    case other => throw new FormulaTypeException(
+                      s"'.agg()' function '$k' did not reduce: $other")
+                  }
+                }
+                CFrame(frames.reduceLeft(_.unionAll(_)), "__row_id__",
+                  m.cols.map(_._1))
+              case v: CVecD =>
+                // pandas Series.agg(list) → a Series indexed by the
+                // function names (driver path, like every vector reduce)
+                CVecD(names.map { k =>
+                  method(v, k, Nil, ctx) match {
+                    case CScalar(x) => x
+                    case other => throw new FormulaTypeException(
+                      s"'.agg()' function '$k' did not reduce: $other")
+                  }
+                }, names)
+              case _ => throw new FormulaTypeException("unreachable")
+            }
+        }
+      case ("agg", _, _) =>
+        throw new FormulaTypeException(
+          "'.agg()' takes one function name string or a list of them, " +
+            "e.g. agg('sum') or agg(['sum', 'mean'])")
 
       case ("clip", CMatrix(cols, false), List(lo, hi)) =>
         val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
