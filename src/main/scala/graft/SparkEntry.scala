@@ -348,6 +348,11 @@ object SparkEntry {
     // the method (1-row Series reduction); a list builds the stat frame
     // (one row per function, the describe shape), each row riding its
     // method's own reduce plan as a crossJoin-broadcast 1-row aggregate
+    // list form: all three quantiles in ONE percentile(col, array(...))
+    // pass, exploded to the q-indexed stat frame (quarters of integer
+    // gaps → exact in double on both sides)
+    "e11_qlist" -> ((s, d) =>
+      formulaQuery("qty.quantile([0.25, 0.5, 0.75])")(s, d)),
     "e11_aggstr" -> ((s, d) => formulaQuery("qty.agg('median')")(s, d)),
     "e11_agglist" -> ((s, d) =>
       formulaQuery("qty.agg(['max', 'mean', 'sum'])",
@@ -4748,6 +4753,12 @@ object SparkEntry {
       // .agg mirrors: the single name is the method's own oracle; the
       // list form unions the per-function 1-row reductions with the
       // function name as the row id (the describe pattern)
+      "e11_qlist" -> (s"$W SELECT * FROM (" +
+        Seq(0.25, 0.5, 0.75).map(q =>
+          s"SELECT CAST($q AS DOUBLE) AS __row_id__, " +
+            J.map(j => s"CAST(quantile_cont(q$j, $q) AS DOUBLE) AS c$j")
+              .mkString(", ") + " FROM w").mkString(" UNION ALL ") +
+        ") ORDER BY __row_id__"),
       "e11_aggstr" ->
         s"$W SELECT ${J.map(j => s"CAST(median(q$j) AS DOUBLE) AS c$j").mkString(", ")} FROM w",
       "e11_agglist" -> (s"$W SELECT * FROM (" +

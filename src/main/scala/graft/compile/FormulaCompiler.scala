@@ -984,6 +984,79 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // percentage, so they take the exact rank-selection plan over
       // grouped value counts (the Cleaning.groupedPercentile shape) —
       // see the quantileos branch in `reduce`.
+      // `.quantile([q1, q2, ...])` (r11 session 4): pandas' list form —
+      // a stat frame indexed by q. 'linear' computes ALL the quantiles in
+      // ONE percentile(col, array(...)) aggregate pass (Spark's
+      // Percentile buffers the column once regardless of how many
+      // percentages it answers), then explodes the arrays into the
+      // describe-shaped frame. The order-statistic modes ride one
+      // rank-selection reduce per q (each a 1-row crossJoin-broadcast).
+      case ("quantile", CMatrix(cols, false), args)
+          if args.headOption.exists(_.isInstanceOf[CList]) &&
+            args.length <= 2 =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.quantile()' is not supported in ADP mode")
+        val qs = scalarList(args.head.asInstanceOf[CList], "quantile",
+          "quantile([0.25, 0.75])")
+        if (qs.isEmpty) throw new FormulaTypeException(
+          "'.quantile([...])' needs at least one quantile")
+        qs.foreach { q =>
+          if (q < 0.0 || q > 1.0)
+            throw new FormulaTypeException(s"quantile $q outside [0, 1]")
+        }
+        val interp = interpOf(args.tail, ".quantile(q)")
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("reduction requires a matrix operand"))
+        if (interp == 0) {
+          ctx.seqCounter += 1
+          val tag = ctx.seqCounter
+          val aggExprs = cols.zipWithIndex.map { case ((_, c), i) =>
+            val v = when(isnan(c), lit(null)).otherwise(c)
+            percentile(v, array(qs.map(lit): _*)).as(s"__q${tag}_$i")
+          }
+          val agg1 = base.agg(aggExprs.head, aggExprs.tail: _*)
+          val rows = qs.zipWithIndex.map { case (q, qi) =>
+            struct((lit(q).as("__row_id__") +:
+              cols.zipWithIndex.map { case ((lbl, _), i) =>
+                coalesce(col(s"__q${tag}_$i").getItem(qi),
+                  lit(Double.NaN)).as(lbl)
+              }): _*)
+          }
+          val framed = agg1.select(explode(array(rows: _*)).as("__r"))
+            .select(col("__r.*"))
+          CFrame(framed, "__row_id__", cols.map(_._1))
+        } else {
+          val frames = qs.map { q =>
+            reduce(cols, ctx, s"quantileos:$q:$interp") match {
+              case v: CVecC =>
+                val joined = v.aggIds.toSeq.sorted.map(ctx.aggDfs)
+                  .reduceLeft(_.crossJoin(_))
+                joined.select((lit(q).as("__row_id__") +:
+                  v.cols.map { case (l, c) => c.as(l) }): _*)
+              case other => throw new FormulaTypeException(
+                s"quantile did not reduce: $other")
+            }
+          }
+          CFrame(frames.reduceLeft(_.unionAll(_)), "__row_id__",
+            cols.map(_._1))
+        }
+      case ("quantile", CVecD(vs, ls), args)
+          if args.headOption.exists(_.isInstanceOf[CList]) &&
+            args.length <= 2 =>
+        // pandas Series.quantile(list) → a Series indexed by q
+        val qs = scalarList(args.head.asInstanceOf[CList], "quantile",
+          "quantile([0.25, 0.75])")
+        if (qs.isEmpty) throw new FormulaTypeException(
+          "'.quantile([...])' needs at least one quantile")
+        val interp = interpOf(args.tail, ".quantile(q)")
+        CVecD(qs.map { q =>
+          method(CVecD(vs, ls), "quantile",
+            List(CScalar(q)) ++ args.tail, ctx) match {
+            case CScalar(x) => x
+            case other => throw new FormulaTypeException(
+              s"quantile did not reduce: $other")
+          }
+        }, qs.map(_.toString))
       case ("quantile", CMatrix(cols, false), args) if args.length <= 2 =>
         val (qArgs, rest) = args.span(!_.isInstanceOf[CKw])
         val q = qArgs.headOption.map(a => asScalar(a, "quantile")).getOrElse(0.5)

@@ -121,6 +121,34 @@ class QuantileInterpSpec extends SparkSpec {
     assert(r2.getDouble(r2.fieldIndex(l2.head)) == 1.0)
   }
 
+  test("list form .quantile([...]) builds the q-indexed stat frame " +
+      "(linear: one percentile-array pass; modes: per-q rank selection)") {
+    // pandas s6.quantile([0.25, 0.75]): valid sorted [1,2,4,5,6] →
+    // linear h=1.0→2, h=3.0→5; 'lower' at [0.3, 0.9]: h=1.2→2, h=3.6→5
+    val ev = new FormulaEvaluator(reg("s" -> s6))
+    def frame(f: String): Map[Double, Double] =
+      ev.evaluateFormula(f) match {
+        case MatrixResult(df, rowId, labels, _) =>
+          df.collect().map(r => r.getDouble(r.fieldIndex(rowId)) ->
+            r.getDouble(r.fieldIndex(labels.head))).toMap
+        case other => fail(s"expected matrix result, got $other")
+      }
+    val lin = frame("s.quantile([0.25, 0.75])")
+    assert(lin == Map(0.25 -> 2.0, 0.75 -> 5.0))
+    val low = frame("s.quantile([0.3, 0.9], interpolation='lower')")
+    assert(low == Map(0.3 -> 2.0, 0.9 -> 5.0))
+    // vector list form → a Series indexed by q
+    val v = Vec(IndexedSeq(1.0, 2.0, 4.0, 5.0, 6.0),
+      (0 until 5).map(i => s"l$i"))
+    val ev2 = new FormulaEvaluator(reg("v" -> v))
+    val VecResult(out) =
+      ev2.evaluateFormula("v.quantile([0.25, 0.75])"): @unchecked
+    assert(out.labels == Seq("0.25", "0.75"))
+    assert(out.values == Seq(2.0, 5.0))
+    // empty list rejects
+    intercept[FormulaTypeException](ev.evaluateFormula("s.quantile([])"))
+  }
+
   test("clean errors: unknown interpolation, bad kwarg shape") {
     val ev = new FormulaEvaluator(reg("s" -> s6))
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula(
