@@ -2740,6 +2740,35 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         .select(explode(array(cells: _*)).as("__cell"))
         .select(col("__cell.cid").as("__cid"), col("__cell.v").as("__v"))
         .where(col("__v").isNotNull && !isnan(col("__v")))
+      // Above the opt-in distinct-count budget, hand the selection to the
+      // KLL sketch (the groupedPercentile fallback, Cleaning.scala:108) —
+      // fixed O(capacity·log n) state per column at ANY cardinality,
+      // where the exact walk's window state follows the distinct-value
+      // count. The sketch answers the rank selection at ceil(q·W)
+      // (documented approximate sibling: one value, not the
+      // lower/higher/midpoint bracket — at sketch-rank error the mode
+      // distinction is noise). q = 0 stays exact (the sketch needs a
+      // rank ≥ 1 — the r10 ADVICE class); the budget decision is one
+      // approx_count_distinct scan, a 1-row collect bounded by contract.
+      val conf = base.sparkSession.conf
+      val budget = conf.getOption("graft.percentile.approxAboveDistinct")
+        .map(_.toLong).filter(_ => q > 0.0)
+      val sketched = budget.exists { b =>
+        long.select(approx_count_distinct(col("__v"), 0.05))
+          .head.getLong(0) > b
+      }
+      if (sketched) {
+        val picked = long.groupBy(col("__cid")).agg(
+          graft.functions.Sketches.kll_quantiles(
+            col("__v"), 512, Seq(q)).as("__qs"))
+          .select(col("__cid"), element_at(col("__qs"), 1).as("__q"))
+        val oneRow = aliases.zipWithIndex.map { case ((_, alias), i) =>
+          coalesce(max(when(col("__cid") === i, col("__q"))),
+            lit(Double.NaN)).as(alias) }
+        ctx.aggDfs += picked.agg(oneRow.head, oneRow.tail: _*)
+        return CVecC(aliases.map { case (lbl, alias) =>
+          (lbl, col(alias)) }, Set(id))
+      }
       val counts = long.groupBy(col("__cid"), col("__v"))
         .agg(count(lit(1)).as("__c"))
       val W = org.apache.spark.sql.expressions.Window

@@ -149,6 +149,32 @@ class QuantileInterpSpec extends SparkSpec {
     intercept[FormulaTypeException](ev.evaluateFormula("s.quantile([])"))
   }
 
+  test("above the distinct budget the order-statistic reduction hands " +
+      "off to the KLL sketch (the groupedPercentile fallback)") {
+    // values 1..40; q = 0.999 discriminates the two selection rules:
+    // exact 'lower' = sorted[⌊0.999·39⌋] = sorted[38] = 39, the sketch's
+    // rank selection = smallest value at cumulative weight ≥
+    // ceil(0.999·40) = 40 → 40 (n ≤ capacity, so the sketch itself is
+    // exact — only the DEFINITION differs, as documented on
+    // groupedPercentileApprox)
+    val m = series((1 to 40).map(_.toDouble): _*)
+    val ev = new FormulaEvaluator(reg("s" -> m), fillInvalid = false)
+    def lower(): Double = {
+      val RowResult(df, labels) = ev.evaluateFormula(
+        "s.quantile(0.999, interpolation='lower')"): @unchecked
+      val r = df.collect().head
+      r.getDouble(r.fieldIndex(labels.head))
+    }
+    spark.conf.set("graft.percentile.approxAboveDistinct", "10")
+    try assert(lower() == 40.0)
+    finally spark.conf.unset("graft.percentile.approxAboveDistinct")
+    assert(lower() == 39.0)
+    // a budget ABOVE the distinct count stays on the exact path
+    spark.conf.set("graft.percentile.approxAboveDistinct", "1000")
+    try assert(lower() == 39.0)
+    finally spark.conf.unset("graft.percentile.approxAboveDistinct")
+  }
+
   test("clean errors: unknown interpolation, bad kwarg shape") {
     val ev = new FormulaEvaluator(reg("s" -> s6))
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula(
