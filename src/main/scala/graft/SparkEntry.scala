@@ -353,6 +353,15 @@ object SparkEntry {
     // gaps → exact in double on both sides)
     "e11_qlist" -> ((s, d) =>
       formulaQuery("qty.quantile([0.25, 0.5, 0.75])")(s, d)),
+    // r11 session 4: axis=1 (row-wise) reductions — pure per-row
+    // projections, zero shuffle; integer cells keep sum/mean/median
+    // exact, std rounds 6 dp (identical IEEE chains, margin only)
+    "e11_hsum" -> ((s, d) => formulaQuery("qty.sum(axis=1)")(s, d)),
+    "e11_hmean" -> ((s, d) => formulaQuery("qty.mean(axis=1)")(s, d)),
+    "e11_hstd" -> ((s, d) =>
+      formulaQuery("qty.std(axis=1)", roundTo = Some(6))(s, d)),
+    "e11_hmed" -> ((s, d) => formulaQuery("qty.median(axis=1)")(s, d)),
+    "e11_hcnt" -> ((s, d) => formulaQuery("qty.count(axis=1)")(s, d)),
     "e11_aggstr" -> ((s, d) => formulaQuery("qty.agg('median')")(s, d)),
     "e11_agglist" -> ((s, d) =>
       formulaQuery("qty.agg(['max', 'mean', 'sum'])",
@@ -4753,6 +4762,39 @@ object SparkEntry {
       // .agg mirrors: the single name is the method's own oracle; the
       // list form unions the per-function 1-row reductions with the
       // function name as the row id (the describe pattern)
+      // axis=1 mirrors: per-row expressions over q1..q4 in the engine's
+      // own left-associated order (identical IEEE chains)
+      "e11_hsum" -> {
+        val s = J.map(j => s"coalesce(q$j, 0)").mkString(" + ")
+        s"""$W SELECT __row_id__, ${F(s"($s)")} AS "0" FROM w ORDER BY __row_id__"""
+      },
+      "e11_hmean" -> {
+        val s = J.map(j => s"coalesce(q$j, 0)").mkString(" + ")
+        val n = J.map(j => s"CASE WHEN q$j IS NOT NULL THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$W SELECT __row_id__, ${F(s"($s) / CAST($n AS DOUBLE)")} AS "0" FROM w ORDER BY __row_id__"""
+      },
+      "e11_hstd" -> {
+        val s = J.map(j => s"coalesce(q$j, 0)").mkString(" + ")
+        val n = s"CAST(${J.map(j => s"CASE WHEN q$j IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)"
+        val m = s"(($s) / $n)"
+        val ssd = J.map(j =>
+          s"CASE WHEN q$j IS NULL THEN 0.0 ELSE (q$j - $m) * (q$j - $m) END")
+          .mkString(" + ")
+        s"""$W SELECT __row_id__, ${F(s"round(CASE WHEN $n >= 2 THEN sqrt(($ssd) / ($n - 1.0)) END, 6)")} AS "0" FROM w ORDER BY __row_id__"""
+      },
+      "e11_hmed" -> {
+        val arr = s"list_sort(list_filter([${J.map(j => s"q$j").mkString(", ")}], x -> x IS NOT NULL))"
+        val cnt = s"len($arr)"
+        val odd = s"$arr[($cnt + 1) // 2]"
+        val even = s"($arr[$cnt // 2] + $arr[$cnt // 2 + 1]) / 2.0"
+        s"""$W SELECT __row_id__, ${F(s"CASE WHEN $cnt % 2 = 1 THEN $odd ELSE $even END")} AS "0" FROM w ORDER BY __row_id__"""
+      },
+      "e11_hcnt" -> {
+        val n = J.map(j => s"CASE WHEN q$j IS NOT NULL THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$W SELECT __row_id__, CAST($n AS DOUBLE) AS "0" FROM w ORDER BY __row_id__"""
+      },
       "e11_qlist" -> (s"$W SELECT * FROM (" +
         Seq(0.25, 0.5, 0.75).map(q =>
           s"SELECT CAST($q AS DOUBLE) AS __row_id__, " +

@@ -368,6 +368,74 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     case _ => throw new FormulaTypeException(s"$what expects a scalar literal argument")
   }
 
+  /** The axis from a reduction's argument list (r11): Some(0)/Some(1)
+    * for an explicit positional `0`/`1` or `axis=` keyword (or no args
+    * at all — pandas' default axis 0); None when the args are something
+    * else entirely (so quantile's q, etc., fall through untouched). */
+  private def axisArg(args: List[CValue]): Option[Int] = args match {
+    case Nil => Some(0)
+    case List(CScalar(a)) if a == 0.0 || a == 1.0 => Some(a.toInt)
+    case List(CKw("axis", CScalar(a))) if a == 0.0 || a == 1.0 => Some(a.toInt)
+    case _ => None
+  }
+
+  /** `.sum(axis=1)` family (r11 session 4): pandas ROW-wise reductions —
+    * pure per-row projections over the bounded column list. Zero
+    * shuffles, zero aggregates, fully codegen'd (the only higher-order
+    * expressions are median/nunique's sort/distinct over a width-sized
+    * array). skipna mirrors the columnwise family: NaN cells drop out
+    * per row; an all-NaN row gives sum 0 / prod 1 / count 0 /
+    * any False / all True / everything else NaN. Result is the
+    * one-column Series frame (label "0" — the matmul convention). */
+  private def horizontalReduce(cols: Seq[(String, Column)], k: String): CValue = {
+    val valid = cols.map { case (_, c) =>
+      when(isnan(c), lit(null)).otherwise(c) }
+    lazy val n = valid.map(v => when(v.isNull, lit(0)).otherwise(lit(1)))
+      .reduce(_ + _).cast("double")
+    lazy val s = valid.map(v => coalesce(v, lit(0.0))).reduce(_ + _)
+    def sortedArr = array_sort(filter(array(valid: _*), v => v.isNotNull))
+    if (k == "any" || k == "all") {
+      val cell =
+        if (k == "any") valid.map(v => v.isNotNull && v =!= 0.0).reduce(_ || _)
+        else valid.map(v => v.isNull || v =!= 0.0).reduce(_ && _)
+      return CMatrix(Seq(("0", cell)), isBool = true)
+    }
+    val cell: Column = k match {
+      case "sum"   => s
+      case "count" => n
+      case "mean"  => when(n === 0.0, lit(Double.NaN)).otherwise(s / n)
+      case "min" =>
+        coalesce(if (valid.size == 1) valid.head else least(valid: _*),
+          lit(Double.NaN))
+      case "max" =>
+        coalesce(if (valid.size == 1) valid.head else greatest(valid: _*),
+          lit(Double.NaN))
+      case "prod" => valid.map(v => coalesce(v, lit(1.0))).reduce(_ * _)
+      case "std" | "var" | "sem" =>
+        val m = s / n
+        val ssd = valid.map(v =>
+          when(v.isNull, lit(0.0)).otherwise((v - m) * (v - m))).reduce(_ + _)
+        val va = ssd / (n - 1.0)
+        when(n < 2.0, lit(Double.NaN)).otherwise(k match {
+          case "var" => va
+          case "std" => sqrt(va)
+          case _     => sqrt(va) / sqrt(n)
+        })
+      case "median" =>
+        val a = sortedArr
+        val cnt = size(a)
+        val odd = element_at(a, floor((cnt + 1) / 2).cast("int"))
+        val even = (element_at(a, floor(cnt / 2).cast("int")) +
+          element_at(a, floor(cnt / 2).cast("int") + 1)) / 2.0
+        when(cnt === 0, lit(Double.NaN))
+          .otherwise(when(cnt % 2 === 1, odd).otherwise(even))
+      case "nunique" =>
+        size(array_distinct(filter(array(valid: _*), v => v.isNotNull)))
+          .cast("double")
+    }
+    CMatrix(Seq(("0", cell)), isBool = false)
+  }
+
   /** Every element of a list literal as a scalar (r11) — the isin shape;
     * strings or nested lists reject with the example spelling. */
   private def scalarList(l: CList, what: String, ex: String): IndexedSeq[Double] =
@@ -643,7 +711,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
         "adjust"),
       "rank" -> Set("method", "ascending", "pct", "na_option"),
-      "quantile" -> Set("interpolation"))
+      "quantile" -> Set("interpolation")) ++
+      Seq("sum", "mean", "min", "max", "count", "std", "var", "median",
+        "prod", "nunique", "sem", "any", "all")
+        .map(_ -> Set("axis")).toMap
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
@@ -967,10 +1038,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // partial-agg tree-reduce; 1-row result. std/var are ddof=1; median
       // interpolates the even middle — the full pd.eval-dispatchable
       // reduction family (E11 long tail).
+      // axis=1 (row-wise) first: a pure projection, never an aggregate
+      case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
+                 "median" | "prod" | "nunique" | "sem" | "any" | "all"),
+            CMatrix(cols, false), args)
+          if axisArg(args).contains(1) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.$k(axis=1)' is not supported in ADP mode")
+        horizontalReduce(cols, k)
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod" | "nunique" | "any" | "all" |
                  "idxmax" | "idxmin" | "sem" | "skew" | "kurt"),
-            CMatrix(cols, false), Nil) =>
+            CMatrix(cols, false), args)
+          if axisArg(args).contains(0) =>
         reduce(cols, ctx, k)
       case ("idxmax" | "idxmin", _: CVecD, Nil) =>
         throw new FormulaTypeException(
@@ -1087,7 +1167,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod" | "nunique" | "any" | "all" |
                  "sem" | "skew" | "kurt"),
-            CVecD(vs, _), Nil) =>
+            _: CVecD, args) if axisArg(args).contains(1) =>
+        throw new FormulaTypeException(
+          s"'.$k(axis=1)': a Series has no axis 1")
+      case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
+                 "median" | "prod" | "nunique" | "any" | "all" |
+                 "sem" | "skew" | "kurt"),
+            CVecD(vs, _), args) if axisArg(args).contains(0) =>
         val ok = vs.filter(!_.isNaN)
         CScalar(k match {
           case "sum"   => ok.sum
@@ -2583,7 +2669,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _, _) =>
         throw new FormulaTypeException(
           s"Method '.$other' is not in the supported whitelist " +
-            "(fillna, clip, pow, abs, round, sum, mean, min, max, count, " +
+            "(fillna, clip, pow, abs, round, agg, isin, " +
+            "sum, mean, min, max, count (each also axis=1), " +
             "std, var, median, quantile, prod, nunique, any, all, " +
             "idxmax, idxmin, sem, skew, kurt, describe, " +
             "nlargest, nsmallest, value_counts, corr, cov, dropna, " +

@@ -65,6 +65,22 @@ class SequentialPlanSpec extends SparkSpec {
   test("e11_cumprod plans with no single-partition window") {
     assertNoGlobalWindow("e11_cumprod")
   }
+  test("r11 axis=1 reductions are pure projections: no exchange, no " +
+      "window, no aggregate anywhere in the plan") {
+    for (name <- Seq("e11_hsum", "e11_hstd", "e11_hmed")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      val bad = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case w: WindowExec => w
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      // the only allowed shape above the cached wide base is sort+project
+      assert(bad.isEmpty,
+        s"$name: axis=1 must stay a projection, found:\n${bad.mkString("\n")}")
+    }
+  }
   test("e11_shift/e11_diff plan with no single-partition window") {
     assertNoGlobalWindow("e11_shift")
     assertNoGlobalWindow("e11_diff")
