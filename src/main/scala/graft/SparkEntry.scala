@@ -356,6 +356,10 @@ object SparkEntry {
     // r11 session 4: axis=1 (row-wise) reductions — pure per-row
     // projections, zero shuffle; integer cells keep sum/mean/median
     // exact, std rounds 6 dp (identical IEEE chains, margin only)
+    // clip one-sided keyword + replace list form (r11 session 4)
+    "e11_clipk" -> ((s, d) => formulaQuery("qty.clip(upper=10)")(s, d)),
+    "e11_replist" -> ((s, d) =>
+      formulaQuery("qty.replace([1, 5], [100, 500])")(s, d)),
     "e11_hsum" -> ((s, d) => formulaQuery("qty.sum(axis=1)")(s, d)),
     "e11_hmean" -> ((s, d) => formulaQuery("qty.mean(axis=1)")(s, d)),
     "e11_hstd" -> ((s, d) =>
@@ -4764,6 +4768,12 @@ object SparkEntry {
       // function name as the row id (the describe pattern)
       // axis=1 mirrors: per-row expressions over q1..q4 in the engine's
       // own left-associated order (identical IEEE chains)
+      // DuckDB least() SKIPS NULLs (returns the other operand), so the
+      // hole must stay NULL explicitly for the fill to zero it
+      "e11_clipk" -> matSql(j => F(
+        s"CASE WHEN q$j IS NULL THEN NULL ELSE least(q$j, 10) END")),
+      "e11_replist" -> matSql(j => F(
+        s"CASE WHEN q$j = 1 THEN 100 WHEN q$j = 5 THEN 500 ELSE q$j END")),
       "e11_hsum" -> {
         val s = J.map(j => s"coalesce(q$j, 0)").mkString(" + ")
         s"""$W SELECT __row_id__, ${F(s"($s)")} AS "0" FROM w ORDER BY __row_id__"""

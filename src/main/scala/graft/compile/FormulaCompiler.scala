@@ -436,6 +436,49 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     CMatrix(Seq(("0", cell)), isBool = false)
   }
 
+  /** `.clip(...)` bounds (r11): pandas' optional lower/upper, each
+    * positional or keyword; a bound given both ways raises the pandas
+    * multiple-values TypeError. */
+  private def clipBounds(args: List[CValue]): (Option[Double], Option[Double]) = {
+    val (pos, kws) = args.span(!_.isInstanceOf[CKw])
+    var (lo, hi) = pos match {
+      case Nil         => (Option.empty[Double], Option.empty[Double])
+      case List(a)     => (Some(asScalar(a, "clip")), Option.empty[Double])
+      case List(a, b)  => (Some(asScalar(a, "clip")), Some(asScalar(b, "clip")))
+      case _ => throw new FormulaTypeException(
+        "'.clip()' takes at most two bounds (lower, upper)")
+    }
+    kws.foreach {
+      case CKw("lower", v) =>
+        if (lo.isDefined) throw new FormulaTypeException(
+          "clip() got multiple values for argument 'lower'")
+        lo = Some(asScalar(v, "clip"))
+      case CKw("upper", v) =>
+        if (hi.isDefined) throw new FormulaTypeException(
+          "clip() got multiple values for argument 'upper'")
+        hi = Some(asScalar(v, "clip"))
+      case other => throw new FormulaTypeException(
+        s"'.clip()' got an unexpected argument $other")
+    }
+    (lo, hi)
+  }
+
+  /** `.replace(a, b)` as (from, to) pairs (r11): scalar→scalar,
+    * list→list (pandas' length check), or list→scalar. */
+  private def replacePairs(a: CValue, b: CValue): Seq[(Double, Double)] =
+    (a, b) match {
+      case (l: CList, r: CList) =>
+        val xs = scalarList(l, "replace", "replace([1, 2], [3, 4])")
+        val ys = scalarList(r, "replace", "replace([1, 2], [3, 4])")
+        if (xs.length != ys.length) throw new FormulaTypeException(
+          s"Replacement lists must match in length: ${xs.length} vs ${ys.length}")
+        xs.zip(ys)
+      case (l: CList, CScalar(y)) =>
+        scalarList(l, "replace", "replace([1, 2], 0)").map(_ -> y)
+      case _ =>
+        Seq(asScalar(a, "replace") -> asScalar(b, "replace"))
+    }
+
   /** Every element of a list literal as a scalar (r11) — the isin shape;
     * strings or nested lists reject with the example spelling. */
   private def scalarList(l: CList, what: String, ex: String): IndexedSeq[Double] =
@@ -711,6 +754,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
         "adjust"),
       "rank" -> Set("method", "ascending", "pct", "na_option"),
+      "clip" -> Set("lower", "upper"),
       "quantile" -> Set("interpolation")) ++
       Seq("sum", "mean", "min", "max", "count", "std", "var", "median",
         "prod", "nunique", "sem", "any", "all")
@@ -887,22 +931,34 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           "'.agg()' takes one function name string or a list of them, " +
             "e.g. agg('sum') or agg(['sum', 'mean'])")
 
-      case ("clip", CMatrix(cols, false), List(lo, hi)) =>
-        val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
+      // `.clip(...)` — r11 session 4 generalizes the two-positional form
+      // to pandas' full signature: lower/upper each optional, positional
+      // or keyword (clip(0), clip(upper=5), clip(lower=1, upper=9), …);
+      // a double-given bound raises pandas' multiple-values TypeError.
+      case ("clip", CMatrix(cols, false), args) =>
+        val (lo, hi) = clipBounds(args)
+        def bound(c: Column): Column = {
+          val lowered = lo.fold(c)(l =>
+            if (ubp) when(BigDec.cmp(c, litOf(l)) < 0, litOf(l)).otherwise(c)
+            // least/greatest on decimal strings would compare
+            // lexicographically; ubp clips via the numeric three-way cmp
+            else greatest(c, litOf(l)))
+          hi.fold(lowered)(h =>
+            if (ubp) when(BigDec.cmp(lowered, litOf(h)) > 0, litOf(h))
+              .otherwise(lowered)
+            else least(lowered, litOf(h)))
+        }
         val clipped =
-          if (std) mapCols(cols)(c => when(isnan(c), c)
-            .otherwise(least(greatest(c, litOf(l)), litOf(h))))
-          else if (ubp) mapCols(cols)(c =>
-            // least/greatest on strings would compare lexicographically;
-            // clip via the numeric three-way compare instead
-            when(BigDec.cmp(c, litOf(l)) < 0, litOf(l))
-              .when(BigDec.cmp(c, litOf(h)) > 0, litOf(h))
-              .otherwise(c))
-          else mapCols(cols)(c => least(greatest(c, litOf(l)), litOf(h)))
+          if (std) mapCols(cols)(c => when(isnan(c), c).otherwise(bound(c)))
+          else mapCols(cols)(bound)
         CMatrix(clipped, isBool = false)
-      case ("clip", CVecD(vs, ls), List(lo, hi)) =>
-        val (l, h) = (asScalar(lo, "clip"), asScalar(hi, "clip"))
-        CVecD(vs.map(x => if (x.isNaN) x else math.min(math.max(x, l), h)), ls)
+      case ("clip", CVecD(vs, ls), args) =>
+        val (lo, hi) = clipBounds(args)
+        CVecD(vs.map { x =>
+          if (x.isNaN) x
+          else hi.fold(lo.fold(x)(math.max(x, _)))(h =>
+            math.min(lo.fold(x)(math.max(x, _)), h))
+        }, ls)
 
       // `.isna()`/`.isnull()` and `.notna()`/`.notnull()` (r9): the hole
       // mask as a boolean frame. Std holes are NULL/NaN; decimal and
@@ -959,15 +1015,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // scalar). Unbounded cells compare numerically (string equality
       // would miss scale variants like "7" vs "7.0").
       case ("replace", CMatrix(cols, false), List(a, b)) =>
-        val (x, y) = (asScalar(a, "replace"), asScalar(b, "replace"))
+        // scalar→scalar, list→list (pairwise, pandas' length check), or
+        // list→scalar; one chained CaseWhen per cell either way
+        val pairs = replacePairs(a, b)
         val out =
-          if (ubp) mapCols(cols)(c =>
-            when(BigDec.cmp(c, litOf(x)) === 0, litOf(y)).otherwise(c))
-          else mapCols(cols)(c => when(c === litOf(x), litOf(y)).otherwise(c))
+          if (ubp) mapCols(cols)(c => pairs.foldLeft(when(lit(false), c)) {
+            case (w, (x, y)) => w.when(BigDec.cmp(c, litOf(x)) === 0, litOf(y))
+          }.otherwise(c))
+          else mapCols(cols)(c => pairs.foldLeft(when(lit(false), c)) {
+            case (w, (x, y)) => w.when(c === litOf(x), litOf(y))
+          }.otherwise(c))
         CMatrix(out, isBool = false)
       case ("replace", CVecD(vs, ls), List(a, b)) =>
-        val (x, y) = (asScalar(a, "replace"), asScalar(b, "replace"))
-        CVecD(vs.map(v => if (v == x) y else v), ls)
+        val pairs = replacePairs(a, b)
+        CVecD(vs.map(v => pairs.collectFirst {
+          case (x, y) if v == x => y }.getOrElse(v)), ls)
 
       // `.duplicated()` (r9): pandas keep='first' — True for every row
       // whose full cell tuple already appeared at a SMALLER row id (the
