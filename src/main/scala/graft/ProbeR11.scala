@@ -87,6 +87,28 @@ object ProbeR11 {
       out += "ctrfuse" -> r
     }
 
+    // session 4: the order-statistic quantile reduction (exact rank
+    // selection over grouped value counts — the only data-scaled stage
+    // is the per-column cumulative window over DISTINCT values), the
+    // one-pass percentile-array list form, and an axis=1 projection as
+    // the floor reference. Expectation: qlow tracks the DISTINCT count
+    // (lineitem quantity sums are low-cardinality, so near-flat), qlist
+    // and hsum track the scan linearly.
+    if (want("qosreduce")) {
+      val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+      for ((tag, dir) <- Seq("1x" -> sf1x, "10x" -> "/tmp/graft_sf1",
+             "30x" -> "/tmp/graft_sf3")
+           if new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        QueryCatalog.wide(spark, dir).count()
+        for (n <- Seq("e11_qlow", "e11_qlist", "e11_hsum")) {
+          val t = best { SparkEntry.queries(n)(spark, dir).count() }
+          r += s"${n}_$tag" -> t
+          System.err.println(f"[probe] qosreduce $n $tag $t%.2f")
+        }
+      }
+      out += "qosreduce" -> r
+    }
+
     def js(v: Any): String = v match {
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => s""""$k":${js(x)}""" }
