@@ -181,6 +181,9 @@ object SparkEntry {
     "e11_nlarge" -> ((s, d) => formulaQuery("qone.nlargest(7)")(s, d)),
     "e11_nsmall" -> ((s, d) => formulaQuery("qone.nsmallest(7)")(s, d)),
     "e11_vcounts" -> ((s, d) => formulaQuery("qone.value_counts()")(s, d)),
+    "e11_vcnorm" -> ((s, d) =>
+      formulaQuery("qone.value_counts(normalize=1, ascending=1)",
+        roundTo = Some(9))(s, d)),
     // r9: pairwise-complete Pearson/covariance frames + any-hole row filter
     "e11_corr" -> ((s, d) => formulaQuery("qty.corr()")(s, d)),
     "e11_cov" -> ((s, d) => formulaQuery("qty.cov()")(s, d)),
@@ -356,6 +359,12 @@ object SparkEntry {
     // r11 session 4: axis=1 (row-wise) reductions — pure per-row
     // projections, zero shuffle; integer cells keep sum/mean/median
     // exact, std rounds 6 dp (identical IEEE chains, margin only)
+    // describe(percentiles=[...]) — all percentiles still one aggregate
+    // pass; cumsum(axis=1) — the row-wise fold as a pure projection
+    "e11_descp" -> ((s, d) =>
+      formulaQuery("qty.describe(percentiles=[0.1, 0.9])",
+        roundTo = Some(6))(s, d)),
+    "e11_hcum" -> ((s, d) => formulaQuery("qty.cumsum(axis=1)")(s, d)),
     // clip one-sided keyword + replace list form (r11 session 4)
     "e11_clipk" -> ((s, d) => formulaQuery("qty.clip(upper=10)")(s, d)),
     "e11_replist" -> ((s, d) =>
@@ -4429,6 +4438,18 @@ object SparkEntry {
           "SELECT CAST(row_number() OVER (ORDER BY \"count\" DESC, c1) " +
           "AS VARCHAR) AS __row_id__, c1, \"count\" FROM vc " +
           "ORDER BY __row_id__"),
+      // normalize=1: shares of the valid total (both engines divide the
+      // same integer-valued doubles — exact quotient, rounded 9 for the
+      // float margin); ascending=1 flips the rank order
+      "e11_vcnorm" ->
+        (s"$W, vc AS (SELECT CAST(q1 AS DOUBLE) AS c1, " +
+          "CAST(count(*) AS DOUBLE) AS n FROM w " +
+          "WHERE q1 IS NOT NULL GROUP BY 1), " +
+          "tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w " +
+          "WHERE q1 IS NOT NULL) " +
+          "SELECT CAST(row_number() OVER (ORDER BY n / t ASC, c1) " +
+          "AS VARCHAR) AS __row_id__, c1, round(n / t, 9) AS proportion " +
+          "FROM vc, tot ORDER BY __row_id__"),
       // pairwise-complete Pearson: per pair the six moments over rows
       // where BOTH cells are present (exact on integer quantities), then
       // the same fixed-order double formula as the engine, rounded 9
@@ -4768,6 +4789,33 @@ object SparkEntry {
       // function name as the row id (the describe pattern)
       // axis=1 mirrors: per-row expressions over q1..q4 in the engine's
       // own left-associated order (identical IEEE chains)
+      // describe(percentiles=) mirror: the quartile rows of e11_desc with
+      // the percentile rows computed by explicit sorted-list indexing in
+      // Spark Percentile's own formula (v_lo + frac·(v_hi − v_lo))
+      "e11_descp" -> {
+        def pctRow(lbl: String, q: Double) = {
+          val cells = J.map { j =>
+            val arr = s"list_sort(list(q$j) FILTER (q$j IS NOT NULL))"
+            val h = s"((count(q$j) - 1) * $q)"
+            val lo = s"$arr[CAST(floor($h) AS INT) + 1]"
+            val hi = s"$arr[CAST(ceil($h) AS INT) + 1]"
+            s"round($lo + ($h - floor($h)) * ($hi - $lo), 6) AS c$j"
+          }.mkString(", ")
+          s"SELECT '$lbl' AS __row_id__, $cells FROM w"
+        }
+        s"$W SELECT * FROM (" +
+          s"SELECT 'count' AS __row_id__, ${J.map(j => s"round(CAST(count(q$j) AS DOUBLE), 6) AS c$j").mkString(", ")} FROM w UNION ALL " +
+          s"SELECT 'mean' AS __row_id__, ${J.map(j => s"round(avg(q$j), 6) AS c$j").mkString(", ")} FROM w UNION ALL " +
+          s"SELECT 'std' AS __row_id__, ${J.map(j => s"round(stddev_samp(q$j), 6) AS c$j").mkString(", ")} FROM w UNION ALL " +
+          s"SELECT 'min' AS __row_id__, ${J.map(j => s"round(CAST(min(q$j) AS DOUBLE), 6) AS c$j").mkString(", ")} FROM w UNION ALL " +
+          pctRow("10%", 0.1) + " UNION ALL " + pctRow("50%", 0.5) +
+          " UNION ALL " + pctRow("90%", 0.9) + " UNION ALL " +
+          s"SELECT 'max' AS __row_id__, ${J.map(j => s"round(CAST(max(q$j) AS DOUBLE), 6) AS c$j").mkString(", ")} FROM w" +
+          ") ORDER BY __row_id__"
+      },
+      "e11_hcum" -> matSql(j => F(
+        s"CASE WHEN q$j IS NULL THEN NULL ELSE " +
+          (1 to j).map(k => s"coalesce(q$k, 0)").mkString(" + ") + " END")),
       // DuckDB least() SKIPS NULLs (returns the other operand), so the
       // hole must stay NULL explicitly for the fill to zero it
       "e11_clipk" -> matSql(j => F(

@@ -436,6 +436,41 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     CMatrix(Seq(("0", cell)), isBool = false)
   }
 
+  /** `.describe(percentiles=[...])`'s percentile list (r11): pandas
+    * semantics — validated to [0, 1], the median always included, sorted
+    * ascending, deduped. No args → the default quartiles. */
+  private def describePercentiles(args: List[CValue]): IndexedSeq[Double] =
+    args match {
+      case Nil => IndexedSeq(0.25, 0.5, 0.75)
+      case List(CKw("percentiles", l: CList)) =>
+        val ps = scalarList(l, "describe",
+          "describe(percentiles=[0.1, 0.9])")
+        ps.foreach { p =>
+          if (p < 0.0 || p > 1.0) throw new FormulaTypeException(
+            s"percentiles should all be in the interval [0, 1], got $p")
+        }
+        ((ps :+ 0.5).distinct.sorted: IndexedSeq[Double])
+      case _ => throw new FormulaTypeException(
+        "'.describe()' takes percentiles= with a list literal, e.g. " +
+          "describe(percentiles=[0.1, 0.9])")
+    }
+
+  /** A truthy 0/1 keyword from an argument list (r11) — the center=1 /
+    * ascending=0 convention (the DSL has numeric literals only). */
+  private def truthyKw(args: List[CValue], name: String): Boolean =
+    args.collectFirst {
+      case CKw(`name`, CScalar(v)) => v != 0.0
+      case CKw(`name`, other) => throw new FormulaTypeException(
+        s"'$name=' expects 0 or 1, got $other")
+    }.getOrElse(false)
+
+  /** pandas' percentile row label: '25%', '10%', '12.5%'. */
+  private def pctLabel(p: Double): String = {
+    val x = p * 100.0
+    if (x == math.rint(x)) s"${x.toLong}%"
+    else s"${BigDecimal(x).underlying.stripTrailingZeros.toPlainString}%"
+  }
+
   /** `.clip(...)` bounds (r11): pandas' optional lower/upper, each
     * positional or keyword; a bound given both ways raises the pandas
     * multiple-values TypeError. */
@@ -755,9 +790,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         "adjust"),
       "rank" -> Set("method", "ascending", "pct", "na_option"),
       "clip" -> Set("lower", "upper"),
+      "describe" -> Set("percentiles"),
+      "value_counts" -> Set("normalize", "ascending"),
       "quantile" -> Set("interpolation")) ++
       Seq("sum", "mean", "min", "max", "count", "std", "var", "median",
-        "prod", "nunique", "sem", "any", "all")
+        "prod", "nunique", "sem", "any", "all",
+        "cumsum", "cummax", "cummin", "cumprod")
         .map(_ -> Set("axis")).toMap
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
@@ -873,8 +911,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // idxmax/idxmin (string cells) and any/all (boolean cells) are
       // excluded from the LIST form only — the stat frame is a double
       // matrix; pandas' object-dtype mixed frame has no analogue here.
+      // single-name agg also delegates on the window markers
+      // (rolling/expanding/ewm — pandas' r.agg('mean') ≡ r.mean());
+      // the list (stat-frame) form stays frame/Series-only
       case ("agg", tgt, List(arg)) if (tgt match {
-          case CMatrix(_, false) | _: CVecD => true; case _ => false
+          case CMatrix(_, false) | _: CVecD | _: CRoll | _: CRollD |
+               _: CExpand | _: CExpandD | _: CEwm | _: CEwmD => true
+          case _ => false
         }) && (arg.isInstanceOf[CStr] || arg.isInstanceOf[CList]) =>
         val single = Set("sum", "mean", "min", "max", "count", "std",
           "var", "median", "prod", "nunique", "sem", "skew", "kurt",
@@ -923,7 +966,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                       s"'.agg()' function '$k' did not reduce: $other")
                   }
                 }, names)
-              case _ => throw new FormulaTypeException("unreachable")
+              case _ => throw new FormulaTypeException(
+                "'.agg([...])' takes a DataFrame or Series; window " +
+                  "objects dispatch one function at a time (agg('mean'))")
             }
         }
       case ("agg", _, _) =>
@@ -1300,7 +1345,32 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // association is engine-exact there; arbitrary doubles can differ
       // from a strict sequential scan in the last ulps (the standard
       // distributed-prefix trade, disclosed on Prefix.runningAgg).
-      case (cm @ ("cumsum" | "cummax" | "cummin"), CMatrix(cols, false), Nil) =>
+      // axis=1 (r11 session 4): the row-wise cumulative — a pure
+      // projection like the axis=1 reductions (column k's cell folds
+      // cells 0..k of ITS OWN ROW). skipna: an invalid cell stays
+      // NaN but does not poison the cells right of it (pandas).
+      case (cm @ ("cumsum" | "cummax" | "cummin" | "cumprod"),
+            CMatrix(cols, false), args)
+          if axisArg(args).contains(1) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.$cm(axis=1)' is not supported in ADP mode")
+        val valid = cols.map { case (_, c) =>
+          when(isnan(c), lit(null)).otherwise(c) }
+        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+          val upto = valid.take(i + 1)
+          val run = cm match {
+            case "cumsum"  => upto.map(v => coalesce(v, lit(0.0))).reduce(_ + _)
+            case "cumprod" => upto.map(v => coalesce(v, lit(1.0))).reduce(_ * _)
+            case "cummax" =>
+              if (upto.size == 1) upto.head else greatest(upto: _*)
+            case _ =>
+              if (upto.size == 1) upto.head else least(upto: _*)
+          }
+          (lbl, when(isnan(c), c).otherwise(run))
+        }
+        CMatrix(out, isBool = false)
+      case (cm @ ("cumsum" | "cummax" | "cummin"), CMatrix(cols, false), args)
+          if axisArg(args).contains(0) =>
         if (ubp) throw new AdpUnsupportedException(
           s"'.$cm()' is not supported in unbounded ADP mode")
         val kind = cm match {
@@ -1507,7 +1577,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // costs ~1 ulp relative vs a sequential multiply — documented, so
       // this method is golden-tested, not oracle-hashed (the e9_log
       // float-function policy).
-      case ("cumprod", CMatrix(cols, false), Nil) =>
+      case ("cumprod", CMatrix(cols, false), args)
+          if axisArg(args).contains(0) =>
         if (!std) throw new AdpUnsupportedException(
           "'.cumprod()' is not supported in ADP mode")
         ctx.seqCounter += 1
@@ -1847,27 +1918,32 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // base, the single agg row exploded into the 8 stat rows. TERMINAL:
       // the result's row domain is stat names, not the base's row ids, so
       // further composition is rejected with a clear error.
-      case ("describe", CMatrix(cols, false), Nil) =>
+      case ("describe", CMatrix(cols, false), args) if args.length <= 1 =>
         if (!std) throw new AdpUnsupportedException(
           "'.describe()' is not supported in ADP mode")
         val base = ctx.base.getOrElse(
           throw new FormulaTypeException("describe requires a matrix operand"))
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
-        val stats = Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max")
+        // r11 session 4: percentiles=[...] — pandas' kwarg (median is
+        // always included, the list is sorted and deduped). All the
+        // percentiles still ride ONE aggregate pass.
+        val ps = describePercentiles(args)
+        val stats = Seq("count", "mean", "std", "min") ++
+          ps.map(pctLabel) :+ "max"
+        val keys = Seq("cnt", "avg", "std", "min") ++
+          ps.indices.map(i => s"q$i") :+ "max"
         val aggExprs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
           val v = when(isnan(c), lit(null)).otherwise(c)
           Seq(count(v).cast("double").as(s"__d${tag}_cnt_$i"),
             avg(v).as(s"__d${tag}_avg_$i"),
             stddev_samp(v).as(s"__d${tag}_std_$i"),
-            min(v).as(s"__d${tag}_min_$i"),
-            percentile(v, lit(0.25)).as(s"__d${tag}_q1_$i"),
-            percentile(v, lit(0.5)).as(s"__d${tag}_q2_$i"),
-            percentile(v, lit(0.75)).as(s"__d${tag}_q3_$i"),
-            max(v).as(s"__d${tag}_max_$i"))
+            min(v).as(s"__d${tag}_min_$i")) ++
+            ps.zipWithIndex.map { case (p, pi) =>
+              percentile(v, lit(p)).as(s"__d${tag}_q${pi}_$i") } :+
+            max(v).as(s"__d${tag}_max_$i")
         }
         val agg1 = base.agg(aggExprs.head, aggExprs.tail: _*)
-        val keys = Seq("cnt", "avg", "std", "min", "q1", "q2", "q3", "max")
         val rows = stats.zip(keys).map { case (statName, key) =>
           struct((lit(statName).as("__row_id__") +:
             cols.zipWithIndex.map { case ((lbl, _), i) =>
@@ -1877,7 +1953,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val framed = agg1.select(explode(array(rows: _*)).as("__r"))
           .select(col("__r.*"))
         CFrame(framed, "__row_id__", cols.map(_._1))
-      case ("describe", CVecD(vs, _), Nil) =>
+      case ("describe", CVecD(vs, _), args) if args.length <= 1 =>
+        val ps = describePercentiles(args)
         val ok = vs.filter(!_.isNaN)
         def pct(q: Double): Double =
           if (ok.isEmpty) Double.NaN
@@ -1892,10 +1969,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val sd =
           if (n < 2) Double.NaN
           else math.sqrt(ok.map(x => (x - mean) * (x - mean)).sum / (n - 1))
-        CVecD(IndexedSeq(n.toDouble, mean, sd,
-          if (n == 0) Double.NaN else ok.min, pct(0.25), pct(0.5), pct(0.75),
-          if (n == 0) Double.NaN else ok.max),
-          IndexedSeq("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+        CVecD((IndexedSeq(n.toDouble, mean, sd,
+          if (n == 0) Double.NaN else ok.min) ++ ps.map(pct)) :+
+          (if (n == 0) Double.NaN else ok.max),
+          (IndexedSeq("count", "mean", "std", "min") ++
+            ps.map(pctLabel)) :+ "max")
       // `.nlargest(n)` / `.nsmallest(n)` (r9): pandas Series top-n by
       // value, original index preserved, ties kept first-occurrence, NaN
       // dropped. Distributed: filter + TakeOrderedAndProject — a bounded
@@ -2012,7 +2090,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // frame, bounded by the distinct-value cardinality — the result
       // itself is that size. TERMINAL like describe: the row domain is a
       // rank, the columns are (value, count).
-      case ("value_counts", CMatrix(cols, false), Nil) =>
+      case ("value_counts", CMatrix(cols, false), args)
+          if args.forall(_.isInstanceOf[CKw]) =>
         if (!std) throw new AdpUnsupportedException(
           "'.value_counts()' is not supported in ADP mode")
         if (cols.length != 1) throw new FormulaTypeException(
@@ -2022,21 +2101,40 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val base = ctx.base.getOrElse(
           throw new FormulaTypeException(
             "value_counts requires a matrix operand"))
+        // r11 session 4: normalize= (shares, pandas 'proportion' column)
+        // and ascending= kwargs. The share divides by a 1-row broadcast
+        // total — the counts frame itself is never re-walked.
+        val normalize = truthyKw(args, "normalize")
+        val ascending = truthyKw(args, "ascending")
         val (lbl, c) = cols.head
-        val counts = base.where(c.isNotNull && !isnan(c))
-          .groupBy(c.cast("double").as(lbl))
-          .agg(count(lit(1)).cast("double").as("count"))
+        val valid = base.where(c.isNotNull && !isnan(c))
+        val counts0 = valid.groupBy(c.cast("double").as(lbl))
+          .agg(count(lit(1)).cast("double").as("__vc_n"))
+        val outName = if (normalize) "proportion" else "count"
+        val counts =
+          if (normalize)
+            counts0.crossJoin(broadcast(
+              valid.agg(count(lit(1)).cast("double").as("__vc_tot"))))
+              .select(col(lbl), (col("__vc_n") / col("__vc_tot")).as(outName))
+          else counts0.select(col(lbl), col("__vc_n").as(outName))
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("count").desc, col(lbl).asc)
+          .orderBy(if (ascending) col(outName).asc else col(outName).desc,
+            col(lbl).asc)
         val framed = counts.select(
           row_number().over(w).cast("string").as("__row_id__"),
-          col(lbl), col("count"))
-        CFrame(framed, "__row_id__", Seq(lbl, "count"))
-      case ("value_counts", CVecD(vs, _), Nil) =>
-        val grouped = vs.filter(!_.isNaN).groupBy(identity).view
+          col(lbl), col(outName))
+        CFrame(framed, "__row_id__", Seq(lbl, outName))
+      case ("value_counts", CVecD(vs, _), args)
+          if args.forall(_.isInstanceOf[CKw]) =>
+        val normalize = truthyKw(args, "normalize")
+        val ascending = truthyKw(args, "ascending")
+        val ok = vs.filter(!_.isNaN)
+        val grouped = ok.groupBy(identity).view
           .mapValues(_.length.toDouble).toSeq
-          .sortBy { case (v, n) => (-n, v) }
-        CVecD(grouped.map(_._2).toIndexedSeq,
+          .sortBy { case (v, n) => (if (ascending) n else -n, v) }
+        val outVals = grouped.map(_._2)
+          .map(n => if (normalize) n / ok.length else n)
+        CVecD(outVals.toIndexedSeq,
           grouped.map(_._1.toString).toIndexedSeq)
 
       // `.corr()`/`.cov()` (r9): pandas' pairwise Pearson correlation /

@@ -52,6 +52,41 @@ class AggDispatchSpec extends SparkSpec {
     assert(out.values == Seq(1.0, 2.0))
   }
 
+  test("agg('fn') delegates on the window markers (rolling/ewm)") {
+    val ev = new FormulaEvaluator(reg("s" -> m2), fillInvalid = false)
+    val MatrixResult(df1, rid, labels, _) =
+      ev.evaluateFormula("s.rolling(2).agg('mean')"): @unchecked
+    val MatrixResult(df2, _, _, _) =
+      ev.evaluateFormula("s.rolling(2).mean()"): @unchecked
+    assert(df1.orderBy(rid).collect().toSeq ==
+      df2.orderBy(rid).collect().toSeq)
+    // the list form stays frame/Series-only
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(2).agg(['mean', 'sum'])"))
+    assert(e.getMessage.contains("one function at a time"))
+  }
+
+  test("value_counts(normalize=, ascending=): shares and flipped order") {
+    // column [1, 1, 2]: normalize -> [2/3 for 1, 1/3 for 2];
+    // ascending puts the rarer value first
+    val m = mat3(Seq(Seq(1.0), Seq(1.0), Seq(2.0)), labels = Seq("c0"))
+    val ev = new FormulaEvaluator(reg("s" -> m), fillInvalid = false)
+    val MatrixResult(df, rid, labels, _) =
+      ev.evaluateFormula("s.value_counts(normalize=1, ascending=1)"): @unchecked
+    assert(labels == Seq("c0", "proportion"))
+    val rows = df.orderBy(rid).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((2.0, 1.0 / 3), (1.0, 2.0 / 3)))
+    // vector twin
+    val v = graft.model.Vec(IndexedSeq(1.0, 1.0, 2.0),
+      IndexedSeq("a", "b", "c"))
+    val ev2 = new FormulaEvaluator(reg("v" -> v))
+    val VecResult(out) =
+      ev2.evaluateFormula("v.value_counts(normalize=1)"): @unchecked
+    assert(out.labels == Seq("1.0", "2.0"))
+    assert(out.values == Seq(2.0 / 3, 1.0 / 3))
+  }
+
   test("clean errors: unknown name, non-reduction, mixed list, " +
       "object-dtype functions excluded from the list form") {
     val ev = new FormulaEvaluator(reg("s" -> m2), fillInvalid = false)
