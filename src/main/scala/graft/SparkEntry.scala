@@ -359,6 +359,10 @@ object SparkEntry {
     // r11 session 4: axis=1 (row-wise) reductions — pure per-row
     // projections, zero shuffle; integer cells keep sum/mean/median
     // exact, std rounds 6 dp (identical IEEE chains, margin only)
+    // interpolate: linear gap fill by POSITION (three slice passes —
+    // dense position prefix + forward/backward struct carries)
+    "e11_interp" -> ((s, d) =>
+      formulaQuery("qty.interpolate()", roundTo = Some(6))(s, d)),
     // describe(percentiles=[...]) — all percentiles still one aggregate
     // pass; cumsum(axis=1) — the row-wise fold as a pure projection
     "e11_descp" -> ((s, d) =>
@@ -4789,6 +4793,33 @@ object SparkEntry {
       // function name as the row id (the describe pattern)
       // axis=1 mirrors: per-row expressions over q1..q4 in the engine's
       // own left-associated order (identical IEEE chains)
+      // interpolate mirror: positions are row_number over the row-id
+      // order; forward neighbor via last_value IGNORE NULLS over the
+      // preceding frame, backward via first_value over the following;
+      // the blend is the engine's own formula (pv + (nv−pv)·Δ/gap),
+      // leading holes NULL (→ fill 0), trailing holes carry forward
+      "e11_interp" -> {
+        val pcols = J.map(j => s"q$j").mkString(", ")
+        val nbrs = J.flatMap { j =>
+          val vp = s"CASE WHEN q$j IS NOT NULL THEN pos END"
+          Seq(
+            s"last_value($vp IGNORE NULLS) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS fp$j",
+            s"last_value(q$j IGNORE NULLS) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS fv$j",
+            s"first_value($vp IGNORE NULLS) OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bp$j",
+            s"first_value(q$j IGNORE NULLS) OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bv$j")
+        }.mkString(", ")
+        val outs = J.map { j =>
+          F(s"round(CASE WHEN q$j IS NOT NULL THEN q$j " +
+            s"WHEN fp$j IS NULL THEN NULL " +
+            s"WHEN bp$j IS NULL THEN fv$j " +
+            s"ELSE fv$j + (bv$j - fv$j) * (pos - fp$j) / (bp$j - fp$j) " +
+            s"END, 6)") + s" AS c$j"
+        }.mkString(", ")
+        s"$W, p AS (SELECT __row_id__, $pcols, " +
+          "CAST(row_number() OVER (ORDER BY __row_id__) AS DOUBLE) AS pos " +
+          "FROM w), d AS (SELECT *, " + nbrs + " FROM p) " +
+          s"SELECT __row_id__, $outs FROM d ORDER BY __row_id__"
+      },
       // describe(percentiles=) mirror: the quartile rows of e11_desc with
       // the percentile rows computed by explicit sorted-list indexing in
       // Spark Percentile's own formula (v_lo + frac·(v_hi − v_lo))

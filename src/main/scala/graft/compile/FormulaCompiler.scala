@@ -1551,6 +1551,78 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CVecD(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), ls)
 
+      // `.interpolate()` (r11 session 4): pandas linear gap fill down the
+      // row order — each hole blends its nearest valid neighbors by
+      // POSITION (pandas method='linear' treats rows as equally spaced
+      // and ignores index values; row ids are the ORDER contract only).
+      // Pandas' default limit_direction='forward' edges: a leading hole
+      // run stays NaN, a trailing run carries the last valid value.
+      // Distributed as three [[graft.operators.Prefix.runningAgg]]
+      // passes, each one slice exchange with slice-count-bounded state
+      // (the ffill shape): (1) the dense position as a running count of
+      // 1s, (2) the forward carry of struct(position, value) at valid
+      // cells, (3) the backward carry — then one closing projection
+      // does the blend. Never a data-scaled window, never a join.
+      case ("interpolate", CMatrix(cols, false), Nil) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.interpolate()' is not supported in ADP mode")
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        val one = s"__ip${tag}_one"; val posN = s"__ip${tag}_pos"
+        val withPos = graft.operators.Prefix.runningAgg(
+          ctx.base.get.select(col("*") +: Seq(lit(1.0).as(one)): _*),
+          rid, Seq(one), Seq("sum"), Seq(posN))
+        val sNames = cols.indices.map(i => s"__ip${tag}_s_$i")
+        val fNames = cols.indices.map(i => s"__ip${tag}_f_$i")
+        val bNames = cols.indices.map(i => s"__ip${tag}_b_$i")
+        val marked = withPos.select(col("*") +:
+          cols.zipWithIndex.map { case ((_, c), i) =>
+            when(c.isNotNull && !isnan(c),
+              struct(col(posN).as("o"), c.as("v"))).as(sNames(i))
+          }: _*)
+        val fw = graft.operators.Prefix.runningAgg(
+          marked, rid, sNames, Seq.fill(cols.size)("max"), fNames)
+        val bw = graft.operators.Prefix.runningAgg(
+          fw, rid, sNames, Seq.fill(cols.size)("min"), bNames,
+          descending = true)
+        ctx.base = Some(bw)
+        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+          val f = col(fNames(i)); val b = col(bNames(i))
+          val pv = f.getField("v"); val po = f.getField("o")
+          val nv = b.getField("v"); val no = b.getField("o")
+          val cell = when(c.isNotNull && !isnan(c), c)
+            .otherwise(when(f.isNull, litOf(Double.NaN))
+              .otherwise(when(b.isNull, pv)
+                .otherwise(pv + (nv - pv) * (col(posN) - po) / (no - po))))
+          (lbl, cell)
+        }
+        CMatrix(out, isBool = false)
+      case ("interpolate", CVecD(vs, ls), Nil) =>
+        val out = vs.toArray
+        var i = 0
+        var lastValid = -1
+        while (i < vs.length) {
+          if (!vs(i).isNaN) {
+            if (lastValid >= 0 && i - lastValid > 1) {
+              val (a, b) = (vs(lastValid), vs(i))
+              var k = lastValid + 1
+              while (k < i) {
+                out(k) = a + (b - a) * (k - lastValid).toDouble / (i - lastValid)
+                k += 1
+              }
+            }
+            lastValid = i
+          }
+          i += 1
+        }
+        // trailing run: carry the last valid forward (pandas default)
+        if (lastValid >= 0) {
+          var k = lastValid + 1
+          while (k < vs.length) { out(k) = vs(lastValid); k += 1 }
+        }
+        CVecD(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), ls)
+
       case (cm @ ("cumsum" | "cummax" | "cummin" | "cumprod"), CVecD(vs, ls), Nil) =>
         val combine: (Double, Double) => Double = cm match {
           case "cumsum" => _ + _; case "cummax" => math.max; case "cummin" => math.min
@@ -2836,7 +2908,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "nlargest, nsmallest, value_counts, corr, cov, dropna, " +
             "mode, head, tail, isna, isnull, notna, notnull, " +
             "where, mask, replace, duplicated, " +
-            "ffill, bfill, pct_change, " +
+            "ffill, bfill, interpolate, pct_change, " +
             "rolling(n[, min_periods]).sum/mean/count/min/max/std/var/" +
             "median/quantile/skew/kurt, " +
             "expanding().sum/mean/count/min/max/std/var, " +

@@ -65,6 +65,10 @@ class SequentialPlanSpec extends SparkSpec {
   test("e11_cumprod plans with no single-partition window") {
     assertNoGlobalWindow("e11_cumprod")
   }
+  test("e11_interp plans with no single-partition window (three " +
+      "slice-prefix passes, r11)") {
+    assertNoGlobalWindow("e11_interp")
+  }
   test("r11 axis=1 reductions are pure projections: no exchange, no " +
       "window, no aggregate anywhere in the plan") {
     for (name <- Seq("e11_hsum", "e11_hstd", "e11_hmed")) {
