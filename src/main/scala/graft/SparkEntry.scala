@@ -374,6 +374,7 @@ object SparkEntry {
     "e11_replist" -> ((s, d) =>
       formulaQuery("qty.replace([1, 5], [100, 500])")(s, d)),
     "e11_hsum" -> ((s, d) => formulaQuery("qty.sum(axis=1)")(s, d)),
+    "e11_hrank" -> ((s, d) => formulaQuery("qty.rank(axis=1)")(s, d)),
     "e11_hmean" -> ((s, d) => formulaQuery("qty.mean(axis=1)")(s, d)),
     "e11_hstd" -> ((s, d) =>
       formulaQuery("qty.std(axis=1)", roundTo = Some(6))(s, d)),
@@ -4883,6 +4884,16 @@ object SparkEntry {
         val n = J.map(j => s"CASE WHEN q$j IS NOT NULL THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""$W SELECT __row_id__, CAST($n AS DOUBLE) AS "0" FROM w ORDER BY __row_id__"""
+      },
+      // row-wise average rank: less + (eq+1)/2 per cell over the row
+      // mates (integers — exact halves); NaN cells -> NULL -> fill 0
+      "e11_hrank" -> matSql { j =>
+        val less = J.map(k =>
+          s"CASE WHEN q$k < q$j THEN 1 ELSE 0 END").mkString(" + ")
+        val eq = J.map(k =>
+          s"CASE WHEN q$k = q$j THEN 1 ELSE 0 END").mkString(" + ")
+        F(s"CASE WHEN q$j IS NULL THEN NULL ELSE " +
+          s"($less) + (($eq) + 1.0) / 2.0 END")
       },
       "e11_qlist" -> (s"$W SELECT * FROM (" +
         Seq(0.25, 0.5, 0.75).map(q =>

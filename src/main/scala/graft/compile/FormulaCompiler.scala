@@ -587,10 +587,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "default 'keep' (NaN stays NaN)")
       case CKw("na_option", _) => throw new FormulaTypeException(
         "'.rank(na_option=)' expects a string literal")
+      // axis=1 is dispatched before rankArgs runs (matrix targets); an
+      // axis that reaches here is the explicit 0 (accepted) or a Series
+      // axis=1 (rejected — pandas' no-axis error)
+      case CKw("axis", v) =>
+        if (asScalar(v, "axis") != 0.0) throw new FormulaTypeException(
+          "'.rank(axis=1)': a Series has no axis 1")
       case _ => throw new FormulaTypeException(
         "'.rank()' takes keyword arguments only (method=, ascending=, " +
-          "pct=, na_option=; pandas' first positional is axis, which is " +
-          "not supported)")
+          "pct=, na_option=, axis=)")
     }
     (meth, asc, pct)
   }
@@ -788,7 +793,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "expanding" -> Set("min_periods"),
       "ewm" -> Set("com", "span", "halflife", "alpha", "min_periods",
         "adjust"),
-      "rank" -> Set("method", "ascending", "pct", "na_option"),
+      "rank" -> Set("method", "ascending", "pct", "na_option", "axis"),
       "clip" -> Set("lower", "upper"),
       "describe" -> Set("percentiles"),
       "value_counts" -> Set("normalize", "ascending"),
@@ -1713,6 +1718,55 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // ascending ranks of the NEGATED key (groupBy/join normalize −0.0
       // to 0.0, so the key stays exact). Deterministic: no arbitrary-
       // order dependence, no single-partition window anywhere.
+      // rank(axis=1) (r11 session 4): the row-wise rank as a pure
+      // projection over the bounded column list — per cell, the counts
+      // of row-mates strictly better / equal close every pandas method:
+      //   average = less + (eq+1)/2   min = less + 1   max = less + eq
+      //   first   = less + (equal cells LEFT of this one) + 1
+      //   dense   = |distinct better values| + 1
+      // pct divides by the row's valid count (dense: distinct count).
+      // NaN cells stay NaN (na_option='keep'). Zero shuffles.
+      case ("rank", CMatrix(cols, false), rargs)
+          if rargs.exists {
+            case CKw("axis", CScalar(a)) => a == 1.0; case _ => false } =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.rank(axis=1)' is not supported in ADP mode")
+        val (meth, asc, pct) = rankArgs(rargs.filterNot {
+          case CKw("axis", _) => true; case _ => false })
+        val valid = cols.map { case (_, c) =>
+          when(isnan(c), lit(null)).otherwise(c) }
+        def better(a: Column, b: Column) = if (asc) a < b else a > b
+        val nValid = valid.map(v => when(v.isNull, lit(0)).otherwise(lit(1)))
+          .reduce(_ + _).cast("double")
+        val out = cols.zipWithIndex.map { case ((lbl, _), j) =>
+          val vj = valid(j)
+          val less = valid.map(vk =>
+            coalesce(better(vk, vj).cast("int"), lit(0)))
+            .reduce(_ + _).cast("double")
+          val eq = valid.map(vk => coalesce((vk === vj).cast("int"), lit(0)))
+            .reduce(_ + _).cast("double")
+          val r: Column = meth match {
+            case "average" => less + (eq + 1.0) / 2.0
+            case "min"     => less + 1.0
+            case "max"     => less + eq
+            case "first" =>
+              val before = valid.take(j)
+                .map(vk => coalesce((vk === vj).cast("int"), lit(0)))
+                .foldLeft(lit(0): Column)(_ + _).cast("double")
+              less + before + 1.0
+            case _ =>
+              size(array_distinct(filter(array(valid: _*),
+                vk => better(vk, vj)))).cast("double") + 1.0
+          }
+          val denom =
+            if (meth == "dense")
+              size(array_distinct(filter(array(valid: _*),
+                vk => vk.isNotNull))).cast("double")
+            else nValid
+          (lbl, when(vj.isNull, litOf(Double.NaN))
+            .otherwise(if (pct) r / denom else r))
+        }
+        CMatrix(out, isBool = false)
       case ("rank", CMatrix(cols, false), rargs) =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank()' is not supported in ADP mode")

@@ -68,6 +68,37 @@ class AxisReduceSpec extends SparkSpec {
       Seq(false, false, true))
   }
 
+  test("rank(axis=1): every method as a row-wise projection (pandas " +
+      "2.2 pinned on rows (1,2),(4,2),(NaN,8) and a tie row)") {
+    // tie row matrix: (2, 2, 5) over three columns
+    val mt = mat3(Seq(Seq(2.0, 2.0, 5.0)), labels = Seq("c0", "c1", "c2"))
+    val ev = new FormulaEvaluator(reg("s" -> m2, "t" -> mt),
+      fillInvalid = false)
+    def row(f: String, reg: String = "s"): Seq[Seq[Double]] = {
+      val MatrixResult(df, rowId, labels, _) =
+        ev.evaluateFormula(f): @unchecked
+      val byId = cells(df, rowId, labels)
+      byId.keys.toSeq.sorted.map(i => labels.map(l => byId(i)(l)))
+    }
+    def chk(got: Seq[Seq[Double]], exp: Seq[Seq[Double]]): Unit =
+      got.flatten.zip(exp.flatten).foreach { case (a, e) =>
+        if (e.isNaN) assert(a.isNaN) else assert(a == e, s"$a vs $e") }
+    val nan = Double.NaN
+    chk(row("s.rank(axis=1)"), Seq(Seq(1, 2), Seq(2, 1), Seq(nan, 1)))
+    chk(row("s.rank(axis=1, ascending=0)"),
+      Seq(Seq(2, 1), Seq(1, 2), Seq(nan, 1)))
+    // tie row (2,2,5): average (1.5,1.5,3), min (1,1,3), max (2,2,3),
+    // first (1,2,3), dense (1,1,2), pct avg (0.5,0.5,1)
+    chk(row("t.rank(axis=1)"), Seq(Seq(1.5, 1.5, 3)))
+    chk(row("t.rank(axis=1, method='min')"), Seq(Seq(1, 1, 3)))
+    chk(row("t.rank(axis=1, method='max')"), Seq(Seq(2, 2, 3)))
+    chk(row("t.rank(axis=1, method='first')"), Seq(Seq(1, 2, 3)))
+    chk(row("t.rank(axis=1, method='dense')"), Seq(Seq(1, 1, 2)))
+    chk(row("t.rank(axis=1, pct=1)"), Seq(Seq(0.5, 0.5, 1)))
+    chk(row("t.rank(axis=1, method='dense', pct=1)"),
+      Seq(Seq(0.5, 0.5, 1)))
+  }
+
   test("axis=1 composes as a frame; axis errors are clean") {
     // the Series result is an ordinary one-column frame: arithmetic works
     assertSeq(colVals("s.sum(axis=1) * 2"), Seq(6.0, 12.0, 16.0))
