@@ -100,7 +100,8 @@ object ProbeR11 {
              "30x" -> "/tmp/graft_sf3")
            if new java.io.File(s"$dir/lineitem.parquet").exists()) {
         QueryCatalog.wide(spark, dir).count()
-        for (n <- Seq("e11_qlow", "e11_qlist", "e11_hsum")) {
+        for (n <- Seq("e11_qlow", "e11_qlist", "e11_hsum", "e11_hrank",
+            "e11_interp")) {
           val t = best { SparkEntry.queries(n)(spark, dir).count() }
           r += s"${n}_$tag" -> t
           System.err.println(f"[probe] qosreduce $n $tag $t%.2f")
