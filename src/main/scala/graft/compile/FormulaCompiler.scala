@@ -1562,12 +1562,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // and ignores index values; row ids are the ORDER contract only).
       // Pandas' default limit_direction='forward' edges: a leading hole
       // run stays NaN, a trailing run carries the last valid value.
-      // Distributed as three [[graft.operators.Prefix.runningAgg]]
-      // passes, each one slice exchange with slice-count-bounded state
+      // Distributed as TWO slice passes with slice-count-bounded state
       // (the ffill shape): (1) the dense position as a running count of
-      // 1s, (2) the forward carry of struct(position, value) at valid
-      // cells, (3) the backward carry — then one closing projection
-      // does the blend. Never a data-scaled window, never a join.
+      // 1s ([[graft.operators.Prefix.runningAgg]]), (2) the forward AND
+      // backward carries of struct(position, value) at valid cells in
+      // one slicing ([[graft.operators.Prefix.runningAggBidi]] — the
+      // desc direction is a second window spec over the same slice
+      // partition, a sort rather than a shuffle) — then one closing
+      // projection does the blend. Never a data-scaled window or join.
       case ("interpolate", CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
           "'.interpolate()' is not supported in ADP mode")
@@ -1586,12 +1588,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             when(c.isNotNull && !isnan(c),
               struct(col(posN).as("o"), c.as("v"))).as(sNames(i))
           }: _*)
-        val fw = graft.operators.Prefix.runningAgg(
-          marked, rid, sNames, Seq.fill(cols.size)("max"), fNames)
-        val bw = graft.operators.Prefix.runningAgg(
-          fw, rid, sNames, Seq.fill(cols.size)("min"), bNames,
-          descending = true)
-        ctx.base = Some(bw)
+        // both carries in ONE slicing/exchange (runningAggBidi): the
+        // desc direction is just a second window spec over the same
+        // __pfx_pid partition — a sort, not a shuffle
+        ctx.base = Some(graft.operators.Prefix.runningAggBidi(
+          marked, rid, sNames ++ sNames,
+          Seq.fill(cols.size)("max") ++ Seq.fill(cols.size)("min"),
+          fNames ++ bNames,
+          Seq.fill(cols.size)(false) ++ Seq.fill(cols.size)(true)))
         val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
           val f = col(fNames(i)); val b = col(bNames(i))
           val pv = f.getField("v"); val po = f.getField("o")

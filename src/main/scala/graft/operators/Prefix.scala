@@ -171,6 +171,70 @@ object Prefix {
       .drop("__pfx_pid")
   }
 
+  /** Bidirectional sibling of [[runningAgg]] (r11): per-column running
+    * DIRECTION over one slicing and ONE exchange — `descending(i)` runs
+    * `outNames(i)` as a running suffix aggregate (the bfill direction)
+    * while ascending columns keep the prefix direction. Built for
+    * interpolate's forward+backward neighbor carries: the two directions
+    * become two window specs (asc / desc) over the SAME `__pfx_pid`
+    * partition — one extra within-partition sort, zero extra exchanges,
+    * where a second [[runningAgg]] call would re-slice and re-shuffle
+    * the whole frame. Offsets for descending columns aggregate the
+    * partials over the pid order REVERSED (the exclusive suffix of
+    * slices after this one). Ungrouped, no tie columns — callers
+    * guarantee a unique order column (the row id contract). */
+  def runningAggBidi(df: DataFrame, orderCol: Column,
+                     inNames: Seq[String], kinds: Seq[String],
+                     outNames: Seq[String],
+                     descending: Seq[Boolean]): DataFrame = {
+    require(inNames.length == kinds.length &&
+      kinds.length == outNames.length &&
+      outNames.length == descending.length, "argument lists must align")
+    require(kinds.forall(Set("sum", "max", "min")),
+      s"unsupported running-aggregate kind in $kinds")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def aggOf(kind: String, c: Column): Column = kind match {
+      case "sum" => sum(c); case "max" => max(c); case "min" => min(c)
+    }
+    val sliced = withSliceId(df, orderCol, inNames, Nil, false, false,
+      Nil, parts)
+    val partialCols = inNames.zip(kinds).zipWithIndex.map {
+      case ((n, k), i) => aggOf(k, col(n)).as(s"__pfx_p_$i") }
+    val partials = sliced.groupBy(col("__pfx_pid"))
+      .agg(partialCols.head, partialCols.tail: _*)
+    val offAsc = Window.orderBy(col("__pfx_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDesc = Window.orderBy(col("__pfx_pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.select(col("__pfx_pid") +:
+      kinds.zipWithIndex.map { case (k, i) =>
+        aggOf(k, col(s"__pfx_p_$i"))
+          .over(if (descending(i)) offDesc else offAsc).as(s"__pfx_o_$i")
+      }: _*)
+    val wAsc = Window.partitionBy(col("__pfx_pid"))
+      .orderBy(orderCol.asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("__pfx_pid"))
+      .orderBy(orderCol.desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = sliced.join(broadcast(offsets), Seq("__pfx_pid"), "left")
+    val outCols = inNames.zip(kinds).zipWithIndex.map { case ((n, k), i) =>
+      val run = aggOf(k, col(n)).over(if (descending(i)) wDesc else wAsc)
+      val off = col(s"__pfx_o_$i")
+      val merged = k match {
+        case "sum" => when(run.isNull, off).otherwise(
+          when(off.isNull, run).otherwise(off + run))
+        case "max" => greatest(off, run)
+        case "min" => least(off, run)
+      }
+      merged.as(outNames(i))
+    }
+    joined.select(col("*") +: outCols: _*)
+      .drop(kinds.indices.map(i => s"__pfx_o_$i"): _*)
+      .drop("__pfx_pid")
+  }
+
   /** The deterministic slice-id projection behind [[runningAgg]]: appends
     * `__pfx_pid` ∈ [0, parts). Ungrouped: sampled-quantile (equi-height)
     * boundaries over the composite (order value, tie hash) key; grouped:
