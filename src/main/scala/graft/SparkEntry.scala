@@ -317,6 +317,12 @@ object SparkEntry {
     // make rational mid-quantum values structural — one sf0.01 cell
     // reads exactly 2.0109375, which 1e-16 cross-engine noise rounds
     // to either 6-dp side
+    // rolling rank (r11 session 4): the current cell's rank among the
+    // window's valid cells on the same ring emit (integer + .5 halves
+    // — exact, rounded 6 for the cross-engine margin)
+    "e11_rrank" -> ((s, d) =>
+      formulaQuery("qty.rolling(4, min_periods=2).rank()",
+        roundTo = Some(6))(s, d)),
     "e11_rskew" -> ((s, d) =>
       formulaQuery("qty.rolling(5, min_periods=3).skew()",
         roundTo = Some(5))(s, d)),
@@ -4734,6 +4740,16 @@ object SparkEntry {
         val cnt = s"count(q$j) $w"
         val nr = s"$ls[CAST(round(($cnt - 1) * 0.6) AS INT) + 1]"
         F(s"round(CASE WHEN $cnt >= 2 THEN $nr END, 6)")
+      },
+      // rolling rank mirror: less/eq counts against the window list
+      // (lambda captures the row's own cell; NULL comparisons drop out)
+      "e11_rrank" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        val less = s"len(list_filter(list(q$j) $w, y -> y < q$j))"
+        val eq = s"len(list_filter(list(q$j) $w, y -> y = q$j))"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 AND q$j IS NOT NULL " +
+          s"THEN ($less) + (($eq) + 1.0) / 2.0 END, 6)")
       },
       "e11_rskew" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 4 PRECEDING " +

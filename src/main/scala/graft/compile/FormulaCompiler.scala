@@ -607,6 +607,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
   private val interpCodes = Map("linear" -> 0, "lower" -> 1, "higher" -> 2,
     "nearest" -> 3, "midpoint" -> 4)
 
+  /** `.rolling(n).rank(...)` options packed for the winrank emit (r11):
+    * method·4 + ascending·2 + pct. pandas rolling.rank supports exactly
+    * average/min/max (no dense/first — there is no stable positional
+    * identity inside a sliding window). */
+  private def rollingRankCode(args: List[CValue]): Int = {
+    val (meth, asc, pct) = rankArgs(args)
+    val mc = meth match {
+      case "average" => 0; case "min" => 1; case "max" => 2
+      case other => throw new FormulaTypeException(
+        s"'.rolling(n).rank(method='$other')' — pandas rolling.rank " +
+          "supports 'average', 'min', 'max'")
+    }
+    mc * 4 + (if (asc) 2 else 0) + (if (pct) 1 else 0)
+  }
+
   /** The interpolation code from a quantile arg list's keyword tail. */
   private def interpOf(rest: List[CValue], what: String): Int = rest match {
     case Nil => 0
@@ -2452,18 +2467,22 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpandD(vs, ls, expandingMinPeriods(args))
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median" | "skew" | "kurt" | "quantile"),
+            "median" | "skew" | "kurt" | "quantile" | "rank"),
             CRoll(cols, n, minp, center), rollArgs)
           if (m == "quantile" && rollArgs.nonEmpty &&
               !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
-             (m != "quantile" && rollArgs.isEmpty) =>
+             (m == "rank" && rollArgs.forall(_.isInstanceOf[CKw])) ||
+             (m != "quantile" && m != "rank" && rollArgs.isEmpty) =>
         // r11: quantile(q, interpolation=) — pandas' five order-statistic
         // interpolations at arbitrary q on the winmed sorted ring;
         // skew/kurt — standardized moments on the winvar two-pass
         // (window-local mean; exact under trends where pandas'
-        // power-sum kernel loses digits)
+        // power-sum kernel loses digits); rank (session 4) — the current
+        // cell's rank among the window's valid cells on the same ring
+        // (method/ascending/pct packed into the emit's option int)
         val (rq, rInterp) =
-          if (m != "quantile") (Double.NaN, 0)
+          if (m == "rank") (Double.NaN, rollingRankCode(rollArgs))
+          else if (m != "quantile") (Double.NaN, 0)
           else rollingQuantileArgs(rollArgs)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
@@ -2528,6 +2547,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               case "count" =>
                 when(invalidOf(c), lit(0.0)).otherwise(lit(1.0))
               case "std" | "var" | "skew" | "kurt" => litOf(Double.NaN)
+              // a valid cell alone in its window ranks 1 (pct: 1/1)
+              case "rank" => when(invalidOf(c), litOf(Double.NaN))
+                .otherwise(lit(1.0))
               case _ => when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double"))
             })
@@ -2560,6 +2582,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case "skew"         => "winskew"
             case "kurt"         => "winkurt"
             case "quantile"     => "winquant"
+            case "rank"         => "winrank"
             case _              => "winsum"
           }
           // center=1 (r11): the lead is FUSED into the same slice pass
@@ -2586,7 +2609,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // by n, window aggregate = prefix difference. Window extremes
           // are not prefix-invertible, so min/max stay on the fused path.
           if (m == "min" || m == "max" || m == "median" ||
-              m == "quantile" || m == "skew" || m == "kurt")
+              m == "quantile" || m == "skew" || m == "kurt" || m == "rank")
             throw new FormulaTypeException(
               s"'.rolling(n).$m()' supports window sizes up to $fuseMax " +
                 "(window order statistics and standardized moments are " +
@@ -2723,17 +2746,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         }
         CMatrix(out, isBool = false)
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median" | "skew" | "kurt" | "quantile"),
+            "median" | "skew" | "kurt" | "quantile" | "rank"),
             CRollD(vs, ls, n, minp, center), rollArgs)
           if (m == "quantile" && rollArgs.nonEmpty &&
               !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
-             (m != "quantile" && rollArgs.isEmpty) =>
+             (m == "rank" && rollArgs.forall(_.isInstanceOf[CKw])) ||
+             (m != "quantile" && m != "rank" && rollArgs.isEmpty) =>
         // sequential twin of the fused emit: the aggregate runs over the
         // window's VALID cells, gated on valid count >= minp (positions
         // for count — the pandas 2.2 rule); minp = n is hole-poisoning;
         // center shifts the trailing result by (n−1)/2, NaN past the tail
         val (rq, rInterp) =
-          if (m != "quantile") (Double.NaN, 0)
+          if (m == "rank") (Double.NaN, rollingRankCode(rollArgs))
+          else if (m != "quantile") (Double.NaN, 0)
           else rollingQuantileArgs(rollArgs)
         val trail = vs.indices.map { i =>
           val positions = math.min(i + 1, n)
@@ -2744,6 +2769,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             m match {
               case "count" => cnt.toDouble
               case _ if cnt < minp => Double.NaN
+              case "rank" =>
+                if (vs(i).isNaN) Double.NaN
+                else {
+                  val asc = (rInterp & 2) != 0
+                  val x = if (asc) vs(i) else -vs(i)
+                  val kw = if (asc) w else w.map(-_)
+                  val less = kw.count(_ < x).toDouble
+                  val eq = kw.count(_ == x).toDouble
+                  val r = (rInterp >> 2) match {
+                    case 1 => less + 1.0
+                    case 2 => less + eq
+                    case _ => less + (eq + 1.0) / 2.0
+                  }
+                  if ((rInterp & 1) != 0) r / cnt else r
+                }
               case "sum"  => w.sum
               case "mean" => w.sum / cnt
               case "min"  => w.min
@@ -2968,7 +3008,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             "where, mask, replace, duplicated, " +
             "ffill, bfill, interpolate, pct_change, " +
             "rolling(n[, min_periods]).sum/mean/count/min/max/std/var/" +
-            "median/quantile/skew/kurt, " +
+            "median/quantile/skew/kurt/rank, " +
             "expanding().sum/mean/count/min/max/std/var, " +
             "ewm(com).mean/var/std, " +
             "add, sub, mul, div, truediv, mod, floordiv + reflected " +

@@ -451,9 +451,11 @@ object Prefix {
                     centerLead: Int = 0,
                     winInterp: Int = 0): DataFrame = {
     require(n != 0, "positionalLag needs a non-zero offset")
-    require(winInterp >= 0 && winInterp <= 4,
-      s"winInterp must be one of 0=linear 1=lower 2=higher 3=nearest " +
-        s"4=midpoint, got $winInterp")
+    // winInterp is the per-mode option int: winquant's interpolation
+    // code 0–4, winrank's packed method·4 + ascending·2 + pct (0–11)
+    require(winInterp >= 0 && winInterp <= (fuse match {
+      case "winrank" => 11; case _ => 4
+    }), s"winInterp out of range for fuse='$fuse': $winInterp")
     // centered window fuse (r11): emit the finished trailing aggregate
     // at position i − centerLead INSIDE the same slice pass (a pending
     // queue of `centerLead` rows + a bounded lookahead edge set) — the
@@ -465,7 +467,8 @@ object Prefix {
         s"got $centerLead")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("none", "diff", "pct", "winsum", "winmean", "winmin",
-      "winmax", "wincount", "winmed", "winvar", "winquant", "winskew",
+      "winmax", "wincount", "winmed", "winvar", "winquant", "winrank",
+      "winskew",
       "winkurt")(fuse),
       s"unknown fuse mode '$fuse'")
     require(fuse != "winquant" || (winQ >= 0.0 && winQ <= 1.0),
@@ -687,6 +690,43 @@ object Prefix {
                 if (frac == 0.0 || lo + 1 >= cnt) vals(lo)
                 else vals(lo) + frac * (vals(hi) - vals(lo))
             })
+          }
+        }
+      }
+      // rolling rank (r11 session 4): the CURRENT cell's rank among the
+      // window's valid cells — pandas rolling.rank. Options pack into
+      // winInterp: method·4 + ascending·2 + pct (method 0 = average,
+      // 1 = min, 2 = max — pandas rolling supports exactly these).
+      // Descending ranks the negated key (−0.0 == 0.0, ties unharmed).
+      case "winrank" => (buf, cur, j) => {
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val asc = (winInterp & 2) != 0
+          val x0 = cellAt(buf, cur, m, m, j)
+          if (java.lang.Double.isNaN(x0)) dNaN
+          else {
+            val x = if (asc) x0 else -x0
+            var b = 0; var cnt = 0; var less = 0; var eq = 0
+            while (b <= m) {
+              val dv0 = cellAt(buf, cur, b, m, j)
+              if (!java.lang.Double.isNaN(dv0)) {
+                cnt += 1
+                val dv = if (asc) dv0 else -dv0
+                if (dv < x) less += 1 else if (dv == x) eq += 1
+              }
+              b += 1
+            }
+            if (cnt < minp) dNaN
+            else {
+              val r = (winInterp >> 2) match {
+                case 1 => less + 1.0
+                case 2 => less + eq.toDouble
+                case _ => less + (eq + 1.0) / 2.0
+              }
+              java.lang.Double.valueOf(
+                if ((winInterp & 1) != 0) r / cnt else r)
+            }
           }
         }
       }
