@@ -177,6 +177,52 @@ object QueryCatalog {
         s"* ($w1)*($w1) / (($w1)*($w1) - ($w2)) END"
     }, (carried, _) => if (std) s"sqrt($carried)" else carried)
 
+  /** Pairwise ewm cov/corr mirror (r11 session 5): weighted moments over
+    * the q/e PAIR-valid cells within the truncated horizon, bias=False
+    * correction W1²/(W1²−ΣW²) (cancelling in corr), emitted at pair-valid
+    * anchors with ≥ 2 pairs and carried across holes with
+    * last_value(IGNORE NULLS) — the ewmVarOracle shape with the
+    * pair-masked weight kernel. */
+  def ewmCovOracle(beta: String, h: Int, corr: Boolean,
+                   dp: Int = 6): String = {
+    val cells = J.map { j =>
+      def ws(expr: String) =
+        s"sum(CASE WHEN b.q$j IS NOT NULL AND b.e$j IS NOT NULL THEN " +
+          s"pow(($beta), a.rn - b.rn)$expr END)"
+      val w1 = ws("")
+      val w2 = ws(s" * pow(($beta), a.rn - b.rn)")
+      val sx = ws(s" * b.q$j"); val sy = ws(s" * b.e$j")
+      val sxy = ws(s" * b.q$j * b.e$j")
+      val cnt = s"count(CASE WHEN b.q$j IS NOT NULL AND " +
+        s"b.e$j IS NOT NULL THEN 1 END)"
+      val covB = s"(($sxy)/($w1) - (($sx)/($w1))*(($sy)/($w1)))"
+      val core =
+        if (!corr) s"$covB * ($w1)*($w1) / (($w1)*($w1) - ($w2))"
+        else {
+          val sx2 = ws(s" * b.q$j * b.q$j")
+          val sy2 = ws(s" * b.e$j * b.e$j")
+          val vx = s"(($sx2)/($w1) - (($sx)/($w1))*(($sx)/($w1)))"
+          val vy = s"(($sy2)/($w1) - (($sy)/($w1))*(($sy)/($w1)))"
+          s"$covB / sqrt(($vx) * ($vy))"
+        }
+      s"CASE WHEN a.q$j IS NOT NULL AND a.e$j IS NOT NULL " +
+        s"AND $cnt >= 2 AND ($w1)*($w1) - ($w2) > 0 " +
+        s"THEN $core END AS m$j"
+    }.mkString(", ")
+    val outs = J.map { j =>
+      val carried = s"last_value(m$j IGNORE NULLS) OVER (ORDER BY e.rn)"
+      F(s"round($carried, $dp)") + s" AS c$j"
+    }.mkString(", ")
+    val anchors = J.flatMap(j => Seq(s"a.q$j", s"a.e$j")).mkString(", ")
+    s"""$W, p AS (SELECT *,
+       |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w),
+       |e AS (SELECT a.rn, $cells
+       |  FROM p a JOIN p b ON b.rn BETWEEN a.rn - ${h - 1} AND a.rn
+       |  GROUP BY a.rn, $anchors)
+       |SELECT p.__row_id__, $outs
+       |FROM e JOIN p ON e.rn = p.rn ORDER BY p.__row_id__""".stripMargin
+  }
+
   /** adjust=False mirror (r11): the recursion y = (1−α)y + αx unrolls to
     * weights coef_b·∏_{b<c≤a} κ_c over VALID cells, κ_c = f^gap/(f^gap+α)
     * (the per-valid-step contraction, ≤ f) and coef_b = 1−κ_b (the global

@@ -135,6 +135,14 @@ object SparkEntry {
       formulaQuery("qty.rank(method='dense', ascending=0)")(s, d)),
     "e11_rankfirst" -> ((s, d) => formulaQuery("qty.rank(method='first')")(s, d)),
     "e11_rankpct" -> ((s, d) => formulaQuery("qty.rank(pct=1)")(s, d)),
+    // na_option (r11 session 5): the NaN cells rank as one tie class
+    // before ('top') / after ('bottom') every valid value — pure rank
+    // arithmetic over the same value-count prefix (broadcast 1-row
+    // per-column stats), no sentinel keys
+    "e11_ranktop" -> ((s, d) =>
+      formulaQuery("qty.rank(na_option='top')")(s, d)),
+    "e11_rankbot" -> ((s, d) =>
+      formulaQuery("qty.rank(method='min', na_option='bottom')")(s, d)),
     // tie-free by construction: q integer ⇒ q/7 is never a scale-2 decimal
     // tie (1000q = 7m with m ≡ 5 (mod 10) has no solution), and the true
     // value stays ≥ 1/7000 from every tie point — 10 orders beyond double
@@ -329,6 +337,53 @@ object SparkEntry {
     "e11_rkurt" -> ((s, d) =>
       formulaQuery("qty.rolling(6, min_periods=4).kurt()",
         roundTo = Some(5))(s, d)),
+    // r11 session 5: the window standard error (pandas Rolling.sem =
+    // std(ddof=1)/sqrt(count − ddof) — NOT the Series reduction's
+    // sqrt(count); pinned on pandas 2.2) on the fused ring / the
+    // expanding prefix
+    "e11_rsem" -> ((s, d) =>
+      formulaQuery("qty.rolling(4, min_periods=2).sem()",
+        roundTo = Some(6))(s, d)),
+    "e11_esem" -> ((s, d) =>
+      formulaQuery("qty.expanding().sem()", roundTo = Some(6))(s, d)),
+    // r11 session 5: pairwise moving covariance/correlation — pandas
+    // 2.2 masks BOTH inputs to the window's pairwise-complete cells,
+    // moments over the PAIRS (corr's denominator too), gate =
+    // valid-pair count >= min_periods; ONE fused slice pass over the
+    // 2w marked inputs (rolling) / one running-sum pass (expanding)
+    "e11_rcov" -> ((s, d) =>
+      formulaQuery("qty.rolling(3).cov(price)", roundTo = Some(6))(s, d)),
+    "e11_rcorr" -> ((s, d) =>
+      formulaQuery("qty.rolling(4, min_periods=2).corr(price)",
+        roundTo = Some(6))(s, d)),
+    // ecov rounds at 5 dp (the ewmbig precedent): the expanding prefix's
+    // centered power sums and DuckDB's pairwise kernel differ ~1e-12
+    // relative — at 6 dp one sf0.01 cell straddles the quantum
+    "e11_ecov" -> ((s, d) =>
+      formulaQuery("qty.expanding().cov(price)", roundTo = Some(5))(s, d)),
+    "e11_ecorr" -> ((s, d) =>
+      formulaQuery("qty.expanding().corr(price)",
+        roundTo = Some(6))(s, d)),
+    // ewm pairwise cov/corr (r11 session 5): polarization on the exact
+    // corrected var scan — cov = (varC(x̃+ỹ) − varC(x̃−ỹ))/4 over the
+    // pair-masked inputs, corr divides by √(varC(x̃)·varC(ỹ)) (the bias
+    // factors share the pair mask and cancel); ONE scan pass, no new
+    // kernel
+    "e11_ewcov" -> ((s, d) =>
+      formulaQuery("qty.ewm(1).cov(price)", roundTo = Some(6))(s, d)),
+    "e11_ewcorr" -> ((s, d) =>
+      formulaQuery("qty.ewm(1).corr(price)", roundTo = Some(6))(s, d)),
+    // `.dot()` — the actual pandas spelling of matrix multiplication
+    // (alias of the DSL's `.matmul`, E12)
+    "e11_dot" -> ((s, d) => formulaQuery("qty.dot(mm)")(s, d)),
+    // skipna=0 (r11 session 5): pandas' NaN-poisoning switch — the
+    // reduction reads NaN when the column has any hole (same single
+    // aggregate pass), cum* poisons from the first hole onward (one
+    // extra running flag sum), axis=1 poisons per row
+    "e11_sumsk" -> ((s, d) => formulaQuery("qty.sum(skipna=0)")(s, d)),
+    "e11_cumsk" -> ((s, d) => formulaQuery("qty.cumsum(skipna=0)")(s, d)),
+    "e11_hsumsk" -> ((s, d) =>
+      formulaQuery("qty.sum(axis=1, skipna=0)")(s, d)),
     "e11_any" -> ((s, d) => formulaQuery("zro.any()")(s, d)),
     "e11_all" -> ((s, d) => formulaQuery("zro.all()")(s, d)),
     "e11_max" -> ((s, d) => formulaQuery("qty.max()")(s, d)),
@@ -4345,6 +4400,24 @@ object SparkEntry {
           "count(q$j) OVER () END AS c$j")
           .replace("$j", j.toString)).mkString(", ") +
         " FROM w ORDER BY __row_id__"),
+      // na_option: NULL cells get the head/tail class ranks — top shifts
+      // every valid rank by the column's NULL count and hands NULLs the
+      // class average (nan+1)/2; bottom/min is valid-count + 1
+      "e11_ranktop" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN " +
+          "(count(*) OVER () - count(q$j) OVER () + 1) / 2.0 ELSE " +
+          "rank() OVER (ORDER BY q$j NULLS LAST) + " +
+          "(count(q$j) OVER (PARTITION BY q$j) - 1) / 2.0 + " +
+          "count(*) OVER () - count(q$j) OVER () END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      "e11_rankbot" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN q$j IS NULL THEN " +
+          "CAST(count(q$j) OVER () + 1 AS DOUBLE) ELSE " +
+          "CAST(rank() OVER (ORDER BY q$j NULLS LAST) AS DOUBLE) " +
+          "END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
       // q/7 never lands on (or within double-repr distance of) a scale-2
       // tie — see the query-side comment — so HALF_EVEN vs binary-nearest
       // is moot and both engines round identically
@@ -4659,6 +4732,10 @@ object SparkEntry {
       "e11_ewmbig" -> ewmMeanOracle("1.0 - 1.0/13.0", 320, dp = 5),
       "e11_ewvar" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = false),
       "e11_ewstd" -> ewmVarOracle("1.0 - 1.0/2.0", 64, std = true),
+      // pairwise ewm cov/corr: the PAIR mask can run longer holes than
+      // either column alone, so the horizon doubles the ewvar one
+      "e11_ewcov" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = false),
+      "e11_ewcorr" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = true),
       // span/halflife mirrors: the weight base is the IDENTICAL double
       // expression the compiler evaluates (α = 2/(span+1), resp.
       // 1 − exp(ln½/halflife) — exp/ln may differ from the JVM by an
@@ -4767,6 +4844,76 @@ object SparkEntry {
           s"WHEN var_pop(q$j) $w <= 1e-14 THEN NULL " +
           s"ELSE kurtosis(q$j) $w END END, 5)")
       },
+      // sem: std(ddof=1)/sqrt(count − 1) — the pandas window denominator
+      "e11_rsem" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 THEN " +
+          s"stddev_samp(q$j) $w / sqrt(count(q$j) $w - 1) END, 6)")
+      },
+      "e11_esem" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 THEN " +
+          s"stddev_samp(q$j) $w / sqrt(count(q$j) $w - 1) END, 6)")
+      },
+      // pairwise cov/corr: DuckDB's covar_samp/corr already skip rows
+      // where either side is NULL — the gate counts the valid PAIRS
+      // (the pandas 2.2 contract; corr's variances are pair-masked too)
+      "e11_rcov" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"
+        val p = s"count(CASE WHEN q$j IS NOT NULL AND e$j IS NOT NULL " +
+          s"THEN 1 END) $w"
+        F(s"round(CASE WHEN $p = 3 THEN covar_samp(q$j, e$j) $w END, 6)")
+      },
+      "e11_rcorr" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN 3 PRECEDING " +
+          "AND CURRENT ROW)"
+        val p = s"count(CASE WHEN q$j IS NOT NULL AND e$j IS NOT NULL " +
+          s"THEN 1 END) $w"
+        F(s"round(CASE WHEN $p >= 2 THEN corr(q$j, e$j) $w END, 6)")
+      },
+      "e11_ecov" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        val p = s"count(CASE WHEN q$j IS NOT NULL AND e$j IS NOT NULL " +
+          s"THEN 1 END) $w"
+        F(s"round(CASE WHEN $p >= 2 THEN covar_samp(q$j, e$j) $w END, 5)")
+      },
+      "e11_ecorr" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        val p = s"count(CASE WHEN q$j IS NOT NULL AND e$j IS NOT NULL " +
+          s"THEN 1 END) $w"
+        F(s"round(CASE WHEN $p >= 2 THEN corr(q$j, e$j) $w END, 6)")
+      },
+      // skipna=0: a column/prefix/row with any NULL hole reads NaN
+      // (→ 0.0 through the V4 fill)
+      "e11_sumsk" ->
+        (s"$W SELECT ${J.map(j =>
+          s"CASE WHEN count(*) > count(q$j) THEN 0.0 " +
+            s"ELSE coalesce(sum(q$j),0.0) END AS c$j").mkString(", ")} " +
+          "FROM w"),
+      "e11_cumsk" -> (s"$W SELECT __row_id__, " +
+        J.map(j => ("CASE WHEN sum(CASE WHEN q$j IS NULL THEN 1 ELSE 0 " +
+          "END) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) > 0 THEN 0.0 ELSE " +
+          "sum(q$j) OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) END AS c$j")
+          .replace("$j", j.toString)).mkString(", ") +
+        " FROM w ORDER BY __row_id__"),
+      "e11_hsumsk" -> {
+        val anyNull = J.map(j => s"q$j IS NULL").mkString(" OR ")
+        val s = J.map(j => s"q$j").mkString(" + ")
+        s"""$W SELECT __row_id__, CASE WHEN $anyNull THEN 0.0 """ +
+          s"""ELSE ($s) END AS "0" FROM w ORDER BY __row_id__"""
+      },
+      // dot = matmul (alias): identical mirror to e12_matmat
+      "e11_dot" -> (s"$W SELECT __row_id__, " +
+        F(J.map(j => s"q$j * $j.0").mkString(" + ")) + " AS d1, " +
+        F(J.map(j => s"q$j * ${j * j}.0").mkString(" + ")) + " AS d2 " +
+        "FROM w ORDER BY __row_id__"),
       // zro cells are never NULL (coalesced), so bool_or/bool_and run the
       // plain truthiness fold; coalesce mirrors the engine's empty edges
       "e11_any" ->

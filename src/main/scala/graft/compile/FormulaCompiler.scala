@@ -305,7 +305,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     // left operand's column labels — a different domain). The collect cap
     // is the left's inner dimension, so a data-scaled frame on the right
     // fails with pandas' alignment error, never an unbounded collect.
-    case Method(t, "matmul", List(Var(n)))
+    case Method(t, "matmul" | "dot", List(Var(n)))
         if registry.get(n).exists(_.isInstanceOf[Matrix]) =>
       val tgt = eval(t, ctx)
       val cap = tgt match {
@@ -335,7 +335,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case Unary(_, e)  => go(e)
       case Bin(_, l, r) => go(l); go(r)
       case Call(_, as)  => as.foreach(go)
-      case Method(t, "matmul", List(Var(n))) => go(t); arg += n
+      case Method(t, "matmul" | "dot", List(Var(n))) => go(t); arg += n
       case Method(t, _, as) => go(t); as.foreach(go)
       case Kw(_, v)     => go(v)
     }
@@ -387,17 +387,23 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * per row; an all-NaN row gives sum 0 / prod 1 / count 0 /
     * any False / all True / everything else NaN. Result is the
     * one-column Series frame (label "0" — the matmul convention). */
-  private def horizontalReduce(cols: Seq[(String, Column)], k: String): CValue = {
+  private def horizontalReduce(cols: Seq[(String, Column)], k: String,
+                               skipna: Boolean = true): CValue = {
     val valid = cols.map { case (_, c) =>
       when(isnan(c), lit(null)).otherwise(c) }
     lazy val n = valid.map(v => when(v.isNull, lit(0)).otherwise(lit(1)))
       .reduce(_ + _).cast("double")
     lazy val s = valid.map(v => coalesce(v, lit(0.0))).reduce(_ + _)
     def sortedArr = array_sort(filter(array(valid: _*), v => v.isNotNull))
+    // skipna=False (r11 session 5): a row with any invalid cell reads
+    // NaN; any turns True on one (NaN is truthy in pandas), all never
+    // flips — the columnwise rule applied per row
+    lazy val anyInvalidRow = valid.map(_.isNull).reduce(_ || _)
     if (k == "any" || k == "all") {
-      val cell =
+      val cell0 =
         if (k == "any") valid.map(v => v.isNotNull && v =!= 0.0).reduce(_ || _)
         else valid.map(v => v.isNull || v =!= 0.0).reduce(_ && _)
+      val cell = if (skipna || k == "all") cell0 else cell0 || anyInvalidRow
       return CMatrix(Seq(("0", cell)), isBool = true)
     }
     val cell: Column = k match {
@@ -433,7 +439,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         size(array_distinct(filter(array(valid: _*), v => v.isNotNull)))
           .cast("double")
     }
-    CMatrix(Seq(("0", cell)), isBool = false)
+    val gated =
+      if (skipna || k == "count" || k == "nunique") cell
+      else when(anyInvalidRow, lit(Double.NaN)).otherwise(cell)
+    CMatrix(Seq(("0", gated)), isBool = false)
   }
 
   /** `.describe(percentiles=[...])`'s percentile list (r11): pandas
@@ -568,8 +577,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * rewrite NaN ranks — rejected cleanly, the quirk-parity discipline).
     * pandas' first positional is `axis`, so positional args are rejected
     * rather than guessed at. */
-  private def rankArgs(args: List[CValue]): (String, Boolean, Boolean) = {
+  private def rankArgs(args: List[CValue])
+      : (String, Boolean, Boolean, String) = {
     var meth = "average"; var asc = true; var pct = false
+    var naOpt = "keep"
     val methods = Set("average", "min", "max", "first", "dense")
     args.foreach {
       case CKw("method", CStr(s)) =>
@@ -581,10 +592,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         "'.rank(method=)' expects a string literal, e.g. method='min'")
       case CKw("ascending", v) => asc = asScalar(v, "ascending") != 0.0
       case CKw("pct", v)       => pct = asScalar(v, "pct") != 0.0
+      // na_option (r11 session 5): 'top'/'bottom' rank the NaN cells as
+      // one tie class BEFORE/AFTER every valid value (pandas 2.2, pinned
+      // — top stays first under ascending=False, pct denominators grow
+      // by the NaN class, dense counts it as one distinct value)
       case CKw("na_option", CStr(s)) =>
-        if (s != "keep") throw new FormulaTypeException(
-          s"'.rank(na_option='$s')' is not supported — only the pandas " +
-            "default 'keep' (NaN stays NaN)")
+        if (s != "keep" && s != "top" && s != "bottom")
+          throw new FormulaTypeException(
+            s"'.rank(na_option='$s')' — na_option must be one of " +
+              "'keep', 'top', 'bottom'")
+        naOpt = s
       case CKw("na_option", _) => throw new FormulaTypeException(
         "'.rank(na_option=)' expects a string literal")
       // axis=1 is dispatched before rankArgs runs (matrix targets); an
@@ -597,7 +614,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         "'.rank()' takes keyword arguments only (method=, ascending=, " +
           "pct=, na_option=, axis=)")
     }
-    (meth, asc, pct)
+    (meth, asc, pct, naOpt)
   }
 
   /** (q, interpolation code) from `.rolling(n).quantile(q, ...)`'s args
@@ -612,7 +629,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * average/min/max (no dense/first — there is no stable positional
     * identity inside a sliding window). */
   private def rollingRankCode(args: List[CValue]): Int = {
-    val (meth, asc, pct) = rankArgs(args)
+    val (meth, asc, pct, naOpt) = rankArgs(args)
+    // pandas Rolling.rank has no na_option parameter at all
+    if (naOpt != "keep") throw new FormulaTypeException(
+      "'.rolling(n).rank()' got an unexpected keyword argument " +
+        "'na_option' (pandas rolling.rank has none)")
     val mc = meth match {
       case "average" => 0; case "min" => 1; case "max" => 2
       case other => throw new FormulaTypeException(
@@ -812,11 +833,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       "clip" -> Set("lower", "upper"),
       "describe" -> Set("percentiles"),
       "value_counts" -> Set("normalize", "ascending"),
-      "quantile" -> Set("interpolation")) ++
-      Seq("sum", "mean", "min", "max", "count", "std", "var", "median",
-        "prod", "nunique", "sem", "any", "all",
+      "quantile" -> Set("interpolation"),
+      // skipna (r11 session 5): pandas' NaN-poisoning switch — but NOT
+      // on count/nunique (no such pandas parameter there) and not on
+      // idxmax/idxmin (deprecated in pandas 2.x, raises in 3)
+      "skew" -> Set("skipna"), "kurt" -> Set("skipna")) ++
+      Seq("sum", "mean", "min", "max", "std", "var", "median",
+        "prod", "sem", "any", "all",
         "cumsum", "cummax", "cummin", "cumprod")
-        .map(_ -> Set("axis")).toMap
+        .map(_ -> Set("axis", "skipna")).toMap ++
+      Seq("count", "nunique").map(_ -> Set("axis")).toMap
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
@@ -881,6 +907,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     }
   }
 
+  /** The methods whose pandas signature carries skipna (r11 session 5). */
+  private val skipnaMethods = Set("sum", "mean", "min", "max", "std",
+    "var", "median", "prod", "sem", "any", "all", "skew", "kurt",
+    "cumsum", "cummax", "cummin", "cumprod")
+
   private def method(target: CValue, name: String, args: List[CValue], ctx: Ctx): CValue = {
     args.foreach {
       case CKw(kn, _) if !methodKwargs.getOrElse(name, Set.empty)(kn) =>
@@ -888,7 +919,36 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           s"'.$name()' got an unexpected keyword argument '$kn'")
       case _ =>
     }
-    (name, target, args) match {
+    // `.dot()` (r11 session 5): the actual pandas spelling of matrix
+    // multiplication (`@` stays rejected, E12) — a pure alias
+    val name1 = if (name == "dot") "matmul" else name
+    // skipna (r11 session 5): peeled off the reduction/cum argument list
+    // up front so the axis guards below see pandas' positional surface
+    // unchanged; window markers keep their own kwarg contracts (pandas
+    // Rolling.sum has no skipna), so the peel skips them
+    val windowTarget = target match {
+      case _: CRoll | _: CRollD | _: CExpand | _: CExpandD |
+           _: CEwm | _: CEwmD => true
+      case _ => false
+    }
+    if (windowTarget && args.exists {
+        case CKw("skipna", _) => true; case _ => false })
+      throw new FormulaTypeException(
+        s"'.$name1()' on a window got an unexpected keyword argument " +
+          "'skipna' (pandas window aggregates have none)")
+    val (argsP, skipna) =
+      if (windowTarget || !skipnaMethods(name1)) (args, true)
+      else {
+        val (sk, rest) = args.partition {
+          case CKw("skipna", _) => true; case _ => false }
+        sk match {
+          case Nil => (rest, true)
+          case List(CKw(_, v)) => (rest, asScalar(v, "skipna") != 0.0)
+          case _ => throw new FormulaTypeException(
+            s"'.$name1()' got multiple values for argument 'skipna'")
+        }
+      }
+    (name1, target, argsP) match {
       case ("fillna", CMatrix(cols, false), List(a)) =>
         val v = asScalar(a, "fillna")
         val filled =
@@ -1172,13 +1232,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           if axisArg(args).contains(1) =>
         if (!std) throw new AdpUnsupportedException(
           s"'.$k(axis=1)' is not supported in ADP mode")
-        horizontalReduce(cols, k)
+        horizontalReduce(cols, k, skipna)
       case (k @ ("sum" | "mean" | "min" | "max" | "count" | "std" | "var" |
                  "median" | "prod" | "nunique" | "any" | "all" |
                  "idxmax" | "idxmin" | "sem" | "skew" | "kurt"),
             CMatrix(cols, false), args)
           if axisArg(args).contains(0) =>
-        reduce(cols, ctx, k)
+        reduce(cols, ctx, k, skipna)
       case ("idxmax" | "idxmin", _: CVecD, Nil) =>
         throw new FormulaTypeException(
           "idxmax/idxmin on a driver vector returns a LABEL, not a " +
@@ -1302,14 +1362,18 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                  "sem" | "skew" | "kurt"),
             CVecD(vs, _), args) if axisArg(args).contains(0) =>
         val ok = vs.filter(!_.isNaN)
+        val hasNan = vs.exists(_.isNaN)
         CScalar(k match {
+          // skipna=False (r11 session 5): one NaN poisons the numeric
+          // reduction; any turns True on it (NaN truthy), all never flips
+          case "any" =>
+            if (ok.exists(_ != 0.0) || (!skipna && hasNan)) 1.0 else 0.0
+          case "all" => if (ok.forall(_ != 0.0)) 1.0 else 0.0
+          case "count" => ok.length.toDouble
+          case "nunique" => ok.distinct.length.toDouble
+          case _ if !skipna && hasNan => Double.NaN
           case "sum"   => ok.sum
           case "prod"  => ok.product
-          case "count" => ok.length.toDouble
-          // scalar results are doubles by model: any/all encode as 1/0
-          case "nunique" => ok.distinct.length.toDouble
-          case "any"   => if (ok.exists(_ != 0.0)) 1.0 else 0.0
-          case "all"   => if (ok.forall(_ != 0.0)) 1.0 else 0.0
           case _ if ok.isEmpty => Double.NaN
           case "mean"  => ok.sum / ok.length
           case "min"   => ok.min
@@ -1386,7 +1450,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case _ =>
               if (upto.size == 1) upto.head else least(upto: _*)
           }
-          (lbl, when(isnan(c), c).otherwise(run))
+          // skipna=False: the first invalid cell poisons the row's tail
+          val cell =
+            if (skipna) when(isnan(c), c).otherwise(run)
+            else when(upto.map(_.isNull).reduce(_ || _),
+              litOf(Double.NaN)).otherwise(run)
+          (lbl, cell)
         }
         CMatrix(out, isBool = false)
       case (cm @ ("cumsum" | "cummax" | "cummin"), CMatrix(cols, false), args)
@@ -1396,25 +1465,39 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val kind = cm match {
           case "cumsum" => "sum"; case "cummax" => "max"; case "cummin" => "min"
         }
+        if (!skipna && !std) throw new AdpUnsupportedException(
+          s"'.$cm(skipna=0)' is not supported in ADP mode " +
+            "(decimal cells cannot hold the NaN it poisons to)")
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val inNames = cols.indices.map(i => s"__cum${tag}_in_$i")
-        val runNames = cols.indices.map(i => s"__cum${tag}_run_$i")
+        // skipna=False (r11 session 5): one extra running sum of invalid
+        // flags per column — positive prefix count = pandas' poisoned tail
+        val invNames =
+          if (skipna) Seq.empty
+          else cols.indices.map(i => s"__cum${tag}_iv_$i")
         // encode the skip marker as NULL (std: NaN→NULL; decimal: already
         // NULL). ONE select, never a p-deep withColumn fold — each
         // withColumn re-analyzes the whole plan, quadratic in width
         // (measured: the bulk of the 12.7 s wide-cumprod compile)
         val marked = ctx.base.get.select(col("*") +:
-          cols.zip(inNames).map { case ((_, c), n) =>
+          (cols.zip(inNames).map { case ((_, c), n) =>
             (if (std) when(isnan(c), lit(null)).otherwise(c) else c).as(n)
-          }: _*)
+          } ++ cols.zip(invNames).map { case ((_, c), n) =>
+            (c.isNull || isnan(c)).cast("double").as(n)
+          }): _*)
         ctx.base = Some(graft.operators.Prefix.runningAgg(
           marked, col(ctx.rowIdOut),
-          inNames, Seq.fill(cols.size)(kind), runNames))
-        val out = cols.zip(runNames).map { case ((lbl, c), runName) =>
-          val running = col(runName)
+          inNames ++ invNames,
+          Seq.fill(cols.size)(kind) ++ invNames.map(_ => "sum"),
+          (inNames ++ invNames).map(_ + "_run")))
+        val out = cols.zipWithIndex.map { case ((lbl, c), i) =>
+          val running = col(inNames(i) + "_run")
           val cell =
-            if (std) {
+            if (!skipna)
+              when(col(invNames(i) + "_run") > 0, litOf(Double.NaN))
+                .otherwise(running)
+            else if (std) {
               // cumsum of a leading-NaN prefix is 0 in pandas only for sum
               // (empty sum = 0); cummax/cummin stay NaN until a real value
               val empty = if (cm == "cumsum") lit(0.0) else litOf(Double.NaN)
@@ -1653,8 +1736,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "cumprod" => _ * _
         }
         var acc = Double.NaN
+        var poisoned = false // skipna=False: first NaN kills the tail
         CVecD(vs.map { x =>
-          if (x.isNaN) Double.NaN
+          if (x.isNaN) { poisoned = true; Double.NaN }
+          else if (!skipna && poisoned) Double.NaN
           else { acc = if (acc.isNaN) x else combine(acc, x); acc }
         }, ls)
 
@@ -1680,13 +1765,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val inNames = cols.indices.flatMap(i =>
-          Seq(s"__cp${tag}_ln_$i", s"__cp${tag}_pk_$i"))
+          Seq(s"__cp${tag}_ln_$i", s"__cp${tag}_pk_$i")) ++
+          (if (skipna) Nil
+           else cols.indices.map(i => s"__cp${tag}_iv_$i"))
         val runNames = cols.indices.flatMap(i =>
-          Seq(s"__cp${tag}_lns_$i", s"__cp${tag}_pks_$i"))
+          Seq(s"__cp${tag}_lns_$i", s"__cp${tag}_pks_$i")) ++
+          (if (skipna) Nil
+           else cols.indices.map(i => s"__cp${tag}_ivs_$i"))
         // ONE select (see the cumsum note: withColumn folds re-analyze
         // the plan per column, quadratic in width)
         val marked = ctx.base.get.select(col("*") +:
-          cols.zipWithIndex.flatMap { case ((_, c), i) =>
+          (cols.zipWithIndex.flatMap { case ((_, c), i) =>
             val valid = !isnan(c)
             Seq(
               when(valid && c =!= 0.0, log(abs(c))).otherwise(lit(null))
@@ -1694,7 +1783,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               when(valid, (c === 0.0).cast("long") * lit(2147483648L) +
                   (c < 0.0).cast("long")).otherwise(lit(null))
                 .as(s"__cp${tag}_pk_$i"))
-          }: _*)
+          } ++ (if (skipna) Nil
+                else cols.zipWithIndex.map { case ((_, c), i) =>
+                  (c.isNull || isnan(c)).cast("double")
+                    .as(s"__cp${tag}_iv_$i") })): _*)
         ctx.base = Some(graft.operators.Prefix.runningAgg(
           marked, col(ctx.rowIdOut),
           inNames, Seq.fill(inNames.size)("sum"), runNames))
@@ -1704,12 +1796,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val ngs = pks.bitwiseAND(lit(0x7FFFFFFFL))
           val zrs = shiftright(pks, 31)
           val sign = lit(1.0) - lit(2.0) * (ngs % 2).cast("double")
-          val cell = when(isnan(c), c)
+          val cell0 = when(isnan(c), c)
             .otherwise(when(zrs > 0, lit(0.0))
               // a leading all-NaN prefix has no factors: pandas keeps NaN
               // until the first real value (unlike cumsum's empty-sum 0)
               .otherwise(when(lns.isNull && pks === 0, litOf(Double.NaN))
                 .otherwise(sign * exp(coalesce(lns, lit(0.0))))))
+          // skipna=False: the first invalid cell poisons the tail
+          val cell =
+            if (skipna) cell0
+            else when(col(s"__cp${tag}_ivs_$i") > 0, litOf(Double.NaN))
+              .otherwise(cell0)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
@@ -1750,13 +1847,21 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case CKw("axis", CScalar(a)) => a == 1.0; case _ => false } =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank(axis=1)' is not supported in ADP mode")
-        val (meth, asc, pct) = rankArgs(rargs.filterNot {
+        val (meth, asc, pct, naOpt) = rankArgs(rargs.filterNot {
           case CKw("axis", _) => true; case _ => false })
         val valid = cols.map { case (_, c) =>
           when(isnan(c), lit(null)).otherwise(c) }
         def better(a: Column, b: Column) = if (asc) a < b else a > b
         val nValid = valid.map(v => when(v.isNull, lit(0)).otherwise(lit(1)))
           .reduce(_ + _).cast("double")
+        // na_option top/bottom (r11 session 5): the row's NaN cells rank
+        // as one tie class before/after every valid value — pure rank
+        // ARITHMETIC (shift valid ranks by the NaN-class size for 'top';
+        // hand NaN cells the head/tail class ranks), so real ±inf values
+        // never collide with an encoded sentinel
+        val nanCnt = lit(cols.length.toDouble) - nValid
+        lazy val denseValid = size(array_distinct(filter(array(valid: _*),
+          vk => vk.isNotNull))).cast("double")
         val out = cols.zipWithIndex.map { case ((lbl, _), j) =>
           val vj = valid(j)
           val less = valid.map(vk =>
@@ -1764,7 +1869,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             .reduce(_ + _).cast("double")
           val eq = valid.map(vk => coalesce((vk === vj).cast("int"), lit(0)))
             .reduce(_ + _).cast("double")
-          val r: Column = meth match {
+          val r0: Column = meth match {
             case "average" => less + (eq + 1.0) / 2.0
             case "min"     => less + 1.0
             case "max"     => less + eq
@@ -1777,19 +1882,47 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               size(array_distinct(filter(array(valid: _*),
                 vk => better(vk, vj)))).cast("double") + 1.0
           }
-          val denom =
-            if (meth == "dense")
-              size(array_distinct(filter(array(valid: _*),
-                vk => vk.isNotNull))).cast("double")
-            else nValid
-          (lbl, when(vj.isNull, litOf(Double.NaN))
-            .otherwise(if (pct) r / denom else r))
+          val r: Column = naOpt match {
+            case "top" if meth == "dense" =>
+              r0 + when(nanCnt > 0, lit(1.0)).otherwise(lit(0.0))
+            case "top" => r0 + nanCnt
+            case _     => r0
+          }
+          // the NaN cell's own class rank (NaN when na_option='keep')
+          val nanBefore = valid.take(j)
+            .map(vk => when(vk.isNull, lit(1)).otherwise(lit(0)))
+            .foldLeft(lit(0): Column)(_ + _).cast("double")
+          val nanRank: Column = naOpt match {
+            case "keep" => litOf(Double.NaN)
+            case "top" => meth match {
+              case "average" => (nanCnt + 1.0) / 2.0
+              case "min"     => lit(1.0)
+              case "max"     => nanCnt
+              case "dense"   => lit(1.0)
+              case _         => nanBefore + 1.0 // first
+            }
+            case _ => meth match { // bottom
+              case "average" => nValid + (nanCnt + 1.0) / 2.0
+              case "min"     => nValid + 1.0
+              case "max"     => nValid + nanCnt
+              case "dense"   => denseValid + 1.0
+              case _         => nValid + nanBefore + 1.0 // first
+            }
+          }
+          val denom: Column =
+            if (naOpt == "keep") {
+              if (meth == "dense") denseValid else nValid
+            } else if (meth == "dense")
+              denseValid + when(nanCnt > 0, lit(1.0)).otherwise(lit(0.0))
+            else lit(cols.length.toDouble)
+          def fin(x: Column) = if (pct) x / denom else x
+          (lbl, when(vj.isNull, fin(nanRank)).otherwise(fin(r)))
         }
         CMatrix(out, isBool = false)
       case ("rank", CMatrix(cols, false), rargs) =>
         if (!std) throw new AdpUnsupportedException(
           "'.rank()' is not supported in ADP mode")
-        val (meth, asc, pct) = rankArgs(rargs)
+        val (meth, asc, pct, naOpt) = rankArgs(rargs)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         def keyOf(c: Column): Column = {
@@ -1818,7 +1951,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         lazy val totals = counts.groupBy(col("__ci"))
           .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__dtot"))
         def withPct(df: DataFrame): DataFrame =
-          if (!pct) df
+          if (!pct || naOpt != "keep") df
           else {
             val denom = if (meth == "dense") col("__dtot") else col("__tot")
             df.join(broadcast(totals.withColumnRenamed("__ci", "__tci")),
@@ -1826,6 +1959,81 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               .withColumn("__avg", col("__avg") / denom.cast("double"))
               .drop("__tci", "__tot", "__dtot")
           }
+        // na_option='top'/'bottom' (r11 session 5): pure rank ARITHMETIC
+        // on the existing valid-rank tables — valid ranks shift by the
+        // NaN-class size ('top'), NaN cells take the head/tail class
+        // ranks, pct divides by the row count (dense: the NaN-inclusive
+        // distinct count). One 1-row broadcast stats frame (per-column
+        // valid/distinct totals + the global row count) feeds the
+        // closing projection; no sentinel keys, so real ±inf data never
+        // collides with the NaN class (pandas keeps them distinct).
+        val na = naOpt != "keep"
+        val tN = cols.indices.map(i => s"__rk${tag}_t_$i")
+        val dN = cols.indices.map(i => s"__rk${tag}_d_$i")
+        val nName = s"__rk${tag}_N"
+        if (na) {
+          val piv = totals.groupBy()
+            .pivot("__ci", cols.indices.map(Int.box))
+            .agg(first(col("__tot")).as("t"), first(col("__dtot")).as("d"))
+          val statsRow = piv.select(cols.indices.flatMap(i => Seq(
+            coalesce(col(s"`${i}_t`"), lit(0L)).as(tN(i)),
+            coalesce(col(s"`${i}_d`"), lit(0L)).as(dN(i)))): _*)
+          val nRow = base0.agg(count(lit(1)).as(nName))
+          ctx.base = Some(ctx.base.get
+            .crossJoin(broadcast(statsRow))
+            .crossJoin(broadcast(nRow)))
+        }
+        def invalidCell(c: Column) = c.isNull || isnan(c)
+        def naCell(c: Column, i: Int, validRaw: Column,
+                   nanFirstPos: => Column): Column = {
+          val tot = col(tN(i)).cast("double")
+          val nan = col(nName).cast("double") - tot
+          val dtot = col(dN(i)).cast("double")
+          val hasNan = when(nan > 0, lit(1.0)).otherwise(lit(0.0))
+          val shift: Column =
+            if (naOpt != "top") lit(0.0)
+            else if (meth == "dense") hasNan
+            else nan
+          val nanRank: Column = (naOpt, meth) match {
+            case ("top", "average") => (nan + 1.0) / 2.0
+            case ("top", "min")     => lit(1.0)
+            case ("top", "max")     => nan
+            case ("top", "dense")   => lit(1.0)
+            case ("top", _)         => nanFirstPos
+            case (_, "average")     => tot + (nan + 1.0) / 2.0
+            case (_, "min")         => tot + 1.0
+            case (_, "max")         => tot + nan
+            case (_, "dense")       => dtot + 1.0
+            case _                  => tot + nanFirstPos
+          }
+          val cell = when(invalidCell(c), nanRank)
+            .otherwise(validRaw + shift)
+          if (!pct) cell
+          else cell / (if (meth == "dense") dtot + hasNan
+                       else col(nName).cast("double"))
+        }
+        // NaN-cell appearance positions (method='first' only): one
+        // grouped prefix of ones over the invalid cells + the same
+        // literal pivot and row-id join the valid 'first' path uses
+        lazy val nanFirstNames = cols.indices.map(i => s"__rk${tag}_f_$i")
+        def joinNanFirst(): Unit = {
+          val stackedNaN = base0.select(col(ctx.rowIdOut).as(ridName),
+              posexplode(array(cols.map { case (_, c) => keyOf(c) }: _*))
+                .as(Seq("__ci", "__v")))
+            .where(col("__v").isNull)
+            .withColumn("__one1", lit(1L))
+          val ntp = graft.operators.Prefix.runningAgg(stackedNaN,
+            col(ridName), Seq("__one1"), Seq("sum"), Seq("__ntp"),
+            partitionCols = Seq("__ci"))
+          val pivotedN = ntp.groupBy(col(ridName))
+            .pivot("__ci", cols.indices.map(Int.box))
+            .agg(first(col("__ntp")))
+            .select(col(ridName) +: cols.indices.map(i =>
+              col(s"`$i`").cast("double").as(nanFirstNames(i))): _*)
+          val b = ctx.base.get
+          ctx.base = Some(b.join(pivotedN,
+            b(ctx.rowIdOut) === pivotedN(ridName), "left").drop(ridName))
+        }
         if (meth == "first") {
           // positional tiebreak; the result is row-keyed, so it pivots
           // and joins back once on the row id at ANY width
@@ -1850,8 +2058,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ctx.base = Some(b.join(pivoted,
               b(ctx.rowIdOut) === pivoted(ridName), "left")
             .drop(ridName))
-          val out = cols.zip(aNames).map { case ((lbl, c), a) =>
-            (lbl, when(isnan(c), c).otherwise(col(a)))
+          if (na) joinNanFirst()
+          val out = cols.zip(aNames).zipWithIndex.map {
+            case (((lbl, c), a), i) =>
+              if (!na) (lbl, when(isnan(c), c).otherwise(col(a)))
+              else (lbl, naCell(c, i, col(a), col(nanFirstNames(i))))
           }
           CMatrix(out, isBool = false)
         } else {
@@ -1875,7 +2086,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             val rankedI = ranked.where(col("__ci") === i)
               .select(col("__v").as(vName), col("__avg").as(aName))
             ctx.base = Some(ctx.base.get.join(rankedI, keyOf(c) === col(vName), "left"))
-            (lbl, when(isnan(c), c).otherwise(col(aName)))
+            if (!na) (lbl, when(isnan(c), c).otherwise(col(aName)))
+            else (lbl, naCell(c, i, col(aName), litOf(Double.NaN)))
           }
           CMatrix(out, isBool = false)
         } else {
@@ -1908,14 +2120,16 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ctx.base = Some(b.join(pivoted,
               b(ctx.rowIdOut) === pivoted(ridName), "left")
             .drop(ridName))
-          val out = cols.zip(aNames).map { case ((lbl, c), a) =>
-            (lbl, when(isnan(c), c).otherwise(col(a)))
+          val out = cols.zip(aNames).zipWithIndex.map {
+            case (((lbl, c), a), i) =>
+              if (!na) (lbl, when(isnan(c), c).otherwise(col(a)))
+              else (lbl, naCell(c, i, col(a), litOf(Double.NaN)))
           }
           CMatrix(out, isBool = false)
         }
         }
       case ("rank", CVecD(vs, ls), rargs) =>
-        val (meth, asc, pct) = rankArgs(rargs)
+        val (meth, asc, pct, naOpt) = rankArgs(rargs)
         val key: Double => Double = if (asc) identity else (x => -x)
         val ok = vs.collect { case x if !x.isNaN => key(x) }.sorted
         val distinctSorted = ok.distinct
@@ -1925,13 +2139,47 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           .filter(!_._1.isNaN)
           .sortBy { case (x, i) => (key(x), i) }
           .zipWithIndex.map { case ((_, i), r) => i -> (r + 1) }.toMap
-        val denom =
-          (if (meth == "dense") distinctSorted.length else ok.length).toDouble
+        // na_option top/bottom (r11 session 5): the same rank arithmetic
+        // as the matrix path — valid ranks shift by the NaN-class size
+        // ('top'), NaN cells take the head/tail class ranks
+        val nanIdx = vs.indices.filter(i => vs(i).isNaN)
+        val nanCnt = nanIdx.length
+        val tot = ok.length
+        val hasNan = if (nanCnt > 0) 1 else 0
+        val denom = (naOpt match {
+          case "keep" => if (meth == "dense") distinctSorted.length else tot
+          case _ => if (meth == "dense") distinctSorted.length + hasNan
+                    else vs.length
+        }).toDouble
+        val shift: Double = naOpt match {
+          case "top" if meth == "dense" => hasNan.toDouble
+          case "top" => nanCnt.toDouble
+          case _ => 0.0
+        }
+        def nanRank(i: Int): Double = naOpt match {
+          case "keep" => Double.NaN
+          case "top" => meth match {
+            case "average" => (nanCnt + 1.0) / 2.0
+            case "min"     => 1.0
+            case "max"     => nanCnt.toDouble
+            case "dense"   => 1.0
+            case _         => nanIdx.indexOf(i) + 1.0 // first
+          }
+          case _ => meth match { // bottom
+            case "average" => tot + (nanCnt + 1.0) / 2.0
+            case "min"     => tot + 1.0
+            case "max"     => (tot + nanCnt).toDouble
+            case "dense"   => distinctSorted.length + 1.0
+            case _         => tot + nanIdx.indexOf(i) + 1.0 // first
+          }
+        }
         CVecD(vs.zipWithIndex.map { case (x, i) =>
-          if (x.isNaN) Double.NaN
-          else {
+          if (x.isNaN) {
+            val r = nanRank(i)
+            if (pct) r / denom else r
+          } else {
             val kx = key(x)
-            val raw = meth match {
+            val raw = (meth match {
               case "min"   => ok.indexWhere(_ == kx) + 1.0
               case "max"   => ok.lastIndexWhere(_ == kx) + 1.0
               case "dense" => distinctSorted.indexWhere(_ == kx) + 1.0
@@ -1940,7 +2188,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 val f = ok.indexWhere(_ == kx)
                 val l = ok.lastIndexWhere(_ == kx)
                 (f + l) / 2.0 + 1.0
-            }
+            }) + shift
             if (pct) raw / denom else raw
           }
         }, ls)
@@ -2467,7 +2715,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         CExpandD(vs, ls, expandingMinPeriods(args))
 
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median" | "skew" | "kurt" | "quantile" | "rank"),
+            "median" | "skew" | "kurt" | "quantile" | "rank" | "sem"),
             CRoll(cols, n, minp, center), rollArgs)
           if (m == "quantile" && rollArgs.nonEmpty &&
               !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
@@ -2509,7 +2757,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             }, isBool = false)
           }
         def invalidOf(c: Column) = c.isNull || isnan(c)
-        val needsSq = m == "std" || m == "var"
+        val needsSq = m == "std" || m == "var" || m == "sem"
         // std/var center on the frame-global column means (broadcast
         // 1-row aggregate) before forming moment sums: raw power sums
         // cancel catastrophically when |mean| >> spread — the skew/kurt
@@ -2546,7 +2794,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             (lbl, m match {
               case "count" =>
                 when(invalidOf(c), lit(0.0)).otherwise(lit(1.0))
-              case "std" | "var" | "skew" | "kurt" => litOf(Double.NaN)
+              case "std" | "var" | "skew" | "kurt" | "sem" =>
+                litOf(Double.NaN)
               // a valid cell alone in its window ranks 1 (pct: 1/1)
               case "rank" => when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(lit(1.0))
@@ -2583,6 +2832,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case "kurt"         => "winkurt"
             case "quantile"     => "winquant"
             case "rank"         => "winrank"
+            case "sem"          => "winsem"
             case _              => "winsum"
           }
           // center=1 (r11): the lead is FUSED into the same slice pass
@@ -2662,20 +2912,98 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 val v = greatest(
                   (winQ - winSum * winSum / validCnt) / (validCnt - 1),
                   lit(0.0))
+                // sem (r11 session 5) = std(ddof=1)/sqrt(cnt−1) — the
+                // pandas Rolling.sem denominator (count − ddof), NOT the
+                // Series reduction's sqrt(count)
                 when(validCnt < minp || validCnt < 2, litOf(Double.NaN))
-                  .otherwise(if (m == "var") v else sqrt(v))
+                  .otherwise(m match {
+                    case "var" => v
+                    case "sem" => sqrt(v / (validCnt - 1))
+                    case _     => sqrt(v)
+                  })
             }
             (lbl, cell)
           }
           finish(out)
         }
-      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+      // `.rolling(n).cov(other)` / `.corr(other)` (r11 session 5):
+      // pandas' pairwise moving covariance/correlation — pandas 2.2
+      // masks BOTH inputs to the window's pairwise-complete cells (both
+      // valid), computes sample moments over the PAIRS (corr's
+      // denominator variances included), and gates on the valid-pair
+      // count >= min_periods (all pinned empirically — see
+      // Prefix.winEmitter's wincov note). Labels align like the
+      // elementwise binops: sorted union, one-sided labels are all-NaN
+      // columns (the pandas outer-align rule). Distributed as ONE fused
+      // slice pass over 2w marked inputs — the ring already streams
+      // whole rows, so pairing costs no extra exchange.
+      case (m @ ("cov" | "corr"), CRoll(cols, n, minp, center),
+            List(arg)) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.rolling().$m()' is not supported in ADP mode")
+        val ocols = arg match {
+          case CMatrix(oc, false) => oc
+          case _: CVecD | _: CVecC => throw new FormulaTypeException(
+            s"'.rolling(n).$m(other)' needs a DataFrame other: the " +
+              "DSL's Series broadcast COLUMN-positionally (SURVEY §2.3 " +
+              "A2), so a row-axis moving covariance against one is " +
+              "ill-formed")
+          case other => throw new FormulaTypeException(
+            s"'.rolling(n).$m(other)' is not applicable to $other")
+        }
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val lm = cols.toMap; val rm = ocols.toMap
+        val union: Seq[String] =
+          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
+          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+        val shared = union.filter(l => lm.contains(l) && rm.contains(l))
+        // a 1-position window never holds 2 pairs — NaN everywhere
+        // (ddof = 1), like var; and no shared labels means no pairs
+        if (n == 1 || shared.isEmpty)
+          CMatrix(union.map(l => (l, litOf(Double.NaN))), isBool = false)
+        else {
+          val conf = ctx.base.get.sparkSession.conf
+          val fuseMax = conf.getOption("graft.rolling.fuseMaxWindow")
+            .map(_.toInt).getOrElse(257)
+          if (n > math.min(fuseMax, 257)) throw new FormulaTypeException(
+            s"'.rolling(n).$m(other)' supports window sizes up to " +
+              s"$fuseMax (the pairwise mask is not prefix-invertible), " +
+              s"got $n")
+          val w = shared.length
+          val xIn = shared.indices.map(i => s"__rp${tag}_x_$i")
+          val yIn = shared.indices.map(i => s"__rp${tag}_y_$i")
+          val marked = ctx.base.get.select(col("*") +:
+            (shared.zipWithIndex.map { case (l, i) =>
+              val c = lm(l)
+              when(invalidOf(c), litOf(Double.NaN))
+                .otherwise(c.cast("double")).as(xIn(i))
+            } ++ shared.zipWithIndex.map { case (l, i) =>
+              val c = rm(l)
+              when(invalidOf(c), litOf(Double.NaN))
+                .otherwise(c.cast("double")).as(yIn(i))
+            }): _*)
+          val lead = if (center) (n - 1) / 2 else 0
+          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
+            ctx.rowIdOut, rid, xIn ++ yIn, n - 1,
+            xIn.map(_ + "_w"),
+            fuse = if (m == "cov") "wincov" else "wincorr",
+            winMinPeriods = minp, centerLead = lead))
+          CMatrix(union.map { l =>
+            val i = shared.indexOf(l)
+            (l, if (i < 0) litOf(Double.NaN) else col(xIn(i) + "_w"))
+          }, isBool = false)
+        }
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
+            "sem"),
             CExpand(cols, minp), Nil) =>
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val rid = col(ctx.rowIdOut)
         def invalidOf(c: Column) = c.isNull || isnan(c)
-        val needsSq = m == "std" || m == "var"
+        val needsSq = m == "std" || m == "var" || m == "sem"
         // the expanding aggregate IS the skipna distributed prefix — one
         // runningAgg pass; min/max ride the prefix extreme kinds, std/var
         // center on the frame-global means first (see the rolling case)
@@ -2739,14 +3067,106 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             case _ =>
               val q = col(sqIn(i) + "_s")
               val v = greatest((q - s * s / ccnt) / (ccnt - 1), lit(0.0))
+              // sem: the pandas window denominator sqrt(count − ddof)
               when(ccnt < minp.max(2), litOf(Double.NaN))
-                .otherwise(if (m == "var") v else sqrt(v))
+                .otherwise(m match {
+                  case "var" => v
+                  case "sem" => sqrt(v / (ccnt - 1))
+                  case _     => sqrt(v)
+                })
           }
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
+      // `.expanding().cov(other)` / `.corr(other)` (r11 session 5): the
+      // same pandas pairwise contract as the rolling form, over the
+      // unbounded prefix — running sums of the pair-masked, frame-
+      // global-centered values (cov/corr are shift-invariant over the
+      // PAIR set, so the centering kills the power-sum cancellation the
+      // way the expanding var path does) + the closing power-sum
+      // identity; gate = running pair count >= max(min_periods, 2).
+      case (m @ ("cov" | "corr"), CExpand(cols, minp), List(arg)) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.expanding().$m()' is not supported in ADP mode")
+        val ocols = arg match {
+          case CMatrix(oc, false) => oc
+          case _: CVecD | _: CVecC => throw new FormulaTypeException(
+            s"'.expanding().$m(other)' needs a DataFrame other: the " +
+              "DSL's Series broadcast COLUMN-positionally (SURVEY §2.3 " +
+              "A2), so a row-axis moving covariance against one is " +
+              "ill-formed")
+          case other => throw new FormulaTypeException(
+            s"'.expanding().$m(other)' is not applicable to $other")
+        }
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val lm = cols.toMap; val rm = ocols.toMap
+        val union: Seq[String] =
+          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
+          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+        val shared = union.filter(l => lm.contains(l) && rm.contains(l))
+        if (shared.isEmpty)
+          CMatrix(union.map(l => (l, litOf(Double.NaN))), isBool = false)
+        else {
+          val wantCorr = m == "corr"
+          // frame-global pair means as centering constants (one
+          // broadcast 1-row aggregate, the expanding-var shape)
+          def pairValid(l: String) =
+            !invalidOf(lm(l)) && !invalidOf(rm(l))
+          val mus = shared.zipWithIndex.flatMap { case (l, i) =>
+            val pv = pairValid(l)
+            Seq(coalesce(avg(when(pv, lm(l))), lit(0.0))
+              .as(s"__ep${tag}_ax_$i"),
+              coalesce(avg(when(pv, rm(l))), lit(0.0))
+                .as(s"__ep${tag}_ay_$i"))
+          }
+          val based = ctx.base.get.crossJoin(
+            broadcast(ctx.base.get.agg(mus.head, mus.tail: _*)))
+          val sxy = shared.indices.map(i => s"__ep${tag}_xy_$i")
+          val sx = shared.indices.map(i => s"__ep${tag}_sx_$i")
+          val sy = shared.indices.map(i => s"__ep${tag}_sy_$i")
+          val cp = shared.indices.map(i => s"__ep${tag}_cp_$i")
+          val qx = shared.indices.map(i => s"__ep${tag}_qx_$i")
+          val qy = shared.indices.map(i => s"__ep${tag}_qy_$i")
+          val marked = based.select(col("*") +:
+            shared.zipWithIndex.flatMap { case (l, i) =>
+              val pv = pairValid(l)
+              val cx = lm(l).cast("double") - col(s"__ep${tag}_ax_$i")
+              val cy = rm(l).cast("double") - col(s"__ep${tag}_ay_$i")
+              Seq(when(pv, cx * cy).as(sxy(i)),
+                when(pv, cx).as(sx(i)),
+                when(pv, cy).as(sy(i)),
+                when(pv, lit(1.0)).as(cp(i))) ++
+                (if (wantCorr)
+                   Seq(when(pv, cx * cx).as(qx(i)),
+                     when(pv, cy * cy).as(qy(i)))
+                 else Nil)
+            }: _*)
+          val inNames = sxy ++ sx ++ sy ++ cp ++
+            (if (wantCorr) qx ++ qy else Nil)
+          ctx.base = Some(graft.operators.Prefix.runningAgg(marked, rid,
+            inNames, inNames.map(_ => "sum"), inNames.map(_ + "_s")))
+          CMatrix(union.map { l =>
+            val i = shared.indexOf(l)
+            if (i < 0) (l, litOf(Double.NaN))
+            else {
+              val n = coalesce(col(cp(i) + "_s"), lit(0.0))
+              val x1 = col(sx(i) + "_s"); val y1 = col(sy(i) + "_s")
+              val covN = col(sxy(i) + "_s") - x1 * y1 / n
+              val cell =
+                if (!wantCorr) covN / (n - 1)
+                else covN / sqrt(
+                  (col(qx(i) + "_s") - x1 * x1 / n) *
+                    (col(qy(i) + "_s") - y1 * y1 / n))
+              (l, when(n < math.max(minp, 2), litOf(Double.NaN))
+                .otherwise(cell))
+            }
+          }, isBool = false)
+        }
       case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
-            "median" | "skew" | "kurt" | "quantile" | "rank"),
+            "median" | "skew" | "kurt" | "quantile" | "rank" | "sem"),
             CRollD(vs, ls, n, minp, center), rollArgs)
           if (m == "quantile" && rollArgs.nonEmpty &&
               !rollArgs.head.isInstanceOf[CKw] && rollArgs.length <= 2) ||
@@ -2841,7 +3261,12 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                 else {
                   val mu = w.sum / cnt
                   val v2 = w.map(x => (x - mu) * (x - mu)).sum / (cnt - 1)
-                  if (m == "var") v2 else math.sqrt(v2)
+                  m match {
+                    case "var" => v2
+                    // pandas Rolling.sem: std(ddof=1)/sqrt(cnt − ddof)
+                    case "sem" => math.sqrt(v2 / (cnt - 1))
+                    case _     => math.sqrt(v2)
+                  }
                 }
             }
           }
@@ -2849,7 +3274,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val lead = if (center) (n - 1) / 2 else 0
         CVecD(vs.indices.map(i =>
           if (i + lead < trail.length) trail(i + lead) else Double.NaN), ls)
-      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var"),
+      case (m @ ("mean" | "sum" | "count" | "min" | "max" | "std" | "var" |
+            "sem"),
             CExpandD(vs, ls, minp), Nil) => {
         var s = 0.0; var q = 0.0; var c = 0; var pos = 0
         var mn = Double.NaN; var mx = Double.NaN
@@ -2872,11 +3298,83 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               if (c < minp.max(2)) Double.NaN
               else {
                 val v2 = math.max(0.0, (q - s * s / c) / (c - 1))
-                if (m == "var") v2 else math.sqrt(v2)
+                m match {
+                  case "var" => v2
+                  case "sem" => math.sqrt(v2 / (c - 1))
+                  case _     => math.sqrt(v2)
+                }
               }
           }
         }, ls)
       }
+      // sequential twins of the pairwise window cov/corr (r11 session
+      // 5): Series ∘ Series pairs POSITIONALLY (the A3 vector rule);
+      // exact two-pass over each window's pairwise-complete cells
+      case (m @ ("cov" | "corr"),
+            CRollD(vs, ls, n, minp, center), List(arg)) =>
+        val os = arg match {
+          case CVecD(o, _) => o
+          case other => throw new FormulaTypeException(
+            s"'.rolling(n).$m(other)' on a Series needs a Series " +
+              s"other, got $other")
+        }
+        requireLen(vs.length, os.length)
+        def pairCell(lo: Int, hi: Int): Double = {
+          val xs = new scala.collection.mutable.ArrayBuffer[Double]
+          val ys = new scala.collection.mutable.ArrayBuffer[Double]
+          var b = lo
+          while (b <= hi) {
+            if (!vs(b).isNaN && !os(b).isNaN) { xs += vs(b); ys += os(b) }
+            b += 1
+          }
+          val cp = xs.length
+          if (cp < minp || cp < 2) Double.NaN
+          else {
+            val mx = xs.sum / cp; val my = ys.sum / cp
+            var qxy = 0.0; var qx = 0.0; var qy = 0.0; var i = 0
+            while (i < cp) {
+              val dx = xs(i) - mx; val dy = ys(i) - my
+              qxy += dx * dy; qx += dx * dx; qy += dy * dy
+              i += 1
+            }
+            if (m == "corr") qxy / math.sqrt(qx * qy)
+            else qxy / (cp - 1)
+          }
+        }
+        val trail = vs.indices.map(i => pairCell(math.max(0, i + 1 - n), i))
+        val lead = if (center) (n - 1) / 2 else 0
+        CVecD(vs.indices.map(i =>
+          if (i + lead < trail.length) trail(i + lead) else Double.NaN), ls)
+      case (m @ ("cov" | "corr"), CExpandD(vs, ls, minp), List(arg)) =>
+        val os = arg match {
+          case CVecD(o, _) => o
+          case other => throw new FormulaTypeException(
+            s"'.expanding().$m(other)' on a Series needs a Series " +
+              s"other, got $other")
+        }
+        requireLen(vs.length, os.length)
+        CVecD(vs.indices.map { i =>
+          val xs = new scala.collection.mutable.ArrayBuffer[Double]
+          val ys = new scala.collection.mutable.ArrayBuffer[Double]
+          var b = 0
+          while (b <= i) {
+            if (!vs(b).isNaN && !os(b).isNaN) { xs += vs(b); ys += os(b) }
+            b += 1
+          }
+          val cp = xs.length
+          if (cp < math.max(minp, 2)) Double.NaN
+          else {
+            val mx = xs.sum / cp; val my = ys.sum / cp
+            var qxy = 0.0; var qx = 0.0; var qy = 0.0; var j = 0
+            while (j < cp) {
+              val dx = xs(j) - mx; val dy = ys(j) - my
+              qxy += dx * dy; qx += dx * dx; qy += dy * dy
+              j += 1
+            }
+            if (m == "corr") qxy / math.sqrt(qx * qy)
+            else qxy / (cp - 1)
+          }
+        }, ls)
       // `.ewm(...).mean()/.var()/.std()` (r10): pandas adjust=True /
       // ignore_na=False / bias=False, EXACT — the r9 truncated-horizon
       // ring (com <= ~8.8, NaN past hk-long hole runs where pandas
@@ -2973,10 +3471,114 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           if (m == "std") math.sqrt(out) else out
         }, ls)
       }
+      // `.ewm(...).cov(other)` / `.corr(other)` (r11 session 5): pandas'
+      // pairwise exponentially weighted covariance/correlation — both
+      // inputs masked to each position's pairwise-complete cells,
+      // decayed weighted moments over the pairs (ignore_na=False: the
+      // weights decay by raw position distance), bias=False correction
+      // W1²/(W1²−ΣW²), the pandas carry at non-pair positions, and
+      // min_periods on the running PAIR count. Computed by POLARIZATION
+      // on the existing exact corrected var scan:
+      //   cov  = (varC(x̃+ỹ) − varC(x̃−ỹ))/4
+      //   corr = cov / √(varC(x̃)·varC(ỹ))
+      // — the correction factor depends only on the shared pair mask, so
+      // it distributes over the identity (and cancels in corr); one scan
+      // pass over 2w (cov) / 4w (corr) masked columns, no new kernel.
+      // Validated against pandas 2.2 to ~1e-13 (adjust=True and =False).
+      case (m @ ("cov" | "corr"), CEwm(cols, alpha, minp, adjust),
+            List(arg)) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.ewm().$m()' is not supported in ADP mode")
+        val ocols = arg match {
+          case CMatrix(oc, false) => oc
+          case _: CVecD | _: CVecC => throw new FormulaTypeException(
+            s"'.ewm().$m(other)' needs a DataFrame other: the DSL's " +
+              "Series broadcast COLUMN-positionally (SURVEY §2.3 A2), " +
+              "so a row-axis weighted covariance against one is " +
+              "ill-formed")
+          case other => throw new FormulaTypeException(
+            s"'.ewm().$m(other)' is not applicable to $other")
+        }
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val lm = cols.toMap; val rm = ocols.toMap
+        val union: Seq[String] =
+          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
+          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+        val shared = union.filter(l => lm.contains(l) && rm.contains(l))
+        if (shared.isEmpty)
+          CMatrix(union.map(l => (l, litOf(Double.NaN))), isBool = false)
+        else {
+          val wantCorr = m == "corr"
+          val nan = litOf(Double.NaN)
+          val sIn = shared.indices.map(i => s"__ec${tag}_s_$i")
+          val dIn = shared.indices.map(i => s"__ec${tag}_d_$i")
+          val xIn = shared.indices.map(i => s"__ec${tag}_x_$i")
+          val yIn = shared.indices.map(i => s"__ec${tag}_y_$i")
+          val marked = ctx.base.get.select(col("*") +:
+            shared.zipWithIndex.flatMap { case (l, i) =>
+              val x = lm(l).cast("double"); val y = rm(l).cast("double")
+              val pv = !invalidOf(lm(l)) && !invalidOf(rm(l))
+              Seq(when(pv, x + y).otherwise(nan).as(sIn(i)),
+                when(pv, x - y).otherwise(nan).as(dIn(i))) ++
+                (if (wantCorr)
+                   Seq(when(pv, x).otherwise(nan).as(xIn(i)),
+                     when(pv, y).otherwise(nan).as(yIn(i)))
+                 else Nil)
+            }: _*)
+          val scanIns = sIn ++ dIn ++ (if (wantCorr) xIn ++ yIn else Nil)
+          val scan =
+            if (adjust) graft.operators.Prefix.ewmScan _
+            else graft.operators.Prefix.ewmScanRecursive _
+          ctx.base = Some(scan(marked, ctx.rowIdOut, rid, scanIns, alpha,
+            scanIns.map(_ + "_w"), "var", minp))
+          CMatrix(union.map { l =>
+            val i = shared.indexOf(l)
+            if (i < 0) (l, litOf(Double.NaN))
+            else {
+              val cov = (col(sIn(i) + "_w") - col(dIn(i) + "_w")) / 4.0
+              (l, if (!wantCorr) cov
+                  else cov / sqrt(col(xIn(i) + "_w") * col(yIn(i) + "_w")))
+            }
+          }, isBool = false)
+        }
+      case (m @ ("cov" | "corr"), CEwmD(vs, ls, alpha, minp, adjust),
+            List(arg)) =>
+        val os = arg match {
+          case CVecD(o, _) => o
+          case other => throw new FormulaTypeException(
+            s"'.ewm().$m(other)' on a Series needs a Series other, " +
+              s"got $other")
+        }
+        requireLen(vs.length, os.length)
+        // the same polarization, through the sequential var twin
+        val pv = vs.indices.map(i => !vs(i).isNaN && !os(i).isNaN)
+        def masked(f: Int => Double): IndexedSeq[Double] =
+          vs.indices.map(i => if (pv(i)) f(i) else Double.NaN)
+        def varOf(series: IndexedSeq[Double]): IndexedSeq[Double] =
+          method(CEwmD(series, ls, alpha, minp, adjust), "var", Nil,
+            ctx) match {
+            case CVecD(out, _) => out.toIndexedSeq
+            case other => throw new FormulaTypeException(
+              s"internal: ewm var twin returned $other")
+          }
+        val covs = varOf(masked(i => vs(i) + os(i)))
+          .zip(varOf(masked(i => vs(i) - os(i))))
+          .map { case (a, b) => (a - b) / 4.0 }
+        if (m == "cov") CVecD(covs, ls)
+        else {
+          val vx = varOf(masked(i => vs(i)))
+          val vy = varOf(masked(i => os(i)))
+          CVecD(covs.indices.map(i =>
+            covs(i) / math.sqrt(vx(i) * vy(i))), ls)
+        }
+
       case (other, _: CEwm | _: CEwmD, _) =>
         throw new FormulaTypeException(
-          s"'.ewm(com)' windows support '.mean()/.var()/.std()' — got " +
-            s"'.$other'")
+          s"'.ewm(com)' windows support '.mean()/.var()/.std()/" +
+            s".cov(other)/.corr(other)' — got '.$other'")
 
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
@@ -3027,12 +3629,20 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
     * min/max/mean/std/var/median = NaN, count of none = 0; std/var use
     * ddof=1 (stddev_samp/var_samp), median interpolates the even middle
     * (percentile 0.5). */
-  private def reduce(cols: Seq[(String, Column)], ctx: Ctx, kind: String): CValue = {
+  private def reduce(cols: Seq[(String, Column)], ctx: Ctx, kind: String,
+                     skipna: Boolean = true): CValue = {
     val base = ctx.base.getOrElse(
       throw new FormulaTypeException("reduction requires a matrix operand"))
     if (ubp && kind != "sum" && kind != "mean")
       throw new AdpUnsupportedException(
         s"'.$kind()' is not supported in unbounded ADP mode")
+    // skipna=False (r11 session 5): any invalid cell poisons the numeric
+    // reduction to NaN; any/all keep pandas' NaN-is-truthy rule (any
+    // turns True on an invalid cell, all never flips). Decimal modes
+    // have no NaN cell to emit — rejected cleanly.
+    if (!skipna && !std) throw new AdpUnsupportedException(
+      s"'.$kind(skipna=0)' is not supported in ADP mode " +
+        "(decimal cells cannot hold the NaN it poisons to)")
     if (!std && (Set("std", "var", "median", "prod", "sem", "skew",
         "kurt")(kind) || kind.startsWith("quantile")))
       throw new AdpUnsupportedException(
@@ -3084,7 +3694,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       val meanParts = cols.zip(aliases).flatMap { case ((_, c), (_, alias)) =>
         val v = when(isnan(c), lit(null)).otherwise(c)
         Seq(count(v).cast("double").as(s"${alias}_n"),
-          (sum(v) / count(v).cast("double")).as(s"${alias}_m"))
+          (sum(v) / count(v).cast("double")).as(s"${alias}_m")) ++
+          (if (skipna) Nil
+           else Seq(coalesce(max((c.isNull || isnan(c)).cast("int")),
+             lit(0)).as(s"${alias}_h")))
       }
       val means = base.agg(meanParts.head, meanParts.tail: _*)
       val withM = base.crossJoin(broadcast(means))
@@ -3094,7 +3707,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         Seq(max(col(s"${alias}_n")).as(s"${alias}_n"),
           sum(round(d * d, 9).cast(dec)).as(s"${alias}_s2"),
           sum(round(d * d * d, 9).cast(dec)).as(s"${alias}_s3"),
-          sum(round(d * d * d * d, 9).cast(dec)).as(s"${alias}_s4"))
+          sum(round(d * d * d * d, 9).cast(dec)).as(s"${alias}_s4")) ++
+          (if (skipna) Nil
+           else Seq(max(col(s"${alias}_h")).as(s"${alias}_h")))
       }
       ctx.aggDfs += withM.agg(sumParts.head, sumParts.tail: _*)
       val outCols = aliases.map { case (lbl, alias) =>
@@ -3112,7 +3727,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               ((n * n - lit(1.0)) * (m4 / (m2 * m2)) -
                 lit(3.0) * (n - lit(1.0)) * (n - lit(1.0))) /
                 ((n - lit(2.0)) * (n - lit(3.0)))).otherwise(litOf(Double.NaN))
-        (lbl, cell)
+        (lbl, if (skipna) cell
+              else when(col(s"${alias}_h") > 0, litOf(Double.NaN))
+                .otherwise(cell))
       }
       return CVecC(outCols, Set(id))
     }
@@ -3124,13 +3741,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val nonNan = when(isnan(c), lit(null)).otherwise(c)
         Seq(sum(when(nonNan =!= 0.0, log(abs(nonNan)))).as(s"${alias}_ln"),
           count(when(nonNan < 0.0, lit(1))).as(s"${alias}_ng"),
-          count(when(nonNan === 0.0, lit(1))).as(s"${alias}_zr"))
+          count(when(nonNan === 0.0, lit(1))).as(s"${alias}_zr")) ++
+          (if (skipna) Nil
+           else Seq(count(when(c.isNull || isnan(c), lit(1)))
+             .as(s"${alias}_nn")))
       }
       ctx.aggDfs += base.agg(parts.head, parts.tail: _*)
       val outCols = aliases.map { case (lbl, alias) =>
         val sign = lit(1.0) - lit(2.0) * (col(s"${alias}_ng") % 2).cast("double")
-        (lbl, when(col(s"${alias}_zr") > 0, lit(0.0))
-          .otherwise(sign * exp(coalesce(col(s"${alias}_ln"), lit(0.0)))))
+        val cell = when(col(s"${alias}_zr") > 0, lit(0.0))
+          .otherwise(sign * exp(coalesce(col(s"${alias}_ln"), lit(0.0))))
+        (lbl, if (skipna) cell
+              else when(col(s"${alias}_nn") > 0, litOf(Double.NaN))
+                .otherwise(cell))
       }
       return CVecC(outCols, Set(id))
     }
@@ -3234,17 +3857,24 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val nonNan = if (std) when(isnan(c), lit(null)).otherwise(c) else c
         val nanIfEmpty: Column => Column =
           e => if (std) coalesce(e, lit(Double.NaN)) else e
+        // skipna=False: invalid cells poison numeric reductions to NaN
+        // inside the SAME aggregate pass; any treats the invalid cell as
+        // truthy (pandas), all never flips on one
+        lazy val hasInvalid =
+          coalesce(max((c.isNull || isnan(c)).cast("int")), lit(0)) > 0
+        def gate(e: Column): Column =
+          if (skipna) e else when(hasInvalid, lit(Double.NaN)).otherwise(e)
         (kind match {
           case "sum" =>
             val s = sum(nonNan)
-            if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0))
-          case "mean"   => nanIfEmpty(avg(nonNan))
-          case "min"    => nanIfEmpty(min(nonNan))
-          case "max"    => nanIfEmpty(max(nonNan))
+            gate(if (std) coalesce(s, lit(0.0)) else coalesce(s, litOf(0.0)))
+          case "mean"   => gate(nanIfEmpty(avg(nonNan)))
+          case "min"    => gate(nanIfEmpty(min(nonNan)))
+          case "max"    => gate(nanIfEmpty(max(nonNan)))
           case "count"  => count(nonNan).cast("double")
-          case "std"    => nanIfEmpty(stddev_samp(nonNan))
-          case "var"    => nanIfEmpty(var_samp(nonNan))
-          case "median" => nanIfEmpty(percentile(nonNan, lit(0.5)))
+          case "std"    => gate(nanIfEmpty(stddev_samp(nonNan)))
+          case "var"    => gate(nanIfEmpty(var_samp(nonNan)))
+          case "median" => gate(nanIfEmpty(percentile(nonNan, lit(0.5))))
           case q if q.startsWith("quantile:") =>
             nanIfEmpty(percentile(nonNan, lit(q.stripPrefix("quantile:").toDouble)))
           // r8 tail: nunique (dropna, like pandas), any/all (skipna
@@ -3255,8 +3885,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // standard error of the mean: ddof-1 std / √n (n = 1 → NaN via
           // stddev_samp's own NaN)
           case "sem" =>
-            nanIfEmpty(stddev_samp(nonNan) / sqrt(count(nonNan).cast("double")))
-          case "any"     => coalesce(max(nonNan =!= lit(0)), lit(false))
+            gate(nanIfEmpty(
+              stddev_samp(nonNan) / sqrt(count(nonNan).cast("double"))))
+          case "any" =>
+            val a = coalesce(max(nonNan =!= lit(0)), lit(false))
+            if (skipna) a else a || hasInvalid
           case "all"     => coalesce(min(nonNan =!= lit(0)), lit(true))
         }).as(alias)
       }

@@ -465,11 +465,18 @@ object Prefix {
       (fuse.startsWith("win") && centerLead <= n)),
       s"centerLead must sit in [0, window ring n] on a window fuse, " +
         s"got $centerLead")
-    require(inNames.length == outNames.length, "inNames/outNames must align")
+    // pairwise window fuses (r11 session 5): inputs arrive as
+    // (x_0..x_{w-1}, y_0..y_{w-1}) — twice the output width; every other
+    // mode stays strictly one-in-one-out
+    val pairwise = fuse == "wincov" || fuse == "wincorr"
+    require(
+      if (pairwise) inNames.length == 2 * outNames.length
+      else inNames.length == outNames.length,
+      "inNames/outNames must align (2w inputs for pairwise fuses)")
     require(Set("none", "diff", "pct", "winsum", "winmean", "winmin",
       "winmax", "wincount", "winmed", "winvar", "winquant", "winrank",
       "winskew",
-      "winkurt")(fuse),
+      "winkurt", "winsem", "wincov", "wincorr")(fuse),
       s"unknown fuse mode '$fuse'")
     require(fuse != "winquant" || (winQ >= 0.0 && winQ <= 1.0),
       s"fuse='winquant' needs a quantile in [0,1], got $winQ")
@@ -535,7 +542,8 @@ object Prefix {
     * first), the same association as a sequential pandas scan. */
   private def winEmitter(fuse: String, k: Int, minp: Int,
                          winQ: Double = Double.NaN,
-                         winInterp: Int = 0)
+                         winInterp: Int = 0,
+                         pairOff: Int = 0)
       : (Ring, Array[Any], Int) => java.lang.Double = {
     @inline def cellAt(buf: Ring, cur: Array[Any], b: Int, m: Int,
                        j: Int): Double = {
@@ -816,6 +824,75 @@ object Prefix {
           }
         }
       }
+      // standard error of the windowed mean (r11 session 5): pandas
+      // Rolling.sem = std(ddof=1) / sqrt(count − ddof) — NOT the Series
+      // reduction's /sqrt(count); pinned on pandas 2.2
+      // (rolling(4).sem on [1,2,10] reads std/sqrt(2), not std/sqrt(3))
+      case "winsem" => (buf, cur, j) => {
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val vals = new Array[Double](m + 1)
+          var b = 0; var cnt = 0
+          while (b <= m) {
+            val dv = cellAt(buf, cur, b, m, j)
+            if (!java.lang.Double.isNaN(dv)) { vals(cnt) = dv; cnt += 1 }
+            b += 1
+          }
+          if (cnt < minp || cnt < 2) dNaN
+          else {
+            var s = 0.0; var i = 0
+            while (i < cnt) { s += vals(i); i += 1 }
+            val mu = s / cnt
+            var q = 0.0; i = 0
+            while (i < cnt) { val d = vals(i) - mu; q += d * d; i += 1 }
+            java.lang.Double.valueOf(math.sqrt(q) / (cnt - 1))
+          }
+        }
+      }
+      // pairwise moving covariance / correlation (r11 session 5): pandas
+      // 2.2 masks BOTH inputs to the window's pairwise-complete cells
+      // (both valid) and computes sample moments over the pairs — the
+      // gate is the valid-PAIR count >= min_periods (pinned empirically:
+      // rolling(4, min_periods=3) over 3 valid x, 3 valid y but 2 pairs
+      // emits NaN). corr's denominator variances are ALSO pair-masked.
+      // Two-pass on the pair means (exact under trends; pandas' own
+      // power-sum kernel drifts ~1e-15 relative) — cov 0-variance reads
+      // 0.0 and corr NaN (0/0), both the raw IEEE outcomes.
+      case "wincov" | "wincorr" => (buf, cur, j) => {
+        val wantCorr = fuse == "wincorr"
+        val m = buf.length
+        if (m + 1 < minp) dNaN
+        else {
+          val xs = new Array[Double](m + 1)
+          val ys = new Array[Double](m + 1)
+          var b = 0; var cp = 0
+          while (b <= m) {
+            val x = cellAt(buf, cur, b, m, j)
+            val y = cellAt(buf, cur, b, m, j + pairOff)
+            if (!java.lang.Double.isNaN(x) && !java.lang.Double.isNaN(y)) {
+              xs(cp) = x; ys(cp) = y; cp += 1
+            }
+            b += 1
+          }
+          if (cp < minp || cp < 2) dNaN
+          else {
+            var sx = 0.0; var sy = 0.0; var i = 0
+            while (i < cp) { sx += xs(i); sy += ys(i); i += 1 }
+            val mx = sx / cp; val my = sy / cp
+            var qxy = 0.0; var qx = 0.0; var qy = 0.0; i = 0
+            while (i < cp) {
+              val dx = xs(i) - mx; val dy = ys(i) - my
+              qxy += dx * dy
+              if (wantCorr) { qx += dx * dx; qy += dy * dy }
+              i += 1
+            }
+            java.lang.Double.valueOf(
+              if (wantCorr) qxy / math.sqrt(qx * qy)
+              else qxy / (cp - 1))
+          }
+        }
+      }
     }
   }
 
@@ -906,6 +983,9 @@ object Prefix {
 
     val inSchema = sliced.schema
     val inIdx = inNames.map(inSchema.fieldIndex)
+    // pairwise fuses (wincov/wincorr) consume 2w inputs but emit w
+    // outputs; zip truncates the schema to the first (x) half
+    val outW = outNames.length
     val pidIdx = inSchema.fieldIndex("__pfx_pid")
     val outSchema = org.apache.spark.sql.types.StructType(
       inSchema.fields ++ outNames.zip(inNames).map { case (o, i) =>
@@ -927,7 +1007,8 @@ object Prefix {
       .mapPartitions { it =>
         var curPid = Int.MinValue
         val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
-        val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ, winInterp)
+        val emit = if (mode == 3) winEmitter(fuse, k, effMinp, winQ,
+                     winInterp, pairOff = outW)
                    else null
         if (centerLead > 0) {
           // centered emission: compute the trailing aggregate at every
@@ -940,11 +1021,11 @@ object Prefix {
           var e = 0L
           def mkRow(fields: Array[Any],
                     outs: Array[java.lang.Double]): org.apache.spark.sql.Row = {
-            val outVals = new Array[Any](fields.length + inIdx.length)
+            val outVals = new Array[Any](fields.length + outW)
             var i = 0
             while (i < fields.length) { outVals(i) = fields(i); i += 1 }
             var j = 0
-            while (j < inIdx.length) {
+            while (j < outW) {
               outVals(fields.length + j) =
                 if (outs == null) dNaN else outs(j)
               j += 1
@@ -953,9 +1034,9 @@ object Prefix {
               .GenericRowWithSchema(outVals, outSchema)
           }
           def outsOf(cur: Array[Any]): Array[java.lang.Double] = {
-            val o = new Array[java.lang.Double](inIdx.length)
+            val o = new Array[java.lang.Double](outW)
             var j = 0
-            while (j < inIdx.length) { o(j) = emit(buf, cur, j); j += 1 }
+            while (j < outW) { o(j) = emit(buf, cur, j); j += 1 }
             o
           }
           def ringPush(cur: Array[Any]): Unit = {
@@ -1027,11 +1108,11 @@ object Prefix {
           val donor: Array[Any] =
             if (buf.length >= k) buf(buf.length - k) else null
           val cur = inIdx.map(r.get).toArray
-          val outVals = new Array[Any](r.length + inIdx.length)
+          val outVals = new Array[Any](r.length + outW)
           var i = 0
           while (i < r.length) { outVals(i) = r.get(i); i += 1 }
           var j = 0
-          while (j < inIdx.length) {
+          while (j < outW) {
             outVals(r.length + j) = (mode: @scala.annotation.switch) match {
               case 0 => if (donor == null) null else donor(j)
               case 3 => emit(buf, cur, j)

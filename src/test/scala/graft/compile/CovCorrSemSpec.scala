@@ -1,0 +1,275 @@
+package graft.compile
+
+import graft.SparkSpec
+import graft.api.FormulaEvaluator
+import graft.model.{Matrix, Vec}
+
+/** r11 session 5: the pairwise moving covariance/correlation family
+  * (`.rolling(n).cov/.corr(other)`, `.expanding().cov/.corr(other)`) and
+  * the window standard error (`.rolling/.expanding().sem()`).
+  *
+  * Pandas 2.2 semantics, pinned empirically before implementation:
+  *   - both inputs are masked to each window's PAIRWISE-complete cells
+  *     (both valid); all moments — corr's denominator variances
+  *     included — run over the pairs;
+  *   - the gate is the valid-PAIR count >= min_periods (a window with
+  *     3 valid x, 3 valid y but 2 pairs emits NaN at min_periods=3);
+  *   - cov of a 1-pair window is NaN (ddof=1); corr of a zero-variance
+  *     window is NaN (0/0); cov of one is 0.0;
+  *   - sem = std(ddof=1)/sqrt(count − ddof) — the WINDOW denominator
+  *     (count − 1), NOT the Series reduction's sqrt(count).
+  * The exact golden lists in comments were produced by pandas 2.2. */
+class CovCorrSemSpec extends SparkSpec {
+
+  private def series(vs: Seq[Double]): Matrix =
+    mat3(vs.map(v => Seq(v)), labels = Seq("c0"))
+
+  /** Evaluate a two-variable formula over single-column matrices. */
+  private def colOf2(f: String, xs: Seq[Double], ys: Seq[Double]): Seq[Double] = {
+    val ev = new FormulaEvaluator(reg("s" -> series(xs), "t" -> series(ys)))
+    ev.evaluateFormula(f) match {
+      case MatrixResult(df, rowId, labels, _) =>
+        val byId = cells(df, rowId, labels)
+        byId.keys.toSeq.sorted.map(i => byId(i)("c0"))
+      case other => fail(s"expected matrix result, got $other")
+    }
+  }
+
+  /** The same formula down the driver-vector (Series) twin. */
+  private def vecOf2(f: String, xs: Seq[Double], ys: Seq[Double]): Seq[Double] = {
+    val ev = new FormulaEvaluator(reg(
+      "s" -> Vec(xs.toIndexedSeq, xs.indices.map(i => s"i$i")),
+      "t" -> Vec(ys.toIndexedSeq, ys.indices.map(i => s"i$i"))))
+    ev.evaluateFormula(f) match {
+      case VecResult(v) => v.values
+      case other => fail(s"expected vector result, got $other")
+    }
+  }
+
+  private def assertSeq(actual: Seq[Double], expected: Seq[Double],
+                        tol: Double = 1e-9, what: String = ""): Unit = {
+    assert(actual.length == expected.length,
+      s"$what length ${actual.length} vs ${expected.length}")
+    actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+      if (e.isNaN) assert(a.isNaN, s"$what row $i: expected NaN, got $a")
+      else assert(math.abs(a - e) <= tol, s"$what row $i: expected $e, got $a")
+    }
+  }
+
+  // pandas: x = Series([1,2,NaN,4,5,6,NaN,8]); y = Series([2,NaN,3,1,5,NaN,7,9])
+  // pairs valid at positions {0,3,4,7} only
+  private val x8 = Seq(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0, Double.NaN, 8.0)
+  private val y8 = Seq(2.0, Double.NaN, 3.0, 1.0, 5.0, Double.NaN, 7.0, 9.0)
+  private val NaN = Double.NaN
+
+  test("rolling cov: pair gate at default min_periods — no 3-pair window") {
+    // pandas: all NaN (no window of 3 holds 3 valid pairs) — an
+    // all-invalid result IS the engine's V5 contract (clean raise)
+    val ev = new FormulaEvaluator(reg("s" -> series(x8), "t" -> series(y8)))
+    intercept[graft.validate.AllInvalidResultException](
+      ev.evaluateFormula("s.rolling(3).cov(t)"))
+  }
+
+  test("rolling cov: min_periods gates on valid PAIRS, not marginals") {
+    // pandas: [nan, nan, nan, nan, 2.0, 2.0, nan, nan]
+    assertSeq(colOf2("s.rolling(3, min_periods=2).cov(t)", x8, y8),
+      Seq(NaN, NaN, NaN, NaN, 2.0, 2.0, NaN, NaN))
+  }
+
+  test("rolling corr: pair-masked denominator variances") {
+    // pandas: [nan, nan, nan, -1.0, 1.0, 1.0, 1.0, 1.0]
+    assertSeq(colOf2("s.rolling(4, min_periods=2).corr(t)", x8, y8),
+      Seq(NaN, NaN, NaN, -1.0, 1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("rolling cov/corr over an all-valid pair: the textbook moments") {
+    val x = Seq(3.0, 1, 4, 1, 5, 9, 2, 6)
+    val y = Seq(2.0, 7, 1, 8, 2, 8, 1, 8)
+    // pandas: [nan, nan, -4.8333.., -6.5, -7.3333.., 0.0, 12.6666.., 12.8333..]
+    assertSeq(colOf2("s.rolling(3).cov(t)", x, y),
+      Seq(NaN, NaN, -29.0 / 6, -6.5, -22.0 / 3, 0.0, 38.0 / 3, 77.0 / 6))
+    // pandas: [nan, nan, -0.984324138288, -0.991240707162, -0.930500855763,
+    //          0.0, 0.952683200071, 0.904194430179]
+    assertSeq(colOf2("s.rolling(3).corr(t)", x, y),
+      Seq(NaN, NaN, -0.984324138288, -0.991240707162, -0.930500855763,
+        0.0, 0.952683200071, 0.904194430179), tol = 1e-11)
+    // center=1: the same values attached (n−1)/2 back, NaN past the tail
+    assertSeq(colOf2("s.rolling(3, center=1).cov(t)", x, y),
+      Seq(NaN, -29.0 / 6, -6.5, -22.0 / 3, 0.0, 38.0 / 3, 77.0 / 6, NaN))
+  }
+
+  test("rolling corr of a zero-variance window is NaN, cov is 0") {
+    val x = Seq(2.0, 2, 2, 1, 5)
+    val y = Seq(2.0, 7, 1, 8, 2)
+    // pandas corr: [nan, nan, nan, -0.60999428133, -0.592136908213]
+    assertSeq(colOf2("s.rolling(3).corr(t)", x, y),
+      Seq(NaN, NaN, NaN, -0.60999428133, -0.592136908213), tol = 1e-11)
+    // pandas cov: [nan, nan, 0.0, -1.3333.., -4.6666..]
+    assertSeq(colOf2("s.rolling(3).cov(t)", x, y),
+      Seq(NaN, NaN, 0.0, -4.0 / 3, -14.0 / 3))
+  }
+
+  test("expanding cov/corr: unbounded pairwise prefix") {
+    // pandas: ecov = [nan, nan, nan, -1.5, 2.1666.., 2.1666.., 2.1666.., 8.8333..]
+    assertSeq(colOf2("s.expanding().cov(t)", x8, y8),
+      Seq(NaN, NaN, NaN, -1.5, 13.0 / 6, 13.0 / 6, 13.0 / 6, 53.0 / 6))
+    // pandas: expanding(3).corr = [nan, nan, nan, nan, 0.5, 0.5, 0.5,
+    //                              0.851412488637]
+    assertSeq(colOf2("s.expanding(3).corr(t)", x8, y8),
+      Seq(NaN, NaN, NaN, NaN, 0.5, 0.5, 0.5, 0.851412488637), tol = 1e-11)
+  }
+
+  test("rolling/expanding sem: std/sqrt(count − 1), valid-count gated") {
+    // pandas rolling(4, min_periods=2).sem() on x8:
+    // [nan, .7071.., .7071.., 1.0801.., 1.0801.., .7071.., .7071.., 1.0801..]
+    val r = 1.0 / math.sqrt(2.0)
+    val h = 1.080123449735
+    assertSeq(colOf2("s.rolling(4, min_periods=2).sem()", x8, y8),
+      Seq(NaN, r, r, h, h, r, r, h), tol = 1e-11)
+    // pandas expanding().sem() on x8
+    assertSeq(colOf2("s.expanding().sem()", x8, y8),
+      Seq(NaN, r, r, h, 1.054092553389, 1.036822067666, 1.036822067666,
+        1.154700538379), tol = 1e-11)
+    // center: attached (n−1)/2 back — pandas rolling(3, center=True).sem()
+    assertSeq(colOf2("s.rolling(3, center=1).sem()", x8, y8),
+      Seq(NaN, NaN, NaN, NaN, r, NaN, NaN, NaN), tol = 1e-11)
+  }
+
+  /** Literal pairwise reference: two-pass over each window's pairs. */
+  private def refWin(xs: Seq[Double], ys: Seq[Double], n: Int, minp: Int,
+                     corr: Boolean, expanding: Boolean): Seq[Double] =
+    xs.indices.map { i =>
+      val lo = if (expanding) 0 else math.max(0, i + 1 - n)
+      val pairs = (lo to i).filter(b => !xs(b).isNaN && !ys(b).isNaN)
+      val cp = pairs.length
+      if (cp < minp || cp < 2) Double.NaN
+      else {
+        val px = pairs.map(xs); val py = pairs.map(ys)
+        val mx = px.sum / cp; val my = py.sum / cp
+        val qxy = pairs.indices.map(k => (px(k) - mx) * (py(k) - my)).sum
+        if (!corr) qxy / (cp - 1)
+        else {
+          val qx = px.map(v => (v - mx) * (v - mx)).sum
+          val qy = py.map(v => (v - my) * (v - my)).sum
+          qxy / math.sqrt(qx * qy)
+        }
+      }
+    }
+
+  test("fuzz: matrix and vector paths match the literal pairwise " +
+      "reference across window/min_periods/hole-rate draws") {
+    val rnd = new scala.util.Random(4111)
+    for (trial <- 0 until 24) {
+      val len = 6 + rnd.nextInt(14)
+      def draw() = Seq.fill(len)(
+        if (rnd.nextDouble() < 0.25) Double.NaN
+        else math.rint(rnd.nextDouble() * 40) / 2.0)
+      val xs = draw(); val ys = draw()
+      val expanding = trial % 3 == 2
+      val n = 2 + rnd.nextInt(4)
+      val minp = 1 + rnd.nextInt(n)
+      val corr = trial % 2 == 1
+      val meth = if (corr) "corr" else "cov"
+      val (f, refMinp) =
+        if (expanding) (s"s.expanding($minp).$meth(t)", minp)
+        else (s"s.rolling($n, min_periods=$minp).$meth(t)", minp)
+      val expected = refWin(xs, ys, n, refMinp, corr, expanding)
+      if (expected.forall(_.isNaN)) {
+        // the V5 all-invalid contract: a clean raise, on both paths
+        val ev = new FormulaEvaluator(reg(
+          "s" -> series(xs), "t" -> series(ys)))
+        intercept[graft.validate.AllInvalidResultException](
+          ev.evaluateFormula(f))
+      } else {
+        assertSeq(colOf2(f, xs, ys), expected, tol = 1e-9,
+          what = s"matrix $f trial $trial")
+        assertSeq(vecOf2(f, xs, ys), expected, tol = 1e-9,
+          what = s"vector $f trial $trial")
+      }
+    }
+  }
+
+  test("ewm cov/corr: pairwise decayed moments via polarization, carry " +
+      "at non-pair positions, adjust=0 variant") {
+    // pandas: x = [1,2,NaN,4,5,100], y = [2,1,4,3,NaN,7], com=1
+    val x = Seq(1.0, 2.0, Double.NaN, 4.0, 5.0, 100.0)
+    val y = Seq(2.0, 1.0, 4.0, 3.0, Double.NaN, 7.0)
+    // pandas ewm(com=1).cov(y): [nan, -0.5, -0.5, 1.653846153846154,
+    //   1.653846153846154, 200.8756613756614]
+    assertSeq(colOf2("s.ewm(1).cov(t)", x, y),
+      Seq(NaN, -0.5, -0.5, 1.653846153846154, 1.653846153846154,
+        200.8756613756614), tol = 1e-9)
+    // pandas ewm(com=1).corr(y): [nan, -1, -1, 0.851026430327255,
+    //   0.851026430327255, 0.9820077673630595]
+    assertSeq(colOf2("s.ewm(1).corr(t)", x, y),
+      Seq(NaN, -1.0, -1.0, 0.851026430327255, 0.851026430327255,
+        0.9820077673630595), tol = 1e-9)
+    // adjust=False: [nan, -0.5, -0.5, 1.5, 1.5, 194.16666666666666] /
+    //   [nan, -1, -1, 0.809312376595744, 0.809312376595744,
+    //    0.981483080438592]
+    assertSeq(colOf2("s.ewm(1, adjust=0).cov(t)", x, y),
+      Seq(NaN, -0.5, -0.5, 1.5, 1.5, 194.16666666666666), tol = 1e-9)
+    assertSeq(colOf2("s.ewm(1, adjust=0).corr(t)", x, y),
+      Seq(NaN, -1.0, -1.0, 0.809312376595744, 0.809312376595744,
+        0.981483080438592), tol = 1e-9)
+    // span spelling: pandas ewm(span=5).cov(y) =
+    //   [nan, -0.5, -0.5, 1.452830188679245, 1.452830188679245,
+    //    186.31235230934473]
+    assertSeq(colOf2("s.ewm(span=5).cov(t)", x, y),
+      Seq(NaN, -0.5, -0.5, 1.452830188679245, 1.452830188679245,
+        186.31235230934473), tol = 1e-9)
+    // min_periods gates on the PAIR count: pandas ewm(com=1,
+    // min_periods=3).cov(y) = [nan, nan, nan, 1.6538.., 1.6538..,
+    // 200.8756..]
+    assertSeq(colOf2("s.ewm(1, min_periods=3).cov(t)", x, y),
+      Seq(NaN, NaN, NaN, 1.653846153846154, 1.653846153846154,
+        200.8756613756614), tol = 1e-9)
+    // vector twin mirrors the matrix path
+    assertSeq(vecOf2("s.ewm(1).cov(t)", x, y),
+      Seq(NaN, -0.5, -0.5, 1.653846153846154, 1.653846153846154,
+        200.8756613756614), tol = 1e-9)
+    assertSeq(vecOf2("s.ewm(1, adjust=0).corr(t)", x, y),
+      Seq(NaN, -1.0, -1.0, 0.809312376595744, 0.809312376595744,
+        0.981483080438592), tol = 1e-9)
+  }
+
+  test("label alignment: sorted union, one-sided labels are all-NaN") {
+    val a = mat3(Seq(Seq(1.0, 2), Seq(3.0, 4), Seq(5.0, 7)),
+      labels = Seq("a", "b"))
+    val b = mat3(Seq(Seq(2.0, 1), Seq(1.0, 5), Seq(4.0, 2)),
+      labels = Seq("b", "c"))
+    val ev = new FormulaEvaluator(reg("s" -> a, "t" -> b))
+    val MatrixResult(df, rowId, labels, _) =
+      ev.evaluateFormula("s.rolling(2).cov(t)"): @unchecked
+    assert(labels == Seq("a", "b", "c"))
+    val byId = cells(df, rowId, labels)
+    (0L to 2L).foreach { i =>
+      assert(byId(i)("a").isNaN && byId(i)("c").isNaN)
+    }
+    // shared label b: x = [2,4,7], y = [2,1,4] → cov2 = [nan, -1.0, 4.5]
+    assert(byId(0L)("b").isNaN)
+    assert(math.abs(byId(1L)("b") - -1.0) < 1e-12)
+    assert(math.abs(byId(2L)("b") - 4.5) < 1e-12)
+  }
+
+  test("clean errors: Series other on a matrix window; ADP mode") {
+    val ev = new FormulaEvaluator(reg("s" -> series(Seq(1.0, 2, 3)),
+      "v" -> Vec(IndexedSeq(1.0), IndexedSeq("c0"))))
+    val e1 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(2).cov(v)"))
+    assert(e1.getMessage.contains("COLUMN-positionally"))
+    val e2 = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.expanding().corr(v)"))
+    assert(e2.getMessage.contains("COLUMN-positionally"))
+  }
+
+  test("dot: the pandas spelling dispatches to matmul") {
+    val m = series(Seq(1.0, 2, 3))
+    val ev = new FormulaEvaluator(reg("s" -> m,
+      "v" -> Vec(IndexedSeq(2.0), IndexedSeq("c0"))))
+    val MatrixResult(df, rowId, labels, _) =
+      ev.evaluateFormula("s.dot(v)"): @unchecked
+    val byId = cells(df, rowId, labels)
+    assert(byId(2L)(labels.head) == 6.0)
+  }
+}

@@ -35,9 +35,12 @@ class RankVariantsSpec extends SparkSpec {
     }
   }
 
-  /** literal pandas definition: rank over non-NaN cells, NaN kept NaN */
+  /** literal pandas definition: rank over non-NaN cells; NaN cells are
+    * kept NaN ('keep') or ranked as one tie class before/after every
+    * valid value ('top'/'bottom' — r11 session 5), with pct dividing by
+    * the NaN-inclusive counts. */
   private def refRank(vs: Seq[Double], meth: String, asc: Boolean,
-                      pct: Boolean): Seq[Double] = {
+                      pct: Boolean, naOpt: String = "keep"): Seq[Double] = {
     val key: Double => Double = if (asc) identity else (x => -x)
     val ok = vs.filter(!_.isNaN).map(key).sorted
     val distinct = ok.distinct
@@ -45,19 +48,48 @@ class RankVariantsSpec extends SparkSpec {
       .filter(!_._1.isNaN)
       .sortBy { case (x, i) => (key(x), i) }
       .zipWithIndex.map { case ((_, i), r) => i -> (r + 1) }.toMap
-    val denom = (if (meth == "dense") distinct.length else ok.length).toDouble
+    val nanIdx = vs.indices.filter(i => vs(i).isNaN)
+    val nanCnt = nanIdx.length
+    val hasNan = if (nanCnt > 0) 1 else 0
+    val denom = (naOpt match {
+      case "keep" => if (meth == "dense") distinct.length else ok.length
+      case _ => if (meth == "dense") distinct.length + hasNan else vs.length
+    }).toDouble
+    val shift: Double = naOpt match {
+      case "top" if meth == "dense" => hasNan.toDouble
+      case "top"                    => nanCnt.toDouble
+      case _                        => 0.0
+    }
     vs.zipWithIndex.map { case (x, i) =>
-      if (x.isNaN) Double.NaN
-      else {
+      if (x.isNaN) {
+        val r = naOpt match {
+          case "keep" => Double.NaN
+          case "top" => meth match {
+            case "average" => (nanCnt + 1.0) / 2.0
+            case "min"     => 1.0
+            case "max"     => nanCnt.toDouble
+            case "dense"   => 1.0
+            case _         => nanIdx.indexOf(i) + 1.0
+          }
+          case _ => meth match {
+            case "average" => ok.length + (nanCnt + 1.0) / 2.0
+            case "min"     => ok.length + 1.0
+            case "max"     => (ok.length + nanCnt).toDouble
+            case "dense"   => distinct.length + 1.0
+            case _         => ok.length + nanIdx.indexOf(i) + 1.0
+          }
+        }
+        if (pct) r / denom else r
+      } else {
         val kx = key(x)
-        val raw = meth match {
+        val raw = (meth match {
           case "min"   => ok.indexWhere(_ == kx) + 1.0
           case "max"   => ok.lastIndexWhere(_ == kx) + 1.0
           case "dense" => distinct.indexWhere(_ == kx) + 1.0
           case "first" => firstRank(i).toDouble
           case _ =>
             (ok.indexWhere(_ == kx) + ok.lastIndexWhere(_ == kx)) / 2.0 + 1.0
-        }
+        }) + shift
         if (pct) raw / denom else raw
       }
     }
@@ -127,6 +159,88 @@ class RankVariantsSpec extends SparkSpec {
     }
   }
 
+  // pandas 2.2 goldens on Series([3, NaN, 1, 3, NaN, 2]):
+  //   top/average [5.5, 1.5, 3, 5.5, 1.5, 4], bottom/min [3, 5, 1, 3, 5, 2],
+  //   top/dense [4, 1, 2, 4, 1, 3], top/first [5, 1, 3, 6, 2, 4],
+  //   bottom/first [1, 5, 4, 2, 6, 3] (descending), pct: /6 (dense: /4)
+  test("rank(na_option='top'/'bottom') pandas goldens") {
+    val s6 = series(3.0, Double.NaN, 1.0, 3.0, Double.NaN, 2.0)
+    assertSeq(colOf("s.rank(na_option='top')", s6),
+      Seq(5.5, 1.5, 3, 5.5, 1.5, 4))
+    assertSeq(colOf("s.rank(method='min', na_option='bottom')", s6),
+      Seq(3, 5, 1, 3, 5, 2))
+    assertSeq(colOf("s.rank(method='dense', na_option='top')", s6),
+      Seq(4, 1, 2, 4, 1, 3))
+    assertSeq(colOf("s.rank(method='first', na_option='top')", s6),
+      Seq(5, 1, 3, 6, 2, 4))
+    assertSeq(colOf(
+      "s.rank(method='first', ascending=0, na_option='bottom')", s6),
+      Seq(1, 5, 4, 2, 6, 3))
+    // pct divides by the NaN-inclusive counts
+    assertSeq(colOf("s.rank(na_option='top', pct=1)", s6),
+      Seq(5.5 / 6, 1.5 / 6, 3.0 / 6, 5.5 / 6, 1.5 / 6, 4.0 / 6))
+    assertSeq(colOf("s.rank(method='dense', na_option='top', pct=1)", s6),
+      Seq(1.0, 0.25, 0.5, 1.0, 0.25, 0.75))
+  }
+
+  // pandas 2.2 goldens on DataFrame a=[3,NaN,1], b=[NaN,NaN,5], c=[3,2,NaN]
+  test("rank(axis=1, na_option=): the row-wise projection ranks the " +
+      "row's NaN class before/after its valid cells") {
+    val m = mat3(Seq(Seq(3.0, Double.NaN, 3.0),
+      Seq(Double.NaN, Double.NaN, 2.0), Seq(1.0, 5.0, Double.NaN)),
+      labels = Seq("a", "b", "c"))
+    def rows(f: String): Seq[Seq[Double]] = {
+      val ev = new FormulaEvaluator(reg("s" -> m))
+      val MatrixResult(df, rowId, labels, _) =
+        ev.evaluateFormula(f): @unchecked
+      val byId = cells(df, rowId, labels)
+      byId.keys.toSeq.sorted.map(i => labels.map(l => byId(i)(l)))
+    }
+    assert(rows("s.rank(axis=1, na_option='top')") ==
+      Seq(Seq(2.5, 1.0, 2.5), Seq(1.5, 1.5, 3.0), Seq(2.0, 3.0, 1.0)))
+    assert(rows("s.rank(axis=1, method='min', na_option='bottom')") ==
+      Seq(Seq(1.0, 3.0, 1.0), Seq(2.0, 2.0, 1.0), Seq(1.0, 2.0, 3.0)))
+    val pctRows = rows("s.rank(axis=1, method='dense', " +
+      "na_option='top', pct=1)")
+    val expPct = Seq(Seq(1.0, 0.5, 1.0), Seq(0.5, 0.5, 1.0),
+      Seq(2.0 / 3, 1.0, 1.0 / 3))
+    pctRows.zip(expPct).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+    assert(rows("s.rank(axis=1, method='first', na_option='top')") ==
+      Seq(Seq(2.0, 1.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 1.0)))
+  }
+
+  test("fuzz: na_option='top'/'bottom' across every variant, matrix " +
+      "and vector paths vs the literal definition") {
+    import graft.model.Vec
+    val rnd = new scala.util.Random(5115)
+    for (trial <- 0 until 4) {
+      val n = 10 + rnd.nextInt(14)
+      val vs = IndexedSeq.fill(n) {
+        if (rnd.nextDouble() < 0.25) Double.NaN
+        else rnd.nextInt(5).toDouble
+      }
+      val m = series(vs: _*)
+      val v = Vec(vs, vs.indices.map(i => s"l$i"))
+      val evV = new FormulaEvaluator(reg("s" -> v))
+      for (meth <- Seq("average", "min", "max", "first", "dense");
+           asc <- Seq(true, false); pct <- Seq(false, true);
+           naOpt <- Seq("top", "bottom")) {
+        val f = s"s.rank(method='$meth'" +
+          (if (asc) "" else ", ascending=0") +
+          (if (pct) ", pct=1" else "") +
+          s", na_option='$naOpt')"
+        val expected = refRank(vs, meth, asc, pct, naOpt)
+        assertSeq(colOf(f, m), expected, tol = 1e-9)
+        evV.evaluateFormula(f) match {
+          case VecResult(out) => assertSeq(out.values, expected, tol = 1e-9)
+          case other          => fail(s"expected vector, got $other")
+        }
+      }
+    }
+  }
+
   test("vector path mirrors every variant") {
     import graft.model.Vec
     val vs = IndexedSeq(3.0, 1.0, 3.0, Double.NaN, 2.0, 3.0, 1.0)
@@ -159,10 +273,14 @@ class RankVariantsSpec extends SparkSpec {
     val e1 = intercept[FormulaTypeException](
       ev.evaluateFormula("s.rank(method='median')"))
     assert(e1.getMessage.contains("method must be one of"))
-    // na_option other than 'keep' rejects cleanly
+    // na_option outside keep/top/bottom rejects cleanly
     val e2 = intercept[FormulaTypeException](
-      ev.evaluateFormula("s.rank(na_option='top')"))
+      ev.evaluateFormula("s.rank(na_option='drop')"))
     assert(e2.getMessage.contains("na_option"))
+    // pandas Rolling.rank has no na_option parameter at all
+    val e2b = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.rolling(3).rank(na_option='top')"))
+    assert(e2b.getMessage.contains("na_option"))
     // positional args are pandas' axis — rejected, not guessed at
     intercept[FormulaTypeException](ev.evaluateFormula("s.rank(1)"))
     // strings never enter arithmetic
