@@ -502,48 +502,162 @@ object StreamingOps {
            state: GroupState[EwState]): Iterator[EwOut] = {
       var st = state.getOption.getOrElse(
         EwState(Double.NaN, 0.0, 0.0, 0.0, Double.NaN))
-      var nobs = st.nobs
       val out = scala.collection.mutable.ListBuffer[EwOut]()
       in.toSeq.sortBy(_.id).foreach { r =>
-        var mu = st.mu; var cb = st.covB; var lastV = st.lastVar
-        var w1 = st.w1 * f; var dn = st.den * f2
-        if (!r.value.isNaN) {
-          val oldWt = w1
-          // resurrect from a collapsed state: the ε → 0 limit of the var
-          // at this cell — see [[graft.operators.Prefix.ewmScan]]
-          val resurrect = f > 0.0 && oldWt == 0.0 && !mu.isNaN
-          val lim = if (resurrect)
-            (math.max(0.0, cb) + (mu - r.value) * (mu - r.value)) / 2.0
-          else Double.NaN
-          dn += 2.0 * oldWt
-          w1 += 1.0
-          if (mu.isNaN) { mu = r.value; cb = 0.0 }
-          else {
-            val oldMean = mu
-            mu = (oldWt * oldMean + r.value) / w1
-            val dm = oldMean - mu; val dv = r.value - mu
-            cb = (oldWt * (cb + dm * dm) + dv * dv) / w1
-          }
-          val fv = if (resurrect) lim
-                   else graft.operators.Prefix.ewmVarOf(w1, cb, dn)
-          if (!fv.isNaN) lastV = fv
-          nobs += 1
-          // the pandas min_periods gate (r11): NaN until the running
-          // valid observation count reaches minPeriods
-          val g = minPeriods > 0 && nobs < minPeriods
-          out += EwOut(key, r.id, if (g) Double.NaN else mu,
-            if (g) Double.NaN else fv)
-        } else {
-          // collapse sub-1e-150 mass instead of rescaling it to O(1)
-          // (r10 ADVICE); μ/covB stay for the carried outputs
-          if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
-          val g = minPeriods > 0 && nobs < minPeriods
-          out += EwOut(key, r.id, if (g) Double.NaN else mu,
-            if (g) Double.NaN else lastV)
-        }
-        st = EwState(mu, w1, cb, dn, lastV, nobs)
+        val (st1, fv) = ewmAdvance(st, r.value, f, f2)
+        st = st1
+        // the pandas min_periods gate (r11): NaN until the running
+        // valid observation count reaches minPeriods
+        val g = minPeriods > 0 && st.nobs < minPeriods
+        out += EwOut(key, r.id, if (g) Double.NaN else st.mu,
+          if (g) Double.NaN else fv)
       }
       state.update(st)
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** One decayed weighted-Welford step — the ewmStream body factored
+    * (r11 session 5) so the pairwise cov/corr twin can drive four
+    * states with one kernel. Returns the updated state and the value to
+    * EMIT for this event (the current bias-corrected var at a valid
+    * cell — resurrect-aware — or the carried one at an invalid cell). */
+  private def ewmAdvance(st: EwState, v: Double, f: Double,
+                         f2: Double): (EwState, Double) = {
+    var mu = st.mu; var cb = st.covB; var lastV = st.lastVar
+    var w1 = st.w1 * f; var dn = st.den * f2
+    var nobs = st.nobs
+    if (!v.isNaN) {
+      val oldWt = w1
+      // resurrect from a collapsed state: the ε → 0 limit of the var
+      // at this cell — see [[graft.operators.Prefix.ewmScan]]
+      val resurrect = f > 0.0 && oldWt == 0.0 && !mu.isNaN
+      val lim = if (resurrect)
+        (math.max(0.0, cb) + (mu - v) * (mu - v)) / 2.0
+      else Double.NaN
+      dn += 2.0 * oldWt
+      w1 += 1.0
+      if (mu.isNaN) { mu = v; cb = 0.0 }
+      else {
+        val oldMean = mu
+        mu = (oldWt * oldMean + v) / w1
+        val dm = oldMean - mu; val dv = v - mu
+        cb = (oldWt * (cb + dm * dm) + dv * dv) / w1
+      }
+      val fv = if (resurrect) lim
+               else graft.operators.Prefix.ewmVarOf(w1, cb, dn)
+      if (!fv.isNaN) lastV = fv
+      nobs += 1
+      (EwState(mu, w1, cb, dn, lastV, nobs), fv)
+    } else {
+      // collapse sub-1e-150 mass instead of rescaling it to O(1)
+      // (r10 ADVICE); μ/covB stay for the carried outputs
+      if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
+      (EwState(mu, w1, cb, dn, lastV, nobs), lastV)
+    }
+  }
+
+  case class PairRow(key: Long, id: Long, x: Double, y: Double)
+  case class EwCovState(s: EwState, d: EwState, xs: EwState, ys: EwState)
+  case class EwCovOut(key: Long, id: Long, cov: Double, corr: Double)
+
+  /** Streaming twin of the pairwise ewm cov/corr (r11 session 5): the
+    * batch POLARIZATION — cov = (varC(x̃+ỹ) − varC(x̃−ỹ))/4 over the
+    * pair-masked inputs, corr = cov/√(varC(x̃)·varC(ỹ)) — driven as four
+    * ewm var states per key through the same [[ewmAdvance]] kernel the
+    * single-series twin uses. Non-pair events advance all four decays
+    * with NaN (the pandas carry falls out), min_periods gates on the
+    * running PAIR count (= any one state's nobs). O(1) keyed state. */
+  def ewmCovStream(rows: Dataset[PairRow], alpha: Double,
+                   minPeriods: Int = 0): Dataset[EwCovOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(minPeriods >= 0, s"min_periods must be >= 0, got $minPeriods")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val f = 1.0 - alpha
+    val f2 = f * f
+    val zero = EwState(Double.NaN, 0.0, 0.0, 0.0, Double.NaN)
+    def fn(key: Long, in: Iterator[PairRow],
+           state: GroupState[EwCovState]): Iterator[EwCovOut] = {
+      var st = state.getOption.getOrElse(EwCovState(zero, zero, zero, zero))
+      val out = scala.collection.mutable.ListBuffer[EwCovOut]()
+      in.toSeq.sortBy(_.id).foreach { r =>
+        val pair = !r.x.isNaN && !r.y.isNaN
+        val (s1, vs) = ewmAdvance(st.s, if (pair) r.x + r.y else Double.NaN, f, f2)
+        val (d1, vd) = ewmAdvance(st.d, if (pair) r.x - r.y else Double.NaN, f, f2)
+        val (x1, vx) = ewmAdvance(st.xs, if (pair) r.x else Double.NaN, f, f2)
+        val (y1, vy) = ewmAdvance(st.ys, if (pair) r.y else Double.NaN, f, f2)
+        st = EwCovState(s1, d1, x1, y1)
+        val g = minPeriods > 0 && s1.nobs < minPeriods
+        val cov = if (g) Double.NaN else (vs - vd) / 4.0
+        val corr = if (g) Double.NaN else cov / math.sqrt(vx * vy)
+        out += EwCovOut(key, r.id, cov, corr)
+      }
+      state.update(st)
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  case class RpState(ring: Vector[(Double, Double)])
+  case class RpOut(key: Long, id: Long, cov: Option[Double],
+                   corr: Option[Double], semX: Option[Double])
+
+  /** Streaming twin of the pairwise rolling cov/corr and sem (r11
+    * session 5): each key carries its last n−1 (x, y) pairs — the batch
+    * fused wincov/wincorr/winsem ring, keyed. The emitter mirrors the
+    * batch contract cell for cell: moments over the window's
+    * pairwise-complete cells, gate = valid-pair count >= min_periods
+    * (sem gates on x's valid count), None until the window holds
+    * min_periods positions. */
+  def rollingPairStream(rows: Dataset[PairRow], n: Int,
+                        minPeriods: Int = 0): Dataset[RpOut] = {
+    require(n > 0, s"rollingPairStream needs n > 0, got $n")
+    require(minPeriods >= 0 && minPeriods <= n,
+      s"min_periods must sit in [0, n], got $minPeriods")
+    val effMinp = if (minPeriods <= 0) n else minPeriods
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def fn(key: Long, in: Iterator[PairRow],
+           state: GroupState[RpState]): Iterator[RpOut] = {
+      var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+      val out = scala.collection.mutable.ListBuffer[RpOut]()
+      in.foreach { r =>
+        val w = (ring :+ (r.x, r.y)).takeRight(n)
+        val positions = w.length
+        def gated(v: => Double): Option[Double] =
+          if (positions < effMinp) None else Some(v)
+        val pairs = w.filter { case (x, y) => !x.isNaN && !y.isNaN }
+        val cp = pairs.length
+        val (cov, corr) =
+          if (cp < effMinp || cp < 2) (Double.NaN, Double.NaN)
+          else {
+            val mx = pairs.map(_._1).sum / cp
+            val my = pairs.map(_._2).sum / cp
+            var qxy = 0.0; var qx = 0.0; var qy = 0.0
+            pairs.foreach { case (x, y) =>
+              val dx = x - mx; val dy = y - my
+              qxy += dx * dy; qx += dx * dx; qy += dy * dy
+            }
+            (qxy / (cp - 1), qxy / math.sqrt(qx * qy))
+          }
+        val xs = w.map(_._1).filter(!_.isNaN)
+        val sem =
+          if (xs.length < effMinp || xs.length < 2) Double.NaN
+          else {
+            val mu = xs.sum / xs.length
+            math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum) /
+              (xs.length - 1)
+          }
+        out += RpOut(key, r.id, gated(cov), gated(corr), gated(sem))
+        ring = (ring :+ (r.x, r.y)).takeRight(n - 1)
+      }
+      state.update(RpState(ring))
       out.iterator
     }
     rows.groupByKey(_.key)

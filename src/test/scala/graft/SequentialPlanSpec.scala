@@ -137,7 +137,12 @@ class SequentialPlanSpec extends SparkSpec {
     * single-pass plan. */
   test("centered/quantile/skew rolling queries move the wide frame " +
       "through ONE slice exchange (r11)") {
-    for (name <- Seq("e11_rctr", "e11_rq", "e11_rskew", "e11_rkurt")) {
+    // session 5: the pairwise cov/corr and sem ride the SAME fused
+    // single-pass plan (the ring streams whole rows, so the second
+    // input column costs no extra exchange); expanding/ewm cov are
+    // one running-sum / one scan pass (slice-exchange-bounded too)
+    for (name <- Seq("e11_rctr", "e11_rq", "e11_rskew", "e11_rkurt",
+        "e11_rcov", "e11_rcorr", "e11_rsem", "e11_ecov", "e11_ewcov")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.count()
       val plan = finalPlan(df.queryExecution.executedPlan)

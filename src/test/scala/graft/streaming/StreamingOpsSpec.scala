@@ -368,6 +368,88 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pairwise rolling cov/corr/sem matches the batch " +
+      "pandas contract across micro-batches (r11 session 5)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.PairRow
+    // the CovCorrSemSpec golden pair: x=[3,1,4,1,5,9,2,6],
+    // y=[2,7,1,8,2,8,1,8]; pandas rolling(3).cov =
+    // [nan, nan, -29/6, -6.5, -22/3, 0, 38/3, 77/6]
+    val x = Seq(3.0, 1, 4, 1, 5, 9, 2, 6)
+    val y = Seq(2.0, 7, 1, 8, 2, 8, 1, 8)
+    val in = MemoryStream[PairRow]
+    val q = StreamingOps.rollingPairStream(in.toDS(), n = 3)
+      .toDF("key", "id", "cov", "corr", "semX")
+      .writeStream.format("memory").queryName("rp_out")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until 4).map(i => PairRow(1L, i, x(i), y(i))): _*)
+      q.processAllAvailable()
+      // the (x, y) ring must survive the micro-batch boundary
+      in.addData((4 until 8).map(i => PairRow(1L, i, x(i), y(i))): _*)
+      q.processAllAvailable()
+      val got = spark.table("rp_out").collect().map { r =>
+        def f(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(1) -> ((f(2), f(3)))
+      }.toMap
+      assert(got(0L) == ((None, None)) && got(1L) == ((None, None)))
+      val expCov = Seq(-29.0 / 6, -6.5, -22.0 / 3, 0.0, 38.0 / 3, 77.0 / 6)
+      val expCorr = Seq(-0.984324138288, -0.991240707162, -0.930500855763,
+        0.0, 0.952683200071, 0.904194430179)
+      (2 to 7).foreach { i =>
+        assert(math.abs(got(i.toLong)._1.get - expCov(i - 2)) < 1e-9,
+          s"cov id=$i")
+        val c = got(i.toLong)._2.get
+        if (expCorr(i - 2).isNaN) assert(c.isNaN, s"corr id=$i")
+        else assert(math.abs(c - expCorr(i - 2)) < 1e-9, s"corr id=$i")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming ewm pairwise cov/corr (polarization, 4 states) " +
+      "matches the pandas goldens across micro-batches (r11 session 5)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.PairRow
+    // pandas x=[1,2,NaN,4,5,100], y=[2,1,4,3,NaN,7], ewm(com=1):
+    //   cov  = [nan, -0.5, -0.5, 1.653846153846154, 1.653846153846154,
+    //           200.8756613756614]
+    //   corr = [nan, -1, -1, 0.851026430327255, 0.851026430327255,
+    //           0.9820077673630595]
+    val x = Seq(1.0, 2.0, Double.NaN, 4.0, 5.0, 100.0)
+    val y = Seq(2.0, 1.0, 4.0, 3.0, Double.NaN, 7.0)
+    val in = MemoryStream[PairRow]
+    val q = StreamingOps.ewmCovStream(in.toDS(), alpha = 0.5)
+      .toDF("key", "id", "cov", "corr")
+      .writeStream.format("memory").queryName("ec_out")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until 3).map(i => PairRow(1L, i, x(i), y(i))): _*)
+      q.processAllAvailable()
+      in.addData((3 until 6).map(i => PairRow(1L, i, x(i), y(i))): _*)
+      q.processAllAvailable()
+      val got = spark.table("ec_out").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3))))
+        .toMap
+      def close(a: Double, e: Double) =
+        if (e.isNaN) a.isNaN else math.abs(a - e) < 1e-9
+      val cov = Seq(Double.NaN, -0.5, -0.5, 1.653846153846154,
+        1.653846153846154, 200.8756613756614)
+      val corr = Seq(Double.NaN, -1.0, -1.0, 0.851026430327255,
+        0.851026430327255, 0.9820077673630595)
+      (0 to 5).foreach { i =>
+        assert(close(got(i.toLong)._1, cov(i)),
+          s"cov id=$i: got ${got(i.toLong)._1}, want ${cov(i)}")
+        assert(close(got(i.toLong)._2, corr(i)),
+          s"corr id=$i: got ${got(i.toLong)._2}, want ${corr(i)}")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches labels only inside the window") {
     val spark2 = spark
     import spark2.implicits._
