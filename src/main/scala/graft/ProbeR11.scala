@@ -110,6 +110,27 @@ object ProbeR11 {
       out += "qosreduce" -> r
     }
 
+    // session 5: the pairwise window cov/corr family — rolling rides
+    // the fused single-pass ring (2w inputs, one slice exchange),
+    // expanding one running-sum pass, ewm one polarization scan pass
+    // (2w var columns). Expectation: all three track the scan linearly
+    // (the rolling emit is O(n·w) per row, bounded by the ring gate).
+    if (want("paircov")) {
+      val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+      for ((tag, dir) <- Seq("1x" -> sf1x, "10x" -> "/tmp/graft_sf1",
+             "30x" -> "/tmp/graft_sf3")
+           if new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        QueryCatalog.wide(spark, dir).count()
+        for (n <- Seq("e11_rcov", "e11_rcorr", "e11_ecov", "e11_ewcov",
+            "e11_rsem")) {
+          val t = best { SparkEntry.queries(n)(spark, dir).count() }
+          r += s"${n}_$tag" -> t
+          System.err.println(f"[probe] paircov $n $tag $t%.2f")
+        }
+      }
+      out += "paircov" -> r
+    }
+
     def js(v: Any): String = v match {
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => s""""$k":${js(x)}""" }

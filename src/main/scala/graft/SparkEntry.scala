@@ -373,6 +373,15 @@ object SparkEntry {
       formulaQuery("qty.ewm(1).cov(price)", roundTo = Some(6))(s, d)),
     "e11_ewcorr" -> ((s, d) =>
       formulaQuery("qty.ewm(1).corr(price)", roundTo = Some(6))(s, d)),
+    // ewm sum (r11 session 5): the unnormalized decayed sum = μ·W1 —
+    // both already in the exact scan's state; unlike the mean it DECAYS
+    // at holes (no carry). adjust=0 raises (pandas NotImplementedError).
+    "e11_ewsum" -> ((s, d) =>
+      formulaQuery("qty.ewm(1).sum()", roundTo = Some(6))(s, d)),
+    // flex arithmetic fill_value (r11 session 5): the missing side
+    // fills with the scalar when exactly one side is invalid
+    "e11_addfv" -> ((s, d) =>
+      formulaQuery("qty.add(pos, fill_value=100)")(s, d)),
     // `.dot()` — the actual pandas spelling of matrix multiplication
     // (alias of the DSL's `.matmul`, E12)
     "e11_dot" -> ((s, d) => formulaQuery("qty.dot(mm)")(s, d)),
@@ -4736,6 +4745,22 @@ object SparkEntry {
       // either column alone, so the horizon doubles the ewvar one
       "e11_ewcov" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = false),
       "e11_ewcorr" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = true),
+      // ewm sum: the direct horizon-truncated decayed sum at EVERY row
+      // (no carry — the value itself decays at holes); tail < 5e-20
+      "e11_ewsum" -> {
+        val beta = "1.0 - 1.0/2.0"; val h = 64
+        val cells = J.map(j =>
+          F(s"round(sum(CASE WHEN b.q$j IS NOT NULL THEN " +
+            s"pow(($beta), a.rn - b.rn) * b.q$j END), 6)") + s" AS c$j")
+          .mkString(", ")
+        s"""$W, p AS (SELECT *,
+           |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w)
+           |SELECT a.__row_id__, $cells
+           |FROM p a JOIN p b ON b.rn BETWEEN a.rn - ${h - 1} AND a.rn
+           |GROUP BY a.rn, a.__row_id__ ORDER BY a.__row_id__""".stripMargin
+      },
+      // fill_value: qty's hole fills with 100 against the never-NULL pos
+      "e11_addfv" -> matSql(j => F(s"coalesce(q$j, 100.0) + p$j")),
       // span/halflife mirrors: the weight base is the IDENTICAL double
       // expression the compiler evaluates (α = 2/(span+1), resp.
       // 1 − exp(ln½/halflife) — exp/ln may differ from the JVM by an

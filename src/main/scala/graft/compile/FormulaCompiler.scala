@@ -842,7 +842,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         "prod", "sem", "any", "all",
         "cumsum", "cummax", "cummin", "cumprod")
         .map(_ -> Set("axis", "skipna")).toMap ++
-      Seq("count", "nunique").map(_ -> Set("axis")).toMap
+      Seq("count", "nunique").map(_ -> Set("axis")).toMap ++
+      // flex arithmetic: fill the missing side when exactly one side is
+      // invalid (r11 session 5)
+      Seq("add", "sub", "mul", "div", "truediv", "mod", "floordiv")
+        .map(_ -> Set("fill_value")).toMap
 
   /** Resolve `.ewm(...)`'s decay parameter to α — pandas' four mutually
     * exclusive spellings (com positional or keyword; span/halflife/alpha
@@ -2644,6 +2648,30 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           case "floordiv" => "//"
         }
         binop(op, t, a, ctx)
+      // flex arithmetic with fill_value (r11 session 5): pandas fills
+      // the MISSING side with the scalar when exactly one side is
+      // invalid — both missing stays NaN. Cell-wise AFTER alignment
+      // (one-sided union labels fill too), delegated to the same binop
+      // machinery with a fill-wrapped combiner.
+      case (m @ ("add" | "sub" | "mul" | "div" | "truediv" | "mod" |
+                 "floordiv"), t, List(a, CKw("fill_value", fvv))) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.$m(other, fill_value=)' is not supported in ADP mode")
+        val fv = asScalar(fvv, "fill_value")
+        val op = m match {
+          case "add" => "+"; case "sub" => "-"; case "mul" => "*"
+          case "div" | "truediv" => "/"; case "mod" => "%"
+          case "floordiv" => "//"
+        }
+        val base = colOp(op)
+        def invC(c: Column) = c.isNull || isnan(c)
+        def fillC(c: Column, o: Column): Column =
+          when(invC(c) && !invC(o), litOf(fv)).otherwise(c)
+        def fillS(x: Double, y: Double): Double =
+          if (x.isNaN && !y.isNaN) fv else x
+        binopWith((x, y) => base(fillC(x, y), fillC(y, x)),
+          (x, y) => Ops.scalarBin(op, fillS(x, y), fillS(y, x)),
+          t, a, ctx, bool = false)
       // ...and the reflected forms (other ∘ self)
       case (m @ ("radd" | "rsub" | "rmul" | "rdiv" | "rtruediv" | "rmod" |
                  "rfloordiv"), t, List(a)) =>
@@ -3384,8 +3412,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // decay-invariant state, and the Welford products need no
       // centering stage (translation-robust by construction — unlike
       // the closed moment forms).
-      case (m @ ("mean" | "var" | "std"),
+      case (m @ ("mean" | "var" | "std" | "sum"),
             CEwm(cols, alpha, minp, adjust), Nil) =>
+        // pandas raises NotImplementedError for ewm.sum with adjust=False
+        if (m == "sum" && !adjust) throw new FormulaTypeException(
+          "sum is not implemented with adjust=False")
         if (m == "mean" && alpha == 1.0 && minp <= 1) {
           // α = 1: every weight but the current cell's is zero and pandas
           // carries the last valid value across holes — exactly `.ffill()`
@@ -3406,14 +3437,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             else graft.operators.Prefix.ewmScanRecursive _
           ctx.base = Some(scan(marked,
             ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
-            if (m == "mean") "mean" else "var", minp))
+            m match { case "mean" => "mean"; case "sum" => "sum"
+                      case _ => "var" }, minp))
           CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
             val c = col(valIn(i) + "_w")
             (lbl, if (m == "std") sqrt(c) else c)
           }, isBool = false)
         }
-      case (m @ ("mean" | "var" | "std"),
+      case (m @ ("mean" | "var" | "std" | "sum"),
             CEwmD(vs, ls, alpha, minp, adjust), Nil) => {
+        if (m == "sum" && !adjust) throw new FormulaTypeException(
+          "sum is not implemented with adjust=False")
         // sequential twin of [[Prefix.ewmScan]], recurrence for
         // recurrence (decayed weighted-Welford, the DEN = W1² − ΣW²
         // direct tracking, the underflow rescale), so matrix and vector
@@ -3453,6 +3487,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               }
               pendW = alpha * w1
               if (m == "mean") mu
+              else if (m == "sum") mu * w1 // the unnormalized decayed sum
               else {
                 val fv =
                   if (resurrect) lim
@@ -3464,7 +3499,9 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               // collapse sub-1e-150 mass instead of rescaling it back to
               // O(1) (r10 ADVICE) — μ/covB stay for carries + the limit
               if (w1 > 0 && w1 < 1e-150) { w1 = 0.0; dn = 0.0 }
-              if (m == "mean") mu else lastV
+              if (m == "mean") mu
+              else if (m == "sum") mu * w1 // decays WITH the mass
+              else lastV
             }
           // the pandas min_periods gate: NaN until nobs >= minp
           val out = if (minp > 0 && nobs < minp) Double.NaN else out0
@@ -3577,7 +3614,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
 
       case (other, _: CEwm | _: CEwmD, _) =>
         throw new FormulaTypeException(
-          s"'.ewm(com)' windows support '.mean()/.var()/.std()/" +
+          s"'.ewm(com)' windows support '.mean()/.sum()/.var()/.std()/" +
             s".cov(other)/.corr(other)' — got '.$other'")
 
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>

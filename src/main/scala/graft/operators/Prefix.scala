@@ -1249,7 +1249,7 @@ object Prefix {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    require(Set("mean", "var")(stat), s"unknown ewm stat '$stat'")
+    require(Set("mean", "var", "sum")(stat), s"unknown ewm stat '$stat'")
     val sch = df.schema
     inNames.foreach { nm =>
       require(sch(nm).dataType == org.apache.spark.sql.types.DoubleType,
@@ -1259,6 +1259,11 @@ object Prefix {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val okey = "__ewm_ord"
     val needVar = stat == "var"
+    // ewm SUM (r11 session 5): the unnormalized decayed sum is exactly
+    // μ·W1 — both already in the mean-stat state; unlike the mean it
+    // DECAYS at holes (W1 does), so the emit multiplies pointwise
+    // instead of carrying
+    val needSum = stat == "sum"
     val f = 1.0 - alpha
     val f2 = f * f
     val width = inNames.length
@@ -1509,14 +1514,23 @@ object Prefix {
                   if (gated) Double.NaN else fv)
               } else
                 outVals(r.length + j) = java.lang.Double.valueOf(
-                  if (gated) Double.NaN else st(o))
+                  if (gated) Double.NaN
+                  else if (needSum) st(o) * st(o + 1)
+                  else st(o))
             } else {
               // hole: μ and the var value are decay-invariant — emit the
               // carried values exactly (pandas recomputes and matches);
-              // NaN while the valid count sits below min_periods
+              // NaN while the valid count sits below min_periods.
+              // sum: μ·W1 decays WITH the mass (pandas ewm.sum — no
+              // carry); a collapsed W1 = 0 reads sum 0 (the true value
+              // is below 1e-150 of the data scale)
               outVals(r.length + j) = java.lang.Double.valueOf(
                 if (minPeriods > 0 && cnts(j) < minPeriods) Double.NaN
                 else if (needVar) carryV(j)
+                else if (needSum) {
+                  val mu = if (st(o).isNaN) carryM(j) else st(o)
+                  mu * st(o + 1)
+                }
                 else if (st(o).isNaN) carryM(j) else st(o))
               // COLLAPSE long-decayed masses (r10 ADVICE — the previous
               // 1e150 rescale silently re-inflated the stale history to

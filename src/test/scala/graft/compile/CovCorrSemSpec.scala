@@ -233,6 +233,54 @@ class CovCorrSemSpec extends SparkSpec {
         0.981483080438592), tol = 1e-9)
   }
 
+  test("ewm sum: the unnormalized decayed sum (μ·W1) — DECAYS at " +
+      "holes instead of carrying; adjust=0 raises (pandas parity)") {
+    val x = Seq(1.0, 2.0, Double.NaN, 4.0, 5.0, 100.0)
+    val y = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // pandas x.ewm(com=1).sum() = [1, 2.5, 1.25, 4.625, 7.3125,
+    //   103.65625] — note 1.25 at the hole (the 2.5 mass decayed)
+    assertSeq(colOf2("s.ewm(1).sum()", x, y),
+      Seq(1.0, 2.5, 1.25, 4.625, 7.3125, 103.65625), tol = 1e-9)
+    // pandas span=5: [1, 2.6667, 1.7778, 5.1852, 8.4568, 105.6379]
+    assertSeq(colOf2("s.ewm(span=5).sum()", x, y),
+      Seq(1.0, 2.666666666666667, 1.7777777777777781, 5.185185185185185,
+        8.456790123456791, 105.63786008230453), tol = 1e-9)
+    // min_periods gates on the valid count
+    assertSeq(colOf2("s.ewm(1, min_periods=3).sum()", x, y),
+      Seq(NaN, NaN, NaN, 4.625, 7.3125, 103.65625), tol = 1e-9)
+    // leading holes NaN; a trailing hole decays: [nan, nan, 3, 1.5]
+    assertSeq(colOf2("s.ewm(1).sum()",
+      Seq(Double.NaN, Double.NaN, 3.0, Double.NaN), Seq(0.0, 0, 0, 0)),
+      Seq(NaN, NaN, 3.0, 1.5), tol = 1e-12)
+    // vector twin
+    assertSeq(vecOf2("s.ewm(1).sum()", x, y),
+      Seq(1.0, 2.5, 1.25, 4.625, 7.3125, 103.65625), tol = 1e-9)
+    // pandas raises NotImplementedError for sum with adjust=False
+    val ev = new FormulaEvaluator(reg("s" -> series(x), "t" -> series(y)))
+    val e = intercept[FormulaTypeException](
+      ev.evaluateFormula("s.ewm(1, adjust=0).sum()"))
+    assert(e.getMessage.contains("not implemented with adjust=False"))
+  }
+
+  test("flex arithmetic fill_value: the missing side fills when " +
+      "exactly one side is invalid; both missing stays NaN") {
+    // pandas: a=[1,NaN,3,NaN], b=[10,20,NaN,NaN]
+    //   a.add(b, fill_value=0)  = [11, 20, 3, nan]
+    //   a.sub(b, fill_value=2)  = [-9, -18, 1, nan]
+    //   a.div(b, fill_value=1)  = [0.1, 0.05, 3, nan]
+    val a = Seq(1.0, Double.NaN, 3.0, Double.NaN)
+    val b = Seq(10.0, 20.0, Double.NaN, Double.NaN)
+    assertSeq(colOf2("s.add(t, fill_value=0)", a, b),
+      Seq(11.0, 20.0, 3.0, NaN))
+    assertSeq(colOf2("s.sub(t, fill_value=2)", a, b),
+      Seq(-9.0, -18.0, 1.0, NaN))
+    assertSeq(colOf2("s.div(t, fill_value=1)", a, b),
+      Seq(0.1, 0.05, 3.0, NaN))
+    // vector twin (positional A3)
+    assertSeq(vecOf2("s.mul(t, fill_value=1)", a, b),
+      Seq(10.0, 20.0, 3.0, NaN))
+  }
+
   test("label alignment: sorted union, one-sided labels are all-NaN") {
     val a = mat3(Seq(Seq(1.0, 2), Seq(3.0, 4), Seq(5.0, 7)),
       labels = Seq("a", "b"))

@@ -388,8 +388,10 @@ class RollingFamilySpec extends SparkSpec {
     val ev = new FormulaEvaluator(reg("s" -> s4))
     assertThrows[FormulaTypeException](
       ev.evaluateFormula("s.ewm(0 - 1).mean()"))
+    // .sum() became a supported ewm stat in r11 session 5 — median
+    // remains outside the ewm surface (as in pandas)
     val e2 = intercept[FormulaTypeException](
-      ev.evaluateFormula("s.ewm(0.3).sum()"))
+      ev.evaluateFormula("s.ewm(0.3).median()"))
     assert(e2.getMessage.contains("mean"))
   }
 
