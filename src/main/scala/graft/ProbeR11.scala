@@ -122,7 +122,7 @@ object ProbeR11 {
            if new java.io.File(s"$dir/lineitem.parquet").exists()) {
         QueryCatalog.wide(spark, dir).count()
         for (n <- Seq("e11_rcov", "e11_rcorr", "e11_ecov", "e11_ewcov",
-            "e11_rsem")) {
+            "e11_rsem", "e11_ewm", "e11_rmean", "e11_diff")) {
           val t = best { SparkEntry.queries(n)(spark, dir).count() }
           r += s"${n}_$tag" -> t
           System.err.println(f"[probe] paircov $n $tag $t%.2f")

@@ -382,6 +382,14 @@ object SparkEntry {
     // fills with the scalar when exactly one side is invalid
     "e11_addfv" -> ((s, d) =>
       formulaQuery("qty.add(pos, fill_value=100)")(s, d)),
+    // corrwith (r11 session 5): column-wise pairwise Pearson between
+    // matching labels — one aggregate pass, Series-shaped result
+    "e11_cwith" -> ((s, d) =>
+      formulaQuery("qty.corrwith(price)", roundTo = Some(6))(s, d)),
+    // combine_first: the patching merge (keep the caller's valid cells,
+    // take the other's where not) — pure projection
+    "e11_combf" -> ((s, d) =>
+      formulaQuery("qty.combine_first(pos)")(s, d)),
     // `.dot()` — the actual pandas spelling of matrix multiplication
     // (alias of the DSL's `.matmul`, E12)
     "e11_dot" -> ((s, d) => formulaQuery("qty.dot(mm)")(s, d)),
@@ -4761,6 +4769,13 @@ object SparkEntry {
       },
       // fill_value: qty's hole fills with 100 against the never-NULL pos
       "e11_addfv" -> matSql(j => F(s"coalesce(q$j, 100.0) + p$j")),
+      // corrwith: DuckDB corr already drops NULL pairs (the pandas
+      // pairwise contract); 1-row Series-shaped result
+      "e11_cwith" ->
+        (s"$W SELECT ${J.map(j =>
+          s"round(corr(q$j, e$j), 6) AS c$j").mkString(", ")} FROM w"),
+      // combine_first: q's holes take pos's value
+      "e11_combf" -> matSql(j => F(s"coalesce(q$j, p$j)")),
       // span/halflife mirrors: the weight base is the IDENTICAL double
       // expression the compiler evaluates (α = 2/(span+1), resp.
       // 1 − exp(ln½/halflife) — exp/ln may differ from the JVM by an

@@ -2546,6 +2546,84 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       // at 16 columns (p(p+1)/2 · 6 agg expressions — the wide-rank
       // threshold precedent); wider frames belong on
       // Profiling.correlationMatrix.
+      // `.corrwith(other)` (r11 session 5): pandas' column-wise pairwise
+      // Pearson between matching labels — the diagonal of a cross-frame
+      // corr. ONE aggregate pass of pairwise-masked power sums per
+      // shared label (the corr-matrix kernel below, rounded at 9 the
+      // same way); non-shared union labels read NaN. Series-shaped
+      // result — the 1-row reduction contract.
+      case ("corrwith", CMatrix(cols, false), List(arg)) =>
+        if (!std) throw new AdpUnsupportedException(
+          "'.corrwith()' is not supported in ADP mode")
+        val ocols = arg match {
+          case CMatrix(oc, false) => oc
+          case other => throw new FormulaTypeException(
+            s"'.corrwith(other)' needs a DataFrame other, got $other")
+        }
+        val base = ctx.base.getOrElse(
+          throw new FormulaTypeException("corrwith requires a matrix operand"))
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val lm = cols.toMap; val rm = ocols.toMap
+        val union: Seq[String] =
+          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
+          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+        val shared = union.filter(l => lm.contains(l) && rm.contains(l))
+        if (shared.isEmpty) throw new FormulaTypeException(
+          "'.corrwith(other)' found no shared column labels")
+        def okc(c: Column) = c.isNotNull && !isnan(c)
+        val cwId = ctx.aggDfs.length
+        val aggExprs = shared.zipWithIndex.flatMap { case (l, i) =>
+          val (ci, cj) = (lm(l), rm(l))
+          val both = okc(ci) && okc(cj)
+          val x = when(both, ci); val y = when(both, cj)
+          Seq(count(x).cast("double").as(s"__cw${tag}_n_$i"),
+            sum(x).as(s"__cw${tag}_sx_$i"),
+            sum(y).as(s"__cw${tag}_sy_$i"),
+            sum(x * x).as(s"__cw${tag}_sxx_$i"),
+            sum(y * y).as(s"__cw${tag}_syy_$i"),
+            sum(x * y).as(s"__cw${tag}_sxy_$i"))
+        }
+        ctx.aggDfs += base.agg(aggExprs.head, aggExprs.tail: _*)
+        CVecC(union.map { l =>
+          val i = shared.indexOf(l)
+          if (i < 0) (l, litOf(Double.NaN))
+          else {
+            def c0(s: String) = col(s"__cw${tag}_${s}_$i").cast("double")
+            val n = c0("n"); val sx = c0("sx"); val sy = c0("sy")
+            val num = n * c0("sxy") - sx * sy
+            val den = sqrt(n * c0("sxx") - sx * sx) *
+              sqrt(n * c0("syy") - sy * sy)
+            (l, round(when(den === 0.0, litOf(Double.NaN))
+              .otherwise(num / den), 9))
+          }
+        }, Set(cwId))
+
+      // `.combine_first(other)` (r11 session 5): pandas' patching merge —
+      // each cell keeps the caller's value where valid and takes the
+      // other's where not; labels align like the elementwise binops
+      // (sorted union, one-sided columns pass through). Pure projection.
+      case ("combine_first", CMatrix(cols, false), List(arg)) =>
+        val ocols = arg match {
+          case CMatrix(oc, false) => oc
+          case other => throw new FormulaTypeException(
+            s"'.combine_first(other)' needs a DataFrame other, got $other")
+        }
+        val lm = cols.toMap; val rm = ocols.toMap
+        val union: Seq[String] =
+          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
+          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+        def invC(c: Column) = c.isNull || isnan(c)
+        CMatrix(union.map { l =>
+          (lm.get(l), rm.get(l)) match {
+            case (Some(a), Some(b)) =>
+              (l, if (std) when(invC(a), b).otherwise(a)
+                  else coalesce(a, b))
+            case (Some(a), None) => (l, a)
+            case (None, b)       => (l, b.get)
+          }
+        }, isBool = false)
+
       case (m @ ("corr" | "cov"), CMatrix(cols, false), Nil) =>
         if (!std) throw new AdpUnsupportedException(
           s"'.$m()' is not supported in ADP mode")

@@ -300,6 +300,58 @@ class CovCorrSemSpec extends SparkSpec {
     assert(math.abs(byId(2L)("b") - 4.5) < 1e-12)
   }
 
+  test("combine_first: keep the caller's valid cells, patch the rest " +
+      "from other; sorted union labels") {
+    // pandas: a(x=[1,NaN,3], y=[NaN,5,NaN]).combine_first(
+    //   b(y=[10,20,30], z=[7,8,9])) → x=[1,NaN,3], y=[10,5,30], z=[7,8,9]
+    val a = mat3(Seq(Seq(1.0, Double.NaN), Seq(Double.NaN, 5.0),
+      Seq(3.0, Double.NaN)), labels = Seq("x", "y"))
+    val b = mat3(Seq(Seq(10.0, 7.0), Seq(20.0, 8.0), Seq(30.0, 9.0)),
+      labels = Seq("y", "z"))
+    val ev = new FormulaEvaluator(reg("s" -> a, "t" -> b))
+    val MatrixResult(df, rowId, labels, _) =
+      ev.evaluateFormula("s.combine_first(t)"): @unchecked
+    assert(labels == Seq("x", "y", "z"))
+    val byId = cells(df, rowId, labels)
+    assert(byId(0L)("x") == 1.0 && byId(1L)("x").isNaN &&
+      byId(2L)("x") == 3.0)
+    assert(byId(0L)("y") == 10.0 && byId(1L)("y") == 5.0 &&
+      byId(2L)("y") == 30.0)
+    assert(byId(0L)("z") == 7.0 && byId(1L)("z") == 8.0 &&
+      byId(2L)("z") == 9.0)
+  }
+
+  test("corrwith: column-wise pairwise Pearson on matching labels, " +
+      "NaN for one-sided union labels") {
+    // pandas: c(x=[1,2,3,4], y=[2,1,4,3]).corrwith(d(x=[2,4,6,9],
+    //   z=[1,1,1,1])) → x: 0.9943767126843689, y: NaN, z: NaN
+    val c = mat3(Seq(Seq(1.0, 2.0), Seq(2.0, 1.0), Seq(3.0, 4.0),
+      Seq(4.0, 3.0)), labels = Seq("x", "y"))
+    val d = mat3(Seq(Seq(2.0, 1.0), Seq(4.0, 1.0), Seq(6.0, 1.0),
+      Seq(9.0, 1.0)), labels = Seq("x", "z"))
+    val ev = new FormulaEvaluator(reg("s" -> c, "t" -> d))
+    (ev.evaluateFormula("s.corrwith(t)"): @unchecked) match {
+      case RowResult(df, lbls) =>
+        assert(lbls == Seq("x", "y", "z"))
+        val r = df.collect().head
+        assert(math.abs(r.getDouble(r.fieldIndex("x")) -
+          0.9943767126843689) < 1e-8)
+        assert(r.getDouble(r.fieldIndex("y")).isNaN)
+        assert(r.getDouble(r.fieldIndex("z")).isNaN)
+    }
+    // NaN pairs drop pairwise: pandas [1,2,NaN,4,7] vs [2,4,6,NaN,8]
+    // → 0.9843241382880897 (the (1,2),(2,4),(7,8) pairs)
+    val e2 = new FormulaEvaluator(reg(
+      "s" -> series(Seq(1.0, 2.0, Double.NaN, 4.0, 7.0)),
+      "t" -> series(Seq(2.0, 4.0, 6.0, Double.NaN, 8.0))))
+    (e2.evaluateFormula("s.corrwith(t)"): @unchecked) match {
+      case RowResult(df, lbls) =>
+        val r = df.collect().head
+        assert(math.abs(r.getDouble(r.fieldIndex(lbls.head)) -
+          0.9843241382880897) < 1e-8)
+    }
+  }
+
   test("clean errors: Series other on a matrix window; ADP mode") {
     val ev = new FormulaEvaluator(reg("s" -> series(Seq(1.0, 2, 3)),
       "v" -> Vec(IndexedSeq(1.0), IndexedSeq("c0"))))
