@@ -2,14 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
+/** Driver benchmark main: one JSON contract line over the full catalog.
+  *
+  * r12 protocol: the canonical run is SEGMENTED INTO FRESH JVMs. The r11
+  * sweep measured (NOTES_r11 §10) that one long-lived JVM re-running
+  * hundreds of slice-pass queries self-inflates that family 4–5× — the
+  * SAME queries in a fresh JVM read the expected walls — so a 320-query
+  * single-JVM marathon partially benchmarks JVM fatigue, not operators,
+  * and round-over-round comparison degrades into protocol noise (the
+  * r10→r11 uniform 1.32× drift). The parent process therefore splits the
+  * catalog into segments of ≤ `SPARK_GRAFT_BENCH_SEGMENT_SIZE` (default
+  * 80) queries, runs each in a FORKED CHILD JVM (same classpath, JVM
+  * args, and env — per-job JVMs are the cluster posture anyway), and
+  * merges the per-segment results into the unchanged one-line contract.
+  * Segmentation applies to the full-catalog run only; subset runs
+  * (`SPARK_GRAFT_BENCH_ONLY`) and the child mode itself measure
+  * in-process exactly as before. `SPARK_GRAFT_BENCH_SEGMENT_SIZE=0`
+  * restores the single-JVM marathon (for A/B-ing the protocol itself).
+  */
 object Bench {
   private def gcStats(): (Long, Long) = {
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def fmt(v: Double): String = {
+    val s = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    s.bigDecimal.toPlainString
+  }
+
+  /** In-process measurement of `selected`: min over `nPasses` spaced
+    * passes (the host suffers transient CPU-steal storms inflating random
+    * queries 10-80×; pass 1 also warms the shared caches so later passes
+    * measure the warm path a user's query batch actually runs). */
+  private def measure(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                      sfDir: String): Map[String, Double] = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,19 +53,6 @@ object Bench {
     QueryCatalog.sig32(spark, sfDir).count()
     QueryCatalog.pairs01(spark, sfDir).count()
     QueryCatalog.blockPairs025(spark, sfDir).count()
-    // Several passes, per-query minimum: the host (a shared microVM)
-    // suffers transient CPU-steal storms that inflate random queries
-    // 10-80×, and a storm can span a whole pass — the round-2 bench showed
-    // one query inflated in BOTH of two passes. Three spaced passes make a
-    // fully-correlated storm much less likely (pass 1 also warms the
-    // shared caches, so later passes measure the warm path a user's query
-    // batch actually runs).
-    // optional subset (comma-separated names): scale probes re-measure only
-    // the expensive tail instead of paying the full catalog per pass
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(o =>
-      SparkEntry.queries.view.filterKeys(o).toMap)
     def pass(tag: String): Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (gc0, gct0) = gcStats()
@@ -51,20 +65,96 @@ object Bench {
           f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M")
         name -> sec
       }.toMap
-    // a warm pass is ~20 s, so five spaced passes are cheap — and the
-    // per-query minimum then survives a host-noise storm spanning several
-    // minutes (storms were observed inflating queries 10-80× with gc≈0)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val passes = (1 to nPasses).map(i => pass(s"/$i"))
     val results = passes.head.keys.map(k =>
       k -> passes.map(_(k)).min).toMap
+    spark.stop()
+    results
+  }
+
+  /** Fork one fresh child JVM per segment and collect its results file.
+    * The child is THIS main with `SPARK_GRAFT_BENCH_ONLY` set to its
+    * segment — same classpath and JVM args as the parent (sbt's forked
+    * run), env inherited. Child stdout goes to the parent's STDERR so it
+    * can never corrupt the parent's one-line stdout contract. */
+  private def runSegmented(names: Seq[String], segSize: Int): Map[String, Double] = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val segments = names.grouped(segSize).toSeq
+    segments.zipWithIndex.flatMap { case (seg, i) =>
+      val outFile = java.io.File.createTempFile(s"bench_seg${i}_", ".json")
+      outFile.deleteOnExit()
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", seg.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.getAbsolutePath)
+      // a child IS the fresh-JVM unit — it must never re-segment
+      pb.environment().put("SPARK_GRAFT_BENCH_SEGMENT_SIZE", "0")
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] segment ${i + 1}/${segments.length} " +
+        s"(${seg.length} queries) → fresh JVM")
+      val p = pb.start()
+      // pump the child's merged output onto the parent's STDERR — its
+      // own contract/chunk prints must never reach the parent's stdout
+      val pump = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        var ln = br.readLine()
+        while (ln != null) { System.err.println(ln); ln = br.readLine() }
+      })
+      pump.setDaemon(true)
+      pump.start()
+      val rc = p.waitFor()
+      pump.join(5000)
+      val parsed: Option[Seq[(String, Double)]] =
+        if (rc != 0) None
+        else scala.util.Try {
+          val line = new String(java.nio.file.Files.readAllBytes(
+            outFile.toPath), "UTF-8").trim
+          parseQueries(line).toSeq
+        }.toOption
+      parsed.getOrElse {
+        System.err.println(s"[bench] segment ${i + 1} failed (rc=$rc) — " +
+          "falling back to in-process for its queries")
+        measure(SparkEntry.queries.view.filterKeys(seg.toSet).toMap,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).toSeq
+      }
+    }.toMap
+  }
+
+  /** Minimal parser for this file's own contract line: the `"queries"`
+    * object holds only `"name":number` pairs. */
+  private[graft] def parseQueries(line: String): Map[String, Double] = {
+    val qStart = line.indexOf("\"queries\":{")
+    require(qStart >= 0, s"no queries object in: ${line.take(200)}")
+    val body = line.substring(qStart + "\"queries\":{".length,
+      line.indexOf('}', qStart))
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val segSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENT_SIZE", "80").toInt
+    val results: Map[String, Double] =
+      if (only.isEmpty && segSize > 0)
+        runSegmented(SparkEntry.queries.keys.toSeq.sorted, segSize)
+      else
+        measure(only.fold(SparkEntry.queries)(o =>
+          SparkEntry.queries.view.filterKeys(o).toMap), sfDir)
     // 4-decimal seconds (0.1 ms grain): halves the line length (146
     // queries ≈ 2.6 KB, under common 4 KB line buffers) — sbt-stdout
     // truncation ate the full-precision tail in BENCH_r03/r04
-    def fmt(v: Double): String = {
-      val s = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      s.bigDecimal.toPlainString
-    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -72,8 +162,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // file copy first (the reliable channel), then the stdout contract
-    // line LAST, after spark.stop(), so no shutdown logging can interleave
-    // and the line is the final thing sbt's output pump forwards
+    // line LAST so no shutdown logging can interleave and the line is the
+    // final thing sbt's output pump forwards.
     // subset runs (SPARK_GRAFT_BENCH_ONLY) default to a scratch file so a
     // quick re-measure can never clobber the committed full-catalog copy
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -81,7 +171,6 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] json written to $outPath")
-    spark.stop()
     // The ~2.6 KB contract line has been tail-truncated by the driver's
     // stdout capture three rounds running (BENCH_r03..r05 "parsed": null)
     // despite compaction, printing last, and a drain sleep. Escalation:

@@ -281,9 +281,21 @@ object QueryCatalog {
 
   /** Evaluate a formula over the shared registry; matrix results are ordered
     * by row id; optionally rounded (float-function queries) and cast to
-    * double (decimal mode). */
+    * double (decimal mode).
+    *
+    * `nudge` shifts the value by a tiny ε BEFORE rounding — applied
+    * IDENTICALLY in the paired oracle SQL. Rationale (r12, the e11_ecov
+    * red row): integer quantities × cent prices make covariances whose
+    * exact rational value TERMINATES at `x.xxxxxx5` — ON the 6-dp
+    * rounding boundary, closer to it than one double ULP (measured
+    * 5e-15 abs at a 274.0048235 cell), so no engine can deterministically
+    * round them and any cross-engine hash flips a coin. ε = 1e-9 moves
+    * the boundary 10⁻³ quanta — ~10⁴× the few-ULP cross-engine delta of
+    * the exact Welford scan, 10⁻³× the quantum — making the comparison
+    * deterministic without weakening the precision it certifies. */
   def formulaQuery(formula: String, fill: Boolean = true,
-                   roundTo: Option[Int] = None, adp: Boolean = false)
+                   roundTo: Option[Int] = None, adp: Boolean = false,
+                   nudge: Double = 0.0)
                   (spark: SparkSession, sfDir: String): DataFrame = {
     val ev = new FormulaEvaluator(registry(spark, sfDir),
       adpEnabled = adp, fillInvalid = fill)
@@ -291,7 +303,8 @@ object QueryCatalog {
       case MatrixResult(df, rowId, lbls, _) =>
         val out = lbls.map { l =>
           val c0 = if (adp) col(l).cast(DoubleType) else col(l)
-          roundTo.fold(c0)(n => round(c0, n)).as(l)
+          roundTo.fold(c0)(n =>
+            round(if (nudge == 0.0) c0 else c0 + lit(nudge), n)).as(l)
         }
         df.select((col(rowId) +: out): _*).orderBy(col(rowId))
       case RowResult(df, lbls) =>

@@ -356,11 +356,14 @@ object SparkEntry {
     "e11_rcorr" -> ((s, d) =>
       formulaQuery("qty.rolling(4, min_periods=2).corr(price)",
         roundTo = Some(6))(s, d)),
-    // ecov rounds at 5 dp (the ewmbig precedent): the expanding prefix's
-    // centered power sums and DuckDB's pairwise kernel differ ~1e-12
-    // relative — at 6 dp one sf0.01 cell straddles the quantum
+    // ecov compares under the ε-nudged 6-dp rounding (ε = 1e-9, same in
+    // the oracle SQL): the data's integer-qty × cent-price covariances
+    // TERMINATE at x.xxxxxx5 — exactly ON the 6-dp boundary, within one
+    // double ULP — so unnudged cross-engine rounding flips coins there
+    // (the r11 red row; margins audited in CovCorrSemSpec)
     "e11_ecov" -> ((s, d) =>
-      formulaQuery("qty.expanding().cov(price)", roundTo = Some(5))(s, d)),
+      formulaQuery("qty.expanding().cov(price)", roundTo = Some(6),
+        nudge = 1e-9)(s, d)),
     "e11_ecorr" -> ((s, d) =>
       formulaQuery("qty.expanding().corr(price)",
         roundTo = Some(6))(s, d)),
@@ -4914,12 +4917,15 @@ object SparkEntry {
           s"THEN 1 END) $w"
         F(s"round(CASE WHEN $p >= 2 THEN corr(q$j, e$j) $w END, 6)")
       },
+      // the + 1e-9 mirrors the Spark side's ε-nudged rounding (boundary-
+      // tie covariances — see the e11_ecov queries() entry)
       "e11_ecov" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
           "PRECEDING AND CURRENT ROW)"
         val p = s"count(CASE WHEN q$j IS NOT NULL AND e$j IS NOT NULL " +
           s"THEN 1 END) $w"
-        F(s"round(CASE WHEN $p >= 2 THEN covar_samp(q$j, e$j) $w END, 5)")
+        F(s"round((CASE WHEN $p >= 2 THEN covar_samp(q$j, e$j) $w END) " +
+          "+ 1e-9, 6)")
       },
       "e11_ecorr" -> matSql { j =>
         val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +

@@ -2565,10 +2565,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         ctx.seqCounter += 1
         val tag = ctx.seqCounter
         val lm = cols.toMap; val rm = ocols.toMap
-        val union: Seq[String] =
-          if (cols.map(_._1) == ocols.map(_._1)) cols.map(_._1)
-          else (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
-        val shared = union.filter(l => lm.contains(l) && rm.contains(l))
+        // pandas 2.2 ordering (r12, the r11 ADVICE): shared labels first
+        // in the CALLER's column order (the inner align), then the
+        // non-shared remainder sorted (the union-difference append) —
+        // e.g. caller [b,a] × other [a,b,d] → [b, a, d], not [a, b, d]
+        val shared = cols.map(_._1).filter(rm.contains)
+        val union: Seq[String] = shared ++
+          (cols.map(_._1) ++ ocols.map(_._1)).distinct.sorted
+            .filterNot(shared.contains)
         if (shared.isEmpty) throw new FormulaTypeException(
           "'.corrwith(other)' found no shared column labels")
         def okc(c: Column) = c.isNotNull && !isnan(c)
@@ -3076,8 +3080,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             .map(_.toInt).getOrElse(257)
           if (n > math.min(fuseMax, 257)) throw new FormulaTypeException(
             s"'.rolling(n).$m(other)' supports window sizes up to " +
-              s"$fuseMax (the pairwise mask is not prefix-invertible), " +
-              s"got $n")
+              s"${math.min(fuseMax, 257)} (the pairwise mask is not " +
+              s"prefix-invertible), got $n")
           val w = shared.length
           val xIn = shared.indices.map(i => s"__rp${tag}_x_$i")
           val yIn = shared.indices.map(i => s"__rp${tag}_y_$i")
@@ -3184,13 +3188,14 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
-      // `.expanding().cov(other)` / `.corr(other)` (r11 session 5): the
-      // same pandas pairwise contract as the rolling form, over the
-      // unbounded prefix — running sums of the pair-masked, frame-
-      // global-centered values (cov/corr are shift-invariant over the
-      // PAIR set, so the centering kills the power-sum cancellation the
-      // way the expanding var path does) + the closing power-sum
-      // identity; gate = running pair count >= max(min_periods, 2).
+      // `.expanding().cov(other)` / `.corr(other)` (r11 session 5;
+      // replanned r12): the same pandas pairwise contract as the
+      // rolling form, over the unbounded prefix — polarization on the
+      // EXACT corrected-var scan the ewm pairwise family runs
+      // ([[Prefix.ewmScan]] at α = 0 = unit weights = expanding
+      // Welford + Chan merge): cov = (varC(x̃+ỹ) − varC(x̃−ỹ))/4 over
+      // the pair-masked inputs; gate = running pair count >=
+      // max(min_periods, 2) (the den = n² − n guard supplies the 2).
       case (m @ ("cov" | "corr"), CExpand(cols, minp), List(arg)) =>
         if (!std) throw new AdpUnsupportedException(
           s"'.expanding().$m()' is not supported in ADP mode")
@@ -3216,58 +3221,41 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         if (shared.isEmpty)
           CMatrix(union.map(l => (l, litOf(Double.NaN))), isBool = false)
         else {
+          // r12: the r11 centered-power-sum closing identity left a
+          // ~1e-12 cross-engine residue vs DuckDB's pairwise kernel —
+          // at 6 dp one sf0.01 cell sat ON the rounding quantum (the
+          // r11 red row). Same body as the ewm pairwise case below at
+          // α = 0: every term is a Welford product, no closed-form
+          // moment subtraction anywhere; the n/(n−1) bias factors in
+          // corr share the pair mask and cancel.
           val wantCorr = m == "corr"
-          // frame-global pair means as centering constants (one
-          // broadcast 1-row aggregate, the expanding-var shape)
-          def pairValid(l: String) =
-            !invalidOf(lm(l)) && !invalidOf(rm(l))
-          val mus = shared.zipWithIndex.flatMap { case (l, i) =>
-            val pv = pairValid(l)
-            Seq(coalesce(avg(when(pv, lm(l))), lit(0.0))
-              .as(s"__ep${tag}_ax_$i"),
-              coalesce(avg(when(pv, rm(l))), lit(0.0))
-                .as(s"__ep${tag}_ay_$i"))
-          }
-          val based = ctx.base.get.crossJoin(
-            broadcast(ctx.base.get.agg(mus.head, mus.tail: _*)))
-          val sxy = shared.indices.map(i => s"__ep${tag}_xy_$i")
-          val sx = shared.indices.map(i => s"__ep${tag}_sx_$i")
-          val sy = shared.indices.map(i => s"__ep${tag}_sy_$i")
-          val cp = shared.indices.map(i => s"__ep${tag}_cp_$i")
-          val qx = shared.indices.map(i => s"__ep${tag}_qx_$i")
-          val qy = shared.indices.map(i => s"__ep${tag}_qy_$i")
-          val marked = based.select(col("*") +:
+          val nan = litOf(Double.NaN)
+          val sIn = shared.indices.map(i => s"__ep${tag}_s_$i")
+          val dIn = shared.indices.map(i => s"__ep${tag}_d_$i")
+          val xIn = shared.indices.map(i => s"__ep${tag}_x_$i")
+          val yIn = shared.indices.map(i => s"__ep${tag}_y_$i")
+          val marked = ctx.base.get.select(col("*") +:
             shared.zipWithIndex.flatMap { case (l, i) =>
-              val pv = pairValid(l)
-              val cx = lm(l).cast("double") - col(s"__ep${tag}_ax_$i")
-              val cy = rm(l).cast("double") - col(s"__ep${tag}_ay_$i")
-              Seq(when(pv, cx * cy).as(sxy(i)),
-                when(pv, cx).as(sx(i)),
-                when(pv, cy).as(sy(i)),
-                when(pv, lit(1.0)).as(cp(i))) ++
+              val x = lm(l).cast("double"); val y = rm(l).cast("double")
+              val pv = !invalidOf(lm(l)) && !invalidOf(rm(l))
+              Seq(when(pv, x + y).otherwise(nan).as(sIn(i)),
+                when(pv, x - y).otherwise(nan).as(dIn(i))) ++
                 (if (wantCorr)
-                   Seq(when(pv, cx * cx).as(qx(i)),
-                     when(pv, cy * cy).as(qy(i)))
+                   Seq(when(pv, x).otherwise(nan).as(xIn(i)),
+                     when(pv, y).otherwise(nan).as(yIn(i)))
                  else Nil)
             }: _*)
-          val inNames = sxy ++ sx ++ sy ++ cp ++
-            (if (wantCorr) qx ++ qy else Nil)
-          ctx.base = Some(graft.operators.Prefix.runningAgg(marked, rid,
-            inNames, inNames.map(_ => "sum"), inNames.map(_ + "_s")))
+          val scanIns = sIn ++ dIn ++ (if (wantCorr) xIn ++ yIn else Nil)
+          ctx.base = Some(graft.operators.Prefix.ewmScan(marked,
+            ctx.rowIdOut, rid, scanIns, 0.0, scanIns.map(_ + "_w"),
+            "var", minp))
           CMatrix(union.map { l =>
             val i = shared.indexOf(l)
             if (i < 0) (l, litOf(Double.NaN))
             else {
-              val n = coalesce(col(cp(i) + "_s"), lit(0.0))
-              val x1 = col(sx(i) + "_s"); val y1 = col(sy(i) + "_s")
-              val covN = col(sxy(i) + "_s") - x1 * y1 / n
-              val cell =
-                if (!wantCorr) covN / (n - 1)
-                else covN / sqrt(
-                  (col(qx(i) + "_s") - x1 * x1 / n) *
-                    (col(qy(i) + "_s") - y1 * y1 / n))
-              (l, when(n < math.max(minp, 2), litOf(Double.NaN))
-                .otherwise(cell))
+              val cov = (col(sIn(i) + "_w") - col(dIn(i) + "_w")) / 4.0
+              (l, if (!wantCorr) cov
+                  else cov / sqrt(col(xIn(i) + "_w") * col(yIn(i) + "_w")))
             }
           }, isBool = false)
         }

@@ -1246,7 +1246,14 @@ object Prefix {
               inNames: Seq[String], alpha: Double,
               outNames: Seq[String], stat: String,
               minPeriods: Int = 0): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    // α = 0 is the UNIT-WEIGHT limit (f = 1, no decay): the scan reduces
+    // to the exact expanding Welford + Chan merge with DEN = n² − n, i.e.
+    // the corrected expanding variance — the expanding pairwise cov/corr
+    // family runs on it (r12, replacing the centered-power-sum closing
+    // identity whose ~1e-12 cross-engine residue straddled a rounding
+    // quantum at 6 dp). No collapse/resurrect paths fire at f = 1 (W1
+    // only grows), so the α > 0 machinery is untouched.
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("mean", "var", "sum")(stat), s"unknown ewm stat '$stat'")

@@ -339,6 +339,17 @@ class CovCorrSemSpec extends SparkSpec {
         assert(r.getDouble(r.fieldIndex("y")).isNaN)
         assert(r.getDouble(r.fieldIndex("z")).isNaN)
     }
+    // pandas ordering (r12, the r11 ADVICE): shared labels first in the
+    // CALLER's column order, then the non-shared remainder sorted —
+    // caller [b,a] × other [a,b,d] → ['b','a','d'] (pandas 2.2)
+    val cb = mat3(Seq(Seq(1.0, 2.0), Seq(2.0, 1.0), Seq(3.0, 4.0),
+      Seq(4.0, 3.0)), labels = Seq("b", "a"))
+    val db = mat3(Seq(Seq(2.0, 1.0, 5.0), Seq(4.0, 1.0, 6.0),
+      Seq(6.0, 1.0, 7.0), Seq(9.0, 1.0, 8.0)), labels = Seq("a", "b", "d"))
+    val evb = new FormulaEvaluator(reg("s" -> cb, "t" -> db))
+    (evb.evaluateFormula("s.corrwith(t)"): @unchecked) match {
+      case RowResult(_, lbls) => assert(lbls == Seq("b", "a", "d"))
+    }
     // NaN pairs drop pairwise: pandas [1,2,NaN,4,7] vs [2,4,6,NaN,8]
     // → 0.9843241382880897 (the (1,2),(2,4),(7,8) pairs)
     val e2 = new FormulaEvaluator(reg(
@@ -371,5 +382,45 @@ class CovCorrSemSpec extends SparkSpec {
       ev.evaluateFormula("s.dot(v)"): @unchecked
     val byId = cells(df, rowId, labels)
     assert(byId(2L)(labels.head) == 6.0)
+  }
+
+  test("quantum margin: e11_ecov's nudged 6-dp rounding clears every " +
+       "boundary by >> the cross-engine delta (r12, the r11 red row)") {
+    // the sf0.01 gate data itself: integer qty × cent prices make
+    // covariances whose exact rational value terminates ON the 6-dp
+    // half-quantum (e.g. 274.0048235 at row 5, within one double ULP of
+    // the boundary), so UNNUDGED rounding is a cross-engine coin flip.
+    // Assert (a) the artifact is real — the closest RAW cell sits ON a
+    // boundary (measured 0.0 quanta) — and (b) after the ε = 1e-9 nudge
+    // every cell clears its boundary by ≥ 50 ULP of its own magnitude
+    // (measured min 136 ULP over all 58,972 cells), so a few-ULP
+    // cross-engine delta can never flip a rounding. The floor is
+    // per-cell ULP-relative, not absolute: with ~59k ~uniform fracs the
+    // global min distance is naturally ~1/n quanta — an absolute floor
+    // above that would reject correct data.
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf01/lineitem.parquet").exists())
+    val df = graft.QueryCatalog.formulaQuery(
+      "qty.expanding().cov(price)")(spark, sf01)
+    val valueCols = df.schema.fieldNames.filterNot(_ == df.schema.fieldNames.head)
+    val cells = df.collect().flatMap { r =>
+      valueCols.map(c => r.getDouble(r.fieldIndex(c)))
+    }.filterNot(_.isNaN)
+    assert(cells.length > 10000)
+    def boundaryDist(x: Double): Double = {
+      val s = x * 1e6
+      math.abs(s - math.floor(s) - 0.5)
+    }
+    val rawMin = cells.map(boundaryDist).min
+    assert(rawMin < 1e-5,
+      s"artifact gone? closest raw cell is $rawMin quanta from a boundary" +
+        " — the nudge may no longer be needed, re-audit before removing")
+    val tight = cells.filter { v =>
+      boundaryDist(v + 1e-9) < 50 * math.ulp(math.abs(v)) * 1e6
+    }
+    assert(tight.isEmpty,
+      s"${tight.length} nudged cells sit within 50 ULP of a 6-dp " +
+        s"boundary (e.g. ${tight.take(3).mkString(", ")}) — the " +
+        "cross-engine hash is not deterministic there")
   }
 }
