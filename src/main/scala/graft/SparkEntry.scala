@@ -346,6 +346,14 @@ object SparkEntry {
         roundTo = Some(6))(s, d)),
     "e11_esem" -> ((s, d) =>
       formulaQuery("qty.expanding().sem()", roundTo = Some(6))(s, d)),
+    // r12: the expanding order statistic — running rank selection over
+    // running value counts (Fenwick over the bounded distinct domain,
+    // Prefix.runningQuantile); closes the last window-family rejection
+    "e11_emed" -> ((s, d) =>
+      formulaQuery("qty.expanding().median()", roundTo = Some(6))(s, d)),
+    "e11_eq" -> ((s, d) =>
+      formulaQuery("qty.expanding(min_periods=2).quantile(0.25)",
+        roundTo = Some(6))(s, d)),
     // r11 session 5: pairwise moving covariance/correlation — pandas
     // 2.2 masks BOTH inputs to the window's pairwise-complete cells,
     // moments over the PAIRS (corr's denominator too), gate =
@@ -4899,6 +4907,21 @@ object SparkEntry {
           "PRECEDING AND CURRENT ROW)"
         F(s"round(CASE WHEN count(q$j) $w >= 2 THEN " +
           s"stddev_samp(q$j) $w / sqrt(count(q$j) $w - 1) END, 6)")
+      },
+      // r12 expanding order statistics: quantile_cont IS pandas' linear
+      // interpolation; the unbounded-preceding window skips NULLs like
+      // the engine's valid-cell prefix
+      "e11_emed" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 1 " +
+          s"THEN CAST(median(q$j) $w AS DOUBLE) END, 6)")
+      },
+      "e11_eq" -> matSql { j =>
+        val w = "OVER (ORDER BY __row_id__ ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        F(s"round(CASE WHEN count(q$j) $w >= 2 " +
+          s"THEN quantile_cont(q$j, 0.25) $w END, 6)")
       },
       // pairwise cov/corr: DuckDB's covar_samp/corr already skip rows
       // where either side is NULL — the gate counts the valid PAIRS

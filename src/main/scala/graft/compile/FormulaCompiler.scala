@@ -654,16 +654,17 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       s"'$what' takes interpolation= as its only keyword argument")
   }
 
-  private def rollingQuantileArgs(args: List[CValue]): (Double, Int) = {
+  private def rollingQuantileArgs(args: List[CValue],
+                                  what: String = ".rolling(n).quantile(q)")
+      : (Double, Int) = {
     args match {
       case (qv :: rest) if !qv.isInstanceOf[CKw] && rest.length <= 1 =>
         val q = asScalar(qv, "quantile")
         if (!(q >= 0.0 && q <= 1.0)) throw new FormulaTypeException(
-          s"'.rolling(n).quantile(q)' needs 0 <= q <= 1, got $q")
-        (q, interpOf(rest, ".rolling(n).quantile(q)"))
+          s"'$what' needs 0 <= q <= 1, got $q")
+        (q, interpOf(rest, what))
       case _ => throw new FormulaTypeException(
-        "'.rolling(n).quantile(q)' needs the quantile as its first " +
-          "positional argument")
+        s"'$what' needs the quantile as its first positional argument")
     }
   }
 
@@ -3188,6 +3189,39 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           (lbl, cell)
         }
         CMatrix(out, isBool = false)
+      // `.expanding().median()/.quantile(q[, interpolation=])` (r12):
+      // the last clean-rejection in the window family — the running
+      // order statistic has no invertible prefix SHAPE, but under the
+      // bounded-cell-domain contract it has a bounded STATE: running
+      // rank selection over running value counts on
+      // [[Prefix.runningQuantile]] (Fenwick over the sorted distinct
+      // domain, additive per-slice partials, pandas' five
+      // interpolations); clean raise above the
+      // graft.percentile.approxAboveDistinct budget.
+      case (m @ ("median" | "quantile"), CExpand(cols, minp), qargs)
+          if (m == "median" && qargs.isEmpty) ||
+             (m == "quantile" && qargs.nonEmpty &&
+              !qargs.head.isInstanceOf[CKw] && qargs.length <= 2) =>
+        if (!std) throw new AdpUnsupportedException(
+          s"'.expanding().$m()' is not supported in ADP mode")
+        val (qv, qInterp) =
+          if (m == "median") (0.5, 0)
+          else rollingQuantileArgs(qargs, ".expanding().quantile(q)")
+        ctx.seqCounter += 1
+        val tag = ctx.seqCounter
+        val rid = col(ctx.rowIdOut)
+        def invalidOf(c: Column) = c.isNull || isnan(c)
+        val vIn = cols.indices.map(i => s"__eq${tag}_v_$i")
+        val marked = ctx.base.get.select(col("*") +:
+          cols.zipWithIndex.map { case ((_, c), i) =>
+            when(invalidOf(c), litOf(Double.NaN))
+              .otherwise(c.cast("double")).as(vIn(i))
+          }: _*)
+        ctx.base = Some(graft.operators.Prefix.runningQuantile(marked,
+          ctx.rowIdOut, rid, vIn, qv, qInterp, vIn.map(_ + "_q"), minp))
+        CMatrix(cols.zipWithIndex.map { case ((l, _), i) =>
+          (l, col(vIn(i) + "_q"))
+        }, isBool = false)
       // `.expanding().cov(other)` / `.corr(other)` (r11 session 5;
       // replanned r12): the same pandas pairwise contract as the
       // rolling form, over the unbounded prefix — polarization on the
@@ -3401,6 +3435,44 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           }
         }, ls)
       }
+      // sequential twin of the r12 expanding order statistic: a sorted
+      // insertion buffer over the valid prefix, the same five
+      // interpolations as the distributed emit
+      case (m @ ("median" | "quantile"), CExpandD(vs, ls, minp), qargs)
+          if (m == "median" && qargs.isEmpty) ||
+             (m == "quantile" && qargs.nonEmpty &&
+              !qargs.head.isInstanceOf[CKw] && qargs.length <= 2) =>
+        val (qv, qInterp) =
+          if (m == "median") (0.5, 0)
+          else rollingQuantileArgs(qargs, ".expanding().quantile(q)")
+        val buf = new scala.collection.mutable.ArrayBuffer[Double]
+        CVecD(vs.map { v =>
+          if (!v.isNaN) {
+            var lo0 = 0; var hi0 = buf.length
+            while (lo0 < hi0) {
+              val mid = (lo0 + hi0) >>> 1
+              if (buf(mid) < v) lo0 = mid + 1 else hi0 = mid
+            }
+            buf.insert(lo0, v)
+          }
+          val n = buf.length
+          if (n < minp.max(1)) Double.NaN
+          else {
+            val h = (n - 1) * qv
+            val lo = h.toInt
+            val hi = math.min(lo + 1, n - 1)
+            val frac = h - lo
+            qInterp match {
+              case 1 => buf(lo)
+              case 2 => if (frac == 0.0) buf(lo) else buf(hi)
+              case 3 => buf(math.min(math.rint(h).toInt, n - 1))
+              case 4 => if (frac == 0.0) buf(lo)
+                        else (buf(lo) + buf(hi)) / 2.0
+              case _ => if (frac == 0.0 || lo + 1 >= n) buf(lo)
+                        else buf(lo) + frac * (buf(hi) - buf(lo))
+            }
+          }
+        }, ls)
       // sequential twins of the pairwise window cov/corr (r11 session
       // 5): Series ∘ Series pairs POSITIONALLY (the A3 vector rule);
       // exact two-pass over each window's pairwise-complete cells
@@ -3686,8 +3758,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
       case (other, _: CRoll | _: CExpand | _: CRollD | _: CExpandD, _) =>
         throw new FormulaTypeException(
           "'.rolling()/.expanding()' windows support " +
-            "'.sum/.mean/.count/.min/.max/.std/.var' " +
-            "(plus '.median/.quantile(q)/.skew/.kurt' on rolling) — got " +
+            "'.sum/.mean/.count/.min/.max/.std/.var/.median/.quantile(q)' " +
+            "(plus '.skew/.kurt' on rolling) — got " +
             s"'.$other'")
 
       // pandas method-form comparisons (r9): df.le(other) ≡ df <= other

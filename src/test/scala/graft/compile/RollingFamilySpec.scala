@@ -858,4 +858,84 @@ class RollingFamilySpec extends SparkSpec {
       case other => fail(s"expected vector result, got $other")
     }
   }
+
+  test("expanding median/quantile (r12): running rank selection over " +
+      "running value counts equals the O(n log n) sorted-prefix golden " +
+      "across fuzzed hole-bearing series, interpolations and min_periods") {
+    // pandas goldens, pinned on 2.2:
+    //   Series([1, 2, NaN, 4, 5, 6]).expanding().median()
+    //     = [1, 1.5, 1.5, 2, 3, 4]
+    //   Series([NaN, 1, 2, 3, NaN, NaN, 4]).expanding().quantile(0.25)
+    //     = [NaN, 1, 1.25, 1.5, 1.5, 1.5, 1.75]
+    assertSeq(colOf("s.expanding().median()", s6),
+      Seq(1, 1.5, 1.5, 2, 3, 4))
+    assertSeq(colOf("s.expanding().quantile(0.25)", s7),
+      Seq(Double.NaN, 1, 1.25, 1.5, 1.5, 1.5, 1.75))
+    // independent O(n log n) reference: sort the valid prefix, pandas'
+    // five interpolations at h = (cnt−1)·q
+    def seqQuant(vs: IndexedSeq[Double], q: Double, interp: String,
+                 minp: Int): Seq[Double] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Double]
+      vs.map { v =>
+        if (!v.isNaN) acc += v
+        val w = acc.sorted
+        val n = w.length
+        if (n < math.max(minp, 1)) Double.NaN
+        else {
+          val h = (n - 1) * q
+          val lo = h.toInt; val hi = math.min(lo + 1, n - 1)
+          val frac = h - lo
+          interp match {
+            case "lower"    => w(lo)
+            case "higher"   => if (frac == 0.0) w(lo) else w(hi)
+            case "nearest"  => w(math.min(math.rint(h).toInt, n - 1))
+            case "midpoint" => if (frac == 0.0) w(lo)
+                               else (w(lo) + w(hi)) / 2.0
+            case _          => if (frac == 0.0 || lo + 1 >= n) w(lo)
+                               else w(lo) + frac * (w(hi) - w(lo))
+          }
+        }
+      }
+    }
+    val interps = Seq("linear", "lower", "higher", "nearest", "midpoint")
+    val rnd = new scala.util.Random(20260816L)
+    for (caseNo <- 1 to 10) {
+      // long enough that hole runs cross the 32-partition slice
+      // boundaries; small integer domain so value TIES span slices too
+      val len = 40 + rnd.nextInt(60)
+      val vs = IndexedSeq.fill(len)(
+        if (rnd.nextDouble() < 0.3) Double.NaN
+        else (rnd.nextInt(9) - 4).toDouble)
+      val mtx = series(vs: _*)
+      val q = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)(rnd.nextInt(7))
+      val interp = interps(rnd.nextInt(interps.length))
+      val minp = 1 + rnd.nextInt(4)
+      val mp = if (caseNo % 2 == 0) "" else s"min_periods=$minp"
+      val effMinp = if (caseNo % 2 == 0) 1 else minp
+      val ref = seqQuant(vs, q, interp, effMinp)
+      if (ref.exists(v => !v.isNaN)) {
+        val f = s"s.expanding($mp).quantile($q, interpolation='$interp')"
+        assertSeq(colOf(f, mtx), ref, tol = 1e-12)
+        // the driver-vector twin shares the emit semantics
+        val v = Vec(vs, vs.indices.map(i => f"i$i%03d"))
+        val ev = new FormulaEvaluator(reg("v" -> v))
+        (ev.evaluateFormula(
+          s"v.expanding($mp).quantile($q, interpolation='$interp')")
+          : @unchecked) match {
+          case VecResult(out) => assertSeq(out.values, ref, tol = 1e-12)
+        }
+      }
+      val medRef = seqQuant(vs, 0.5, "linear", 1)
+      if (medRef.exists(v => !v.isNaN))
+        assertSeq(colOf("s.expanding().median()", mtx), medRef, tol = 1e-12)
+    }
+    // clean raise above the distinct budget, naming the conf
+    spark.conf.set("graft.percentile.approxAboveDistinct", "4")
+    try {
+      val wide = series((1 to 30).map(_.toDouble): _*)
+      val e = intercept[IllegalArgumentException](
+        colOf("s.expanding().median()", wide))
+      assert(e.getMessage.contains("approxAboveDistinct"))
+    } finally spark.conf.unset("graft.percentile.approxAboveDistinct")
+  }
 }
