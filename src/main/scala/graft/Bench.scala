@@ -26,6 +26,28 @@ object Bench {
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
 
+  /** JIT-health snapshot for the marathon diagnosis (r12): total used
+    * bytes across the three CodeHeap pools, metaspace used, cumulative
+    * JIT compilation ms, and loaded-class count. The r11 finding — one
+    * long-lived JVM re-running hundreds of queries inflates the
+    * mapPartitions slice family 4–5× while codegen'd hash aggregates
+    * stay flat — predicts code-cache pressure: every query compiles
+    * fresh codegen classes (which never need to stay hot), while the
+    * slice passes reuse the SAME long-lived closure methods, which
+    * code-cache flushing evicts back to the interpreter. */
+  private def jitStats(): (Long, Long, Long, Long) = {
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    val code = pools.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    val meta = pools.filter(_.getName == "Metaspace")
+      .map(_.getUsage.getUsed).sum
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+    val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+      .getLoadedClassCount.toLong
+    (code, meta, comp, cls)
+  }
+
   private def fmt(v: Double): String = {
     val s = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     s.bigDecimal.toPlainString
@@ -60,9 +82,11 @@ object Bench {
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         val (gc1, gct1) = gcStats()
+        val (code, meta, comp, cls) = jitStats()
         val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
         System.err.println(f"[bench$tag] $name%-12s $sec%8.2f s  rows=$n%-8d " +
-          f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M")
+          f"gc=${gc1 - gc0}%d/${(gct1 - gct0) / 1000.0}%.1fs heap=${heapMb}M " +
+          f"code=${code >> 20}%dM meta=${meta >> 20}%dM jit=${comp / 1000.0}%.0fs cls=$cls%d")
         name -> sec
       }.toMap
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt

@@ -384,6 +384,200 @@ class CovCorrSemSpec extends SparkSpec {
     assert(byId(2L)(labels.head) == 6.0)
   }
 
+  test("fuzz matrix (r12, the r11 verdict ask #7): (rolling/expanding/" +
+      "ewm) x (cov/corr/sem) x (min_periods, center, all four ewm decay " +
+      "spellings, adjust) — distributed matrix path AND vector twin vs " +
+      "independent literal references on hole-bearing series crossing " +
+      "slice boundaries") {
+    val rnd = new scala.util.Random(20260817L)
+    // literal positional-window pairwise reference: two-pass moments over
+    // the window's pairwise-complete cells (pandas 2.2 contract)
+    def seqPair(xs: IndexedSeq[Double], ys: IndexedSeq[Double],
+                wantCorr: Boolean, loOf: Int => Int,
+                minGate: Int): Seq[Double] =
+      xs.indices.map { i =>
+        val ps = (math.max(0, loOf(i)) to i)
+          .filter(j => !xs(j).isNaN && !ys(j).isNaN)
+        val cnt = ps.length
+        if (cnt < minGate || cnt < 2) Double.NaN
+        else {
+          val mx = ps.map(xs).sum / cnt; val my = ps.map(ys).sum / cnt
+          var qxy = 0.0; var qx = 0.0; var qy = 0.0
+          ps.foreach { j =>
+            val dx = xs(j) - mx; val dy = ys(j) - my
+            qxy += dx * dy; qx += dx * dx; qy += dy * dy
+          }
+          if (wantCorr) qxy / math.sqrt(qx * qy) else qxy / (cnt - 1)
+        }
+      }
+    // literal window sem: std(ddof=1)/sqrt(cnt − 1) over the window's
+    // valid cells
+    def seqSem(xs: IndexedSeq[Double], loOf: Int => Int,
+               minGate: Int): Seq[Double] =
+      xs.indices.map { i =>
+        val w = (math.max(0, loOf(i)) to i).map(xs).filter(!_.isNaN)
+        val cnt = w.length
+        if (cnt < minGate || cnt < 2) Double.NaN
+        else {
+          val mu = w.sum / cnt
+          val v2 = w.map(x => (x - mu) * (x - mu)).sum / (cnt - 1)
+          math.sqrt(v2 / (cnt - 1))
+        }
+      }
+    // literal O(n²) ewm pairwise reference — adjust=True weights
+    // (1−α)^(i−p). adjust=False is the pandas RECURSION unrolled: after
+    // each observation the mass renormalizes old_wt = 1, so observation
+    // k enters at weight α·T_{k−1} where T_{k−1} is the unnormalized
+    // total AT the previous observation (after a gap T ≠ 1, so the
+    // weights are NOT α·(1−α)^(i−p) — the naive closed form is ~1e-3
+    // wrong on gapped series, measured). Simulated per row: decay every
+    // held weight by (1−α), on a valid pair append w = α·T_last (1 for
+    // the first), refresh T_last = Σ current weights. bias=False
+    // correction W1²/(W1²−W2) — shared by cov and both denominator
+    // vars, so it cancels in corr.
+    def seqEwmPair(xs: IndexedSeq[Double], ys: IndexedSeq[Double],
+                   alpha: Double, adjust: Boolean, wantCorr: Boolean,
+                   minp: Int): Seq[Double] = {
+      val f = 1.0 - alpha
+      // adjust=False masses, simulated once over the whole series:
+      // recWts(i) = the weight of each pair-valid obs <= i, AT row i
+      val recWts: IndexedSeq[IndexedSeq[Double]] = {
+        val held = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var tLast = Double.NaN
+        xs.indices.map { i =>
+          held.indices.foreach(k => held(k) *= f)
+          if (!xs(i).isNaN && !ys(i).isNaN) {
+            held += (if (held.isEmpty) 1.0 else alpha * tLast)
+            tLast = held.sum
+          }
+          held.toIndexedSeq
+        }
+      }
+      xs.indices.map { i =>
+        val ps = (0 to i).filter(j => !xs(j).isNaN && !ys(j).isNaN)
+        val cnt = ps.length
+        if (cnt < 2 || cnt < minp) Double.NaN
+        else {
+          val w: Seq[Double] =
+            if (adjust) ps.map(p => math.pow(f, (i - p).toDouble))
+            else recWts(i)
+          val w1 = w.sum; val w2 = w.map(x => x * x).sum
+          val den = w1 * w1 - w2
+          if (den <= 0.0 || w1 == 0.0) Double.NaN
+          else {
+            val mx = ps.zip(w).map { case (j, wk) => wk * xs(j) }.sum / w1
+            val my = ps.zip(w).map { case (j, wk) => wk * ys(j) }.sum / w1
+            def mom(f: Int => Double) =
+              ps.zip(w).map { case (j, wk) => wk * f(j) }.sum / w1
+            val cxy = mom(j => (xs(j) - mx) * (ys(j) - my))
+            if (wantCorr) {
+              val vx = mom(j => (xs(j) - mx) * (xs(j) - mx))
+              val vy = mom(j => (ys(j) - my) * (ys(j) - my))
+              cxy / math.sqrt(vx * vy)
+            } else cxy * w1 * w1 / den
+          }
+        }
+      }
+    }
+    def assertRel(actual: Seq[Double], expected: Seq[Double],
+                  what: String): Unit = {
+      assert(actual.length == expected.length, s"$what length")
+      actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+        if (e.isNaN) assert(a.isNaN, s"$what row $i: expected NaN, got $a")
+        else assert(math.abs(a - e) <= 1e-8 * math.max(1.0, math.abs(e)),
+          s"$what row $i: expected $e, got $a")
+      }
+    }
+    for (caseNo <- 1 to 8) {
+      // long enough that hole RUNS cross the 32-partition slicing; a
+      // clustered hole generator makes multi-cell runs common
+      val len = 40 + rnd.nextInt(50)
+      def gen(): IndexedSeq[Double] = {
+        var holeRun = 0
+        IndexedSeq.fill(len) {
+          if (holeRun > 0) { holeRun -= 1; Double.NaN }
+          else if (rnd.nextDouble() < 0.12) {
+            holeRun = rnd.nextInt(6); Double.NaN
+          } else (rnd.nextInt(17) - 8).toDouble
+        }
+      }
+      val xs = gen(); val ys = gen()
+      val m = if (caseNo % 2 == 0) "cov" else "corr"
+      val wantCorr = m == "corr"
+
+      // rolling: random n, min_periods >= 2 (the 1-pair ddof edge is
+      // pinned separately above); center rides the DEFAULT min_periods
+      // (= n) — partial centered windows reject cleanly by contract
+      val n = 2 + rnd.nextInt(5)
+      val minp = 2 + rnd.nextInt(math.max(1, n - 1))
+      val center = caseNo % 4 == 1
+      val rollF =
+        if (center) s"s.rolling($n, center=1).$m(t)"
+        else s"s.rolling($n, min_periods=$minp).$m(t)"
+      val effMinp = if (center) n else minp
+      val lead = if (center) (n - 1) / 2 else 0
+      val trail = seqPair(xs, ys, wantCorr, i => i - n + 1, effMinp)
+      val rollRef = xs.indices.map(i =>
+        if (i + lead < len) trail(i + lead) else Double.NaN)
+      if (rollRef.exists(!_.isNaN)) {
+        assertRel(colOf2(rollF, xs, ys), rollRef, s"matrix $rollF")
+        assertRel(vecOf2(rollF, xs, ys), rollRef, s"vector $rollF")
+      }
+
+      // expanding
+      val eminp = 2 + rnd.nextInt(4)
+      val expF = s"s.expanding(min_periods=$eminp).$m(t)"
+      val expRef = seqPair(xs, ys, wantCorr, _ => 0, math.max(eminp, 2))
+      if (expRef.exists(!_.isNaN)) {
+        assertRel(colOf2(expF, xs, ys), expRef, s"matrix $expF")
+        assertRel(vecOf2(expF, xs, ys), expRef, s"vector $expF")
+      }
+
+      // sem on rolling and expanding (x-side only)
+      val semF = s"s.rolling($n, min_periods=$minp).sem()"
+      val semRef = seqSem(xs, i => i - n + 1, minp)
+      if (semRef.exists(!_.isNaN))
+        assertRel(colOf2(semF, xs, ys), semRef, s"matrix $semF")
+      val esemRef = seqSem(xs, _ => 0, 2)
+      if (esemRef.exists(!_.isNaN))
+        assertRel(colOf2("s.expanding().sem()", xs, ys), esemRef,
+          "matrix expanding sem")
+
+      // ewm: all four decay spellings, adjust=True and =False
+      val (spelling, alpha) = rnd.nextInt(4) match {
+        case 0 => val com = 0.5 + rnd.nextInt(4) * 2
+                  (s"$com", 1.0 / (1.0 + com))
+        case 1 => val span = 2 + rnd.nextInt(12)
+                  (s"span=$span", 2.0 / (span + 1.0))
+        case 2 => val hl = 1 + rnd.nextInt(6)
+                  (s"halflife=$hl",
+                    1.0 - math.exp(math.log(0.5) / hl))
+        case _ => val a = 0.1 + 0.8 * rnd.nextDouble()
+                  (s"alpha=$a", a)
+      }
+      val adjust = caseNo % 2 == 0
+      val adjSuffix = if (adjust) "" else ", adjust=0"
+      val ewmF = s"s.ewm($spelling$adjSuffix).$m(t)"
+      val ewmRef = seqEwmPair(xs, ys, alpha, adjust, wantCorr, 2)
+      if (ewmRef.exists(!_.isNaN)) {
+        // the engine CARRIES across holes where the golden re-derives;
+        // compare only at the golden's finite cells (the r10 discipline)
+        val got = colOf2(ewmF, xs, ys)
+        val gotV = vecOf2(ewmF, xs, ys)
+        ewmRef.zipWithIndex.foreach { case (e, i) =>
+          if (!e.isNaN) {
+            assert(math.abs(got(i) - e) <=
+              1e-8 * math.max(1.0, math.abs(e)),
+              s"matrix $ewmF row $i: expected $e, got ${got(i)}")
+            assert(math.abs(gotV(i) - e) <=
+              1e-8 * math.max(1.0, math.abs(e)),
+              s"vector $ewmF row $i: expected $e, got ${gotV(i)}")
+          }
+        }
+      }
+    }
+  }
+
   test("quantum margin: e11_ecov's nudged 6-dp rounding clears every " +
        "boundary by >> the cross-engine delta (r12, the r11 red row)") {
     // the sf0.01 gate data itself: integer qty × cent prices make
