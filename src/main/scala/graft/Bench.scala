@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   * restores the single-JVM marathon (for A/B-ing the protocol itself).
   */
 object Bench {
-  private def gcStats(): (Long, Long) = {
+  private[graft] def gcStats(): (Long, Long) = {
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
@@ -35,7 +35,7 @@ object Bench {
     * fresh codegen classes (which never need to stay hot), while the
     * slice passes reuse the SAME long-lived closure methods, which
     * code-cache flushing evicts back to the interpreter. */
-  private def jitStats(): (Long, Long, Long, Long) = {
+  private[graft] def jitStats(): (Long, Long, Long, Long) = {
     val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
     val code = pools.filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed).sum

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 probes — the marathon-JVM root cause (r11 VERDICT #4).
+  *
+  * What is already known when this runs: the instrumented sf0.1 marathon
+  * (5 × 322 queries, ONE JVM — the exact r11 canonical shape) shows NO
+  * fatigue: pass5/pass1 geomean 0.81 across slice/hash/projection
+  * families, code cache peaking at 195 MB — under the 240 MB reserve, no
+  * flushing — despite MORE codegen compiles (1,610 query executions)
+  * than the r11 30× sweep (636). So the r11 inflation is NOT plain
+  * code-cache pressure at catalog scale; it is specific to the 30×-DATA
+  * regime (multi-GB heap, long walls).
+  *
+  * `fatigue30x` reproduces that regime surgically: at /tmp/graft_sf3,
+  * measure fresh sentinel walls for four slice-pass queries, then
+  * alternate [ballast round: ~24 diverse heavy queries once each] with
+  * [sentinel re-measure], six rounds, recording per-round walls + GC
+  * time + heap + code-cache/metaspace/JIT counters. If sentinels climb
+  * with rounds, the counter that climbs with them names the cause
+  * (GC/heap pressure vs JIT eviction); if they stay flat, the r11 sweep
+  * inflation was the sweep's own 112-minute ambient window (host band),
+  * and the fresh-JVM segmented bench protocol already removes it either
+  * way.
+  */
+object ProbeR12 {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("PROBE_r12.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(section: String): Boolean = only.forall(_.contains(section))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    if (want("fatigue30x")) {
+      val dir = "/tmp/graft_sf3"
+      if (new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+        QueryCatalog.wide(spark, dir).count()
+        QueryCatalog.docs(spark, dir).count()
+        QueryCatalog.embs(spark, dir).count()
+        QueryCatalog.sig32(spark, dir).count()
+        QueryCatalog.pairs01(spark, dir).count()
+        QueryCatalog.blockPairs025(spark, dir).count()
+        val sentinels = Seq("e11_rcov", "e11_ewm", "e11_rmean", "e11_diff")
+        // diverse heavy ballast (2–8 s at 30× in SCALE30X_r11_s5),
+        // spanning hash-agg / join / codec / text / graph / window rank
+        val ballast = Seq("dd_simhash", "txt_quantile", "h_q21", "mm_jpeg",
+          "sk_join", "cln_winsor", "e11_rankpct", "h_q18", "prof_corr",
+          "h_q2", "txt_lm", "txt_tfidf", "ev_jstruct", "e11_rank", "h_q8",
+          "gr_kcore", "h_q3", "smp_dsir", "h_q5", "gr_tri", "txt_vocab",
+          "dd_chunk", "dd_keep", "agg_cms")
+        def snap(): (Long, Long, Long, Long, Long, Long, Long) = {
+          val (gc, gct) = Bench.gcStats()
+          val (code, meta, jit, cls) = Bench.jitStats()
+          val heap = (Runtime.getRuntime.totalMemory -
+            Runtime.getRuntime.freeMemory) >> 20
+          (gc, gct, code >> 20, meta >> 20, jit / 1000, cls, heap)
+        }
+        def runSentinels(tag: String): Unit = {
+          sentinels.foreach { q =>
+            val t = time(SparkEntry.queries(q)(spark, dir).count())
+            val (gc, gct, code, meta, jit, cls, heap) = snap()
+            r += s"${q}_$tag" -> t
+            System.err.println(f"[probe] fatigue30x $q $tag wall=$t%.2f " +
+              f"gcT=${gct / 1000.0}%.0fs heap=${heap}M code=${code}M " +
+              f"meta=${meta}M jit=${jit}s cls=$cls")
+          }
+          val (_, gct, code, meta, jit, cls, heap) = snap()
+          r += s"gct_$tag" -> gct / 1000.0
+          r += s"heap_$tag" -> heap
+          r += s"code_$tag" -> code
+          r += s"meta_$tag" -> meta
+          r += s"jit_$tag" -> jit
+          r += s"cls_$tag" -> cls
+        }
+        // fresh baseline: two reps, record both (rep2 ≈ warm wall)
+        runSentinels("fresh1")
+        runSentinels("fresh2")
+        for (round <- 1 to 6) {
+          val bw = time {
+            ballast.foreach { q =>
+              try SparkEntry.queries(q)(spark, dir).count()
+              catch { case _: Throwable => () }
+            }
+          }
+          r += s"ballast_r$round" -> bw
+          System.err.println(f"[probe] fatigue30x ballast round $round " +
+            f"wall=$bw%.1fs")
+          runSentinels(s"r$round")
+        }
+        out += "fatigue30x" -> r
+      } else System.err.println("[probe] fatigue30x: /tmp/graft_sf3 missing")
+    }
+
+    // scale walk for the r12 expanding order statistic: runningQuantile's
+    // state is O(distinct) per task and the data moves once — walls
+    // should scale like the other expanding prefix ops (sublinear in
+    // rows at fixed distinct domain, since the emit is O(n log d) work
+    // across 32 cores and the exchange dominates)
+    if (want("eqscale")) {
+      val r = scala.collection.mutable.LinkedHashMap[String, Any]()
+      for ((tag, dir) <- Seq("1x" -> "/root/testdata/sf0.1",
+             "10x" -> "/tmp/graft_sf1", "30x" -> "/tmp/graft_sf3")
+           if new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        QueryCatalog.wide(spark, dir).count()
+        for (q <- Seq("e11_emed", "e11_eq", "e11_emean", "e11_ecov")) {
+          val t = (1 to 2).map(_ =>
+            time(SparkEntry.queries(q)(spark, dir).count())).min
+          r += s"${q}_$tag" -> t
+          System.err.println(f"[probe] eqscale $q $tag $t%.2f")
+        }
+      }
+      out += "eqscale" -> r
+    }
+
+    def js(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s""""$k":${js(x)}""" }
+          .mkString("{", ",", "}")
+      case d: Double => f"$d%.3f"
+      case x => x.toString match {
+        case s if s.forall(c => c.isDigit || c == '-' || c == '.') => s
+        case s => s""""$s""""
+      }
+    }
+    val json = js(out)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -78,12 +78,29 @@ object TextAnalysis {
   }
 
   /** Predicted language: argmax of [[langScores]] with deterministic
-    * tie-break on language-code order; 'und' when no marker fires. */
+    * tie-break on language-code order; 'und' when no marker fires.
+    *
+    * r12 re-plan: the old `reduceLeft(when(b.score > a.score, b), a)`
+    * chain embedded each earlier operand TWICE per comparison level
+    * (once in the condition, once in the otherwise), so the four score
+    * subtrees — 5 occurrence counts each — appeared ~220 times in the
+    * final expression: the generated `processNext()` crossed Janino's
+    * hard 64 KB method limit and the WHOLE STAGE silently fell back to
+    * interpreted execution (3 `CodeGenerator: Failed to compile` events
+    * per marathon bench run, all in pipe_curate). `array_max` over an
+    * array of (score, lang) structs builds each score subtree ONCE
+    * (struct ordering = field order, so ties break on the LATER
+    * language — hence codes are attached in REVERSE order with a
+    * negated tiebreak index to keep the original earlier-code-wins
+    * contract); ~35× smaller expression, codegen-able again. */
   def langPred(t: Column): Column = {
     val scores = langScores(t)
-    val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
-      .reduceLeft((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    val best = array_max(array(scores.zipWithIndex.map {
+      case ((lang, s), i) =>
+        struct(s.as("score"), lit(-i).as("tie"), lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   def langId(docs: DataFrame, textCol: String = "text",
