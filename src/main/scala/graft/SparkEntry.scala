@@ -2923,9 +2923,10 @@ object SparkEntry {
     val scoreSql = markers.map { case (l, ws) =>
       l -> s"(${ws.map(wordOccSql).mkString(" + ")})"
     }.toMap
-    // langPred mirror: argmax of marker votes with the Spark reduceLeft's
-    // strictly-greater-wins tie order (earlier language wins ties), 'und'
-    // when no marker fires — shared by txt_langid and pipe_curate
+    // langPred mirror: argmax of marker votes, earlier language wins
+    // ties (the engine's array_max struct carries a negated tiebreak
+    // index — r12, same contract as the old reduceLeft), 'und' when no
+    // marker fires — shared by txt_langid and pipe_curate
     val langPredSql =
       s"CASE WHEN GREATEST(${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("de")}, ${scoreSql("fr")}) = 0 THEN 'und' " +
         s"WHEN ${scoreSql("en")} >= ${scoreSql("es")} AND ${scoreSql("en")} >= ${scoreSql("de")} AND ${scoreSql("en")} >= ${scoreSql("fr")} THEN 'en' " +

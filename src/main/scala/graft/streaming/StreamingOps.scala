@@ -560,6 +560,89 @@ object StreamingOps {
     }
   }
 
+  case class EqRow(key: Long, id: Long, value: Double)
+  case class EqState(values: Seq[Double], counts: Seq[Long], nobs: Long)
+  case class EqOut(key: Long, id: Long, quantile: Double)
+
+  /** Streaming twin of the r12 expanding order statistic
+    * ([[graft.operators.Prefix.runningQuantile]]): per-key running VALUE
+    * counts as keyed state — a sorted (value, count) ledger bounded by
+    * the same distinct budget as the batch operator (clean raise above
+    * it; round/bucket first), O(log d) insert + O(d) rank walk per
+    * event. Emits pandas' five interpolations at h = (nobs−1)·q; NaN
+    * until the running valid count reaches max(min_periods, 1); invalid
+    * (NaN) events leave the ledger untouched and re-emit the current
+    * statistic (the pandas carry). Events fold in `id` order within
+    * each micro-batch; the ledger survives micro-batch boundaries
+    * (StreamingOpsSpec pins batch-equivalence across a split). */
+  def expandingQuantileStream(rows: Dataset[EqRow], q: Double,
+                              interp: Int = 0, minPeriods: Int = 1,
+                              distinctBudget: Int = 16384): Dataset[EqOut] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def fn(key: Long, in: Iterator[EqRow],
+           state: GroupState[EqState]): Iterator[EqOut] = {
+      val st0 = state.getOption.getOrElse(EqState(Vector.empty, Vector.empty, 0L))
+      var vals = st0.values.toVector
+      var cnts = st0.counts.toVector
+      var nobs = st0.nobs
+      val out = scala.collection.mutable.ListBuffer[EqOut]()
+      in.toSeq.sortBy(_.id).foreach { r =>
+        val v = r.value + 0.0 // normalize -0.0, the batch contract
+        if (!v.isNaN) {
+          var lo = 0; var hi = vals.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (vals(mid) < v) lo = mid + 1 else hi = mid
+          }
+          if (lo < vals.length && vals(lo) == v)
+            cnts = cnts.updated(lo, cnts(lo) + 1)
+          else {
+            vals = (vals.take(lo) :+ v) ++ vals.drop(lo)
+            cnts = (cnts.take(lo) :+ 1L) ++ cnts.drop(lo)
+            if (vals.length > distinctBudget) throw new IllegalArgumentException(
+              s"expandingQuantileStream: key $key exceeds $distinctBudget " +
+                "distinct values (graft.percentile.approxAboveDistinct) — " +
+                "round or bucket the values first")
+          }
+          nobs += 1
+        }
+        def kth(k: Long): Double = {
+          var acc = 0L; var i = 0
+          while (i < vals.length) {
+            acc += cnts(i)
+            if (acc >= k) return vals(i)
+            i += 1
+          }
+          vals.last
+        }
+        out += EqOut(key, r.id,
+          if (nobs < math.max(minPeriods, 1)) Double.NaN
+          else {
+            val h = (nobs - 1) * q
+            val lo9 = h.toLong
+            val hi9 = math.min(lo9 + 1, nobs - 1)
+            val frac = h - lo9
+            val vlo = kth(lo9 + 1)
+            interp match {
+              case 1 => vlo
+              case 2 => if (frac == 0.0) vlo else kth(hi9 + 1)
+              case 3 => kth(math.min(math.rint(h).toLong, nobs - 1) + 1)
+              case 4 => if (frac == 0.0) vlo else (vlo + kth(hi9 + 1)) / 2.0
+              case _ => if (frac == 0.0 || lo9 + 1 >= nobs) vlo
+                        else vlo + frac * (kth(hi9 + 1) - vlo)
+            }
+          })
+      }
+      state.update(EqState(vals, cnts, nobs))
+      out.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class PairRow(key: Long, id: Long, x: Double, y: Double)
   case class EwCovState(s: EwState, d: EwState, xs: EwState, ys: EwState)
   case class EwCovOut(key: Long, id: Long, cov: Double, corr: Double)

@@ -233,12 +233,15 @@ class E11TailSpec extends SparkSpec {
     // unaggregated window marker escaping to the top level
     val e1 = intercept[FormulaTypeException](ev.evaluateFormula("a.rolling(2)"))
     assert(e1.getMessage.contains("must be aggregated"))
-    // unsupported window aggregation (std/var/count/min/max + rolling
-    // median joined the family in r9 session 3 — the EXPANDING median, a
-    // running order statistic with no prefix shape, stays out)
+    // r12: the expanding median JOINED the family (running rank
+    // selection over running value counts — RollingFamilySpec holds the
+    // semantics); the catch-all error now covers a still-unsupported
+    // expanding member instead
+    assert(ev.evaluateFormula("a.expanding().median()")
+      .isInstanceOf[MatrixResult])
     val e2 = intercept[FormulaTypeException](
-      ev.evaluateFormula("a.expanding().median()"))
-    assert(e2.getMessage.contains("mean"))
+      ev.evaluateFormula("a.expanding().skew()"))
+    assert(e2.getMessage.contains("median"))
     assertThrows[FormulaTypeException](ev.evaluateFormula("a.rolling(0).mean()"))
     val adp = new FormulaEvaluator(reg("a" -> fixA), adpEnabled = true)
     assertThrows[AdpUnsupportedException](

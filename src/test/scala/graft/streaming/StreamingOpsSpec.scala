@@ -368,6 +368,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expanding quantile carries the value-count ledger " +
+      "across micro-batches and matches the batch operator (r12)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EqRow
+    val in = MemoryStream[EqRow]
+    // pandas Series([1, 2, NaN, 4, 5, 6]).expanding().median()
+    //   = [1, 1.5, 1.5, 2, 3, 4]  (the RollingFamilySpec golden)
+    val q = StreamingOps.expandingQuantileStream(in.toDS(), q = 0.5)
+      .toDF("key", "id", "quantile")
+      .writeStream.format("memory").queryName("eq_out")
+      .outputMode("append").start()
+    try {
+      in.addData(EqRow(1L, 0L, 1.0), EqRow(1L, 1L, 2.0),
+        EqRow(1L, 2L, Double.NaN))
+      q.processAllAvailable()
+      // batch 2: the ledger must survive the micro-batch boundary
+      in.addData(EqRow(1L, 3L, 4.0), EqRow(1L, 4L, 5.0),
+        EqRow(1L, 5L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("eq_out").collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val want = Seq(1.0, 1.5, 1.5, 2.0, 3.0, 4.0)
+      want.zipWithIndex.foreach { case (e, i) =>
+        assert(math.abs(got(i.toLong) - e) < 1e-12,
+          s"id=$i: got ${got(i.toLong)}, want $e")
+      }
+      // second key on the same stream stays independent; lower
+      // interpolation at q=0.25 over [3, 1, 4]:
+      // pandas quantile(0.25, 'lower') prefix = [3, 1, 1]
+      val in2 = MemoryStream[EqRow]
+      val q2 = StreamingOps.expandingQuantileStream(in2.toDS(), q = 0.25,
+        interp = 1, minPeriods = 1)
+        .toDF("key", "id", "quantile")
+        .writeStream.format("memory").queryName("eq_out2")
+        .outputMode("append").start()
+      try {
+        in2.addData(EqRow(7L, 0L, 3.0), EqRow(7L, 1L, 1.0),
+          EqRow(7L, 2L, 4.0))
+        q2.processAllAvailable()
+        val g2 = spark.table("eq_out2").collect()
+          .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        assert(g2(0L) == 3.0 && g2(1L) == 1.0 && g2(2L) == 1.0)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming pairwise rolling cov/corr/sem matches the batch " +
       "pandas contract across micro-batches (r11 session 5)") {
     val spark2 = spark
