@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // tripwire: count silent whole-stage-codegen fallbacks (Janino 64 KB)
+    // across the catalog — see [[graft.plans.CodegenFallbackCounter]]
+    graft.plans.CodegenFallbackCounter.install()
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries
@@ -42,6 +45,10 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir.stripSuffix("/"))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fallbacks = graft.plans.CodegenFallbackCounter.count.get()
+    System.err.println(s"[verify] codegen compile failures: $fallbacks" +
+      (if (fallbacks > 0) " — a stage ran INTERPRETED; grep stderr for" +
+        " 'Failed to compile' and shrink the expression" else ""))
     spark.stop()
   }
 }
