@@ -4,25 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Round-12 probes — the marathon-JVM root cause (r11 VERDICT #4).
   *
-  * What is already known when this runs: the instrumented sf0.1 marathon
-  * (5 × 322 queries, ONE JVM — the exact r11 canonical shape) shows NO
-  * fatigue: pass5/pass1 geomean 0.81 across slice/hash/projection
-  * families, code cache peaking at 195 MB — under the 240 MB reserve, no
-  * flushing — despite MORE codegen compiles (1,610 query executions)
-  * than the r11 30× sweep (636). So the r11 inflation is NOT plain
-  * code-cache pressure at catalog scale; it is specific to the 30×-DATA
-  * regime (multi-GB heap, long walls).
+  * Final adjudication (PROBE_r12.json `cpuconfound`, measured after the
+  * sections below ruled out every JVM mechanism): the r11 "marathon-JVM
+  * 4–5× slice inflation" compared the 30× SWEEP (run through
+  * `graft.Bench`, whose `SPARK_GRAFT_CPUS` default is **local[4]**)
+  * against the fresh-JVM PROBES (every Probe main hardcodes
+  * **local[32]**) — a CORE-COUNT confound, not a JVM effect. A fresh-JVM
+  * A/B identical but for the cpus knob reproduces the exact ratio: the
+  * mapPartitions slice family is CPU-bound and near-linearly
+  * core-scalable (e11_ewm 18.7 → 3.2 s, 3.4–5.8× across the family at
+  * 8× cores — the RIGHT shape for the 1000-executor posture), while the
+  * codegen'd window/prefix ops at this scale are scan/latency-bound
+  * (0.85–1.35×). The driver itself benches at cpus=32.
   *
-  * `fatigue30x` reproduces that regime surgically: at /tmp/graft_sf3,
-  * measure fresh sentinel walls for four slice-pass queries, then
-  * alternate [ballast round: ~24 diverse heavy queries once each] with
-  * [sentinel re-measure], six rounds, recording per-round walls + GC
-  * time + heap + code-cache/metaspace/JIT counters. If sentinels climb
-  * with rounds, the counter that climbs with them names the cause
-  * (GC/heap pressure vs JIT eviction); if they stay flat, the r11 sweep
-  * inflation was the sweep's own 112-minute ambient window (host band),
-  * and the fresh-JVM segmented bench protocol already removes it either
-  * way.
+  * The sections below stand as the evidence that eliminated the JVM
+  * suspects first:
+  *  - `marathon1x` — the exact r11 canonical shape (322 queries × 5
+  *    passes, ONE JVM, sf0.1): NO fatigue (pass5/pass1 geomean 0.81
+  *    across families), code cache peaks 195 MB < the 240 MB reserve
+  *    despite MORE codegen compiles (1,610) than the r11 sweep (636).
+  *  - `fatigue30x` — the 30×-data regime with six diverse heavy-ballast
+  *    rounds between sentinel re-measures: sentinels flat, and the
+  *    code-cache/metaspace/class counters DROP mid-run (full GCs unload
+  *    dead codegen classloaders) — no accumulation pathology.
   */
 object ProbeR12 {
   def main(args: Array[String]): Unit = {
