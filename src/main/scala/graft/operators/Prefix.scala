@@ -2152,13 +2152,15 @@ object Prefix {
     private val tree = new Array[Long](n + 1)
     private var total0 = 0L
     // O(d) bottom-up build: copy, then push each node into its parent
-    var i = 1
-    while (i <= n) {
-      tree(i) += counts(i - 1)
-      total0 += counts(i - 1)
-      val j = i + (i & -i)
-      if (j <= n) tree(j) += tree(i)
-      i += 1
+    locally {
+      var i = 1
+      while (i <= n) {
+        tree(i) += counts(i - 1)
+        total0 += counts(i - 1)
+        val j = i + (i & -i)
+        if (j <= n) tree(j) += tree(i)
+        i += 1
+      }
     }
     private val topStep = java.lang.Integer.highestOneBit(math.max(1, n))
     def total: Long = total0
