@@ -57,9 +57,20 @@ object Bench {
     * passes (the host suffers transient CPU-steal storms inflating random
     * queries 10-80×; pass 1 also warms the shared caches so later passes
     * measure the warm path a user's query batch actually runs). */
+  /** The measurement posture: SPARK_GRAFT_CPUS, defaulting to the HOST
+    * core count (r13 — the driver benches at local[32]; the old
+    * local[4] default manufactured the r11 "marathon inflation", a
+    * 3.4–5.8× core-count confound on the CPU-bound slice family,
+    * PROBE_r12 `cpuconfound`). Every emitted JSON stamps this value. */
+  private[graft] def cpusPosture: String = sys.env.getOrElse(
+    "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+
   private def measure(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
                       sfDir: String): Map[String, Double] = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = cpusPosture
+    // the r13 failing-gate posture: bench runs also count silent
+    // interpreted fallbacks and stamp them into the contract line
+    graft.plans.CodegenFallbackCounter.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,7 +113,8 @@ object Bench {
     * segment — same classpath and JVM args as the parent (sbt's forked
     * run), env inherited. Child stdout goes to the parent's STDERR so it
     * can never corrupt the parent's one-line stdout contract. */
-  private def runSegmented(names: Seq[String], segSize: Int): Map[String, Double] = {
+  private def runSegmented(names: Seq[String], segSize: Int): (Map[String, Double], Int) = {
+    var childFallbacks = 0
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -140,6 +152,8 @@ object Bench {
         else scala.util.Try {
           val line = new String(java.nio.file.Files.readAllBytes(
             outFile.toPath), "UTF-8").trim
+          childFallbacks += """"codegen_fallbacks":(\d+)""".r
+            .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
           parseQueries(line).toSeq
         }.toOption
       parsed.getOrElse {
@@ -148,7 +162,9 @@ object Bench {
         measure(SparkEntry.queries.view.filterKeys(seg.toSet).toMap,
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).toSeq
       }
-    }.toMap
+    // children report via their contract lines; any in-process fallback
+    // segments are covered by the parent's own counter
+    }.toMap -> (childFallbacks + graft.plans.CodegenFallbackCounter.count.get())
   }
 
   /** Minimal parser for this file's own contract line: the `"queries"`
@@ -170,12 +186,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val segSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENT_SIZE", "80").toInt
-    val results: Map[String, Double] =
+    val (results: Map[String, Double], fallbacks: Int) =
       if (only.isEmpty && segSize > 0)
         runSegmented(SparkEntry.queries.keys.toSeq.sorted, segSize)
-      else
-        measure(only.fold(SparkEntry.queries)(o =>
+      else {
+        val r = measure(only.fold(SparkEntry.queries)(o =>
           SparkEntry.queries.view.filterKeys(o).toMap), sfDir)
+        r -> graft.plans.CodegenFallbackCounter.count.get()
+      }
     // 4-decimal seconds (0.1 ms grain): halves the line length (146
     // queries ≈ 2.6 KB, under common 4 KB line buffers) — sbt-stdout
     // truncation ate the full-precision tail in BENCH_r03/r04
@@ -183,8 +201,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // posture + gate stamps (r13): no emitted evidence JSON without an
+    // explicit cpus field (the r11 core-count confound), and the silent-
+    // fallback count rides in every bench line (must be 0)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusPosture,"codegen_fallbacks":$fallbacks,"queries":$qs,"sf":"$sfDir"}"""
     // file copy first (the reliable channel), then the stdout contract
     // line LAST so no shutdown logging can interleave and the line is the
     // final thing sbt's output pump forwards.

@@ -225,14 +225,7 @@ object ProbeR10 {
       out += "madkll" -> r
     }
 
-    def js(v: Any): String = v match {
-      case m: scala.collection.Map[_, _] =>
-        m.map { case (k, x) => s""""$k": ${js(x)}""" }
-          .mkString("{", ", ", "}")
-      case s: Seq[_] => s.map(js).mkString("[", ", ", "]")
-      case d: Double => f"$d%.4f"
-      case x => x.toString
-    }
+    def js(v: Any): String = ProbeJson.js(v) // locale-safe (r13)
     val json = js(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))

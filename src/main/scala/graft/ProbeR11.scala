@@ -131,16 +131,7 @@ object ProbeR11 {
       out += "paircov" -> r
     }
 
-    def js(v: Any): String = v match {
-      case m: scala.collection.Map[_, _] =>
-        m.map { case (k, x) => s""""$k":${js(x)}""" }
-          .mkString("{", ",", "}")
-      case d: Double => f"$d%.3f"
-      case x => x.toString match {
-        case s if s.forall(c => c.isDigit || c == '-' || c == '.') => s
-        case s => s""""$s""""
-      }
-    }
+    def js(v: Any): String = ProbeJson.js(v) // locale-safe (r13)
     val json = js(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))

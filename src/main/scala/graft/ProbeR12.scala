@@ -128,16 +128,9 @@ object ProbeR12 {
       out += "eqscale" -> r
     }
 
-    def js(v: Any): String = v match {
-      case m: scala.collection.Map[_, _] =>
-        m.map { case (k, x) => s""""$k":${js(x)}""" }
-          .mkString("{", ",", "}")
-      case d: Double => f"$d%.3f"
-      case x => x.toString match {
-        case s if s.forall(c => c.isDigit || c == '-' || c == '.') => s
-        case s => s""""$s""""
-      }
-    }
+    // locale-safe shared emitter (r13 ADVICE — the f"%.3f" original was
+    // locale-sensitive and its bare-number heuristic unsound)
+    def js(v: Any): String = ProbeJson.js(v)
     val json = js(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))

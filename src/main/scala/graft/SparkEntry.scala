@@ -1151,7 +1151,12 @@ object SparkEntry {
     "ev_jarr" -> ((s, d) => {
       val ev = eventsWithTu(s, d)
       val js = nestedJson
-      val schema = "m STRUCT<k: BIGINT, t: STRING>, vals ARRAY<BIGINT>"
+      // r13: parse ONLY the array this query consumes — explicit schema
+      // pruning halves the per-row parse allocation (the full-schema
+      // parse lives on in ev_jstruct); this query's 4–10× in-context
+      // inflation at 30× was adjudicated as GC sensitivity of exactly
+      // this allocation (SCALE30X_r12_c32 tail note)
+      val schema = "vals ARRAY<BIGINT>"
       val p = from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema))
       ev.select(p.getField("vals").as("vals"))
         .select(posexplode(col("vals")).as(Seq("pos", "v")))

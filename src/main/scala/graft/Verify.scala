@@ -8,7 +8,9 @@ object Verify {
     // driver contract: exactly (sfDir, outDir). Extra args are a local
     // convenience: run only the named queries (iteration speed).
     val Array(sfDir, outDir, only @ _*) = args: @unchecked
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // unified posture (r13): default to the host core count like Bench —
+    // no evidence producer may default to a different local[N]
+    val cpus = Bench.cpusPosture
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

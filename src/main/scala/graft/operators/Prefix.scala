@@ -2147,7 +2147,7 @@ object Prefix {
     * binary descent — the running-histogram engine of
     * [[runningQuantile]]. Seeded in O(d) from a dense incoming count
     * vector (the slice's prefix history). */
-  private final class Fenwick(counts: Array[Int]) {
+  private[graft] final class Fenwick(counts: Array[Long]) {
     private val n = counts.length
     private val tree = new Array[Long](n + 1)
     private var total0 = 0L
@@ -2198,11 +2198,15 @@ object Prefix {
     * naming the conf (an interpolated order statistic cannot be both
     * exact and sub-linear-state on an unbounded domain; round/bucket the
     * values first — the cln_mad discipline); (1) one narrow pass emits
-    * per-(partition, slice) SPARSE count partials (≤ one entry per
-    * distinct value actually present — collect is bounded by the row
-    * count, never by parts·d); (2) the driver prefix-sums slice partials
-    * into each slice's dense incoming histogram (parts·Σd ints, budget-
-    * bounded); (3) a fully parallel emit pass walks each slice in order
+    * per-(partition, slice) SPARSE count partials, pre-aggregated on
+    * (slice, domain idx) by one small hash aggregate BEFORE the collect,
+    * so the driver receives ≤ slices·Σd rows no matter how the input is
+    * partitioned (a randomly-ordered cluster input holds every slice in
+    * every input partition); (2) the driver prefix-sums slice partials
+    * into each slice's dense incoming histogram (parts·Σd longs, budget-
+    * bounded; counts are Long end-to-end so a value occurring > 2^31
+    * times cannot wrap the seed); (3) a fully parallel emit pass walks
+    * each slice in order
     * behind a [[Fenwick]] seeded O(d) from the incoming histogram —
     * O(log d) per-row update + O(log d) per-row rank selection, pandas'
     * five interpolations at h = (n−1)·q (`interp` codes 0..4 as the
@@ -2215,6 +2219,12 @@ object Prefix {
     * the driver holds parts·d ints — slice-count-scaled, never
     * data-scaled. `inNames` must be DoubleType with invalid cells as
     * NaN; `keyCol` a non-null unique tiebreak. */
+  /** Observability hook for specs: the row count the most recent
+    * [[runningQuantile]] phase-1 collect actually brought to the driver —
+    * asserted ≤ slices × Σd by the in-code bound and pinned partitioning-
+    * independent in RollingFamilySpec. */
+  @volatile private[graft] var lastQuantilePartialRows: Int = -1
+
   def runningQuantile(df: DataFrame, keyCol: String, orderCol: Column,
                       inNames: Seq[String], q: Double, interp: Int,
                       outNames: Seq[String], minPeriods: Int = 1): DataFrame = {
@@ -2257,17 +2267,29 @@ object Prefix {
       tieCols = Seq(col(keyCol)), parts)
     val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
 
-    // ---- phase 1: sparse per-(partition, slice) count partials ----
-    // [flat domain idx, count] pairs — counts are order-independent, so
-    // no repartition/sort here; each input partition contributes one
-    // partial row per slice id it happens to hold
+    // ---- phase 1: sparse per-(partition, slice) count partials,
+    // PRE-AGGREGATED on (slice, domain idx) before the driver collect
+    // (r13): a randomly-ordered cluster input holds every slice in every
+    // input partition, so collecting raw per-input-partition partials is
+    // O(inputParts × slices × min(d, rowsPerPart)) at the driver —
+    // potentially GBs at 100 TB. One hash aggregate on (pid, idx) caps
+    // the collect at slices × d rows regardless of input partitioning
+    // (and its map-side partial combine shrinks the shuffle to the same
+    // per-partition bound). Counts carry as Long end-to-end: a single
+    // value occurring > 2^31 times must not wrap the Fenwick seed, the
+    // quantile rank, or the min_periods gate. A binary-search MISS against
+    // the phase-0 domain is an invariant violation (the domain scan is a
+    // separate earlier action; a non-deterministic source recomputed
+    // between the two actions would otherwise yield silently wrong
+    // quantiles) — fail loudly instead of undercounting.
+    val totalD = offs.last
     val pSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("pid",
         org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("p",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, containsNull = false),
-        nullable = false)))
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     val pEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(pSchema)
     val partialRows = sliced
@@ -2275,49 +2297,52 @@ object Prefix {
       .mapPartitions { it =>
         val doms = bDomains.value
         val acc = scala.collection.mutable.HashMap
-          .empty[Int, scala.collection.mutable.HashMap[Int, Int]]
+          .empty[Int, scala.collection.mutable.HashMap[Int, Long]]
         it.foreach { r =>
           val m = acc.getOrElseUpdate(r.getInt(0),
-            scala.collection.mutable.HashMap.empty[Int, Int])
+            scala.collection.mutable.HashMap.empty[Int, Long])
           var j = 0
           while (j < width) {
             if (!r.isNullAt(1 + j)) {
               val v = r.getDouble(1 + j) + 0.0
               if (!v.isNaN) {
                 val idx = java.util.Arrays.binarySearch(doms(j), v)
-                if (idx >= 0) {
-                  val flat = offs(j) + idx
-                  m.update(flat, m.getOrElse(flat, 0) + 1)
-                }
+                if (idx < 0) throw new IllegalStateException(
+                  s"runningQuantile: value $v (input column #$j) is absent " +
+                    "from the phase-0 sorted domain — the input changed " +
+                    "between the domain scan and the counting pass " +
+                    "(non-deterministic source?). Refusing to emit silently " +
+                    "wrong quantiles")
+                val flat = offs(j) + idx
+                m.update(flat, m.getOrElse(flat, 0L) + 1L)
               }
             }
             j += 1
           }
         }
-        acc.iterator.map { case (pid, m) =>
-          val flat = new Array[Double](2 * m.size)
-          var k = 0
-          m.foreach { case (idx, c) =>
-            flat(2 * k) = idx.toDouble; flat(2 * k + 1) = c.toDouble; k += 1
+        acc.iterator.flatMap { case (pid, m) =>
+          m.iterator.map { case (idx, c) =>
+            org.apache.spark.sql.Row(pid, idx, c)
           }
-          org.apache.spark.sql.Row(pid, flat.toSeq)
         }
       }(pEnc)
+      .groupBy(col("pid"), col("idx"))
+      .agg(sum(col("cnt")).as("cnt"))
       .collect()
+    // combine bound, observable by specs: ≤ slices × d rows reach the
+    // driver no matter how the input was partitioned
+    lastQuantilePartialRows = partialRows.length
+    assert(partialRows.length <= parts * totalD,
+      s"runningQuantile partials combine failed its bound: " +
+        s"${partialRows.length} > $parts × $totalD")
 
     // ---- driver combine: dense incoming histogram per slice ----
     val byPid = partialRows.groupBy(_.getInt(0))
-    val totalD = offs.last
-    val global = new Array[Int](totalD)
-    val incoming: Map[Int, Array[Int]] = (0 until parts).map { s =>
+    val global = new Array[Long](totalD)
+    val incoming: Map[Int, Array[Long]] = (0 until parts).map { s =>
       val snap = global.clone()
       byPid.get(s).foreach(_.foreach { r =>
-        val flat = r.getSeq[Double](1)
-        var k = 0
-        while (k < flat.length / 2) {
-          global(flat(2 * k).toInt) += flat(2 * k + 1).toInt
-          k += 1
-        }
+        global(r.getInt(1)) += r.getLong(2)
       })
       s -> snap
     }.toMap
@@ -2344,7 +2369,7 @@ object Prefix {
           val pid = r.getInt(pidIdx)
           if (pid != curPid) {
             curPid = pid
-            val in = bIncoming.value.getOrElse(pid, new Array[Int](totalD))
+            val in = bIncoming.value.getOrElse(pid, new Array[Long](totalD))
             fens = Array.tabulate(width) { j =>
               new Fenwick(java.util.Arrays.copyOfRange(
                 in, offs(j), offs(j + 1)))
@@ -2361,7 +2386,12 @@ object Prefix {
               val v = r.getDouble(raw) + 0.0
               if (!v.isNaN) {
                 val idx = java.util.Arrays.binarySearch(doms(j), v)
-                if (idx >= 0) fen.add(idx)
+                if (idx < 0) throw new IllegalStateException(
+                  s"runningQuantile: value $v (input column #$j) is absent " +
+                    "from the phase-0 sorted domain at emit — the input " +
+                    "changed between actions (non-deterministic source?). " +
+                    "Refusing to emit silently wrong quantiles")
+                fen.add(idx)
               }
             }
             val n = fen.total

@@ -6,25 +6,32 @@ import org.apache.logging.log4j.core.LoggerContext
 import org.apache.logging.log4j.core.appender.AbstractAppender
 import org.apache.logging.log4j.core.config.Property
 
-/** A silent-interpreted-fallback tripwire (r12). When a whole-stage
-  * `processNext()` exceeds Janino's hard 64 KB method limit, Spark logs
-  * ONE `CodeGenerator ... Failed to compile` error and quietly runs the
-  * stage INTERPRETED — queries stay correct, so the only externally
-  * visible symptom is a slow stage buried in a wall of log4j stderr.
-  * That is exactly how pipe_curate ran interpreted for several rounds
-  * (langPred's exponential when-chain, NOTES_r12 §9) until an
+/** A silent-interpreted-fallback tripwire (r12, hardened r13). When a
+  * whole-stage `processNext()` exceeds Janino's hard 64 KB method limit,
+  * Spark logs ONE `CodeGenerator ... Failed to compile` error and quietly
+  * runs the stage INTERPRETED — queries stay correct, so the only
+  * externally visible symptom is a slow stage buried in a wall of log4j
+  * stderr. That is exactly how pipe_curate ran interpreted for several
+  * rounds (langPred's exponential when-chain, NOTES_r12 §9) until an
   * instrumented bench run happened to surface the errors.
   *
-  * This appender hangs off the log4j2 ROOT logger config at ERROR level
-  * and counts events whose message carries the codegen-failure
-  * signature. [[graft.Verify]] installs it and prints a summary line —
-  * `[verify] codegen compile failures: N` — so every driver round
-  * records whether any catalog query fell back. CodegenSentinelSpec
-  * pins the wiring (an event through the CodeGenerator logger
-  * increments the counter; unrelated errors don't). */
+  * r13 hardening (ADVICE): the counter requires BOTH the codegen-failure
+  * message signature AND a `CodeGenerator` logger name, so an unrelated
+  * subsystem logging "Failed to compile" can no longer overcount; and the
+  * appender is attached to the CodeGenerator logger's own resolved
+  * LoggerConfig in addition to the root config, so a non-additive
+  * intermediate logger config cannot silently disarm the tripwire.
+  * [[graft.Verify]] and [[graft.Bench]] install it; CodegenGateSpec makes
+  * it a FAILING gate — the full catalog must execute with zero fallbacks,
+  * and a deliberately Janino-overflowing fixture proves the gate is armed.
+  */
 object CodegenFallbackCounter {
   val count = new AtomicInteger(0)
   @volatile private var installed = false
+
+  /** Spark's whole-stage/expression compiler logger. */
+  private val CodegenLogger =
+    "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
 
   def install(): Unit = synchronized {
     if (installed) return
@@ -34,12 +41,22 @@ object CodegenFallbackCounter {
         true, Property.EMPTY_ARRAY) {
       override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
         val msg = e.getMessage.getFormattedMessage
-        if (msg != null && msg.contains("Failed to compile"))
+        val logger = e.getLoggerName
+        if (msg != null && msg.contains("Failed to compile") &&
+            logger != null && logger.contains("CodeGenerator"))
           count.incrementAndGet()
       }
     }
     app.start()
+    // exactly-once attachment across additivity configs: root always
+    // (the default path every additive event reaches), plus the
+    // CodeGenerator logger's own resolved config ONLY when that config
+    // is non-additive (its events would never reach root — the class
+    // of config that silently disarmed the r12 wiring)
     cfg.getRootLogger.addAppender(app, Level.ERROR, null)
+    val resolved = cfg.getLoggerConfig(CodegenLogger)
+    if (!(resolved eq cfg.getRootLogger) && !resolved.isAdditive)
+      resolved.addAppender(app, Level.ERROR, null)
     ctx.updateLoggers()
     installed = true
   }

@@ -568,8 +568,11 @@ object StreamingOps {
     * ([[graft.operators.Prefix.runningQuantile]]): per-key running VALUE
     * counts as keyed state — a sorted (value, count) ledger bounded by
     * the same distinct budget as the batch operator (clean raise above
-    * it; round/bucket first), O(log d) insert + O(d) rank walk per
-    * event. Emits pandas' five interpolations at h = (nobs−1)·q; NaN
+    * it; round/bucket first), O(log d) insert + O(log d) Fenwick rank
+    * selection per event (r13 — the batch operator's engine; the ledger
+    * Fenwick rebuilds O(d) only when a NEW distinct value shifts domain
+    * indices, and duplicates on a bounded domain are the common case).
+    * Emits pandas' five interpolations at h = (nobs−1)·q; NaN
     * until the running valid count reaches max(min_periods, 1); invalid
     * (NaN) events leave the ledger untouched and re-emit the current
     * statistic (the pandas carry). Events fold in `id` order within
@@ -587,6 +590,7 @@ object StreamingOps {
       var vals = st0.values.toVector
       var cnts = st0.counts.toVector
       var nobs = st0.nobs
+      var fen = new graft.operators.Prefix.Fenwick(cnts.toArray)
       val out = scala.collection.mutable.ListBuffer[EqOut]()
       in.toSeq.sortBy(_.id).foreach { r =>
         val v = r.value + 0.0 // normalize -0.0, the batch contract
@@ -596,27 +600,21 @@ object StreamingOps {
             val mid = (lo + hi) >>> 1
             if (vals(mid) < v) lo = mid + 1 else hi = mid
           }
-          if (lo < vals.length && vals(lo) == v)
+          if (lo < vals.length && vals(lo) == v) {
             cnts = cnts.updated(lo, cnts(lo) + 1)
-          else {
+            fen.add(lo) // O(log d): the common bounded-domain case
+          } else {
             vals = (vals.take(lo) :+ v) ++ vals.drop(lo)
             cnts = (cnts.take(lo) :+ 1L) ++ cnts.drop(lo)
             if (vals.length > distinctBudget) throw new IllegalArgumentException(
               s"expandingQuantileStream: key $key exceeds $distinctBudget " +
                 "distinct values (graft.percentile.approxAboveDistinct) — " +
                 "round or bucket the values first")
+            fen = new graft.operators.Prefix.Fenwick(cnts.toArray)
           }
           nobs += 1
         }
-        def kth(k: Long): Double = {
-          var acc = 0L; var i = 0
-          while (i < vals.length) {
-            acc += cnts(i)
-            if (acc >= k) return vals(i)
-            i += 1
-          }
-          vals.last
-        }
+        def kth(k: Long): Double = vals(fen.kth(k))
         out += EqOut(key, r.id,
           if (nobs < math.max(minPeriods, 1)) Double.NaN
           else {

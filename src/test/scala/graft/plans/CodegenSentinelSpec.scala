@@ -2,13 +2,14 @@ package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the codegen-fallback tripwire's wiring (r12): the appender hangs
-  * off the root logger config, so an ERROR carrying the codegen-failure
-  * signature — from any logger, matching how CodeGenerator reports the
-  * Janino 64 KB fallback — increments the counter, and unrelated errors
-  * do not. (Provoking a REAL 64 KB overflow would need a deliberately
-  * pathological expression per run; the langPred incident is the
-  * documented real-world instance, NOTES_r12 §9.) */
+/** Pins the codegen-fallback tripwire's wiring (r12, hardened r13): an
+  * ERROR carrying the codegen-failure signature from a CodeGenerator
+  * logger — the exact (logger, level, message) triple Spark emits on a
+  * Janino 64 KB fallback, through the same additivity path Spark's own
+  * loggers take — increments the counter; unrelated errors, WARN-level
+  * events, and the SAME message from a NON-CodeGenerator logger (the r12
+  * overcount hole) do not. CodegenGateSpec proves a REAL overflow trips
+  * it end-to-end. */
 class CodegenSentinelSpec extends AnyFunSuite {
   test("codegen-failure errors increment the counter; others don't") {
     CodegenFallbackCounter.install()
@@ -19,6 +20,11 @@ class CodegenSentinelSpec extends AnyFunSuite {
     assert(CodegenFallbackCounter.count.get() == before + 1)
     log.error("some unrelated failure")
     log.warn("Failed to compile")  // WARN level is below the appender gate
+    assert(CodegenFallbackCounter.count.get() == before + 1)
+    // the r13 filter: the failure phrase from an unrelated logger is NOT
+    // a codegen fallback (previously overcounted via the root appender)
+    org.apache.logging.log4j.LogManager.getLogger("graft.some.Subsystem")
+      .error("Failed to compile the asset bundle")
     assert(CodegenFallbackCounter.count.get() == before + 1)
   }
 }
