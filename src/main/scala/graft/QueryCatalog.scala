@@ -293,6 +293,42 @@ object QueryCatalog {
     * the boundary 10⁻³ quanta — ~10⁴× the few-ULP cross-engine delta of
     * the exact Welford scan, 10⁻³× the quantum — making the comparison
     * deterministic without weakening the precision it certifies. */
+  /** Quantum-margin audit (r13, the r12 verdict's #8 stretch): when the
+    * `graft.audit.margins` system property is set, every `roundTo`
+    * [[formulaQuery]] ALSO measures how close its pre-rounded (nudged)
+    * cells come to a half-quantum rounding boundary — the e11_ecov
+    * failure class, where a terminating `x.xxxxxx5` value sits within one
+    * double ULP of the boundary and cross-engine hashes flip coins. The
+    * dump ([[graft.Verify]]) resets before each query, reads after, and
+    * emits `quantum_margins.json`, so a future DATA change parking a new
+    * query on a boundary surfaces in the dump instead of as a red driver
+    * round. Margin unit: quanta (1.0 = one rounding step; 0.5 = exactly
+    * between boundaries, the safest possible). Off by default — zero cost
+    * outside audit runs. */
+  @volatile private[graft] var lastQuantumMargin: Option[Double] = None
+  private[graft] def resetQuantumMargin(): Unit = lastQuantumMargin = None
+  private def auditMargins: Boolean =
+    java.lang.Boolean.getBoolean("graft.audit.margins")
+
+  private def recordQuantumMargin(df: DataFrame, cols: Seq[Column],
+                                  dp: Int, nudge: Double): Unit = {
+    val scale = math.pow(10.0, dp)
+    val mins = cols.map { c =>
+      val y = (if (nudge == 0.0) c else c + lit(nudge)) * lit(scale)
+      val fr = y - floor(y)
+      // NaN → null (min skips); |y| ≥ 1e15 is past double integer
+      // precision where every value is exactly integral — not a boundary
+      min(when(!isnan(fr) && abs(y) < lit(1e15), abs(fr - lit(0.5))))
+    }
+    val r = df.agg(mins.head, mins.tail: _*).head()
+    val vals = (0 until r.length)
+      .filterNot(r.isNullAt).map(r.getDouble)
+    if (vals.nonEmpty) {
+      val m = vals.min
+      lastQuantumMargin = Some(lastQuantumMargin.fold(m)(math.min(m, _)))
+    }
+  }
+
   def formulaQuery(formula: String, fill: Boolean = true,
                    roundTo: Option[Int] = None, adp: Boolean = false,
                    nudge: Double = 0.0)
@@ -301,13 +337,18 @@ object QueryCatalog {
       adpEnabled = adp, fillInvalid = fill)
     ev.evaluateFormula(formula) match {
       case MatrixResult(df, rowId, lbls, _) =>
-        val out = lbls.map { l =>
-          val c0 = if (adp) col(l).cast(DoubleType) else col(l)
+        val raw = lbls.map(l =>
+          if (adp) col(l).cast(DoubleType) else col(l))
+        if (auditMargins && roundTo.isDefined)
+          recordQuantumMargin(df, raw, roundTo.get, nudge)
+        val out = lbls.zip(raw).map { case (l, c0) =>
           roundTo.fold(c0)(n =>
             round(if (nudge == 0.0) c0 else c0 + lit(nudge), n)).as(l)
         }
         df.select((col(rowId) +: out): _*).orderBy(col(rowId))
       case RowResult(df, lbls) =>
+        if (auditMargins && roundTo.isDefined)
+          recordQuantumMargin(df, lbls.map(col), roundTo.get, nudge = 0.0)
         roundTo.fold(df)(n => df.select(lbls.map(l => round(col(l), n).as(l)): _*))
       case VecResult(v) =>
         spark.createDataFrame(java.util.List.of(Row.fromSeq(v.values)),

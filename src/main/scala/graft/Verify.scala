@@ -22,14 +22,48 @@ object Verify {
     // across the catalog — see [[graft.plans.CodegenFallbackCounter]]
     graft.plans.CodegenFallbackCounter.install()
     new java.io.File(outDir).mkdirs()
+    // r13 (#8): audit every roundTo query's distance to its rounding
+    // boundary during the dump — a future data change that parks a query
+    // on a half-quantum (the e11_ecov class) surfaces HERE, not as a red
+    // driver round. Margins land in quantum_margins.json (unit: quanta).
+    System.setProperty("graft.audit.margins", "true")
+    val margins = scala.collection.mutable.SortedMap[String, Double]()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      QueryCatalog.resetQuantumMargin()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        QueryCatalog.lastQuantumMargin.foreach(m => margins(name) = m)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    if (margins.nonEmpty) {
+      val mj = margins.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3e",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/quantum_margins.json"), mj)
+      // two distinct classes: EXACT zero = a cell terminating exactly ON
+      // the half boundary (deterministic iff both engines compute the
+      // value exactly — the ewadj dyadic family, α=.5 over integer qty,
+      // green for 12 rounds because the arithmetic is exact in both
+      // engines); small-but-NONZERO = the e11_ecov coin-flip class,
+      // where cross-engine ULP noise straddles the boundary.
+      val (zeros, nz) = margins.partition(_._2 == 0.0)
+      if (zeros.nonEmpty) System.err.println(
+        s"[verify] quantum margins: ${zeros.size} queries carry cells " +
+          s"terminating exactly ON the boundary (${zeros.keys.mkString(",")})" +
+          " — deterministic only while both engines compute them exactly")
+      if (nz.nonEmpty) {
+        val (mq, mm) = nz.minBy(_._2)
+        System.err.println(f"[verify] quantum margins: ${margins.size}%d " +
+          f"rounded queries audited; min nonzero = $mm%.3e quanta ($mq)" +
+          (if (mm < 1e-7) " — DANGEROUSLY close to a rounding boundary; " +
+            "audit vs ULP and consider the ε-nudge protocol" else ""))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
