@@ -120,18 +120,19 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    // r13 (#7): the GC-sensitive generator queries run in their OWN
-    // leading segment — the 30× sweeps measured segment composition
-    // moving ev_jarr 4–10× (20.6 s in-sweep vs 2.17 s isolated at c32),
-    // i.e. those queries benchmarked their segment's heap wake, not the
-    // operator. Isolating them makes in-sweep ≈ isolated while every
-    // query still runs in a fresh-JVM segment. Override/disable via
-    // SPARK_GRAFT_BENCH_TAILSEG (empty = old pure-sorted grouping).
+    // r13 (#7): each GC-/context-sensitive query runs in its OWN
+    // single-query leading segment — the 30×/100× sweeps measured segment
+    // composition moving ev_jarr 4–10× (20.6 s in-sweep vs 2.17 s
+    // isolated at 30× c32) and dd_keep 3× (89 s vs 29 s at 100×), i.e.
+    // those walls benchmarked their segment's heap wake, not the
+    // operator. One fresh JVM per tail query makes in-sweep ≡ isolated
+    // BY CONSTRUCTION (cost: one extra warmup each). Override/disable
+    // via SPARK_GRAFT_BENCH_TAILSEG (empty = pure sorted grouping).
     val tailSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAILSEG",
-        "ev_jarr,sim_lsh").split(",").map(_.trim).filter(_.nonEmpty).toSet
+        "ev_jarr,sim_lsh,dd_keep,dd_groups")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val (tails, rest) = names.partition(tailSet.contains)
-    val segments = (if (tails.nonEmpty) Seq(tails) else Nil) ++
-      rest.grouped(segSize).toSeq
+    val segments = tails.map(Seq(_)) ++ rest.grouped(segSize).toSeq
     segments.zipWithIndex.flatMap { case (seg, i) =>
       val outFile = java.io.File.createTempFile(s"bench_seg${i}_", ".json")
       outFile.deleteOnExit()

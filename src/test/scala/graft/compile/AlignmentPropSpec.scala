@@ -119,7 +119,15 @@ object AlignmentPropSpec extends Properties("Alignment") {
         StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
       val got = graft.operators.Dedup.duplicateGroups(docs, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      Prop(got == want) :| s"edges=$edges got=$got want=$want"
+      // the DISTRIBUTED path (forced via driverMaxPairs = 0) must agree —
+      // this is the r13 edge-contracting label-propagation loop, fuzzed
+      // against the same brute-force components (cliques, chains, forests
+      // all arise from the generator)
+      val gotLpa = graft.operators.Dedup.duplicateGroups(docs, pairs,
+          driverMaxPairs = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want && gotLpa == want) :|
+        s"edges=$edges got=$got lpa=$gotLpa want=$want"
     }
   }
 }
