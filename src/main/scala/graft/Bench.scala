@@ -62,8 +62,17 @@ object Bench {
     * local[4] default manufactured the r11 "marathon inflation", a
     * 3.4–5.8× core-count confound on the CPU-bound slice family,
     * PROBE_r12 `cpuconfound`). Every emitted JSON stamps this value. */
-  private[graft] def cpusPosture: String = sys.env.getOrElse(
-    "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+  private[graft] def cpusPosture: String = {
+    val raw = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    // validated ONCE here (r14 ADVICE): the value is interpolated
+    // unquoted into the JSON contract line, so a non-integer posture
+    // (e.g. "*", valid local[] syntax) must fail loudly at startup, not
+    // as an unparseable evidence file after the run
+    require(scala.util.Try(raw.toInt).toOption.exists(_ > 0),
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'")
+    raw
+  }
 
   private def measure(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
                       sfDir: String): Map[String, Double] = {

@@ -32,12 +32,13 @@ object ProbeJson {
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Boolean) => n.toString
     case x =>
       val s = x.toString
-      // quote anything that is not a real JSON number (the old
-      // digit-set heuristic accepted "1-2" and "..", both invalid)
-      if (scala.util.Try(java.lang.Double.parseDouble(s)).toOption
-            .exists(d => !d.isNaN && !d.isInfinite) &&
-          !s.exists(c => c == 'x' || c == 'X' || c == 'd' || c == 'D' ||
-            c == 'f' || c == 'F')) s
-      else quote(s)
+      // emit unquoted ONLY when the string is a STRICT JSON number (r14
+      // ADVICE): parseDouble also accepts "1.", ".5", "+1", "01", hex and
+      // type-suffixed forms — all invalid JSON that the old blacklist
+      // let through
+      if (jsonNumber.matches(s)) s else quote(s)
   }
+
+  private val jsonNumber =
+    """-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?""".r
 }

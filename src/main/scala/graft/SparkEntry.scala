@@ -387,8 +387,15 @@ object SparkEntry {
     // ewm sum (r11 session 5): the unnormalized decayed sum = μ·W1 —
     // both already in the exact scan's state; unlike the mean it DECAYS
     // at holes (no carry). adjust=0 raises (pandas NotImplementedError).
+    // ε-nudged like e11_ecov (r14): the α=1/2 decayed sums over integer
+    // qty terminate on the 6-dp boundary (deterministic dyadic ties) —
+    // but ONE sf0.01 cell (15.6796875 + 2e-15 of accumulation error)
+    // sits 2e-9 quanta OFF the boundary, the coin-flip class the r13
+    // audit's per-query MIN margin masked behind the exact-zero ties
+    // (found by the r14 exact-tie pin, CovCorrSemSpec)
     "e11_ewsum" -> ((s, d) =>
-      formulaQuery("qty.ewm(1).sum()", roundTo = Some(6))(s, d)),
+      formulaQuery("qty.ewm(1).sum()", roundTo = Some(6),
+        nudge = 1e-9)(s, d)),
     // flex arithmetic fill_value (r11 session 5): the missing side
     // fills with the scalar when exactly one side is invalid
     "e11_addfv" -> ((s, d) =>
@@ -4771,12 +4778,14 @@ object SparkEntry {
       "e11_ewcov" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = false),
       "e11_ewcorr" -> ewmCovOracle("1.0 - 1.0/2.0", 128, corr = true),
       // ewm sum: the direct horizon-truncated decayed sum at EVERY row
-      // (no carry — the value itself decays at holes); tail < 5e-20
+      // (no carry — the value itself decays at holes); tail < 5e-20.
+      // + 1e-9 mirrors the Spark side's ε-nudged rounding (one sf0.01
+      // cell rides 2e-9 quanta off the boundary — see queries())
       "e11_ewsum" -> {
         val beta = "1.0 - 1.0/2.0"; val h = 64
         val cells = J.map(j =>
           F(s"round(sum(CASE WHEN b.q$j IS NOT NULL THEN " +
-            s"pow(($beta), a.rn - b.rn) * b.q$j END), 6)") + s" AS c$j")
+            s"pow(($beta), a.rn - b.rn) * b.q$j END) + 1e-9, 6)") + s" AS c$j")
           .mkString(", ")
         s"""$W, p AS (SELECT *,
            |  row_number() OVER (ORDER BY __row_id__) AS rn FROM w)

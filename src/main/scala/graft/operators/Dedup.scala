@@ -400,6 +400,13 @@ object Dedup {
     // dd_keep read 26× wall for 3.3× data on the fixed-edge loop once the
     // 27M-pair graph crossed the union-find budget.)
     var curEdges = edges
+    // r14 (ADVICE): only the LIVE round's pins stay cached. Each pin()
+    // localCheckpoints + materializes (count), so once a round's frames
+    // exist they are lineage-independent of their parents — holding every
+    // earlier round's snapshot (the round-1 edge list is the largest)
+    // until the end of the loop was pure memory pressure at the 100×
+    // scale the contraction targets.
+    var livePins: List[DataFrame] = List(lbl, curEdges)
     while (!converged && iter < maxIters) {
       val nbrMin = curEdges
         .join(lbl.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
@@ -411,6 +418,7 @@ object Dedup {
         .select(col("id"), col("nl").as("new_lbl"), col("old_lbl")))
       converged = upd.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
       lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
+      var nextPins: List[DataFrame] = List(upd)
       if (!converged) {
         val la = lbl.select(col("id").as("a"), col("lbl").as("la"))
         val lb = lbl.select(col("id").as("b"), col("lbl").as("lb"))
@@ -419,7 +427,12 @@ object Dedup {
           .select(col("la").as("a"), col("lb").as("b"))
           .filter(col("a") =!= col("b"))
           .distinct())
+        nextPins ::= curEdges
       }
+      // this round's frames are materialized — the previous round's pins
+      // are dead; drop them now (idempotent vs the final sweep)
+      livePins.foreach(_.unpersist())
+      livePins = nextPins
       iter += 1
     }
     System.err.println(s"[graft] duplicateGroups: $iter rounds" +

@@ -2202,11 +2202,17 @@ object Prefix {
     * (slice, domain idx) by one small hash aggregate BEFORE the collect,
     * so the driver receives ≤ slices·Σd rows no matter how the input is
     * partitioned (a randomly-ordered cluster input holds every slice in
-    * every input partition); (2) the driver prefix-sums slice partials
-    * into each slice's dense incoming histogram (parts·Σd longs, budget-
-    * bounded; counts are Long end-to-end so a value occurring > 2^31
-    * times cannot wrap the seed); (3) a fully parallel emit pass walks
-    * each slice in order
+    * every input partition); (2) the driver groups the collected SPARSE
+    * partials per slice and broadcasts exactly those (r14 — the r13
+    * dense combine materialized one Array[Long](d) snapshot PER SLICE on
+    * the driver and broadcast the whole map, O(slices·Σd) longs on the
+    * driver and every executor, and slice count grows linearly with
+    * rows; counts are Long end-to-end so a value occurring > 2^31 times
+    * cannot wrap the seed); (3) a fully parallel emit pass reconstructs
+    * each slice's dense incoming histogram executor-side — slices arrive
+    * sorted within a partition, so one running histogram advances
+    * monotonically, applying each slice's increment list exactly once —
+    * and walks each slice in order
     * behind a [[Fenwick]] seeded O(d) from the incoming histogram —
     * O(log d) per-row update + O(log d) per-row rank selection, pandas'
     * five interpolations at h = (n−1)·q (`interp` codes 0..4 as the
@@ -2216,14 +2222,22 @@ object Prefix {
     *
     * 100 TB posture: state is O(d) per task (budget-bounded), the data
     * moves ONCE through the one hash exchange all prefix ops share, and
-    * the driver holds parts·d ints — slice-count-scaled, never
-    * data-scaled. `inNames` must be DoubleType with invalid cells as
+    * the driver and the broadcast hold only the Σ(sparse partials) ≤
+    * min(valid rows, slices·Σd) collected longs — never a dense
+    * slices×d product, so neither grows with slice count alone.
+    * `inNames` must be DoubleType with invalid cells as
     * NaN; `keyCol` a non-null unique tiebreak. */
   /** Observability hook for specs: the row count the most recent
     * [[runningQuantile]] phase-1 collect actually brought to the driver —
     * asserted ≤ slices × Σd by the in-code bound and pinned partitioning-
     * independent in RollingFamilySpec. */
   @volatile private[graft] var lastQuantilePartialRows: Int = -1
+
+  /** Observability hook (r14): total sparse increment entries in the most
+    * recent [[runningQuantile]] broadcast — RollingFamilySpec pins that
+    * driver + broadcast memory is Σ(sparse partials), never the dense
+    * slices × d product the r13 combine materialized. */
+  @volatile private[graft] var lastQuantileBroadcastEntries: Long = -1L
 
   def runningQuantile(df: DataFrame, keyCol: String, orderCol: Column,
                       inNames: Seq[String], q: Double, interp: Int,
@@ -2330,23 +2344,37 @@ object Prefix {
       .agg(sum(col("cnt")).as("cnt"))
       .collect()
     // combine bound, observable by specs: ≤ slices × d rows reach the
-    // driver no matter how the input was partitioned
+    // driver no matter how the input was partitioned. An explicit throw,
+    // NOT a Scala assert: -Xdisable-assertions builds must never silently
+    // disarm a scale invariant (r13 verdict; the domain-miss checks below
+    // set the pattern).
     lastQuantilePartialRows = partialRows.length
-    assert(partialRows.length <= parts * totalD,
+    if (partialRows.length > parts * totalD) throw new IllegalStateException(
       s"runningQuantile partials combine failed its bound: " +
         s"${partialRows.length} > $parts × $totalD")
 
-    // ---- driver combine: dense incoming histogram per slice ----
-    val byPid = partialRows.groupBy(_.getInt(0))
-    val global = new Array[Long](totalD)
-    val incoming: Map[Int, Array[Long]] = (0 until parts).map { s =>
-      val snap = global.clone()
-      byPid.get(s).foreach(_.foreach { r =>
-        global(r.getInt(1)) += r.getLong(2)
-      })
-      s -> snap
-    }.toMap
-    val bIncoming = spark.sparkContext.broadcast(incoming)
+    // ---- driver combine: per-slice SPARSE increments (r14) ----
+    // The r13 combine prefix-summed the partials into one DENSE
+    // Array[Long](totalD) snapshot per slice and broadcast the whole map:
+    // O(slices × d) longs on the driver AND on every executor, with slice
+    // count growing linearly with rows — the docstring's "never
+    // data-scaled" claim was only half true. The collected partials are
+    // already sparse; ship exactly those, grouped per slice, and let each
+    // emit task rebuild its slice's dense seed executor-side (the slices
+    // in a partition arrive sorted, so one running histogram applies each
+    // increment list at most once per task). Memory: O(Σ sparse partials)
+    // everywhere.
+    val incIdx = Array.fill(parts)(Array.emptyIntArray)
+    val incCnt = Array.fill(parts)(Array.emptyLongArray)
+    partialRows.groupBy(_.getInt(0)).foreach { case (pid, rows) =>
+      if (pid < 0 || pid >= parts) throw new IllegalStateException(
+        s"runningQuantile: phase-1 slice id $pid outside [0, $parts) — " +
+          "withSliceId broke its contract")
+      incIdx(pid) = rows.map(_.getInt(1))
+      incCnt(pid) = rows.map(_.getLong(2))
+    }
+    lastQuantileBroadcastEntries = incIdx.map(_.length.toLong).sum
+    val bIncoming = spark.sparkContext.broadcast((incIdx, incCnt))
 
     // ---- phase 2: parallel emit behind per-slice Fenwick state ----
     val inSchema = sliced.schema
@@ -2363,16 +2391,32 @@ object Prefix {
       .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
       .mapPartitions { it =>
         val doms = bDomains.value
+        val (iIdx, iCnt) = bIncoming.value
         var curPid = Int.MinValue
+        // running dense histogram: counts of all slices < histAt applied.
+        // Slices arrive ascending (sortWithinPartitions pid-first), so
+        // each slice's sparse increments are added exactly once per task
+        // and the seed for pid is ready after O(Σ increments < pid) work.
+        var hist: Array[Long] = null
+        var histAt = 0
         var fens: Array[Fenwick] = null
         it.map { r =>
           val pid = r.getInt(pidIdx)
           if (pid != curPid) {
+            if (pid < curPid) throw new IllegalStateException(
+              s"runningQuantile: slice ids not ascending within the emit " +
+                s"partition ($curPid then $pid) — the pid-first sort broke")
+            if (hist == null) hist = new Array[Long](totalD)
+            while (histAt < pid) {
+              val ii = iIdx(histAt); val cc = iCnt(histAt)
+              var t = 0
+              while (t < ii.length) { hist(ii(t)) += cc(t); t += 1 }
+              histAt += 1
+            }
             curPid = pid
-            val in = bIncoming.value.getOrElse(pid, new Array[Long](totalD))
             fens = Array.tabulate(width) { j =>
               new Fenwick(java.util.Arrays.copyOfRange(
-                in, offs(j), offs(j + 1)))
+                hist, offs(j), offs(j + 1)))
             }
           }
           val outVals = new Array[Any](r.length + width)

@@ -617,4 +617,85 @@ class CovCorrSemSpec extends SparkSpec {
         s"boundary (e.g. ${tight.take(3).mkString(", ")}) — the " +
         "cross-engine hash is not deterministic there")
   }
+
+  test("exact-tie class (r13 margin audit, pinned r14): e11_ewadj/" +
+       "e11_ewsum determinism rests on integer qty keeping the α=1/2 ewm " +
+       "cells dyadic — this spec goes red the day the fixture breaks " +
+       "that, instead of a red driver round") {
+    // The r13 quantum-margin audit found these two queries carry cells
+    // terminating EXACTLY on their half-quantum rounding boundary:
+    // ewm(com=1) is α=1/2, so over integer-valued qty every statistic is
+    // a dyadic rational a/2^k — exactly representable and exactly
+    // computed in BOTH engines at these magnitudes, so both round the
+    // identical double half-up the same way. Deterministic and green for
+    // 13 rounds, but only because of an UNSTATED data invariant: a
+    // fixture change to non-integer qty would move these cells a few ULP
+    // OFF the boundary (the coin-flip class) with nothing failing until
+    // the driver's cross-engine hash flips. Pin both halves.
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf01/lineitem.parquet").exists())
+    // (a) the fixture invariant itself: l_quantity is integer-valued, so
+    // the qty matrix (per-order sums of it) is too
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    val F = org.apache.spark.sql.functions
+    val nonInt = li.filter(
+      F.col("l_quantity") =!= F.round(F.col("l_quantity"), 0)).count()
+    assert(nonInt == 0L,
+      s"$nonInt lineitem rows carry NON-INTEGER l_quantity — the dyadic " +
+        "exact-tie argument for e11_ewadj/e11_ewsum no longer holds; " +
+        "ε-nudge both queries (the e11_ecov discipline) before the next " +
+        "driver round")
+    // (b) the two queries' cells stay OUT of the coin-flip zone.
+    //  - e11_ewadj (un-nudged, 5 dp): every cell either sits EXACTLY on
+    //    its half-quantum boundary (the dyadic exact-tie class) or
+    //    clears it by ≥ 50 ULP of its own magnitude.
+    //  - e11_ewsum (ε-nudged 1e-9, 6 dp, r14): writing this very pin
+    //    found ONE cell (15.6796875 + 2e-15 accumulation error) sitting
+    //    2e-9 quanta OFF the boundary — the coin-flip class, masked in
+    //    the r13 audit because the per-query MIN margin was the exact
+    //    ties' 0.0. The query now carries the e11_ecov nudge; assert
+    //    every NUDGED cell clears its boundary by ≥ 50 ULP.
+    def cellsOf(f: String): Array[Double] = {
+      val df = graft.QueryCatalog.formulaQuery(f)(spark, sf01)
+      val cols = df.schema.fieldNames.drop(1)
+      df.collect().flatMap { r =>
+        cols.map(c => r.getDouble(r.fieldIndex(c)))
+      }.filterNot(_.isNaN)
+    }
+    def dist(x: Double, scale: Double): Double = {
+      val s = x * scale
+      math.abs(s - math.floor(s) - 0.5)
+    }
+    locally {
+      val cells = cellsOf("qty.ewm(1, adjust=0).mean()")
+      assert(cells.length > 10000)
+      val danger = cells.filter { v =>
+        val d0 = dist(v, 1e5)
+        d0 > 0.0 && d0 < 50 * math.ulp(math.abs(v)) * 1e5
+      }
+      assert(danger.isEmpty,
+        s"e11_ewadj: ${danger.length} cells sit NEAR (not exactly on) a " +
+          s"5-dp half-quantum boundary (e.g. ${danger.take(3).mkString(", ")})" +
+          " — the exact-tie determinism is broken; apply the ε-nudge")
+      assert(cells.exists(v => dist(v, 1e5) == 0.0),
+        "e11_ewadj: the exact-tie class vanished (no cell exactly on a " +
+          "boundary) — the data changed; re-audit whether this pin still " +
+          "applies")
+    }
+    locally {
+      val cells = cellsOf("qty.ewm(1).sum()")
+      assert(cells.length > 10000)
+      // artifact real: un-nudged cells sit on/near boundaries
+      assert(cells.exists(v => dist(v, 1e6) < 1e-5),
+        "e11_ewsum: no raw cell near a 6-dp boundary — the nudge may no " +
+          "longer be needed, re-audit before removing")
+      val tight = cells.filter { v =>
+        dist(v + 1e-9, 1e6) < 50 * math.ulp(math.abs(v)) * 1e6
+      }
+      assert(tight.isEmpty,
+        s"e11_ewsum: ${tight.length} NUDGED cells within 50 ULP of a " +
+          s"6-dp boundary (e.g. ${tight.take(3).mkString(", ")}) — the " +
+          "cross-engine hash is not deterministic there")
+    }
+  }
 }

@@ -975,4 +975,46 @@ class RollingFamilySpec extends SparkSpec {
     assert(fen.kth(3000000001L) == 1)
     assert(fen.kth(3000000005L) == 1)
   }
+
+  test("runningQuantile (r14): the broadcast ships sparse per-slice " +
+      "increments — Σ(sparse partials), never the dense slices × d " +
+      "product — and the executor-side seed reconstruction is exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Prefix
+    val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // many slices, each holding ~one distinct value (values ride the
+    // order column, so equi-height slices align with value runs): the
+    // r13 dense combine broadcast slices × d longs HERE REGARDLESS of
+    // how few (slice, value) pairs actually occur; the sparse increments
+    // are one entry per occupied pair
+    val rows = 20000
+    val per = rows / slices
+    val df = spark.range(rows).select(
+      col("id").as("k"), col("id").cast("double").as("o"),
+      floor(col("id") / per).cast("double").as("x")).repartition(48)
+    val out = Prefix.runningQuantile(df, "k", col("o"), Seq("x"), 0.5, 0,
+        Seq("med")).select(col("k"), col("med")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = slices + 1 // distinct values of floor(id/per)
+    assert(Prefix.lastQuantileBroadcastEntries >= 0)
+    assert(Prefix.lastQuantileBroadcastEntries ==
+      Prefix.lastQuantilePartialRows.toLong,
+      "broadcast entries must be exactly the collected sparse partials")
+    assert(Prefix.lastQuantileBroadcastEntries < slices.toLong * d / 4,
+      s"broadcast carries ${Prefix.lastQuantileBroadcastEntries} " +
+        s"entries for $slices slices × $d values — not sparse " +
+        "(the dense per-slice snapshot combine is back?)")
+    // monotone values ⇒ the running median is the linear interpolation
+    // at position (n−1)/2 of the already-sorted prefix — exact doubles
+    // (integers and halves), so equality is exact
+    val xs = (0 until rows).map(i => (i / per).toDouble)
+    (0 until rows).foreach { i =>
+      val h = i * 0.5
+      val lo = h.toInt
+      val exp = if (h == lo) xs(lo)
+        else xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+      assert(out(i.toLong) == exp,
+        s"row $i: got ${out(i.toLong)}, expected $exp")
+    }
+  }
 }

@@ -46,7 +46,13 @@ class CodegenGateSpec extends SparkSpec {
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val before = CodegenFallbackCounter.count.get()
-      fn(spark, sf).count()
+      // execute the UNPRUNED plan (r14 ADVICE): .count() lets the
+      // optimizer column-prune output-only projections, so an overflow
+      // confined to a final select would never be code-generated here
+      // while Verify's full-column parquet write still runs it
+      // interpreted. toRdd materializes every output column exactly as
+      // Verify writes them.
+      fn(spark, sf).queryExecution.toRdd.count()
       val after = CodegenFallbackCounter.count.get()
       if (after != before) failures += s"$name (+${after - before})"
     }

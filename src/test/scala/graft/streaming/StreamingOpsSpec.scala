@@ -898,6 +898,82 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming twins on the margin-audited fixture (r14, the r13 #8 " +
+      "stretch): ewmStream and expandingQuantileStream equal the batch " +
+      "operators bit-for-bit over the sf0.001 qty column") {
+    // The quantum-margin audit runs in the BATCH dump only, but the
+    // streaming twins share the exposure (same statistics, same rounding
+    // downstream). The twins' docstrings claim recurrence-for-recurrence
+    // identity with the batch scans — assert it on the audited data
+    // itself, split across micro-batches, with NaN holes included: bit
+    // identity here means every margin conclusion from the batch audit
+    // transfers to the streaming path verbatim.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{EwRow, EqRow}
+    def batchCol(f: String): Array[Double] = {
+      // fill = false: keep the NaN holes (the default result fill would
+      // zero them) — the twins' NaN-carry path is half the point here
+      val df = graft.QueryCatalog.formulaQuery(f, fill = false)(spark, sf)
+      val i = df.schema.fieldIndex("c1")
+      df.collect().map(r => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }
+    // the series the batch operators consumed: qty's c1 in row-id order
+    val raw = batchCol("qty * 1")
+    assert(raw.length > 500 && raw.exists(_.isNaN),
+      "fixture lost its size or its NaN holes — the twin comparison " +
+        "no longer covers the hole-carry path")
+    def identical(got: Array[Double], want: Array[Double], tag: String): Unit = {
+      assert(got.length == want.length, s"$tag: length")
+      got.indices.foreach { i =>
+        assert(java.lang.Double.compare(got(i), want(i)) == 0 ||
+          (got(i).isNaN && want(i).isNaN),
+          s"$tag row $i: stream ${got(i)} != batch ${want(i)}")
+      }
+    }
+    // ---- ewm(com=1) mean + var: α = 1/2, the e11_ewadj/ewsum family ----
+    locally {
+      val in = MemoryStream[EwRow]
+      val q = StreamingOps.ewmStream(in.toDS(), alpha = 0.5)
+        .toDF("key", "id", "mean", "variance")
+        .writeStream.format("memory").queryName("tw_ew")
+        .outputMode("append").start()
+      try {
+        raw.zipWithIndex.grouped(500).foreach { chunk =>
+          in.addData(chunk.map { case (v, i) => EwRow(1L, i.toLong, v) })
+          q.processAllAvailable()
+        }
+        val got = spark.table("tw_ew").collect()
+          .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+        identical(raw.indices.map(i => got(i.toLong)._1).toArray,
+          batchCol("qty.ewm(1).mean()"), "ewm mean")
+        identical(raw.indices.map(i => got(i.toLong)._2).toArray,
+          batchCol("qty.ewm(1).var()"), "ewm var")
+      } finally q.stop()
+    }
+    // ---- expanding median: the runningQuantile twin ----
+    locally {
+      val in = MemoryStream[EqRow]
+      val q = StreamingOps.expandingQuantileStream(in.toDS(), q = 0.5)
+        .toDF("key", "id", "quantile")
+        .writeStream.format("memory").queryName("tw_eq")
+        .outputMode("append").start()
+      try {
+        raw.zipWithIndex.grouped(500).foreach { chunk =>
+          in.addData(chunk.map { case (v, i) => EqRow(1L, i.toLong, v) })
+          q.processAllAvailable()
+        }
+        val got = spark.table("tw_eq").collect()
+          .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        identical(raw.indices.map(i => got(i.toLong)).toArray,
+          batchCol("qty.expanding().median()"), "expanding median")
+      } finally q.stop()
+    }
+  }
+
   test("streaming ewm min_periods gates on the running valid count (r11)") {
     val spark2 = spark
     import spark2.implicits._
