@@ -3987,14 +3987,16 @@ object SparkEntry {
            |               ::DECIMAL(18,6) AS lr
            |      FROM raw LEFT JOIN tgt USING (b), tots),
            |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |             CAST(sum(lr) AS DOUBLE) AS score
+           |             CAST(sum(lr) AS DOUBLE) AS score,
+           |             CAST(sum(lr) * 1000000 AS BIGINT) AS s6
            |      FROM b JOIN w USING (b) GROUP BY 1),
            |st AS (SELECT doc_id, n_tokens, score,
-           |              round(score / n_tokens, 6) AS score_tok FROM s),
-           |m AS (SELECT sum(score_tok::DECIMAL(18,6)) AS ms,
-           |             count(*) AS mn FROM st)
-           |SELECT doc_id, n_tokens, score, score_tok,
-           |       score_tok::DECIMAL(18,6) * mn > ms AS keep
+           |              CASE WHEN s6 >= 0 THEN (2*s6 + n_tokens) // (2*n_tokens)
+           |                   ELSE -((2*(-s6) + n_tokens) // (2*n_tokens)) END
+           |                AS st6 FROM s),
+           |m AS (SELECT sum(st6) AS ms, count(*) AS mn FROM st)
+           |SELECT doc_id, n_tokens, score, st6 / 1000000.0 AS score_tok,
+           |       st6 * mn > ms AS keep
            |FROM st, m ORDER BY doc_id""".stripMargin,
       "smp_split" ->
         (s"""WITH s AS (SELECT lang, doc_id,

@@ -276,19 +276,32 @@ object Sampling {
           ((coalesce(col("__raw"), lit(0L)) + 1).cast("double") /
             (col("__rt") + buckets.toLong).cast("double"))), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val perDoc = rawDoc.join(broadcast(weights), Seq("__b"))
       .groupBy(col("__id").as(idCol))
       .agg(sum(col("__c")).as("n_tokens"),
-        sum(col("__c") * col("__lr")).cast("double").as("score"))
-      .withColumn("score_tok",
-        round(col("score") / col("n_tokens"), 6))
+        sum(col("__c") * col("__lr")).as("__sdec"))
+      // score_tok = TRUE round-half-up of the exact rational score/n in
+      // INTEGER arithmetic (r14): the sum is decimal-exact at scale 6, so
+      // S6 = score·10⁶ is an exact long and ⌊(2·|S6| + n)/(2n)⌋ is the
+      // half-up quotient with zero float involvement. The sf0.1 pass
+      // caught why round(double÷long, 6) cannot be the contract: doc 2415
+      // has score/n = −1.071875/50, EXACTLY on the 6-dp half-quantum,
+      // while the double quotient sits 2e-9 quanta off it — Spark's
+      // exact-decimal rounding and an engine that multiplies by 10⁶
+      // before rounding (DuckDB) disagree on such cells at any data scale.
+      .withColumn("score", col("__sdec").cast("double"))
+      .withColumn("__s6", (col("__sdec") * lit(1000000L)).cast("long"))
+      .withColumn("__st6", expr(
+        "CASE WHEN __s6 >= 0 THEN (2*__s6 + n_tokens) DIV (2*n_tokens) " +
+          "ELSE -((2*(-__s6) + n_tokens) DIV (2*n_tokens)) END"))
+      .withColumn("score_tok", col("__st6") / lit(1000000.0))
+    // keep = above-mean score_tok, compared in pure integers
     val stats = perDoc.agg(
-      sum(col("score_tok").cast(dec)).as("__s"),
+      sum(col("__st6")).as("__s"),
       count(lit(1)).as("__n"))
     perDoc.crossJoin(broadcast(stats))
-      .withColumn("keep", col("score_tok").cast(dec) * col("__n") > col("__s"))
-      .drop("__s", "__n")
+      .withColumn("keep", col("__st6") * col("__n") > col("__s"))
+      .drop("__s", "__n", "__sdec", "__s6", "__st6")
   }
 
   /** Deterministic global shuffle with MATERIALIZED positions: every row
