@@ -483,10 +483,16 @@ object StreamingOps {
     * canonical streaming statistic. The state is EXACTLY
     * [[graft.operators.Prefix.ewmScan]]'s decayed normalized-Welford
     * tuple (μ, covB, W1, DEN = W1² − ΣW² by its own add-only recurrence,
-    * plus the carried variance), recurrence for recurrence, so a keyed
-    * stream replayed as a batch frame produces the identical values
-    * (StreamingOpsSpec pins the pandas goldens across micro-batch
-    * boundaries). No ring, no window, no horizon: each event decays the
+    * plus the carried variance), recurrence for recurrence — identical
+    * to the batch EMIT pass step for step. The distributed batch scan
+    * additionally blends per-slice partials through
+    * [[graft.operators.Prefix.ewmMerge]] on the driver, an algebraically
+    * equal but differently-associated expression, so batch cells
+    * downstream of a slice boundary may differ from the pure sequential
+    * recurrence by a few ULPs (StreamingOpsSpec pins the pandas goldens
+    * across micro-batch boundaries, and bounds the stream-vs-batch delta
+    * at ≤ 32 ULPs for the mean / ≤ 128 for the var on the margin-audited
+    * fixture — orders below every audited rounding margin). No ring, no window, no horizon: each event decays the
     * masses and absorbs itself; invalid (NaN) values decay the weights
     * and carry the last outputs, with the same 1e-150 underflow collapse.
     * Events are processed in `id` order within each micro-batch. */

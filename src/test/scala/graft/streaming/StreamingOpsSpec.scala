@@ -900,14 +900,27 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("streaming twins on the margin-audited fixture (r14, the r13 #8 " +
       "stretch): ewmStream and expandingQuantileStream equal the batch " +
-      "operators bit-for-bit over the sf0.001 qty column") {
+      "operators over the sf0.001 qty column (ewm within slice-merge ULP " +
+      "noise, quantile bit-for-bit)") {
     // The quantum-margin audit runs in the BATCH dump only, but the
     // streaming twins share the exposure (same statistics, same rounding
-    // downstream). The twins' docstrings claim recurrence-for-recurrence
-    // identity with the batch scans — assert it on the audited data
-    // itself, split across micro-batches, with NaN holes included: bit
-    // identity here means every margin conclusion from the batch audit
-    // transfers to the streaming path verbatim.
+    // downstream). The twins run the batch emit recurrence STEP FOR STEP,
+    // but the distributed batch scan additionally merges per-slice
+    // partials on the driver (Prefix.ewmMerge) — an algebraically equal,
+    // differently-ASSOCIATED blend, so cells downstream of a slice
+    // boundary may differ by a few ULPs (measured at sf0.001, full-suite
+    // session posture: mean 1 ULP first diverging at row 322 ≈ the 7th of
+    // 32 slice boundaries; var 31 ULPs — the Welford covB merge subtracts
+    // before it blends, so its re-association noise is larger; both read
+    // 0 ULPs under the isolated-suite posture where slice cuts land
+    // elsewhere). The audit-transfer claim this spec certifies is
+    // therefore: the stream/batch delta is bounded by ULP re-association
+    // noise ORDERS below every audited rounding margin (min nonzero
+    // margin 5.96e-6 quanta = 5.96e-12 abs at 6 dp, vs the allowed
+    // 32/128 ULPs ≈ 1e-14/5e-13 on these O(1..30) cells), so every
+    // margin conclusion from the batch audit transfers to the streaming
+    // path. The expanding quantile twin has NO merge blend — exact rank
+    // selection over integer counts — and must stay bit-identical.
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/lineitem.parquet").exists())
     val spark2 = spark
@@ -926,13 +939,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(raw.length > 500 && raw.exists(_.isNaN),
       "fixture lost its size or its NaN holes — the twin comparison " +
         "no longer covers the hole-carry path")
-    def identical(got: Array[Double], want: Array[Double], tag: String): Unit = {
+    def identical(got: Array[Double], want: Array[Double], tag: String,
+                  maxUlps: Long = 0L): Unit = {
       assert(got.length == want.length, s"$tag: length")
+      var worst = 0L
       got.indices.foreach { i =>
-        assert(java.lang.Double.compare(got(i), want(i)) == 0 ||
-          (got(i).isNaN && want(i).isNaN),
-          s"$tag row $i: stream ${got(i)} != batch ${want(i)}")
+        val exact = java.lang.Double.compare(got(i), want(i)) == 0 ||
+          (got(i).isNaN && want(i).isNaN)
+        val ulps =
+          if (exact) 0L
+          else if (got(i).isNaN || want(i).isNaN) Long.MaxValue
+          else math.abs(java.lang.Double.doubleToLongBits(got(i)) -
+            java.lang.Double.doubleToLongBits(want(i)))
+        assert(ulps <= maxUlps,
+          s"$tag row $i: stream ${got(i)} != batch ${want(i)} ($ulps ULPs" +
+            s" > $maxUlps allowed)")
+        if (ulps > worst) worst = ulps
       }
+      info(s"$tag: max stream-vs-batch delta $worst ULPs (allowed $maxUlps)")
     }
     // ---- ewm(com=1) mean + var: α = 1/2, the e11_ewadj/ewsum family ----
     locally {
@@ -949,9 +973,9 @@ class StreamingOpsSpec extends SparkSpec {
         val got = spark.table("tw_ew").collect()
           .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
         identical(raw.indices.map(i => got(i.toLong)._1).toArray,
-          batchCol("qty.ewm(1).mean()"), "ewm mean")
+          batchCol("qty.ewm(1).mean()"), "ewm mean", maxUlps = 32L)
         identical(raw.indices.map(i => got(i.toLong)._2).toArray,
-          batchCol("qty.ewm(1).var()"), "ewm var")
+          batchCol("qty.ewm(1).var()"), "ewm var", maxUlps = 128L)
       } finally q.stop()
     }
     // ---- expanding median: the runningQuantile twin ----
