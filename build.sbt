@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// A/B convenience (r14 optimization round): extra JVM flags — e.g.
+// -Dspark.* conf overrides — injected per invocation from the env, so
+// config experiments don't require build edits. Empty by default.
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

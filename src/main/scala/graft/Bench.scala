@@ -80,10 +80,10 @@ object Bench {
     // the r13 failing-gate posture: bench runs also count silent
     // interpreted fallbacks and stamp them into the contract line
     graft.plans.CodegenFallbackCounter.install()
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths AND materialize the shared
@@ -95,6 +95,7 @@ object Bench {
     QueryCatalog.sig32(spark, sfDir).count()
     QueryCatalog.pairs01(spark, sfDir).count()
     QueryCatalog.blockPairs025(spark, sfDir).count()
+    QueryCatalog.eventsWithTu(spark, sfDir).count()
     def pass(tag: String): Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (gc0, gct0) = gcStats()

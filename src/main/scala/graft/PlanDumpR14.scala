@@ -19,9 +19,10 @@ object PlanDumpR14 {
     val suffix = sys.env.getOrElse("PLAN_SUFFIX", "plan")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = SessionTuning.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     QueryCatalog.wide(spark, sfDir).count()
     QueryCatalog.docs(spark, sfDir).count()
@@ -29,6 +30,7 @@ object PlanDumpR14 {
     QueryCatalog.sig32(spark, sfDir).count()
     QueryCatalog.pairs01(spark, sfDir).count()
     QueryCatalog.blockPairs025(spark, sfDir).count()
+    QueryCatalog.eventsWithTu(spark, sfDir).count()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val names = sys.env.getOrElse("PLAN_QUERIES", "gr_tri").split(",")
       .map(_.trim).filter(_.nonEmpty)

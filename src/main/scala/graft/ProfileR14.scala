@@ -55,10 +55,10 @@ object ProfileR14 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "3").toInt
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val acc = new Acc
@@ -70,6 +70,7 @@ object ProfileR14 {
     QueryCatalog.sig32(spark, sfDir).count()
     QueryCatalog.pairs01(spark, sfDir).count()
     QueryCatalog.blockPairs025(spark, sfDir).count()
+    QueryCatalog.eventsWithTu(spark, sfDir).count()
     println("%-14s %7s %7s %7s %7s | %4s %5s %6s %9s %8s %8s %6s"
       .format("query", "build", "plan", "exec", "total",
         "jobs", "stage", "tasks", "taskSec", "shufW", "shufR", "gcMs"))

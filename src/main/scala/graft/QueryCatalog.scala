@@ -408,7 +408,7 @@ object QueryCatalog {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$sfDir/events.parquet"
       val raw = spark.read.parquet(path)
-      raw.schema("ts").dataType match {
+      val withTu = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("tu", expr("ts div 1000"))
         case TimestampNTZType =>
           val ntzUs =
@@ -424,6 +424,16 @@ object QueryCatalog {
           else raw.withColumn("tu", ntzUs)
         case _ => raw.withColumn("tu", unix_micros(col("ts")))
       }
+      // r14 (guide §1/§6): the driver parquet is single-row-group, so an
+      // uncached events scan is ONE task and every downstream per-row
+      // stage — ev_jarr's JSON parse above all (1.1 s single-task at
+      // sf0.1, 7.2 s at 100×, LINEAR because the serial scan gates it) —
+      // runs serial at every scale. The [[cachedTable]] discipline docs/
+      // embs already use (repartition across cores + persist once per
+      // session) parallelizes all nine ev_* consumers and the cdc_*
+      // pair, exactly the shared-ingest pattern of a real query batch.
+      withTu.repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Portable 32-slot minhash signatures, shared by the three dedup queries

@@ -11,11 +11,11 @@ object Verify {
     // unified posture (r13): default to the host core count like Bench —
     // no evidence producer may default to a different local[N]
     val cpus = Bench.cpusPosture
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // tripwire: count silent whole-stage-codegen fallbacks (Janino 64 KB)

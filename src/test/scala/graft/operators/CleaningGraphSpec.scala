@@ -148,6 +148,24 @@ class CleaningGraphSpec extends SparkSpec {
     assert(graft.operators.Graph.kCore(edges, k = 4, rounds = 2).count() == 0)
   }
 
+  test("kCore: the fixpoint early exit is invisible in the result — " +
+      "extra rounds past convergence change nothing") {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    // the same triangle + 2-hop tail: converges after 3 peels (5 drops,
+    // then 4, then the survivor set repeats) — rounds=16 must produce the
+    // BIT-IDENTICAL (id, deg) set the fixed 3-round iterate produces,
+    // because alive_r ⊆ alive_{r−1} makes equal counts equal sets
+    val edges = df(schema, Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 1L),
+      Row(3L, 4L), Row(4L, 5L)))
+    val at3 = graft.operators.Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at16 = graft.operators.Graph.kCore(edges, k = 2, rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at3 == at16, s"early exit diverged: $at3 vs $at16")
+    assert(at16 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("entity resolution: distance-1 variants match their master, the 4-edit class is rejected") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val dirty = EntityResolution.dirtyCustomers(cust)
