@@ -64,6 +64,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Prefix {
 
+  /** Memoized slice-bound samples (r14): one entry per distinct
+    * (session, canonical optimized sample plan, parts) — a Literal
+    * holding the collected sorted sample array (≤ parts·256 structs,
+    * ~200 KB at parts = 32). See the rationale at the use site in
+    * [[withSliceId]]. */
+  private val sliceBoundsCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    org.apache.spark.sql.catalyst.expressions.Literal]()
+
   /** All columns of `df` whose types `xxhash64` can digest (maps excluded,
     * structs/arrays recursed) — the full-row entropy set callers pass as
     * `tieCols` when their order domain may repeat and the value columns
@@ -312,27 +322,52 @@ object Prefix {
         .orderBy(col("__pfx_h"), col("__pfx_o"), col("__pfx_v"),
           col("__pfx_t"))
         .limit(sampleK)
-      // the ONE broadcast column: the sorted sample array itself (empty
-      // input → empty array → every real row lands in slice 0, the
-      // degenerate collapse). The slice id is a compiled binary search
-      // against it ([[graft.functions.QuantileBucket]]): a flat
-      // boundary-column formulation (parts−1 comparison terms) generated
-      // a projection method past the JIT's 8 KB bytecode ceiling, which
-      // HotSpot then refused to compile — the interpreted-bytecode
-      // projection measured ~25× the scan cost of the same frame.
-      val bnds = samp.agg(sort_array(collect_list(
-        struct(col("__pfx_o").as("o"), col("__pfx_v").as("v"),
-          col("__pfx_t").as("t"))))
-        .as("__pfx_all"))
+      // The sorted sample array itself (empty input → empty array → every
+      // real row lands in slice 0, the degenerate collapse). The slice id
+      // is a compiled binary search against it
+      // ([[graft.functions.QuantileBucket]]): a flat boundary-column
+      // formulation (parts−1 comparison terms) generated a projection
+      // method past the JIT's 8 KB bytecode ceiling, which HotSpot then
+      // refused to compile — the interpreted-bytecode projection measured
+      // ~25× the scan cost of the same frame.
+      //
+      // r14 (guide §1.2 — don't recompute what a batch shares): the
+      // sample is a DETERMINISTIC pure function of (order values, tie
+      // hash) — bit-for-bit reproducible across evaluations by
+      // construction (that is what makes the slicing sound) — and for a
+      // query batch over one shared base it is the SAME sample in every
+      // query: the keyCol-tied scan operators (positionalLag, ewmScan,
+      // runningQuantile) sample only (order, key), never the value
+      // columns. Memoize the collected sample per (session, canonical
+      // OPTIMIZED sample plan, parts) — the optimizer prunes each query's
+      // value projections away, so equal canonical plans ⇔ the identical
+      // sample — and embed it as a LITERAL: each repeat query drops one
+      // full scan-the-order-column job, the broadcast build, and the
+      // BroadcastNestedLoopJoin node. Queries whose tie covers value
+      // columns (runningAgg's default) simply never collide in the cache
+      // and keep their per-query sample, bounds included in-plan as
+      // before. Misses recompute from the parquet inputs — nothing
+      // survives the session.
+      val sampleKey = (df.sparkSession,
+        samp.queryExecution.optimizedPlan.canonicalized, parts)
+      val boundsLit = sliceBoundsCache.getOrElseUpdate(sampleKey, {
+        val aggDf = samp.agg(sort_array(collect_list(
+          struct(col("__pfx_o").as("o"), col("__pfx_v").as("v"),
+            col("__pfx_t").as("t"))))
+          .as("__pfx_all"))
+        val dt = aggDf.schema.head.dataType
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          aggDf.head().getSeq[org.apache.spark.sql.Row](0), dt)
+      })
+      if (sliceBoundsCache.size > 64) sliceBoundsCache.clear() // loose cap
       val bucket = graft.functions.ArrayOps.quantile_bucket(
-        col("__pfx_all"), ord, v, tie, parts)
+        org.apache.spark.sql.GraftColumnBridge.column(boundsLit),
+        ord, v, tie, parts)
       val valueSlice = if (descending) lit(parts - 1) - bucket else bucket
-      df.crossJoin(broadcast(bnds))
-        .withColumn("__pfx_pid",
+      df.withColumn("__pfx_pid",
           when(ord.isNull, lit(nullSlice))
             .when(isnan(ord), lit(nanSlice))
             .otherwise(coalesce(valueSlice, lit(0))))
-        .drop("__pfx_all")
     } else {
       // ---- grouped: per-group equi-width bucket against broadcast
       // min/max bounds — a pure projection, stable across every subtree
@@ -933,8 +968,13 @@ object Prefix {
           inNames.map(col): _*),
         Seq(col("__pfx_pid")), edgeOrd, k)
       // collect in GLOBAL ascending order so the driver never re-implements
-      // the engine's NULL/NaN sort semantics
-      .orderBy((col("__pfx_pid").asc +: ordAsc): _*)
+      // the engine's NULL/NaN sort semantics. r14: the global order comes
+      // from coalesce(1) + a within-partition sort — the identical total
+      // order (one partition IS the global order, same engine NULL/NaN
+      // comparators), minus the range-partitioning SAMPLE job an orderBy
+      // pays per query on this ≤ parts·k-row frame
+      .coalesce(1)
+      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
       .select(col("__pfx_pid") +: inNames.map(col): _*)
       .collect()
 
@@ -968,7 +1008,9 @@ object Prefix {
             sliced.select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
               inNames.map(col): _*),
             Seq(col("__pfx_pid")), ordAsc, centerLead)
-          .orderBy((col("__pfx_pid").asc +: ordAsc): _*)
+          // same coalesce(1)+sort total-order collect as the edge rows
+          .coalesce(1)
+          .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
           .select(col("__pfx_pid") +: inNames.map(col): _*)
           .collect()
         val byP = first.groupBy(_.getInt(0))
