@@ -1542,15 +1542,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           ctx.seqCounter += 1
           val tag = ctx.seqCounter
           val valNames = cols.indices.map(i => s"__sh${tag}_v_$i")
-          val materialized = ctx.base.get.select(col("*") +:
-            cols.zip(valNames).map { case ((_, c), vn) => c.as(vn) }: _*)
+          // r15: the derived value projections ride ABOVE the session-
+          // shared slice layout (Prefix.sliceLayout) instead of below a
+          // per-query exchange — see positionalLagShared
+          val derived = cols.zip(valNames).map { case ((_, c), vn) =>
+            c.as(vn) }
           // r9: std-mode diff fuses the subtraction into the lag's
           // streaming emit (the donor is already in hand in the ring
           // buffer) — one wide projection pass saved over the frame
           val fuse = std && m == "diff"
-          ctx.base = Some(graft.operators.Prefix.positionalLag(
-            materialized, ctx.rowIdOut, col(ctx.rowIdOut), valNames, n,
-            valNames.map(vn => s"${vn}_sh"), fuseDiff = fuse))
+          ctx.base = Some(graft.operators.Prefix.positionalLagShared(
+            ctx.base.get, derived, ctx.rowIdOut, col(ctx.rowIdOut),
+            valNames, n, valNames.map(vn => s"${vn}_sh"),
+            fuse = if (fuse) "diff" else "none"))
           val out = cols.zip(valNames).map { case ((lbl, _), vn) =>
             val sh = col(s"${vn}_sh")
             // beyond-the-edge rows: NaN in std (the pandas fill), NULL
@@ -1599,12 +1603,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
             ctx.seqCounter += 1
             val tag = ctx.seqCounter
             val valNames = cols.indices.map(i => s"__pc${tag}_v_$i")
-            val materialized = ctx.base.get.select(col("*") +:
-              cols.zip(valNames).map { case ((_, c), vn) =>
-                c.cast("double").as(vn) }: _*)
-            ctx.base = Some(graft.operators.Prefix.positionalLag(
-              materialized, ctx.rowIdOut, col(ctx.rowIdOut), valNames, n,
-              valNames.map(vn => s"${vn}_sh"), fuse = "pct"))
+            val derived = cols.zip(valNames).map { case ((_, c), vn) =>
+              c.cast("double").as(vn) }
+            ctx.base = Some(graft.operators.Prefix.positionalLagShared(
+              ctx.base.get, derived, ctx.rowIdOut, col(ctx.rowIdOut),
+              valNames, n, valNames.map(vn => s"${vn}_sh"), fuse = "pct"))
             CMatrix(cols.zip(valNames).map { case ((lbl, _), vn) =>
               (lbl, col(s"${vn}_sh"))
             }, isBool = false)
@@ -2927,11 +2930,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // below survives only in the prefix-sum fallback, whose sums
           // cannot see individual windows)
           val valIn = cols.indices.map(i => s"__rw${tag}_v_$i")
-          val marked = ctx.base.get.select(col("*") +:
-            cols.zipWithIndex.map { case ((_, c), i) =>
-              when(invalidOf(c), litOf(Double.NaN))
-                .otherwise(c.cast("double")).as(valIn(i))
-            }: _*)
+          // r15: derived projections ride above the shared slice layout
+          val derived = cols.zipWithIndex.map { case ((_, c), i) =>
+            when(invalidOf(c), litOf(Double.NaN))
+              .otherwise(c.cast("double")).as(valIn(i))
+          }
           val fuseMode = m match {
             case "min"          => "winmin"
             case "max"          => "winmax"
@@ -2951,8 +2954,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           // row (n−1)/2 back via a pending queue + bounded lookahead) —
           // the r10 shape paid a second positionalLag pass for it
           val lead = if (center) (n - 1) / 2 else 0
-          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
-            ctx.rowIdOut, rid, valIn, n - 1,
+          ctx.base = Some(graft.operators.Prefix.positionalLagShared(
+            ctx.base.get, derived, ctx.rowIdOut, rid, valIn, n - 1,
             valIn.map(_ + "_w"), fuse = fuseMode, winMinPeriods = minp,
             winQ = rq, centerLead = lead, winInterp = rInterp))
           val out = cols.zipWithIndex.map { case ((lbl, _), i) =>
@@ -3086,8 +3089,8 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val w = shared.length
           val xIn = shared.indices.map(i => s"__rp${tag}_x_$i")
           val yIn = shared.indices.map(i => s"__rp${tag}_y_$i")
-          val marked = ctx.base.get.select(col("*") +:
-            (shared.zipWithIndex.map { case (l, i) =>
+          val derived =
+            shared.zipWithIndex.map { case (l, i) =>
               val c = lm(l)
               when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double")).as(xIn(i))
@@ -3095,10 +3098,10 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
               val c = rm(l)
               when(invalidOf(c), litOf(Double.NaN))
                 .otherwise(c.cast("double")).as(yIn(i))
-            }): _*)
+            }
           val lead = if (center) (n - 1) / 2 else 0
-          ctx.base = Some(graft.operators.Prefix.positionalLag(marked,
-            ctx.rowIdOut, rid, xIn ++ yIn, n - 1,
+          ctx.base = Some(graft.operators.Prefix.positionalLagShared(
+            ctx.base.get, derived, ctx.rowIdOut, rid, xIn ++ yIn, n - 1,
             xIn.map(_ + "_w"),
             fuse = if (m == "cov") "wincov" else "wincorr",
             winMinPeriods = minp, centerLead = lead))
@@ -3212,13 +3215,13 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
         val rid = col(ctx.rowIdOut)
         def invalidOf(c: Column) = c.isNull || isnan(c)
         val vIn = cols.indices.map(i => s"__eq${tag}_v_$i")
-        val marked = ctx.base.get.select(col("*") +:
-          cols.zipWithIndex.map { case ((_, c), i) =>
-            when(invalidOf(c), litOf(Double.NaN))
-              .otherwise(c.cast("double")).as(vIn(i))
-          }: _*)
-        ctx.base = Some(graft.operators.Prefix.runningQuantile(marked,
-          ctx.rowIdOut, rid, vIn, qv, qInterp, vIn.map(_ + "_q"), minp))
+        val derived = cols.zipWithIndex.map { case ((_, c), i) =>
+          when(invalidOf(c), litOf(Double.NaN))
+            .otherwise(c.cast("double")).as(vIn(i))
+        }
+        ctx.base = Some(graft.operators.Prefix.runningQuantile(
+          ctx.base.get, ctx.rowIdOut, rid, vIn, qv, qInterp,
+          vIn.map(_ + "_q"), minp, shared = Some(derived)))
         CMatrix(cols.zipWithIndex.map { case ((l, _), i) =>
           (l, col(vIn(i) + "_q"))
         }, isBool = false)
@@ -3268,7 +3271,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val dIn = shared.indices.map(i => s"__ep${tag}_d_$i")
           val xIn = shared.indices.map(i => s"__ep${tag}_x_$i")
           val yIn = shared.indices.map(i => s"__ep${tag}_y_$i")
-          val marked = ctx.base.get.select(col("*") +:
+          val derived =
             shared.zipWithIndex.flatMap { case (l, i) =>
               val x = lm(l).cast("double"); val y = rm(l).cast("double")
               val pv = !invalidOf(lm(l)) && !invalidOf(rm(l))
@@ -3278,11 +3281,11 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                    Seq(when(pv, x).otherwise(nan).as(xIn(i)),
                      when(pv, y).otherwise(nan).as(yIn(i)))
                  else Nil)
-            }: _*)
+            }
           val scanIns = sIn ++ dIn ++ (if (wantCorr) xIn ++ yIn else Nil)
-          ctx.base = Some(graft.operators.Prefix.ewmScan(marked,
+          ctx.base = Some(graft.operators.Prefix.ewmScan(ctx.base.get,
             ctx.rowIdOut, rid, scanIns, 0.0, scanIns.map(_ + "_w"),
-            "var", minp))
+            "var", minp, shared = Some(derived)))
           CMatrix(union.map { l =>
             val i = shared.indexOf(l)
             if (i < 0) (l, litOf(Double.NaN))
@@ -3565,18 +3568,19 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val rid = col(ctx.rowIdOut)
           def invalidOf(c: Column) = c.isNull || isnan(c)
           val valIn = cols.indices.map(i => s"__ew${tag}_v_$i")
-          val marked = ctx.base.get.select(col("*") +:
-            cols.zipWithIndex.map { case ((_, c), i) =>
-              when(invalidOf(c), litOf(Double.NaN))
-                .otherwise(c.cast("double")).as(valIn(i))
-            }: _*)
-          val scan =
-            if (adjust) graft.operators.Prefix.ewmScan _
-            else graft.operators.Prefix.ewmScanRecursive _
-          ctx.base = Some(scan(marked,
-            ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
-            m match { case "mean" => "mean"; case "sum" => "sum"
-                      case _ => "var" }, minp))
+          val derived = cols.zipWithIndex.map { case ((_, c), i) =>
+            when(invalidOf(c), litOf(Double.NaN))
+              .otherwise(c.cast("double")).as(valIn(i))
+          }
+          val stat = m match { case "mean" => "mean"; case "sum" => "sum"
+                               case _ => "var" }
+          ctx.base = Some(
+            if (adjust) graft.operators.Prefix.ewmScan(ctx.base.get,
+              ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
+              stat, minp, shared = Some(derived))
+            else graft.operators.Prefix.ewmScanRecursive(ctx.base.get,
+              ctx.rowIdOut, rid, valIn, alpha, valIn.map(_ + "_w"),
+              stat, minp, shared = Some(derived)))
           CMatrix(cols.zipWithIndex.map { case ((lbl, _), i) =>
             val c = col(valIn(i) + "_w")
             (lbl, if (m == "std") sqrt(c) else c)
@@ -3692,7 +3696,7 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
           val dIn = shared.indices.map(i => s"__ec${tag}_d_$i")
           val xIn = shared.indices.map(i => s"__ec${tag}_x_$i")
           val yIn = shared.indices.map(i => s"__ec${tag}_y_$i")
-          val marked = ctx.base.get.select(col("*") +:
+          val derived =
             shared.zipWithIndex.flatMap { case (l, i) =>
               val x = lm(l).cast("double"); val y = rm(l).cast("double")
               val pv = !invalidOf(lm(l)) && !invalidOf(rm(l))
@@ -3702,13 +3706,15 @@ final class FormulaCompiler(registry: Map[String, NamedData], mode: NumericMode)
                    Seq(when(pv, x).otherwise(nan).as(xIn(i)),
                      when(pv, y).otherwise(nan).as(yIn(i)))
                  else Nil)
-            }: _*)
+            }
           val scanIns = sIn ++ dIn ++ (if (wantCorr) xIn ++ yIn else Nil)
-          val scan =
-            if (adjust) graft.operators.Prefix.ewmScan _
-            else graft.operators.Prefix.ewmScanRecursive _
-          ctx.base = Some(scan(marked, ctx.rowIdOut, rid, scanIns, alpha,
-            scanIns.map(_ + "_w"), "var", minp))
+          ctx.base = Some(
+            if (adjust) graft.operators.Prefix.ewmScan(ctx.base.get,
+              ctx.rowIdOut, rid, scanIns, alpha, scanIns.map(_ + "_w"),
+              "var", minp, shared = Some(derived))
+            else graft.operators.Prefix.ewmScanRecursive(ctx.base.get,
+              ctx.rowIdOut, rid, scanIns, alpha, scanIns.map(_ + "_w"),
+              "var", minp, shared = Some(derived)))
           CMatrix(union.map { l =>
             val i = shared.indexOf(l)
             if (i < 0) (l, litOf(Double.NaN))

@@ -68,11 +68,117 @@ object Prefix {
     * (session, canonical optimized sample plan, parts) — a Literal
     * holding the collected sorted sample array (≤ parts·256 structs,
     * ~200 KB at parts = 32). See the rationale at the use site in
-    * [[withSliceId]]. */
+    * [[withSliceId]].
+    *
+    * SCOPE AND INVALIDATION CONTRACT (r15, closing the r14 ADVICE): both
+    * this memo and [[sliceLayoutCache]] assume the SOURCE DATA BEHIND A
+    * CANONICAL PLAN IS IMMUTABLE FOR THE SESSION — the long-established
+    * shared-ingest assumption of [[graft.QueryCatalog]]'s wide/docs/embs
+    * caches. Canonical-plan equality cannot observe a same-path REWRITE
+    * (`mode("overwrite")` writers such as ScaleGen/Bucketing): a re-read
+    * after a rewrite would be served stale bounds / a stale layout —
+    * results stay CORRECT (any sorted bounds give a valid monotone slice
+    * assignment; the layout is re-persisted from the new data only after
+    * invalidation) but slicing can silently degrade. Callers that rewrite
+    * a source mid-session must call [[invalidate]] (or use a new
+    * session). Outer maps are keyed per session and purged when a
+    * session's context stops, so stopped sessions pin no plans or cached
+    * RDDs (r14 ADVICE low). */
   private val sliceBoundsCache = scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    org.apache.spark.sql.catalyst.expressions.Literal]()
+    org.apache.spark.sql.SparkSession,
+    scala.collection.concurrent.TrieMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      org.apache.spark.sql.catalyst.expressions.Literal]]()
+
+  /** Session-shared slice LAYOUTS (r15, guide §2.4 "remove shuffles
+    * outright"): the (base + order copy + `__pfx_pid`) frame
+    * hash-exchanged ONCE on the slice id and sorted on the total
+    * (order, key) processing order, PERSISTED per session per canonical
+    * plan. Every keyCol-tied scan operator (positionalLag window fuses,
+    * ewmScan/ewmScanRecursive, runningQuantile) over the same
+    * (base, orderCol, keyCol, parts, direction) consumes the IDENTICAL
+    * physical layout, so a query batch pays the exchange + sort once
+    * instead of once per query — the in-session analogue of writing the
+    * base out bucketed + sorted by the slice key (a bucketed table,
+    * guide §2.4/§6). Registration persists the FIRST query's frame; later
+    * queries keep their own lineage and Spark's CacheManager substitutes
+    * the cached relation by canonical-plan equality (`sameResult`), so no
+    * expression ids ever cross query boundaries. Values are computed from
+    * the parquet inputs on first use and die with the session — nothing
+    * survives a run. Insertion-ordered per session with a bounded cap:
+    * overflow unpersists the OLDEST layout only (never a full clear). */
+  private val sliceLayoutCache = scala.collection.concurrent.TrieMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]]()
+
+  private val sliceLayoutMax = 16
+
+  /** Drop every memoized slice bound and persisted slice layout of
+    * `spark` — the invalidation hook for callers that REWRITE a source
+    * path mid-session (see the contract on [[sliceBoundsCache]]). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    sliceBoundsCache.remove(spark)
+    sliceLayoutCache.remove(spark).foreach { m =>
+      m.synchronized {
+        m.values.foreach(df =>
+          scala.util.Try(df.unpersist(blocking = false)))
+        m.clear()
+      }
+    }
+  }
+
+  private def purgeStoppedSessions(): Unit = {
+    sliceBoundsCache.keys.filter(_.sparkContext.isStopped)
+      .foreach(sliceBoundsCache.remove)
+    sliceLayoutCache.keys.filter(_.sparkContext.isStopped)
+      .foreach(sliceLayoutCache.remove)
+  }
+
+  /** Build — or reuse — the session-shared slice layout of `base` over
+    * the (orderCol, keyCol) total order (see [[sliceLayoutCache]]).
+    * Returns a frame with THIS call's lineage: `base` columns +
+    * `__slc_ord` (the order copy) + `__pfx_pid`, hash-partitioned on
+    * `__pfx_pid` into `parts` partitions and sorted within partitions on
+    * (pid asc, order, key) — mirrored for `rev` (lead processing).
+    * NOTE: like [[withSliceId]], constructing the layout runs the
+    * slice-bound sample job eagerly on a memo miss, and the FIRST action
+    * over it materializes the persisted exchange + sort. */
+  private[graft] def sliceLayout(base: DataFrame, keyCol: String,
+                                 orderCol: Column, parts: Int,
+                                 rev: Boolean): DataFrame = {
+    val okey = "__slc_ord"
+    require(!base.columns.contains(okey) &&
+      !base.columns.contains("__pfx_pid"),
+      s"sliceLayout: base must not already carry $okey/__pfx_pid")
+    val sliced = withSliceId(base.withColumn(okey, orderCol), col(okey),
+      Nil, Nil, descending = false, nullsLast = false,
+      tieCols = Seq(col(keyCol)), parts)
+    val streamOrd =
+      if (rev) Seq(col(okey).desc_nulls_last, col(keyCol).desc)
+      else Seq(col(okey).asc_nulls_first, col(keyCol).asc)
+    val laid = sliced.repartition(parts, col("__pfx_pid"))
+      .sortWithinPartitions((col("__pfx_pid").asc +: streamOrd): _*)
+    purgeStoppedSessions()
+    val perSession = sliceLayoutCache.getOrElseUpdate(base.sparkSession,
+      scala.collection.mutable.LinkedHashMap.empty)
+    perSession.synchronized {
+      // the ANALYZED canonical plan: stable across pre-/post-persist
+      // evaluations (cache substitution happens after analysis), so one
+      // layout registers exactly once per session
+      val key = laid.queryExecution.analyzed.canonicalized
+      if (!perSession.contains(key)) {
+        if (perSession.size >= sliceLayoutMax) {
+          val oldest = perSession.head._1
+          scala.util.Try(perSession(oldest).unpersist(blocking = false))
+          perSession.remove(oldest)
+        }
+        laid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        perSession(key) = laid
+      }
+    }
+    laid
+  }
 
   /** All columns of `df` whose types `xxhash64` can digest (maps excluded,
     * structs/arrays recursed) — the full-row entropy set callers pass as
@@ -348,9 +454,12 @@ object Prefix {
       // and keep their per-query sample, bounds included in-plan as
       // before. Misses recompute from the parquet inputs — nothing
       // survives the session.
-      val sampleKey = (df.sparkSession,
-        samp.queryExecution.optimizedPlan.canonicalized, parts)
-      val boundsLit = sliceBoundsCache.getOrElseUpdate(sampleKey, {
+      purgeStoppedSessions()
+      val perSession = sliceBoundsCache.getOrElseUpdate(df.sparkSession,
+        scala.collection.concurrent.TrieMap.empty)
+      val sampleKey =
+        (samp.queryExecution.optimizedPlan.canonicalized, parts)
+      val boundsLit = perSession.getOrElseUpdate(sampleKey, {
         val aggDf = samp.agg(sort_array(collect_list(
           struct(col("__pfx_o").as("o"), col("__pfx_v").as("v"),
             col("__pfx_t").as("t"))))
@@ -359,7 +468,11 @@ object Prefix {
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           aggDf.head().getSeq[org.apache.spark.sql.Row](0), dt)
       })
-      if (sliceBoundsCache.size > 64) sliceBoundsCache.clear() // loose cap
+      // loose per-session cap (r15, ADVICE: never clear other sessions'
+      // hot entries): evict entries other than the one just used
+      if (perSession.size > 64)
+        perSession.keys.filter(_ != sampleKey).take(perSession.size - 64)
+          .foreach(perSession.remove)
       val bucket = graft.functions.ArrayOps.quantile_bucket(
         org.apache.spark.sql.GraftColumnBridge.column(boundsLit),
         ord, v, tie, parts)
@@ -547,6 +660,82 @@ object Prefix {
         winMinPeriods, winQ, centerLead, winInterp)
     else
       positionalLagJoin(df, keyCol, orderCol, inNames, n, outNames, fuse)
+  }
+
+  /** Batch-shared form of [[positionalLag]] (r15): the caller passes the
+    * shared `base` and its derived value-column projections `derived`
+    * (pre-aliased to `inNames`) SEPARATELY instead of a materialized
+    * frame, so the streaming path can consume the session-shared
+    * persisted slice layout (see [[sliceLayout]]) and project the value
+    * columns ABOVE it — the per-query hash exchange + within-partition
+    * sort disappears for every query over the same
+    * (base, orderCol, keyCol, parts, direction). Values, merge order and
+    * results are bit-identical to `positionalLag(base.select(*,
+    * derived), ...)`: the derived columns are deterministic row-wise
+    * projections and the layout's (pid, order, key) sort is the same
+    * total order the inline exchange + sort produced. Offsets past the
+    * streaming gate fall back to the positional join on the materialized
+    * frame exactly as before. */
+  def positionalLagShared(base: DataFrame, derived: Seq[Column],
+                          keyCol: String, orderCol: Column,
+                          inNames: Seq[String], n: Int,
+                          outNames: Seq[String], fuse: String = "none",
+                          winMinPeriods: Int = 0,
+                          winQ: Double = Double.NaN,
+                          centerLead: Int = 0,
+                          winInterp: Int = 0): DataFrame = {
+    require(derived.length == inNames.length,
+      "derived projections and inNames must align")
+    require(n != 0, "positionalLag needs a non-zero offset")
+    require(winInterp >= 0 && winInterp <= (fuse match {
+      case "winrank" => 11; case _ => 4
+    }), s"winInterp out of range for fuse='$fuse': $winInterp")
+    require(centerLead >= 0 && (centerLead == 0 ||
+      (fuse.startsWith("win") && centerLead <= n)),
+      s"centerLead must sit in [0, window ring n] on a window fuse, " +
+        s"got $centerLead")
+    val pairwise = fuse == "wincov" || fuse == "wincorr"
+    require(
+      if (pairwise) inNames.length == 2 * outNames.length
+      else inNames.length == outNames.length,
+      "inNames/outNames must align (2w inputs for pairwise fuses)")
+    require(Set("none", "diff", "pct", "winsum", "winmean", "winmin",
+      "winmax", "wincount", "winmed", "winvar", "winquant", "winrank",
+      "winskew",
+      "winkurt", "winsem", "wincov", "wincorr")(fuse),
+      s"unknown fuse mode '$fuse'")
+    require(fuse != "winquant" || (winQ >= 0.0 && winQ <= 1.0),
+      s"fuse='winquant' needs a quantile in [0,1], got $winQ")
+    require(winMinPeriods >= 0 && winMinPeriods <= n.max(0) + 1,
+      s"winMinPeriods must be in [0, window size], got $winMinPeriods")
+    if (fuse != "none") {
+      // schema-only check — analysis, no job
+      val sch = base.select(derived: _*).schema
+      inNames.zipWithIndex.foreach { case (nm, i) =>
+        require(sch(i).dataType ==
+          org.apache.spark.sql.types.DoubleType,
+          s"fuse='$fuse' requires DoubleType columns, got " +
+            s"${sch(i).dataType} for $nm")
+      }
+    }
+    val parts = base.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val maxCells = base.sparkSession.conf
+      .getOption("graft.lag.maxEdgeCells").map(_.toLong).getOrElse(4000000L)
+    val cells = parts.toLong * math.abs(n) * inNames.length
+    if (fuse.startsWith("win"))
+      require(n > 0 && n <= 256 && cells <= maxCells,
+        s"fuse='$fuse' requires the streaming lag path (0 < n <= 256 and " +
+          s"parts*n*width <= $maxCells edge cells); got n=$n, " +
+          s"cells=$cells — use the prefix-sum rolling formulation for " +
+          "larger windows")
+    if (math.abs(n) <= 256 && cells <= maxCells)
+      positionalLagStream(base, keyCol, orderCol, inNames, n, outNames,
+        fuse, winMinPeriods, winQ, centerLead, winInterp,
+        shared = Some(derived))
+    else
+      positionalLagJoin(base.select(col("*") +: derived: _*), keyCol,
+        orderCol, inNames, n, outNames, fuse)
   }
 
   private type Ring = scala.collection.mutable.ArrayDeque[Array[Any]]
@@ -938,15 +1127,28 @@ object Prefix {
                                   winMinPeriods: Int = 0,
                                   winQ: Double = Double.NaN,
                                   centerLead: Int = 0,
-                                  winInterp: Int = 0): DataFrame = {
+                                  winInterp: Int = 0,
+                                  shared: Option[Seq[Column]] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val k = math.abs(n)
     val rev = n < 0 // lead: process the total order in reverse
-    val okey = "__lag_ord"
-    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
-      inNames, Nil, descending = false, nullsLast = false,
-      tieCols = Seq(col(keyCol)), parts)
+    // shared mode (r15): `df` is the base; the derived value projections
+    // sit ABOVE the session-shared persisted layout (already
+    // hash-partitioned on the slice id and sorted in the stream order),
+    // so the per-query exchange + sort below is skipped
+    val preLaid = shared.isDefined
+    val okey = if (preLaid) "__slc_ord" else "__lag_ord"
+    val sliced = shared match {
+      case Some(derived) =>
+        sliceLayout(df, keyCol, orderCol, parts, rev)
+          .select(col("*") +: derived: _*)
+      case None =>
+        withSliceId(df.withColumn(okey, orderCol), col(okey),
+          inNames, Nil, descending = false, nullsLast = false,
+          tieCols = Seq(col(keyCol)), parts)
+    }
 
     // the total processing order: (order asc nulls first, key asc) — or
     // its exact mirror for a lead. NaN doubles sort greatest either way
@@ -1043,9 +1245,14 @@ object Prefix {
       case "none" => 0; case "diff" => 1; case "pct" => 2; case _ => 3
     }
     val effMinp = if (winMinPeriods <= 0) k + 1 else winMinPeriods
-    val streamed = sliced
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: streamOrd): _*)
+    // pre-laid frames already carry the exchange + stream-order sort
+    // (the shared layout is built in the SAME direction as streamOrd)
+    val streamIn =
+      if (preLaid) sliced
+      else sliced
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: streamOrd): _*)
+    val streamed = streamIn
       .mapPartitions { it =>
         var curPid = Int.MinValue
         val buf = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
@@ -1287,7 +1494,8 @@ object Prefix {
   def ewmScan(df: DataFrame, keyCol: String, orderCol: Column,
               inNames: Seq[String], alpha: Double,
               outNames: Seq[String], stat: String,
-              minPeriods: Int = 0): DataFrame = {
+              minPeriods: Int = 0,
+              shared: Option[Seq[Column]] = None): DataFrame = {
     // α = 0 is the UNIT-WEIGHT limit (f = 1, no decay): the scan reduces
     // to the exact expanding Welford + Chan merge with DEN = n² − n, i.e.
     // the corrected expanding variance — the expanding pairwise cov/corr
@@ -1299,14 +1507,22 @@ object Prefix {
     require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("mean", "var", "sum")(stat), s"unknown ewm stat '$stat'")
-    val sch = df.schema
+    require(shared.forall(_.length == inNames.length),
+      "derived projections and inNames must align")
+    // shared mode: df is the base; type-check the derived projections
+    // (schema-only — analysis, no job)
+    val sch = shared.fold(df.schema)(d => {
+      val s = df.select(d: _*).schema
+      org.apache.spark.sql.types.StructType(
+        s.fields.zip(inNames).map { case (f, nm) => f.copy(name = nm) })
+    })
     inNames.foreach { nm =>
       require(sch(nm).dataType == org.apache.spark.sql.types.DoubleType,
         s"ewmScan requires DoubleType columns, got ${sch(nm).dataType} for $nm")
     }
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val okey = "__ewm_ord"
+    val okey = if (shared.isDefined) "__slc_ord" else "__ewm_ord"
     val needVar = stat == "var"
     // ewm SUM (r11 session 5): the unnormalized decayed sum is exactly
     // μ·W1 — both already in the mean-stat state; unlike the mean it
@@ -1343,9 +1559,16 @@ object Prefix {
     val stride = if (needVar) 20 else 8
     val cntSlot = if (needVar) 13 else 7
 
-    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
-      inNames, Nil, descending = false, nullsLast = false,
-      tieCols = Seq(col(keyCol)), parts)
+    val preLaid = shared.isDefined
+    val sliced = shared match {
+      case Some(derived) =>
+        sliceLayout(df, keyCol, orderCol, parts, rev = false)
+          .select(col("*") +: derived: _*)
+      case None =>
+        withSliceId(df.withColumn(okey, orderCol), col(okey),
+          inNames, Nil, descending = false, nullsLast = false,
+          tieCols = Seq(col(keyCol)), parts)
+    }
     val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
 
     // ---- pass 1: per-slice segment states from a NARROW projection ----
@@ -1358,11 +1581,13 @@ object Prefix {
         nullable = false)))
     val pEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(pSchema)
-    val partialRows = sliced
+    val partialNarrow = sliced
       .select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
         inNames.map(col): _*)
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+    val partialRows = (if (preLaid) partialNarrow // layout already laid out
+      else partialNarrow
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*))
       .mapPartitions { it =>
         val runs = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.spark.sql.Row]
@@ -1475,9 +1700,10 @@ object Prefix {
           org.apache.spark.sql.types.DoubleType, nullable = true)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    val emitted = sliced
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+    val emitted = (if (preLaid) sliced
+      else sliced
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*))
       .mapPartitions { it =>
         var curPid = Int.MinValue
         var st: Array[Double] = null        // per column: μ, W1, S, DEN
@@ -1653,12 +1879,19 @@ object Prefix {
   def ewmScanRecursive(df: DataFrame, keyCol: String, orderCol: Column,
                        inNames: Seq[String], alpha: Double,
                        outNames: Seq[String], stat: String,
-                       minPeriods: Int = 0): DataFrame = {
+                       minPeriods: Int = 0,
+                       shared: Option[Seq[Column]] = None): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
     require(inNames.length == outNames.length, "inNames/outNames must align")
     require(Set("mean", "var")(stat), s"unknown ewm stat '$stat'")
-    val sch = df.schema
+    require(shared.forall(_.length == inNames.length),
+      "derived projections and inNames must align")
+    val sch = shared.fold(df.schema)(d => {
+      val s = df.select(d: _*).schema
+      org.apache.spark.sql.types.StructType(
+        s.fields.zip(inNames).map { case (f, nm) => f.copy(name = nm) })
+    })
     inNames.foreach { nm =>
       require(sch(nm).dataType == org.apache.spark.sql.types.DoubleType,
         s"ewmScanRecursive requires DoubleType columns, got " +
@@ -1666,7 +1899,7 @@ object Prefix {
     }
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val okey = "__ewr_ord"
+    val okey = if (shared.isDefined) "__slc_ord" else "__ewr_ord"
     val needVar = stat == "var"
     val f = 1.0 - alpha
     val f2 = f * f
@@ -1683,9 +1916,16 @@ object Prefix {
     // pre-resurrect T_lastObs scale (recovered as logTrel − ln α).
     val stride = if (needVar) 17 else 9
 
-    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
-      inNames, Nil, descending = false, nullsLast = false,
-      tieCols = Seq(col(keyCol)), parts)
+    val preLaid = shared.isDefined
+    val sliced = shared match {
+      case Some(derived) =>
+        sliceLayout(df, keyCol, orderCol, parts, rev = false)
+          .select(col("*") +: derived: _*)
+      case None =>
+        withSliceId(df.withColumn(okey, orderCol), col(okey),
+          inNames, Nil, descending = false, nullsLast = false,
+          tieCols = Seq(col(keyCol)), parts)
+    }
     val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
 
     // ---- pass 1: per-slice segment payloads from a narrow projection --
@@ -1698,11 +1938,13 @@ object Prefix {
         nullable = false)))
     val pEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(pSchema)
-    val partialRows = sliced
+    val partialNarrow = sliced
       .select(col("__pfx_pid") +: col(okey) +: col(keyCol) +:
         inNames.map(col): _*)
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+    val partialRows = (if (preLaid) partialNarrow
+      else partialNarrow
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*))
       .mapPartitions { it =>
         val runs = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.spark.sql.Row]
@@ -1965,9 +2207,10 @@ object Prefix {
           org.apache.spark.sql.types.DoubleType, nullable = true)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    val emitted = sliced
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+    val emitted = (if (preLaid) sliced
+      else sliced
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*))
       .mapPartitions { it =>
         var curPid = Int.MinValue
         var st: Array[Double] = null  // per column: μ, covB, W1, DEN, pendW
@@ -2283,10 +2526,17 @@ object Prefix {
 
   def runningQuantile(df: DataFrame, keyCol: String, orderCol: Column,
                       inNames: Seq[String], q: Double, interp: Int,
-                      outNames: Seq[String], minPeriods: Int = 1): DataFrame = {
+                      outNames: Seq[String], minPeriods: Int = 1,
+                      shared: Option[Seq[Column]] = None): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     require(inNames.length == outNames.length, "inNames/outNames must align")
-    val sch = df.schema
+    require(shared.forall(_.length == inNames.length),
+      "derived projections and inNames must align")
+    val sch = shared.fold(df.schema)(d => {
+      val s = df.select(d: _*).schema
+      org.apache.spark.sql.types.StructType(
+        s.fields.zip(inNames).map { case (f, nm) => f.copy(name = nm) })
+    })
     inNames.foreach { nm =>
       require(sch(nm).dataType == org.apache.spark.sql.types.DoubleType,
         s"runningQuantile requires DoubleType columns, got ${sch(nm).dataType} for $nm")
@@ -2296,19 +2546,56 @@ object Prefix {
     val budget = spark.conf.getOption("graft.percentile.approxAboveDistinct")
       .map(_.toInt).getOrElse(16384)
 
+    val okey = if (shared.isDefined) "__slc_ord" else "__rq_ord"
+    val preLaid = shared.isDefined
+    val sliced = shared match {
+      case Some(derived) =>
+        sliceLayout(df, keyCol, orderCol, parts, rev = false)
+          .select(col("*") +: derived: _*)
+      case None =>
+        withSliceId(df.withColumn(okey, orderCol), col(okey),
+          inNames, Nil, descending = false, nullsLast = false,
+          tieCols = Seq(col(keyCol)), parts)
+    }
+    val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
+
     // ---- phase 0: bounded sorted domains (normalize -0.0 → 0.0 so the
-    // emit's binary search and the distinct's grouping agree) ----
-    val domains: Array[Array[Double]] = inNames.map { nm =>
-      val c = col(nm)
-      val rows = df.select((c + lit(0.0)).as("v"))
-        .where(!isnan(col("v"))).distinct().limit(budget + 1).collect()
-      if (rows.length > budget) throw new IllegalArgumentException(
-        s"'.expanding().quantile()' needs a bounded value domain: column " +
-          s"'$nm' exceeds $budget distinct values " +
-          s"(graft.percentile.approxAboveDistinct). An exact interpolated " +
-          "running order statistic over an unbounded domain has no bounded " +
-          "state — round or bucket the values first")
-      val a = rows.map(_.getDouble(0))
+    // emit's binary search and the distinct's grouping agree). Scanned
+    // from `sliced` — identical value SET either way (okey/pid are pruned
+    // by the projection), and in shared mode the derived value columns
+    // exist only above the layout. r15 (guide §1.2 — fewer passes): ONE
+    // distinct job over exploded (column idx, value) pairs instead of one
+    // job PER COLUMN — the per-column loop paid width × the job floor
+    // (each distinct+limit is 2–3 AQE stage-jobs) for the same scan. The
+    // driver collect stays bounded: ≤ width·budget + 1 rows; exceeding
+    // that cap proves (pigeonhole) some column exceeds the budget, and
+    // the rare failure path re-runs the per-column scan to name it. ----
+    val width0 = inNames.length
+    val vexprs = inNames.map(nm => col(nm) + lit(0.0))
+    val pairRows = sliced
+      .select(posexplode(array(vexprs: _*)).as(Seq("j", "v")))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .distinct().limit(width0 * budget + 1).collect()
+    def domainOverflow(nm: String): Nothing = throw new IllegalArgumentException(
+      s"'.expanding().quantile()' needs a bounded value domain: column " +
+        s"'$nm' exceeds $budget distinct values " +
+        s"(graft.percentile.approxAboveDistinct). An exact interpolated " +
+        "running order statistic over an unbounded domain has no bounded " +
+        "state — round or bucket the values first")
+    if (pairRows.length > width0.toLong * budget) {
+      // some column is over budget — name the offender (failure path only)
+      inNames.foreach { nm =>
+        val n = sliced.select((col(nm) + lit(0.0)).as("v"))
+          .where(!isnan(col("v"))).distinct().limit(budget + 1).count()
+        if (n > budget) domainOverflow(nm)
+      }
+      domainOverflow(inNames.mkString(","))
+    }
+    val pairsByJ = pairRows.groupBy(_.getInt(0))
+    val domains: Array[Array[Double]] = inNames.indices.map { j =>
+      val a = pairsByJ.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+        .map(_.getDouble(1))
+      if (a.length > budget) domainOverflow(inNames(j))
       java.util.Arrays.sort(a)
       a
     }.toArray
@@ -2316,12 +2603,6 @@ object Prefix {
     val width = inNames.length
     val minp = math.max(minPeriods, 1)
     val bDomains = spark.sparkContext.broadcast(domains)
-
-    val okey = "__rq_ord"
-    val sliced = withSliceId(df.withColumn(okey, orderCol), col(okey),
-      inNames, Nil, descending = false, nullsLast = false,
-      tieCols = Seq(col(keyCol)), parts)
-    val ordAsc = Seq(col(okey).asc_nulls_first, col(keyCol).asc)
 
     // ---- phase 1: sparse per-(partition, slice) count partials,
     // PRE-AGGREGATED on (slice, domain idx) before the driver collect
@@ -2428,9 +2709,10 @@ object Prefix {
           org.apache.spark.sql.types.DoubleType, nullable = true)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    val emitted = sliced
-      .repartition(parts, col("__pfx_pid"))
-      .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*)
+    val emitted = (if (preLaid) sliced
+      else sliced
+        .repartition(parts, col("__pfx_pid"))
+        .sortWithinPartitions((col("__pfx_pid").asc +: ordAsc): _*))
       .mapPartitions { it =>
         val doms = bDomains.value
         val (iIdx, iCnt) = bIncoming.value
