@@ -128,6 +128,11 @@ object Prefix {
     }
   }
 
+  /** Test/probe introspection: registered layout count for `spark`. */
+  private[graft] def sliceLayoutCount(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    sliceLayoutCache.get(spark).map(m => m.synchronized(m.size)).getOrElse(0)
+
   private def purgeStoppedSessions(): Unit = {
     sliceBoundsCache.keys.filter(_.sparkContext.isStopped)
       .foreach(sliceBoundsCache.remove)
