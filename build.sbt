@@ -35,5 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // A/B convenience (r14 optimization round): extra JVM flags — e.g.
 // -Dspark.* conf overrides — injected per invocation from the env, so
 // config experiments don't require build edits. Empty by default.
+// LIMITATION (r14 ADVICE, documented r15): the value is split on bare
+// whitespace, so a -D value containing a space (or any quoted argument)
+// breaks into invalid JVM flags — this hook is for simple -Dkey=value
+// pairs only; anything needing quoting belongs in javaOptions directly.
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
   .flatMap(_.split("\\s+").filter(_.nonEmpty))
